@@ -1,0 +1,501 @@
+package graft
+
+/** DuckDB oracle SQL for each entry in [[SparkEntry.queries]].
+  *
+  * Each statement mirrors the Spark plan's arithmetic *operation
+  * order* so double-precision results agree bit-for-bit where
+  * summation order is fixed, and agree after rounding where it is not.
+  * Integer counts are cast to BIGINT on the DuckDB side (DuckDB's
+  * integer sums widen to HUGEINT) and ranks to INT to match Spark's
+  * row_number type.
+  */
+object OracleSql {
+
+  private val fp = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+
+  private val q01 = """
+    SELECT l_returnflag, l_linestatus,
+      round(sum(l_quantity), 2) AS sum_qty,
+      round(sum(l_extendedprice), 2) AS sum_base_price,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      round(avg(l_quantity), 6) AS avg_qty,
+      count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+  """
+
+  private val q02 = """
+    SELECT event_id, user_id,
+      CASE WHEN value BETWEEN 0.0 AND 150.0 THEN value END AS clamped,
+      greatest(value, 0.0) AS nonneg
+    FROM events
+  """
+
+  private val q03 = """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+      SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+        row_number() OVER (PARTITION BY c.c_mktsegment
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rk
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+    WHERE rk <= 3
+  """
+
+  private val q04 = """
+    SELECT n_name,
+      round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+  """
+
+  private val q05 = """
+    WITH b AS (
+      SELECT event_type,
+        quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type),
+    b2 AS (
+      SELECT event_type,
+        round(q1 - 1.5 * (q3 - q1), 6) AS lo,
+        round(q3 + 1.5 * (q3 - q1), 6) AS hi
+      FROM b)
+    SELECT e.event_type,
+      CAST(sum(CASE WHEN e.value < b2.lo OR e.value > b2.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      count(*) AS n_total
+    FROM events e JOIN b2 ON e.event_type = b2.event_type
+    GROUP BY e.event_type
+  """
+
+  private val q06 = """
+    WITH d AS (
+      SELECT user_id,
+        date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS dt_s
+      FROM events),
+    r AS (SELECT user_id, CAST(round(dt_s / 10.0) * 10 AS BIGINT) AS dt_r FROM d WHERE dt_s IS NOT NULL),
+    c AS (SELECT user_id, dt_r, count(*) AS cnt FROM r GROUP BY 1, 2)
+    SELECT user_id, dt_r AS freq_s FROM (
+      SELECT user_id, dt_r,
+        row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, dt_r ASC) AS rn
+      FROM c) t
+    WHERE rn = 1
+  """
+
+  private val q07 = """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+      round(sum(value) * 24.0 / count(*), 4) AS energy
+    FROM events GROUP BY 1, 2
+  """
+
+  private val q08 = """
+    WITH cap AS (
+      SELECT user_id, round(quantile_cont(value, 0.95) * 0.02, 6) AS thr
+      FROM events GROUP BY 1)
+    SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+      round(avg(CASE WHEN e.value > cap.thr THEN 1.0 ELSE 0.0 END), 6) AS density
+    FROM events e JOIN cap ON e.user_id = cap.user_id
+    GROUP BY 1, 2
+  """
+
+  private val q09 = """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        round(value - lag(value) OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts), 4) AS diff
+      FROM events),
+    f AS (SELECT * FROM d WHERE diff IS NOT NULL),
+    c AS (SELECT user_id, day, diff AS modal_diff, count(*) AS mode_cnt FROM f GROUP BY 1, 2, 3),
+    t AS (SELECT user_id, day, count(*) AS n_diffs FROM f GROUP BY 1, 2),
+    m AS (SELECT user_id, day, modal_diff, mode_cnt,
+            row_number() OVER (PARTITION BY user_id, day ORDER BY mode_cnt DESC, modal_diff ASC) AS rn
+          FROM c)
+    SELECT m.user_id, m.day, m.modal_diff, m.mode_cnt, t.n_diffs
+    FROM m JOIN t ON m.user_id = t.user_id AND m.day = t.day
+    WHERE m.rn = 1
+  """
+
+  private val q10 = """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        value - 2.0 * lag(value, 1) OVER w + lag(value, 2) OVER w AS d2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts))
+    SELECT user_id, day, round(sum(abs(d2)), 4) AS smoothness
+    FROM d GROUP BY 1, 2
+    HAVING sum(abs(d2)) IS NOT NULL
+  """
+
+  private val q11 = """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+      round(sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) / sum(value), 6) AS com_hour
+    FROM events GROUP BY 1, 2
+  """
+
+  private val q12 = """
+    WITH p AS (
+      SELECT user_id, ts, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events),
+    r AS (
+      SELECT user_id,
+        sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM p)
+    SELECT user_id, CAST(max(run_id) AS BIGINT) AS n_runs, count(*) AS n_events
+    FROM r GROUP BY 1
+  """
+
+  private val q13 = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS daily_max
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day, daily_max,
+      round(percent_rank() OVER (PARTITION BY user_id ORDER BY daily_max ASC, day ASC), 6) AS ecdf
+    FROM daily
+  """
+
+  private val q14 = """
+    WITH g AS (
+      SELECT user_id, event_id, value,
+        CAST(floor((e + 300) / 600.0) * 600 AS BIGINT) AS grid_epoch,
+        abs(e - CAST(floor((e + 300) / 600.0) * 600 AS BIGINT)) AS dist
+      FROM (SELECT *, date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e FROM events) t)
+    SELECT user_id, grid_epoch, event_id, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, grid_epoch
+                                   ORDER BY dist ASC, event_id ASC) AS rn FROM g) t
+    WHERE rn = 1
+  """
+
+  private val q15 = """
+    SELECT CAST(ts AS DATE) AS day,
+      round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click_v,
+      round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_v,
+      round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_v,
+      round(sum(CASE WHEN event_type = 'signup' THEN value ELSE 0.0 END), 4) AS signup_v,
+      round(sum(CASE WHEN event_type = 'error' THEN value ELSE 0.0 END), 4) AS error_v,
+      count(*) AS n_events
+    FROM events GROUP BY 1
+  """
+
+  private val q16 = """
+    WITH base AS (
+      SELECT event_id, user_id, epoch_us(ts) AS x,
+        CASE WHEN event_type <> 'error' THEN value END AS v
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, x, v,
+        last_value(v IGNORE NULLS) OVER wb AS pv,
+        first_value(v IGNORE NULLS) OVER wa AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wb AS px,
+        first_value(CASE WHEN v IS NOT NULL THEN x END IGNORE NULLS) OVER wa AS nx
+      FROM base
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wa AS (PARTITION BY user_id ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+      round(CASE
+        WHEN v IS NOT NULL THEN v
+        WHEN pv IS NULL THEN nv
+        WHEN nv IS NULL THEN pv
+        WHEN nx = px THEN pv
+        ELSE pv + (CAST(x - px AS DOUBLE) / CAST(nx - px AS DOUBLE)) * (nv - pv)
+      END, 4) AS filled
+    FROM w
+  """
+
+  private val q17 = """
+    SELECT user_id, round(quantile_cont(value, 0.95), 6) AS capacity
+    FROM events GROUP BY 1
+  """
+
+  private val q18 = """
+    WITH m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM events GROUP BY 1),
+    h AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS hr,
+        e.value, m.thr
+      FROM events e JOIN m ON e.user_id = m.user_id)
+    SELECT user_id, day,
+      round(min(CASE WHEN value > thr THEN hr END), 6) AS sunrise_h,
+      round(max(CASE WHEN value > thr THEN hr END), 6) AS sunset_h,
+      round(max(CASE WHEN value > thr THEN hr END) - min(CASE WHEN value > thr THEN hr END), 6) AS daylight_h
+    FROM h GROUP BY 1, 2
+  """
+
+  private val q19 = """
+    SELECT user_id, CAST(ts AS DATE) AS day, count(value) AS n_obs,
+      round(avg(value), 6) AS avg_v,
+      (count(value) >= 10 AND avg(value) > 0.0) AS good_day
+    FROM events GROUP BY 1, 2
+  """
+
+  private val q20 = """
+    WITH f AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        (count(value) >= 10 AND avg(value) > 0.0) AS good_day
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+      round(avg(CASE WHEN good_day THEN 1.0 ELSE 0.0 END), 6) AS quality_score,
+      count(*) AS n_days
+    FROM f GROUP BY 1
+  """
+
+  private val q21 = """
+    WITH p AS (
+      SELECT user_id, ts,
+        date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e,
+        lag(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
+          OVER (PARTITION BY user_id ORDER BY ts) AS pe
+      FROM events),
+    s AS (
+      SELECT user_id, e,
+        sum(CASE WHEN pe IS NULL OR (e - pe) > 1800 THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM p),
+    g AS (SELECT user_id, session_id, count(*) AS n, max(e) - min(e) AS dur_s
+          FROM s GROUP BY 1, 2)
+    SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      round(avg(dur_s), 4) AS avg_sess_s, max(n) AS max_sess_events
+    FROM g GROUP BY 1
+  """
+
+  private val q22 = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    d AS (SELECT day, dayofyear(day) AS doy FROM days),
+    c AS (SELECT day, doy,
+            23.45 * sin(6.283185307179586 * (doy + 284.0) / 365.0) AS decl
+          FROM d)
+    SELECT day,
+      round(decl, 6) AS decl_deg,
+      round(229.18 * (0.000075
+        + 0.001868 * cos(6.283185307179586 * (doy - 1.0) / 365.0)
+        - 0.032077 * sin(6.283185307179586 * (doy - 1.0) / 365.0)
+        - 0.014615 * cos(2.0 * (6.283185307179586 * (doy - 1.0) / 365.0))
+        - 0.04089 * sin(2.0 * (6.283185307179586 * (doy - 1.0) / 365.0))), 6) AS eot_min,
+      round(0.13333333333333333
+        * acos(greatest(-1.0, least(1.0, -tan(0.6544984694978736) * tan(decl * 0.017453292519943295))))
+        * 57.29577951308232, 6) AS daylight_h
+    FROM c
+  """
+
+  private val d01 = s"""
+    SELECT source, count(*) AS n_docs,
+      count(DISTINCT $fp) AS n_distinct,
+      count(*) - count(DISTINCT $fp) AS n_dup_docs
+    FROM documents GROUP BY 1
+  """
+
+  private val d02 = """
+    SELECT md5(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40)) AS fp,
+      min(doc_id) AS keep_id, count(*) AS group_n
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+  """
+
+  private val tokCount =
+    """CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END"""
+
+  private val d03 = s"""
+    SELECT doc_id,
+      CAST($tokCount AS BIGINT) AS n_tokens,
+      CAST(len(text) AS BIGINT) AS n_chars_m,
+      round(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / CAST(greatest($tokCount, 1) AS DOUBLE), 4) AS mean_tok_len,
+      CAST($tokCount AS BIGINT) + CAST(floor(len(text) / 16.0) AS BIGINT) AS approx_bpe
+    FROM documents
+  """
+
+  private val stopList =
+    "['the','a','an','and','or','of','to','in','is','it','on','for','with','as','at','by']"
+
+  private val stopRatio =
+    s"""CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+         t -> list_contains($stopList, t))) AS DOUBLE)
+       / CAST(greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) AS DOUBLE)"""
+
+  private val punctRatio =
+    """CAST(len(text) - len(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(len(text), 1) AS DOUBLE)"""
+
+  private val upperRatio =
+    """CAST(len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+       / CAST(greatest(len(text), 1) AS DOUBLE)"""
+
+  private val d04 = s"""
+    SELECT doc_id,
+      round($punctRatio, 6) AS punct_ratio,
+      round($stopRatio, 6) AS stop_ratio,
+      round($upperRatio, 6) AS upper_ratio,
+      round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
+             + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
+             + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) AS quality
+    FROM documents
+  """
+
+  private val d05 = s"""
+    WITH p AS (
+      SELECT source, lang,
+        CASE WHEN ($stopRatio) >= 0.05 THEN 'en' ELSE 'unknown' END AS pred
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+      CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en,
+      round(avg(CASE WHEN pred = lang THEN 1.0 ELSE 0.0 END), 6) AS acc
+    FROM p GROUP BY 1
+  """
+
+  private val shinglesCte = """
+    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    sh AS (SELECT DISTINCT doc_id, substring(text, CAST(g AS INT), 3) AS shingle
+           FROM d, UNNEST(range(1, greatest(len(text) - 2, 1) + 1)) AS t(g)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    jac AS (
+      SELECT p.a_id, p.b_id, p.inter, sa.sz AS na, sb.sz AS nb,
+        CAST(p.inter AS DOUBLE) / CAST(sa.sz + sb.sz - p.inter AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sz sa ON p.a_id = sa.doc_id
+      JOIN sz sb ON p.b_id = sb.doc_id)
+  """
+
+  private val d06 = s"""
+    WITH $shinglesCte
+    SELECT a_id, b_id, inter, na, nb, round(jaccard, 6) AS jacc
+    FROM jac WHERE jaccard >= 0.5
+  """
+
+  private val d07 = s"""
+    WITH $shinglesCte,
+    hh AS (SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 32) AS t(j)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(j / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id)
+    SELECT c.a_id, c.b_id, round(j.jaccard, 6) AS jacc
+    FROM cands c JOIN jac j ON c.a_id = j.a_id AND c.b_id = j.b_id
+    WHERE j.jaccard >= 0.4
+  """
+
+  private val d08 = """
+    WITH toks AS (
+      SELECT doc_id, tok, count(*) AS cnt FROM (
+        SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents) t
+      WHERE len(tok) > 0 GROUP BY 1, 2),
+    h AS (SELECT doc_id, cnt,
+            CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) AS h
+          FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+        sum(cnt * ((CAST(floor(h / power(2.0, i)) AS BIGINT) % 2) * 2 - 1)) AS s
+      FROM h CROSS JOIN range(0, 32) AS t(i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(sum(CASE WHEN s > 0 THEN CAST(power(2.0, i) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY 1
+  """
+
+  private val e01 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        sum(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e q CROSS JOIN e c CROSS JOIN range(1, 65) AS t(i)
+      WHERE q.vec_id < 32 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    s AS (
+      SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 5) AS cosine
+      FROM dots d
+      JOIN n nq ON d.query_id = nq.vec_id
+      JOIN n nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM s) t
+    WHERE rk <= 5
+  """
+
+  private val e02 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4) AS d2
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2)
+    SELECT vec_id, centroid_id, d2 FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2 ASC, centroid_id ASC) AS rn FROM d) t
+    WHERE rn = 1
+  """
+
+  private val e03 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT CAST(vec_id - 8 AS INT) AS plane_id, embedding AS pemb
+          FROM e WHERE vec_id >= 8 AND vec_id < 16),
+    d AS (
+      SELECT v.vec_id, p.plane_id,
+        sum(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(p.pemb[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e v CROSS JOIN p CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2)
+    SELECT vec_id,
+      CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2.0, plane_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM d GROUP BY 1
+  """
+
+  val all: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01,
+    "q02_clamp" -> q02,
+    "q03_top_orders_per_segment" -> q03,
+    "q04_revenue_by_nation" -> q04,
+    "q05_iqr_outliers" -> q05,
+    "q06_freq_inference" -> q06,
+    "q07_daily_energy" -> q07,
+    "q08_daily_density" -> q08,
+    "q09_linearity_mode" -> q09,
+    "q10_smoothness" -> q10,
+    "q11_solar_noon" -> q11,
+    "q12_runs" -> q12,
+    "q13_ecdf_daily_max" -> q13,
+    "q14_asof_grid" -> q14,
+    "q15_pivot_daily_type" -> q15,
+    "q16_interpolate" -> q16,
+    "q17_capacity" -> q17,
+    "q18_rise_set" -> q18,
+    "q19_quality_flags" -> q19,
+    "q20_dataset_scores" -> q20,
+    "q21_sessions" -> q21,
+    "q22_solar_geometry" -> q22,
+    "d01_dedup_stats" -> d01,
+    "d02_exact_dup_groups" -> d02,
+    "d03_token_stats" -> d03,
+    "d04_quality_scores" -> d04,
+    "d05_langid" -> d05,
+    "d06_ngram_jaccard" -> d06,
+    "d07_minhash_lsh" -> d07,
+    "d08_simhash" -> d08,
+    "e01_cosine_topk" -> e01,
+    "e02_centroid_assign" -> e02,
+    "e03_sign_lsh_buckets" -> e03
+  ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
+}

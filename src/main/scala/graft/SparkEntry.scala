@@ -1,13 +1,349 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.Solar
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB-equivalent oracle in `oracleSql`.
+  *
+  * Parity rules used throughout (Spark vs DuckDB on the same parquet):
+  *  - every aggregate/computed column is aliased identically on both
+  *    sides (the driver's compare sorts columns by name);
+  *  - floating aggregates are rounded (2–6 dp) on both sides, since
+  *    summation order differs between engines;
+  *  - all orderings used for ranks/top-k are made total with explicit
+  *    integer tie-breaks;
+  *  - timestamps are reduced to whole-second epochs / dates before
+  *    arithmetic, so both engines truncate identically.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val Ev = "events"
+
+  /** Flagship: fleet report over the events table treated as a
+    * per-site (user) telemetry stream — standardize, day stats,
+    * quality score, capacity, inferred sampling frequency.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("site"), col("ts"), col("value"))
+    val flags = DayStats.qualityFlags(ev, "site", "ts", "value", 5L)
+    val scores = DayStats.datasetScores(flags, "site")
+    val cap = DayStats.capacity(ev, "site", "value")
+    val freq = TimeAxis.inferFrequency(ev, Seq("site"), "ts")
+    scores
+      .join(broadcast(cap), Seq("site"))
+      .join(broadcast(freq), Seq("site"))
+      .select(
+        col("site"),
+        col("n_days"),
+        round(col("quality_score"), 6).as("quality_score"),
+        round(col("capacity"), 4).as("capacity"),
+        col("freq_s")
+      )
+  }
+
+  // ---------------------------------------------------------------- //
+  // Relational / time-series layer (SURVEY §2.2–§2.7)
+  // ---------------------------------------------------------------- //
+
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        count(lit(1)).as("cnt")
+      )
+
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_id"),
+      col("user_id"),
+      Filling.clampToNull(col("value"), 0.0, 150.0).as("clamped"),
+      Filling.nonNeg(col("value")).as("nonneg")
+    )
+
+  private def q03(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val joined = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    joined
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+  }
+
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    val na = Tables.nation(s, dir)
+    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items")
+      )
+  }
+
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val bounds = Runs.iqrBounds(ev, Seq("event_type"), "value", 1.5)
+    ev.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total")
+      )
+  }
+
+  private def q06(s: SparkSession, dir: String): DataFrame =
+    TimeAxis.inferFrequency(Tables.events(s, dir), Seq("user_id"), "ts")
+
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    DayStats.dailyEnergy(Tables.events(s, dir), "user_id", "ts", "value")
+      .select(col("user_id"), col("day"), round(col("energy"), 4).as("energy"))
+
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cap = DayStats.capacity(ev, "user_id", "value")
+      .withColumn("thr", round(col("capacity") * 0.02, 6))
+    ev.join(broadcast(cap), Seq("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round(avg(when(col("value") > col("thr"), 1.0).otherwise(0.0)), 6).as("density"))
+  }
+
+  private def q09(s: SparkSession, dir: String): DataFrame =
+    DayStats.linearityMode(Tables.events(s, dir), "user_id", "ts", "value")
+      .select(col("user_id"), col("day"), col("modal_diff"), col("mode_cnt"), col("n_diffs"))
+
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    DayStats.smoothnessL1(Tables.events(s, dir), "user_id", "ts", "value")
+      .filter(col("smoothness").isNotNull)
+      .select(col("user_id"), col("day"), round(col("smoothness"), 4).as("smoothness"))
+
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    DayStats.solarNoonCoM(Tables.events(s, dir), "user_id", "ts", "value")
+      .select(col("user_id"), col("day"), round(col("com_hour"), 6).as("com_hour"))
+
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type")
+      .groupBy(col("user_id"))
+      .agg(max(col("run_id")).as("n_runs"), count(lit(1)).as("n_events"))
+
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("daily_max"))
+    Runs.ecdf(daily, Seq("user_id"), "daily_max", "day")
+      .select(col("user_id"), col("day"), col("daily_max"), round(col("ecdf"), 6).as("ecdf"))
+  }
+
+  private def q14(s: SparkSession, dir: String): DataFrame =
+    TimeAxis.snapToGrid(Tables.events(s, dir), Seq("user_id"), "ts", 600L, "event_id")
+      .select(col("user_id"), col("grid_epoch"), col("event_id"), col("value"))
+
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val aggs = types.map(t => round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 4).as(s"${t}_v")) :+
+      count(lit(1)).as("n_events")
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .withColumn("x", unix_micros(col("ts")))
+      .withColumn("v", when(col("event_type") =!= "error", col("value")))
+    Filling.interpolateLinear(base, Seq("user_id"), "x", "v", "filled")
+      .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
+  }
+
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    DayStats.capacity(Tables.events(s, dir), "user_id", "value")
+      .select(col("user_id"), round(col("capacity"), 6).as("capacity"))
+
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    DayStats.riseSetRough(Tables.events(s, dir), "user_id", "ts", "value", 0.05)
+      .select(
+        col("user_id"),
+        col("day"),
+        round(col("sunrise_h"), 6).as("sunrise_h"),
+        round(col("sunset_h"), 6).as("sunset_h"),
+        round(col("daylight_h"), 6).as("daylight_h")
+      )
+
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    DayStats.qualityFlags(Tables.events(s, dir), "user_id", "ts", "value", 10L)
+      .select(col("user_id"), col("day"), col("n_obs"), round(col("avg_v"), 6).as("avg_v"), col("good_day"))
+
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val flags = DayStats.qualityFlags(Tables.events(s, dir), "user_id", "ts", "value", 10L)
+    DayStats.datasetScores(flags, "user_id")
+      .select(col("user_id"), round(col("quality_score"), 6).as("quality_score"), col("n_days"))
+  }
+
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val sessions = Runs.sessionize(Tables.events(s, dir), Seq("user_id"), "ts", 1800L)
+      .withColumn("e", unix_timestamp(col("ts")))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n"), (max(col("e")) - min(col("e"))).as("dur_s"))
+    sessions
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).as("n_sessions"),
+        round(avg(col("dur_s")), 4).as("avg_sess_s"),
+        max(col("n")).as("max_sess_events")
+      )
+  }
+
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir).select(to_date(col("ts")).as("day")).distinct()
+    val doy = dayofyear(col("day"))
+    val decl = Solar.declinationDeg(doy)
+    days.select(
+      col("day"),
+      round(decl, 6).as("decl_deg"),
+      round(Solar.equationOfTimeMin(doy), 6).as("eot_min"),
+      round(Solar.daylightHours(37.5, decl), 6).as("daylight_h")
+    )
+  }
+
+  // ---------------------------------------------------------------- //
+  // Training-data pipeline layer: dedup / text / similarity
+  // ---------------------------------------------------------------- //
+
+  private def d01(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs")
+      )
+
+  private def d02(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.prefixFingerprint(col("text"), 40).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("group_n"))
+      .filter(col("group_n") > 1)
+      .select(col("fp"), col("keep_id"), col("group_n"))
+
+  private def d03(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_m"),
+      round(TextOps.meanTokenLen(col("text")), 4).as("mean_tok_len"),
+      TextOps.approxBpeTokens(col("text")).as("approx_bpe")
+    )
+
+  private def d04(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
+      round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
+      round(TextOps.upperRatio(col("text")), 6).as("upper_ratio"),
+      TextOps.qualityScore(col("text")).as("quality")
+    )
+
+  private def d05(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), col("lang"), TextOps.langId(col("text")).as("pred"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === "en", 1L).otherwise(0L)).as("n_pred_en"),
+        round(avg(when(col("pred") === col("lang"), 1.0).otherwise(0.0)), 6).as("acc")
+      )
+
+  private def d06(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), round(col("jaccard"), 6).as("jacc"))
+
+  private def d07(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
+    Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .join(cands, Seq("a_id", "b_id"))
+      .filter(col("jaccard") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
+  }
+
+  private def d08(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", 32)
+      .select(col("doc_id"), col("simhash"))
+
+  private def e01(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.cosineTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", 5)
+  }
+
+  private def e02(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.assignToCentroids(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"), col("d2"))
+  }
+
+  private def e03(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .withColumn("plane_id", (col("vec_id") - 8).cast("int"))
+    Similarity.signLshBuckets(emb, planes, "vec_id", "embedding")
+      .select(col("vec_id"), col("bucket"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01 _),
+    "q02_clamp" -> (q02 _),
+    "q03_top_orders_per_segment" -> (q03 _),
+    "q04_revenue_by_nation" -> (q04 _),
+    "q05_iqr_outliers" -> (q05 _),
+    "q06_freq_inference" -> (q06 _),
+    "q07_daily_energy" -> (q07 _),
+    "q08_daily_density" -> (q08 _),
+    "q09_linearity_mode" -> (q09 _),
+    "q10_smoothness" -> (q10 _),
+    "q11_solar_noon" -> (q11 _),
+    "q12_runs" -> (q12 _),
+    "q13_ecdf_daily_max" -> (q13 _),
+    "q14_asof_grid" -> (q14 _),
+    "q15_pivot_daily_type" -> (q15 _),
+    "q16_interpolate" -> (q16 _),
+    "q17_capacity" -> (q17 _),
+    "q18_rise_set" -> (q18 _),
+    "q19_quality_flags" -> (q19 _),
+    "q20_dataset_scores" -> (q20 _),
+    "q21_sessions" -> (q21 _),
+    "q22_solar_geometry" -> (q22 _),
+    "d01_dedup_stats" -> (d01 _),
+    "d02_exact_dup_groups" -> (d02 _),
+    "d03_token_stats" -> (d03 _),
+    "d04_quality_scores" -> (d04 _),
+    "d05_langid" -> (d05 _),
+    "d06_ngram_jaccard" -> (d06 _),
+    "d07_minhash_lsh" -> (d07 _),
+    "d08_simhash" -> (d08 _),
+    "e01_cosine_topk" -> (e01 _),
+    "e02_centroid_assign" -> (e02 _),
+    "e03_sign_lsh_buckets" -> (e03 _)
+  )
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Daily-statistics aggregates — the engine's central fact table
+  * (SURVEY §1.4 "DayStats"): one row per (site, day) with scores and
+  * flags. Mirrors the reference's `DailyScores`/`DailyFlags`
+  * (`data_handler.py:2613-2645`) but built fleet-wide in single
+  * aggregation jobs instead of per-site numpy vectors.
+  *
+  * Scale: all of these are partial-aggregatable `groupBy(site, day)`
+  * or `groupBy(site)` plans — map-side combine keeps shuffle volume at
+  * O(sites × days), not O(rows), no matter the raw scan rate.
+  */
+object DayStats {
+
+  /** Daily energy: `sum(day) * 24 / samples-per-day` (reference
+    * `data_handler.py:1121-1125`). Input long layout (site, ts, value).
+    */
+  def dailyEnergy(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg((sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"))
+
+  /** Per-site capacity estimate: exact 95th percentile of all values
+    * (reference `data_handler.py:431`).
+    */
+  def capacity(df: DataFrame, site: String, valueCol: String): DataFrame =
+    df.groupBy(col(site))
+      .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
+
+  /** Daily density: fraction of slots with value above 2% of the
+    * site's capacity (reference `data_quality.py:35-41`). Capacity is
+    * broadcast-joined back (one row per site).
+    */
+  def dailyDensity(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val cap = capacity(df, site, valueCol)
+    df.join(broadcast(cap), Seq(site))
+      .groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"))
+  }
+
+  /** Daily max and site-global max (clipping stats, reference
+    * `algorithms/clipping.py:54-57`).
+    */
+  def dailyMax(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(max(col(valueCol)).as("daily_max"))
+    val w = Window.partitionBy(col(site))
+    daily.withColumn("site_max", max(col("daily_max")).over(w))
+  }
+
+  /** Linearity score core: deterministic per-day mode of rounded first
+    * differences (reference `data_quality.py:56-83`). Mode tie-break:
+    * higher count, then smaller diff. Returns (site, day, modal_diff,
+    * mode_cnt, n_diffs).
+    */
+  def linearityMode(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(col(site), to_date(col(tsCol))).orderBy(col(tsCol))
+    val diffs = df
+      .withColumn("day", to_date(col(tsCol)))
+      .withColumn("__diff", round(col(valueCol) - lag(col(valueCol), 1).over(wOrd), 4))
+      .filter(col("__diff").isNotNull)
+    val counts = diffs
+      .groupBy(col(site), col("day"), col("__diff").as("modal_diff"))
+      .agg(count(lit(1)).as("mode_cnt"))
+    val wMode = Window
+      .partitionBy(col(site), col("day"))
+      .orderBy(col("mode_cnt").desc, col("modal_diff").asc)
+    val totals = diffs.groupBy(col(site), col("day")).agg(count(lit(1)).as("n_diffs"))
+    counts
+      .withColumn("__rn", row_number().over(wMode))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+      .join(totals, Seq(site, "day"))
+  }
+
+  /** Daily second-difference smoothness: L1 norm of the discrete 2nd
+    * difference (clear-day metric, reference
+    * `clear_day_detection.py:64-68`).
+    */
+  def smoothnessL1(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(site), to_date(col(tsCol))).orderBy(col(tsCol))
+    df.withColumn("day", to_date(col(tsCol)))
+      .withColumn(
+        "__d2",
+        col(valueCol) - lit(2.0) * lag(col(valueCol), 1).over(w) + lag(col(valueCol), 2).over(w)
+      )
+      .groupBy(col(site), col("day"))
+      .agg(sum(abs(col("__d2"))).as("smoothness"))
+  }
+
+  /** Energy center of mass — solar-noon estimate (reference
+    * `solar_noon.py:19-39`): Σ(hourᵢ·pᵢ)/Σpᵢ per day.
+    */
+  def solarNoonCoM(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val h = TimeAxis.hourOfDay(col(tsCol))
+    df.groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg((sum(h * col(valueCol)) / sum(col(valueCol))).as("com_hour"))
+  }
+
+  /** Rough sunrise/sunset: first/last hour with value above a fraction
+    * of the site max (reference `sunrise_sunset.py:11-27`). Threshold
+    * rounded to 6 dp for cross-engine determinism at compare time.
+    */
+  def riseSetRough(df: DataFrame, site: String, tsCol: String, valueCol: String, frac: Double): DataFrame = {
+    val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
+    val h = TimeAxis.hourOfDay(col(tsCol))
+    df.join(broadcast(siteMax), Seq(site))
+      .withColumn("__thr", round(col("site_max") * frac, 6))
+      .groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(
+        min(when(col(valueCol) > col("__thr"), h)).as("sunrise_h"),
+        max(when(col(valueCol) > col("__thr"), h)).as("sunset_h")
+      )
+      .withColumn("daylight_h", col("sunset_h") - col("sunrise_h"))
+  }
+
+  /** Per-day quality flags + per-site dataset score (reference
+    * `data_quality.py:13-25`, `data_handler.py:1232-1242`): a day is
+    * "good" when it has enough samples and positive mean signal; the
+    * site quality score is the fraction of good days.
+    */
+  def qualityFlags(df: DataFrame, site: String, tsCol: String, valueCol: String, minCount: Long): DataFrame =
+    df.groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(count(col(valueCol)).as("n_obs"), avg(col(valueCol)).as("avg_v"))
+      .withColumn("good_day", (col("n_obs") >= minCount) && (col("avg_v") > 0.0))
+
+  def datasetScores(dayFlags: DataFrame, site: String): DataFrame =
+    dayFlags
+      .groupBy(col(site))
+      .agg(
+        avg(col("good_day").cast("double")).as("quality_score"),
+        count(lit(1)).as("n_days")
+      )
+}

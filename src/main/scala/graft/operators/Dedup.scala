@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for large-scale text corpora: exact
+  * (fingerprint group-by), n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is one hash-aggregate on a 128-bit digest — shuffle
+  *    volume is O(distinct docs), not O(bytes);
+  *  - MinHash signatures are integer-arithmetic only (a shared
+  *    md5-prefix base hash), so signatures are reproducible across
+  *    engines and runs — no RNG state;
+  *  - LSH banding turns the quadratic candidate search into an
+  *    equi-join on (band, band-signature) — the only pairwise work is
+  *    within buckets;
+  *  - the exact-Jaccard verify join touches candidate pairs only.
+  */
+object Dedup {
+
+  /** 31-bit shared base hash of a string: first 12 hex chars of md5
+    * (48 bits) mod the Mersenne prime 2^31-1. Deterministic and
+    * reproducible in any engine with md5.
+    */
+  val MersennePrime31: Long = 2147483647L
+  def baseHash31(s: Column): Column =
+    conv(substring(md5(s), 1, 12), 16, 10).cast("long") % MersennePrime31
+
+  /** Universal-hash family over the 31-bit base hash; seeds derive
+    * from the hash index, so the family is stateless.
+    */
+  def universalHash(h31: Column, j: Column): Column = {
+    val a = (lit(1103515245L) * (j + 1)) % MersennePrime31
+    val b = (lit(69069L) * (j + 1) + 12345L) % MersennePrime31
+    (a * h31 + b) % MersennePrime31
+  }
+
+  /** Distinct character k-shingles per document via substring over a
+    * position sequence (no UDF). Returns (idCol, shingle).
+    */
+  def charShingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), col(textCol).as("__txt"))
+      .withColumn("__pos", explode(sequence(lit(1), greatest(length(col("__txt")) - (k - 1), lit(1)))))
+      .select(col(idCol), expr(s"substring(__txt, __pos, $k)").as("shingle"))
+      .distinct()
+
+  /** Exact duplicate groups by content fingerprint: one row per
+    * fingerprint with representative (min id) and group size.
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_n"))
+
+  /** Pairwise exact n-gram Jaccard over a document set (use only on a
+    * bounded subset or within LSH buckets — this is the quadratic
+    * verify step, not the scale path). Returns (a_id, b_id, inter,
+    * na, nb, jaccard) for pairs sharing ≥1 shingle.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val sh = charShingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
+    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
+    val inter = a
+      .join(b, Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col(idCol).as("a_id"), col("sz").as("na"))), Seq("a_id"))
+      .join(broadcast(sizes.select(col(idCol).as("b_id"), col("sz").as("nb"))), Seq("b_id"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+  }
+
+  /** MinHash signatures: (idCol, j, mh) for j in [0, numHashes). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, numHashes: Int): DataFrame = {
+    val sh = charShingles(df, idCol, textCol, k)
+      .withColumn("h31", baseHash31(col("shingle")))
+    sh.withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col(idCol), col("j"))
+      .agg(min(universalHash(col("h31"), col("j"))).as("mh"))
+  }
+
+  /** LSH banding of a MinHash signature table: (idCol, band,
+    * band_sig) where band_sig digests the band's signature rows.
+    */
+  def lshBands(sig: DataFrame, idCol: String, rowsPerBand: Int): DataFrame =
+    sig
+      .withColumn("band", (col("j") / rowsPerBand).cast("int"))
+      .groupBy(col(idCol), col("band"))
+      .agg(
+        md5(
+          concat_ws(
+            ",",
+            transform(array_sort(collect_list(struct(col("j"), col("mh")))), s => s.getField("mh").cast("string"))
+          )
+        ).as("band_sig")
+      )
+
+  /** Candidate near-duplicate pairs: documents sharing any LSH bucket.
+    * Equi-join on (band, band_sig) — the scale path.
+    */
+  def lshCandidates(bands: DataFrame, idCol: String): DataFrame = {
+    val a = bands.select(col(idCol).as("a_id"), col("band"), col("band_sig"))
+    val b = bands.select(col(idCol).as("b_id"), col("band"), col("band_sig"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** SimHash (nBits ≤ 32): weighted sign-sum of token-hash bits,
+    * packed into a long. Tokens weighted by in-document frequency.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, nBits: Int): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long"))
+    val bits = toks
+      .withColumn("i", explode(sequence(lit(0), lit(nBits - 1))))
+      .withColumn("bit", (floor(col("h") / pow(lit(2.0), col("i"))).cast("long") % 2))
+      .withColumn("contrib", col("cnt") * (col("bit") * 2 - 1))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum(col("contrib")).as("s"))
+    bits
+      .groupBy(col(idCol))
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("i")).cast("long")).otherwise(0L)).as("simhash"))
+  }
+}

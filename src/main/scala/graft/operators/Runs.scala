@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Ordered/segmentation operators: gaps-and-islands run detection,
+  * sessionization, IQR outlier bounds, empirical CDF.
+  *
+  * Reference: `solardatatools/utilities.py:53-80` (`find_runs`),
+  * `utilities.py:12-31` (IQR filter), `algorithms/clipping.py:360-370`
+  * (ECDF resample). All window/groupBy plans — one shuffle each.
+  */
+object Runs {
+
+  /** Gaps-and-islands: assign a run id (1-based per key) to maximal
+    * runs of equal `valueCol`, ordered by `orderCol`.
+    */
+  def withRunId(df: DataFrame, keys: Seq[String], orderCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
+    val changed = when(
+      lag(col(valueCol), 1).over(w).isNull ||
+        lag(col(valueCol), 1).over(w) =!= col(valueCol),
+      1
+    ).otherwise(0)
+    df.withColumn("__chg", changed)
+      .withColumn("run_id", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__chg")
+  }
+
+  /** Sessionize: new session when the gap to the previous event
+    * exceeds `gapS` seconds. Adds `session_id` (1-based per key).
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapS: Long): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val e = TimeAxis.epochS(col(tsCol))
+    val newSession = when(
+      lag(e, 1).over(w).isNull || (e - lag(e, 1).over(w)) > gapS,
+      1
+    ).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_id", sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new")
+  }
+
+  /** Per-key IQR bounds: (keys..., q1, q3, lo, hi) with
+    * lo/hi = q1/q3 ∓ k·IQR (reference `utilities.py:12-31`).
+    * Exact percentiles; bounds rounded to 6 dp so the same predicate
+    * evaluates identically in any engine doing the comparison.
+    */
+  def iqrBounds(df: DataFrame, keys: Seq[String], valueCol: String, k: Double): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        percentile(col(valueCol), lit(0.25)).as("q1"),
+        percentile(col(valueCol), lit(0.75)).as("q3")
+      )
+      .withColumn("lo", round(col("q1") - lit(k) * (col("q3") - col("q1")), 6))
+      .withColumn("hi", round(col("q3") + lit(k) * (col("q3") - col("q1")), 6))
+
+  /** Empirical CDF position of `valueCol` within each key group
+    * (reference `clipping.py:360-370`): `percent_rank` over the sorted
+    * stat, tie-broken by `tieBreak` for determinism.
+    */
+  def ecdf(df: DataFrame, keys: Seq[String], valueCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(valueCol).asc, col(tieBreak).asc)
+    df.withColumn("ecdf", percent_rank().over(w))
+  }
+}

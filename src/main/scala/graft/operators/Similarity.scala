@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale
+  * path partitions candidates by coarse quantizer cell (IVF-style,
+  * here: nearest of K centroid vectors) or sign-LSH bucket so each
+  * query only scans its cell — at 100 TB of vectors, the bucket join
+  * replaces the full cross product.
+  *
+  * All arithmetic is `zip_with`/`aggregate` higher-order functions in
+  * double precision — no UDFs, results reproducible across engines.
+  */
+object Similarity {
+
+  /** Dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an array<double> column. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Squared L2 distance between two array<double> columns. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates by cosine similarity (rounded to 5 dp; deterministic
+    * tie-break by neighbor id). Queries should be the small side — it
+    * is broadcast, so the candidate scan never shuffles.
+    *
+    * Returns (query_id, neighbor_id, cosine, rk).
+    */
+  def cosineTopK(queries: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")
+    ).withColumn("qn", norm(col("qv")))
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv")
+    ).withColumn("cn", norm(col("cv")))
+    val scored = c
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 5))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
+  /** IVF-style coarse assignment: nearest centroid per vector by
+    * squared L2 (rounded 5 dp, tie-break by centroid id). Centroids
+    * are broadcast. Returns the input plus (centroid_id, d2).
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("centv"))
+    val scored = v
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", round(dist2(col("vv"), col("centv")), 4))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("d2").asc, col("centroid_id").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("d2"))
+  }
+
+  /** Sign-LSH bucket id from projections onto `planes` (a broadcast
+    * table of (plane_id, plane vector)): bit j = sign(v·plane_j).
+    * Returns (idCol, bucket). The bucket join is the ANN scale path.
+    */
+  def signLshBuckets(vectors: DataFrame, planes: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    val p = planes.select(col("plane_id"), col(vecCol).cast("array<double>").as("pv"))
+    v.crossJoin(broadcast(p))
+      .withColumn("bit", when(dot(col("vv"), col("pv")) > 0, lit(1L)).otherwise(lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("bit") * pow(lit(2.0), col("plane_id")).cast("long")).as("bucket"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics, document
+  * fingerprinting. All pure column expressions (codegen'd), evaluated
+  * scan-side — at 100 TB these run inside the parquet scan stage with
+  * zero shuffle.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0).otherwise(size(split(trim(text), "\\s+")))
+
+  /** A BPE-ish subword proxy: whitespace tokens plus a length-based
+    * continuation term — a cheap, deterministic stand-in for tokenizer
+    * counts at corpus scale.
+    */
+  def approxBpeTokens(text: Column): Column =
+    tokenCount(text).cast("long") + floor(length(text) / lit(16.0))
+
+  /** Punctuation character ratio. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Uppercase character ratio. */
+  def upperRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "on", "for", "with", "as", "at", "by")
+
+  /** Fraction of whitespace tokens that are English stopwords —
+    * the n-gram-free core of a language-ID heuristic.
+    */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val stops = filter(toks, t => EnglishStopwords.foldLeft(lit(false))((acc, s) => acc || (t === s)))
+    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column =
+    length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length band + low punctuation +
+    * stopword presence (the reference-style density/linearity scoring
+    * idea applied to text, cf. `data_quality.py:13-25`).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
+    val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 6)
+  }
+
+  /** Predicted language: "en" when the stopword ratio clears a
+    * threshold, else "unknown" — a deterministic n-gram-heuristic
+    * stand-in suitable for corpus triage.
+    */
+  def langId(text: Column): Column =
+    when(stopwordRatio(text) >= 0.05, lit("en")).otherwise(lit("unknown"))
+
+  /** Canonical-content fingerprint: md5 of lowercased text with all
+    * non-alphanumerics removed. Identical content → identical digest,
+    * robust to spacing/punctuation edits.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9]", ""))
+
+  /** Prefix fingerprint: digest of the first `n` normalized chars —
+    * a cheap near-dup key (documents sharing an opening passage).
+    */
+  def prefixFingerprint(text: Column, n: Int): Column =
+    md5(substring(regexp_replace(lower(text), "[^a-z0-9]", ""), 1, n))
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the harness tables (one parquet file per table under an
+  * sf directory). Column pruning and predicate pushdown reach the
+  * parquet scan because these return plain lazy DataFrames.
+  *
+  * At cluster scale the same API reads a partitioned directory tree
+  * (e.g. `.../events/site=.../date=...`) and Catalyst prunes partitions
+  * from the same declarative plans.
+  */
+object Tables {
+
+  /** The harness parquet stores timestamps as INT64 TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects. Read them as long nanos
+    * (`nanosAsLong`) and convert to TimestampType via exact integer
+    * division to microseconds.
+    */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val tsCols = Map(
+      "events" -> Seq("ts"),
+      "orders" -> Seq("o_orderdate"),
+      "lineitem" -> Seq("l_shipdate")
+    ).getOrElse(name, Seq.empty)
+    tsCols.foldLeft(df) { (d, c) =>
+      if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
+        d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      else d
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** CSV time-series source in the shape of the reference's data plugs
+    * (`sdt_dask/dataplugs/csv_plug.py:23-33`): header row, first column
+    * a timestamp, measurement columns float.
+    */
+  def csvTimeSeries(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Semantic unit tests for the operator library on small in-memory
+  * data (golden-style, mirroring the reference's per-operator tests).
+  */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  test("interpolateLinear fills interior gaps linearly and edges by nearest") {
+    val df = Seq(
+      (1L, 0L, Some(10.0)),
+      (1L, 10L, None),
+      (1L, 20L, Some(30.0)),
+      (1L, 30L, None),
+      (2L, 0L, None),
+      (2L, 5L, Some(7.0))
+    ).toDF("k", "x", "v")
+    val out = Filling
+      .interpolateLinear(df, Seq("k"), "x", "v", "f")
+      .orderBy("k", "x")
+      .select("f")
+      .as[Double]
+      .collect()
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0, 30.0, 7.0, 7.0))
+  }
+
+  test("sortDedup keeps exactly one row per timestamp") {
+    val df = Seq((1L, 100L, 1L, 5.0), (1L, 100L, 2L, 6.0), (1L, 200L, 3L, 7.0))
+      .toDF("k", "ts", "seq", "v")
+    val out = TimeAxis.sortDedup(df, Seq("k"), "ts", "seq").orderBy("ts").collect()
+    assert(out.length == 2 && out(0).getDouble(3) == 5.0)
+  }
+
+  test("snapToGrid keeps the nearest observation per grid stamp") {
+    val df = Seq(
+      (1L, "2024-01-01 00:04:00", 1L, 1.0), // 240s -> grid 0, dist 240
+      (1L, "2024-01-01 00:09:00", 2L, 2.0), // 540s -> grid 600, dist 60
+      (1L, "2024-01-01 00:11:00", 3L, 3.0)  // 660s -> grid 600, dist 60 (tie, higher id loses)
+    ).toDF("k", "s", "id", "v").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeAxis
+      .snapToGrid(df, Seq("k"), "ts", 600L, "id")
+      .orderBy("grid_epoch")
+      .select("grid_epoch", "id")
+      .as[(Long, Long)]
+      .collect()
+    assert(out.toSeq == Seq((1704067200L, 1L), (1704067800L, 2L)))
+  }
+
+  test("inferFrequency finds the modal rounded delta") {
+    val base = 1704067200L
+    val stamps = Seq(0L, 300L, 600L, 900L, 1195L, 1500L, 3000L).map(base + _)
+    val df = stamps.map(s => (1L, s)).toDF("k", "e").withColumn("ts", timestamp_seconds(col("e")))
+    val out = TimeAxis.inferFrequency(df, Seq("k"), "ts").select("freq_s").as[Long].head()
+    assert(out == 300L)
+  }
+
+  test("withRunId segments runs; sessionize splits on gaps") {
+    val df = Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"))
+      .toDF("k", "o", "v")
+    val runs = Runs.withRunId(df, Seq("k"), "o", "v").orderBy("o").select("run_id").as[Long].collect()
+    assert(runs.toSeq == Seq(1L, 1L, 2L, 3L))
+
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (1L, 3100L))
+      .toDF("k", "e")
+      .withColumn("ts", timestamp_seconds(col("e")))
+    val sess = Runs.sessionize(ev, Seq("k"), "ts", 1800L).orderBy("e").select("session_id").as[Long].collect()
+    assert(sess.toSeq == Seq(1L, 1L, 2L, 2L))
+  }
+
+  test("rollSlot wraps circularly") {
+    val df = Seq((0, 2), (5, 2), (5, -7)).toDF("slot", "shift")
+    val out = df.select(TimeAxis.rollSlot(col("slot"), col("shift"), 6)).as[Int].collect()
+    assert(out.toSeq == Seq(2, 1, 4))
+  }
+
+  test("LSH candidates include all high-jaccard pairs (MinHash recall)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 1
+      (3L, "completely different content about spark query engines at scale"),
+      (4L, "totally unrelated text concerning photovoltaic power analytics")
+    ).toDF("doc_id", "text")
+    val exact = Dedup
+      .jaccardPairs(docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.8)
+      .select("a_id", "b_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val cands = Dedup
+      .lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(exact.subsetOf(cands), s"missed: ${exact.diff(cands)}")
+    assert(exact.contains((1L, 2L)))
+  }
+
+  test("simhash is equal for identical docs, differs for unrelated docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhash(docs, "doc_id", "text", 32).orderBy("doc_id").select("simhash").as[Long].collect()
+    assert(out(0) == out(1) && out(0) != out(2))
+  }
+
+  test("cosineTopK ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity
+      .cosineTopK(vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", 2)
+      .orderBy("rk")
+      .select("neighbor_id")
+      .as[Long]
+      .collect()
+    assert(top.toSeq == Seq(1L, 3L))
+  }
+
+  test("assignToCentroids picks the nearest centroid") {
+    val vecs = Seq(
+      (10L, Array(0.1f, 0.0f)),
+      (11L, Array(5.0f, 5.1f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .assignToCentroids(vecs, cents, "vec_id", "embedding")
+      .orderBy("vec_id")
+      .select("centroid_id")
+      .as[Long]
+      .collect()
+    assert(out.toSeq == Seq(0L, 1L))
+  }
+
+  test("text ops: token count, fingerprint invariance, quality bounds") {
+    val df = Seq(
+      ("the cat sat on the mat", "The cat, sat on the mat!"),
+      ("spark engine", "spark   engine")
+    ).toDF("a", "b")
+    val tc = df.select(TextOps.tokenCount(col("a"))).as[Int].collect()
+    assert(tc.toSeq == Seq(6, 2))
+    val fpEq = df.select((TextOps.fingerprint(col("a")) === TextOps.fingerprint(col("b"))).as("eq")).as[Boolean].collect()
+    assert(fpEq.forall(identity))
+    val q = df.select(TextOps.qualityScore(col("a"))).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("iqrBounds flags only extreme values") {
+    val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, v) }
+      .toDF("k", "id", "v")
+    val b = Runs.iqrBounds(df, Seq("k"), "v", 1.5)
+    val flagged = df
+      .join(b, Seq("k"))
+      .filter(col("v") < col("lo") || col("v") > col("hi"))
+      .count()
+    assert(flagged == 3) // 9, 11, 1000 are all outside the degenerate IQR
+  }
+}

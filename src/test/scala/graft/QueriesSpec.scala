@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + shape tests for every SparkEntry query on sf0.001, and the
+  * flagship entry. (Cross-engine value parity is checked by the
+  * DuckDB oracle harness — `tools/check_oracle.py`.)
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("8")
+  val dir = "/root/testdata/sf0.001"
+
+  test("entry returns a non-empty fleet report") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and returns rows on sf0.001") {
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty)
+      assert(df.count() > 0, s"$name returned no rows")
+    }
+  }
+}
