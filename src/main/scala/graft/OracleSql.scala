@@ -280,6 +280,102 @@ object OracleSql {
     FROM c
   """
 
+  private val q23 = """
+    WITH b AS (
+      SELECT value,
+        CAST(round((15.0 * (date_diff('second', date_trunc('day', ts), ts) / 3600.0 - 12.0)) / 2.0) * 2 AS INT) AS az_bin,
+        CAST(round(asin(greatest(-1.0, least(1.0,
+          0.6087614290087207 * sin((23.45 * sin(6.283185307179586 * (dayofyear(CAST(ts AS DATE)) + 284.0) / 365.0)) * 0.017453292519943295)
+          + 0.7933533402912352 * cos((23.45 * sin(6.283185307179586 * (dayofyear(CAST(ts AS DATE)) + 284.0) / 365.0)) * 0.017453292519943295)
+            * cos((15.0 * (date_diff('second', date_trunc('day', ts), ts) / 3600.0 - 12.0)) * 0.017453292519943295)
+        ))) * 57.29577951308232) AS INT) AS el_bin
+      FROM events)
+    SELECT az_bin, el_bin, round(sum(value), 2) AS sum_v, count(*) AS n
+    FROM b GROUP BY 1, 2
+  """
+
+  private val q24 = """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, day,
+            ntile(21) OVER (PARTITION BY user_id ORDER BY day) AS fold
+          FROM days)
+    SELECT user_id, CAST(fold AS INT) AS fold, count(*) AS n_days, min(day) AS first_day
+    FROM f GROUP BY 1, 2
+  """
+
+  private val q25 = """
+    WITH a AS (
+      SELECT user_id, count(*) AS n,
+        avg(cos(date_diff('second', date_trunc('day', ts), ts) / 86400.0 * 6.283185307179586)) AS cbar,
+        avg(sin(date_diff('second', date_trunc('day', ts), ts) / 86400.0 * 6.283185307179586)) AS sbar
+      FROM events GROUP BY 1),
+    b AS (SELECT user_id, n, sqrt(cbar * cbar + sbar * sbar) AS r FROM a),
+    c AS (SELECT user_id, n, r, n * (r * r) AS z FROM b)
+    SELECT user_id, n, round(r, 6) AS r, round(z, 6) AS z, round(exp(-z), 6) AS p_value
+    FROM c
+  """
+
+  private val q26 = """
+    WITH a AS (
+      SELECT user_id,
+        sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) / sum(value) AS com_hour
+      FROM events GROUP BY 1)
+    SELECT user_id, round(com_hour, 6) AS com_hour,
+      CAST(round(12.0 - com_hour) AS INT) AS tz_offset_h
+    FROM a
+  """
+
+  private val q27 = """
+    WITH b AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id, value,
+        date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e
+      FROM events),
+    s AS (
+      SELECT user_id, day, event_id,
+        (value + lag(value, 1) OVER w) / 2.0 * (e - lag(e, 1) OVER w) AS seg
+      FROM b WINDOW w AS (PARTITION BY user_id, day ORDER BY ts)),
+    c AS (
+      SELECT user_id, day, event_id,
+        sum(seg) OVER (PARTITION BY user_id, day ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        sum(seg) OVER (PARTITION BY user_id, day) AS total
+      FROM s)
+    SELECT user_id, day, event_id, round(cum / total, 6) AS cum_frac
+    FROM c WHERE cum IS NOT NULL AND total > 0
+  """
+
+  private val q28 = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS daily_max
+      FROM events GROUP BY 1, 2),
+    masses AS (
+      SELECT user_id, round(daily_max / 10.0) * 10.0 AS mass, count(*) AS n_in_bucket
+      FROM daily GROUP BY 1, 2 HAVING count(*) >= 3)
+    SELECT d.user_id, m.mass, count(*) AS n_days_near, round(sum(d.daily_max), 2) AS sum_near
+    FROM daily d JOIN masses m ON d.user_id = m.user_id
+    WHERE abs(d.daily_max - m.mass) <= 2.5
+    GROUP BY 1, 2
+  """
+
+  private val q29 = """
+    SELECT CAST(floor(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) / 600.0) * 600 AS BIGINT) AS grid_epoch,
+      arg_min(value, event_id) FILTER (WHERE user_id = 0) AS u0_v,
+      arg_min(value, event_id) FILTER (WHERE user_id = 1) AS u1_v,
+      arg_min(value, event_id) FILTER (WHERE user_id = 2) AS u2_v,
+      arg_min(value, event_id) FILTER (WHERE user_id = 3) AS u3_v,
+      arg_min(value, event_id) FILTER (WHERE user_id = 4) AS u4_v,
+      count(*) AS n_rows
+    FROM events GROUP BY 1
+  """
+
+  private val q30 = """
+    WITH t AS (
+      SELECT user_id, quantile_cont(value, list_transform(range(0, 21), x -> x / 20.0)) AS qs
+      FROM events GROUP BY 1),
+    u AS (SELECT user_id, unnest(range(0, 21)) AS g, unnest(qs) AS q FROM t)
+    SELECT user_id, CAST(g AS INT) AS g, round(q, 5) AS quant FROM u
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -486,6 +582,14 @@ object OracleSql {
     "q20_dataset_scores" -> q20,
     "q21_sessions" -> q21,
     "q22_solar_geometry" -> q22,
+    "q23_solar_position_bin" -> q23,
+    "q24_cv_folds" -> q24,
+    "q25_rayleigh" -> q25,
+    "q26_tz_offset" -> q26,
+    "q27_dilation_cumfrac" -> q27,
+    "q28_point_mass" -> q28,
+    "q29_wide_pivot" -> q29,
+    "q30_cdf_resample" -> q30,
     "d01_dedup_stats" -> d01,
     "d02_exact_dup_groups" -> d02,
     "d03_token_stats" -> d03,

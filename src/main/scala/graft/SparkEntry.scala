@@ -221,6 +221,132 @@ object SparkEntry {
     )
   }
 
+  /** Solar-position join + group-by-bin aggregation (reference
+    * `polar_transform.py:64-104`): compute (hour angle, elevation)
+    * per observation as pure column exprs, bin, and average power.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val SinPhi = 0.6087614290087207
+    val CosPhi = 0.7933533402912352
+    val DegToRad = 0.017453292519943295
+    val RadToDeg = 57.29577951308232
+    val ev = Tables.events(s, dir)
+    val doy = dayofyear(to_date(col("ts")))
+    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val haDeg = lit(15.0) * (h - lit(12.0))
+    val sinEl = lit(SinPhi) * sin(declRad) + lit(CosPhi) * cos(declRad) * cos(haDeg * lit(DegToRad))
+    val elDeg = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(RadToDeg)
+    ev.withColumn("az_bin", (round(haDeg / 2.0) * 2).cast("int"))
+      .withColumn("el_bin", round(elDeg).cast("int"))
+      .groupBy(col("az_bin"), col("el_bin"))
+      .agg(round(sum(col("value")), 2).as("sum_v"), count(lit(1)).as("n"))
+  }
+
+  /** Time-series cross-validation fold assignment (reference
+    * `sensor_identification.py:88-101`): ntile over ordered days.
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("fold", ntile(21).over(w))
+      .groupBy(col("user_id"), col("fold"))
+      .agg(count(lit(1)).as("n_days"), min(col("day")).as("first_day"))
+  }
+
+  /** Rayleigh test of circular nonuniformity (reference
+    * `circular_statistics.py:14-99`): angles = time-of-day mapped to
+    * the circle; pure aggregates + scalar math.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val TwoPi = 6.283185307179586
+    val x = TimeAxis.secondsOfDay(col("ts")) / lit(86400.0) * lit(TwoPi)
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), avg(cos(x)).as("cbar"), avg(sin(x)).as("sbar"))
+      .withColumn("r", sqrt(col("cbar") * col("cbar") + col("sbar") * col("sbar")))
+      .withColumn("z", col("n") * (col("r") * col("r")))
+      .select(col("user_id"), col("n"), round(col("r"), 6).as("r"), round(col("z"), 6).as("z"),
+        round(exp(-col("z")), 6).as("p_value"))
+  }
+
+  /** Gross timezone-offset detection (reference
+    * `time_axis_manipulation.py:141-192`).
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    TimeAxis.grossTzOffsetHours(Tables.events(s, dir), Seq("user_id"), "ts", "value")
+      .select(col("user_id"), round(col("com_hour"), 6).as("com_hour"), col("tz_offset_h"))
+
+  /** Dilation core: cumulative trapezoid integral of the signal within
+    * each day, normalized to [0,1] (reference `dilation.py:276-301`,
+    * the energy-preserving resample's inner cumsum). Running windows
+    * evaluate in a fixed order, so values are cross-engine exact.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .withColumn("e", unix_timestamp(col("ts")))
+    val w = Window.partitionBy(col("user_id"), col("day")).orderBy(col("ts"))
+    val seg = (col("value") + lag(col("value"), 1).over(w)) / 2.0 * (col("e") - lag(col("e"), 1).over(w))
+    val withSeg = ev.withColumn("seg", seg)
+    val cum = sum(col("seg")).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    val total = sum(col("seg")).over(Window.partitionBy(col("user_id"), col("day")))
+    withSeg
+      .withColumn("cum", cum)
+      .withColumn("total", total)
+      .filter(col("cum").isNotNull && col("total") > 0)
+      .select(col("user_id"), col("day"), col("event_id"), round(col("cum") / col("total"), 6).as("cum_frac"))
+  }
+
+  /** Point-mass detection on daily-max stats (reference
+    * `clipping.py:82-128`): histogram buckets with ≥3 days, then days
+    * within ±0.0075·capacity-scale of each mass (broadcast join).
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("daily_max"))
+    val masses = daily
+      .withColumn("mass", round(col("daily_max") / 10.0) * 10.0)
+      .groupBy(col("user_id"), col("mass"))
+      .agg(count(lit(1)).as("n_in_bucket"))
+      .filter(col("n_in_bucket") >= 3)
+    daily
+      .join(broadcast(masses), Seq("user_id"))
+      .filter(abs(col("daily_max") - col("mass")) <= 2.5)
+      .groupBy(col("user_id"), col("mass"))
+      .agg(count(lit(1)).as("n_days_near"), round(sum(col("daily_max")), 2).as("sum_near"))
+  }
+
+  /** Long→wide pivot onto a regular grid (reference
+    * `time_axis_manipulation.py:27-100` make_time_series): each
+    * user becomes a column, grid stamp becomes the row key,
+    * first-by-event-id as the pivot aggregate.
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("grid_epoch", (floor(unix_timestamp(col("ts")) / 600.0) * 600).cast("long"))
+    val aggs = (0 to 4).map { u =>
+      expr(s"min_by(value, event_id) FILTER (WHERE user_id = $u)").as(s"u${u}_v")
+    } :+ count(lit(1)).as("n_rows")
+    ev.groupBy(col("grid_epoch")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Empirical-CDF resample to a fixed quantile grid (reference
+    * `clipping.py:360-370`): exact multi-quantile + posexplode.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val levels = array((0 to 20).map(g => lit(g / 20.0)): _*)
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(percentile(col("value"), levels).as("qs"))
+      .select(col("user_id"), posexplode(col("qs")).as(Seq("g", "q")))
+      .select(col("user_id"), col("g").cast("int").as("g"), round(col("q"), 5).as("quant"))
+  }
+
   // ---------------------------------------------------------------- //
   // Training-data pipeline layer: dedup / text / similarity
   // ---------------------------------------------------------------- //
@@ -332,6 +458,14 @@ object SparkEntry {
     "q20_dataset_scores" -> (q20 _),
     "q21_sessions" -> (q21 _),
     "q22_solar_geometry" -> (q22 _),
+    "q23_solar_position_bin" -> (q23 _),
+    "q24_cv_folds" -> (q24 _),
+    "q25_rayleigh" -> (q25 _),
+    "q26_tz_offset" -> (q26 _),
+    "q27_dilation_cumfrac" -> (q27 _),
+    "q28_point_mass" -> (q28 _),
+    "q29_wide_pivot" -> (q29 _),
+    "q30_cdf_resample" -> (q30 _),
     "d01_dedup_stats" -> (d01 _),
     "d02_exact_dup_groups" -> (d02 _),
     "d03_token_stats" -> (d03 _),
