@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import graft.analyses.Pipeline
 import graft.functions.Solar
 import graft.operators._
 import graft.sources.Tables
@@ -435,7 +436,19 @@ object SparkEntry {
       .select(col("vec_id"), col("bucket"))
   }
 
+  /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
+    * per-site solver stages via mapGroups. Rows-only check — the
+    * solver stages are not SQL-expressible.
+    */
+  private def p01(s: SparkSession, dir: String): DataFrame =
+    Pipeline.run(
+      s,
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value"
+    ).toDF()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_fleet_pipeline" -> (p01 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_clamp" -> (q02 _),
     "q03_top_orders_per_segment" -> (q03 _),

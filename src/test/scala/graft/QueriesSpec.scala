@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    val rowsOnly = Set("p01_fleet_pipeline")
+    val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 

@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.solvers.{Kernels, Linalg}
+
+/** Kernel tests on synthetic signals — tolerance regime mirrors the
+  * reference's own solver tests (MAE ≈ 1e-3…1e-1 depending on stage;
+  * `tests/solardatatools/test_signal_decompositions.py:56-60`).
+  */
+class SolverSpec extends AnyFunSuite {
+
+  test("solveSpd solves a known SPD system") {
+    val a = Array(4.0, 1.0, 1.0, 3.0)
+    val b = Array(1.0, 2.0)
+    val x = Linalg.solveSpd(a, b, 2)
+    assert(math.abs(4 * x(0) + x(1) - 1.0) < 1e-9)
+    assert(math.abs(x(0) + 3 * x(1) - 2.0) < 1e-9)
+  }
+
+  test("solveBandedSpd matches dense solve on a tridiagonal system") {
+    val n = 50
+    val diag = Array.fill(n)(4.0)
+    val off = Array.fill(n)(-1.0)
+    val b = Array.tabulate(n)(i => math.sin(i * 0.1))
+    val x = Linalg.solveBandedSpd(Array(diag, off), b)
+    // residual check
+    var maxRes = 0.0
+    for (i <- 0 until n) {
+      var r = 4.0 * x(i) - b(i)
+      if (i > 0) r -= x(i - 1)
+      if (i < n - 1) r -= x(i + 1)
+      maxRes = math.max(maxRes, math.abs(r))
+    }
+    assert(maxRes < 1e-8)
+  }
+
+  test("quantileFourierFit recovers a seasonal median under noise") {
+    val n = 365
+    val t = Array.tabulate(n)(_.toDouble)
+    val truth = t.map(d => 5.0 + 2.0 * math.sin(2 * math.Pi * d / Kernels.YearPeriod))
+    val rng = new scala.util.Random(42)
+    val y = truth.map(v => v + rng.nextGaussian() * 0.3)
+    val fit = Kernels.quantileFourierFit(y, t, tau = 0.5)
+    val mae = t.indices.map(i => math.abs(fit(i) - truth(i))).sum / n
+    assert(mae < 0.15, s"MAE $mae")
+  }
+
+  test("quantileFourierFit tau=0.9 sits above tau=0.1") {
+    val n = 200
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(7)
+    val y = t.map(_ => 10.0 + rng.nextGaussian())
+    val hi = Kernels.quantileFourierFit(y, t, tau = 0.9, harmonics = 1)
+    val lo = Kernels.quantileFourierFit(y, t, tau = 0.1, harmonics = 1)
+    assert(t.indices.forall(i => hi(i) > lo(i)))
+    val spread = t.indices.map(i => hi(i) - lo(i)).sum / n
+    assert(spread > 1.0 && spread < 4.0, s"spread $spread")
+  }
+
+  test("tvSeasonalFit recovers a step change") {
+    val n = 300
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(1)
+    val y = t.map { d =>
+      val step = if (d < 150) 10.0 else 7.0
+      step + 0.5 * math.sin(2 * math.Pi * d / 30.0) + rng.nextGaussian() * 0.1
+    }
+    val (pwc, _) = Kernels.tvSeasonalFit(y, t, lambdaTv = 5.0, harmonics = 3, period = 30.0)
+    val left = pwc.slice(20, 130).sum / 110
+    val right = pwc.slice(170, 280).sum / 110
+    assert(math.abs(left - right) > 2.0, s"left $left right $right")
+  }
+
+  test("cdfPwlFit pins endpoints and smooths curvature") {
+    val n = 100
+    val rng = new scala.util.Random(3)
+    val y = Array.tabulate(n)(i => i / 99.0 + rng.nextGaussian() * 0.01)
+    val fit = Kernels.cdfPwlFit(y, lambdaD2 = 50.0)
+    assert(math.abs(fit(0) - y(0)) < 1e-3)
+    assert(math.abs(fit(n - 1) - y(n - 1)) < 1e-3)
+    val rough = (2 until n).map(i => math.abs(fit(i) - 2 * fit(i - 1) + fit(i - 2))).sum
+    val origRough = (2 until n).map(i => math.abs(y(i) - 2 * y(i - 1) + y(i - 2))).sum
+    assert(rough < origRough / 2, s"rough $rough vs $origRough")
+  }
+
+  test("viterbi2 labels sustained clear periods and rejects noise spikes") {
+    val ratio = Array.fill(20)(1.0) ++ Array.fill(20)(0.4) ++ Array.fill(20)(1.02)
+    val path = Kernels.viterbi2(ratio)
+    assert(path.take(20).count(identity) >= 18)
+    assert(path.slice(20, 40).count(identity) <= 2)
+    assert(path.drop(40).count(identity) >= 18)
+  }
+
+  test("shapleyAttribution is exact: attributions sum to v(all) - v(none)") {
+    val baseline = Array(100.0, 110.0, 120.0)
+    val factors = Array(
+      Array(0.95, 0.95, 0.95), // degradation
+      Array(0.9, 1.0, 0.8), // soiling
+      Array(1.0, 0.7, 1.0), // weather
+      Array(1.0, 1.0, 0.0) // outage
+    )
+    val attr = Kernels.shapleyAttribution(baseline, factors)
+    val vAll = baseline.indices.map(i => baseline(i) * factors.map(_(i)).product).sum
+    val vNone = baseline.sum
+    assert(math.abs(attr.sum - (vAll - vNone)) < 1e-9)
+    assert(attr.forall(_ <= 0.0)) // all factors are losses here
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.EventStream
+
+/** Streaming face: batch parquet drives the same windowed aggregation
+  * through a real streaming query (AvailableNow + memory sink).
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  test("hourly streaming rollup matches the equivalent batch aggregation") {
+    // stage a micro-batch dir with timestamps in a stream-readable type
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(dir)
+
+    val streamAgg = EventStream.hourlyStats(EventStream.readEvents(spark, dir), capacityHint = 100.0)
+    val got = EventStream.runAvailableNow(spark, streamAgg, "hourly_out")
+
+    val batch = spark.read.parquet(dir)
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("user_id"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("value")).as("sum_v"))
+      .select(col("win.start").as("window_start"), col("user_id"), col("n_obs"), col("sum_v"))
+
+    val g = got.select("window_start", "user_id", "n_obs", "sum_v")
+    // append mode emits only watermark-finalized windows: everything
+    // emitted must match batch exactly; only tail windows (within the
+    // 30-min watermark of the max event time) may be withheld.
+    assert(g.except(batch).count() == 0, "streaming emitted rows absent from batch")
+    val maxTs = spark.read.parquet(dir).agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - (90 * 60 * 1000L)) // 1h window + 30m watermark
+    val missing = batch.except(g)
+    assert(missing.filter(col("window_start") < cutoff).count() == 0,
+      "batch rows older than the watermark horizon missing from streaming output")
+    assert(g.count() >= batch.count() - 20)
+  }
+}
