@@ -376,6 +376,69 @@ object OracleSql {
     SELECT user_id, CAST(g AS INT) AS g, round(q, 5) AS quant FROM u
   """
 
+  private val q31 = """
+    WITH ev AS (
+      SELECT user_id, date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e, value, event_id
+      FROM events),
+    span AS (SELECT user_id, min(e) AS min_e, max(e) AS max_e FROM ev GROUP BY 1),
+    grid AS (
+      SELECT user_id,
+        unnest(range(CAST(floor(min_e / 3600.0) * 3600 AS BIGINT), max_e + 1, 3600)) AS e
+      FROM span),
+    tagged AS (
+      SELECT user_id, e, value, event_id, 0 AS tag FROM ev
+      UNION ALL
+      SELECT user_id, e, NULL AS value, 9223372036854775807 AS event_id, 1 AS tag FROM grid),
+    wv AS (
+      SELECT user_id, e, tag,
+        last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY e, tag, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_v
+      FROM tagged)
+    SELECT user_id, e AS grid_epoch, last_v FROM wv WHERE tag = 1
+  """
+
+  private val q32 = """
+    WITH a AS (
+      SELECT user_id, count(*) AS n,
+        sum(date_diff('second', date_trunc('day', ts), ts) / 3600.0) AS sx,
+        sum(value) AS sy,
+        sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) AS sxy,
+        sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0)
+            * (date_diff('second', date_trunc('day', ts), ts) / 3600.0)) AS sxx,
+        sum(value * value) AS syy
+      FROM events GROUP BY 1),
+    b AS (SELECT user_id, n, sx, sy, sxy, sxx, syy,
+            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+          FROM a),
+    c AS (SELECT user_id, n, slope,
+            (sy - slope * sx) / n AS intercept,
+            (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+          FROM b)
+    SELECT user_id, n, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
+      round(r * r, 6) AS r2
+    FROM c
+  """
+
+  private val j01 = """
+    SELECT user_id,
+      CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+      max(CAST(json_extract(props, '$.k') AS INT)) AS max_k,
+      count(CAST(json_extract(props, '$.k') AS INT)) AS n_k,
+      count(*) AS n_rows
+    FROM events GROUP BY 1
+  """
+
+  private val m01 = """
+    SELECT doc_id,
+      CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      hex(substring(text, 1, 4)) AS magic_hex,
+      CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS BIGINT) AS n_chunks,
+      ascii(substring(text, 1, 1)) AS f_first_byte,
+      ascii(substring(text, len(text), 1)) AS f_last_byte,
+      md5(text) AS f_content_hash
+    FROM documents
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -590,6 +653,10 @@ object OracleSql {
     "q28_point_mass" -> q28,
     "q29_wide_pivot" -> q29,
     "q30_cdf_resample" -> q30,
+    "q31_asof_backward" -> q31,
+    "q32_ols_slope" -> q32,
+    "j01_json_extract" -> j01,
+    "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,
     "d02_exact_dup_groups" -> d02,
     "d03_token_stats" -> d03,

@@ -348,6 +348,77 @@ object SparkEntry {
       .select(col("user_id"), col("g").cast("int").as("g"), round(col("q"), 5).as("quant"))
   }
 
+  /** Backward as-of join onto a generated hourly grid (reference
+    * nearest-reindex family, `time_axis_manipulation.py:233-251`):
+    * grid rows from `sequence`+`explode`, union with events, one
+    * ordered window per site — no non-equi join at any scale.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).withColumn("e", unix_timestamp(col("ts")))
+    val span = ev.groupBy(col("user_id"))
+      .agg(min(col("e")).as("min_e"), max(col("e")).as("max_e"))
+    val grid = span.select(
+      col("user_id"),
+      explode(sequence((floor(col("min_e") / 3600.0) * 3600).cast("long"), col("max_e"), lit(3600L))).as("e")
+    )
+    val tagged = ev.select(col("user_id"), col("e"), col("value"), col("event_id"), lit(0).as("tag"))
+      .unionByName(grid.select(col("user_id"), col("e"), lit(null).cast("double").as("value"),
+        lit(Long.MaxValue).as("event_id"), lit(1).as("tag")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("e"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_v", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("user_id"), col("e").as("grid_epoch"), col("last_v"))
+  }
+
+  /** Closed-form per-site OLS of value on hour-of-day (reference
+    * sensor-identification regression, `sensor_identification.py:49-124`
+    * — single-feature OLS reduces to sums).
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val x = TimeAxis.hourOfDay(col("ts"))
+    val y = col("value")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")
+      )
+      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
+      .withColumn("r", (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy"))))
+      .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
+        round(col("intercept"), 6).as("intercept"), round(col("r") * col("r"), 6).as("r2"))
+  }
+
+  /** Semi-structured projection: JSON property extraction + rollup
+    * (events.props is a JSON payload column).
+    */
+  private def j01(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).as("max_k"),
+        count(col("k")).as("n_k"),
+        count(lit(1)).as("n_rows")
+      )
+
+  /** Multimodal plumbing: opaque binary payload → typed metadata +
+    * stub decode features (real decode is env-stubbed; see
+    * [[graft.operators.Multimodal]]).
+    */
+  private def m01(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.withBlob(Tables.documents(s, dir), "text")
+    Multimodal.decodeStub(Multimodal.blobMeta(blobs, 64))
+      .select(col("doc_id"), col("n_bytes"), col("magic_hex"), col("n_chunks"),
+        col("f_first_byte"), col("f_last_byte"), col("f_content_hash"))
+  }
+
   // ---------------------------------------------------------------- //
   // Training-data pipeline layer: dedup / text / similarity
   // ---------------------------------------------------------------- //
@@ -479,6 +550,10 @@ object SparkEntry {
     "q28_point_mass" -> (q28 _),
     "q29_wide_pivot" -> (q29 _),
     "q30_cdf_resample" -> (q30 _),
+    "q31_asof_backward" -> (q31 _),
+    "q32_ols_slope" -> (q32 _),
+    "j01_json_extract" -> (j01 _),
+    "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
     "d02_exact_dup_groups" -> (d02 _),
     "d03_token_stats" -> (d03 _),
