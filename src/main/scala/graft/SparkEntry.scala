@@ -476,9 +476,10 @@ object SparkEntry {
 
   private def d07(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
-    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 32)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3).cache()
+    val sig = Dedup.minhashFromShingles(sh, "doc_id", 32)
     val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
-    Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+    Dedup.jaccardFromShingles(sh, "doc_id")
       .join(cands, Seq("a_id", "b_id"))
       .filter(col("jaccard") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))

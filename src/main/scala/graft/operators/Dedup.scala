@@ -59,8 +59,13 @@ object Dedup {
     * verify step, not the scale path). Returns (a_id, b_id, inter,
     * na, nb, jaccard) for pairs sharing ≥1 shingle.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val sh = charShingles(df, idCol, textCol, k).cache()
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    jaccardFromShingles(charShingles(df, idCol, textCol, k).cache(), idCol)
+
+  /** Jaccard pairs from a precomputed (cached) shingle table — lets a
+    * MinHash+verify pipeline share one shingle scan.
+    */
+  def jaccardFromShingles(sh: DataFrame, idCol: String): DataFrame = {
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val a = sh.select(col(idCol).as("a_id"), col("shingle"))
     val b = sh.select(col(idCol).as("b_id"), col("shingle"))
@@ -76,13 +81,15 @@ object Dedup {
   }
 
   /** MinHash signatures: (idCol, j, mh) for j in [0, numHashes). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, numHashes: Int): DataFrame = {
-    val sh = charShingles(df, idCol, textCol, k)
-      .withColumn("h31", baseHash31(col("shingle")))
-    sh.withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String, k: Int, numHashes: Int): DataFrame =
+    minhashFromShingles(charShingles(df, idCol, textCol, k), idCol, numHashes)
+
+  /** MinHash signatures from a precomputed shingle table. */
+  def minhashFromShingles(sh: DataFrame, idCol: String, numHashes: Int): DataFrame =
+    sh.withColumn("h31", baseHash31(col("shingle")))
+      .withColumn("j", explode(sequence(lit(0), lit(numHashes - 1))))
       .groupBy(col(idCol), col("j"))
       .agg(min(universalHash(col("h31"), col("j"))).as("mh"))
-  }
 
   /** LSH banding of a MinHash signature table: (idCol, band,
     * band_sig) where band_sig digests the band's signature rows.
