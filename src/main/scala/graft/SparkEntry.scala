@@ -519,8 +519,19 @@ object SparkEntry {
       "site", "ts", "value"
     ).toDF()
 
+  /** Energy-preserving dilation onto a 100-bin rise→set grid
+    * (SURVEY §2.7 dilate; rows-only — mapGroups op).
+    */
+  private def p02(s: SparkSession, dir: String): DataFrame =
+    Dilation.dilate(
+      s,
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value", nBins = 100, thresholdFrac = 0.01
+    )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_fleet_pipeline" -> (p01 _),
+    "p02_dilation" -> (p02 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_clamp" -> (q02 _),
     "q03_top_orders_per_segment" -> (q03 _),

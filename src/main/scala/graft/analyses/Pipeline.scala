@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 import graft.operators.{DayStats, TimeAxis}
-import graft.solvers.Kernels
+import graft.solvers.{Cluster, Kernels}
 
 /** Per-(site, day) fact row — the bounded per-site state handed to the
   * solver stages. O(num_days) doubles per site regardless of raw scan
@@ -33,6 +33,8 @@ case class SiteReport(
     qualityScore: Double,
     clearFrac: Double,
     clipped: Boolean,
+    qualityClusters: Int,
+    abnormalDays: Int,
     capacityChanges: Int,
     timeShiftDays: Int,
     lossDegradation: Double,
@@ -144,6 +146,15 @@ object Pipeline {
       }
     }
 
+    // quality clustering: DBSCAN on normalized (density, daily_max)
+    // day-score pairs (reference `data_handler.py:1172-1199`)
+    val (nClusters, abnormal) = stage("cluster", (-1, -1)) {
+      val mScale = math.max(dailyMax.max, 1e-9)
+      val labels = Cluster.dbscan2d(density, dailyMax.map(_ / mScale), eps = 0.06, minPts = 3)
+      val k = labels.filter(_ >= 0).distinct.length
+      (k, labels.count(_ == -1))
+    }
+
     // capacity changes: pwc fit on log daily max
     val capChanges = stage("capacity", -1) {
       val logMax = dailyMax.map(v => math.log(math.max(v, 1e-6)))
@@ -181,6 +192,8 @@ object Pipeline {
       qualityScore = quality,
       clearFrac = clearFrac,
       clipped = clipped,
+      qualityClusters = nClusters,
+      abnormalDays = abnormal,
       capacityChanges = capChanges,
       timeShiftDays = shiftDays,
       lossDegradation = losses(0),

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Energy-preserving dilation: re-sample each day's signal onto a
+  * fixed sunrise→sunset grid (reference
+  * `solardatatools/algorithms/dilation.py:84-122, 204-301`).
+  *
+  * Semantics: with I(t) the cumulative trapezoid integral of the
+  * signal, dilated bin i gets (I(g_{i+1}) − I(g_i)) / Δg on an
+  * `nBins`-interval grid between sunrise and sunset — so the total
+  * energy within daylight is preserved exactly (up to float assoc).
+  *
+  * Execution: `groupByKey(site, day).flatMapGroups` on bounded
+  * per-day state (≤ slots-per-day samples) — fleet-parallel, no
+  * driver data, no shuffle beyond the one hash exchange on
+  * (site, day).
+  */
+object Dilation {
+
+  /** Linear interpolation of the cumulative integral at time x. */
+  private def interpCum(ts: Array[Double], cum: Array[Double], vs: Array[Double], x: Double): Double = {
+    val n = ts.length
+    if (x <= ts(0)) return 0.0
+    if (x >= ts(n - 1)) return cum(n - 1)
+    var lo = 0
+    var hi = n - 1
+    while (hi - lo > 1) {
+      val mid = (lo + hi) >>> 1
+      if (ts(mid) <= x) lo = mid else hi = mid
+    }
+    // integral of the linear segment from ts(lo) to x
+    val dt = ts(lo + 1) - ts(lo)
+    val frac = if (dt > 0) (x - ts(lo)) / dt else 0.0
+    val vx = vs(lo) + frac * (vs(lo + 1) - vs(lo))
+    cum(lo) + (vs(lo) + vx) / 2.0 * (x - ts(lo))
+  }
+
+  /** Dilate a long (site, ts, value) frame. Rise/set per day are the
+    * first/last hours where value exceeds `thresholdFrac` of the
+    * site max. Output: (site, day, dil_slot ∈ [0, nBins), dil_value).
+    */
+  def dilate(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      nBins: Int = 100,
+      thresholdFrac: Double = 0.01
+  ): DataFrame = {
+    import spark.implicits._
+    val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
+    val rows = df
+      .join(broadcast(siteMax), Seq(site))
+      .select(
+        col(site).cast("long").as("site"),
+        to_date(col(tsCol)).cast("string").as("day"),
+        TimeAxis.hourOfDay(col(tsCol)).as("h"),
+        col(valueCol).cast("double").as("v"),
+        col("site_max").as("m")
+      )
+      .as[(Long, String, Double, Double, Double)]
+    rows
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Double, Double, Double)]) =>
+        val (siteId, day) = key
+        val pts = it.toArray.sortBy(_._3)
+        val thr = pts.head._5 * thresholdFrac
+        val lit = pts.filter(p => p._4 > thr)
+        if (lit.length < 2) Iterator.empty
+        else {
+          val rise = lit.head._3
+          val set = lit.last._3
+          if (set <= rise) Iterator.empty
+          else {
+            val seg = pts.filter(p => p._3 >= rise && p._3 <= set)
+            val ts = seg.map(_._3)
+            val vs = seg.map(_._4)
+            val cum = new Array[Double](ts.length)
+            var i = 1
+            while (i < ts.length) {
+              cum(i) = cum(i - 1) + (vs(i) + vs(i - 1)) / 2.0 * (ts(i) - ts(i - 1))
+              i += 1
+            }
+            val dg = (set - rise) / nBins
+            (0 until nBins).iterator.map { b =>
+              val a = interpCum(ts, cum, vs, rise + b * dg)
+              val z = interpCum(ts, cum, vs, rise + (b + 1) * dg)
+              (siteId, day, b, (z - a) / dg)
+            }
+          }
+        }
+      }
+      .toDF("site", "day", "dil_slot", "dil_value")
+  }
+
+  /** Undilate: map a dilated (site, day, dil_slot, dil_value) frame
+    * back onto an `outSlots`-per-day hour grid spanning rise→set,
+    * again preserving energy (piecewise-constant density integral).
+    * Requires the same rise/set used for dilation, passed as columns
+    * (site, day, rise_h, set_h).
+    */
+  def undilate(
+      spark: SparkSession,
+      dilated: DataFrame,
+      riseSet: DataFrame,
+      outSlots: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val joined = dilated
+      .join(riseSet, Seq("site", "day"))
+      .select(
+        col("site").cast("long"), col("day").cast("string"),
+        col("dil_slot").cast("int"), col("dil_value").cast("double"),
+        col("rise_h").cast("double"), col("set_h").cast("double")
+      )
+      .as[(Long, String, Int, Double, Double, Double)]
+    joined
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Int, Double, Double, Double)]) =>
+        val (siteId, day) = key
+        val bins = it.toArray.sortBy(_._3)
+        if (bins.isEmpty) Iterator.empty
+        else {
+          val rise = bins.head._5
+          val set = bins.head._6
+          val nBins = bins.length
+          val dg = (set - rise) / nBins
+          val dh = (set - rise) / outSlots
+          // piecewise-constant density: integral over [a, b)
+          def integral(a: Double, b: Double): Double = {
+            var s = 0.0
+            var i = 0
+            while (i < nBins) {
+              val g0 = rise + i * dg
+              val g1 = g0 + dg
+              val lo = math.max(a, g0)
+              val hi = math.min(b, g1)
+              if (hi > lo) s += bins(i)._4 * (hi - lo)
+              i += 1
+            }
+            s
+          }
+          (0 until outSlots).iterator.map { k =>
+            val a = rise + k * dh
+            val b = a + dh
+            (siteId, day, k, integral(a, b) / dh)
+          }
+        }
+      }
+      .toDF("site", "day", "out_slot", "value")
+  }
+}
