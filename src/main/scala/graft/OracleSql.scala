@@ -419,6 +419,41 @@ object OracleSql {
     FROM c
   """
 
+  private val q33 = """
+    WITH cap AS (
+      SELECT user_id, round(quantile_cont(value, 0.95) * 0.02, 6) AS thr
+      FROM events GROUP BY 1),
+    a AS (
+      SELECT e.user_id,
+        CAST(sum(CASE WHEN e.value > cap.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_raw,
+        CAST(sum(CASE WHEN e.event_type <> 'error' AND e.value > cap.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_filled
+      FROM events e JOIN cap ON e.user_id = cap.user_id
+      GROUP BY 1)
+    SELECT user_id, n_raw, n_filled,
+      round(CAST(n_filled AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS ratio,
+      (round(CAST(n_filled AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) >= 0.85) AS ok
+    FROM a
+  """
+
+  private val q34 = """
+    SELECT user_id, (event_id * 2654435761) % 100 < 85 AS in_train,
+      count(*) AS n, round(sum(value), 2) AS sum_v
+    FROM events GROUP BY 1, 2
+  """
+
+  private val q35 = """
+    WITH s AS (
+      SELECT user_id, CAST(event_id % 10 AS INT) AS sample_id,
+        sum(value) / count(*) AS m
+      FROM events GROUP BY 1, 2)
+    SELECT user_id,
+      round(quantile_cont(m, 0.5), 6) AS p50,
+      round(quantile_cont(m, 0.025), 6) AS p025,
+      round(quantile_cont(m, 0.975), 6) AS p975,
+      count(*) AS n_samples
+    FROM s GROUP BY 1
+  """
+
   private val j01 = """
     SELECT user_id,
       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
@@ -655,6 +690,9 @@ object OracleSql {
     "q30_cdf_resample" -> q30,
     "q31_asof_backward" -> q31,
     "q32_ols_slope" -> q32,
+    "q33_loss_ratio" -> q33,
+    "q34_holdout_split" -> q34,
+    "q35_mc_stats" -> q35,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

@@ -394,6 +394,54 @@ object SparkEntry {
         round(col("intercept"), 6).as("intercept"), round(col("r") * col("r"), 6).as("r2"))
   }
 
+  /** Data-loss sanity ratio (reference `data_handler.py:464-500`):
+    * filled/raw nonzero counts during "daytime" (value above 2% of
+    * site capacity) must stay ≥ 0.85.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cap = DayStats.capacity(ev, "user_id", "value")
+      .withColumn("thr", round(col("capacity") * 0.02, 6))
+    ev.join(broadcast(cap), Seq("user_id"))
+      .withColumn("filled", when(col("event_type") =!= "error", col("value")))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_raw"),
+        sum(when(col("filled") > col("thr"), 1L).otherwise(0L)).as("n_filled")
+      )
+      .withColumn("ratio", round(col("n_filled").cast("double") / col("n_raw").cast("double"), 6))
+      .withColumn("ok", col("ratio") >= 0.85)
+  }
+
+  /** Deterministic holdout split (reference random splits,
+    * `time_shifts.py:204-211` — made reproducible by hashing the row
+    * key instead of RNG state, as §7.5 requires for testability).
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("in_train", (col("event_id") * 2654435761L) % 100 < 85)
+      .groupBy(col("user_id"), col("in_train"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_v"))
+
+  /** Monte-Carlo running statistics (reference
+    * `loss_factor_analysis.py:106-196`): deterministic pseudo-samples
+    * by key hash; median / 2.5% / 97.5% across sample means.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val samples = Tables.events(s, dir)
+      .withColumn("sample_id", (col("event_id") % 10).cast("int"))
+      .groupBy(col("user_id"), col("sample_id"))
+      .agg((sum(col("value")) / count(lit(1))).as("m"))
+    samples
+      .groupBy(col("user_id"))
+      .agg(
+        round(percentile(col("m"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("m"), lit(0.025)), 6).as("p025"),
+        round(percentile(col("m"), lit(0.975)), 6).as("p975"),
+        count(lit(1)).as("n_samples")
+      )
+  }
+
   /** Semi-structured projection: JSON property extraction + rollup
     * (events.props is a JSON payload column).
     */
@@ -564,6 +612,9 @@ object SparkEntry {
     "q30_cdf_resample" -> (q30 _),
     "q31_asof_backward" -> (q31 _),
     "q32_ols_slope" -> (q32 _),
+    "q33_loss_ratio" -> (q33 _),
+    "q34_holdout_split" -> (q34 _),
+    "q35_mc_stats" -> (q35 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
