@@ -30,6 +30,7 @@ object OracleSql {
       CASE WHEN value BETWEEN 0.0 AND 150.0 THEN value END AS clamped,
       greatest(value, 0.0) AS nonneg
     FROM events
+    WHERE ts <= TIMESTAMP '2025-01-01 00:00:00'
   """
 
   private val q03 = """
@@ -366,6 +367,13 @@ object OracleSql {
       arg_min(value, event_id) FILTER (WHERE user_id = 4) AS u4_v,
       count(*) AS n_rows
     FROM events GROUP BY 1
+    HAVING count(*) >= 2
+  """
+
+  private val q36 = """
+    SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+      round(quantile_cont(value, 0.5), 6) AS med_v, count(*) AS n
+    FROM events GROUP BY 1, 2
   """
 
   private val q30 = """
@@ -693,6 +701,7 @@ object OracleSql {
     "q33_loss_ratio" -> q33,
     "q34_holdout_split" -> q34,
     "q35_mc_stats" -> q35,
+    "q36_bundt_median" -> q36,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

@@ -67,12 +67,16 @@ object SparkEntry {
       )
 
   private def q02(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir).select(
-      col("event_id"),
-      col("user_id"),
-      Filling.clampToNull(col("value"), 0.0, 150.0).as("clamped"),
-      Filling.nonNeg(col("value")).as("nonneg")
-    )
+    Tables.events(s, dir)
+      // future-date filter (reference `data_handler.py:133-137`),
+      // pinned to a fixed horizon for cross-engine determinism
+      .filter(col("ts") <= lit("2025-01-01 00:00:00").cast("timestamp"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        Filling.clampToNull(col("value"), 0.0, 150.0).as("clamped"),
+        Filling.nonNeg(col("value")).as("nonneg")
+      )
 
   private def q03(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
@@ -333,8 +337,24 @@ object SparkEntry {
     val aggs = (0 to 4).map { u =>
       expr(s"min_by(value, event_id) FILTER (WHERE user_id = $u)").as(s"u${u}_v")
     } :+ count(lit(1)).as("n_rows")
-    ev.groupBy(col("grid_epoch")).agg(aggs.head, aggs.tail: _*)
+    ev.groupBy(col("grid_epoch"))
+      .agg(aggs.head, aggs.tail: _*)
+      // low-count row filter post-pivot (reference
+      // `time_axis_manipulation.py:87-93` HAVING-style guard)
+      .filter(col("n_rows") >= 2)
   }
+
+  /** Day-of-year / time-of-day median ("bundt" aggregate, reference
+    * `data_handler.py:2496-2518`): per (day-of-week, hour) exact
+    * median across weeks.
+    */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hod"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("med_v"),
+        count(lit(1)).as("n")
+      )
 
   /** Empirical-CDF resample to a fixed quantile grid (reference
     * `clipping.py:360-370`): exact multi-quantile + posexplode.
@@ -615,6 +635,7 @@ object SparkEntry {
     "q33_loss_ratio" -> (q33 _),
     "q34_holdout_split" -> (q34 _),
     "q35_mc_stats" -> (q35 _),
+    "q36_bundt_median" -> (q36 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),

@@ -275,6 +275,52 @@ object Kernels {
     attr
   }
 
+  /** Hyper-parameter grid search with deterministic holdout (the
+    * reference's weight-selection pattern: `time_shifts.py:201-272`,
+    * `capacity_change.py:132-182`): split points by index hash (no
+    * RNG state), fit [[tvSeasonalFit]] per weight on the train set,
+    * score holdout MAE with step-interpolated components, pick the
+    * best weight (ties → smaller weight).
+    *
+    * @return (bestWeight, pwc, seasonal) with components refit on all
+    *         points at the chosen weight.
+    */
+  def optimizeTvWeight(
+      y: Array[Double],
+      t: Array[Double],
+      weights: Array[Double],
+      harmonics: Int = 3,
+      period: Double = YearPeriod
+  ): (Double, Array[Double], Array[Double]) = {
+    val n = y.length
+    val isHold = Array.tabulate(n)(i => (i * 2654435761L) % 100 >= 85)
+    val trainIdx = (0 until n).filterNot(isHold).toArray
+    val holdIdx = (0 until n).filter(isHold).toArray
+    val best =
+      if (trainIdx.length < 8 || holdIdx.isEmpty) weights.head
+      else {
+        val yTr = trainIdx.map(y)
+        val tTr = trainIdx.map(t)
+        weights.map { w =>
+          val (pwc, s) = tvSeasonalFit(yTr, tTr, w, harmonics, period)
+          val mae = holdIdx.map { i =>
+            // step-interpolate both components at the nearest train time
+            var lo = 0
+            var hi = tTr.length - 1
+            while (hi - lo > 1) {
+              val mid = (lo + hi) >>> 1
+              if (tTr(mid) <= t(i)) lo = mid else hi = mid
+            }
+            val j = if (math.abs(tTr(hi) - t(i)) < math.abs(tTr(lo) - t(i))) hi else lo
+            math.abs(y(i) - (pwc(j) + s(j)))
+          }.sum / holdIdx.length
+          (mae, w)
+        }.minBy(mw => (mw._1, mw._2))._2
+      }
+    val (pwc, s) = tvSeasonalFit(y, t, best, harmonics, period)
+    (best, pwc, s)
+  }
+
   def median(xs: Array[Double]): Double = {
     val v = xs.filter(d => !d.isNaN).sorted
     if (v.isEmpty) Double.NaN

@@ -72,6 +72,22 @@ class SolverSpec extends AnyFunSuite {
     assert(math.abs(left - right) > 2.0, s"left $left right $right")
   }
 
+  test("optimizeTvWeight picks from the grid and still finds the step") {
+    val n = 300
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(5)
+    val y = t.map { d =>
+      (if (d < 150) 10.0 else 7.0) + rng.nextGaussian() * 0.1
+    }
+    val weights = Array(1.0, 5.0, 25.0)
+    val (w, pwc, s) = Kernels.optimizeTvWeight(y, t, weights, harmonics = 1, period = 30.0)
+    assert(weights.contains(w))
+    assert(pwc.length == n && s.length == n)
+    val left = pwc.slice(20, 130).sum / 110
+    val right = pwc.slice(170, 280).sum / 110
+    assert(math.abs(left - right) > 2.0, s"w=$w left $left right $right")
+  }
+
   test("cdfPwlFit pins endpoints and smooths curvature") {
     val n = 100
     val rng = new scala.util.Random(3)
