@@ -32,6 +32,7 @@ case class SiteReport(
     capacity: Double,
     qualityScore: Double,
     clearFrac: Double,
+    clearSkyDays: Int,
     clipped: Boolean,
     qualityClusters: Int,
     abnormalDays: Int,
@@ -172,6 +173,16 @@ object Pipeline {
       pwc.count(v => math.abs(v - base) > 0.5)
     }
 
+    // clear-sky labeling: 2-state Viterbi DP on the energy/envelope
+    // ratio (reference `clear_sky_detection.py:84-108` via §3.3)
+    val clearSkyDays = stage("clearsky", -1) {
+      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
+      val ratio = energy.indices.map { i =>
+        if (fit(i) > 0) energy(i) / fit(i) else Double.NaN
+      }.toArray
+      Kernels.viterbi2(ratio).count(identity)
+    }
+
     // loss factors: multiplicative decomposition + exact Shapley
     val losses = stage("loss", Array.fill(4)(Double.NaN)) {
       val seasonal = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
@@ -193,6 +204,7 @@ object Pipeline {
       capacity = capacity,
       qualityScore = quality,
       clearFrac = clearFrac,
+      clearSkyDays = clearSkyDays,
       clipped = clipped,
       qualityClusters = nClusters,
       abnormalDays = abnormal,

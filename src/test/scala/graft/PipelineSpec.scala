@@ -23,6 +23,10 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.capacity > 0)
       assert(r.qualityScore >= 0.0 && r.qualityScore <= 1.0)
       assert(r.clearFrac >= 0.0 && r.clearFrac <= 1.0)
+      // clean synthetic PV: the DP labels at least half the days clear
+      // (the capacity-step site loses its post-step days — the envelope
+      // fit stays at the old capacity, which is exactly right)
+      assert(r.clearSkyDays >= r.nDays / 2, s"site ${r.site} clearSkyDays ${r.clearSkyDays}")
     }
     // site 1 has a mid-series capacity halving: the pwc stage must see
     // at least one change there, and fewer on the stable sites
