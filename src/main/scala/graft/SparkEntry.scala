@@ -311,11 +311,12 @@ object SparkEntry {
     * within ±0.0075·capacity-scale of each mass (broadcast join).
     */
   private def q28(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(max(col("value")).as("daily_max"))
     val masses = daily
-      .withColumn("mass", round(col("daily_max") / 10.0) * 10.0)
+      .withColumn("mass", expr("graft_round_to_base(daily_max, 10.0)"))
       .groupBy(col("user_id"), col("mass"))
       .agg(count(lit(1)).as("n_in_bucket"))
       .filter(col("n_in_bucket") >= 3)

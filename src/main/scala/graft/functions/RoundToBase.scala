@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: round `x` to the nearest multiple of
+  * `base` with HALF_UP ties (the reference's round-to-arbitrary-base
+  * helper, `capacity_change.py:221-223`, `shade.py:20`).
+  *
+  * Semantics exactly match `round(x / base, 0) * base` built from
+  * Spark built-ins (BigDecimal HALF_UP), so plans using either form
+  * agree bit-for-bit — but this runs as ONE codegen'd expression
+  * instead of three, demonstrating the custom-`Expression` extension
+  * path (`doGenCode`, not a Scala UDF: stays inside whole-stage
+  * codegen, null-safe, Catalyst-foldable when inputs are literals).
+  */
+case class RoundToBase(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_round_to_base"
+
+  override protected def nullSafeEval(x: Any, b: Any): Any = {
+    val base = b.asInstanceOf[Double]
+    val v = x.asInstanceOf[Double]
+    if (base == 0.0 || base.isNaN || v.isNaN) Double.NaN
+    else
+      java.math.BigDecimal
+        .valueOf(v / base)
+        .setScale(0, java.math.RoundingMode.HALF_UP)
+        .doubleValue() * base
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, b) =>
+      s"""(($b == 0.0 || Double.isNaN($b) || Double.isNaN($x))
+         |  ? Double.NaN
+         |  : java.math.BigDecimal.valueOf($x / $b)
+         |      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue() * $b)""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native expressions into a session's
+  * function registry (per-session, idempotent) — usable from SQL and
+  * `expr(...)` without `SparkSessionExtensions` wiring, and from a
+  * `withExtensions` builder via [[GraftExtensions]].
+  */
+object GraftFunctions {
+  /** Builder with explicit double casts (keeps the expression itself
+    * monomorphic — SQL decimal/int literals are welcome).
+    */
+  def build(exprs: Seq[Expression]): Expression =
+    RoundToBase(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType))
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_round_to_base",
+      build,
+      "built-in"
+    )
+}
+
+/** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_round_to_base"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RoundToBase].getName, "graft_round_to_base"),
+        (exprs: Seq[Expression]) => GraftFunctions.build(exprs))
+    )
+}
