@@ -598,9 +598,22 @@ object SparkEntry {
       "site", "ts", "value", nBins = 100, thresholdFrac = 0.01
     )
 
+  /** Smooth periodic quantiles + clear-sky DP on the dilated grain
+    * (SURVEY §3.3; rows-only — solver path).
+    */
+  private def p03(s: SparkSession, dir: String): DataFrame = {
+    val dil = Dilation.dilate(
+      s,
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value", nBins = 50, thresholdFrac = 0.01
+    )
+    graft.analyses.Quantiles.estimateAndDetect(s, dil, nBins = 50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_fleet_pipeline" -> (p01 _),
     "p02_dilation" -> (p02 _),
+    "p03_quantile_clearsky" -> (p03 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_clamp" -> (q02 _),
     "q03_top_orders_per_segment" -> (q03 _),

@@ -1,0 +1,63 @@
+package graft.analyses
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.solvers.Kernels
+
+/** Smooth periodic quantile estimation + clear-sky detection on the
+  * dilated grain (reference §3.3 lifecycle: `PVQuantiles`
+  * `algorithms/quantile_estimation.py:20-94` and `detect_clear_sky`
+  * `data_handler.py:2396-2465`).
+  *
+  * Input is the output of [[graft.operators.Dilation.dilate]] —
+  * (site, day, dil_slot, dil_value) — so per-site state is bounded at
+  * nBins·num_days doubles regardless of raw scan rate. Each site fits
+  * a 2-period Fourier quantile model (daily period = the dilated
+  * grid, yearly period = 365.2425 days) per requested tau, then runs
+  * the 2-state Viterbi DP on the value/q-hi ratio to label clear
+  * periods.
+  */
+object Quantiles {
+
+  /** @return (site, day, dil_slot, dil_value, q_lo, q_mid, q_hi, clear) */
+  def estimateAndDetect(
+      spark: SparkSession,
+      dilated: DataFrame,
+      nBins: Int = 100,
+      tauLo: Double = 0.1,
+      tauMid: Double = 0.5,
+      tauHi: Double = 0.9,
+      harmonicsDaily: Int = 3,
+      harmonicsYearly: Int = 2
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = dilated
+      .select(
+        col("site").cast("long"), col("day").cast("string"),
+        col("dil_slot").cast("int"), col("dil_value").cast("double")
+      )
+      .as[(Long, String, Int, Double)]
+    rows
+      .groupByKey(_._1)
+      .flatMapGroups { (siteId: Long, it: Iterator[(Long, String, Int, Double)]) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        val days = pts.map(_._2).distinct.sorted
+        val dayIdx = days.zipWithIndex.toMap
+        val t = pts.map(p => dayIdx(p._2) * nBins.toDouble + p._3)
+        val y = pts.map(_._4)
+        val bases = Seq((nBins.toDouble, harmonicsDaily), (365.2425 * nBins, harmonicsYearly))
+        val lo = Kernels.quantileFourierFitMulti(y, t, tauLo, bases)
+        val mid = Kernels.quantileFourierFitMulti(y, t, tauMid, bases)
+        val hi = Kernels.quantileFourierFitMulti(y, t, tauHi, bases)
+        val ratio = y.indices.map { i =>
+          if (hi(i) > 1e-9) y(i) / hi(i) else Double.NaN
+        }.toArray
+        val clear = Kernels.viterbi2(ratio)
+        pts.indices.iterator.map { i =>
+          (siteId, pts(i)._2, pts(i)._3, y(i), lo(i), mid(i), hi(i), clear(i))
+        }
+      }
+      .toDF("site", "day", "dil_slot", "dil_value", "q_lo", "q_mid", "q_hi", "clear")
+  }
+}

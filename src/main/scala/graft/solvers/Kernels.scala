@@ -75,6 +75,69 @@ object Kernels {
     out
   }
 
+  /** Multi-period quantile regression — the smooth-periodic-quantiles
+    * analog (`algorithms/quantile_estimation.py:62-94`, spcqe): one
+    * Fourier basis per period (e.g. daily 24 h and yearly 8766 h on
+    * an absolute-hours axis), fit by the same pinball IRLS as
+    * [[quantileFourierFit]].
+    *
+    * @param bases (period, harmonics) pairs sharing the t axis.
+    */
+  def quantileFourierFitMulti(
+      y: Array[Double],
+      t: Array[Double],
+      tau: Double,
+      bases: Seq[(Double, Int)],
+      iters: Int = 30
+  ): Array[Double] = {
+    val n = y.length
+    val p = 1 + bases.map(_._2 * 2).sum
+    def rowAt(tv: Double): Array[Double] = {
+      val row = new Array[Double](p)
+      row(0) = 1.0
+      var o = 1
+      bases.foreach { case (period, hks) =>
+        var k = 1
+        while (k <= hks) {
+          val w = 2.0 * math.Pi * k * tv / period
+          row(o) = math.cos(w); row(o + 1) = math.sin(w)
+          o += 2; k += 1
+        }
+      }
+      row
+    }
+    val valid = (0 until n).filter(i => !y(i).isNaN).toArray
+    val m = valid.length
+    if (m < p) return Array.fill(n)(Double.NaN)
+    val rows = valid.map(i => rowAt(t(i)))
+    val yv = valid.map(y)
+    val w = Array.fill(m)(1.0)
+    var beta = Linalg.wls(m, p, rows, yv, w)
+    val eps = 1e-6
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < m) {
+        var f = 0.0
+        var a = 0
+        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+        val r = yv(i) - f
+        val g = if (r < 0) 1.0 - tau else tau
+        w(i) = g / math.max(math.abs(r), eps)
+        i += 1
+      }
+      beta = Linalg.wls(m, p, rows, yv, w)
+      it += 1
+    }
+    Array.tabulate(n) { i =>
+      val row = rowAt(t(i))
+      var f = 0.0
+      var a = 0
+      while (a < p) { f += row(a) * beta(a); a += 1 }
+      f
+    }
+  }
+
   /** Piecewise-constant + seasonal decomposition — the
     * `l2_l1d1_l2d2p365` analog (`signal_decompositions.py:45-124`),
     * used for time-shift detection: y = x_pwc + seasonal + noise with
