@@ -71,7 +71,7 @@ object Pipeline {
         (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
         avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"),
         max(col(valueCol)).as("daily_max"),
-        (sum(h * col(valueCol)) / sum(col(valueCol))).as("com_hour"),
+        coalesce(try_divide(sum(h * col(valueCol)), sum(col(valueCol))), lit(Double.NaN)).as("com_hour"),
         count(col(valueCol)).as("n_obs"),
         first(col("capacity")).as("capacity")
       )
@@ -166,9 +166,11 @@ object Pipeline {
       rounded.sliding(2).count(p => p.length == 2 && math.abs(p(1) - p(0)) > 1e-9)
     }
 
-    // time shifts: pwc fit on solar-noon series
+    // time shifts: pwc fit on solar-noon series (weekly basis — a
+    // longer-than-window period would absorb one-time steps)
     val shiftDays = stage("timeshift", -1) {
-      val (pwc, _) = Kernels.tvSeasonalFit(comHour, t, lambdaTv = 10.0, harmonics = 1, period = 365.2425)
+      val valid = comHour.map(v => if (v.isNaN) Kernels.median(comHour) else v)
+      val (pwc, _) = Kernels.tvSeasonalFit(valid, t, lambdaTv = 10.0, harmonics = 1, period = 7.0)
       val base = Kernels.median(pwc)
       pwc.count(v => math.abs(v - base) > 0.5)
     }
