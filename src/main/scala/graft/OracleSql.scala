@@ -482,6 +482,55 @@ object OracleSql {
     FROM documents
   """
 
+  private val q37 = """
+    WITH m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM events GROUP BY 1),
+    d AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        max(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END)
+          - min(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS dl_h,
+        sum((date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0) * e.value) / sum(e.value) AS com_hour
+      FROM events e JOIN m ON e.user_id = m.user_id
+      GROUP BY 1, 2),
+    est AS (
+      SELECT user_id, day,
+        atan(-cos(7.5 * dl_h * 0.017453292519943295)
+             / tan((23.45 * sin(6.283185307179586 * (dayofyear(day) + 284.0) / 365.0)) * 0.017453292519943295)) * 57.29577951308232 AS lat_day,
+        -15.0 * (com_hour - 12.0 + (229.18 * (0.000075
+            + 0.001868 * cos(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)
+            - 0.032077 * sin(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)
+            - 0.014615 * cos(2.0 * (6.283185307179586 * (dayofyear(day) - 1.0) / 365.0))
+            - 0.04089 * sin(2.0 * (6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)))) / 60.0) AS lon_day
+      FROM d)
+    SELECT user_id, round(quantile_cont(lat_day, 0.5), 6) AS lat_est,
+      round(quantile_cont(lon_day, 0.5), 6) AS lon_est, count(*) AS n_days
+    FROM est GROUP BY 1
+  """
+
+  private val q38 = """
+    WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
+    g AS (
+      SELECT e.user_id, e.ts, e.value, t.thr_frac,
+        round(m.site_max * t.thr_frac, 6) AS thr
+      FROM events e
+      JOIN m ON e.user_id = m.user_id
+      CROSS JOIN (SELECT unnest([CAST(0.02 AS DOUBLE), CAST(0.05 AS DOUBLE),
+                                 CAST(0.1 AS DOUBLE), CAST(0.15 AS DOUBLE)]) AS thr_frac) t),
+    daily AS (
+      SELECT user_id, thr_frac, CAST(ts AS DATE) AS day,
+        max(CASE WHEN value > thr THEN date_diff('second', date_trunc('day', ts), ts) / 3600.0 END)
+        - min(CASE WHEN value > thr THEN date_diff('second', date_trunc('day', ts), ts) / 3600.0 END) AS dl_h
+      FROM g GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT user_id, thr_frac, max(dl_h) - min(dl_h) AS dl_range
+      FROM daily GROUP BY 1, 2
+      HAVING max(dl_h) - min(dl_h) IS NOT NULL),
+    r AS (
+      SELECT user_id, thr_frac, dl_range,
+        row_number() OVER (PARTITION BY user_id ORDER BY dl_range ASC, thr_frac ASC) AS rn
+      FROM scored)
+    SELECT user_id, thr_frac AS best_thr, round(dl_range, 6) AS dl_range FROM r WHERE rn = 1
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -702,6 +751,8 @@ object OracleSql {
     "q34_holdout_split" -> q34,
     "q35_mc_stats" -> q35,
     "q36_bundt_median" -> q36,
+    "q37_system_profile" -> q37,
+    "q38_riseset_grid" -> q38,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

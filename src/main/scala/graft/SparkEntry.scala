@@ -463,6 +463,67 @@ object SparkEntry {
       )
   }
 
+  /** System-profiler estimates (reference
+    * `pvsystemprofiler/algorithms/{latitude,longitude}/calculation.py`):
+    * per-day latitude from daylight hours + declination, longitude
+    * from solar noon vs equation of time; site estimate = median of
+    * per-day values.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val DegToRad = 0.017453292519943295
+    val RadToDeg = 57.29577951308232
+    val ev = Tables.events(s, dir)
+    val siteMax = ev.groupBy(col("user_id")).agg(round(max(col("value")) * 0.05, 6).as("thr"))
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val daily = ev
+      .join(broadcast(siteMax), Seq("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        (max(when(col("value") > col("thr"), h)) - min(when(col("value") > col("thr"), h))).as("dl_h"),
+        (sum(h * col("value")) / sum(col("value"))).as("com_hour")
+      )
+    val doy = dayofyear(col("day"))
+    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+    val eot = Solar.equationOfTimeMin(doy)
+    val withEst = daily
+      .withColumn("lat_day", atan(-cos(lit(7.5) * col("dl_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
+      .withColumn("lon_day", lit(-15.0) * (col("com_hour") - lit(12.0) + eot / lit(60.0)))
+    withEst
+      .groupBy(col("user_id"))
+      .agg(
+        round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
+        round(percentile(col("lon_day"), lit(0.5)), 6).as("lon_est"),
+        count(lit(1)).as("n_days")
+      )
+  }
+
+  /** Sunrise/sunset threshold grid optimization (reference
+    * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold
+    * grid relationally, score each by daylight-range stability, pick
+    * the argmin per site.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val siteMax = ev.groupBy(col("user_id")).agg(max(col("value")).as("site_max"))
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val grid = ev
+      .join(broadcast(siteMax), Seq("user_id"))
+      .withColumn("thr_frac", explode(array(lit(0.02), lit(0.05), lit(0.1), lit(0.15))))
+      .withColumn("thr", round(col("site_max") * col("thr_frac"), 6))
+    val daily = grid
+      .groupBy(col("user_id"), col("thr_frac"), to_date(col("ts")).as("day"))
+      .agg((max(when(col("value") > col("thr"), h)) - min(when(col("value") > col("thr"), h))).as("dl_h"))
+    val scored = daily
+      .groupBy(col("user_id"), col("thr_frac"))
+      .agg((max(col("dl_h")) - min(col("dl_h"))).as("dl_range"))
+      .filter(col("dl_range").isNotNull)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("dl_range").asc, col("thr_frac").asc)
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("thr_frac").as("best_thr"), round(col("dl_range"), 6).as("dl_range"))
+  }
+
   /** Semi-structured projection: JSON property extraction + rollup
     * (events.props is a JSON payload column).
     */
@@ -650,6 +711,8 @@ object SparkEntry {
     "q34_holdout_split" -> (q34 _),
     "q35_mc_stats" -> (q35 _),
     "q36_bundt_median" -> (q36 _),
+    "q37_system_profile" -> (q37 _),
+    "q38_riseset_grid" -> (q38 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
