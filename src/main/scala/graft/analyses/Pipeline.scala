@@ -161,7 +161,8 @@ object Pipeline {
     // `capacity_change.py:132-182`)
     val capChanges = stage("capacity", -1) {
       val logMax = dailyMax.map(v => math.log(math.max(v, 1e-6)))
-      val (_, pwc, _) = Kernels.optimizeTvWeight(logMax, t, Array(2.0, 5.0, 15.0), harmonics = 1, period = 7.0)
+      val (_, pwc, _) = Kernels.optimizeTvWeight(logMax, t, Array(2.0, 5.0, 15.0),
+        harmonics = 1, period = 7.0, l1Residual = true)
       val rounded = pwc.map(v => math.round(v / 0.05) * 0.05)
       rounded.sliding(2).count(p => p.length == 2 && math.abs(p(1) - p(0)) > 1e-9)
     }

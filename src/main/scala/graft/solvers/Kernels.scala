@@ -149,6 +149,12 @@ object Kernels {
     *
     * @return (pwcComponent, seasonalComponent)
     */
+  /** @param l1Residual use an ℓ1 (robust) data-fidelity term via IRLS
+    *                    residual weights — the `l1_pwc_smoothper_trend`
+    *                    variant (`signal_decompositions.py:188-226`)
+    *                    used by capacity-change detection, robust to
+    *                    outage-day outliers.
+    */
   def tvSeasonalFit(
       y: Array[Double],
       t: Array[Double],
@@ -156,7 +162,8 @@ object Kernels {
       harmonics: Int = 3,
       period: Double = YearPeriod,
       outerIters: Int = 8,
-      irlsIters: Int = 12
+      irlsIters: Int = 12,
+      l1Residual: Boolean = false
   ): (Array[Double], Array[Double]) = {
     val n = y.length
     var x = Array.fill(n)(median(y))
@@ -183,11 +190,16 @@ object Kernels {
       while (it < irlsIters) {
         // weights on differences of current x
         val wd = Array.tabulate(n - 1)(i => 1.0 / math.max(math.abs(x(i + 1) - x(i)), eps))
-        // tridiagonal system (I + λ D^T W D) x = target
+        // robust residual weights (ℓ1 data term) or identity (ℓ2)
+        val rw =
+          if (l1Residual) Array.tabulate(n)(i => 1.0 / math.max(math.abs(target(i) - x(i)), 1e-3))
+          else Array.fill(n)(1.0)
+        // tridiagonal system (R + λ D^T W D) x = R·target
         val diag = new Array[Double](n)
         val off = new Array[Double](n)
+        val rhs = new Array[Double](n)
         var i2 = 0
-        while (i2 < n) { diag(i2) = 1.0; i2 += 1 }
+        while (i2 < n) { diag(i2) = rw(i2); rhs(i2) = rw(i2) * target(i2); i2 += 1 }
         i2 = 0
         while (i2 < n - 1) {
           val lw = lambdaTv * wd(i2)
@@ -196,7 +208,7 @@ object Kernels {
           off(i2) = -lw
           i2 += 1
         }
-        x = Linalg.solveBandedSpd(Array(diag, off.take(n - 1) ++ Array(0.0)), target)
+        x = Linalg.solveBandedSpd(Array(diag, off.take(n - 1) ++ Array(0.0)), rhs)
         it += 1
       }
       // keep intercept inside x (x already absorbs it via target)
@@ -353,7 +365,8 @@ object Kernels {
       t: Array[Double],
       weights: Array[Double],
       harmonics: Int = 3,
-      period: Double = YearPeriod
+      period: Double = YearPeriod,
+      l1Residual: Boolean = false
   ): (Double, Array[Double], Array[Double]) = {
     val n = y.length
     val isHold = Array.tabulate(n)(i => (i * 2654435761L) % 100 >= 85)
@@ -365,7 +378,7 @@ object Kernels {
         val yTr = trainIdx.map(y)
         val tTr = trainIdx.map(t)
         weights.map { w =>
-          val (pwc, s) = tvSeasonalFit(yTr, tTr, w, harmonics, period)
+          val (pwc, s) = tvSeasonalFit(yTr, tTr, w, harmonics, period, l1Residual = l1Residual)
           val mae = holdIdx.map { i =>
             // step-interpolate both components at the nearest train time
             var lo = 0
@@ -380,7 +393,7 @@ object Kernels {
           (mae, w)
         }.minBy(mw => (mw._1, mw._2))._2
       }
-    val (pwc, s) = tvSeasonalFit(y, t, best, harmonics, period)
+    val (pwc, s) = tvSeasonalFit(y, t, best, harmonics, period, l1Residual = l1Residual)
     (best, pwc, s)
   }
 

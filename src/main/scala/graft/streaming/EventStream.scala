@@ -60,4 +60,50 @@ object EventStream {
     q.awaitTermination()
     spark.table(name)
   }
+
+  case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
+
+  /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
+    * §2.11: the stateful face — per-site state survives across
+    * micro-batches and across restarts through the checkpoint).
+    * Each batch emits the site's updated rollup; state is a per-day
+    * aggregate map, bounded by days-per-site like the batch path.
+    *
+    * Run repeatedly with the same `checkpoint` dir: only new files
+    * are processed, and per-site state carries over — the streaming
+    * twin of the batch `Pipeline.dayStats`.
+    */
+  def incrementalSiteStats(spark: SparkSession, path: String, checkpoint: String, outDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .select(col("ts"), col("user_id"), col("value"))
+      .as[Ev]
+    val updated = evs
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev], state: GroupState[Map[String, (Long, Double, Double)]]) =>
+          val old = state.getOption.getOrElse(Map.empty[String, (Long, Double, Double)])
+          val upd = it.foldLeft(old) { (m, e) =>
+            val day = e.ts.toString.substring(0, 10)
+            val (n, s, mx) = m.getOrElse(day, (0L, 0.0, Double.MinValue))
+            m.updated(day, (n + 1, s + e.value, math.max(mx, e.value)))
+          }
+          state.update(upd)
+          SiteAgg(site, upd.size, upd.values.map(_._1).sum, upd.values.map(_._2).sum, upd.values.map(_._3).max)
+      }
+    val q = updated.toDF().writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 }

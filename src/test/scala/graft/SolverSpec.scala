@@ -88,6 +88,22 @@ class SolverSpec extends AnyFunSuite {
     assert(math.abs(left - right) > 2.0, s"w=$w left $left right $right")
   }
 
+  test("tvSeasonalFit with l1 residual shrugs off outlier days") {
+    val n = 200
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(11)
+    val y = t.map { d => (if (d < 100) 10.0 else 8.0) + rng.nextGaussian() * 0.05 }
+    // outage outliers
+    y(30) = 0.0; y(31) = 0.0; y(150) = 0.0
+    val (pwcL1, _) = Kernels.tvSeasonalFit(y, t, lambdaTv = 5.0, harmonics = 1, period = 7.0, l1Residual = true)
+    val left = pwcL1.slice(10, 90).sum / 80
+    val right = pwcL1.slice(110, 190).sum / 80
+    assert(math.abs(left - 10.0) < 0.2, s"left $left")
+    assert(math.abs(right - 8.0) < 0.2, s"right $right")
+    // the outlier days should not drag their neighborhood down much
+    assert(pwcL1(32) > 9.0, s"post-outlier pwc ${pwcL1(32)}")
+  }
+
   test("cdfPwlFit pins endpoints and smooths curvature") {
     val n = 100
     val rng = new scala.util.Random(3)

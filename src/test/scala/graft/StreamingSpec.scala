@@ -40,4 +40,31 @@ class StreamingSpec extends AnyFunSuite {
       "batch rows older than the watermark horizon missing from streaming output")
     assert(g.count() >= batch.count() - 20)
   }
+
+  test("mapGroupsWithState carries per-site state across checkpointed incremental runs") {
+    val src = java.nio.file.Files.createTempDirectory("evincr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .cache()
+
+    val outDir = java.nio.file.Files.createTempDirectory("evout").toString
+
+    // batch 1: first half of events
+    all.filter(col("event_id") < 500).write.mode("append").parquet(src)
+    EventStream.incrementalSiteStats(spark, src, ckpt, outDir)
+
+    // batch 2: the rest arrives; same checkpoint -> only new files read
+    all.filter(col("event_id") >= 500).write.mode("append").parquet(src)
+    val out2 = EventStream.incrementalSiteStats(spark, src, ckpt, outDir)
+
+    // after the second run, per-site totals must equal the full batch
+    val got = out2.groupBy("site").agg(max("nObs").as("nObs"), max("totalV").as("totalV"))
+    val expect = all.groupBy(col("user_id").as("site"))
+      .agg(count(lit(1)).as("e_n"), sum("value").as("e_sum"))
+    val joined = got.join(expect, "site")
+    val bad = joined.filter(col("nObs") =!= col("e_n") || abs(col("totalV") - col("e_sum")) > 1e-6).count()
+    assert(bad == 0, "incremental state diverged from batch totals")
+    assert(got.count() == expect.count())
+  }
 }
