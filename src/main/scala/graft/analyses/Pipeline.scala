@@ -186,17 +186,17 @@ object Pipeline {
       Kernels.viterbi2(ratio).count(identity)
     }
 
-    // loss factors: multiplicative decomposition + exact Shapley
+    // loss factors: soiling-separation decomposition + exact Shapley
+    // (reference `soiling.py:78-178` + `loss_factor_analysis.py:620-656`)
     val losses = stage("loss", Array.fill(4)(Double.NaN)) {
-      val seasonal = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
-      val baseline = seasonal.map(v => math.max(v, 1e-9))
-      val degr = t.map(d => math.max(1.0 - 0.0001 * d, 0.0)) // slow linear degradation fit proxy
-      val soil = energy.indices.map { i =>
-        math.min(math.max(energy(i) / baseline(i), 0.0), 1.0)
+      val (soil, rate, _) = Kernels.soilingSeparation(energy, t, period = 7.0, harmonics = 2)
+      val degrF = t.map(d => math.exp(rate * d))
+      val baseline = energy.indices.map { i =>
+        math.max(energy(i) / math.max(soil(i) * degrF(i), 1e-9), 1e-9)
       }.toArray
       val weather = Array.fill(n)(1.0)
       val outage = energy.map(e => if (e <= 0.0) 0.0 else 1.0)
-      val attr = Kernels.shapleyAttribution(baseline, Array(degr, soil, weather, outage))
+      val attr = Kernels.shapleyAttribution(baseline, Array(degrF, soil, weather, outage))
       val total = baseline.sum
       attr.map(a => if (total > 0) a / total else Double.NaN)
     }

@@ -260,6 +260,96 @@ object Kernels {
     x
   }
 
+  /** Soiling separation (reference `algorithms/soiling.py:78-178`):
+    * decompose daily energy (in log space) into
+    * seasonal × degradation × soiling, where soiling is a sawtooth —
+    * gradual decline, sharp recoveries.
+    *
+    *  1. JOINT τ=0.9 pinball fit of the clean-day upper envelope on a
+    *     `[1, t, Fourier]` design — trend and seasonal must be fit
+    *     together (sequential fits tilt the line toward the seasonal
+    *     hump; soiling only pulls *down*, so the upper quantile of the
+    *     joint model isolates level + degradation + seasonal);
+    *  2. soiling = asymmetric-TV IRLS on the below-envelope residual
+    *     (upward recovery jumps are penalized 0.3×, declines smoothed),
+    *     clipped to ≤ 1.
+    *
+    * @return (soilingFactor per day, degradationRatePerDay, seasonal multiplier per day)
+    */
+  def soilingSeparation(
+      energy: Array[Double],
+      t: Array[Double],
+      period: Double = YearPeriod,
+      harmonics: Int = 2,
+      lambdaTv: Double = 0.05,
+      tau: Double = 0.9
+  ): (Array[Double], Double, Array[Double]) = {
+    val n = energy.length
+    val logE = energy.map(v => math.log(math.max(v, 1e-9)))
+    val p = 2 + 2 * harmonics
+    def rowAt(i: Int): Array[Double] = {
+      val f = Linalg.fourierRow(t(i), period, harmonics)
+      val row = new Array[Double](p)
+      row(0) = 1.0
+      row(1) = t(i)
+      System.arraycopy(f, 1, row, 2, 2 * harmonics)
+      row
+    }
+    val rows = Array.tabulate(n)(rowAt)
+    var beta = Linalg.wls(n, p, rows, logE, Array.fill(n)(1.0))
+    var k = 0
+    while (k < 40) {
+      val w = Array.tabulate(n) { i =>
+        var f = 0.0
+        var a = 0
+        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+        val r = logE(i) - f
+        val g = if (r < 0) 1.0 - tau else tau
+        g / math.max(math.abs(r), 1e-6)
+      }
+      beta = Linalg.wls(n, p, rows, logE, w)
+      k += 1
+    }
+    val degrRate = beta(1)
+    val fit = Array.tabulate(n) { i =>
+      var f = 0.0
+      var a = 0
+      while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+      f
+    }
+    val seasonal = Array.tabulate(n) { i =>
+      var f = 0.0
+      var a = 2
+      while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+      f
+    }
+    // asymmetric-TV soiling on the below-envelope residual
+    val target = Array.tabulate(n)(i => math.min(logE(i) - fit(i), 0.0))
+    var x = target.clone()
+    k = 0
+    while (k < 10) {
+      val wd = Array.tabulate(n - 1) { i =>
+        val d = x(i + 1) - x(i)
+        val base = 1.0 / math.max(math.abs(d), 1e-2)
+        if (d > 0) base * 0.3 else base
+      }
+      val diag = Array.fill(n)(1.0)
+      val off = new Array[Double](n)
+      var i2 = 0
+      while (i2 < n - 1) {
+        val lw = lambdaTv * wd(i2)
+        diag(i2) += lw
+        diag(i2 + 1) += lw
+        off(i2) = -lw
+        i2 += 1
+      }
+      x = Linalg.solveBandedSpd(Array(diag, off), target.clone())
+      k += 1
+    }
+    val soilLog = x.map(v => math.min(v, 0.0))
+    (soilLog.map(math.exp), degrRate, seasonal.map(math.exp))
+  }
+
   /** Two-state Viterbi dynamic program for clear-sky labeling
     * (`algorithms/clear_sky_detection.py:84-108`): emission cost from
     * |ratio − 1| vs a flat penalty, asymmetric transition costs.

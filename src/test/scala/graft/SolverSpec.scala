@@ -116,6 +116,29 @@ class SolverSpec extends AnyFunSuite {
     assert(rough < origRough / 2, s"rough $rough vs $origRough")
   }
 
+  test("soilingSeparation recovers sawtooth soiling and degradation rate") {
+    val n = 365
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(21)
+    val trueRate = -2e-4
+    val trueSoil = t.map(d => 1.0 - 0.12 * ((d % 30) / 30.0)) // wash every 30 days
+    val energy = t.indices.map { i =>
+      val seasonal = 1.0 + 0.2 * math.sin(2 * math.Pi * t(i) / Kernels.YearPeriod)
+      50.0 * seasonal * math.exp(trueRate * t(i)) * trueSoil(i) * (1.0 + rng.nextGaussian() * 0.01)
+    }.toArray
+    val (soil, rate, _) = Kernels.soilingSeparation(energy, t)
+    assert(math.abs(rate - trueRate) < 1.5e-4, s"rate $rate vs $trueRate")
+    // recovered soiling correlates strongly with the truth
+    val ms = soil.sum / n
+    val mt = trueSoil.sum / n
+    val cov = t.indices.map(i => (soil(i) - ms) * (trueSoil(i) - mt)).sum
+    val corr = cov / math.sqrt(
+      t.indices.map(i => math.pow(soil(i) - ms, 2)).sum *
+        t.indices.map(i => math.pow(trueSoil(i) - mt, 2)).sum)
+    assert(corr > 0.6, s"soiling correlation $corr")
+    assert(soil.forall(v => v <= 1.0 + 1e-9 && v > 0.5))
+  }
+
   test("viterbi2 labels sustained clear periods and rejects noise spikes") {
     val ratio = Array.fill(20)(1.0) ++ Array.fill(20)(0.4) ++ Array.fill(20)(1.02)
     val path = Kernels.viterbi2(ratio)
