@@ -42,6 +42,9 @@ case class SiteReport(
     lossSoiling: Double,
     lossWeather: Double,
     lossOutage: Double,
+    degrRateP50: Double,
+    degrRateP025: Double,
+    degrRateP975: Double,
     errors: String
 )
 
@@ -201,6 +204,29 @@ object Pipeline {
       attr.map(a => if (total > 0) a / total else Double.NaN)
     }
 
+    // Monte-Carlo degradation-rate uncertainty (reference
+    // `loss_factor_analysis.py:78-197`): resample days by
+    // deterministic index hash (no RNG state), refit the soiling
+    // separation per sample, report P50/P2.5/P97.5 of the rate.
+    val mcRates = stage("mc", Array(Double.NaN, Double.NaN, Double.NaN)) {
+      if (n < 20) Array(Double.NaN, Double.NaN, Double.NaN)
+      else {
+        val nSamples = 8
+        val rates = (0 until nSamples).map { s =>
+          val keep = energy.indices.filter(i => ((i.toLong * 2654435761L + s * 97L) % 100) < 80).toArray
+          val (_, rate, _) = Kernels.soilingSeparation(keep.map(energy), keep.map(t), period = 7.0, harmonics = 2)
+          rate
+        }.sorted.toArray
+        def q(p: Double): Double = {
+          val pos = p * (rates.length - 1)
+          val lo = pos.toInt
+          val hi = math.min(lo + 1, rates.length - 1)
+          rates(lo) + (pos - lo) * (rates(hi) - rates(lo))
+        }
+        Array(q(0.5), q(0.025), q(0.975))
+      }
+    }
+
     SiteReport(
       site = siteId,
       nDays = n,
@@ -217,6 +243,9 @@ object Pipeline {
       lossSoiling = losses(1),
       lossWeather = losses(2),
       lossOutage = losses(3),
+      degrRateP50 = mcRates(0),
+      degrRateP025 = mcRates(1),
+      degrRateP975 = mcRates(2),
       errors = errs.mkString("; ")
     )
   }

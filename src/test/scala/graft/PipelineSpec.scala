@@ -23,6 +23,9 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.capacity > 0)
       assert(r.qualityScore >= 0.0 && r.qualityScore <= 1.0)
       assert(r.clearFrac >= 0.0 && r.clearFrac <= 1.0)
+      // MC degradation interval: ordered and containing the median
+      assert(r.degrRateP025 <= r.degrRateP50 && r.degrRateP50 <= r.degrRateP975,
+        s"site ${r.site} MC interval (${r.degrRateP025}, ${r.degrRateP50}, ${r.degrRateP975})")
       // clean synthetic PV: the DP labels at least half the days clear
       // (the capacity-step site loses its post-step days — the envelope
       // fit stays at the old capacity, which is exactly right)
