@@ -84,7 +84,7 @@ object OracleSql {
   """
 
   private val q07 = """
-    SELECT user_id, CAST(ts AS DATE) AS day,
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
       round(sum(value) * 24.0 / count(*), 4) AS energy
     FROM events GROUP BY 1, 2
   """
@@ -93,7 +93,7 @@ object OracleSql {
     WITH cap AS (
       SELECT user_id, round(quantile_cont(value, 0.95) * 0.02, 6) AS thr
       FROM events GROUP BY 1)
-    SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+    SELECT e.user_id, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
       round(avg(CASE WHEN e.value > cap.thr THEN 1.0 ELSE 0.0 END), 6) AS density
     FROM events e JOIN cap ON e.user_id = cap.user_id
     GROUP BY 1, 2
@@ -110,7 +110,7 @@ object OracleSql {
     m AS (SELECT user_id, day, modal_diff, mode_cnt,
             row_number() OVER (PARTITION BY user_id, day ORDER BY mode_cnt DESC, modal_diff ASC) AS rn
           FROM c)
-    SELECT m.user_id, m.day, m.modal_diff, m.mode_cnt, t.n_diffs
+    SELECT m.user_id, CAST(m.day AS VARCHAR) AS day, m.modal_diff, m.mode_cnt, t.n_diffs
     FROM m JOIN t ON m.user_id = t.user_id AND m.day = t.day
     WHERE m.rn = 1
   """
@@ -121,13 +121,13 @@ object OracleSql {
         value - 2.0 * lag(value, 1) OVER w + lag(value, 2) OVER w AS d2
       FROM events
       WINDOW w AS (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts))
-    SELECT user_id, day, round(sum(abs(d2)), 4) AS smoothness
+    SELECT user_id, CAST(day AS VARCHAR) AS day, round(sum(abs(d2)), 4) AS smoothness
     FROM d GROUP BY 1, 2
     HAVING sum(abs(d2)) IS NOT NULL
   """
 
   private val q11 = """
-    SELECT user_id, CAST(ts AS DATE) AS day,
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
       round(sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) / sum(value), 6) AS com_hour
     FROM events GROUP BY 1, 2
   """
@@ -151,7 +151,7 @@ object OracleSql {
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS daily_max
       FROM events GROUP BY 1, 2)
-    SELECT user_id, day, daily_max,
+    SELECT user_id, CAST(day AS VARCHAR) AS day, daily_max,
       round(percent_rank() OVER (PARTITION BY user_id ORDER BY daily_max ASC, day ASC), 6) AS ecdf
     FROM daily
   """
@@ -169,7 +169,7 @@ object OracleSql {
   """
 
   private val q15 = """
-    SELECT CAST(ts AS DATE) AS day,
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
       round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END), 4) AS click_v,
       round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0.0 END), 4) AS view_v,
       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_v,
@@ -217,7 +217,7 @@ object OracleSql {
         date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS hr,
         e.value, m.thr
       FROM events e JOIN m ON e.user_id = m.user_id)
-    SELECT user_id, day,
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
       round(min(CASE WHEN value > thr THEN hr END), 6) AS sunrise_h,
       round(max(CASE WHEN value > thr THEN hr END), 6) AS sunset_h,
       round(max(CASE WHEN value > thr THEN hr END) - min(CASE WHEN value > thr THEN hr END), 6) AS daylight_h
@@ -225,7 +225,7 @@ object OracleSql {
   """
 
   private val q19 = """
-    SELECT user_id, CAST(ts AS DATE) AS day, count(value) AS n_obs,
+    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, count(value) AS n_obs,
       round(avg(value), 6) AS avg_v,
       (count(value) >= 10 AND avg(value) > 0.0) AS good_day
     FROM events GROUP BY 1, 2
@@ -268,7 +268,7 @@ object OracleSql {
     c AS (SELECT day, doy,
             23.45 * sin(6.283185307179586 * (doy + 284.0) / 365.0) AS decl
           FROM d)
-    SELECT day,
+    SELECT CAST(day AS VARCHAR) AS day,
       round(decl, 6) AS decl_deg,
       round(229.18 * (0.000075
         + 0.001868 * cos(6.283185307179586 * (doy - 1.0) / 365.0)
@@ -300,7 +300,7 @@ object OracleSql {
     f AS (SELECT user_id, day,
             ntile(21) OVER (PARTITION BY user_id ORDER BY day) AS fold
           FROM days)
-    SELECT user_id, CAST(fold AS INT) AS fold, count(*) AS n_days, min(day) AS first_day
+    SELECT user_id, CAST(fold AS INT) AS fold, count(*) AS n_days, CAST(min(day) AS VARCHAR) AS first_day
     FROM f GROUP BY 1, 2
   """
 
@@ -341,7 +341,7 @@ object OracleSql {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         sum(seg) OVER (PARTITION BY user_id, day) AS total
       FROM s)
-    SELECT user_id, day, event_id, round(cum / total, 6) AS cum_frac
+    SELECT user_id, CAST(day AS VARCHAR) AS day, event_id, round(cum / total, 6) AS cum_frac
     FROM c WHERE cum IS NOT NULL AND total > 0
   """
 

@@ -118,29 +118,29 @@ object SparkEntry {
 
   private def q07(s: SparkSession, dir: String): DataFrame =
     DayStats.dailyEnergy(Tables.events(s, dir), "user_id", "ts", "value")
-      .select(col("user_id"), col("day"), round(col("energy"), 4).as("energy"))
+      .select(col("user_id"), col("day").cast("string").as("day"), round(col("energy"), 4).as("energy"))
 
   private def q08(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     val cap = DayStats.capacity(ev, "user_id", "value")
       .withColumn("thr", round(col("capacity") * 0.02, 6))
     ev.join(broadcast(cap), Seq("user_id"))
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
       .agg(round(avg(when(col("value") > col("thr"), 1.0).otherwise(0.0)), 6).as("density"))
   }
 
   private def q09(s: SparkSession, dir: String): DataFrame =
     DayStats.linearityMode(Tables.events(s, dir), "user_id", "ts", "value")
-      .select(col("user_id"), col("day"), col("modal_diff"), col("mode_cnt"), col("n_diffs"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("modal_diff"), col("mode_cnt"), col("n_diffs"))
 
   private def q10(s: SparkSession, dir: String): DataFrame =
     DayStats.smoothnessL1(Tables.events(s, dir), "user_id", "ts", "value")
       .filter(col("smoothness").isNotNull)
-      .select(col("user_id"), col("day"), round(col("smoothness"), 4).as("smoothness"))
+      .select(col("user_id"), col("day").cast("string").as("day"), round(col("smoothness"), 4).as("smoothness"))
 
   private def q11(s: SparkSession, dir: String): DataFrame =
     DayStats.solarNoonCoM(Tables.events(s, dir), "user_id", "ts", "value")
-      .select(col("user_id"), col("day"), round(col("com_hour"), 6).as("com_hour"))
+      .select(col("user_id"), col("day").cast("string").as("day"), round(col("com_hour"), 6).as("com_hour"))
 
   private def q12(s: SparkSession, dir: String): DataFrame =
     Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type")
@@ -152,7 +152,7 @@ object SparkEntry {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(max(col("value")).as("daily_max"))
     Runs.ecdf(daily, Seq("user_id"), "daily_max", "day")
-      .select(col("user_id"), col("day"), col("daily_max"), round(col("ecdf"), 6).as("ecdf"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("daily_max"), round(col("ecdf"), 6).as("ecdf"))
   }
 
   private def q14(s: SparkSession, dir: String): DataFrame =
@@ -164,7 +164,7 @@ object SparkEntry {
     val aggs = types.map(t => round(sum(when(col("event_type") === t, col("value")).otherwise(0.0)), 4).as(s"${t}_v")) :+
       count(lit(1)).as("n_events")
     Tables.events(s, dir)
-      .groupBy(to_date(col("ts")).as("day"))
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
       .agg(aggs.head, aggs.tail: _*)
   }
 
@@ -184,7 +184,7 @@ object SparkEntry {
     DayStats.riseSetRough(Tables.events(s, dir), "user_id", "ts", "value", 0.05)
       .select(
         col("user_id"),
-        col("day"),
+        col("day").cast("string").as("day"),
         round(col("sunrise_h"), 6).as("sunrise_h"),
         round(col("sunset_h"), 6).as("sunset_h"),
         round(col("daylight_h"), 6).as("daylight_h")
@@ -192,7 +192,7 @@ object SparkEntry {
 
   private def q19(s: SparkSession, dir: String): DataFrame =
     DayStats.qualityFlags(Tables.events(s, dir), "user_id", "ts", "value", 10L)
-      .select(col("user_id"), col("day"), col("n_obs"), round(col("avg_v"), 6).as("avg_v"), col("good_day"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("n_obs"), round(col("avg_v"), 6).as("avg_v"), col("good_day"))
 
   private def q20(s: SparkSession, dir: String): DataFrame = {
     val flags = DayStats.qualityFlags(Tables.events(s, dir), "user_id", "ts", "value", 10L)
@@ -219,7 +219,7 @@ object SparkEntry {
     val doy = dayofyear(col("day"))
     val decl = Solar.declinationDeg(doy)
     days.select(
-      col("day"),
+      col("day").cast("string").as("day"),
       round(decl, 6).as("decl_deg"),
       round(Solar.equationOfTimeMin(doy), 6).as("eot_min"),
       round(Solar.daylightHours(37.5, decl), 6).as("daylight_h")
@@ -259,7 +259,7 @@ object SparkEntry {
     days
       .withColumn("fold", ntile(21).over(w))
       .groupBy(col("user_id"), col("fold"))
-      .agg(count(lit(1)).as("n_days"), min(col("day")).as("first_day"))
+      .agg(count(lit(1)).as("n_days"), min(col("day")).cast("string").as("first_day"))
   }
 
   /** Rayleigh test of circular nonuniformity (reference
@@ -303,7 +303,7 @@ object SparkEntry {
       .withColumn("cum", cum)
       .withColumn("total", total)
       .filter(col("cum").isNotNull && col("total") > 0)
-      .select(col("user_id"), col("day"), col("event_id"), round(col("cum") / col("total"), 6).as("cum_frac"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("event_id"), round(col("cum") / col("total"), 6).as("cum_frac"))
   }
 
   /** Point-mass detection on daily-max stats (reference
