@@ -714,6 +714,22 @@ object OracleSql {
     FROM d GROUP BY 1
   """
 
+  private val e04 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    d AS (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, round(d.dot / (na.nrm * nb.nrm), 5) AS cosine
+    FROM d JOIN n na ON d.a_id = na.vec_id JOIN n nb ON d.b_id = nb.vec_id
+    WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
+  """
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_clamp" -> q02,
@@ -765,6 +781,7 @@ object OracleSql {
     "d08_simhash" -> d08,
     "e01_cosine_topk" -> e01,
     "e02_centroid_assign" -> e02,
-    "e03_sign_lsh_buckets" -> e03
+    "e03_sign_lsh_buckets" -> e03,
+    "e04_cosine_neardup" -> e04
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

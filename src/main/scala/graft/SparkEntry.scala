@@ -630,6 +630,12 @@ object SparkEntry {
       .select(col("vec_id"), col("centroid_id"), col("d2"))
   }
 
+  private def e04(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 200),
+      "vec_id", "embedding", 0.3
+    )
+
   private def e03(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
@@ -725,7 +731,8 @@ object SparkEntry {
     "d08_simhash" -> (d08 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
-    "e03_sign_lsh_buckets" -> (e03 _)
+    "e03_sign_lsh_buckets" -> (e03 _),
+    "e04_cosine_neardup" -> (e04 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -71,6 +71,23 @@ object Similarity {
       .select(col(idCol), col("centroid_id"), col("d2"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above a
+    * cosine threshold. Quadratic — bound the input or run it inside
+    * LSH/IVF buckets at scale (compose with [[signLshBuckets]] /
+    * [[assignToCentroids]]). The threshold is applied to the rounded
+    * cosine so the pair set is engine-reproducible.
+    */
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+      .withColumn("nrm", norm(col("vv")))
+    val a = v.select(col(idCol).as("a_id"), col("vv").as("av"), col("nrm").as("an"))
+    val b = v.select(col(idCol).as("b_id"), col("vv").as("bv"), col("nrm").as("bn"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 5))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
   /** Sign-LSH bucket id from projections onto `planes` (a broadcast
     * table of (plane_id, plane vector)): bit j = sign(v·plane_j).
     * Returns (idCol, bucket). The bucket join is the ANN scale path.
