@@ -531,6 +531,36 @@ object OracleSql {
     SELECT user_id, thr_frac AS best_thr, round(dl_range, 6) AS dl_range FROM r WHERE rn = 1
   """
 
+  private val q39 = """
+    WITH ev AS (
+      SELECT user_id, CAST(event_id % 5 AS INT) AS fold,
+        date_diff('second', date_trunc('day', ts), ts) / 3600.0 AS x, value
+      FROM events),
+    pf AS (
+      SELECT user_id, fold, count(*) AS fn, sum(x) AS fsx, sum(value) AS fsy,
+        sum(x * value) AS fsxy, sum(x * x) AS fsxx, sum(value * value) AS fsyy
+      FROM ev GROUP BY 1, 2),
+    tt AS (
+      SELECT user_id, CAST(sum(fn) AS BIGINT) AS tn, sum(fsx) AS tsx, sum(fsy) AS tsy,
+        sum(fsxy) AS tsxy, sum(fsxx) AS tsxx
+      FROM pf GROUP BY 1),
+    loo AS (
+      SELECT pf.user_id, pf.fold, pf.fn, pf.fsx, pf.fsy, pf.fsxy, pf.fsxx, pf.fsyy,
+        tt.tn - pf.fn AS rn, tt.tsx - pf.fsx AS rsx, tt.tsy - pf.fsy AS rsy,
+        tt.tsxy - pf.fsxy AS rsxy, tt.tsxx - pf.fsxx AS rsxx
+      FROM pf JOIN tt ON pf.user_id = tt.user_id),
+    sl AS (SELECT *, (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS slope FROM loo),
+    ic AS (SELECT *, (rsy - slope * rsx) / rn AS icept FROM sl),
+    ss AS (
+      SELECT user_id, fold, fn,
+        fsyy + fn * icept * icept + slope * slope * fsxx
+          - 2.0 * icept * fsy - 2.0 * slope * fsxy + 2.0 * icept * slope * fsx AS sse
+      FROM ic),
+    fr AS (SELECT user_id, sqrt(greatest(sse / fn, 0.0)) AS fold_rmse FROM ss)
+    SELECT user_id, round(avg(fold_rmse), 4) AS cv_rmse, count(*) AS n_folds
+    FROM fr GROUP BY 1
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -769,6 +799,7 @@ object OracleSql {
     "q36_bundt_median" -> q36,
     "q37_system_profile" -> q37,
     "q38_riseset_grid" -> q38,
+    "q39_cv_rmse" -> q39,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

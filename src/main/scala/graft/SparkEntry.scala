@@ -524,6 +524,50 @@ object SparkEntry {
       .select(col("user_id"), col("thr_frac").as("best_thr"), round(col("dl_range"), 6).as("dl_range"))
   }
 
+  /** Cross-validated regression error by leave-one-fold-out using
+    * sufficient statistics only (reference sensor-ID CV,
+    * `sensor_identification.py:49-124`): train-fold sums = totals −
+    * fold sums, so the whole 5-fold CV is two aggregations and a
+    * join — no per-fold refit pass over the data.
+    */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val x = TimeAxis.hourOfDay(col("ts"))
+    val ev = Tables.events(s, dir)
+      .withColumn("fold", (col("event_id") % 5).cast("int"))
+      .withColumn("x", x)
+    val perFold = ev.groupBy(col("user_id"), col("fold"))
+      .agg(
+        count(lit(1)).as("fn"), sum(col("x")).as("fsx"), sum(col("value")).as("fsy"),
+        sum(col("x") * col("value")).as("fsxy"), sum(col("x") * col("x")).as("fsxx"),
+        sum(col("value") * col("value")).as("fsyy")
+      )
+    val totals = perFold.groupBy(col("user_id"))
+      .agg(
+        sum(col("fn")).as("tn"), sum(col("fsx")).as("tsx"), sum(col("fsy")).as("tsy"),
+        sum(col("fsxy")).as("tsxy"), sum(col("fsxx")).as("tsxx")
+      )
+    val loo = perFold.join(broadcast(totals), Seq("user_id"))
+      .withColumn("rn", col("tn") - col("fn"))
+      .withColumn("rsx", col("tsx") - col("fsx"))
+      .withColumn("rsy", col("tsy") - col("fsy"))
+      .withColumn("rsxy", col("tsxy") - col("fsxy"))
+      .withColumn("rsxx", col("tsxx") - col("fsxx"))
+      .withColumn("slope", (col("rn") * col("rsxy") - col("rsx") * col("rsy")) /
+        (col("rn") * col("rsxx") - col("rsx") * col("rsx")))
+      .withColumn("icept", (col("rsy") - col("slope") * col("rsx")) / col("rn"))
+      // test-fold SSE from fold sufficient stats:
+      // Σ(y−a−bx)² = Σy² + n a² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx
+      .withColumn("sse",
+        col("fsyy") + col("fn") * col("icept") * col("icept")
+          + col("slope") * col("slope") * col("fsxx")
+          - lit(2.0) * col("icept") * col("fsy")
+          - lit(2.0) * col("slope") * col("fsxy")
+          + lit(2.0) * col("icept") * col("slope") * col("fsx"))
+      .withColumn("fold_rmse", sqrt(greatest(col("sse") / col("fn"), lit(0.0))))
+    loo.groupBy(col("user_id"))
+      .agg(round(avg(col("fold_rmse")), 4).as("cv_rmse"), count(lit(1)).as("n_folds"))
+  }
+
   /** Semi-structured projection: JSON property extraction + rollup
     * (events.props is a JSON payload column).
     */
@@ -719,6 +763,7 @@ object SparkEntry {
     "q36_bundt_median" -> (q36 _),
     "q37_system_profile" -> (q37 _),
     "q38_riseset_grid" -> (q38 _),
+    "q39_cv_rmse" -> (q39 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
