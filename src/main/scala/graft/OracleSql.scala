@@ -561,6 +561,11 @@ object OracleSql {
     FROM fr GROUP BY 1
   """
 
+  private val q40 = """
+    SELECT user_id, round(sum(value), 2) AS sum_v, count(*) AS n
+    FROM events GROUP BY 1
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -800,6 +805,7 @@ object OracleSql {
     "q37_system_profile" -> q37,
     "q38_riseset_grid" -> q38,
     "q39_cv_rmse" -> q39,
+    "q40_salted_agg" -> q40,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

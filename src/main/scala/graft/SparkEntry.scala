@@ -568,6 +568,15 @@ object SparkEntry {
       .agg(round(avg(col("fold_rmse")), 4).as("cv_rmse"), count(lit(1)).as("n_folds"))
   }
 
+  /** Skew-salted aggregation (hot-key mitigation): the two-phase
+    * salted plan must produce byte-identical results to the direct
+    * groupBy — the oracle is the plain aggregation, so this query
+    * *proves* the skew path changes execution, not semantics.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame =
+    Salting.saltedSumCount(Tables.events(s, dir), Seq("user_id"), "value", 16)
+      .select(col("user_id"), round(col("sum_v"), 2).as("sum_v"), col("n"))
+
   /** Semi-structured projection: JSON property extraction + rollup
     * (events.props is a JSON payload column).
     */
@@ -764,6 +773,7 @@ object SparkEntry {
     "q37_system_profile" -> (q37 _),
     "q38_riseset_grid" -> (q38 _),
     "q39_cv_rmse" -> (q39 _),
+    "q40_salted_agg" -> (q40 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),

@@ -84,9 +84,12 @@ object Pipeline {
   def run(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String): Dataset[SiteReport] = {
     import spark.implicits._
     val stats = dayStats(df, site, tsCol, valueCol)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("site"))
+    // first-day via broadcast agg (one small join) instead of a
+    // whole-table window — avoids a full sort-shuffle of DayStats
+    val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
     val withIdx = stats
-      .withColumn("day_idx", datediff(col("day"), min(col("day")).over(w)).cast("double"))
+      .join(broadcast(firstDay), Seq("site"))
+      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
     val rows = withIdx
       .select(
         col("site"), col("day_idx"), col("energy"), col("density"),
