@@ -29,6 +29,29 @@ class QuantilesSpec extends AnyFunSuite {
     assert(cov > 0.8, s"envelope coverage $cov")
   }
 
+  test("quantile envelope undilates back to the hour grid with energy preserved") {
+    val fleet = Synth.pvFleet(spark, nSites = 1, nDays = 30, slotsPerDay = 48)
+    val dil = Dilation.dilate(spark, fleet, "site", "ts", "power", nBins = 50)
+    val est = Quantiles.estimateAndDetect(spark, dil, nBins = 50)
+    // undilate the q_hi envelope (reference `undilate_quantiles`,
+    // dilation.py:143-171): treat it as the dilated series
+    val siteMax = fleet.agg(max("power")).as[Double].head()
+    val riseSet = fleet
+      .select(col("site"), to_date(col("ts")).cast("string").as("day"),
+        graft.operators.TimeAxis.hourOfDay(col("ts")).as("h"), col("power"))
+      .filter(col("power") > siteMax * 0.01)
+      .groupBy("site", "day")
+      .agg(min("h").as("rise_h"), max("h").as("set_h"))
+    val hiDilated = est.select(col("site"), col("day"), col("dil_slot"), col("q_hi").as("dil_value"))
+    val back = Dilation.undilate(spark, hiDilated, riseSet, outSlots = 48)
+    val dilE = hiDilated.join(riseSet, Seq("site", "day"))
+      .agg(sum(col("dil_value") * (col("set_h") - col("rise_h")) / 50.0)).as[Double].head()
+    val backE = back.join(riseSet, Seq("site", "day"))
+      .agg(sum(col("value") * (col("set_h") - col("rise_h")) / 48.0)).as[Double].head()
+    assert(math.abs(dilE - backE) < 1e-6 * math.abs(dilE), s"dil $dilE back $backE")
+    assert(back.count() == 30L * 48)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val fleet = Synth.pvFleet(spark, nSites = 2, nDays = 10, slotsPerDay = 24)
     val direct = fleet.groupBy("site").agg(sum("power").as("sum_v"), count(lit(1)).as("n"))
