@@ -566,6 +566,25 @@ object OracleSql {
     FROM events GROUP BY 1
   """
 
+  private val q41 = """
+    WITH d AS (
+      SELECT user_id,
+        date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS dt_s
+      FROM events),
+    r AS (SELECT user_id, CAST(round(dt_s / 10.0) * 10 AS BIGINT) AS dt_r
+          FROM d WHERE dt_s IS NOT NULL),
+    c AS (SELECT user_id, dt_r, count(*) AS cnt FROM r GROUP BY 1, 2),
+    t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),
+    sh AS (
+      SELECT c.user_id, round(CAST(c.cnt AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS share
+      FROM c JOIN t ON c.user_id = t.user_id)
+    SELECT user_id,
+      CAST(sum(CASE WHEN share >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_rates_5pct,
+      max(share) AS top_share,
+      (CAST(sum(CASE WHEN share >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) > 1) AS multi_rate
+    FROM sh GROUP BY 1
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -806,6 +825,7 @@ object OracleSql {
     "q38_riseset_grid" -> q38,
     "q39_cv_rmse" -> q39,
     "q40_salted_agg" -> q40,
+    "q41_scan_rates" -> q41,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

@@ -568,6 +568,27 @@ object SparkEntry {
       .agg(round(avg(col("fold_rmse")), 4).as("cv_rmse"), count(lit(1)).as("n_folds"))
   }
 
+  /** Multi-scan-rate detection (SURVEY §7.5 #6; reference
+    * `time_axis_manipulation.py:208-231` warns when several scan
+    * rates each hold ≥5% share): rounded-Δt share table per site.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    val deltas = TimeAxis.withDeltas(Tables.events(s, dir), Seq("user_id"), "ts")
+      .filter(col("dt_s").isNotNull)
+      .withColumn("dt_r", (round(col("dt_s") / 10.0) * 10).cast("long"))
+    val counts = deltas.groupBy(col("user_id"), col("dt_r")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy(col("user_id")).agg(sum(col("cnt")).cast("long").as("tot"))
+    counts
+      .join(broadcast(totals), Seq("user_id"))
+      .withColumn("share", round(col("cnt").cast("double") / col("tot").cast("double"), 6))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("share") >= 0.05, 1L).otherwise(0L)).as("n_rates_5pct"),
+        max(col("share")).as("top_share"),
+        (sum(when(col("share") >= 0.05, 1L).otherwise(0L)) > 1).as("multi_rate")
+      )
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -774,6 +795,7 @@ object SparkEntry {
     "q38_riseset_grid" -> (q38 _),
     "q39_cv_rmse" -> (q39 _),
     "q40_salted_agg" -> (q40 _),
+    "q41_scan_rates" -> (q41 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
