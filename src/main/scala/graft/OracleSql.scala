@@ -84,19 +84,28 @@ object OracleSql {
   """
 
   private val q07 = """
-    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-      round(sum(value) * 24.0 / count(*), 4) AS energy
-    FROM events GROUP BY 1, 2
+    WITH d AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        round(sum(value), 2) AS sum_v, count(*) AS n_slots
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day, sum_v, n_slots,
+      round(sum_v * 24.0 / n_slots, 4) AS energy
+    FROM d
   """
 
   private val q08 = """
     WITH cap AS (
       SELECT user_id, round(quantile_cont(value, 0.95) * 0.02, 6) AS thr
-      FROM events GROUP BY 1)
-    SELECT e.user_id, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
-      round(avg(CASE WHEN e.value > cap.thr THEN 1.0 ELSE 0.0 END), 6) AS density
-    FROM events e JOIN cap ON e.user_id = cap.user_id
-    GROUP BY 1, 2
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT e.user_id, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+        CAST(sum(CASE WHEN e.value > cap.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        count(*) AS n_slots
+      FROM events e JOIN cap ON e.user_id = cap.user_id
+      GROUP BY 1, 2)
+    SELECT user_id, day, n_above, n_slots,
+      round(CAST(n_above AS DOUBLE) / n_slots, 6) AS density
+    FROM d
   """
 
   private val q09 = """
@@ -127,9 +136,14 @@ object OracleSql {
   """
 
   private val q11 = """
-    SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-      round(sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) / sum(value), 6) AS com_hour
-    FROM events GROUP BY 1, 2
+    WITH d AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        round(sum(date_diff('second', date_trunc('day', ts), ts) * value), 2) AS num_sv,
+        round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2)
+    SELECT user_id, day, num_sv, sum_v,
+      round(num_sv / 3600.0 / nullif(sum_v, 0.0), 6) AS com_hour
+    FROM d
   """
 
   private val q12 = """
@@ -319,11 +333,15 @@ object OracleSql {
   private val q26 = """
     WITH a AS (
       SELECT user_id,
-        sum((date_diff('second', date_trunc('day', ts), ts) / 3600.0) * value) / sum(value) AS com_hour
-      FROM events GROUP BY 1)
-    SELECT user_id, round(com_hour, 6) AS com_hour,
+        round(sum(date_diff('second', date_trunc('day', ts), ts) * value), 2) AS num_sv,
+        round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1),
+    b AS (SELECT user_id,
+            round(num_sv / 3600.0 / nullif(sum_v, 0.0), 6) AS com_hour
+          FROM a)
+    SELECT user_id, com_hour,
       CAST(round(12.0 - com_hour) AS INT) AS tz_offset_h
-    FROM a
+    FROM b
   """
 
   private val q27 = """
@@ -416,11 +434,11 @@ object OracleSql {
         sum(value * value) AS syy
       FROM events GROUP BY 1),
     b AS (SELECT user_id, n, sx, sy, sxy, sxx, syy,
-            (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+            (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
           FROM a),
     c AS (SELECT user_id, n, slope,
-            (sy - slope * sx) / n AS intercept,
-            (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+            (sy - slope * sx) / nullif(CAST(n AS DOUBLE), 0.0) AS intercept,
+            (n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0) AS r
           FROM b)
     SELECT user_id, n, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
       round(r * r, 6) AS r2
@@ -438,8 +456,8 @@ object OracleSql {
       FROM events e JOIN cap ON e.user_id = cap.user_id
       GROUP BY 1)
     SELECT user_id, n_raw, n_filled,
-      round(CAST(n_filled AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) AS ratio,
-      (round(CAST(n_filled AS DOUBLE) / CAST(n_raw AS DOUBLE), 6) >= 0.85) AS ok
+      round(CAST(n_filled AS DOUBLE) / nullif(CAST(n_raw AS DOUBLE), 0.0), 6) AS ratio,
+      (round(CAST(n_filled AS DOUBLE) / nullif(CAST(n_raw AS DOUBLE), 0.0), 6) >= 0.85) AS ok
     FROM a
   """
 
@@ -452,7 +470,7 @@ object OracleSql {
   private val q35 = """
     WITH s AS (
       SELECT user_id, CAST(event_id % 10 AS INT) AS sample_id,
-        sum(value) / count(*) AS m
+        round(sum(value), 2) / count(*) AS m
       FROM events GROUP BY 1, 2)
     SELECT user_id,
       round(quantile_cont(m, 0.5), 6) AS p50,
@@ -484,13 +502,18 @@ object OracleSql {
 
   private val q37 = """
     WITH m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM events GROUP BY 1),
-    d AS (
+    d0 AS (
       SELECT e.user_id, CAST(e.ts AS DATE) AS day,
         max(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END)
           - min(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS dl_h,
-        sum((date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0) * e.value) / sum(e.value) AS com_hour
+        round(sum(date_diff('second', date_trunc('day', e.ts), e.ts) * e.value), 2) AS num_sv,
+        round(sum(e.value), 2) AS sum_v
       FROM events e JOIN m ON e.user_id = m.user_id
       GROUP BY 1, 2),
+    d AS (
+      SELECT user_id, day, dl_h,
+        num_sv / 3600.0 / nullif(sum_v, 0.0) AS com_hour
+      FROM d0),
     est AS (
       SELECT user_id, day,
         atan(-cos(7.5 * dl_h * 0.017453292519943295)
@@ -549,8 +572,8 @@ object OracleSql {
         tt.tn - pf.fn AS rn, tt.tsx - pf.fsx AS rsx, tt.tsy - pf.fsy AS rsy,
         tt.tsxy - pf.fsxy AS rsxy, tt.tsxx - pf.fsxx AS rsxx
       FROM pf JOIN tt ON pf.user_id = tt.user_id),
-    sl AS (SELECT *, (rn * rsxy - rsx * rsy) / (rn * rsxx - rsx * rsx) AS slope FROM loo),
-    ic AS (SELECT *, (rsy - slope * rsx) / rn AS icept FROM sl),
+    sl AS (SELECT *, (rn * rsxy - rsx * rsy) / nullif(rn * rsxx - rsx * rsx, 0.0) AS slope FROM loo),
+    ic AS (SELECT *, (rsy - slope * rsx) / nullif(CAST(rn AS DOUBLE), 0.0) AS icept FROM sl),
     ss AS (
       SELECT user_id, fold, fn,
         fsyy + fn * icept * icept + slope * slope * fsxx

@@ -116,9 +116,18 @@ object SparkEntry {
   private def q06(s: SparkSession, dir: String): DataFrame =
     TimeAxis.inferFrequency(Tables.events(s, dir), Seq("user_id"), "ts")
 
+  // Parity hardening (DESIGN §4): q07/q08/q11/q26 round the
+  // order-sensitive SUMS first, then derive quotients from those
+  // bit-identical rounded inputs — a quotient of identical doubles is
+  // identical on both engines, so the final round can never straddle a
+  // half-boundary differently. (Rounding a raw quotient of
+  // fixed-decimal sums can land exactly on the rounding grid's
+  // half-boundary and flip between engines.)
   private def q07(s: SparkSession, dir: String): DataFrame =
-    DayStats.dailyEnergy(Tables.events(s, dir), "user_id", "ts", "value")
-      .select(col("user_id"), col("day").cast("string").as("day"), round(col("energy"), 4).as("energy"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(round(sum(col("value")), 2).as("sum_v"), count(lit(1)).as("n_slots"))
+      .withColumn("energy", round(col("sum_v") * 24.0 / col("n_slots"), 4))
 
   private def q08(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -126,7 +135,11 @@ object SparkEntry {
       .withColumn("thr", round(col("capacity") * 0.02, 6))
     ev.join(broadcast(cap), Seq("user_id"))
       .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
-      .agg(round(avg(when(col("value") > col("thr"), 1.0).otherwise(0.0)), 6).as("density"))
+      .agg(
+        sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_slots")
+      )
+      .withColumn("density", round(col("n_above").cast("double") / col("n_slots"), 6))
   }
 
   private def q09(s: SparkSession, dir: String): DataFrame =
@@ -139,8 +152,16 @@ object SparkEntry {
       .select(col("user_id"), col("day").cast("string").as("day"), round(col("smoothness"), 4).as("smoothness"))
 
   private def q11(s: SparkSession, dir: String): DataFrame =
-    DayStats.solarNoonCoM(Tables.events(s, dir), "user_id", "ts", "value")
-      .select(col("user_id"), col("day").cast("string").as("day"), round(col("com_hour"), 6).as("com_hour"))
+    // Solar-noon CoM from rounded sums (see q07 note): numerator
+    // Σ(seconds·value) lies on the 0.01 grid, so round(…, 2) recovers
+    // the exact value on both engines; try_divide nulls dead days.
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).cast("string").as("day"))
+      .agg(
+        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
+        round(sum(col("value")), 2).as("sum_v")
+      )
+      .withColumn("com_hour", round(try_divide(col("num_sv") / 3600.0, col("sum_v")), 6))
 
   private def q12(s: SparkSession, dir: String): DataFrame =
     Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type")
@@ -282,8 +303,18 @@ object SparkEntry {
     * `time_axis_manipulation.py:141-192`).
     */
   private def q26(s: SparkSession, dir: String): DataFrame =
-    TimeAxis.grossTzOffsetHours(Tables.events(s, dir), Seq("user_id"), "ts", "value")
-      .select(col("user_id"), round(col("com_hour"), 6).as("com_hour"), col("tz_offset_h"))
+    // Same computation as TimeAxis.grossTzOffsetHours, with the CoM
+    // quotient derived from rounded sums for cross-engine determinism
+    // (see q07/q11 note) and try_divide for dead-site safety.
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
+        round(sum(col("value")), 2).as("sum_v")
+      )
+      .withColumn("com_hour", round(try_divide(col("num_sv") / 3600.0, col("sum_v")), 6))
+      .withColumn("tz_offset_h", round(lit(12.0) - col("com_hour")).cast("int"))
+      .select(col("user_id"), col("com_hour"), col("tz_offset_h"))
 
   /** Dilation core: cumulative trapezoid integral of the signal within
     * each day, normalized to [0,1] (reference `dilation.py:276-301`,
@@ -407,10 +438,12 @@ object SparkEntry {
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy")
       )
-      .withColumn("slope", (col("n") * col("sxy") - col("sx") * col("sy")) / (col("n") * col("sxx") - col("sx") * col("sx")))
-      .withColumn("intercept", (col("sy") - col("slope") * col("sx")) / col("n"))
-      .withColumn("r", (col("n") * col("sxy") - col("sx") * col("sy")) /
-        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy"))))
+      // try_divide: a degenerate site (constant x or y) yields NULL
+      // slope/r instead of an ANSI DIVIDE_BY_ZERO killing the job.
+      .withColumn("slope", try_divide(col("n") * col("sxy") - col("sx") * col("sy"), col("n") * col("sxx") - col("sx") * col("sx")))
+      .withColumn("intercept", try_divide(col("sy") - col("slope") * col("sx"), col("n")))
+      .withColumn("r", try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy")))))
       .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
         round(col("intercept"), 6).as("intercept"), round(col("r") * col("r"), 6).as("r2"))
   }
@@ -430,7 +463,7 @@ object SparkEntry {
         sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_raw"),
         sum(when(col("filled") > col("thr"), 1L).otherwise(0L)).as("n_filled")
       )
-      .withColumn("ratio", round(col("n_filled").cast("double") / col("n_raw").cast("double"), 6))
+      .withColumn("ratio", round(try_divide(col("n_filled").cast("double"), col("n_raw").cast("double")), 6))
       .withColumn("ok", col("ratio") >= 0.85)
   }
 
@@ -452,7 +485,9 @@ object SparkEntry {
     val samples = Tables.events(s, dir)
       .withColumn("sample_id", (col("event_id") % 10).cast("int"))
       .groupBy(col("user_id"), col("sample_id"))
-      .agg((sum(col("value")) / count(lit(1))).as("m"))
+      // rounded sum first (see q07 note): the percentile inputs are
+      // then bit-identical across engines
+      .agg((round(sum(col("value")), 2) / count(lit(1))).as("m"))
     samples
       .groupBy(col("user_id"))
       .agg(
@@ -480,8 +515,11 @@ object SparkEntry {
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(
         (max(when(col("value") > col("thr"), h)) - min(when(col("value") > col("thr"), h))).as("dl_h"),
-        (sum(h * col("value")) / sum(col("value"))).as("com_hour")
+        // CoM from rounded sums (see q11 note) + try_divide dead-day guard
+        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
+        round(sum(col("value")), 2).as("sum_v")
       )
+      .withColumn("com_hour", try_divide(col("num_sv") / 3600.0, col("sum_v")))
     val doy = dayofyear(col("day"))
     val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
     val eot = Solar.equationOfTimeMin(doy)
@@ -552,9 +590,11 @@ object SparkEntry {
       .withColumn("rsy", col("tsy") - col("fsy"))
       .withColumn("rsxy", col("tsxy") - col("fsxy"))
       .withColumn("rsxx", col("tsxx") - col("fsxx"))
-      .withColumn("slope", (col("rn") * col("rsxy") - col("rsx") * col("rsy")) /
-        (col("rn") * col("rsxx") - col("rsx") * col("rsx")))
-      .withColumn("icept", (col("rsy") - col("slope") * col("rsx")) / col("rn"))
+      // try_divide: degenerate leave-one-out folds yield NULL, never
+      // an ANSI DIVIDE_BY_ZERO.
+      .withColumn("slope", try_divide(col("rn") * col("rsxy") - col("rsx") * col("rsy"),
+        col("rn") * col("rsxx") - col("rsx") * col("rsx")))
+      .withColumn("icept", try_divide(col("rsy") - col("slope") * col("rsx"), col("rn")))
       // test-fold SSE from fold sufficient stats:
       // Σ(y−a−bx)² = Σy² + n a² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx
       .withColumn("sse",

@@ -97,8 +97,11 @@ object DayStats {
     */
   def solarNoonCoM(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val h = TimeAxis.hourOfDay(col(tsCol))
+    // try_divide: a dead day (all-zero power) yields NULL, never a
+    // DIVIDE_BY_ZERO that would kill the fleet job under ANSI mode —
+    // mirroring the reference's per-column NaN tolerance.
     df.groupBy(col(site), to_date(col(tsCol)).as("day"))
-      .agg((sum(h * col(valueCol)) / sum(col(valueCol))).as("com_hour"))
+      .agg(try_divide(sum(h * col(valueCol)), sum(col(valueCol))).as("com_hour"))
   }
 
   /** Rough sunrise/sunset: first/last hour with value above a fraction

@@ -118,8 +118,10 @@ object TimeAxis {
     */
   def grossTzOffsetHours(df: DataFrame, keys: Seq[String], tsCol: String, valueCol: String): DataFrame = {
     val h = hourOfDay(col(tsCol))
+    // try_divide: a site with zero total signal yields NULL instead of
+    // an ANSI DIVIDE_BY_ZERO error killing the whole job.
     df.groupBy(keys.map(col): _*)
-      .agg((sum(h * col(valueCol)) / sum(col(valueCol))).as("com_hour"))
+      .agg(try_divide(sum(h * col(valueCol)), sum(col(valueCol))).as("com_hour"))
       .withColumn("tz_offset_h", round(lit(12.0) - col("com_hour")).cast("int"))
   }
 }

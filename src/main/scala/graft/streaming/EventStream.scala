@@ -61,7 +61,7 @@ object EventStream {
     spark.table(name)
   }
 
-  case class Ev(ts: java.sql.Timestamp, user_id: Long, value: Double)
+  case class Ev(day: String, user_id: Long, value: Double)
   case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
 
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
@@ -77,8 +77,12 @@ object EventStream {
   def incrementalSiteStats(spark: SparkSession, path: String, checkpoint: String, outDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
+    // The day key is derived INSIDE the query plan (to_date under the
+    // session's UTC timezone), so streaming day attribution matches the
+    // batch Pipeline.dayStats twin regardless of the host's default TZ
+    // (Timestamp.toString would render in the JVM default zone).
     val evs = readEvents(spark, path)
-      .select(col("ts"), col("user_id"), col("value"))
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
       .as[Ev]
     val updated = evs
       .groupByKey(_.user_id)
@@ -86,9 +90,8 @@ object EventStream {
         (site: Long, it: Iterator[Ev], state: GroupState[Map[String, (Long, Double, Double)]]) =>
           val old = state.getOption.getOrElse(Map.empty[String, (Long, Double, Double)])
           val upd = it.foldLeft(old) { (m, e) =>
-            val day = e.ts.toString.substring(0, 10)
-            val (n, s, mx) = m.getOrElse(day, (0L, 0.0, Double.MinValue))
-            m.updated(day, (n + 1, s + e.value, math.max(mx, e.value)))
+            val (n, s, mx) = m.getOrElse(e.day, (0L, 0.0, Double.MinValue))
+            m.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
           }
           state.update(upd)
           SiteAgg(site, upd.size, upd.values.map(_._1).sum, upd.values.map(_._2).sum, upd.values.map(_._3).max)
