@@ -608,6 +608,60 @@ object OracleSql {
     FROM sh GROUP BY 1
   """
 
+  private val q42 = """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        round(sum(date_diff('second', date_trunc('day', ts), ts) * value), 2) AS num_sv,
+        round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT user_id, day, num_sv / 3600.0 / nullif(sum_v, 0.0) AS com_hour FROM d),
+    j AS (
+      SELECT user_id, day, com_hour,
+        com_hour - lag(com_hour) OVER (PARTITION BY user_id ORDER BY day) AS jump
+      FROM c),
+    f AS (
+      SELECT user_id, day, com_hour, jump,
+        CASE WHEN jump IS NOT NULL AND abs(jump) >= 0.8 AND abs(jump) <= 1.5
+             THEN CAST(round(jump) AS INT) ELSE 0 END AS shift_h
+      FROM j),
+    s AS (
+      SELECT user_id, day, com_hour, jump,
+        CAST(sum(shift_h) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS cum_shift_h
+      FROM f)
+    SELECT user_id, CAST(day AS VARCHAR) AS day, round(com_hour, 6) AS com_hour,
+      round(jump, 6) AS jump, cum_shift_h,
+      round(com_hour - cum_shift_h, 6) AS com_repaired
+    FROM s
+  """
+
+  private val q43 = """
+    WITH d AS (
+      SELECT user_id, ts,
+        date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS dt_s
+      FROM events),
+    r AS (
+      SELECT user_id, ts,
+        CASE WHEN dt_s <= 60 THEN 60 WHEN dt_s <= 600 THEN 600
+             WHEN dt_s <= 3600 THEN 3600 ELSE 86400 END AS dt_r,
+        date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e
+      FROM d WHERE dt_s IS NOT NULL),
+    f AS (
+      SELECT user_id, ts, dt_r, e,
+        CASE WHEN dt_r IS NOT DISTINCT FROM lag(dt_r) OVER (PARTITION BY user_id ORDER BY ts)
+             THEN 0 ELSE 1 END AS new_seg
+      FROM r),
+    s AS (
+      SELECT user_id, dt_r, e,
+        sum(new_seg) OVER (PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM f)
+    SELECT user_id, CAST(seg_id AS INT) AS seg_id, CAST(min(dt_r) AS BIGINT) AS rate_s,
+      count(*) AS n_deltas, min(e) AS start_e, max(e) AS end_e
+    FROM s GROUP BY 1, 2
+    HAVING count(*) >= 5
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -849,6 +903,8 @@ object OracleSql {
     "q39_cv_rmse" -> q39,
     "q40_salted_agg" -> q40,
     "q41_scan_rates" -> q41,
+    "q42_dst_repair" -> q42,
+    "q43_rate_segments" -> q43,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

@@ -629,6 +629,58 @@ object SparkEntry {
       )
   }
 
+  /** Relational DST / clock-discontinuity repair (reference
+    * `time_axis_manipulation.py:255-267`: DST is *repaired*, not
+    * modeled): per-day solar-noon CoM, day-over-day jump, whole-hour
+    * jumps (|Δ| ≥ 0.8 h) treated as clock shifts, cumulative shift
+    * subtracted back out. Running the window in day order makes the
+    * cumulative shift cross-engine exact; CoM comes from rounded sums
+    * (see q11). The tz-database variant is `TimeAxis.fixDst`
+    * (spec-covered — DuckDB has no tz database to oracle against).
+    */
+  private def q42(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
+        round(sum(col("value")), 2).as("sum_v")
+      )
+      .withColumn("com_hour", try_divide(col("num_sv") / 3600.0, col("sum_v")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    daily
+      .withColumn("jump", col("com_hour") - lag(col("com_hour"), 1).over(w))
+      .withColumn("shift_h",
+        when(col("jump").isNotNull && abs(col("jump")) >= 0.8 && abs(col("jump")) <= 1.5,
+          round(col("jump")).cast("int")).otherwise(lit(0)))
+      .withColumn("cum_shift_h",
+        sum(col("shift_h")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .select(
+        col("user_id"), col("day").cast("string").as("day"),
+        round(col("com_hour"), 6).as("com_hour"),
+        round(col("jump"), 6).as("jump"),
+        col("cum_shift_h"),
+        round(col("com_hour") - col("cum_shift_h"), 6).as("com_repaired")
+      )
+  }
+
+  /** Multi-scan-rate segment splitting (SURVEY §7.5 #6 — beyond the
+    * reference's warning): maximal same-rate-class runs per site, with
+    * bounds and row counts; noise runs (<5 deltas) dropped. Irregular
+    * telemetry has no exactly-constant runs, so segments group by the
+    * order-of-magnitude rate class (`TimeAxis.rateClass`).
+    */
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    TimeAxis.scanRateSegments(Tables.events(s, dir), Seq("user_id"), "ts", TimeAxis.rateClass)
+      .withColumn("e", unix_timestamp(col("ts")))
+      .groupBy(col("user_id"), col("seg_id").cast("int").as("seg_id"))
+      .agg(
+        min(col("dt_r")).as("rate_s"),
+        count(lit(1)).as("n_deltas"),
+        min(col("e")).as("start_e"),
+        max(col("e")).as("end_e")
+      )
+      .filter(col("n_deltas") >= 5)
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -836,6 +888,8 @@ object SparkEntry {
     "q39_cv_rmse" -> (q39 _),
     "q40_salted_agg" -> (q40 _),
     "q41_scan_rates" -> (q41 _),
+    "q42_dst_repair" -> (q42 _),
+    "q43_rate_segments" -> (q43 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),

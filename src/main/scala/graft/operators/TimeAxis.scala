@@ -112,6 +112,69 @@ object TimeAxis {
   def rollSlot(slot: Column, shift: Column, slotsPerDay: Int): Column =
     pmod(slot + shift, lit(slotsPerDay))
 
+  /** Multi-scan-rate segment SPLITTING (SURVEY §7.5 #6 — the
+    * reference, `time_axis_manipulation.py:208-231`, only warns on
+    * multiple scan rates; the engine splits the series into maximal
+    * constant-rate segments so each can be gridded at its own Δt).
+    * Gaps-and-islands on the rounded consecutive delta: a new segment
+    * starts wherever `dt_r` changes. Returns one row per delta row
+    * with `dt_r` and `seg_id`; aggregate per (keys, seg_id) for
+    * segment bounds. One shuffle on the site key; windows reuse it.
+    */
+  def scanRateSegments(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      classify: Column => Column = dt => (round(dt / 10.0) * 10).cast("long")
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val deltas = withDeltas(df, keys, tsCol)
+      .filter(col("dt_s").isNotNull)
+      .withColumn("dt_r", classify(col("dt_s")))
+    deltas
+      .withColumn("__new_seg", when(col("dt_r") <=> lag(col("dt_r"), 1).over(w), 0L).otherwise(1L))
+      .withColumn("seg_id", sum(col("__new_seg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_seg")
+  }
+
+  /** Order-of-magnitude scan-rate classifier for irregular telemetry:
+    * ≤1 min, ≤10 min, ≤1 h, else daily-scale.
+    */
+  def rateClass(dtS: Column): Column =
+    when(dtS <= 60, 60L).when(dtS <= 600, 600L).when(dtS <= 3600, 3600L).otherwise(86400L)
+
+  /** DST repair via tz-database localization (reference
+    * `time_axis_manipulation.py:255-267`, `data_handler.py:842-863`):
+    * interpret naive wall-clock stamps in `zone`, null out stamps that
+    * are nonexistent (spring-forward gap) or ambiguous (fall-back
+    * repeat) — the reference's `ambiguous="NaT", nonexistent="NaT"` —
+    * and emit the instant re-expressed at a fixed standard offset, so
+    * downstream day/slot math sees a DST-free clock.
+    *
+    * Detection is pure column arithmetic (no UDF):
+    *  - nonexistent wall time ⇔ UTC round-trip does not reproduce it;
+    *  - ambiguous wall time ⇔ the zone offset one hour later is one
+    *    hour larger (the stamp falls in the repeated fall-back hour).
+    * Handles the standard 1-hour DST transitions of the tz database.
+    *
+    * Adds: `ts_utc` (null where dropped), `ts_fixed` (wall clock at
+    * `fixedOffsetHours`), `dst_dropped` (flag).
+    */
+  def fixDst(df: DataFrame, tsCol: String, zone: String, fixedOffsetHours: Int): DataFrame = {
+    val ts = col(tsCol)
+    val utc = to_utc_timestamp(ts, zone)
+    val roundTrip = from_utc_timestamp(utc, zone)
+    val offS = unix_timestamp(utc) - unix_timestamp(ts)
+    val tsPlus1h = timestamp_seconds(unix_timestamp(ts) + 3600L)
+    val offPlus1hS = unix_timestamp(to_utc_timestamp(tsPlus1h, zone)) - (unix_timestamp(ts) + 3600L)
+    val nonexistent = unix_timestamp(roundTrip) =!= unix_timestamp(ts)
+    val ambiguous = (offPlus1hS - offS) === 3600L
+    val dropped = nonexistent || ambiguous
+    df.withColumn("dst_dropped", dropped)
+      .withColumn("ts_utc", when(dropped, lit(null).cast("timestamp")).otherwise(utc))
+      .withColumn("ts_fixed", timestamp_seconds(unix_timestamp(col("ts_utc")) + lit(fixedOffsetHours * 3600L)))
+  }
+
   /** Gross timezone-offset detection (reference
     * `time_axis_manipulation.py:141-192`): average-day profile's energy
     * center of mass; offset = round(12 - CoM-hour). One row per key.

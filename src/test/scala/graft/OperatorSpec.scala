@@ -161,6 +161,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("fixDst drops nonexistent and ambiguous stamps, keeps fixed-offset clock") {
+    // America/Los_Angeles 2015: spring-forward 03-08 02:00→03:00
+    // (02:30 nonexistent), fall-back 11-01 02:00→01:00 (01:30 ambiguous)
+    val df = Seq(
+      "2015-03-08 02:30:00", // nonexistent → dropped
+      "2015-03-08 12:00:00", // PDT, kept
+      "2015-11-01 01:30:00", // ambiguous → dropped
+      "2015-01-15 12:00:00"  // PST, kept
+    ).toDF("s").withColumn("ts", to_timestamp(col("s")))
+    val out = TimeAxis.fixDst(df, "ts", "America/Los_Angeles", -8)
+      .orderBy("s")
+      .select(col("dst_dropped"), unix_timestamp(col("ts_utc")), unix_timestamp(col("ts_fixed")))
+      .as[(Boolean, Option[Long], Option[Long])]
+      .collect()
+    // orderBy(s): 01-15 12:00, 03-08 02:30, 03-08 12:00, 11-01 01:30
+    assert(!out(0)._1 && out(0)._2.contains(1421352000L))   // 12:00 PST = 20:00 UTC
+    assert(out(1)._1 && out(1)._2.isEmpty)                  // spring gap dropped
+    assert(!out(2)._1 && out(2)._2.contains(1425841200L))   // 12:00 PDT = 19:00 UTC
+    assert(out(3)._1 && out(3)._2.isEmpty)                  // fall-back repeat dropped
+    // fixed offset −8 h: winter stamp round-trips to its own wall clock
+    assert(out(0)._3.contains(1421352000L - 8 * 3600L))
+  }
+
+  test("scanRateSegments splits maximal constant-rate runs") {
+    val base = 1704067200L
+    val stamps = (0 to 12).map(i => base + i * 300L) ++            // 12 deltas @300s
+      (1 to 12).map(i => base + 12 * 300L + i * 60L)               // 12 deltas @60s
+    val df = stamps.map(e => (1L, e)).toDF("k", "e")
+      .withColumn("ts", timestamp_seconds(col("e")))
+    val segs = TimeAxis.scanRateSegments(df, Seq("k"), "ts")
+      .groupBy(col("seg_id")).agg(min(col("dt_r")).as("rate"), count(lit(1)).as("n"))
+      .orderBy("seg_id")
+      .select("rate", "n")
+      .as[(Long, Long)]
+      .collect()
+    assert(segs.toSeq == Seq((300L, 12L), (60L, 12L)))
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }
