@@ -843,10 +843,53 @@ object SparkEntry {
     graft.analyses.Quantiles.estimateAndDetect(s, dil, nBins = 50)
   }
 
+  /** Fleet-PCA shade decomposition (SURVEY §2.8 Shade SD; rows-only —
+    * Gram/eigen path): per-site shade summary against the fleet's own
+    * PCA clear-sky basis.
+    */
+  private def p04(s: SparkSession, dir: String): DataFrame = {
+    val dil = Dilation.dilate(
+      s,
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value", nBins = 50, thresholdFrac = 0.01
+    )
+    graft.analyses.Shade.siteSummary(graft.analyses.Shade.pcaShade(s, dil, nBins = 50, k = 2))
+  }
+
+  /** PVPro-style post-processing (SURVEY §2.8 last row; rows-only —
+    * PAVA path): per-site daily-energy series decomposed into a
+    * monotone non-increasing degradation trend + seasonal Fourier;
+    * reports trend drop and seasonal amplitude.
+    */
+  private def p05(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id").as("site"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value")) * 24.0 / count(lit(1))).as("energy"))
+    val firstDay = daily.groupBy(col("site")).agg(min(col("day")).as("first_day"))
+    daily
+      .join(broadcast(firstDay), Seq("site"))
+      .select(col("site"), datediff(col("day"), col("first_day")).cast("double").as("t"), col("energy"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (siteId, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val t = rows.map(_._2)
+        val y = rows.map(_._3)
+        val (trend, seasonal) = graft.solvers.Kernels.pvproDecompose(y, t)
+        val drop = if (trend.nonEmpty) trend.head - trend.last else 0.0
+        val amp = if (seasonal.nonEmpty) seasonal.max - seasonal.min else 0.0
+        (siteId, rows.length.toLong, drop, amp)
+      }
+      .toDF("site", "n_days", "trend_drop", "seasonal_amp")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_fleet_pipeline" -> (p01 _),
     "p02_dilation" -> (p02 _),
     "p03_quantile_clearsky" -> (p03 _),
+    "p04_pca_shade" -> (p04 _),
+    "p05_pvpro_post" -> (p05 _),
     "q01_pricing_summary" -> (q01 _),
     "q02_clamp" -> (q02 _),
     "q03_top_orders_per_segment" -> (q03 _),

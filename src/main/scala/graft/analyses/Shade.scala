@@ -3,6 +3,8 @@ package graft.analyses
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.solvers.Kernels
+
 /** Shade analysis (reference `algorithms/shade.py:351-410`,
   * simplified): on the dilated grain, a slot that sits persistently
   * below the site's clear-sky envelope at the same time-of-day marks
@@ -47,6 +49,96 @@ object Shade {
       )
       .withColumn("shaded", col("shade_frac") > shadeThreshold)
       .drop("p90_v", "mirror_p90")
+  }
+
+  /** PCA-basis shade decomposition (reference
+    * `algorithms/shade.py:351-410`, where the clear-sky component is a
+    * projection onto a PCA basis loaded from fixtures,
+    * `shade.py:22-32`). Here the basis comes from the FLEET itself:
+    *
+    *  1. per-(site, dil_slot) median day profile (relational agg);
+    *  2. fleet Gram matrix G = Σ_site p pᵀ via `treeAggregate` —
+    *     map-side partial sums of an nBins² array, so the shuffle into
+    *     the driver is O(nBins²) regardless of fleet size;
+    *  3. per site, top-k eigenvectors of the LEAVE-ONE-OUT Gram
+    *     G − p pᵀ (power iteration, [[Kernels.topEigen]]; the full G
+    *     is broadcast, the subtraction and eigen run on executors,
+    *     O(k·iters·nBins²) per site — bounded state);
+    *  4. per-site clear-sky = rank-k projection of its profile onto
+    *     its own leave-one-out basis; shade = relative depression
+    *     below the projection.
+    *
+    * Leave-one-out matters: with the site's own outer product removed,
+    * an obstruction notch present at only that site is not
+    * representable in its basis, so the projection restores the
+    * envelope there and the notch surfaces as shade — the same
+    * separation the reference gets from an external PCA corpus, without
+    * needing one.
+    *
+    * @return (site, dil_slot, med_v, recon_v, shade_frac, shaded)
+    */
+  def pcaShade(
+      spark: SparkSession,
+      dilated: DataFrame,
+      nBins: Int,
+      k: Int = 2,
+      shadeThreshold: Double = 0.25
+  ): DataFrame = {
+    import spark.implicits._
+    // cache the small per-slot medians (sites × nBins rows), not the
+    // assembled array column — columnar-caching ArrayType is the
+    // expensive part, and both downstream jobs re-derive the arrays
+    // cheaply from this
+    val perSlot = dilated
+      .groupBy(col("site"), col("dil_slot"))
+      .agg(percentile(col("dil_value"), lit(0.5)).as("med_v"))
+      .cache()
+    val prof = perSlot
+      .groupBy(col("site"))
+      .agg(sort_array(collect_list(struct(col("dil_slot"), col("med_v")))).as("arr"))
+      .select(col("site"), expr("transform(arr, x -> x.med_v)").as("p"))
+      .as[(Long, Array[Double])]
+
+    val n2 = nBins * nBins
+    val gramFlat = prof.rdd.map(_._2).treeAggregate(new Array[Double](n2))(
+      (acc, p) => {
+        var i = 0
+        while (i < nBins) {
+          val pi = if (i < p.length) p(i) else 0.0
+          var j = 0
+          while (j < nBins) { acc(i * nBins + j) += pi * (if (j < p.length) p(j) else 0.0); j += 1 }
+          i += 1
+        }
+        acc
+      },
+      (a, b) => { var i = 0; while (i < n2) { a(i) += b(i); i += 1 }; a }
+    )
+    val gramB = spark.sparkContext.broadcast(gramFlat)
+
+    prof
+      .flatMap { case (site, p) =>
+        val g = gramB.value
+        val loo = Array.tabulate(nBins, nBins) { (i, j) =>
+          val pi = if (i < p.length) p(i) else 0.0
+          val pj = if (j < p.length) p(j) else 0.0
+          g(i * nBins + j) - pi * pj
+        }
+        val vs = Kernels.topEigen(loo, k).map(_._2)
+        val coefs = vs.map { v =>
+          var s = 0.0; var i = 0
+          while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
+          s
+        }
+        p.indices.map { i =>
+          var recon = 0.0
+          var j = 0
+          while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
+          val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
+          (site, i, p(i), recon, frac)
+        }
+      }
+      .toDF("site", "dil_slot", "med_v", "recon_v", "shade_frac")
+      .withColumn("shaded", col("shade_frac") > shadeThreshold)
   }
 
   /** Per-site shade summary: fraction of slots shaded and the longest

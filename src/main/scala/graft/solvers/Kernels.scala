@@ -487,6 +487,138 @@ object Kernels {
     (best, pwc, s)
   }
 
+  /** Top-k eigenpairs of a small symmetric PSD matrix (e.g. a Gram
+    * matrix of daily profiles) by power iteration with deflation —
+    * the driver-side core of fleet-scale PCA (reference: the shade
+    * algorithm's PCA clear-sky basis, `algorithms/shade.py:22-32`,
+    * there loaded from fixtures; here computed from the fleet's own
+    * Gram matrix, which Spark accumulates map-side).
+    *
+    * @param g symmetric n×n matrix, row-major rows
+    * @return k (eigenvalue, eigenvector) pairs, eigenvalue descending
+    */
+  def topEigen(g: Array[Array[Double]], k: Int, iters: Int = 200): Array[(Double, Array[Double])] = {
+    val n = g.length
+    val a = Array.tabulate(n, n)((i, j) => g(i)(j)) // deflated copy
+    val out = Array.newBuilder[(Double, Array[Double])]
+    var c = 0
+    while (c < math.min(k, n)) {
+      // deterministic start: basis vector with largest diagonal + ones mix
+      var v = Array.tabulate(n)(i => 1.0 + a(i)(i))
+      var lambda = 0.0
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        val w = Array.tabulate(n)(i => {
+          var s = 0.0; var j = 0
+          while (j < n) { s += a(i)(j) * v(j); j += 1 }
+          s
+        })
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        if (nrm < 1e-300) { converged = true }
+        else {
+          val vNew = w.map(_ / nrm)
+          var diff = 0.0
+          var i2 = 0
+          while (i2 < n) { val d = vNew(i2) - v(i2); diff += d * d; i2 += 1 }
+          v = vNew
+          lambda = nrm
+          converged = diff < 1e-18
+          it += 1
+        }
+      }
+      out += ((lambda, v))
+      // deflate: a -= lambda v v^T
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) { a(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      c += 1
+    }
+    out.result()
+  }
+
+  /** Isotonic (monotone non-increasing) weighted least-squares fit via
+    * the pool-adjacent-violators algorithm — the monotone-degradation
+    * constraint of PVPro post-processing (reference
+    * `pvpro_post_processing.py:270-441`, its `monotonic` components).
+    * O(n); exact.
+    */
+  def isotonicDecreasing(y: Array[Double], w: Array[Double] = null): Array[Double] = {
+    val n = y.length
+    if (n == 0) return Array.empty
+    val wt = if (w == null) Array.fill(n)(1.0) else w
+    // PAVA on -y for non-decreasing, then negate back
+    val means = new Array[Double](n)
+    val weights = new Array[Double](n)
+    val counts = new Array[Int](n)
+    var m = 0 // number of blocks
+    var i = 0
+    while (i < n) {
+      means(m) = -y(i); weights(m) = wt(i); counts(m) = 1
+      m += 1
+      while (m > 1 && means(m - 2) > means(m - 1)) {
+        val wsum = weights(m - 2) + weights(m - 1)
+        means(m - 2) = (means(m - 2) * weights(m - 2) + means(m - 1) * weights(m - 1)) / wsum
+        weights(m - 2) = wsum
+        counts(m - 2) += counts(m - 1)
+        m -= 1
+      }
+      i += 1
+    }
+    val out = new Array[Double](n)
+    var b = 0
+    var pos = 0
+    while (b < m) {
+      var c = 0
+      while (c < counts(b)) { out(pos) = -means(b); pos += 1; c += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** PVPro-style post-processing decomposition (reference
+    * `pvpro_post_processing.py:270-441`): a parameter series =
+    * monotone non-increasing degradation trend + smooth seasonal
+    * (Fourier) + residual. Alternating fit: seasonal by least squares
+    * on the detrended series, trend by PAVA on the deseasonalized
+    * series; a few rounds converge (both subproblems are projections).
+    *
+    * @return (trend, seasonal) arrays aligned with `t`
+    */
+  def pvproDecompose(
+      y: Array[Double],
+      t: Array[Double],
+      harmonics: Int = 2,
+      period: Double = YearPeriod,
+      rounds: Int = 5
+  ): (Array[Double], Array[Double]) = {
+    val n = y.length
+    var trend = Array.fill(n)(0.0)
+    var seasonal = Array.fill(n)(0.0)
+    var r = 0
+    while (r < rounds) {
+      // seasonal: zero-mean Fourier LS fit of (y - trend)
+      val p = 2 * harmonics
+      val rowAt = (i: Int) => {
+        val row = Linalg.fourierRow(t(i), period, harmonics)
+        row.drop(1) // drop intercept: mean belongs to the trend
+      }
+      val beta = Linalg.wls(n, p, rowAt, Array.tabulate(n)(i => y(i) - trend(i)), Array.fill(n)(1.0))
+      seasonal = Array.tabulate(n) { i =>
+        val row = rowAt(i)
+        var s = 0.0; var j = 0
+        while (j < p) { s += beta(j) * row(j); j += 1 }
+        s
+      }
+      trend = isotonicDecreasing(Array.tabulate(n)(i => y(i) - seasonal(i)))
+      r += 1
+    }
+    (trend, seasonal)
+  }
+
   def median(xs: Array[Double]): Double = {
     val v = xs.filter(d => !d.isNaN).sorted
     if (v.isEmpty) Double.NaN

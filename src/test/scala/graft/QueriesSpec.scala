@@ -17,7 +17,8 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val rowsOnly = Set("p01_fleet_pipeline", "p02_dilation", "p03_quantile_clearsky")
+    val rowsOnly = Set("p01_fleet_pipeline", "p02_dilation", "p03_quantile_clearsky",
+      "p04_pca_shade", "p05_pvpro_post")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }

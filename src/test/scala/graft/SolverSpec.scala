@@ -147,6 +147,49 @@ class SolverSpec extends AnyFunSuite {
     assert(path.drop(40).count(identity) >= 18)
   }
 
+  test("isotonicDecreasing projects onto monotone non-increasing exactly (PAVA)") {
+    val y = Array(5.0, 6.0, 4.0, 4.5, 3.0, 3.5, 1.0)
+    val f = Kernels.isotonicDecreasing(y)
+    // monotone
+    assert(f.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
+    // block means preserved: total sum matches
+    assert(math.abs(f.sum - y.sum) < 1e-9)
+    // violating pairs pooled to their mean
+    assert(math.abs(f(0) - 5.5) < 1e-9 && math.abs(f(1) - 5.5) < 1e-9)
+    // already-monotone input is a fixed point
+    val mono = Array(9.0, 7.0, 7.0, 2.0)
+    assert(Kernels.isotonicDecreasing(mono).sameElements(mono))
+  }
+
+  test("pvproDecompose separates monotone degradation from seasonal") {
+    val n = 730
+    val t = Array.tabulate(n)(_.toDouble)
+    val trueTrend = Array.tabulate(n)(i => 10.0 - 1.5 * i / n) // −15%/period
+    val trueSeas = Array.tabulate(n)(i => 0.6 * math.sin(2 * math.Pi * i / 365.2425))
+    val rng = new scala.util.Random(7)
+    val y = Array.tabulate(n)(i => trueTrend(i) + trueSeas(i) + 0.05 * rng.nextGaussian())
+    val (trend, seasonal) = Kernels.pvproDecompose(y, t)
+    assert(trend.sliding(2).forall(p => p(0) >= p(1) - 1e-12), "trend not monotone")
+    val dropEst = trend.head - trend.last
+    assert(math.abs(dropEst - 1.5) < 0.3, s"estimated drop $dropEst")
+    // MAE well under the 0.6 seasonal amplitude (trend/seasonal split
+    // is not unique at the margins — PAVA steps absorb some slope)
+    val seasErr = seasonal.indices.map(i => math.abs(seasonal(i) - trueSeas(i))).sum / n
+    assert(seasErr < 0.2, s"seasonal MAE $seasErr")
+  }
+
+  test("topEigen recovers the dominant eigenpairs of a small SPD matrix") {
+    // G = 5 u uᵀ + 2 v vᵀ with orthonormal u, v
+    val u = Array(0.6, 0.8, 0.0)
+    val v = Array(-0.8, 0.6, 0.0)
+    val g = Array.tabulate(3, 3)((i, j) => 5.0 * u(i) * u(j) + 2.0 * v(i) * v(j))
+    val eig = Kernels.topEigen(g, 2)
+    assert(math.abs(eig(0)._1 - 5.0) < 1e-6 && math.abs(eig(1)._1 - 2.0) < 1e-6)
+    val dot0 = math.abs(eig(0)._2.zip(u).map { case (a, b) => a * b }.sum)
+    val dot1 = math.abs(eig(1)._2.zip(v).map { case (a, b) => a * b }.sum)
+    assert(dot0 > 0.9999 && dot1 > 0.9999)
+  }
+
   test("shapleyAttribution is exact: attributions sum to v(all) - v(none)") {
     val baseline = Array(100.0, 110.0, 120.0)
     val factors = Array(
