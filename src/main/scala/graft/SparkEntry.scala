@@ -775,8 +775,9 @@ object SparkEntry {
     val sh = Dedup.charShingles(docs, "doc_id", "text", 3).cache()
     val sig = Dedup.minhashFromShingles(sh, "doc_id", 32)
     val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
-    Dedup.jaccardFromShingles(sh, "doc_id")
-      .join(cands, Seq("a_id", "b_id"))
+    // exact verify on candidates only (array-intersect per pair) — no
+    // full pairwise shingle self-join anywhere in the scale path
+    Dedup.jaccardOnCandidates(cands, sh, "doc_id")
       .filter(col("jaccard") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
   }

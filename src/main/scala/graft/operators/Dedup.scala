@@ -98,6 +98,26 @@ object Dedup {
     wide.select(col(idCol), expr(s"stack($numHashes, $stackExpr) AS (j, mh)"))
   }
 
+  /** Exact Jaccard restricted to a candidate-pair table: each side's
+    * distinct shingle set is collected into an array and the pair's
+    * intersection is computed with `array_intersect` — shuffle volume
+    * is O(candidates × shingles-per-doc), versus the Σ freq² blowup of
+    * the full shingle self-join (a ubiquitous 3-gram appearing in
+    * every doc contributes |docs|² rows there). This is the verify
+    * step of the MinHash+LSH scale path; results are value-identical
+    * to [[jaccardFromShingles]] filtered to the candidates.
+    */
+  def jaccardOnCandidates(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("shset").as("a_set"), col("sz").as("na")), Seq("a_id"))
+      .join(sets.select(col(idCol).as("b_id"), col("shset").as("b_set"), col("sz").as("nb")), Seq("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .drop("a_set", "b_set")
+  }
+
   /** LSH banding of a MinHash signature table: (idCol, band,
     * band_sig) where band_sig digests the band's signature rows.
     */
