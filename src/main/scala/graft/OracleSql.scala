@@ -792,6 +792,85 @@ object OracleSql {
     FROM bits GROUP BY 1
   """
 
+  private val d09 = s"""
+    WITH RECURSIVE $shinglesCte,
+    hh AS (SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 16) AS t(j)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(j / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    bucketmin AS (
+      SELECT band, band_sig, min(doc_id) AS a_id
+      FROM bands GROUP BY 1, 2),
+    star AS (
+      SELECT DISTINCT m.a_id, b.doc_id AS b_id
+      FROM bands b JOIN bucketmin m ON b.band = m.band AND b.band_sig = m.band_sig
+      WHERE b.doc_id <> m.a_id),
+    edges AS (
+      SELECT a_id, b_id FROM star
+      UNION ALL
+      SELECT b_id AS a_id, a_id AS b_id FROM star),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM d
+      UNION
+      SELECT r.src, e.b_id AS dst FROM reach r JOIN edges e ON r.dst = e.a_id),
+    labels AS (SELECT src, min(dst) AS component FROM reach GROUP BY 1)
+    SELECT component, count(*) AS n_docs
+    FROM labels GROUP BY 1 HAVING count(*) > 1
+  """
+
+  private val e05 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    ad AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4) AS d2
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM ad) t
+      WHERE rn = 1),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM ad WHERE vec_id < 16) t
+      WHERE rn <= 2),
+    dots AS (
+      SELECT p.query_id, m.neighbor_id,
+        sum(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM probes p
+      JOIN assign m ON p.centroid_id = m.centroid_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e v ON v.vec_id = m.neighbor_id
+      CROSS JOIN range(1, 65) AS t(i)
+      WHERE m.neighbor_id <> p.query_id
+      GROUP BY 1, 2),
+    s AS (
+      SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 5) AS cosine
+      FROM dots d
+      JOIN n nq ON d.query_id = nq.vec_id
+      JOIN n nc ON d.neighbor_id = nc.vec_id)
+    SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM s) t
+    WHERE rk <= 3
+  """
+
   private val e01 = """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
@@ -915,9 +994,11 @@ object OracleSql {
     "d06_ngram_jaccard" -> d06,
     "d07_minhash_lsh" -> d07,
     "d08_simhash" -> d08,
+    "d09_dup_components" -> d09,
     "e01_cosine_topk" -> e01,
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,
-    "e04_cosine_neardup" -> e04
+    "e04_cosine_neardup" -> e04,
+    "e05_ivf_topk" -> e05
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

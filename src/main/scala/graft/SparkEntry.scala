@@ -786,6 +786,23 @@ object SparkEntry {
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", 32)
       .select(col("doc_id"), col("simhash"))
 
+  /** Near-dup GROUPS from LSH candidate pairs via distributed
+    * connected components (min-label propagation): the dedup-cluster
+    * step of a training-data pipeline. Edges are the band-collision
+    * candidates (production dedup practice); one row per multi-doc
+    * component with its min-id representative.
+    */
+  private def d09(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromShingles(sh, "doc_id", 16)
+    val edges = Dedup.lshStarEdges(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
+    Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+  }
+
   private def e01(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.cosineTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", 5)
@@ -809,6 +826,20 @@ object SparkEntry {
       .withColumn("plane_id", (col("vec_id") - 8).cast("int"))
     Similarity.signLshBuckets(emb, planes, "vec_id", "embedding")
       .select(col("vec_id"), col("bucket"))
+  }
+
+  /** End-to-end IVF ANN search: probe the 2 nearest of 8 coarse cells
+    * per query, exact cosine top-3 within the probed cells only —
+    * each query scans ~1/4 of the corpus instead of all of it.
+    */
+  private def e05(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+      emb,
+      emb.filter(col("vec_id") < 8),
+      emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", nprobe = 2, k = 3
+    )
   }
 
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
@@ -944,10 +975,12 @@ object SparkEntry {
     "d06_ngram_jaccard" -> (d06 _),
     "d07_minhash_lsh" -> (d07 _),
     "d08_simhash" -> (d08 _),
+    "d09_dup_components" -> (d09 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
-    "e04_cosine_neardup" -> (e04 _)
+    "e04_cosine_neardup" -> (e04 _),
+    "e05_ivf_topk" -> (e05 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

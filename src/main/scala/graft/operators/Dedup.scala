@@ -146,6 +146,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Star edges from LSH buckets: one edge (bucket-min-id, member) per
+    * bucket member instead of all member pairs. Connectivity — and
+    * therefore the connected components — is identical to the pairwise
+    * candidate graph, but edge count is Σ|bucket| rather than
+    * Σ|bucket|², which is the difference between linear and quadratic
+    * shuffle on an exact-dup-heavy corpus. Feed to
+    * [[connectedComponents]] for dedup clusters.
+    */
+  def lshStarEdges(bands: DataFrame, idCol: String): DataFrame = {
+    val bucketMin = bands.groupBy(col("band"), col("band_sig")).agg(min(col(idCol)).as("a_id"))
+    bands
+      .join(bucketMin, Seq("band", "band_sig"))
+      .filter(col(idCol) =!= col("a_id"))
+      .select(col("a_id"), col(idCol).as("b_id"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair table (near-dup
+    * GROUPS from near-dup PAIRS — the step that turns LSH candidate
+    * edges into dedup clusters with one representative per cluster).
+    *
+    * Min-label propagation with POINTER JUMPING: each round a node
+    * takes the min label over itself and its neighbors (one hop), then
+    * resolves that label through the current mapping (comp ← comp of
+    * comp), doubling the propagation distance — O(log diameter)
+    * rounds, which matters because mutation-chain duplicates form long
+    * paths, not cliques. Each round's result is `localCheckpoint`ed:
+    * iterative self-referencing plans otherwise double in size every
+    * round and analysis time dwarfs execution (on a cluster, use a
+    * checkpoint dir for fault tolerance instead). Convergence is
+    * detected by the label sum, which strictly decreases while any
+    * label changes — one aggregate action per round, no compare join.
+    * Deterministic: the component label is the component's min id.
+    *
+    * @return (id, component)
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String, maxIters: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .cache()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component")).localCheckpoint(true)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val nbrMin = sym
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src"))
+        .agg(min(col("component")).as("nbr_min"))
+      val hop = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
+      // pointer jump: labels are ids, so resolve through hop itself
+      val jumped = hop.as("x")
+        .join(hop.select(col("id").as("cid"), col("component").as("cparent")).as("y"),
+          col("x.component") === col("cid"), "left")
+        .select(col("x.id").as("id"), coalesce(col("cparent"), col("x.component")).as("component"))
+        .localCheckpoint(true)
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = jumped
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
   /** SimHash (nBits ≤ 32): weighted sign-sum of token-hash bits,
     * packed into a long. Tokens weighted by in-document frequency.
     *

@@ -88,6 +88,48 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** End-to-end IVF search: assign every vector to its nearest
+    * centroid cell ([[assignToCentroids]]), probe the `nprobe` nearest
+    * cells per query, and run exact cosine top-k only against the
+    * probed cells' members. The member join is an equi-join on
+    * `centroid_id`, so each query scans ~nprobe/K of the corpus — the
+    * ANN scale path, with the same output contract as [[cosineTopK]].
+    */
+  def ivfTopK(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val assign = assignToCentroids(vectors, centroids, idCol, vecCol)
+    val members = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .join(assign.select(col(idCol).as("neighbor_id"), col("centroid_id")), Seq("neighbor_id"))
+      .withColumn("cn", norm(col("cv")))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("centv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("pd2").asc, col("centroid_id").asc)
+    val probes = q
+      .crossJoin(broadcast(cent))
+      .withColumn("pd2", round(dist2(col("qv"), col("centv")), 4))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes
+      .join(members, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 5))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** Sign-LSH bucket id from projections onto `planes` (a broadcast
     * table of (plane_id, plane vector)): bit j = sign(v·plane_j).
     * Returns (idCol, bucket). The bucket join is the ANN scale path.

@@ -199,6 +199,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(segs.toSeq == Seq((300L, 12L), (60L, 12L)))
   }
 
+  test("connectedComponents labels components with their min id") {
+    val nodes = (1L to 7L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(nodes, edges, "doc_id")
+      .orderBy("id").as[(Long, Long)].collect()
+    assert(comps.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("ivfTopK finds an identical vector through the probed cell") {
+    // 4 centroids = unit axes; corpus contains a duplicate of vector 10
+    val dim = 4
+    def vec(xs: Double*): Array[Double] = xs.toArray
+    val rows = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0, 1, 0, 0)), (2L, vec(0, 0, 1, 0)), (3L, vec(0, 0, 0, 1)),
+      (10L, vec(0.9, 0.1, 0, 0)), (11L, vec(0.9, 0.1, 0, 0)), (12L, vec(0.1, 0.9, 0, 0)),
+      (13L, vec(0, 0.2, 0.8, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(rows, rows.filter(col("vec_id") < 4), rows.filter(col("vec_id") === 10),
+      "vec_id", "embedding", nprobe = 2, k = 2)
+      .orderBy("rk").as[(Long, Long, Double, Int)].collect()
+    assert(out.head._2 == 11L && out.head._3 == 1.0, s"top hit ${out.head}")
+    assert(out.length == 2)
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }
