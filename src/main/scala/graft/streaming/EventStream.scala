@@ -63,6 +63,56 @@ object EventStream {
 
   case class Ev(day: String, user_id: Long, value: Double)
   case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
+  case class SiteDay(site: Long, day: String, nObs: Long, sumV: Double, maxV: Double)
+
+  /** Streaming DAY FINALIZATION — the streaming twin of the batch
+    * DayStats fact table in append semantics: per site, a day's stats
+    * are emitted exactly once, as soon as a strictly later day is seen
+    * for that site (per-site event-time closure). State holds only the
+    * still-open day(s) per site, so it is bounded by sites — not by
+    * history — no matter how long the stream runs. Closed days are
+    * final: downstream (pipeline solver stages, reports) can consume
+    * them append-only, which is what makes the batch DayStats →
+    * analyses chain incrementally maintainable.
+    *
+    * Assumes per-site day ordering across batches (telemetry arrives
+    * roughly in time order; use the watermarked [[hourlyStats]] when
+    * that does not hold).
+    */
+  def finalizedDayStats(spark: SparkSession, path: String, checkpoint: String, outDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
+      .as[Ev]
+    val finalized = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev], state: GroupState[Map[String, (Long, Double, Double)]]) =>
+          val m = it.foldLeft(state.getOption.getOrElse(Map.empty[String, (Long, Double, Double)])) { (acc, e) =>
+            val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
+            acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val maxDay = m.keys.max
+            val (open, closed) = m.partition(_._1 == maxDay)
+            state.update(open)
+            closed.toSeq.sortBy(_._1).iterator.map { case (day, (n, s, mx)) => SiteDay(site, day, n, s, mx) }
+          }
+      }
+    val q = finalized.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
 
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
     * §2.11: the stateful face — per-site state survives across

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions (DESIGN §2): the scale-shaped plans are a
+  * contract, not an accident. These tests fail if a refactor
+  * reintroduces a cartesian/nested-loop as-of join, drops a broadcast,
+  * or breaks scan-level filter pushdown / column pruning.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    if (execute) df.collect() // AQE finalizes (and codegen-annotates) the plan only on execution
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("filter pushdown and column pruning reach the lineitem scan (q01)") {
+    val p = planOf("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    // 6 of lineitem's 16 columns — projection pruned at the scan
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double," +
+      "l_returnflag:string,l_linestatus:string,l_shipdate:timestamp_ntz>"), p)
+  }
+
+  test("dimension joins broadcast the small side (q04, q08)") {
+    assert(planOf("q04_revenue_by_nation").contains("BroadcastHashJoin"))
+    assert(planOf("q08_daily_density").contains("BroadcastHashJoin"))
+  }
+
+  test("as-of joins are equi-shuffles — no cartesian or nested-loop (q14, q31)") {
+    Seq("q14_asof_grid", "q31_asof_backward").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n planned a nested-loop join")
+    }
+  }
+
+  test("LSH dedup path stays equi-join shaped (d07, d09 edges)") {
+    val p = planOf("d07_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), "d07 planned a cartesian product")
+  }
+
+  test("hot aggregation paths run under whole-stage codegen (q07)") {
+    assert(planOf("q07_daily_energy", execute = true).contains("codegen id"))
+  }
+}

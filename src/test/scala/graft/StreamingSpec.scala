@@ -41,6 +41,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.count() >= batch.count() - 20)
   }
 
+  test("finalizedDayStats emits each closed day exactly once, matching batch") {
+    val src = java.nio.file.Files.createTempDirectory("evday").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evdayckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evdayout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+
+    // batch 1: the first half of the days
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    val out1 = EventStream.finalizedDayStats(spark, src, ckpt, outDir)
+    // every emitted day is strictly before each site's open day and matches batch exactly
+    val batchStats = all
+      .groupBy(col("user_id").as("site"), col("day"))
+      .agg(count(lit(1)).as("e_n"), sum("value").as("e_sum"))
+    val bad1 = out1.join(batchStats, Seq("site", "day"))
+      .filter(col("nObs") =!= col("e_n") || abs(col("sumV") - col("e_sum")) > 1e-6)
+    assert(bad1.count() == 0, "finalized day stats diverge from batch")
+    assert(out1.count() > 0)
+    assert(out1.filter(col("day") > splitDay).count() == 0, "emitted a day that was still open")
+
+    // batch 2: the rest arrives — previously-open days close and emit once
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out2 = EventStream.finalizedDayStats(spark, src, ckpt, outDir)
+    val dupes = out2.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a day was finalized more than once")
+    val bad2 = out2.join(batchStats, Seq("site", "day"))
+      .filter(col("nObs") =!= col("e_n") || abs(col("sumV") - col("e_sum")) > 1e-6)
+    assert(bad2.count() == 0, "cross-batch finalized stats diverge from batch")
+    // everything except each site's last (still-open) day is now final
+    val expectClosed = batchStats.join(
+      batchStats.groupBy("site").agg(max("day").as("last_day")), "site")
+      .filter(col("day") < col("last_day"))
+    assert(out2.count() == expectClosed.count(),
+      s"expected ${expectClosed.count()} closed days, got ${out2.count()}")
+  }
+
   test("mapGroupsWithState carries per-site state across checkpointed incremental runs") {
     val src = java.nio.file.Files.createTempDirectory("evincr").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
