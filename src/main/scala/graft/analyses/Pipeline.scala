@@ -164,7 +164,9 @@ object Pipeline {
 
     // capacity changes: pwc fit on log daily max, weight chosen by
     // deterministic-holdout grid search (reference
-    // `capacity_change.py:132-182`)
+    // `capacity_change.py:132-182`). For multi-year series with real
+    // degradation drift, use Kernels.tvSeasonalTrendFit (the full
+    // l1_pwc_smoothper_trend analog with an explicit trend component).
     val capChanges = stage("capacity", -1) {
       val logMax = dailyMax.map(v => math.log(math.max(v, 1e-6)))
       val (_, pwc, _) = Kernels.optimizeTvWeight(logMax, t, Array(2.0, 5.0, 15.0),

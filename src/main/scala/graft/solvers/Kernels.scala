@@ -218,6 +218,110 @@ object Kernels {
     (x, s)
   }
 
+  /** Full `l1_pwc_smoothper_trend` analog
+    * (`signal_decompositions.py:188-226`): piecewise-constant (TV) +
+    * smooth periodic + EXPLICIT linear trend + robust (ℓ1) residual.
+    * The trend and seasonal are fit JOINTLY in one WLS (a seasonal
+    * basis fit alone absorbs slow drifts); the TV term then only pays
+    * for genuine capacity steps, so a slow degradation drift lands in
+    * the trend component instead of a staircase.
+    *
+    * @return (pwc, seasonal, trend) components aligned with `t`
+    */
+  def tvSeasonalTrendFit(
+      y: Array[Double],
+      t: Array[Double],
+      lambdaTv: Double,
+      harmonics: Int = 3,
+      period: Double = YearPeriod,
+      iters: Int = 25,
+      l1Residual: Boolean = true
+  ): (Array[Double], Array[Double], Array[Double]) = {
+    val n = y.length
+    val tMean = t.sum / math.max(n, 1)
+    // design R = [cos.., sin.., (t - tMean)/period] (no intercept: the
+    // mean level belongs to the pwc component)
+    val p = 2 * harmonics + 1
+    val rows = Array.tabulate(n) { i =>
+      Linalg.fourierRow(t(i), period, harmonics).drop(1) :+ ((t(i) - tMean) / period)
+    }
+    var x = Array.fill(n)(median(y))
+    var beta = new Array[Double](p)
+    val eps = 1e-4
+    var it = 0
+    while (it < iters) {
+      // IRLS weights from the current iterate (first pass unweighted:
+      // reweighting from a flat start freezes the attribution)
+      val cold = it == 0
+      val wd =
+        if (cold) Array.fill(n - 1)(1.0)
+        else Array.tabulate(n - 1)(i => 1.0 / math.max(math.abs(x(i + 1) - x(i)), eps))
+      val rw =
+        if (l1Residual && !cold) Array.tabulate(n) { i =>
+          var f = 0.0; var a = 0
+          while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+          1.0 / math.max(math.abs(y(i) - x(i) - f), 1e-3)
+        }
+        else Array.fill(n)(1.0)
+      // JOINT solve over (x, beta) for these weights — alternating
+      // x/beta updates zigzag between the highly correlated step and
+      // slope directions and mis-attribute; the Schur complement on
+      // the banded block is exact and O((p+2) · n):
+      //   A x = Drw (y − Rβ),  A = Drw + λ DᵀWdD (tridiagonal)
+      //   (Rᵀ B R) β = Rᵀ B y, B = Drw − Drw A⁻¹ Drw
+      val diag = new Array[Double](n)
+      val off = new Array[Double](n)
+      var i2 = 0
+      while (i2 < n) { diag(i2) = rw(i2); i2 += 1 }
+      i2 = 0
+      while (i2 < n - 1) {
+        val lw = lambdaTv * wd(i2)
+        diag(i2) += lw
+        diag(i2 + 1) += lw
+        off(i2) = -lw
+        i2 += 1
+      }
+      def bApply(v: Array[Double]): Array[Double] = {
+        val w1 = Array.tabulate(n)(i => rw(i) * v(i))
+        val z = Linalg.solveBandedSpd(Array(diag.clone(), off.take(n - 1) ++ Array(0.0)), w1)
+        Array.tabulate(n)(i => w1(i) - rw(i) * z(i))
+      }
+      val bCols = Array.tabulate(p)(a => bApply(Array.tabulate(n)(i => rows(i)(a))))
+      val bY = bApply(y)
+      val ata = new Array[Double](p * p)
+      val atb = new Array[Double](p)
+      var a = 0
+      while (a < p) {
+        var i3 = 0
+        while (i3 < n) { atb(a) += rows(i3)(a) * bY(i3); i3 += 1 }
+        var b = 0
+        while (b < p) {
+          var i4 = 0
+          var sum = 0.0
+          while (i4 < n) { sum += rows(i4)(a) * bCols(b)(i4); i4 += 1 }
+          ata(a * p + b) = sum
+          b += 1
+        }
+        a += 1
+      }
+      beta = Linalg.solveSpd(ata, atb, p)
+      val rhs = Array.tabulate(n) { i =>
+        var f = 0.0; var a2 = 0
+        while (a2 < p) { f += rows(i)(a2) * beta(a2); a2 += 1 }
+        rw(i) * (y(i) - f)
+      }
+      x = Linalg.solveBandedSpd(Array(diag.clone(), off.take(n - 1) ++ Array(0.0)), rhs)
+      it += 1
+    }
+    val s = Array.tabulate(n) { i =>
+      var f = 0.0; var a = 0
+      while (a < p - 1) { f += rows(i)(a) * beta(a); a += 1 }
+      f
+    }
+    val tr = Array.tabulate(n)(i => beta(p - 1) * rows(i)(p - 1))
+    (x, s, tr)
+  }
+
   /** Piecewise-linear CDF fit pinned to its endpoints — the
     * `l2_l1d2_constrained` analog (`signal_decompositions.py:229-256`)
     * used by clipping detection: minimize ‖y − x‖² + λ Σ|Δ²x| with

@@ -147,6 +147,30 @@ class SolverSpec extends AnyFunSuite {
     assert(path.drop(40).count(identity) >= 18)
   }
 
+  test("tvSeasonalTrendFit separates a capacity step, a linear drift, and seasonality") {
+    // ≥2 year-periods: with a shorter span the Fourier basis, trend,
+    // and step are near-collinear and no solver can attribute them
+    val n = 800
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(3)
+    val y = Array.tabulate(n) { i =>
+      val step = if (i < 400) 10.0 else 8.0                    // −20% capacity change
+      val drift = -0.002 * i                                   // slow degradation
+      val seas = 0.4 * math.sin(2 * math.Pi * i / 365.2425)
+      step + drift + seas + 0.05 * rng.nextGaussian()
+    }
+    val (pwc, seasonal, trend) = Kernels.tvSeasonalTrendFit(y, t, lambdaTv = 5.0)
+    // the step lands in the pwc component...
+    val stepEst = pwc.slice(420, 780).sum / 360 - pwc.slice(20, 380).sum / 360
+    assert(math.abs(stepEst - (-2.0)) < 0.3, s"step $stepEst vs -2.0")
+    // ...the drift in the trend (NOT as a pwc staircase)...
+    val slopeEst = (trend.last - trend.head) / (n - 1)
+    assert(math.abs(slopeEst - (-0.002)) < 0.0005, s"slope $slopeEst vs -0.002")
+    // ...and the seasonal amplitude survives intact
+    val seasAmp = seasonal.max - seasonal.min
+    assert(math.abs(seasAmp - 0.8) < 0.2, s"seasonal amplitude $seasAmp")
+  }
+
   test("isotonicDecreasing projects onto monotone non-increasing exactly (PAVA)") {
     val y = Array(5.0, 6.0, 4.0, 4.5, 3.0, 3.5, 1.0)
     val f = Kernels.isotonicDecreasing(y)
