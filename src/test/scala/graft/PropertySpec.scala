@@ -64,4 +64,37 @@ class PropertySpec extends AnyFunSuite {
       path.length == n && path.distinct.length == 1
     })
   }
+
+  test("isotonicDecreasing is a monotone, sum-preserving, idempotent projection") {
+    val genY = Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0)).map(_.toArray)
+    check(Prop.forAll(genY) { y =>
+      val f = Kernels.isotonicDecreasing(y)
+      val monotone = f.length < 2 || f.sliding(2).forall(p => p(0) >= p(1) - 1e-9)
+      val sumKept = math.abs(f.sum - y.sum) < 1e-6 * math.max(1.0, y.map(math.abs).sum)
+      val idempotent = Kernels.isotonicDecreasing(f).zip(f).forall { case (a, b) => math.abs(a - b) < 1e-9 }
+      monotone && sumKept && idempotent
+    })
+  }
+
+  test("topEigen eigenpairs satisfy G v = λ v on random SPD Gram matrices") {
+    val genMat = for {
+      n <- Gen.choose(2, 8)
+      m <- Gen.choose(n, 12)
+      vals <- Gen.listOfN(n * m, Gen.choose(-5.0, 5.0))
+    } yield {
+      val rows = vals.toArray.grouped(n).toArray // m rows of dim n
+      Array.tabulate(n, n)((i, j) => rows.map(r => r(i) * r(j)).sum)
+    }
+    check(Prop.forAll(genMat) { g =>
+      val n = g.length
+      // extra iterations: random Grams can have a small spectral gap,
+      // where power iteration converges slowly (the residual is still
+      // bounded by the gap, hence the 1e-3 relative tolerance)
+      val eig = Kernels.topEigen(g, 1, iters = 2000)
+      val (l, v) = eig(0)
+      val gv = Array.tabulate(n)(i => g(i).zip(v).map { case (a, b) => a * b }.sum)
+      val scale = math.max(math.abs(l), 1.0)
+      l >= -1e-9 && gv.zip(v).forall { case (a, b) => math.abs(a - l * b) < 1e-3 * scale }
+    })
+  }
 }
