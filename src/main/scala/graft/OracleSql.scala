@@ -727,7 +727,7 @@ object OracleSql {
   """
 
   private val shinglesCte = """
-    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
     sh AS (SELECT DISTINCT doc_id, substring(text, CAST(g AS INT), 3) AS shingle
            FROM d, UNNEST(range(1, greatest(len(text) - 2, 1) + 1)) AS t(g)),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),

@@ -766,12 +766,12 @@ object SparkEntry {
       )
 
   private def d06(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 200), "doc_id", "text", 3)
+    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), round(col("jaccard"), 6).as("jacc"))
 
   private def d07(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
     val sh = Dedup.charShingles(docs, "doc_id", "text", 3).cache()
     val sig = Dedup.minhashFromShingles(sh, "doc_id", 32)
     val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
@@ -793,11 +793,11 @@ object SparkEntry {
     * component with its min-id representative.
     */
   private def d09(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
     val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
     val sig = Dedup.minhashFromShingles(sh, "doc_id", 16)
     val edges = Dedup.lshStarEdges(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
-    Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id")
+    Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id", partitions = 4)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > 1)

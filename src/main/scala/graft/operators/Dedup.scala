@@ -182,12 +182,26 @@ object Dedup {
     *
     * @return (id, component)
     */
-  def connectedComponents(nodes: DataFrame, edges: DataFrame, idCol: String, maxIters: Int = 25): DataFrame = {
-    val sym = edges
+  /** @param partitions shuffle width for the iterative rounds. Size to
+    *                    the node count (rows are two longs): a small
+    *                    graph on the session-default width pays ~32
+    *                    scheduler-latency-bound tasks per round for
+    *                    nothing. 0 = leave at session default.
+    */
+  def connectedComponents(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      maxIters: Int = 25,
+      partitions: Int = 0
+  ): DataFrame = {
+    val symRaw = edges
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .cache()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("component")).localCheckpoint(true)
+    val sym = (if (partitions > 0) symRaw.repartition(partitions, col("dst")) else symRaw).cache()
+    val labels0 = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
+    var labels = (if (partitions > 0) labels0.repartition(partitions, col("id")) else labels0)
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
