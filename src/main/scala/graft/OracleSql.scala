@@ -662,6 +662,42 @@ object OracleSql {
     HAVING count(*) >= 5
   """
 
+  private val q44 = """
+    WITH b AS (
+      SELECT e.user_id, t.f,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS x,
+        e.value
+      FROM events e
+      CROSS JOIN (SELECT unnest([0, 1, 2]) AS f) t
+      WHERE t.f = 0
+         OR (t.f = 1 AND date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 >= 6.0
+                     AND date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 <= 18.0)
+         OR (t.f = 2 AND e.value > 0.0)),
+    a AS (
+      SELECT user_id, f, count(*) AS n, sum(x) AS sx, sum(value) AS sy,
+        sum(x * value) AS sxy, sum(x * x) AS sxx, sum(value * value) AS syy
+      FROM b GROUP BY 1, 2),
+    s AS (
+      SELECT user_id, f, n, sx, sy, sxy, sxx, syy,
+        (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0) AS slope
+      FROM a),
+    e2 AS (
+      SELECT *, (syy - (sy * sy) / nullif(CAST(n AS DOUBLE), 0.0))
+              - slope * slope * (sxx - (sx * sx) / nullif(CAST(n AS DOUBLE), 0.0)) AS sse
+      FROM s),
+    r AS (SELECT *, sqrt(greatest(sse / nullif(CAST(n AS DOUBLE), 0.0), 0.0)) AS rmse FROM e2),
+    best AS (
+      SELECT user_id, CAST(f AS INT) AS best_f, round(rmse, 4) AS best_rmse
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY rmse ASC, f ASC) AS rn FROM r) t
+      WHERE rn = 1),
+    c AS (
+      SELECT user_id, count(*) AS n_filters,
+        (count(DISTINCT CASE WHEN slope > 0 THEN 1 WHEN slope < 0 THEN -1 ELSE 0 END) = 1) AS consistent
+      FROM r GROUP BY 1)
+    SELECT best.user_id, best.best_f, best.best_rmse, c.n_filters, c.consistent
+    FROM best JOIN c ON best.user_id = c.user_id
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -984,6 +1020,7 @@ object OracleSql {
     "q41_scan_rates" -> q41,
     "q42_dst_repair" -> q42,
     "q43_rate_segments" -> q43,
+    "q44_sensor_select" -> q44,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "d01_dedup_stats" -> d01,

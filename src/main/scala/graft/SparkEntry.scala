@@ -681,6 +681,52 @@ object SparkEntry {
       )
       .filter(col("n_deltas") >= 5)
 
+  /** Sensor-identification filter selection (reference
+    * `sensor_identification.py:49-124`): regress value on hour-of-day
+    * under three data filters — all rows, daytime-only, positive-only
+    * — in ONE scan (explode filter ids, conditional membership), pick
+    * the filter with the lowest residual RMSE per site, and check
+    * slope-sign consistency across filters (the reference's
+    * cross-filter sanity gate).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val base = Tables.events(s, dir)
+      .withColumn("x", h)
+      .withColumn("f", explode(array(lit(0), lit(1), lit(2))))
+      .filter(
+        col("f") === 0 ||
+          (col("f") === 1 && col("x") >= 6.0 && col("x") <= 18.0) ||
+          (col("f") === 2 && col("value") > 0.0)
+      )
+    val y = col("value")
+    val agg = base.groupBy(col("user_id"), col("f"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(y).as("sy"),
+        sum(col("x") * y).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(y * y).as("syy")
+      )
+      .withColumn("slope", try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
+        col("n") * col("sxx") - col("sx") * col("sx")))
+      // SSE about the fitted line: (Σy² − (Σy)²/n) − slope²(Σx² − (Σx)²/n)
+      .withColumn("sse",
+        (col("syy") - try_divide(col("sy") * col("sy"), col("n")))
+          - col("slope") * col("slope") * (col("sxx") - try_divide(col("sx") * col("sx"), col("n"))))
+      .withColumn("rmse", sqrt(greatest(try_divide(col("sse"), col("n")), lit(0.0))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("rmse").asc, col("f").asc)
+    val best = agg
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("f").as("best_f"), round(col("rmse"), 4).as("best_rmse"))
+    val consistency = agg.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_filters"),
+        (countDistinct(when(col("slope") > 0, 1).when(col("slope") < 0, -1).otherwise(0)) === 1).as("consistent")
+      )
+    best.join(consistency, Seq("user_id"))
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -965,6 +1011,7 @@ object SparkEntry {
     "q41_scan_rates" -> (q41 _),
     "q42_dst_repair" -> (q42 _),
     "q43_rate_segments" -> (q43 _),
+    "q44_sensor_select" -> (q44 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "d01_dedup_stats" -> (d01 _),
