@@ -500,6 +500,15 @@ object OracleSql {
     FROM documents
   """
 
+  private val m02 = """
+    SELECT doc_id, CAST(g AS INT) AS chunk_idx,
+      CAST(len(substring(text, CAST(g * 64 + 1 AS INT), 64)) AS BIGINT) AS chunk_len,
+      md5(substring(text, CAST(g * 64 + 1 AS INT), 64)) AS chunk_hash,
+      ascii(substring(substring(text, CAST(g * 64 + 1 AS INT), 64), 1, 1)) AS f_first_byte
+    FROM documents, UNNEST(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS t(g)
+    WHERE g % 4 = 0
+  """
+
   private val q37 = """
     WITH m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM events GROUP BY 1),
     d0 AS (
@@ -1023,6 +1032,7 @@ object OracleSql {
     "q44_sensor_select" -> q44,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
+    "m02_frame_sample" -> m02,
     "d01_dedup_stats" -> d01,
     "d02_exact_dup_groups" -> d02,
     "d03_token_stats" -> d03,

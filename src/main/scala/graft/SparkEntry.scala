@@ -761,6 +761,25 @@ object SparkEntry {
         col("f_first_byte"), col("f_last_byte"), col("f_content_hash"))
   }
 
+  /** Multimodal chunk + frame-sample path: explode each blob into
+    * fixed 64-byte chunks (the batch shape a real decoder consumes),
+    * keep every 4th chunk (video frame-sampling pattern), emit
+    * per-frame features. The decode itself is the documented stub —
+    * the schema/explosion/partitioning plumbing is the real thing.
+    */
+  private def m02(s: SparkSession, dir: String): DataFrame = {
+    val blobs = Multimodal.withBlob(Tables.documents(s, dir), "text")
+    Multimodal.frameSample(Multimodal.chunks(blobs, "doc_id", 64), 4)
+      .withColumn("chunk_s", col("chunk").cast("string"))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        length(col("chunk_s")).cast("long").as("chunk_len"),
+        md5(col("chunk_s")).as("chunk_hash"),
+        ascii(substring(col("chunk_s"), 1, 1)).as("f_first_byte")
+      )
+  }
+
   // ---------------------------------------------------------------- //
   // Training-data pipeline layer: dedup / text / similarity
   // ---------------------------------------------------------------- //
@@ -1014,6 +1033,7 @@ object SparkEntry {
     "q44_sensor_select" -> (q44 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
+    "m02_frame_sample" -> (m02 _),
     "d01_dedup_stats" -> (d01 _),
     "d02_exact_dup_groups" -> (d02 _),
     "d03_token_stats" -> (d03 _),
