@@ -707,6 +707,42 @@ object OracleSql {
     FROM best JOIN c ON best.user_id = c.user_id
   """
 
+  private val q45 = """
+    WITH base AS (
+      SELECT user_id, round(sum(value), 2) AS b, count(*) AS n,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+        CAST(sum(CASE WHEN value > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        max(value) AS mx,
+        round(quantile_cont(value, 0.95), 4) AS p95r
+      FROM events GROUP BY 1),
+    f AS (
+      SELECT user_id, b,
+        round(1.0 - CAST(n_err AS DOUBLE) / n, 4) AS f1,
+        round(p95r / nullif(mx, 0.0), 4) AS f2,
+        round(CAST(n_pos AS DOUBLE) / n, 4) AS f3,
+        round((b / n) / nullif(p95r, 0.0), 4) AS f4
+      FROM base),
+    mi AS (
+      SELECT f.*, CAST(g AS INT) AS mask, CAST(i AS INT) AS i,
+        CASE CAST(i AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS bit
+      FROM f, UNNEST(range(0, 16)) AS t(g), UNNEST(range(0, 4)) AS u(i)
+      WHERE (CAST(g AS INT) & CASE CAST(i AS INT) WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) = 0),
+    v AS (
+      SELECT user_id, i,
+        CASE bit_count(mask) WHEN 0 THEN 0.25 WHEN 1 THEN 1.0/12 WHEN 2 THEN 1.0/12 ELSE 0.25 END
+          * ( b * (CASE WHEN ((mask + bit) & 1) <> 0 THEN f1 ELSE 1.0 END)
+                * (CASE WHEN ((mask + bit) & 2) <> 0 THEN f2 ELSE 1.0 END)
+                * (CASE WHEN ((mask + bit) & 4) <> 0 THEN f3 ELSE 1.0 END)
+                * (CASE WHEN ((mask + bit) & 8) <> 0 THEN f4 ELSE 1.0 END)
+            - b * (CASE WHEN (mask & 1) <> 0 THEN f1 ELSE 1.0 END)
+                * (CASE WHEN (mask & 2) <> 0 THEN f2 ELSE 1.0 END)
+                * (CASE WHEN (mask & 4) <> 0 THEN f3 ELSE 1.0 END)
+                * (CASE WHEN (mask & 8) <> 0 THEN f4 ELSE 1.0 END)) AS marg
+      FROM mi)
+    SELECT user_id, i AS factor, round(sum(marg), 6) AS phi
+    FROM v GROUP BY 1, 2
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -1030,6 +1066,7 @@ object OracleSql {
     "q42_dst_repair" -> q42,
     "q43_rate_segments" -> q43,
     "q44_sensor_select" -> q44,
+    "q45_shapley" -> q45,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

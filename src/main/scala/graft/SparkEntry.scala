@@ -727,6 +727,47 @@ object SparkEntry {
     best.join(consistency, Seq("user_id"))
   }
 
+  /** Relational Shapley loss attribution (reference
+    * `loss_factor_analysis.py:578-656`): four data-derived loss
+    * factors per site (availability, clipping headroom, activity,
+    * utilization) attributed exactly over the 16-vertex hypercube —
+    * Σφᵢ = v(all) − v(none) by construction. Every factor derives
+    * from rounded sums/quotients so both engines walk identical
+    * doubles through the hypercube.
+    */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val base = ev.groupBy(col("user_id")).agg(
+      round(sum(col("value")), 2).as("b"),
+      count(lit(1)).as("n"),
+      sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"),
+      sum(when(col("value") > 0.0, 1L).otherwise(0L)).as("n_pos"),
+      max(col("value")).as("mx"),
+      round(percentile(col("value"), lit(0.95)), 4).as("p95r")
+    )
+      .withColumn("f1", round(lit(1.0) - col("n_err").cast("double") / col("n"), 4))
+      .withColumn("f2", round(try_divide(col("p95r"), col("mx")), 4))
+      .withColumn("f3", round(col("n_pos").cast("double") / col("n"), 4))
+      .withColumn("f4", round(try_divide(col("b") / col("n"), col("p95r")), 4))
+    def vOf(mask: Column): Column =
+      col("b") *
+        when(mask.bitwiseAND(lit(1)) =!= 0, col("f1")).otherwise(lit(1.0)) *
+        when(mask.bitwiseAND(lit(2)) =!= 0, col("f2")).otherwise(lit(1.0)) *
+        when(mask.bitwiseAND(lit(4)) =!= 0, col("f3")).otherwise(lit(1.0)) *
+        when(mask.bitwiseAND(lit(8)) =!= 0, col("f4")).otherwise(lit(1.0))
+    val bitI = when(col("i") === 0, 1).when(col("i") === 1, 2).when(col("i") === 2, 4).otherwise(8)
+    val sCard = bit_count(col("mask"))
+    val weight = when(sCard === 0, 0.25).when(sCard === 1, lit(1.0 / 12))
+      .when(sCard === 2, lit(1.0 / 12)).otherwise(0.25)
+    base
+      .withColumn("mask", explode(sequence(lit(0), lit(15))))
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .filter(col("mask").bitwiseAND(bitI) === 0)
+      .withColumn("marg", weight * (vOf(col("mask") + bitI) - vOf(col("mask"))))
+      .groupBy(col("user_id"), col("i").as("factor"))
+      .agg(round(sum(col("marg")), 6).as("phi"))
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -1031,6 +1072,7 @@ object SparkEntry {
     "q42_dst_repair" -> (q42 _),
     "q43_rate_segments" -> (q43 _),
     "q44_sensor_select" -> (q44 _),
+    "q45_shapley" -> (q45 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
