@@ -807,8 +807,8 @@ object OracleSql {
     FROM p GROUP BY 1
   """
 
-  private val shinglesCte = """
-    d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+  private def shinglesCte(bound: Int) = s"""
+    d AS (SELECT doc_id, text FROM documents WHERE doc_id < $bound),
     sh AS (SELECT DISTINCT doc_id, substring(text, CAST(g AS INT), 3) AS shingle
            FROM d, UNNEST(range(1, greatest(len(text) - 2, 1) + 1)) AS t(g)),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
@@ -825,13 +825,13 @@ object OracleSql {
   """
 
   private val d06 = s"""
-    WITH $shinglesCte
+    WITH ${shinglesCte(120)}
     SELECT a_id, b_id, inter, na, nb, round(jaccard, 6) AS jacc
     FROM jac WHERE jaccard >= 0.5
   """
 
   private val d07 = s"""
-    WITH $shinglesCte,
+    WITH ${shinglesCte(150)},
     hh AS (SELECT doc_id,
              CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
            FROM sh),
@@ -874,7 +874,7 @@ object OracleSql {
   """
 
   private val d09 = s"""
-    WITH RECURSIVE $shinglesCte,
+    WITH RECURSIVE ${shinglesCte(150)},
     hh AS (SELECT doc_id,
              CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
            FROM sh),

@@ -872,7 +872,7 @@ object SparkEntry {
       )
 
   private def d06(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 3)
+    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 120), "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), round(col("jaccard"), 6).as("jacc"))
 
@@ -989,9 +989,9 @@ object SparkEntry {
     val dil = Dilation.dilate(
       s,
       Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
-      "site", "ts", "value", nBins = 50, thresholdFrac = 0.01
+      "site", "ts", "value", nBins = 40, thresholdFrac = 0.01
     )
-    graft.analyses.Shade.siteSummary(graft.analyses.Shade.pcaShade(s, dil, nBins = 50, k = 2))
+    graft.analyses.Shade.siteSummary(graft.analyses.Shade.pcaShade(s, dil, nBins = 40, k = 2))
   }
 
   /** PVPro-style post-processing (SURVEY §2.8 last row; rows-only —
