@@ -31,12 +31,34 @@ object FleetDemo {
     println(f"[demo] dilated grid rows: ${env.count()}, clear-sky fraction: $clearFrac%.3f")
 
     val shade = Shade.siteSummary(Shade.slotShade(env, nBins = 50))
-    println("[demo] shade summary:")
+    println("[demo] shade summary (mirror envelope):")
     shade.orderBy("site").show()
+
+    val pcaShade = Shade.siteSummary(Shade.pcaShade(spark, dil, nBins = 50, k = 2))
+    println("[demo] shade summary (fleet-PCA basis):")
+    pcaShade.orderBy("site").show()
 
     val shifts = TimeShift.detect(spark, fleet, "site", "ts", "power", slotsPerDay = 48)
     val nShifted = shifts.filter(col("roll_slots") =!= 0).count()
     println(s"[demo] days with detected clock shift: $nShifted")
+
+    // PVPro-style post-processing of each site's daily energy
+    import spark.implicits._
+    val daily = fleet.groupBy(col("site"), to_date(col("ts")).as("day"))
+      .agg((sum(col("power")) * 24.0 / count(lit(1))).as("energy"))
+    val firstDay = daily.groupBy(col("site")).agg(min(col("day")).as("first_day"))
+    val trendRows = daily.join(broadcast(firstDay), Seq("site"))
+      .select(col("site"), datediff(col("day"), col("first_day")).cast("double").as("t"), col("energy"))
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (siteId, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val (trend, _) = graft.solvers.Kernels.pvproDecompose(rows.map(_._3), rows.map(_._2))
+        (siteId, if (trend.nonEmpty) trend.head - trend.last else 0.0)
+      }
+      .toDF("site", "trend_drop")
+    println("[demo] PVPro monotone trend drop per site:")
+    trendRows.orderBy("site").show()
     spark.stop()
   }
 }
