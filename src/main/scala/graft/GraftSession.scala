@@ -21,6 +21,7 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -55,12 +55,23 @@ object GraftFunctions {
   def build(exprs: Seq[Expression]): Expression =
     RoundToBase(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType))
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_round_to_base",
       build,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      ArrayDot.buildDot,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dist2",
+      ArrayDot.buildDist2,
+      "built-in"
+    )
+  }
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`

@@ -17,16 +17,22 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product of two array<double> columns — the native codegen'd
+    * [[graft.functions.ArrayDot]] expression (value-identical to the
+    * `aggregate(zip_with(...))` fold, one generated loop instead of
+    * per-row lambda interpretation). Requires
+    * `GraftFunctions.register` on the session — `sources.Tables`
+    * does this on every read.
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Squared L2 distance between two array<double> columns. */
-  def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+  /** Squared L2 distance between two array<double> columns (native
+    * [[graft.functions.ArrayDist2]]).
+    */
+  def dist2(a: Column, b: Column): Column = call_function("graft_dist2", a, b)
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine similarity (rounded to 5 dp; deterministic

@@ -21,6 +21,8 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.GraftFunctions.register(spark) // idempotent; graft_* available everywhere
+
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val tsCols = Map(
       "events" -> Seq("ts"),

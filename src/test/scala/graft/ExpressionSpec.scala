@@ -25,6 +25,35 @@ class ExpressionSpec extends AnyFunSuite {
     out.foreach { case (c, b) => assert(c == b, s"$c != $b") }
   }
 
+  test("graft_dot / graft_dist2 match the higher-order-function fold bit-for-bit") {
+    GraftFunctions.register(spark)
+    val rng = new scala.util.Random(11)
+    val rows = Seq.fill(200)((Array.fill(64)(rng.nextDouble() * 2 - 1), Array.fill(64)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val hofDist = aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    val out = df.select(
+      expr("graft_dot(a, b)").as("nd"),
+      hofDot.as("hd"),
+      expr("graft_dist2(a, b)").as("n2"),
+      hofDist.as("h2")
+    ).as[(Double, Double, Double, Double)].collect()
+    out.foreach { case (nd, hd, n2, h2) =>
+      assert(nd == hd, s"dot $nd != $hd")   // identical fold order → bit-equal
+      assert(n2 == h2, s"dist2 $n2 != $h2")
+    }
+    // null array → null result (BinaryExpression null-safety)
+    val nulls = spark.sql("SELECT graft_dot(NULL, array(1.0d)) IS NULL AS ok").as[Boolean].head()
+    assert(nulls)
+  }
+
+  test("graft_dot over float arrays (embedding column type) casts and computes") {
+    GraftFunctions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val v = df.selectExpr("graft_dot(a, b) AS d").as[Double].head()
+    assert(v == 32.0)
+  }
+
   test("works from SQL over a large frame (whole-stage codegen path)") {
     GraftFunctions.register(spark)
     spark.range(100000).selectExpr("CAST(id AS DOUBLE) / 7 AS x").createOrReplaceTempView("t")
