@@ -78,11 +78,26 @@ object GraftFunctions {
   * or `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_round_to_base"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[RoundToBase].getName, "graft_round_to_base"),
         (exprs: Seq[Expression]) => GraftFunctions.build(exprs))
     )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayDot].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => ArrayDot.buildDot(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dist2"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[ArrayDist2].getName, "graft_dist2"),
+        (exprs: Seq[Expression]) => ArrayDot.buildDist2(exprs))
+    )
+    // nearest-ts range joins written naively become bucketed equi-joins
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+  }
 }
