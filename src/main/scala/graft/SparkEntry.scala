@@ -976,9 +976,9 @@ object SparkEntry {
     val dil = Dilation.dilate(
       s,
       Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
-      "site", "ts", "value", nBins = 50, thresholdFrac = 0.01
+      "site", "ts", "value", nBins = 40, thresholdFrac = 0.01
     )
-    graft.analyses.Quantiles.estimateAndDetect(s, dil, nBins = 50)
+    graft.analyses.Quantiles.estimateAndDetect(s, dil, nBins = 40)
   }
 
   /** Fleet-PCA shade decomposition (SURVEY §2.8 Shade SD; rows-only —
