@@ -85,22 +85,25 @@ object Shade {
       shadeThreshold: Double = 0.25
   ): DataFrame = {
     import spark.implicits._
-    // cache the small per-slot medians (sites × nBins rows), not the
-    // assembled array column — columnar-caching ArrayType is the
-    // expensive part, and both downstream jobs re-derive the arrays
-    // cheaply from this
-    val perSlot = dilated
+    // Persist the per-site profile as an RDD, not a DataFrame cache:
+    // both downstream jobs (Gram treeAggregate, final projection) read
+    // it, and an RDD persist is released by the ContextCleaner as soon
+    // as the result of this call goes out of scope — a DataFrame-level
+    // .cache() would pin partitions in the CacheManager for the life of
+    // the session (it leaked across repeated pcaShade calls).
+    val prof = dilated
       .groupBy(col("site"), col("dil_slot"))
       .agg(percentile(col("dil_value"), lit(0.5)).as("med_v"))
-      .cache()
-    val prof = perSlot
       .groupBy(col("site"))
       .agg(sort_array(collect_list(struct(col("dil_slot"), col("med_v")))).as("arr"))
       .select(col("site"), expr("transform(arr, x -> x.med_v)").as("p"))
       .as[(Long, Array[Double])]
+      .rdd
+      .setName("pcaShade site profiles")
+      .persist()
 
     val n2 = nBins * nBins
-    val gramFlat = prof.rdd.map(_._2).treeAggregate(new Array[Double](n2))(
+    val gramFlat = prof.map(_._2).treeAggregate(new Array[Double](n2))(
       (acc, p) => {
         var i = 0
         while (i < nBins) {
@@ -123,7 +126,12 @@ object Shade {
           val pj = if (j < p.length) p(j) else 0.0
           g(i * nBins + j) - pi * pj
         }
-        val vs = Kernels.topEigen(loo, k).map(_._2)
+        // drop eigenpairs far below the top eigenvalue: a rank-deficient
+        // leave-one-out Gram (tiny fleet) must not contribute numerical
+        // noise directions to the projection basis
+        val pairs = Kernels.topEigen(loo, k)
+        val lambdaMax = if (pairs.nonEmpty) pairs(0)._1 else 0.0
+        val vs = pairs.filter(_._1 > lambdaMax * 1e-9).map(_._2)
         val coefs = vs.map { v =>
           var s = 0.0; var i = 0
           while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }

@@ -11,24 +11,32 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Value-identical to `aggregate(zip_with(a, b, (x, y) => x*y), 0d,
   * (acc, x) => acc + x)` (same index-order left fold, bit-for-bit),
-  * but runs as ONE codegen'd loop over the unsafe array data instead
-  * of per-row lambda interpretation of two higher-order functions —
-  * the custom-`Expression` path SURVEY §7.4 reserves for profiled hot
-  * spots. Null ELEMENTS are not expected (embeddings are dense); a
-  * null array yields null (BinaryExpression null-safety).
+  * INCLUDING the null semantics: a null array, a length mismatch
+  * (`zip_with` pads the shorter side with null) or a null element all
+  * yield null, so malformed embeddings surface as nulls instead of
+  * silently truncated numbers. Runs as ONE codegen'd loop over the
+  * unsafe array data instead of per-row lambda interpretation of two
+  * higher-order functions — the custom-`Expression` path SURVEY §7.4
+  * reserves for profiled hot spots.
   */
 case class ArrayDot(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
     s
   }
 
@@ -38,10 +46,16 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $a.getDouble($i) * $b.getDouble($i); }
-         |${ev.value} = $s;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $s += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
+         |}
        """.stripMargin
     })
 
@@ -50,20 +64,28 @@ case class ArrayDot(left: Expression, right: Expression) extends BinaryExpressio
 }
 
 /** Native squared-L2 distance between two `array<double>` columns —
-  * the IVF assignment loop. Same fold order as the `zip_with` form.
+  * the IVF assignment loop. Same fold order and null semantics as the
+  * `zip_with` form (see [[ArrayDot]]).
   */
 case class ArrayDist2(left: Expression, right: Expression) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dist2"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
-    while (i < n) { val d = x.getDouble(i) - y.getDouble(i); s += d * d; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
     s
   }
 
@@ -74,13 +96,17 @@ case class ArrayDist2(left: Expression, right: Expression) extends BinaryExpress
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $s += $d * $d;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $s += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $s; }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

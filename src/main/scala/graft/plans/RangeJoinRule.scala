@@ -53,7 +53,10 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             case (Some(true), Some(false), dd: java.lang.Double) if dd > 0.0 =>
               rewrite(left, right, x, y, dd, cond, hint)
             case (Some(false), Some(true), dd: java.lang.Double) if dd > 0.0 =>
-              rewrite(right, left, y, x, dd, cond, hint) match {
+              // children swap sides, so the side-specific JoinHint must
+              // swap with them (a broadcast hint on the original left
+              // must still broadcast that child in the new join)
+              rewrite(right, left, y, x, dd, cond, JoinHint(hint.rightHint, hint.leftHint)) match {
                 // preserve original column order (left before right)
                 case p => Project(j.output, p)
               }

@@ -598,15 +598,23 @@ object Kernels {
     * there loaded from fixtures; here computed from the fleet's own
     * Gram matrix, which Spark accumulates map-side).
     *
+    * Rank exhaustion (a matvec that underflows to ~zero — the start
+    * vector lies in the residual null space, or a rank-deficient
+    * matrix runs out of range before k) TERMINATES the sweep rather
+    * than emitting the unnormalized start vector: every returned
+    * eigenvector is unit-norm, so callers may treat the result as an
+    * orthonormal basis. Fewer than k pairs may be returned.
+    *
     * @param g symmetric n×n matrix, row-major rows
-    * @return k (eigenvalue, eigenvector) pairs, eigenvalue descending
+    * @return ≤k (eigenvalue, eigenvector) pairs, eigenvalue descending
     */
   def topEigen(g: Array[Array[Double]], k: Int, iters: Int = 200): Array[(Double, Array[Double])] = {
     val n = g.length
     val a = Array.tabulate(n, n)((i, j) => g(i)(j)) // deflated copy
     val out = Array.newBuilder[(Double, Array[Double])]
     var c = 0
-    while (c < math.min(k, n)) {
+    var exhausted = false
+    while (c < math.min(k, n) && !exhausted) {
       // deterministic start: basis vector with largest diagonal + ones mix
       var v = Array.tabulate(n)(i => 1.0 + a(i)(i))
       var lambda = 0.0
@@ -619,7 +627,7 @@ object Kernels {
           s
         })
         val nrm = math.sqrt(w.map(x => x * x).sum)
-        if (nrm < 1e-300) { converged = true }
+        if (nrm < 1e-300) { converged = true; exhausted = true }
         else {
           val vNew = w.map(_ / nrm)
           var diff = 0.0
@@ -631,7 +639,9 @@ object Kernels {
           it += 1
         }
       }
-      out += ((lambda, v))
+      // an underflowed matvec means v never got (re)normalized against
+      // the residual operator — skip the pair entirely
+      if (!exhausted) out += ((lambda, v))
       // deflate: a -= lambda v v^T
       var i = 0
       while (i < n) {

@@ -77,7 +77,12 @@ object EventStream {
     *
     * Assumes per-site day ordering across batches (telemetry arrives
     * roughly in time order; use the watermarked [[hourlyStats]] when
-    * that does not hold).
+    * that does not hold). The assumption is ENFORCED, not just
+    * documented: the state carries the max closed day per site as a
+    * watermark, and a late row for an already-closed day is DROPPED —
+    * it must not silently recreate the day and re-emit it with partial
+    * stats, because closed days are final for downstream consumers of
+    * the append-only output.
     */
   def finalizedDayStats(spark: SparkSession, path: String, checkpoint: String, outDir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -85,19 +90,28 @@ object EventStream {
     val evs = readEvents(spark, path)
       .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
       .as[Ev]
+    // state: (open day → (n, sum, max), max closed day — "" before any
+    // day has closed; ISO yyyy-MM-dd strings order like dates)
     val finalized = evs
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev], state: GroupState[Map[String, (Long, Double, Double)]]) =>
-          val m = it.foldLeft(state.getOption.getOrElse(Map.empty[String, (Long, Double, Double)])) { (acc, e) =>
-            val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
-            acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
+        (site: Long, it: Iterator[Ev], state: GroupState[(Map[String, (Long, Double, Double)], String)]) =>
+          val (open0, closedMax) = state.getOption.getOrElse((Map.empty[String, (Long, Double, Double)], ""))
+          val m = it.foldLeft(open0) { (acc, e) =>
+            if (e.day <= closedMax) acc // late row for a finalized day: drop
+            else {
+              val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
+              acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
+            }
           }
           if (m.isEmpty) Iterator.empty
           else {
             val maxDay = m.keys.max
             val (open, closed) = m.partition(_._1 == maxDay)
-            state.update(open)
+            val newClosedMax = if (closed.isEmpty) closedMax else {
+              val c = closed.keys.max; if (c > closedMax) c else closedMax
+            }
+            state.update((open, newClosedMax))
             closed.toSeq.sortBy(_._1).iterator.map { case (day, (n, s, mx)) => SiteDay(site, day, n, s, mx) }
           }
       }

@@ -47,6 +47,24 @@ class ExpressionSpec extends AnyFunSuite {
     assert(nulls)
   }
 
+  test("graft_dot / graft_dist2 null semantics match the HOF fold on malformed embeddings") {
+    GraftFunctions.register(spark)
+    // length mismatch: zip_with pads with null, null poisons the fold → null
+    val mism = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(1.0d)) IS NULL AS a,
+        |       graft_dist2(array(1.0d, 2.0d), array(1.0d)) IS NULL AS b,
+        |       aggregate(zip_with(array(1.0d, 2.0d), array(1.0d), (x, y) -> x * y),
+        |                 0.0d, (acc, x) -> acc + x) IS NULL AS h
+        |""".stripMargin).as[(Boolean, Boolean, Boolean)].head()
+    assert(mism == ((true, true, true)))
+    // null ELEMENT propagates instead of reading as 0
+    val nullEl = spark.sql(
+      """SELECT graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) IS NULL AS a,
+        |       graft_dist2(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) IS NULL AS b
+        |""".stripMargin).as[(Boolean, Boolean)].head()
+    assert(nullEl == ((true, true)))
+  }
+
   test("graft_dot over float arrays (embedding column type) casts and computes") {
     GraftFunctions.register(spark)
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")

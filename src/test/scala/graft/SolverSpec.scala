@@ -214,6 +214,24 @@ class SolverSpec extends AnyFunSuite {
     assert(dot0 > 0.9999 && dot1 > 0.9999)
   }
 
+  test("topEigen on a rank-deficient matrix returns only unit-norm eigenpairs") {
+    // G = [[1,-1],[-1,1]]: rank 1, and the deterministic start vector
+    // (1+diag) = (2,2) lies exactly in the null space — the degenerate
+    // case must yield NO junk pair, not an unnormalized start vector
+    val g = Array(Array(1.0, -1.0), Array(-1.0, 1.0))
+    val eig = Kernels.topEigen(g, 2)
+    eig.foreach { case (lambda, vec) =>
+      val nrm = math.sqrt(vec.map(x => x * x).sum)
+      assert(math.abs(nrm - 1.0) < 1e-9, s"non-unit eigenvector (|v|=$nrm) for λ=$lambda")
+    }
+    assert(eig.length <= 1, s"rank-1 matrix returned ${eig.length} pairs")
+    // identity: rank exhausts after n pairs at most, all unit-norm
+    val id = Array.tabulate(3, 3)((i, j) => if (i == j) 1.0 else 0.0)
+    Kernels.topEigen(id, 3).foreach { case (_, vec) =>
+      assert(math.abs(math.sqrt(vec.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+  }
+
   test("shapleyAttribution is exact: attributions sum to v(all) - v(none)") {
     val baseline = Array(100.0, 110.0, 120.0)
     val factors = Array(

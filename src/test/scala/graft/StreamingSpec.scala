@@ -79,6 +79,15 @@ class StreamingSpec extends AnyFunSuite {
       .filter(col("day") < col("last_day"))
     assert(out2.count() == expectClosed.count(),
       s"expected ${expectClosed.count()} closed days, got ${out2.count()}")
+
+    // batch 3: LATE replay of an already-finalized day — the per-site
+    // closed-day watermark must drop it, not re-open + re-emit it
+    val lateDay = days(1)
+    all.filter(col("day") === lateDay).drop("day").write.mode("append").parquet(src)
+    val out3 = EventStream.finalizedDayStats(spark, src, ckpt, outDir)
+    val dupes3 = out3.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes3.count() == 0, "late replay re-emitted an already-finalized day")
+    assert(out3.count() == out2.count(), "late replay changed the finalized row count")
   }
 
   test("mapGroupsWithState carries per-site state across checkpointed incremental runs") {
