@@ -878,9 +878,8 @@ object SparkEntry {
 
   private def d07(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
-    val sh = Dedup.charShingles(docs, "doc_id", "text", 3).cache()
-    val sig = Dedup.minhashFromShingles(sh, "doc_id", 32)
-    val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val cands = Dedup.lshCandidates(Dedup.lshBandsFromShingles(sh, "doc_id", 32, 4), "doc_id")
     // exact verify on candidates only (array-intersect per pair) — no
     // full pairwise shingle self-join anywhere in the scale path
     Dedup.jaccardOnCandidates(cands, sh, "doc_id")
@@ -901,8 +900,7 @@ object SparkEntry {
   private def d09(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
     val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashFromShingles(sh, "doc_id", 16)
-    val edges = Dedup.lshStarEdges(Dedup.lshBands(sig, "doc_id", 4), "doc_id")
+    val edges = Dedup.lshStarEdges(Dedup.lshBandsFromShingles(sh, "doc_id", 16, 4), "doc_id")
     Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id", partitions = 4)
       .groupBy(col("component"))
       .agg(count(lit(1)).as("n_docs"))

@@ -60,24 +60,35 @@ object Dedup {
     * na, nb, jaccard) for pairs sharing ≥1 shingle.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    jaccardFromShingles(charShingles(df, idCol, textCol, k).cache(), idCol)
+    jaccardFromShingles(charShingles(df, idCol, textCol, k), idCol)
 
-  /** Jaccard pairs from a precomputed (cached) shingle table — lets a
-    * MinHash+verify pipeline share one shingle scan.
+  /** Jaccard pairs from a precomputed shingle table.
+    *
+    * One groupBy collects each document's distinct shingle SET, then a
+    * broadcast non-equi self-join (`a_id < b_id`) computes each pair's
+    * intersection with `array_intersect` — shuffle volume is
+    * O(docs × shingles-per-doc), versus the Σ freq² row blowup of a
+    * shingle-keyed self-join (a ubiquitous 3-gram appearing in every
+    * doc contributes |docs|² rows there). Quadratic in PAIRS by
+    * construction — that is the operator's contract — so the doc set
+    * must be bounded (it is the verify/baseline step; the scale path
+    * is [[lshCandidates]] + [[jaccardOnCandidates]]).
     */
   def jaccardFromShingles(sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val a = sh.select(col(idCol).as("a_id"), col("shingle"))
-    val b = sh.select(col(idCol).as("b_id"), col("shingle"))
-    val inter = a
-      .join(b, Seq("shingle"))
-      .filter(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col(idCol).as("a_id"), col("sz").as("na"))), Seq("a_id"))
-      .join(broadcast(sizes.select(col(idCol).as("b_id"), col("sz").as("nb"))), Seq("b_id"))
+    val sets = sh.groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
+    // spread the streamed side: AQE coalesces the tiny post-groupBy
+    // shuffle to one partition, which would serialize every pairwise
+    // intersect onto a single core of the nested-loop join
+    val width = sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val a = sets.repartition(width)
+      .select(col(idCol).as("a_id"), col("shset").as("a_set"), col("sz").as("na"))
+    val b = sets.select(col(idCol).as("b_id"), col("shset").as("b_set"), col("sz").as("nb"))
+    a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
+      .filter(col("inter") > 0)
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), col("jaccard"))
   }
 
   /** MinHash signatures: (idCol, j, mh) for j in [0, numHashes). */
@@ -116,6 +127,28 @@ object Dedup {
       .withColumn("inter", size(array_intersect(col("a_set"), col("b_set"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .drop("a_set", "b_set")
+  }
+
+  /** MinHash → LSH bands in ONE shuffle: the per-document min-hash
+    * aggregation and the per-band signature digest fused into a single
+    * groupBy. The unpivoted [[minhashFromShingles]] → [[lshBands]]
+    * composition pays a second shuffle re-keying (doc, band) rows that
+    * this path derives with a narrow explode from the wide min-hash
+    * row. Band signatures are byte-identical to the composed form
+    * (same `md5(concat_ws(",", mh_j…))` in j order), so candidate
+    * pairs are interchangeable between the two paths.
+    */
+  def lshBandsFromShingles(sh: DataFrame, idCol: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val withH = sh.withColumn("h31", baseHash31(col("shingle")))
+    val aggs = (0 until numHashes).map(j => min(universalHash(col("h31"), lit(j))).as(s"mh$j"))
+    val wide = withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      val mhCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => col(s"mh$j").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", mhCols: _*)).as("band_sig"))
+    }
+    wide
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
   }
 
   /** LSH banding of a MinHash signature table: (idCol, band,
@@ -172,21 +205,30 @@ object Dedup {
     * resolves that label through the current mapping (comp ← comp of
     * comp), doubling the propagation distance — O(log diameter)
     * rounds, which matters because mutation-chain duplicates form long
-    * paths, not cliques. Each round's result is `localCheckpoint`ed:
-    * iterative self-referencing plans otherwise double in size every
-    * round and analysis time dwarfs execution (on a cluster, use a
-    * checkpoint dir for fault tolerance instead). Convergence is
-    * detected by the label sum, which strictly decreases while any
-    * label changes — one aggregate action per round, no compare join.
-    * Deterministic: the component label is the component's min id.
+    * paths, not cliques. Deterministic: the component label is the
+    * component's min id (the unique fixed point, independent of round
+    * schedule).
     *
+    * The LOOP runs on RDDs with one fixed `HashPartitioner`, not on
+    * DataFrames — the one place in this engine where dropping below
+    * Catalyst is the right call (the same reason GraphX is RDD-based):
+    * a fixed partitioner makes every per-round join narrow
+    * (co-partitioned adjacency and labels — only the min-reduce and
+    * the jump re-key shuffle, and they shuffle two-long rows), each
+    * round is ONE job instead of an AQE stage cascade, there is no
+    * per-round Catalyst re-planning on a lineage that grows every
+    * iteration, and `localCheckpoint` + ContextCleaner reclaim round
+    * state automatically. Convergence piggybacks on the checkpoint
+    * action via a changed-labels accumulator (over-count on task retry
+    * is benign: only exact zero means converged, and an actually
+    * changed round can never report zero).
+    *
+    * @param partitions shuffle width for the iterative rounds. Size to
+    *                   the node count (rows are two longs): a small
+    *                   graph on the session-default width pays ~32
+    *                   scheduler-latency-bound tasks per round for
+    *                   nothing. 0 = the context default parallelism.
     * @return (id, component)
-    */
-  /** @param partitions shuffle width for the iterative rounds. Size to
-    *                    the node count (rows are two longs): a small
-    *                    graph on the session-default width pays ~32
-    *                    scheduler-latency-bound tasks per round for
-    *                    nothing. 0 = leave at session default.
     */
   def connectedComponents(
       nodes: DataFrame,
@@ -195,40 +237,65 @@ object Dedup {
       maxIters: Int = 25,
       partitions: Int = 0
   ): DataFrame = {
-    val symRaw = edges
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val sym = (if (partitions > 0) symRaw.repartition(partitions, col("dst")) else symRaw).cache()
-    val labels0 = nodes.select(col(idCol).as("id"), col(idCol).as("component"))
-    var labels = (if (partitions > 0) labels0.repartition(partitions, col("id")) else labels0)
-      .localCheckpoint(true)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(
+      if (partitions > 0) partitions else sc.defaultParallelism)
+    // symmetric adjacency, partitioned once and reused every round
+    val adj = edges
+      .select(col("a_id").cast("long"), col("b_id").cast("long")).as[(Long, Long)]
+      .rdd
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .partitionBy(part)
+      .persist()
+    // seed labels with each node's one-hop min (id ∧ min neighbor id) —
+    // for the star-edge graphs LSH dedup produces this is most of the
+    // first propagation round, for the price of one edge min-reduce
+    val nbrMin0 = adj.reduceByKey(part, math.min(_: Long, _: Long))
+    var labels = nodes
+      .select(col(idCol).cast("long")).as[Long]
+      .rdd
+      .map(i => (i, i))
+      .partitionBy(part)
+      .leftOuterJoin(nbrMin0, part)
+      .mapValues { case (id, nm) => math.min(id, nm.getOrElse(id)) }
+      .localCheckpoint()
+    labels.count()
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
-      val nbrMin = sym
-        .join(labels, col("dst") === col("id"))
-        .groupBy(col("src"))
-        .agg(min(col("component")).as("nbr_min"))
+      val changed = sc.longAccumulator("cc-changed")
+      // hop: min over own label and neighbors' labels (adj ⋈ labels is
+      // narrow — co-partitioned; only the min-reduce shuffles)
+      val nbrMin = adj
+        .join(labels)
+        .map { case (_, (nbr, comp)) => (nbr, comp) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
       val hop = labels
-        .join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"), least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-      // pointer jump: labels are ids, so resolve through hop itself
-      val jumped = hop.as("x")
-        .join(hop.select(col("id").as("cid"), col("component").as("cparent")).as("y"),
-          col("x.component") === col("cid"), "left")
-        .select(col("x.id").as("id"), coalesce(col("cparent"), col("x.component")).as("component"))
-        .localCheckpoint(true)
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+        .leftOuterJoin(nbrMin, part)
+        .mapValues { case (comp, nm) => (comp, math.min(comp, nm.getOrElse(comp))) }
+      // jump: resolve the hopped label through the hop mapping itself
+      // (labels are node ids, and every node has a hop row, so the
+      // re-keyed join is total)
+      val hopComp = hop.mapValues(_._2)
+      val jumped = hop
+        .map { case (id, (old, c)) => (c, (id, old)) }
+        .join(hopComp, part)
+        .map { case (_, ((id, old), resolved)) =>
+          if (resolved != old) changed.add(1L)
+          (id, resolved)
+        }
+        .partitionBy(part)
+        .localCheckpoint()
+      jumped.count()
+      converged = changed.value == 0L
       labels = jumped
       it += 1
     }
-    sym.unpersist()
-    labels
+    if (sys.env.contains("GRAFT_CC_DEBUG")) println(s"[cc] converged after $it rounds")
+    adj.unpersist(false)
+    labels.toDF("id", "component")
   }
 
   /** SimHash (nBits ≤ 32): weighted sign-sum of token-hash bits,

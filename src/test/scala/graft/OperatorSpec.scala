@@ -102,6 +102,14 @@ class OperatorSpec extends AnyFunSuite {
       .toSet
     assert(exact.subsetOf(cands), s"missed: ${exact.diff(cands)}")
     assert(exact.contains((1L, 2L)))
+
+    // the fused one-shuffle band path digests byte-identical signatures
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val fused = Dedup.lshBandsFromShingles(sh, "doc_id", 32, 4)
+      .select("doc_id", "band", "band_sig").as[(Long, Int, String)].collect().toSet
+    val composed = Dedup.lshBands(sig, "doc_id", 4)
+      .select("doc_id", "band", "band_sig").as[(Long, Int, String)].collect().toSet
+    assert(fused == composed, "fused band signatures diverge from the composed path")
   }
 
   test("simhash is equal for identical docs, differs for unrelated docs") {
