@@ -544,14 +544,28 @@ object SparkEntry {
     val ev = Tables.events(s, dir)
     val siteMax = ev.groupBy(col("user_id")).agg(max(col("value")).as("site_max"))
     val h = TimeAxis.hourOfDay(col("ts"))
-    val grid = ev
+    // grid search as COLUMNS, not rows: per-threshold daylight spans are
+    // 2×|grid| conditional aggregates in one daily pass, unpivoted only
+    // AFTER aggregation — the scan is not multiplied by the grid size
+    // and the big shuffle stays at (site, day) grain
+    val fracs = Seq(0.02, 0.05, 0.1, 0.15)
+    val aggs = fracs.zipWithIndex.flatMap { case (f, i) =>
+      val thr = round(col("site_max") * f, 6)
+      Seq(
+        max(when(col("value") > thr, h)).as(s"__mx$i"),
+        min(when(col("value") > thr, h)).as(s"__mn$i")
+      )
+    }
+    val daily = ev
       .join(broadcast(siteMax), Seq("user_id"))
-      .withColumn("thr_frac", explode(array(lit(0.02), lit(0.05), lit(0.1), lit(0.15))))
-      .withColumn("thr", round(col("site_max") * col("thr_frac"), 6))
-    val daily = grid
-      .groupBy(col("user_id"), col("thr_frac"), to_date(col("ts")).as("day"))
-      .agg((max(when(col("value") > col("thr"), h)) - min(when(col("value") > col("thr"), h))).as("dl_h"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    val spans = fracs.zipWithIndex.map { case (f, i) =>
+      struct(lit(f).as("thr_frac"), (col(s"__mx$i") - col(s"__mn$i")).as("dl_h"))
+    }
     val scored = daily
+      .select(col("user_id"), explode(array(spans: _*)).as("__g"))
+      .select(col("user_id"), col("__g.thr_frac").as("thr_frac"), col("__g.dl_h").as("dl_h"))
       .groupBy(col("user_id"), col("thr_frac"))
       .agg((max(col("dl_h")) - min(col("dl_h"))).as("dl_range"))
       .filter(col("dl_range").isNotNull)

@@ -66,15 +66,22 @@ object DayStats {
     val counts = diffs
       .groupBy(col(site), col("day"), col("__diff").as("modal_diff"))
       .agg(count(lit(1)).as("mode_cnt"))
-    val wMode = Window
-      .partitionBy(col(site), col("day"))
-      .orderBy(col("mode_cnt").desc, col("modal_diff").asc)
-    val totals = diffs.groupBy(col(site), col("day")).agg(count(lit(1)).as("n_diffs"))
+    // mode + total in ONE aggregate over the counts: min_by on the
+    // (-count, diff) ordering struct is the deterministic tie-break
+    // (highest count, then smallest diff), and the per-day diff total
+    // is just the sum of the counts — no second window pass, no
+    // totals join (two shuffles fewer than the row_number() form)
     counts
-      .withColumn("__rn", row_number().over(wMode))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
-      .join(totals, Seq(site, "day"))
+      .groupBy(col(site), col("day"))
+      .agg(
+        min_by(
+          struct(col("modal_diff"), col("mode_cnt")),
+          struct((-col("mode_cnt")).as("nc"), col("modal_diff").as("md"))
+        ).as("__m"),
+        sum(col("mode_cnt")).as("n_diffs")
+      )
+      .select(col(site), col("day"), col("__m.modal_diff").as("modal_diff"),
+        col("__m.mode_cnt").as("mode_cnt"), col("n_diffs"))
   }
 
   /** Daily second-difference smoothness: L1 norm of the discrete 2nd

@@ -54,13 +54,13 @@ object TimeAxis {
       .filter(col("dt_s").isNotNull)
       .withColumn("dt_r", (round(col("dt_s") / 10.0) * 10).cast("long"))
     val counts = rounded.groupBy((keys :+ "dt_r").map(col): _*).agg(count(lit(1)).as("cnt"))
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("cnt").desc, col("dt_r").asc)
+    // modal Δt via min_by on the (-count, Δt) ordering struct — the
+    // same deterministic tie-break as a (cnt desc, dt asc) row_number
+    // window, in one aggregate instead of a second sort pass
     counts
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(keys.map(col) :+ col("dt_r").as("freq_s"): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(min_by(col("dt_r"), struct((-col("cnt")).as("nc"), col("dt_r").as("dt"))).as("freq_s"))
+      .select(keys.map(col) :+ col("freq_s"): _*)
   }
 
   /** Bucketed as-of join: snap each observation to the nearest point of
