@@ -743,6 +743,53 @@ object OracleSql {
     FROM v GROUP BY 1, 2
   """
 
+  private val q46 = """
+    WITH m AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS day_max
+      FROM events GROUP BY 1, 2),
+    b AS (
+      SELECT e.user_id, e.value / m.day_max AS np,
+        CAST(round((15.0 * (date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 - 12.0)) / 2.0) * 2 AS INT) AS az_bin,
+        CAST(round(asin(greatest(-1.0, least(1.0,
+          0.6087614290087207 * sin((23.45 * sin(6.283185307179586 * (dayofyear(CAST(e.ts AS DATE)) + 284.0) / 365.0)) * 0.017453292519943295)
+          + 0.7933533402912352 * cos((23.45 * sin(6.283185307179586 * (dayofyear(CAST(e.ts AS DATE)) + 284.0) / 365.0)) * 0.017453292519943295)
+            * cos((15.0 * (date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 - 12.0)) * 0.017453292519943295)
+        ))) * 57.29577951308232) AS INT) AS el_bin
+      FROM events e
+      JOIN m ON e.user_id = m.user_id AND CAST(e.ts AS DATE) = m.day
+      WHERE m.day_max > 0)
+    SELECT user_id, az_bin, el_bin, count(*) AS n, round(sum(np), 6) AS sum_np
+    FROM b WHERE el_bin >= 0 GROUP BY 1, 2, 3
+  """
+
+  private val q47 = """
+    WITH d AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        round(sum(date_diff('second', date_trunc('day', ts), ts) * value), 2) AS num_sv,
+        round(sum(value), 2) AS sum_v
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT user_id, day, num_sv / 3600.0 / nullif(sum_v, 0.0) AS com_hour FROM d),
+    j AS (
+      SELECT user_id, day, com_hour,
+        com_hour - lag(com_hour) OVER (PARTITION BY user_id ORDER BY day) AS jump
+      FROM c),
+    f AS (
+      SELECT user_id, day, jump,
+        CASE WHEN jump IS NOT NULL AND abs(jump) >= 0.8 AND abs(jump) <= 1.5
+             THEN CAST(round(jump) AS INT) ELSE 0 END AS shift_h
+      FROM j),
+    s AS (
+      SELECT user_id, day,
+        CAST(sum(shift_h) OVER (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS cum_shift_h
+      FROM f)
+    SELECT e.event_id, e.user_id, s.cum_shift_h,
+      epoch_us(e.ts) AS us_orig,
+      epoch_us(e.ts - s.cum_shift_h * INTERVAL 1 HOUR) AS us_repaired
+    FROM events e
+    JOIN s ON e.user_id = s.user_id AND CAST(e.ts AS DATE) = s.day
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -1067,6 +1114,8 @@ object OracleSql {
     "q43_rate_segments" -> q43,
     "q44_sensor_select" -> q44,
     "q45_shapley" -> q45,
+    "q46_polar_transform" -> q46,
+    "q47_dst_apply" -> q47,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

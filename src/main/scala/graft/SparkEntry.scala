@@ -782,6 +782,76 @@ object SparkEntry {
       .agg(round(sum(col("marg")), 6).as("phi"))
   }
 
+  /** Polar transform (reference `polar_transform.py:64-105`,
+    * `transform`): day-max-normalized power binned in
+    * (azimuth, elevation) space — the az/el heatmap behind the
+    * reference's shade visualization, minus the matplotlib rendering
+    * (the wide pivot of this tall result is q15/q29's operator). Solar
+    * geometry is the q23 projection; below-horizon samples are cut
+    * (`el_bin >= 0`, the reference's `apparent_elevation >= 0` cutoff
+    * on the integer bin so the cross-engine comparison is integral).
+    * Normalization divides by the exact per-day max (bit-identical in
+    * both engines), so only the final bin sum is float-rounded.
+    */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    val SinPhi = 0.6087614290087207
+    val CosPhi = 0.7933533402912352
+    val DegToRad = 0.017453292519943295
+    val RadToDeg = 57.29577951308232
+    val ev = Tables.events(s, dir)
+    val dayMax = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("day_max"))
+    val doy = dayofyear(to_date(col("ts")))
+    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val haDeg = lit(15.0) * (h - lit(12.0))
+    val sinEl = lit(SinPhi) * sin(declRad) + lit(CosPhi) * cos(declRad) * cos(haDeg * lit(DegToRad))
+    val elDeg = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(RadToDeg)
+    ev.withColumn("day", to_date(col("ts")))
+      .join(broadcast(dayMax), Seq("user_id", "day"))
+      .filter(col("day_max") > 0)
+      .withColumn("az_bin", (round(haDeg / 2.0) * 2).cast("int"))
+      .withColumn("el_bin", round(elDeg).cast("int"))
+      .filter(col("el_bin") >= 0)
+      .groupBy(col("user_id"), col("az_bin"), col("el_bin"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value") / col("day_max")), 6).as("sum_np"))
+  }
+
+  /** DST repair APPLIED (the q42 detection carried through to the
+    * row grain): every event's timestamp is corrected by its day's
+    * cumulative clock shift, so downstream operators see a continuous
+    * clock. The per-day shift table is tiny (site-days) and
+    * broadcast-joined back to the scan — the repair adds no extra
+    * shuffle of the raw data at any scale. Timestamps are compared as
+    * epoch microseconds (exact integers in both engines).
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
+        round(sum(col("value")), 2).as("sum_v")
+      )
+      .withColumn("com_hour", try_divide(col("num_sv") / 3600.0, col("sum_v")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val shifts = daily
+      .withColumn("jump", col("com_hour") - lag(col("com_hour"), 1).over(w))
+      .withColumn("shift_h",
+        when(col("jump").isNotNull && abs(col("jump")) >= 0.8 && abs(col("jump")) <= 1.5,
+          round(col("jump")).cast("int")).otherwise(lit(0)))
+      .withColumn("cum_shift_h",
+        sum(col("shift_h")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .select(col("user_id"), col("day"), col("cum_shift_h"))
+    ev.withColumn("day", to_date(col("ts")))
+      .join(broadcast(shifts), Seq("user_id", "day"))
+      .select(
+        col("event_id"), col("user_id"), col("cum_shift_h"),
+        unix_micros(col("ts")).as("us_orig"),
+        unix_micros(expr("timestampadd(HOUR, -cum_shift_h, ts)")).as("us_repaired")
+      )
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -1085,6 +1155,8 @@ object SparkEntry {
     "q43_rate_segments" -> (q43 _),
     "q44_sensor_select" -> (q44 _),
     "q45_shapley" -> (q45 _),
+    "q46_polar_transform" -> (q46 _),
+    "q47_dst_apply" -> (q47 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

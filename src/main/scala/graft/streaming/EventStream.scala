@@ -128,6 +128,79 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  case class SiteDayLabel(site: Long, day: String, energy: Double, clear: Boolean)
+
+  /** Streaming twin of the clear-day SOLVER stage: as days finalize
+    * (same closure rule as [[finalizedDayStats]]), each closed day is
+    * labeled clear/cloudy against the site's EXPANDING energy envelope
+    * (running max of closed-day energies, including the day itself) —
+    * the append-only analytic the batch pipeline derives from the full
+    * series, re-expressed over the prefix available at emission time.
+    * Emitted labels are final and never revised (by construction the
+    * envelope only grows, so a day labeled clear at closure could only
+    * LOSE the label under a later, larger envelope — acceptable and
+    * documented semantics of the streaming face: labels are relative
+    * to data seen so far, exactly reproducible by a batch expanding
+    * window (`max(...) over (order by day rows unbounded preceding)`).
+    * State per site: open day aggregates + closed-day watermark + one
+    * running max — O(1) in stream length.
+    */
+  def incrementalClearDays(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      clearFrac: Double = 0.8
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
+      .as[Ev]
+    val labeled = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev],
+         state: GroupState[(Map[String, (Long, Double, Double)], String, Double)]) =>
+          val (open0, closedMax, runMax0) =
+            state.getOption.getOrElse((Map.empty[String, (Long, Double, Double)], "", Double.MinValue))
+          val m = it.foldLeft(open0) { (acc, e) =>
+            if (e.day <= closedMax) acc
+            else {
+              val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
+              acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
+            }
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val maxDay = m.keys.max
+            val (open, closed) = m.partition(_._1 == maxDay)
+            val newClosedMax = if (closed.isEmpty) closedMax else {
+              val c = closed.keys.max; if (c > closedMax) c else closedMax
+            }
+            var runMax = runMax0
+            val out = closed.toSeq.sortBy(_._1).map { case (day, (n, s, _)) =>
+              val energy = s * 24.0 / n
+              runMax = math.max(runMax, energy)
+              SiteDayLabel(site, day, energy, energy >= clearFrac * runMax)
+            }
+            state.update((open, newClosedMax, runMax))
+            out.iterator
+          }
+      }
+    val q = labeled.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
     * §2.11: the stateful face — per-site state survives across
     * micro-batches and across restarts through the checkpoint).

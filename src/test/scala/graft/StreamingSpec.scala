@@ -90,6 +90,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(out3.count() == out2.count(), "late replay changed the finalized row count")
   }
 
+  test("incrementalClearDays labels match a batch expanding-envelope computation") {
+    val src = java.nio.file.Files.createTempDirectory("evclr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evclrckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evclrout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+
+    // two batches through the same checkpoint — labels accumulate append-only
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalClearDays(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalClearDays(spark, src, ckpt, outDir)
+
+    // batch twin: per-(site, day) energy of every CLOSED day (all but
+    // each site's last), labeled against the expanding running max
+    import org.apache.spark.sql.expressions.Window
+    val daily = all.groupBy(col("user_id").as("site"), col("day"))
+      .agg((sum("value") * 24.0 / count(lit(1))).as("e_energy"))
+    val lastDay = daily.groupBy("site").agg(max("day").as("last_day"))
+    val w = Window.partitionBy("site").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val expect = daily.join(lastDay, "site")
+      .filter(col("day") < col("last_day"))
+      .withColumn("run_max", max(col("e_energy")).over(w))
+      .withColumn("e_clear", col("e_energy") >= lit(0.8) * col("run_max"))
+    assert(out.count() == expect.count(), "closed-day row count mismatch")
+    val joined = out.join(expect, Seq("site", "day"))
+    val bad = joined.filter(
+      abs(col("energy") - col("e_energy")) > 1e-9 || col("clear") =!= col("e_clear"))
+    assert(bad.count() == 0, "streaming clear-day labels diverge from the batch expanding window")
+    assert(out.filter(col("clear")).count() > 0, "no clear days labeled at all")
+  }
+
   test("mapGroupsWithState carries per-site state across checkpointed incremental runs") {
     val src = java.nio.file.Files.createTempDirectory("evincr").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evckpt").toString
