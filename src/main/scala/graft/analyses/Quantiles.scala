@@ -20,7 +20,15 @@ import graft.solvers.Kernels
   */
 object Quantiles {
 
-  /** @return (site, day, dil_slot, dil_value, q_lo, q_mid, q_hi, clear) */
+  /** @param crossBasis false (default) fits the additive 2-period
+    *                    Fourier model — the throughput choice for the
+    *                    fleet pipeline; true fits the full spcqe-style
+    *                    cross-product basis ([[Kernels.quantileCrossFit]],
+    *                    golden-matched to the reference solver in
+    *                    `GoldenQuantileSpec`) where the daily profile
+    *                    shape modulates across the season.
+    * @return (site, day, dil_slot, dil_value, q_lo, q_mid, q_hi, clear)
+    */
   def estimateAndDetect(
       spark: SparkSession,
       dilated: DataFrame,
@@ -29,7 +37,8 @@ object Quantiles {
       tauMid: Double = 0.5,
       tauHi: Double = 0.9,
       harmonicsDaily: Int = 3,
-      harmonicsYearly: Int = 2
+      harmonicsYearly: Int = 2,
+      crossBasis: Boolean = false
   ): DataFrame = {
     import spark.implicits._
     val rows = dilated
@@ -47,9 +56,14 @@ object Quantiles {
         val t = pts.map(p => dayIdx(p._2) * nBins.toDouble + p._3)
         val y = pts.map(_._4)
         val bases = Seq((nBins.toDouble, harmonicsDaily), (365.2425 * nBins, harmonicsYearly))
-        val lo = Kernels.quantileFourierFitMulti(y, t, tauLo, bases)
-        val mid = Kernels.quantileFourierFitMulti(y, t, tauMid, bases)
-        val hi = Kernels.quantileFourierFitMulti(y, t, tauHi, bases)
+        def fit(tau: Double): Array[Double] =
+          if (crossBasis)
+            Kernels.quantileCrossFit(y, t, tau, nBins.toDouble, harmonicsDaily,
+              365.2425 * nBins, harmonicsYearly)
+          else Kernels.quantileFourierFitMulti(y, t, tau, bases)
+        val lo = fit(tauLo)
+        val mid = fit(tauMid)
+        val hi = fit(tauHi)
         val ratio = y.indices.map { i =>
           if (hi(i) > 1e-9) y(i) / hi(i) else Double.NaN
         }.toArray

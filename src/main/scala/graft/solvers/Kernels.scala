@@ -138,6 +138,134 @@ object Kernels {
     }
   }
 
+  /** Smooth periodic quantile fit on the CROSS-PRODUCT basis — the
+    * full spcqe model behind the reference's `PVQuantiles`
+    * (`algorithms/quantile_estimation.py:65-92`, public method of
+    * Meyers et al.): the daily period uses STANDING WAVES
+    * (sin(πk·u/P), zero at the period edges — the signal is pinned at
+    * zero across the night boundary) and every daily term is
+    * multiplied by every yearly Fourier term, so the daily profile
+    * SHAPE modulates across the season instead of being additively
+    * offset. Frequency-weighted ridge regularization (higher
+    * harmonics pay more) plays the role of spcqe's smoothness weight.
+    *
+    * O(n·p²) per IRLS pass with p = (1+dailyH)(1+2·yearlyH); the
+    * additive [[quantileFourierFitMulti]] (p = 1+2ΣH) is the
+    * throughput choice in the fleet pipeline — this is the
+    * full-fidelity model, golden-matched against the reference
+    * solver's own fixture output (`GoldenQuantileSpec`).
+    */
+  def quantileCrossFit(
+      y: Array[Double],
+      t: Array[Double],
+      tau: Double,
+      dailyPeriod: Double,
+      dailyH: Int,
+      yearlyPeriod: Double,
+      yearlyH: Int,
+      ridge: Double = 0.1,
+      iters: Int = 40
+  ): Array[Double] = {
+    val n = y.length
+    val pd = 1 + dailyH
+    val py = 1 + 2 * yearlyH
+    val p = pd * py
+    def basisAt(tv: Double): Array[Double] = {
+      val bd = new Array[Double](pd)
+      bd(0) = 1.0
+      var k = 1
+      while (k <= dailyH) {
+        bd(k) = math.sin(math.Pi * k * (tv % dailyPeriod) / dailyPeriod)
+        k += 1
+      }
+      val by = new Array[Double](py)
+      by(0) = 1.0
+      var j = 1
+      while (j <= yearlyH) {
+        val w = 2.0 * math.Pi * j * tv / yearlyPeriod
+        by(2 * j - 1) = math.cos(w)
+        by(2 * j) = math.sin(w)
+        j += 1
+      }
+      val row = new Array[Double](p)
+      var a = 0
+      while (a < pd) {
+        var b = 0
+        while (b < py) { row(a * py + b) = bd(a) * by(b); b += 1 }
+        a += 1
+      }
+      row
+    }
+    // frequency-weighted ridge: coefficient (k daily, j yearly) pays
+    // ridge·(k² + j²) — the constant is unpenalized
+    val pen = new Array[Double](p)
+    var a0 = 0
+    while (a0 < pd) {
+      var b0 = 0
+      while (b0 < py) {
+        val j = (b0 + 1) / 2
+        pen(a0 * py + b0) = ridge * (a0 * a0 + j * j)
+        b0 += 1
+      }
+      a0 += 1
+    }
+    val valid = (0 until n).filter(i => !y(i).isNaN).toArray
+    val m = valid.length
+    if (m < p) return Array.fill(n)(Double.NaN)
+    val rows = valid.map(i => basisAt(t(i)))
+    val yv = valid.map(y)
+    def solve(w: Array[Double]): Array[Double] = {
+      val ata = new Array[Double](p * p)
+      val atb = new Array[Double](p)
+      var i = 0
+      while (i < m) {
+        val r = rows(i)
+        val wi = w(i)
+        var a = 0
+        while (a < p) {
+          atb(a) += wi * r(a) * yv(i)
+          var b = a
+          while (b < p) { ata(a * p + b) += wi * r(a) * r(b); b += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      var a = 0
+      while (a < p) {
+        var b = a
+        while (b < p) { ata(b * p + a) = ata(a * p + b); b += 1 }
+        ata(a * p + a) += pen(a) + 1e-9
+        a += 1
+      }
+      Linalg.solveSpd(ata, atb, p)
+    }
+    val w = Array.fill(m)(1.0)
+    var beta = solve(w)
+    val eps = 1e-6
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < m) {
+        var f = 0.0
+        var a = 0
+        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+        val r = yv(i) - f
+        val g = if (r < 0) 1.0 - tau else tau
+        w(i) = g / math.max(math.abs(r), eps)
+        i += 1
+      }
+      beta = solve(w)
+      it += 1
+    }
+    Array.tabulate(n) { i =>
+      val row = basisAt(t(i))
+      var f = 0.0
+      var a = 0
+      while (a < p) { f += row(a) * beta(a); a += 1 }
+      f
+    }
+  }
+
   /** Piecewise-constant + seasonal decomposition — the
     * `l2_l1d1_l2d2p365` analog (`signal_decompositions.py:45-124`),
     * used for time-shift detection: y = x_pwc + seasonal + noise with
