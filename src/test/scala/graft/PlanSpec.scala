@@ -47,4 +47,32 @@ class PlanSpec extends AnyFunSuite {
   test("hot aggregation paths run under whole-stage codegen (q07)") {
     assert(planOf("q07_daily_energy", execute = true).contains("codegen id"))
   }
+
+  test("per-day lookaside tables broadcast back to the scan (q46, q47)") {
+    // day-max normalization (q46) and the DST shift table (q47) are
+    // site-day-grain side tables: they must broadcast, never shuffle
+    // the raw event scan a second time for the join
+    Seq("q46_polar_transform", "q47_dst_apply").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$n shuffled the scan for a tiny side table")
+    }
+  }
+
+  test("grid search stays single-scan: no row explosion before aggregation (q38)") {
+    // the threshold grid is evaluated as conditional aggregate columns;
+    // every Generate (explode) must sit DOWNSTREAM of an aggregate —
+    // i.e. have one below it in the tree — never on the raw scan
+    val plan = SparkEntry.queries("q38_riseset_grid")(spark, dir).queryExecution.sparkPlan
+    val gens = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected the post-aggregate unpivot Generate")
+    gens.foreach { g =>
+      val hasAggBelow = g.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow, "q38 explodes the scan before aggregating")
+    }
+  }
 }
