@@ -17,14 +17,14 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // AQE coalesces shuffle partitions by BYTES, but this engine's
-      // per-site solver stages (mapGroups: IRLS fits, DP, DBSCAN) are
-      // CPU-dense on byte-tiny groups — a few MB of day stats carry
-      // seconds of solver work, and the 1 MiB default floor collapses
-      // them onto one or two cores. A small floor keeps
-      // parallelismFirst in charge (partitions ≈ cores) while still
-      // letting genuinely large shuffles coalesce at scale.
-      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      // NOTE: do not floor coalescePartitions.minPartitionSize
+      // globally. AQE coalesces shuffles by BYTES, which starves
+      // CPU-dense byte-tiny solver shuffles of parallelism — but a
+      // session-wide floor taxes EVERY small shuffle with task
+      // overhead (measured: +42 s across the bench suite for −2 s on
+      // one query). The solver stages that need parallelism despite
+      // tiny bytes pin it explicitly (fixed-partitioner RDD stage in
+      // `analyses.Pipeline.run`), which AQE never re-coalesces.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = b.getOrCreate()

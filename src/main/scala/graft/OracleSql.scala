@@ -790,6 +790,111 @@ object OracleSql {
     JOIN s ON e.user_id = s.user_id AND CAST(e.ts AS DATE) = s.day
   """
 
+  private val clipStatsCte = """
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS daily_max
+      FROM events GROUP BY 1, 2),
+    site AS (SELECT user_id, max(daily_max) AS site_max FROM daily GROUP BY 1),
+    sums AS (
+      SELECT e.user_id, d.day, d.daily_max,
+        sum(CASE WHEN e.value / d.daily_max > 0.995 THEN e.value / d.daily_max ELSE 0 END) AS sum_clip,
+        sum(e.value / d.daily_max) AS sum_np
+      FROM events e
+      JOIN daily d ON e.user_id = d.user_id AND CAST(e.ts AS DATE) = d.day
+      WHERE d.daily_max > 0
+      GROUP BY 1, 2, 3)
+  """
+
+  private val q48 = s"""
+    WITH $clipStatsCte
+    SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
+      round(s.daily_max / m.site_max, 6) AS clip1,
+      round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2
+    FROM sums s JOIN site m ON s.user_id = m.user_id
+  """
+
+  private val q49 = s"""
+    WITH $clipStatsCte,
+    cs AS (
+      SELECT s.user_id, s.day, s.daily_max / m.site_max AS clip1,
+        round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2r
+      FROM sums s JOIN site m ON s.user_id = m.user_id),
+    masses AS (
+      SELECT user_id, round(clip1 / 0.01) * 0.01 AS mass, count(*) AS n_bucket
+      FROM cs GROUP BY 1, 2 HAVING count(*) >= 3),
+    clipped AS (
+      SELECT user_id, count(*) AS n_clipped FROM (
+        SELECT DISTINCT c.user_id, c.day
+        FROM cs c JOIN masses m ON c.user_id = m.user_id
+        WHERE c.clip1 > 0.05 AND c.clip2r > 0.1 AND abs(c.clip1 - m.mass) < 0.0075)
+      GROUP BY 1),
+    nm AS (SELECT user_id, count(*) AS n_point_masses FROM masses GROUP BY 1),
+    nd AS (SELECT user_id, count(*) AS n_days FROM cs GROUP BY 1)
+    SELECT nd.user_id, nd.n_days,
+      CAST(coalesce(nc.n_clipped, 0) AS BIGINT) AS n_clipped,
+      CAST(coalesce(nm.n_point_masses, 0) AS BIGINT) AS n_point_masses,
+      coalesce(nc.n_clipped, 0) > nd.n_days * 0.01 AS inverter_clipping
+    FROM nd
+    LEFT JOIN clipped nc ON nd.user_id = nc.user_id
+    LEFT JOIN nm ON nd.user_id = nm.user_id
+  """
+
+  private val q50 = """
+    WITH slotted AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+        CAST((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) % 86400) // 1800 AS INT) AS slot,
+        avg(value) AS raw
+      FROM events GROUP BY 1, 2, 3),
+    cap AS (SELECT user_id, quantile_cont(value, 0.95) AS capacity FROM events GROUP BY 1),
+    rough AS (
+      SELECT s.user_id, s.day,
+        min(CASE WHEN s.raw > c.capacity * 0.005 THEN s.slot END) AS sr_rough,
+        max(CASE WHEN s.raw > c.capacity * 0.005 THEN s.slot END) AS ss_rough
+      FROM slotted s JOIN cap c ON s.user_id = c.user_id
+      GROUP BY 1, 2),
+    riseset AS (
+      SELECT a.user_id, a.day,
+        CAST(floor(quantile_cont(b.sr_rough, 0.5)) AS INT) AS sr_s,
+        CAST(floor(quantile_cont(b.ss_rough, 0.5)) AS INT) AS ss_s
+      FROM rough a JOIN rough b ON a.user_id = b.user_id
+        AND abs(date_diff('day', a.day, b.day)) <= 7
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT r.user_id, r.day, r.sr_s, r.ss_s, g.slot
+      FROM riseset r CROSS JOIN (SELECT unnest(range(0, 48)) AS slot) g),
+    base AS (
+      SELECT g.user_id, g.day, g.slot, s.raw,
+        CASE WHEN s.raw IS NOT NULL THEN greatest(s.raw, 0.0)
+             WHEN g.slot < g.sr_s OR g.slot > g.ss_s THEN 0.0 END AS v
+      FROM grid g LEFT JOIN slotted s
+        ON g.user_id = s.user_id AND g.day = s.day AND g.slot = s.slot),
+    w AS (
+      SELECT user_id, day, slot, raw, v,
+        last_value(v IGNORE NULLS) OVER wb AS pv,
+        first_value(v IGNORE NULLS) OVER wa AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER wb AS px,
+        first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER wa AS nx
+      FROM base
+      WINDOW
+        wb AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wa AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    filled AS (
+      SELECT user_id, day, raw,
+        coalesce(CASE
+          WHEN v IS NOT NULL THEN v
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          WHEN nx = px THEN pv
+          ELSE pv + (CAST(slot - px AS DOUBLE) / CAST(nx - px AS DOUBLE)) * (nv - pv)
+        END, 0.0) AS filled
+      FROM w)
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+      round(sum(filled) * 24.0 / 48, 4) AS energy_filled,
+      CAST(sum(CASE WHEN raw IS NULL AND filled <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
+      CAST(sum(CASE WHEN filled = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM filled GROUP BY 1, 2
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -1116,6 +1221,9 @@ object OracleSql {
     "q45_shapley" -> q45,
     "q46_polar_transform" -> q46,
     "q47_dst_apply" -> q47,
+    "q48_clip_stats" -> q48,
+    "q49_clipping_verdict" -> q49,
+    "q50_filled_energy" -> q50,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

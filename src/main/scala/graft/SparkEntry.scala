@@ -852,6 +852,70 @@ object SparkEntry {
       )
   }
 
+  /** Clipping statistics (reference `algorithms/clipping.py:54-68`):
+    * the two per-day clip stats behind inverter-clipping detection,
+    * computed fleet-wide in one relational plan (`DayStats.clipStats`
+    * — scan aggregated at (site, day) grain, side tables broadcast).
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
+      .select(
+        col("user_id"), col("day").cast("string").as("day"),
+        round(col("clip1"), 6).as("clip1"), round(col("clip2"), 6).as("clip2")
+      )
+
+  /** Inverter-clipping verdict (reference `clipping.py:40-107`
+    * `check_clipping`, relational analog of its histogram point-mass
+    * rule): candidate clipped days (`clip1 > 0.05 ∧ clip2 > 0.1`) must
+    * sit within 0.0075 of a point mass of the clip1 distribution
+    * (bucket of ≥3 days on a 0.01 grid); a site is clipping when >1%
+    * of its days qualify. All side tables are site- or site-bucket
+    * grain and broadcast — no row-grain shuffle beyond the q48 stats.
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val cs = DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
+      .withColumn("clip2r", round(col("clip2"), 6))
+    val masses = cs
+      .withColumn("mass", round(col("clip1") / lit(0.01)) * lit(0.01))
+      .groupBy(col("user_id"), col("mass"))
+      .agg(count(lit(1)).as("n_bucket"))
+      .filter(col("n_bucket") >= 3)
+    val clipped = cs
+      .filter(col("clip1") > 0.05 && col("clip2r") > 0.1)
+      .join(broadcast(masses), Seq("user_id"))
+      .filter(abs(col("clip1") - col("mass")) < 0.0075)
+      .select(col("user_id"), col("day")).distinct()
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_clipped"))
+    val nMass = masses.groupBy(col("user_id")).agg(count(lit(1)).as("n_point_masses"))
+    cs.groupBy(col("user_id")).agg(count(lit(1)).as("n_days"))
+      .join(broadcast(clipped), Seq("user_id"), "left")
+      .join(broadcast(nMass), Seq("user_id"), "left")
+      .select(
+        col("user_id"), col("n_days"),
+        coalesce(col("n_clipped"), lit(0L)).as("n_clipped"),
+        coalesce(col("n_point_masses"), lit(0L)).as("n_point_masses"),
+        (coalesce(col("n_clipped"), lit(0L)) > col("n_days") * 0.01).as("inverter_clipping")
+      )
+  }
+
+  /** Filled-matrix day energy (reference `make_filled_data_matrix`
+    * `data_handler.py:1110-1126` + `data_filling.py:13-28`, then the
+    * `daily_signals.energy` reduction): densify to the slot grid,
+    * zero the smoothed night band, interpolate in-day gaps
+    * (`Filling.filledDayGrid`), and report per-day filled energy plus
+    * infill/zero counts. The grid explode is the only row-multiplying
+    * step and it IS the filled matrix — the reference materializes
+    * the same volume per site in RAM; here it stays distributed.
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Filling.filledDayGrid(Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 48)
+      .groupBy(col("site").as("user_id"), col("day").cast("string").as("day"))
+      .agg(
+        round(sum(col("filled")) * 24.0 / 48, 4).as("energy_filled"),
+        sum(when(col("raw").isNull && col("filled") =!= 0.0, 1L).otherwise(0L)).as("n_interp"),
+        sum(when(col("filled") === 0.0, 1L).otherwise(0L)).as("n_zero")
+      )
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -1157,6 +1221,9 @@ object SparkEntry {
     "q45_shapley" -> (q45 _),
     "q46_polar_transform" -> (q46 _),
     "q47_dst_apply" -> (q47 _),
+    "q48_clip_stats" -> (q48 _),
+    "q49_clipping_verdict" -> (q49 _),
+    "q50_filled_energy" -> (q50 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

@@ -95,13 +95,24 @@ object Pipeline {
         col("site"), col("day_idx"), col("energy"), col("density"),
         col("daily_max"), col("com_hour"), col("n_obs"), col("capacity")
       )
-    rows
+    // The solver stage is CPU-dense on byte-tiny groups (a few KB of
+    // day stats per site carry an IRLS/DP/DBSCAN workload), so AQE
+    // would coalesce a Dataset groupByKey down to one or two
+    // partitions by byte size. Shuffle through a fixed HashPartitioner
+    // RDD stage instead: partitions == defaultParallelism, which AQE
+    // never re-plans, and each task groups its sites locally.
+    val par = spark.sparkContext.defaultParallelism
+    val solved = rows
       .as[(Long, Double, Double, Double, Double, Double, Long, Double)]
-      .groupByKey(_._1)
-      .mapGroups { (siteId, it) =>
-        val days = it.toArray.sortBy(_._2)
-        analyzeSite(siteId, days)
+      .rdd
+      .keyBy(_._1)
+      .partitionBy(new org.apache.spark.HashPartitioner(par))
+      .mapPartitions { it =>
+        it.map(_._2).toArray.groupBy(_._1).iterator.map { case (siteId, days) =>
+          analyzeSite(siteId, days.sortBy(_._2))
+        }
       }
+    spark.createDataset(solved)
   }
 
   /** Per-site analysis on bounded state; each stage is best-effort. */

@@ -52,6 +52,37 @@ object DayStats {
     daily.withColumn("site_max", max(col("daily_max")).over(w))
   }
 
+  /** Clipping statistics (reference `algorithms/clipping.py:54-68`):
+    * per (site, day), `clip1` = daily max / site-global max and
+    * `clip2` = fraction of the day's max-normalized energy generated
+    * within 0.5% of that day's max. One aggregation of the raw scan at
+    * the (site, day) grain plus two broadcast joins of tiny side
+    * tables (site-days and sites) — the scan itself is read twice but
+    * never shuffled at row grain, so the plan holds at any scale.
+    */
+  def clipStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val daily = df
+      .groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(max(col(valueCol)).as("daily_max"))
+    val siteMax = daily.groupBy(col(site)).agg(max(col("daily_max")).as("site_max"))
+    val np = col(valueCol) / col("daily_max")
+    df.withColumn("day", to_date(col(tsCol)))
+      .join(broadcast(daily), Seq(site, "day"))
+      .filter(col("daily_max") > 0)
+      .groupBy(col(site), col("day"))
+      .agg(
+        first(col("daily_max")).as("daily_max"),
+        sum(when(np > 0.995, np).otherwise(lit(0.0))).as("sum_clip"),
+        sum(np).as("sum_np")
+      )
+      .join(broadcast(siteMax), Seq(site))
+      .select(
+        col(site), col("day"),
+        (col("daily_max") / col("site_max")).as("clip1"),
+        try_divide(col("sum_clip"), col("sum_np")).as("clip2")
+      )
+  }
+
   /** Linearity score core: deterministic per-day mode of rounded first
     * differences (reference `data_quality.py:56-83`). Mode tie-break:
     * higher count, then smaller diff. Returns (site, day, modal_diff,

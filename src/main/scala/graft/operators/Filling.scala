@@ -63,4 +63,75 @@ object Filling {
       )
       .drop("__pv", "__nv", "__px", "__nx")
   }
+
+  /** The reference's `make_filled_data_matrix` (`data_handler.py:
+    * 1110-1126` + `data_filling.py:13-28`) as one relational plan:
+    * densify each (site, day) onto the full slot grid, clamp
+    * negatives to 0, zero nighttime gaps outside a smoothed
+    * sunrise/sunset band (rough per-day first/last slot above 0.5% of
+    * site capacity, smoothed by a ±7-day rolling median — the
+    * seasonal-solver analog of `sunrise_sunset_estimation.py`), and
+    * linearly interpolate the remaining in-day gaps.
+    *
+    * Returns (site, day, slot, raw, filled). Output volume is the
+    * dense matrix (site-days × slotsPerDay) — the same size the
+    * reference materializes, but built distributedly: one (site, day,
+    * slot) aggregation of the scan, day-grain side tables broadcast,
+    * and per-(site, day) interpolation windows that parallelize
+    * across the fleet.
+    */
+  def filledDayGrid(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      slotsPerDay: Int
+  ): DataFrame = {
+    val freqS = 86400 / slotsPerDay
+    val slotted = df
+      .groupBy(
+        col(site).as("site"),
+        to_date(col(tsCol)).as("day"),
+        ((unix_timestamp(col(tsCol)) % 86400L) / freqS).cast("int").as("slot")
+      )
+      .agg(avg(col(valueCol)).as("raw"))
+    val cap = df
+      .groupBy(col(site).as("site"))
+      .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
+    // rough sunrise/sunset slots per day, smoothed by a ±7-day median
+    val rough = slotted
+      .join(broadcast(cap), Seq("site"))
+      .groupBy(col("site"), col("day"))
+      .agg(
+        min(when(col("raw") > col("capacity") * 0.005, col("slot"))).as("sr_rough"),
+        max(when(col("raw") > col("capacity") * 0.005, col("slot"))).as("ss_rough")
+      )
+    // ±7-day rolling median via a day-grain range self-join (medians
+    // are not frameable window aggregates); `rough` is site-day grain,
+    // so the broadcast join is tiny at any raw-data scale
+    val riseSet = rough.select(col("site"), col("day"))
+      .join(
+        broadcast(rough.select(
+          col("site"), col("day").as("day2"),
+          col("sr_rough"), col("ss_rough"))),
+        Seq("site"))
+      .filter(abs(datediff(col("day2"), col("day"))) <= 7)
+      .groupBy(col("site"), col("day"))
+      .agg(
+        floor(percentile(col("sr_rough"), lit(0.5))).cast("int").as("sr_s"),
+        floor(percentile(col("ss_rough"), lit(0.5))).cast("int").as("ss_s")
+      )
+    val grid = riseSet
+      .select(col("site"), col("day"), col("sr_s"), col("ss_s"),
+        explode(sequence(lit(0), lit(slotsPerDay - 1))).as("slot"))
+    val night = col("slot") < col("sr_s") || col("slot") > col("ss_s")
+    val base = grid
+      .join(slotted, Seq("site", "day", "slot"), "left")
+      .withColumn("__v",
+        when(col("raw").isNotNull, greatest(col("raw"), lit(0.0)))
+          .when(night, lit(0.0)))
+    interpolateLinear(base, Seq("site", "day"), "slot", "__v", "filled")
+      .select(col("site"), col("day"), col("slot"), col("raw"),
+        coalesce(col("filled"), lit(0.0)).as("filled"))
+  }
 }
