@@ -363,7 +363,8 @@ object Kernels {
       harmonics: Int = 3,
       period: Double = YearPeriod,
       iters: Int = 25,
-      l1Residual: Boolean = true
+      l1Residual: Boolean = true,
+      seasSmooth: Double = 0.0
   ): (Array[Double], Array[Double], Array[Double]) = {
     val n = y.length
     val tMean = t.sum / math.max(n, 1)
@@ -431,6 +432,22 @@ object Kernels {
           b += 1
         }
         a += 1
+      }
+      // seasonal smoothness penalty (the reference's ‖W z‖² term on
+      // the smooth-periodic component, spcqe
+      // `make_regularization_matrix` — the same frequency-weighted
+      // ridge convention as [[quantileCrossFit]]): harmonic k pays
+      // seasSmooth·k² on its coefficients; the trend column stays
+      // unpenalized. Without it, a large step over exactly one period
+      // aliases into the fundamental and the seasonal absorbs step
+      // amplitude.
+      if (seasSmooth > 0.0) {
+        var a5 = 0
+        while (a5 < p - 1) {
+          val k = a5 / 2 + 1
+          ata(a5 * p + a5) += seasSmooth * k * k
+          a5 += 1
+        }
       }
       beta = Linalg.solveSpd(ata, atb, p)
       val rhs = Array.tabulate(n) { i =>
