@@ -59,6 +59,22 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("clipping stats broadcast their day-grain side tables (q48, q49)") {
+    Seq("q48_clip_stats", "q49_clipping_verdict").foreach { n =>
+      val p = planOf(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$n shuffled the scan for a tiny side table")
+      assert(!p.contains("CartesianProduct"), s"$n planned a cartesian product")
+    }
+  }
+
+  test("filled-grid plan has no cartesian and keeps the rise/set self-join broadcast (q50)") {
+    val p = planOf("q50_filled_energy")
+    assert(!p.contains("CartesianProduct"), "q50 planned a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q50 planned a nested-loop join")
+    assert(p.contains("BroadcastHashJoin"), "q50 lost the day-grain broadcasts")
+  }
+
   test("grid search stays single-scan: no row explosion before aggregation (q38)") {
     // the threshold grid is evaluated as conditional aggregate columns;
     // every Generate (explode) must sit DOWNSTREAM of an aggregate —
