@@ -889,7 +889,7 @@ object OracleSql {
         END, 0.0) AS filled
       FROM w)
     SELECT user_id, CAST(day AS VARCHAR) AS day,
-      round(sum(filled) * 24.0 / 48, 4) AS energy_filled,
+      CAST(floor(sum(CAST(round(filled * 1e6) AS BIGINT)) / 2) AS BIGINT) AS energy_micro,
       CAST(sum(CASE WHEN raw IS NULL AND filled <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
       CAST(sum(CASE WHEN filled = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
     FROM filled GROUP BY 1, 2

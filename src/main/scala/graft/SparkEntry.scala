@@ -911,7 +911,12 @@ object SparkEntry {
     Filling.filledDayGrid(Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 48)
       .groupBy(col("site").as("user_id"), col("day").cast("string").as("day"))
       .agg(
-        round(sum(col("filled")) * 24.0 / 48, 4).as("energy_filled"),
+        // exact integer micro-units: a rounded FLOAT sum is
+        // order-dependent at ~1e-13 and flakes whenever a day lands on
+        // a rounding boundary (observed cross-engine); per-row
+        // micro-rounding THEN an integer sum is order-independent and
+        // bit-identical in any engine
+        floor(sum(round(col("filled") * 1e6).cast("long")) / 2).cast("long").as("energy_micro"),
         sum(when(col("raw").isNull && col("filled") =!= 0.0, 1L).otherwise(0L)).as("n_interp"),
         sum(when(col("filled") === 0.0, 1L).otherwise(0L)).as("n_zero")
       )

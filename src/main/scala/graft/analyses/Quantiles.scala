@@ -47,23 +47,29 @@ object Quantiles {
         col("dil_slot").cast("int"), col("dil_value").cast("double")
       )
       .as[(Long, String, Int, Double)]
-    rows
-      .groupByKey(_._1)
-      .flatMapGroups { (siteId: Long, it: Iterator[(Long, String, Int, Double)]) =>
-        val pts = it.toArray.sortBy(p => (p._2, p._3))
+    // CPU-dense per-site solver stage: pin parallelism with a fixed
+    // HashPartitioner RDD shuffle (AQE would coalesce the Dataset
+    // groupByKey by byte size; see analyses.Pipeline.run)
+    val par = spark.sparkContext.defaultParallelism
+    val solved = rows.rdd
+      .keyBy(_._1)
+      .partitionBy(new org.apache.spark.HashPartitioner(par))
+      .mapPartitions { part =>
+        part.map(_._2).toArray.groupBy(_._1).iterator.flatMap { case (siteId, group) =>
+        val pts = group.sortBy(p => (p._2, p._3))
         val days = pts.map(_._2).distinct.sorted
         val dayIdx = days.zipWithIndex.toMap
         val t = pts.map(p => dayIdx(p._2) * nBins.toDouble + p._3)
         val y = pts.map(_._4)
         val bases = Seq((nBins.toDouble, harmonicsDaily), (365.2425 * nBins, harmonicsYearly))
-        def fit(tau: Double): Array[Double] =
+        val Seq(lo, mid, hi) =
           if (crossBasis)
-            Kernels.quantileCrossFit(y, t, tau, nBins.toDouble, harmonicsDaily,
-              365.2425 * nBins, harmonicsYearly)
-          else Kernels.quantileFourierFitMulti(y, t, tau, bases)
-        val lo = fit(tauLo)
-        val mid = fit(tauMid)
-        val hi = fit(tauHi)
+            Seq(tauLo, tauMid, tauHi).map(tau =>
+              Kernels.quantileCrossFit(y, t, tau, nBins.toDouble, harmonicsDaily,
+                365.2425 * nBins, harmonicsYearly))
+          else
+            // one shared trig design for all three quantile levels
+            Kernels.quantileFourierFitMultiTaus(y, t, Seq(tauLo, tauMid, tauHi), bases)
         val ratio = y.indices.map { i =>
           if (hi(i) > 1e-9) y(i) / hi(i) else Double.NaN
         }.toArray
@@ -71,7 +77,9 @@ object Quantiles {
         pts.indices.iterator.map { i =>
           (siteId, pts(i)._2, pts(i)._3, y(i), lo(i), mid(i), hi(i), clear(i))
         }
+        }
       }
+    spark.createDataset(solved)
       .toDF("site", "day", "dil_slot", "dil_value", "q_lo", "q_mid", "q_hi", "clear")
   }
 }

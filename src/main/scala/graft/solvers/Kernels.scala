@@ -89,7 +89,23 @@ object Kernels {
       tau: Double,
       bases: Seq[(Double, Int)],
       iters: Int = 30
-  ): Array[Double] = {
+  ): Array[Double] =
+    quantileFourierFitMultiTaus(y, t, Seq(tau), bases, iters).head
+
+  /** [[quantileFourierFitMulti]] for several quantile levels at once:
+    * the trig design rows are built ONCE and shared across every τ's
+    * IRLS (the row build is ~⅓ of the fit cost when fitting 3
+    * quantiles, as the clear-sky stage does), and each IRLS
+    * early-exits on coefficient convergence instead of running a
+    * fixed iteration budget.
+    */
+  def quantileFourierFitMultiTaus(
+      y: Array[Double],
+      t: Array[Double],
+      taus: Seq[Double],
+      bases: Seq[(Double, Int)],
+      iters: Int = 30
+  ): Seq[Array[Double]] = {
     val n = y.length
     val p = 1 + bases.map(_._2 * 2).sum
     def rowAt(tv: Double): Array[Double] = {
@@ -108,33 +124,42 @@ object Kernels {
     }
     val valid = (0 until n).filter(i => !y(i).isNaN).toArray
     val m = valid.length
-    if (m < p) return Array.fill(n)(Double.NaN)
+    if (m < p) return taus.map(_ => Array.fill(n)(Double.NaN))
     val rows = valid.map(i => rowAt(t(i)))
+    val outRows = Array.tabulate(n)(i => rowAt(t(i)))
     val yv = valid.map(y)
-    val w = Array.fill(m)(1.0)
-    var beta = Linalg.wls(m, p, rows, yv, w)
-    val eps = 1e-6
-    var it = 0
-    while (it < iters) {
-      var i = 0
-      while (i < m) {
+    taus.map { tau =>
+      val w = Array.fill(m)(1.0)
+      var beta = Linalg.wls(m, p, rows, yv, w)
+      val eps = 1e-6
+      var it = 0
+      var converged = false
+      while (it < iters && !converged) {
+        var i = 0
+        while (i < m) {
+          var f = 0.0
+          var a = 0
+          while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
+          val r = yv(i) - f
+          val g = if (r < 0) 1.0 - tau else tau
+          w(i) = g / math.max(math.abs(r), eps)
+          i += 1
+        }
+        val next = Linalg.wls(m, p, rows, yv, w)
+        var d = 0.0
+        var a = 0
+        while (a < p) { d = math.max(d, math.abs(next(a) - beta(a))); a += 1 }
+        beta = next
+        if (d < 1e-9) converged = true
+        it += 1
+      }
+      Array.tabulate(n) { i =>
+        val row = outRows(i)
         var f = 0.0
         var a = 0
-        while (a < p) { f += rows(i)(a) * beta(a); a += 1 }
-        val r = yv(i) - f
-        val g = if (r < 0) 1.0 - tau else tau
-        w(i) = g / math.max(math.abs(r), eps)
-        i += 1
+        while (a < p) { f += row(a) * beta(a); a += 1 }
+        f
       }
-      beta = Linalg.wls(m, p, rows, yv, w)
-      it += 1
-    }
-    Array.tabulate(n) { i =>
-      val row = rowAt(t(i))
-      var f = 0.0
-      var a = 0
-      while (a < p) { f += row(a) * beta(a); a += 1 }
-      f
     }
   }
 
