@@ -201,6 +201,85 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  case class SiteDayClip(
+      site: Long, day: String, dailyMax: Double, clip2: Double,
+      siteMaxSoFar: Double, clip1SoFar: Double)
+
+  /** Streaming twin of the clipping statistics (`DayStats.clipStats`,
+    * reference `clipping.py:54-68`): as days finalize (same closure
+    * rule as [[finalizedDayStats]]), each closed day emits its
+    * `clip2` — a PURE per-day statistic, so the emitted value is
+    * final and exactly batch-equivalent — plus `clip1SoFar` against
+    * the site's EXPANDING max (running max of closed daily maxes,
+    * including the day itself): the streaming face of the
+    * full-series `clip1`, reproducible in batch by an expanding
+    * `max(daily_max) over (order by day)` window. State per site:
+    * the open day's value buffer (bounded by scans-per-day), the
+    * closed-day watermark, and one running max — O(scans/day), flat
+    * in stream length.
+    */
+  def incrementalClipStats(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
+      .as[Ev]
+    val clips = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev],
+         state: GroupState[(Map[String, Vector[Double]], String, Double)]) =>
+          val (open0, closedMax, siteMax0) =
+            state.getOption.getOrElse((Map.empty[String, Vector[Double]], "", Double.MinValue))
+          val m = it.foldLeft(open0) { (acc, e) =>
+            if (e.day <= closedMax) acc // late row for a finalized day: drop
+            else acc.updated(e.day, acc.getOrElse(e.day, Vector.empty) :+ e.value)
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val maxDay = m.keys.max
+            val (open, closed) = m.partition(_._1 == maxDay)
+            val newClosedMax = if (closed.isEmpty) closedMax else {
+              val c = closed.keys.max; if (c > closedMax) c else closedMax
+            }
+            var siteMax = siteMax0
+            val out = closed.toSeq.sortBy(_._1).map { case (day, vs) =>
+              val dmax = vs.max
+              val clip2 =
+                if (dmax > 0) {
+                  var num = 0.0; var den = 0.0
+                  vs.foreach { v =>
+                    val np = v / dmax
+                    if (np > 0.995) num += np
+                    den += np
+                  }
+                  if (den != 0.0) num / den else Double.NaN
+                } else Double.NaN
+              siteMax = math.max(siteMax, dmax)
+              SiteDayClip(site, day, dmax, clip2, siteMax, dmax / siteMax)
+            }
+            state.update((open, newClosedMax, siteMax))
+            out.iterator
+          }
+      }
+    val q = clips.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
     * §2.11: the stateful face — per-site state survives across
     * micro-batches and across restarts through the checkpoint).

@@ -90,6 +90,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(out3.count() == out2.count(), "late replay changed the finalized row count")
   }
 
+  test("incrementalClipStats matches batch clip2 and the expanding clip1") {
+    val src = java.nio.file.Files.createTempDirectory("evclip").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evclipckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evclipout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalClipStats(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalClipStats(spark, src, ckpt, outDir)
+
+    // batch twin: per-(site, day) clip2 of every CLOSED day, clip1
+    // against the expanding max of closed daily maxes
+    import org.apache.spark.sql.expressions.Window
+    val daily = all.groupBy(col("user_id").as("site"), col("day"))
+      .agg(max("value").as("e_dmax"))
+    val evs2 = all.select(col("user_id").as("site"), col("day"), col("value"))
+    val sums = evs2.join(daily, Seq("site", "day"))
+      .filter(col("e_dmax") > 0)
+      .groupBy(col("site"), col("day"))
+      .agg(
+        first(col("e_dmax")).as("e_dmax"),
+        sum(when(col("value") / col("e_dmax") > 0.995, col("value") / col("e_dmax")).otherwise(0.0)).as("num"),
+        sum(col("value") / col("e_dmax")).as("den")
+      )
+      .withColumn("e_clip2", col("num") / col("den"))
+    val lastDay = daily.groupBy("site").agg(max("day").as("last_day"))
+    val w = Window.partitionBy("site").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val expect = sums.join(lastDay, "site")
+      .filter(col("day") < col("last_day"))
+      .withColumn("e_site_max", max(col("e_dmax")).over(w))
+      .withColumn("e_clip1", col("e_dmax") / col("e_site_max"))
+    assert(out.count() == expect.count(), "closed-day row count mismatch")
+    val joined = out.join(expect, Seq("site", "day"))
+    val bad = joined.filter(
+      abs(col("dailyMax") - col("e_dmax")) > 1e-9 ||
+        abs(col("clip2") - col("e_clip2")) > 1e-9 ||
+        abs(col("clip1SoFar") - col("e_clip1")) > 1e-9)
+    assert(bad.count() == 0, "streaming clip stats diverge from the batch twin")
+    val dupes = out.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a closed day emitted clip stats more than once")
+  }
+
   test("incrementalClearDays labels match a batch expanding-envelope computation") {
     val src = java.nio.file.Files.createTempDirectory("evclr").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evclrckpt").toString
