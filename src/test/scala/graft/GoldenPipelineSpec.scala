@@ -43,7 +43,12 @@ class GoldenPipelineSpec extends AnyFunSuite {
     * infill-detection semantics of `data_quality.py:56-83`). The
     * golden run flags exactly that one bad day out of 193.
     */
-  test("data quality score matches to 3 places") {
+  /** (density score, linearity score) per day, computed once: density
+    * from the raw above-2%-capacity fraction normalized by its τ=0.85
+    * seasonal fit; linearity from the filled grid's modal rounded
+    * slot-diff count.
+    */
+  private lazy val dayScores: (IndexedSeq[Double], IndexedSeq[Double]) = {
     val cap = ts.agg(percentile(col("power"), lit(0.95))).collect()(0).getDouble(0)
 
     // density signal: fraction of slots above 2% capacity (raw matrix,
@@ -75,13 +80,38 @@ class GoldenPipelineSpec extends AnyFunSuite {
     val linScore = dens.indices.map { i =>
       modeCnt.getOrElse(dens(i)._1, 0L).toDouble / (287.0 * math.max(fit(i), 1e-9))
     }
+    (densScore, linScore)
+  }
 
-    val noErrors = dens.indices.map { i =>
+  test("data quality score matches to 3 places") {
+    val (densScore, linScore) = dayScores
+    val noErrors = densScore.indices.map { i =>
       densScore(i) > 0.6 && densScore(i) < 1.05 && linScore(i) < 0.1
     }
-    val quality = noErrors.count(identity).toDouble / dens.length
+    val quality = noErrors.count(identity).toDouble / noErrors.length
     assert(math.abs(quality - 0.9948186528497409) < 1e-3,
-      f"quality $quality%.6f (${noErrors.count(identity)}/${dens.length} days)")
+      f"quality $quality%.6f (${noErrors.count(identity)}/${noErrors.length} days)")
+  }
+
+  /** Quality clustering (reference `get_daily_flags`
+    * `data_handler.py:1171-1199`): DBSCAN(eps=0.03,
+    * min_samples=max(0.01·n, 3)) over the (density, linearity) score
+    * pairs. Golden labels (`scoring/quality_clustering.csv`): 191
+    * days in the main cluster, days 0 and 100 noise.
+    */
+  test("quality clustering labels match the golden vector") {
+    val (densScore, linScore) = dayScores
+    val labels = graft.solvers.Cluster.dbscan2d(
+      densScore.toArray, linScore.toArray, eps = 0.03, minPts = 3)
+    val src = scala.io.Source.fromFile("/root/reference/tests/fixtures/scoring/quality_clustering.csv")
+    val golden = try src.getLines().map(_.trim.toDouble.toInt).toArray finally src.close()
+    assert(golden.length == labels.length)
+    // labels are cluster ids; compare the noise/main partition (id
+    // numbering is algorithm-dependent)
+    val mismatches = labels.indices.count(i => (labels(i) == -1) != (golden(i) == -1))
+    assert(mismatches <= 1,
+      s"$mismatches noise-label mismatches; ours noise at ${labels.indices.filter(labels(_) == -1)}, " +
+        s"golden noise at ${golden.indices.filter(golden(_) == -1)}")
   }
 
   /** Clearness score via the reference's own rule
