@@ -1060,6 +1060,31 @@ object OracleSql {
     FROM labels GROUP BY 1 HAVING count(*) > 1
   """
 
+  private val e06 = """
+    WITH base AS (
+      SELECT vec_id, embedding,
+        CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        CAST(list_max(embedding) AS DOUBLE) AS vmax
+      FROM embeddings),
+    q AS (
+      SELECT vec_id, embedding, vmin, (vmax - vmin) / 255.0 AS scale,
+        CASE WHEN (vmax - vmin) / 255.0 = 0
+             THEN list_transform(embedding, v -> 0)
+             ELSE list_transform(embedding, v ->
+               CAST(round((CAST(v AS DOUBLE) - vmin) / ((vmax - vmin) / 255.0)) AS INT)) END AS codes
+      FROM base),
+    e AS (
+      SELECT vec_id, len(embedding) AS n_dims, codes,
+        list_transform(range(1, len(embedding) + 1), i ->
+          CAST(embedding[i] AS DOUBLE) - (vmin + codes[i] * scale)) AS errs
+      FROM q)
+    SELECT vec_id, n_dims,
+      CAST(list_sum(codes) AS BIGINT) AS code_sum,
+      round(list_reduce(list_prepend(0.0, list_transform(errs, x -> x * x)), (a, x) -> a + x) / n_dims, 12) AS mse,
+      round(list_reduce(list_prepend(0.0, list_transform(errs, x -> abs(x))), (a, x) -> greatest(a, x)), 12) AS max_err
+    FROM e
+  """
+
   private val e05 = """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
@@ -1240,6 +1265,7 @@ object OracleSql {
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,
     "e04_cosine_neardup" -> e04,
-    "e05_ivf_topk" -> e05
+    "e05_ivf_topk" -> e05,
+    "e06_scalar_quant" -> e06
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

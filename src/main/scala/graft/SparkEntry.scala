@@ -1085,6 +1085,35 @@ object SparkEntry {
       .select(col("vec_id"), col("bucket"))
   }
 
+  /** Scalar (int8) quantization of the embedding column — the
+    * compression path a 100 TB vector corpus needs before ANN: each
+    * vector is min/max-normalized to 0..255 codes (4× smaller than
+    * float32), and the query reports the exact reconstruction-error
+    * stats (MSE, max abs error) plus an integer code checksum. All
+    * arithmetic is per-row higher-order-function folds over the array
+    * — fixed evaluation order, so the floats are bit-identical across
+    * engines and the whole thing stays inside codegen with no
+    * shuffle at all (a pure map over the scan).
+    */
+  private def e06(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("vmin", expr("cast(array_min(embedding) as double)"))
+      .withColumn("vmax", expr("cast(array_max(embedding) as double)"))
+      .withColumn("scale", expr("(vmax - vmin) / 255.0d"))
+      .withColumn("codes", expr(
+        "case when scale = 0d then transform(embedding, v -> 0) " +
+          "else transform(embedding, v -> cast(round((cast(v as double) - vmin) / scale) as int)) end"))
+      .withColumn("errs", expr(
+        "zip_with(embedding, codes, (v, c) -> cast(v as double) - (vmin + c * scale))"))
+      .select(
+        col("vec_id"),
+        expr("size(embedding)").as("n_dims"),
+        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"),
+        round(expr("aggregate(errs, 0d, (a, x) -> a + x * x)") / expr("size(embedding)"), 12).as("mse"),
+        round(expr("aggregate(errs, 0d, (a, x) -> greatest(a, abs(x)))"), 12).as("max_err")
+      )
+
   /** End-to-end IVF ANN search: probe the 2 nearest of 8 coarse cells
     * per query, exact cosine top-3 within the probed cells only —
     * each query scans ~1/4 of the corpus instead of all of it.
@@ -1245,7 +1274,8 @@ object SparkEntry {
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
     "e04_cosine_neardup" -> (e04 _),
-    "e05_ivf_topk" -> (e05 _)
+    "e05_ivf_topk" -> (e05 _),
+    "e06_scalar_quant" -> (e06 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
