@@ -895,6 +895,28 @@ object OracleSql {
     FROM filled GROUP BY 1, 2
   """
 
+  private val q51 = """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, max(value) AS dmax
+      FROM events GROUP BY 1, 2),
+    l AS (SELECT user_id, day, ln(greatest(dmax, 1e-9)) AS ldm FROM daily),
+    j AS (
+      SELECT user_id, day,
+        round(
+          avg(ldm) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)
+          - avg(ldm) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+          6) AS jump_r
+      FROM l),
+    f AS (SELECT user_id, day, jump_r FROM j WHERE jump_r IS NOT NULL),
+    n AS (
+      SELECT user_id, day, jump_r,
+        max(abs(jump_r)) OVER (PARTITION BY user_id ORDER BY day
+          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nbr_max
+      FROM f)
+    SELECT user_id, CAST(day AS VARCHAR) AS day, jump_r
+    FROM n WHERE abs(jump_r) > 0.1 AND abs(jump_r) = nbr_max
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -1249,6 +1271,7 @@ object OracleSql {
     "q48_clip_stats" -> q48,
     "q49_clipping_verdict" -> q49,
     "q50_filled_energy" -> q50,
+    "q51_capacity_shifts" -> q51,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

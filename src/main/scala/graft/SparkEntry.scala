@@ -921,6 +921,33 @@ object SparkEntry {
         sum(when(col("filled") === 0.0, 1L).otherwise(0L)).as("n_zero")
       )
 
+  /** Capacity-change detection, relational analog (reference
+    * `capacity_change.py:40-182`: pwc fit on log daily max → step
+    * days). The solver becomes two ordered-window averages of the log
+    * daily max — 7 days before vs 7 days from the day — and a step is
+    * a day whose jump exceeds 10% AND is the largest |jump| in a
+    * ±3-day neighborhood (the pwc's change-point uniqueness). Jumps
+    * are rounded to the 1e-6 grid BEFORE the neighborhood argmax so
+    * the cross-engine comparison is tie-stable. One shuffle to the
+    * (site, day) grain; windows are per-site — the same partitioning.
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(col("value")).as("dmax"))
+      .withColumn("ldm", log(greatest(col("dmax"), lit(1e-9))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val jumps = daily
+      .withColumn("avg_before", avg(col("ldm")).over(w.rowsBetween(-7, -1)))
+      .withColumn("avg_after", avg(col("ldm")).over(w.rowsBetween(0, 6)))
+      .withColumn("jump_r", round(col("avg_after") - col("avg_before"), 6))
+      .filter(col("jump_r").isNotNull)
+    jumps
+      .withColumn("nbr_max", max(abs(col("jump_r"))).over(w.rowsBetween(-3, 3)))
+      .filter(abs(col("jump_r")) > 0.1 && abs(col("jump_r")) === col("nbr_max"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("jump_r"))
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -1258,6 +1285,7 @@ object SparkEntry {
     "q48_clip_stats" -> (q48 _),
     "q49_clipping_verdict" -> (q49 _),
     "q50_filled_energy" -> (q50 _),
+    "q51_capacity_shifts" -> (q51 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
