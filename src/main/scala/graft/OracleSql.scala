@@ -1028,6 +1028,28 @@ object OracleSql {
     WHERE j.jaccard >= 0.4
   """
 
+  private val d10 = s"""
+    WITH ${shinglesCte(120)},
+    hh AS (SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 64) AS t(j)
+      GROUP BY 1, 2),
+    ex AS (SELECT a_id, b_id, round(jaccard, 6) AS jacc FROM jac WHERE jaccard >= 0.3),
+    ag AS (
+      SELECT e.a_id, e.b_id, sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS est
+      FROM ex e
+      JOIN sig sa ON sa.doc_id = e.a_id
+      JOIN sig sb ON sb.doc_id = e.b_id AND sb.j = sa.j
+      GROUP BY 1, 2)
+    SELECT e.a_id, e.b_id, e.jacc, a.est, round(abs(a.est - e.jacc), 6) AS abs_err
+    FROM ex e JOIN ag a ON e.a_id = a.a_id AND e.b_id = a.b_id
+  """
+
   private val d08 = """
     WITH toks AS (
       SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -1284,6 +1306,7 @@ object OracleSql {
     "d07_minhash_lsh" -> d07,
     "d08_simhash" -> d08,
     "d09_dup_components" -> d09,
+    "d10_minhash_estimate" -> d10,
     "e01_cosine_topk" -> e01,
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,

@@ -1067,6 +1067,31 @@ object SparkEntry {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
   }
 
+  /** Sketch-accuracy measurement: MinHash Jaccard ESTIMATE (fraction
+    * of agreeing signature positions, 64 hashes) against the exact
+    * shingle Jaccard, per near-dup pair — the calibration a
+    * production dedup pipeline runs before trusting the sketch at
+    * scale (expected |err| ~ 1/√64 ≈ 0.125). The estimate k/64 is
+    * binary-exact, so the cross-engine compare has no float-rounding
+    * surface beyond the already-verified exact Jaccard.
+    */
+  private def d10(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val sig = Dedup.minhashFromShingles(sh, "doc_id", 64)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
+    val agree = exact.select("a_id", "b_id")
+      .join(sig.select(col("doc_id").as("a_id"), col("j"), col("mh").as("mh_a")), Seq("a_id"))
+      .join(sig.select(col("doc_id").as("b_id"), col("j"), col("mh").as("mh_b")), Seq("b_id", "j"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / 64.0).as("est"))
+    exact.join(agree, Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("jacc"), col("est"),
+        round(abs(col("est") - col("jacc")), 6).as("abs_err"))
+  }
+
   private def d08(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", 32)
       .select(col("doc_id"), col("simhash"))
@@ -1298,6 +1323,7 @@ object SparkEntry {
     "d07_minhash_lsh" -> (d07 _),
     "d08_simhash" -> (d08 _),
     "d09_dup_components" -> (d09 _),
+    "d10_minhash_estimate" -> (d10 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
