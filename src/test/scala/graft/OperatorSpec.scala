@@ -231,6 +231,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.length == 2)
   }
 
+  test("filledDayGrid: dense days pass through, night zeros, gaps interpolate") {
+    // 3 sites? no — one site, 3 days on a 24-slot grid (1-hour slots).
+    // Day 1 is dense 06:00–18:00 (sr/ss stable via the ±7-day median
+    // over all days); day 2 has a 2-slot midday gap; day 3 has a
+    // negative reading (clamped to 0).
+    val base = java.time.LocalDate.of(2024, 3, 1)
+    def ts(d: Int, slot: Int): java.sql.Timestamp =
+      java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay.plusHours(slot))
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, java.sql.Timestamp, Double)]
+    for (d <- 0 until 3; s <- 6 to 18) {
+      val gap = d == 1 && (s == 11 || s == 12)
+      if (!gap) {
+        val v = if (d == 2 && s == 6) -5.0 else 100.0 - math.abs(12 - s) * 10.0
+        rows += ((1L, ts(d, s), v))
+      }
+    }
+    val df = rows.toSeq.toDF("site", "ts", "value")
+    val out = Filling.filledDayGrid(df, "site", "ts", "value", slotsPerDay = 24)
+      .orderBy("day", "slot")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getInt(2), r.getDouble(4)))
+    assert(out.length == 3 * 24)
+    val byDay = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3)).toMap
+    val d0 = byDay(base.toString)
+    // night slots zero; dense daytime passes through unchanged
+    assert(d0.take(6).forall(_ == 0.0) && d0.drop(19).forall(_ == 0.0), d0.mkString(","))
+    assert(d0(12) == 100.0 && d0(6) == 40.0 && d0(18) == 40.0)
+    // day 2's missing 11:00/12:00 interpolate linearly between
+    // 10:00 (80) and 13:00 (90): 80 + 10/3, 80 + 20/3
+    val d1 = byDay(base.plusDays(1).toString)
+    assert(math.abs(d1(11) - (80.0 + 10.0 / 3)) < 1e-9, d1(11).toString)
+    assert(math.abs(d1(12) - (80.0 + 20.0 / 3)) < 1e-9, d1(12).toString)
+    // day 3's negative reading clamps to 0
+    val d2 = byDay(base.plusDays(2).toString)
+    assert(d2(6) == 0.0)
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }
