@@ -268,6 +268,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(d2(6) == 0.0)
   }
 
+  test("clipStats: constant day saturates clip2, max day sets clip1, scale-invariant") {
+    def mk(scale: Double) = {
+      val base = java.time.LocalDate.of(2024, 5, 1)
+      def ts(d: Int, h: Int) = java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay.plusHours(h))
+      (Seq.tabulate(5)(i => (1L, ts(0, 8 + i), 50.0 * scale)) ++
+        Seq(10.0, 50.0, 100.0, 50.0, 10.0).zipWithIndex.map { case (v, i) => (1L, ts(1, 8 + i), v * scale) } ++
+        Seq(8.0, 40.0, 80.0, 40.0, 8.0).zipWithIndex.map { case (v, i) => (1L, ts(2, 8 + i), v * scale) })
+        .toDF("site", "ts", "value")
+    }
+    def stats(scale: Double): Map[String, (Double, Double)] =
+      DayStats.clipStats(mk(scale), "site", "ts", "value")
+        .collect()
+        .map(r => r.getDate(1).toString -> ((r.getDouble(2), r.getDouble(3))))
+        .toMap
+    val s1 = stats(1.0)
+    val (c1_0, c2_0) = s1("2024-05-01")
+    val (c1_1, c2_1) = s1("2024-05-02")
+    val (c1_2, c2_2) = s1("2024-05-03")
+    assert(c2_0 == 1.0, "constant day must have clip2 = 1")
+    assert(c1_1 == 1.0, "the site-max day must have clip1 = 1")
+    assert(math.abs(c2_1 - 100.0 / 220.0) < 1e-12, s"clip2 day1 $c2_1")
+    assert(math.abs(c1_0 - 0.5) < 1e-12 && math.abs(c1_2 - 0.8) < 1e-12)
+    assert(c2_2 > 0 && c2_2 < 1)
+    // positive scaling leaves both statistics unchanged
+    val s2 = stats(3.7)
+    s1.foreach { case (day, (a, b)) =>
+      val (a2, b2) = s2(day)
+      assert(math.abs(a - a2) < 1e-12 && math.abs(b - b2) < 1e-12, s"scale variance at $day")
+    }
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }
