@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // NOTE: a 24g heap was measured and did NOT reduce the bench's
+  // run-to-run variance (JIT/page-cache noise, not GC pressure) — 8g
+  // is sufficient for local[32] at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
