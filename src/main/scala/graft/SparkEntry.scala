@@ -1078,16 +1078,17 @@ object SparkEntry {
   private def d10(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
     val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
-    val sig = Dedup.minhashFromShingles(sh, "doc_id", 64)
+    // one array row per doc: the pair join moves 2 rows per pair, not
+    // 2×64, and the agreement count is a per-row zip_with fold
+    val sig = Dedup.minhashArrayFromShingles(sh, "doc_id", 64)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.3)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
-    val agree = exact.select("a_id", "b_id")
-      .join(sig.select(col("doc_id").as("a_id"), col("j"), col("mh").as("mh_a")), Seq("a_id"))
-      .join(sig.select(col("doc_id").as("b_id"), col("j"), col("mh").as("mh_b")), Seq("b_id", "j"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)) / 64.0).as("est"))
-    exact.join(agree, Seq("a_id", "b_id"))
+    exact
+      .join(broadcast(sig.select(col("doc_id").as("a_id"), col("sig").as("sig_a"))), Seq("a_id"))
+      .join(broadcast(sig.select(col("doc_id").as("b_id"), col("sig").as("sig_b"))), Seq("b_id"))
+      .withColumn("est",
+        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, x) -> a + x)") / 64.0)
       .select(col("a_id"), col("b_id"), col("jacc"), col("est"),
         round(abs(col("est") - col("jacc")), 6).as("abs_err"))
   }

@@ -109,6 +109,19 @@ object Dedup {
     wide.select(col(idCol), expr(s"stack($numHashes, $stackExpr) AS (j, mh)"))
   }
 
+  /** MinHash signature as ONE array row per document (same columnar
+    * min-aggregates as [[minhashFromShingles]], without the unpivot):
+    * the shape for signature-vs-signature comparisons — a pair join
+    * carries one row per doc instead of `numHashes`, and the
+    * position-agreement count is a per-row `zip_with` fold.
+    */
+  def minhashArrayFromShingles(sh: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val withH = sh.withColumn("h31", baseHash31(col("shingle")))
+    val aggs = (0 until numHashes).map(j => min(universalHash(col("h31"), lit(j))).as(s"mh$j"))
+    withH.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"mh$j")): _*).as("sig"))
+  }
+
   /** Exact Jaccard restricted to a candidate-pair table: each side's
     * distinct shingle set is collected into an array and the pair's
     * intersection is computed with `array_intersect` — shuffle volume
