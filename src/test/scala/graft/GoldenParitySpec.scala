@@ -46,6 +46,9 @@ class GoldenParitySpec extends AnyFunSuite {
     assert(r.qualityScore > 0.85, s"quality ${r.qualityScore}")
     // golden clearness 0.4922 — simplified clear-day analog in band
     assert(r.clearFrac > 0.15 && r.clearFrac < 0.8, s"clearFrac ${r.clearFrac}")
+    // golden inverter_clipping=True — the CDF point-mass stage must
+    // flag this site
+    assert(r.clipped, "pipeline missed the golden inverter clipping")
     // golden time_shifts=False — a well-behaved clock
     assert(r.timeShiftDays < r.nDays / 5, s"timeShiftDays ${r.timeShiftDays}")
     // daylight sanity on real PV data
