@@ -64,8 +64,11 @@ object DayStats {
     val daily = df
       .groupBy(col(site), to_date(col(tsCol)).as("day"))
       .agg(max(col(valueCol)).as("daily_max"))
-    val siteMax = daily.groupBy(col(site)).agg(max(col("daily_max")).as("site_max"))
     val np = col(valueCol) / col("daily_max")
+    // site max via a window over the DAY-GRAIN aggregate (a per-site
+    // max of ≤ days rows) — a separate aggregation branch would
+    // re-scan the raw table a third time with no exchange reuse
+    val wSite = Window.partitionBy(col(site))
     df.withColumn("day", to_date(col(tsCol)))
       .join(broadcast(daily), Seq(site, "day"))
       .filter(col("daily_max") > 0)
@@ -75,7 +78,7 @@ object DayStats {
         sum(when(np > 0.995, np).otherwise(lit(0.0))).as("sum_clip"),
         sum(np).as("sum_np")
       )
-      .join(broadcast(siteMax), Seq(site))
+      .withColumn("site_max", max(col("daily_max")).over(wSite))
       .select(
         col(site), col("day"),
         (col("daily_max") / col("site_max")).as("clip1"),
