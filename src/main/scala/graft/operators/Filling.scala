@@ -87,25 +87,38 @@ object Filling {
       valueCol: String,
       slotsPerDay: Int
   ): DataFrame = {
+    val spark = df.sparkSession
     val freqS = 86400 / slotsPerDay
-    val slotted = df
+    // the slotted aggregate feeds the rise/set derivation AND the
+    // final grid join, and Spark plans no exchange reuse across those
+    // branches — without a persist each branch re-scans the raw table
+    // (5 full scans observed). Persist as RDDs (ContextCleaner frees
+    // them when the result plan is collected and dropped): `slotted`
+    // is matrix-sized → MEMORY_AND_DISK; `rough` is day-grain-tiny.
+    val slotted0 = df
       .groupBy(
         col(site).as("site"),
         to_date(col(tsCol)).as("day"),
         ((unix_timestamp(col(tsCol)) % 86400L) / freqS).cast("int").as("slot")
       )
       .agg(avg(col(valueCol)).as("raw"))
+    val slottedRdd = slotted0.rdd
+      .setName("filledDayGrid slotted matrix")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val slotted = spark.createDataFrame(slottedRdd, slotted0.schema)
     val cap = df
       .groupBy(col(site).as("site"))
       .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
     // rough sunrise/sunset slots per day, smoothed by a ±7-day median
-    val rough = slotted
+    val rough0 = slotted
       .join(broadcast(cap), Seq("site"))
       .groupBy(col("site"), col("day"))
       .agg(
         min(when(col("raw") > col("capacity") * 0.005, col("slot"))).as("sr_rough"),
         max(when(col("raw") > col("capacity") * 0.005, col("slot"))).as("ss_rough")
       )
+    val roughRdd = rough0.rdd.setName("filledDayGrid rise/set").persist()
+    val rough = spark.createDataFrame(roughRdd, rough0.schema)
     // ±7-day rolling median via a day-grain range self-join (medians
     // are not frameable window aggregates); `rough` is site-day grain,
     // so the broadcast join is tiny at any raw-data scale
