@@ -873,8 +873,13 @@ object SparkEntry {
     * grain and broadcast — no row-grain shuffle beyond the q48 stats.
     */
   private def q49(s: SparkSession, dir: String): DataFrame = {
-    val cs = DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
+    // four derivation branches (masses, candidates, day counts, mass
+    // counts) read the same day-grain stats — persist them once
+    // (ContextCleaner-managed RDD) instead of recomputing the
+    // clipStats scans per branch
+    val cs0 = DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
       .withColumn("clip2r", round(col("clip2"), 6))
+    val cs = s.createDataFrame(cs0.rdd.setName("q49 clip stats").persist(), cs0.schema)
     val masses = cs
       .withColumn("mass", round(col("clip1") / lit(0.01)) * lit(0.01))
       .groupBy(col("user_id"), col("mass"))
