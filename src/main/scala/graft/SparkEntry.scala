@@ -1086,7 +1086,7 @@ object SparkEntry {
     // one array row per doc: the pair join moves 2 rows per pair, not
     // 2×64, and the agreement count is a per-row zip_with fold
     val sig = Dedup.minhashArrayFromShingles(sh, "doc_id", 64)
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+    val exact = Dedup.jaccardFromShingles(sh, "doc_id")
       .filter(col("jaccard") >= 0.3)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
     exact
