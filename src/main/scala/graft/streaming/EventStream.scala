@@ -280,6 +280,85 @@ object EventStream {
     spark.read.parquet(outDir)
   }
 
+  case class SiteDayJump(site: Long, day: String, jumpR: Double)
+
+  /** Streaming twin of the capacity-change detector (q51's windowed
+    * log-ratio rule): as days finalize, each closed day's log daily
+    * max enters a per-site ring of the last 14 closed days, and the
+    * day at the ring's pivot (index 7) emits its jump — mean(log dmax
+    * of the pivot's 7-day from-frame) minus mean(of the 7 before),
+    * rounded to the 1e-6 grid like the batch query. A day is
+    * therefore emitted with a 6-closed-day lag and is FINAL at
+    * emission (both window frames complete), bit-equal to the batch
+    * windowed computation restricted to full-frame days (q51 also
+    * emits partial-frame edge days; the streaming face defers until
+    * frames fill). State per site: ≤14 (day, log-max) pairs + the
+    * open-day aggregate + the closure watermark — O(1) in stream
+    * length. The ±3-day neighborhood argmax (change-point uniqueness)
+    * stays a batch post-filter over the emitted jumps, as in q51.
+    */
+  def incrementalCapacityJumps(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
+      .as[Ev]
+    val jumps = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev],
+         state: GroupState[(Map[String, Double], String, List[(String, Double)])]) =>
+          val (open0, closedMax, ring0) =
+            state.getOption.getOrElse((Map.empty[String, Double], "", List.empty[(String, Double)]))
+          val m = it.foldLeft(open0) { (acc, e) =>
+            if (e.day <= closedMax) acc
+            else acc.updated(e.day, math.max(acc.getOrElse(e.day, Double.MinValue), e.value))
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val maxDay = m.keys.max
+            val (open, closed) = m.partition(_._1 == maxDay)
+            val newClosedMax = if (closed.isEmpty) closedMax else {
+              val c = closed.keys.max; if (c > closedMax) c else closedMax
+            }
+            var ring = ring0
+            val out = scala.collection.mutable.ArrayBuffer.empty[SiteDayJump]
+            closed.toSeq.sortBy(_._1).foreach { case (day, dmax) =>
+              ring = (ring :+ (day, math.log(math.max(dmax, 1e-9)))).takeRight(14)
+              // the pivot (index 7) has its 7 preceding closed days
+              // (0..6) and its own 7-day from-frame (7..13) exactly
+              // when the ring holds 14 — it is then final
+              if (ring.length == 14) {
+                val (pivotDay, _) = ring(7)
+                val before = ring.slice(0, 7).map(_._2)
+                val after = ring.slice(7, 14).map(_._2)
+                val jump = after.sum / 7.0 - before.sum / 7.0
+                out += SiteDayJump(site, pivotDay,
+                  BigDecimal(jump).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              }
+            }
+            state.update((open, newClosedMax, ring))
+            out.iterator
+          }
+      }
+    val q = jumps.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
     * §2.11: the stateful face — per-site state survives across
     * micro-batches and across restarts through the checkpoint).

@@ -138,6 +138,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupes.count() == 0, "a closed day emitted clip stats more than once")
   }
 
+  test("incrementalCapacityJumps matches the batch windowed log-ratio on full-frame days") {
+    val src = java.nio.file.Files.createTempDirectory("evcap").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evcapckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evcapout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalCapacityJumps(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalCapacityJumps(spark, src, ckpt, outDir)
+
+    // batch twin (q51's windows over CLOSED days), restricted to days
+    // whose both frames are complete
+    import org.apache.spark.sql.expressions.Window
+    val daily = all.groupBy(col("user_id").as("site"), col("day"))
+      .agg(log(greatest(max("value"), lit(1e-9))).as("ldm"))
+    val lastDay = daily.groupBy("site").agg(max("day").as("last_day"))
+    val w = Window.partitionBy("site").orderBy("day")
+    val expect = daily.join(lastDay, "site")
+      .filter(col("day") < col("last_day")) // closed days only
+      .withColumn("n_before", count(lit(1)).over(w.rowsBetween(-7, -1)))
+      .withColumn("n_after", count(lit(1)).over(w.rowsBetween(0, 6)))
+      .withColumn("e_jump", round(
+        avg(col("ldm")).over(w.rowsBetween(0, 6)) - avg(col("ldm")).over(w.rowsBetween(-7, -1)), 6))
+      .filter(col("n_before") === 7 && col("n_after") === 7)
+    assert(out.count() == expect.count(),
+      s"full-frame day count mismatch: ${out.count()} vs ${expect.count()}")
+    val joined = out.join(expect, Seq("site", "day"))
+    val bad = joined.filter(abs(col("jumpR") - col("e_jump")) > 1e-9)
+    assert(bad.count() == 0, "streaming jumps diverge from the batch windows")
+    val dupes = out.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a day emitted its jump more than once")
+  }
+
   test("incrementalClearDays labels match a batch expanding-envelope computation") {
     val src = java.nio.file.Files.createTempDirectory("evclr").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evclrckpt").toString
