@@ -128,9 +128,15 @@ object Kernels {
     val rows = valid.map(i => rowAt(t(i)))
     val outRows = Array.tabulate(n)(i => rowAt(t(i)))
     val yv = valid.map(y)
+    // warm start: each τ's IRLS starts from the previous τ's
+    // converged coefficients (quantile curves of the same signal are
+    // near-parallel, so the first reweighting is already close and
+    // the convergence early-exit fires several iterations sooner);
+    // τ₀ starts from the unweighted LS fit as before
+    var warm: Array[Double] = null
     taus.map { tau =>
       val w = Array.fill(m)(1.0)
-      var beta = Linalg.wls(m, p, rows, yv, w)
+      var beta = if (warm != null) warm.clone() else Linalg.wls(m, p, rows, yv, w)
       val eps = 1e-6
       var it = 0
       var converged = false
@@ -153,6 +159,7 @@ object Kernels {
         if (d < 1e-9) converged = true
         it += 1
       }
+      warm = beta
       Array.tabulate(n) { i =>
         val row = outRows(i)
         var f = 0.0
