@@ -65,6 +65,74 @@ object EventStream {
   case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
   case class SiteDay(site: Long, day: String, nObs: Long, sumV: Double, maxV: Double)
 
+  /** Shared day-closure core for every finalization stream: fold
+    * events into per-open-day aggregates `D`, close a site's day as
+    * soon as a strictly later day is seen (all but the site's max
+    * day), DROP late rows for already-closed days (per-site closed-day
+    * watermark — closed days are final), and hand closed days to an
+    * analytic fold `onClose` that threads a per-site carry `C`
+    * (running envelope, site max, jump ring, …) and emits the output
+    * rows. State per site: open-day aggregates + watermark + carry —
+    * the O(1)-in-stream-length shape every twin shares. State is
+    * kryo-encoded (generic `D`/`C`); outputs append to parquet.
+    */
+  def finalizedFold[D, C, O](
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      zero: D,
+      foldEv: (D, Double) => D,
+      carry0: C,
+      onClose: (C, Long, String, D) => (C, Seq[O])
+  )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Map[String, D], String, C)] =
+      org.apache.spark.sql.Encoders.kryo[(Map[String, D], String, C)]
+    val evs = readEvents(spark, path)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
+      .as[Ev]
+    val out = evs
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (site: Long, it: Iterator[Ev], state: GroupState[(Map[String, D], String, C)]) =>
+          val (open0, closedMax, c0) =
+            state.getOption.getOrElse((Map.empty[String, D], "", carry0))
+          val m = it.foldLeft(open0) { (acc, e) =>
+            if (e.day <= closedMax) acc // late row for a finalized day: drop
+            else acc.updated(e.day, foldEv(acc.getOrElse(e.day, zero), e.value))
+          }
+          if (m.isEmpty) Iterator.empty
+          else {
+            val maxDay = m.keys.max
+            val (open, closed) = m.partition(_._1 == maxDay)
+            val newClosedMax = if (closed.isEmpty) closedMax else {
+              val c = closed.keys.max; if (c > closedMax) c else closedMax
+            }
+            var carry = c0
+            val outRows = closed.toSeq.sortBy(_._1).flatMap { case (day, d) =>
+              val (c2, os) = onClose(carry, site, day, d)
+              carry = c2
+              os
+            }
+            state.update((open, newClosedMax, carry))
+            outRows.iterator
+          }
+      }
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming DAY FINALIZATION — the streaming twin of the batch
     * DayStats fact table in append semantics: per site, a day's stats
     * are emitted exactly once, as soon as a strictly later day is seen
@@ -85,47 +153,14 @@ object EventStream {
     * the append-only output.
     */
   def finalizedDayStats(spark: SparkSession, path: String, checkpoint: String, outDir: String): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val evs = readEvents(spark, path)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
-      .as[Ev]
-    // state: (open day → (n, sum, max), max closed day — "" before any
-    // day has closed; ISO yyyy-MM-dd strings order like dates)
-    val finalized = evs
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev], state: GroupState[(Map[String, (Long, Double, Double)], String)]) =>
-          val (open0, closedMax) = state.getOption.getOrElse((Map.empty[String, (Long, Double, Double)], ""))
-          val m = it.foldLeft(open0) { (acc, e) =>
-            if (e.day <= closedMax) acc // late row for a finalized day: drop
-            else {
-              val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
-              acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
-            }
-          }
-          if (m.isEmpty) Iterator.empty
-          else {
-            val maxDay = m.keys.max
-            val (open, closed) = m.partition(_._1 == maxDay)
-            val newClosedMax = if (closed.isEmpty) closedMax else {
-              val c = closed.keys.max; if (c > closedMax) c else closedMax
-            }
-            state.update((open, newClosedMax))
-            closed.toSeq.sortBy(_._1).iterator.map { case (day, (n, s, mx)) => SiteDay(site, day, n, s, mx) }
-          }
-      }
-    val q = finalized.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    finalizedFold[(Long, Double, Double), Unit, SiteDay](
+      spark, path, checkpoint, outDir,
+      zero = (0L, 0.0, Double.MinValue),
+      foldEv = { case ((n, s, mx), v) => (n + 1, s + v, math.max(mx, v)) },
+      carry0 = (),
+      onClose = { case (_, site, day, (n, s, mx)) => ((), Seq(SiteDay(site, day, n, s, mx))) }
+    )
   }
 
   case class SiteDayLabel(site: Long, day: String, energy: Double, clear: Boolean)
@@ -152,53 +187,18 @@ object EventStream {
       outDir: String,
       clearFrac: Double = 0.8
   ): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val evs = readEvents(spark, path)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
-      .as[Ev]
-    val labeled = evs
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev],
-         state: GroupState[(Map[String, (Long, Double, Double)], String, Double)]) =>
-          val (open0, closedMax, runMax0) =
-            state.getOption.getOrElse((Map.empty[String, (Long, Double, Double)], "", Double.MinValue))
-          val m = it.foldLeft(open0) { (acc, e) =>
-            if (e.day <= closedMax) acc
-            else {
-              val (n, s, mx) = acc.getOrElse(e.day, (0L, 0.0, Double.MinValue))
-              acc.updated(e.day, (n + 1, s + e.value, math.max(mx, e.value)))
-            }
-          }
-          if (m.isEmpty) Iterator.empty
-          else {
-            val maxDay = m.keys.max
-            val (open, closed) = m.partition(_._1 == maxDay)
-            val newClosedMax = if (closed.isEmpty) closedMax else {
-              val c = closed.keys.max; if (c > closedMax) c else closedMax
-            }
-            var runMax = runMax0
-            val out = closed.toSeq.sortBy(_._1).map { case (day, (n, s, _)) =>
-              val energy = s * 24.0 / n
-              runMax = math.max(runMax, energy)
-              SiteDayLabel(site, day, energy, energy >= clearFrac * runMax)
-            }
-            state.update((open, newClosedMax, runMax))
-            out.iterator
-          }
+    finalizedFold[(Long, Double, Double), Double, SiteDayLabel](
+      spark, path, checkpoint, outDir,
+      zero = (0L, 0.0, Double.MinValue),
+      foldEv = { case ((n, s, mx), v) => (n + 1, s + v, math.max(mx, v)) },
+      carry0 = Double.MinValue,
+      onClose = { case (runMax0, site, day, (n, s, _)) =>
+        val energy = s * 24.0 / n
+        val runMax = math.max(runMax0, energy)
+        (runMax, Seq(SiteDayLabel(site, day, energy, energy >= clearFrac * runMax)))
       }
-    val q = labeled.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    )
   }
 
   case class SiteDayClip(
@@ -224,60 +224,28 @@ object EventStream {
       checkpoint: String,
       outDir: String
   ): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val evs = readEvents(spark, path)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
-      .as[Ev]
-    val clips = evs
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev],
-         state: GroupState[(Map[String, Vector[Double]], String, Double)]) =>
-          val (open0, closedMax, siteMax0) =
-            state.getOption.getOrElse((Map.empty[String, Vector[Double]], "", Double.MinValue))
-          val m = it.foldLeft(open0) { (acc, e) =>
-            if (e.day <= closedMax) acc // late row for a finalized day: drop
-            else acc.updated(e.day, acc.getOrElse(e.day, Vector.empty) :+ e.value)
-          }
-          if (m.isEmpty) Iterator.empty
-          else {
-            val maxDay = m.keys.max
-            val (open, closed) = m.partition(_._1 == maxDay)
-            val newClosedMax = if (closed.isEmpty) closedMax else {
-              val c = closed.keys.max; if (c > closedMax) c else closedMax
+    finalizedFold[Vector[Double], Double, SiteDayClip](
+      spark, path, checkpoint, outDir,
+      zero = Vector.empty[Double],
+      foldEv = (vs, v) => vs :+ v,
+      carry0 = Double.MinValue,
+      onClose = { (siteMax0, site, day, vs) =>
+        val dmax = vs.max
+        val clip2 =
+          if (dmax > 0) {
+            var num = 0.0; var den = 0.0
+            vs.foreach { v =>
+              val np = v / dmax
+              if (np > 0.995) num += np
+              den += np
             }
-            var siteMax = siteMax0
-            val out = closed.toSeq.sortBy(_._1).map { case (day, vs) =>
-              val dmax = vs.max
-              val clip2 =
-                if (dmax > 0) {
-                  var num = 0.0; var den = 0.0
-                  vs.foreach { v =>
-                    val np = v / dmax
-                    if (np > 0.995) num += np
-                    den += np
-                  }
-                  if (den != 0.0) num / den else Double.NaN
-                } else Double.NaN
-              siteMax = math.max(siteMax, dmax)
-              SiteDayClip(site, day, dmax, clip2, siteMax, dmax / siteMax)
-            }
-            state.update((open, newClosedMax, siteMax))
-            out.iterator
-          }
+            if (den != 0.0) num / den else Double.NaN
+          } else Double.NaN
+        val siteMax = math.max(siteMax0, dmax)
+        (siteMax, Seq(SiteDayClip(site, day, dmax, clip2, siteMax, dmax / siteMax)))
       }
-    val q = clips.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    )
   }
 
   case class SiteDayJump(site: Long, day: String, jumpR: Double)
@@ -303,60 +271,29 @@ object EventStream {
       checkpoint: String,
       outDir: String
   ): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    val evs = readEvents(spark, path)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
-      .as[Ev]
-    val jumps = evs
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev],
-         state: GroupState[(Map[String, Double], String, List[(String, Double)])]) =>
-          val (open0, closedMax, ring0) =
-            state.getOption.getOrElse((Map.empty[String, Double], "", List.empty[(String, Double)]))
-          val m = it.foldLeft(open0) { (acc, e) =>
-            if (e.day <= closedMax) acc
-            else acc.updated(e.day, math.max(acc.getOrElse(e.day, Double.MinValue), e.value))
-          }
-          if (m.isEmpty) Iterator.empty
-          else {
-            val maxDay = m.keys.max
-            val (open, closed) = m.partition(_._1 == maxDay)
-            val newClosedMax = if (closed.isEmpty) closedMax else {
-              val c = closed.keys.max; if (c > closedMax) c else closedMax
-            }
-            var ring = ring0
-            val out = scala.collection.mutable.ArrayBuffer.empty[SiteDayJump]
-            closed.toSeq.sortBy(_._1).foreach { case (day, dmax) =>
-              ring = (ring :+ (day, math.log(math.max(dmax, 1e-9)))).takeRight(14)
-              // the pivot (index 7) has its 7 preceding closed days
-              // (0..6) and its own 7-day from-frame (7..13) exactly
-              // when the ring holds 14 — it is then final
-              if (ring.length == 14) {
-                val (pivotDay, _) = ring(7)
-                val before = ring.slice(0, 7).map(_._2)
-                val after = ring.slice(7, 14).map(_._2)
-                val jump = after.sum / 7.0 - before.sum / 7.0
-                out += SiteDayJump(site, pivotDay,
-                  BigDecimal(jump).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
-              }
-            }
-            state.update((open, newClosedMax, ring))
-            out.iterator
-          }
+    finalizedFold[Double, List[(String, Double)], SiteDayJump](
+      spark, path, checkpoint, outDir,
+      zero = Double.MinValue,
+      foldEv = (mx, v) => math.max(mx, v),
+      carry0 = List.empty[(String, Double)],
+      onClose = { (ring0, site, day, dmax) =>
+        // the pivot (index 7) has its 7 preceding closed days (0..6)
+        // and its own 7-day from-frame (7..13) exactly when the ring
+        // holds 14 — it is then final
+        val ring = (ring0 :+ (day, math.log(math.max(dmax, 1e-9)))).takeRight(14)
+        val out =
+          if (ring.length == 14) {
+            val (pivotDay, _) = ring(7)
+            val before = ring.slice(0, 7).map(_._2)
+            val after = ring.slice(7, 14).map(_._2)
+            val jump = after.sum / 7.0 - before.sum / 7.0
+            Seq(SiteDayJump(site, pivotDay,
+              BigDecimal(jump).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          } else Seq.empty
+        (ring, out)
       }
-    val q = jumps.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    )
   }
 
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
