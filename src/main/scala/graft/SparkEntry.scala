@@ -1061,15 +1061,25 @@ object SparkEntry {
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), round(col("jaccard"), 6).as("jacc"))
 
+  /** Scratch path for a query's materialized dedup intermediate,
+    * keyed by query and input dir so repeated runs overwrite rather
+    * than accumulate and different scale factors never collide.
+    */
+  private def shingleScratch(name: String, dir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-shingles-$name-${Integer.toHexString(dir.hashCode)}"
+
   private def d07(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
-    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
-    val cands = Dedup.lshCandidates(Dedup.lshBandsFromShingles(sh, "doc_id", 32, 4), "doc_id")
-    // exact verify on candidates only (array-intersect per pair) — no
-    // full pairwise shingle self-join anywhere in the scale path
-    Dedup.jaccardOnCandidates(cands, sh, "doc_id")
-      .filter(col("jaccard") >= 0.4)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
+    // the shingle table feeds TWO branches (bands, exact verify):
+    // materialize it once instead of re-running scan→explode→distinct
+    Dedup.withMaterializedShingles(docs, "doc_id", "text", 3, shingleScratch("d07", dir)) { sh =>
+      val cands = Dedup.lshCandidates(Dedup.lshBandsFromShingles(sh, "doc_id", 32, 4), "doc_id")
+      // exact verify on candidates only (array-intersect per pair) — no
+      // full pairwise shingle self-join anywhere in the scale path
+      Dedup.jaccardOnCandidates(cands, sh, "doc_id")
+        .filter(col("jaccard") >= 0.4)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
+    }
   }
 
   /** Sketch-accuracy measurement: MinHash Jaccard ESTIMATE (fraction
@@ -1082,7 +1092,12 @@ object SparkEntry {
     */
   private def d10(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
-    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    // NOT materialized: at 120 docs the shingle table is so small the
+    // parquet round-trip (one extra job) costs more than the saved
+    // recompute — measured 0.7 s → 1.4 s. withMaterializedShingles is
+    // the corpus-scale tool (d07 exercises it in the gate); here the
+    // shared lineage stays lazy
+    locally { val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
     // one array row per doc: the pair join moves 2 rows per pair, not
     // 2×64, and the agreement count is a per-row zip_with fold
     val sig = Dedup.minhashArrayFromShingles(sh, "doc_id", 64)
@@ -1096,6 +1111,7 @@ object SparkEntry {
         expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1L, 0L)), 0L, (a, x) -> a + x)") / 64.0)
       .select(col("a_id"), col("b_id"), col("jacc"), col("est"),
         round(abs(col("est") - col("jacc")), 6).as("abs_err"))
+    }
   }
 
   private def d08(s: SparkSession, dir: String): DataFrame =

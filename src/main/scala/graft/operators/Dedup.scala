@@ -46,6 +46,35 @@ object Dedup {
       .select(col(idCol), expr(s"substring(__txt, __pos, $k)").as("shingle"))
       .distinct()
 
+  /** Opt-in MATERIALIZED shingle table: compute the distinct
+    * k-shingle table once, write it to `path` (parquet), and hand
+    * `body` a reader-backed frame. Every downstream dedup branch
+    * (MinHash signatures, LSH bands, exact-Jaccard verify, sketch
+    * calibration) then re-reads a columnar table instead of re-running
+    * scan → explode → distinct per branch — at corpus scale the
+    * shingle table is the most expensive dedup intermediate (it is
+    * larger than the corpus itself), and it is exactly the artifact a
+    * production pipeline materializes once and shares across stages
+    * and across runs (incremental dedup reads yesterday's table).
+    *
+    * Parquet, not `.persist()`, deliberately: at 100 TB the shingle
+    * table exceeds the storage-memory fraction, and an evicted cached
+    * partition silently recomputes the whole lineage per branch —
+    * the failure mode this API exists to remove. A parquet round-trip
+    * is spill-by-design, costs one extra scan of a (long, string)
+    * table, and later jobs can reuse it.
+    */
+  def withMaterializedShingles[T](
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      path: String
+  )(body: DataFrame => T): T = {
+    charShingles(df, idCol, textCol, k).write.mode("overwrite").parquet(path)
+    body(df.sparkSession.read.parquet(path))
+  }
+
   /** Exact duplicate groups by content fingerprint: one row per
     * fingerprint with representative (min id) and group size.
     */

@@ -112,6 +112,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(fused == composed, "fused band signatures diverge from the composed path")
   }
 
+  test("withMaterializedShingles round-trips the shingle table exactly") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumped over the lazy dog"),
+      (3L, "completely different content here")
+    ).toDF("doc_id", "text")
+    val direct = Dedup.charShingles(docs, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-shspec").toString + "/sh"
+    val (viaStore, jacc) =
+      Dedup.withMaterializedShingles(docs, "doc_id", "text", 3, path) { sh =>
+        (sh.as[(Long, String)].collect().toSet,
+         Dedup.jaccardFromShingles(sh, "doc_id").as[(Long, Long, Long, Long, Long, Double)].collect().toSet)
+      }
+    assert(viaStore == direct, "materialized shingle table diverges from the direct computation")
+    val jaccDirect = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(jacc == jaccDirect, "downstream Jaccard over the store diverges")
+  }
+
   test("simhash is equal for identical docs, differs for unrelated docs") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"),
