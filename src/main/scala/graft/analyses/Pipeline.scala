@@ -3,7 +3,7 @@ package graft.analyses
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
-import graft.operators.{DayStats, TimeAxis}
+import graft.operators.{DayStats, SideJoin, TimeAxis}
 import graft.solvers.{Cluster, Kernels}
 
 /** Per-(site, day) fact row — the bounded per-site state handed to the
@@ -68,7 +68,7 @@ object Pipeline {
   def dayStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val cap = DayStats.capacity(df, site, valueCol)
     val h = TimeAxis.hourOfDay(col(tsCol))
-    df.join(broadcast(cap), Seq(site))
+    SideJoin.back(df, cap, Seq(site))
       .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
       .agg(
         (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
@@ -87,8 +87,7 @@ object Pipeline {
     // first-day via broadcast agg (one small join) instead of a
     // whole-table window — avoids a full sort-shuffle of DayStats
     val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
-    val withIdx = stats
-      .join(broadcast(firstDay), Seq("site"))
+    val withIdx = SideJoin.back(stats, firstDay, Seq("site"))
       .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
     val rows = withIdx
       .select(

@@ -65,9 +65,9 @@ object TimeShift {
     val withSlot = df
       .withColumn("day", to_date(col(tsCol)).cast("string"))
       .withColumn("slot", (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int"))
-    withSlot
-      .join(
-        broadcast(shifts.select(col("site").as(site), col("day"), col("roll_slots"))),
+    graft.operators.SideJoin.back(
+        withSlot,
+        shifts.select(col("site").as(site), col("day"), col("roll_slots")),
         Seq(site, "day"),
         "left"
       )

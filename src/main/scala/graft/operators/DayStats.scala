@@ -32,11 +32,11 @@ object DayStats {
 
   /** Daily density: fraction of slots with value above 2% of the
     * site's capacity (reference `data_quality.py:35-41`). Capacity is
-    * broadcast-joined back (one row per site).
+    * joined back (one row per site) under the [[SideJoin]] strategy.
     */
   def dailyDensity(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val cap = capacity(df, site, valueCol)
-    df.join(broadcast(cap), Seq(site))
+    SideJoin.back(df, cap, Seq(site))
       .groupBy(col(site), to_date(col(tsCol)).as("day"))
       .agg(avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"))
   }
@@ -56,9 +56,9 @@ object DayStats {
     * per (site, day), `clip1` = daily max / site-global max and
     * `clip2` = fraction of the day's max-normalized energy generated
     * within 0.5% of that day's max. One aggregation of the raw scan at
-    * the (site, day) grain plus two broadcast joins of tiny side
-    * tables (site-days and sites) — the scan itself is read twice but
-    * never shuffled at row grain, so the plan holds at any scale.
+    * the (site, day) grain plus two [[SideJoin]] join-backs of tiny
+    * side tables (site-days and sites) — the scan itself is read twice
+    * but never shuffled at row grain, so the plan holds at any scale.
     */
   def clipStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val daily = df
@@ -69,8 +69,7 @@ object DayStats {
     // max of ≤ days rows) — a separate aggregation branch would
     // re-scan the raw table a third time with no exchange reuse
     val wSite = Window.partitionBy(col(site))
-    df.withColumn("day", to_date(col(tsCol)))
-      .join(broadcast(daily), Seq(site, "day"))
+    SideJoin.back(df.withColumn("day", to_date(col(tsCol))), daily, Seq(site, "day"))
       .filter(col("daily_max") > 0)
       .groupBy(col(site), col("day"))
       .agg(
@@ -152,7 +151,7 @@ object DayStats {
   def riseSetRough(df: DataFrame, site: String, tsCol: String, valueCol: String, frac: Double): DataFrame = {
     val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
     val h = TimeAxis.hourOfDay(col(tsCol))
-    df.join(broadcast(siteMax), Seq(site))
+    SideJoin.back(df, siteMax, Seq(site))
       .withColumn("__thr", round(col("site_max") * frac, 6))
       .groupBy(col(site), to_date(col(tsCol)).as("day"))
       .agg(

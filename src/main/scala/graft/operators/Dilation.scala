@@ -52,8 +52,7 @@ object Dilation {
   ): DataFrame = {
     import spark.implicits._
     val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
-    val rows = df
-      .join(broadcast(siteMax), Seq(site))
+    val rows = SideJoin.back(df, siteMax, Seq(site))
       .select(
         col(site).cast("long").as("site"),
         to_date(col(tsCol)).cast("string").as("day"),

@@ -110,8 +110,7 @@ object Filling {
       .groupBy(col(site).as("site"))
       .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
     // rough sunrise/sunset slots per day, smoothed by a ±7-day median
-    val rough0 = slotted
-      .join(broadcast(cap), Seq("site"))
+    val rough0 = SideJoin.back(slotted, cap, Seq("site"))
       .groupBy(col("site"), col("day"))
       .agg(
         min(when(col("raw") > col("capacity") * 0.005, col("slot"))).as("sr_rough"),
@@ -121,12 +120,12 @@ object Filling {
     val rough = spark.createDataFrame(roughRdd, rough0.schema)
     // ±7-day rolling median via a day-grain range self-join (medians
     // are not frameable window aggregates); `rough` is site-day grain,
-    // so the broadcast join is tiny at any raw-data scale
-    val riseSet = rough.select(col("site"), col("day"))
-      .join(
-        broadcast(rough.select(
+    // so the join-back side is tiny at any raw-data scale
+    val riseSet = SideJoin.back(
+        rough.select(col("site"), col("day")),
+        rough.select(
           col("site"), col("day").as("day2"),
-          col("sr_rough"), col("ss_rough"))),
+          col("sr_rough"), col("ss_rough")),
         Seq("site"))
       .filter(abs(datediff(col("day2"), col("day"))) <= 7)
       .groupBy(col("site"), col("day"))
