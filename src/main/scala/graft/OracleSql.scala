@@ -1050,6 +1050,48 @@ object OracleSql {
     FROM ex e JOIN ag a ON e.a_id = a.a_id AND e.b_id = a.b_id
   """
 
+  // Robust winnowing (k=5, w=4): 44-bit md5-prefix k-gram hashes and
+  // rightmost-argmin via the packed integer key h*2^16 + (65535-pos),
+  // exactly the arithmetic of Dedup.winnowFingerprints — integer-only,
+  // so the selection is bit-identical across engines.
+  private val d11 = """
+    WITH d AS (
+      SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS norm
+      FROM documents WHERE doc_id < 150),
+    sized AS (
+      SELECT doc_id, norm, least(len(norm) - 4, 65535) AS n
+      FROM d WHERE least(len(norm) - 4, 65535) >= 4),
+    grams AS (
+      SELECT doc_id, n, CAST(g AS INT) AS pos,
+        CAST('0x' || substring(md5(substring(norm, CAST(g AS INT), 5)), 1, 11) AS BIGINT)
+          * 65536 + (65535 - CAST(g AS BIGINT)) AS key
+      FROM sized, UNNEST(range(1, n + 1)) AS t(g)),
+    sel AS (
+      SELECT doc_id, n, pos,
+        min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM grams),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin // 65536 AS fp_hash
+      FROM sel WHERE pos <= n - 3),
+    kept AS (
+      SELECT doc_id, fp_hash FROM (
+        SELECT doc_id, fp_hash, count(*) OVER (PARTITION BY fp_hash) AS df
+        FROM fp) WHERE df <= 20),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+      FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT p.a_id, p.b_id, p.n_shared, sa.sz AS na, sb.sz AS nb,
+      round(CAST(p.n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.a_id = sa.doc_id
+    JOIN sizes sb ON p.b_id = sb.doc_id
+    WHERE p.n_shared >= 5
+      AND round(CAST(p.n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.2
+  """
+
   private val d08 = """
     WITH toks AS (
       SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -1127,6 +1169,67 @@ object OracleSql {
       round(list_reduce(list_prepend(0.0, list_transform(errs, x -> x * x)), (a, x) -> a + x) / n_dims, 12) AS mse,
       round(list_reduce(list_prepend(0.0, list_transform(errs, x -> abs(x))), (a, x) -> greatest(a, x)), 12) AS max_err
     FROM e
+  """
+
+  // Quantized-search recall: dequantization arithmetic mirrors e06;
+  // dot products and norms are ORDERED list folds (index order), the
+  // same summation order as graft_dot, so the 5-dp cosines and the
+  // resulting top-5 sets are engine-independent.
+  private val e07 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    base AS (
+      SELECT vec_id, embedding,
+        CAST(list_min(embedding) AS DOUBLE) AS vmin,
+        (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+      FROM e),
+    dq AS (
+      SELECT vec_id,
+        CASE WHEN scale = 0 THEN list_transform(embedding, v -> vmin)
+             ELSE list_transform(embedding, v ->
+               vmin + CAST(round((CAST(v AS DOUBLE) - vmin) / scale) AS INT) * scale) END AS emb
+      FROM base),
+    qf AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb
+           FROM e WHERE vec_id < 32),
+    cf AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM e),
+    nf AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb, x -> x * x)), (s, x) -> s + x)) AS nrm FROM cf),
+    nq AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb, x -> x * x)), (s, x) -> s + x)) AS nrm FROM dq),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+              q.emb[CAST(i AS INT)] * c.emb[CAST(i AS INT)])), (s, x) -> s + x)
+            / (a.nrm * b.nrm), 5) AS cosine
+        FROM qf q
+        JOIN cf c ON c.vec_id <> q.vec_id
+        JOIN nf a ON a.vec_id = q.vec_id
+        JOIN nf b ON b.vec_id = c.vec_id) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+    qu AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+              q.emb[CAST(i AS INT)] * c.emb[CAST(i AS INT)])), (s, x) -> s + x)
+            / (a.nrm * b.nrm), 5) AS cosine
+        FROM qf q
+        JOIN dq c ON c.vec_id <> q.vec_id
+        JOIN nf a ON a.vec_id = q.vec_id
+        JOIN nq b ON b.vec_id = c.vec_id) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+    com AS (
+      SELECT ex.query_id, count(*) AS n_common
+      FROM ex JOIN qu ON ex.query_id = qu.query_id AND ex.neighbor_id = qu.neighbor_id
+      GROUP BY 1)
+    SELECT x.query_id,
+      x.n_exact, u.n_quant,
+      coalesce(c.n_common, 0) AS n_common,
+      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE), 6) AS recall
+    FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) x
+    JOIN (SELECT query_id, count(*) AS n_quant FROM qu GROUP BY 1) u ON x.query_id = u.query_id
+    LEFT JOIN com c ON x.query_id = c.query_id
   """
 
   private val e05 = """
@@ -1307,11 +1410,13 @@ object OracleSql {
     "d08_simhash" -> d08,
     "d09_dup_components" -> d09,
     "d10_minhash_estimate" -> d10,
+    "d11_winnow_pairs" -> d11,
     "e01_cosine_topk" -> e01,
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,
     "e04_cosine_neardup" -> e04,
     "e05_ivf_topk" -> e05,
-    "e06_scalar_quant" -> e06
+    "e06_scalar_quant" -> e06,
+    "e07_quant_recall" -> e07
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

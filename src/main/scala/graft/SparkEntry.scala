@@ -1114,6 +1114,21 @@ object SparkEntry {
     }
   }
 
+  /** Winnowing (MOSS) fingerprint near-dup pairs: robust-winnowed
+    * k-gram fingerprints (k=5, w=4 — any shared normalized substring
+    * of ≥ 8 chars shares a fingerprint), postings-list join with a
+    * boilerplate cap, containment-scored pairs. The third independent
+    * near-dup family next to MinHash (set-sketch) and SimHash
+    * (bit-sketch): winnowing is POSITIONAL, so it catches contained
+    * excerpts that whole-document sketches dilute away.
+    */
+  private def d11(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val fp = Dedup.winnowFingerprints(docs, "doc_id", "text", 5, 4)
+    Dedup.winnowPairs(fp, "doc_id", maxDocsPerHash = 20)
+      .filter(col("n_shared") >= 5 && col("containment") >= 0.2)
+  }
+
   private def d08(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(s, dir), "doc_id", "text", 32)
       .select(col("doc_id"), col("simhash"))
@@ -1187,6 +1202,41 @@ object SparkEntry {
         round(expr("aggregate(errs, 0d, (a, x) -> a + x * x)") / expr("size(embedding)"), 12).as("mse"),
         round(expr("aggregate(errs, 0d, (a, x) -> greatest(a, abs(x)))"), 12).as("max_err")
       )
+
+  /** Quantized-search recall calibration: float queries scored
+    * against the int8 scalar-quantized (e06) corpus, recall@5 per
+    * query vs the exact float baseline — the accept/reject
+    * measurement a pipeline runs before switching ANN serving to
+    * compressed vectors (float32 → int8 is a 4× memory/IO cut, which
+    * at 100 TB of embeddings is the difference between spilling and
+    * serving from memory). Same plan shape as e01 twice: the
+    * candidate scan never shuffles (queries broadcast), and the
+    * recall join touches 5 rows per query per side.
+    */
+  private def e07(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val deq = emb
+      .withColumn("vmin", expr("cast(array_min(embedding) as double)"))
+      .withColumn("scale", expr("(cast(array_max(embedding) as double) - vmin) / 255.0d"))
+      .select(col("vec_id"), expr(
+        "case when scale = 0d then transform(embedding, v -> vmin) " +
+          "else transform(embedding, v -> vmin + cast(round((cast(v as double) - vmin) / scale) as int) * scale) end"
+      ).as("embedding"))
+    val q = emb.filter(col("vec_id") < 32)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+    val quant = Similarity.cosineTopK(q, deq, "vec_id", "embedding", 5)
+    val common = exact.select(col("query_id"), col("neighbor_id"))
+      .join(quant.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(quant.groupBy(col("query_id")).agg(count(lit(1)).as("n_quant")), Seq("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("n_exact"), col("n_quant"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double"), 6).as("recall")
+      )
+  }
 
   /** End-to-end IVF ANN search: probe the 2 nearest of 8 coarse cells
     * per query, exact cosine top-3 within the probed cells only —
@@ -1346,12 +1396,14 @@ object SparkEntry {
     "d08_simhash" -> (d08 _),
     "d09_dup_components" -> (d09 _),
     "d10_minhash_estimate" -> (d10 _),
+    "d11_winnow_pairs" -> (d11 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
     "e04_cosine_neardup" -> (e04 _),
     "e05_ivf_topk" -> (e05 _),
-    "e06_scalar_quant" -> (e06 _)
+    "e06_scalar_quant" -> (e06 _),
+    "e07_quant_recall" -> (e07 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -366,4 +366,83 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), packed.as("simhash"))
   }
+
+  /** Robust-winnowing document fingerprints (Schleimer/Wilkerson/
+    * Aiken, SIGMOD 2003 — the MOSS sketch; reference has no analog,
+    * this is the training-data-pipeline extension): hash every
+    * character k-gram of the normalized text, slide a window over `w`
+    * consecutive k-gram hashes, and keep each window's minimum hash —
+    * rightmost position on ties. Guarantees every shared substring of
+    * length ≥ w + k − 1 contributes at least one shared fingerprint,
+    * while storing only ~2/(w+1) of the k-gram hashes.
+    *
+    * The per-window rightmost-argmin needs no self-join: hash and
+    * position pack into one integer key `h·2^16 + (2^16−1−pos)` —
+    * larger position ⇒ smaller key — so a single frame-bounded
+    * `min()` window aggregate selects both the smallest hash and the
+    * rightmost tie in one codegen'd pass. The 44-bit md5-prefix hash
+    * keeps the packed key inside exact BIGINT range (no double
+    * rounding), making the selection bit-reproducible on any engine.
+    *
+    * Scale: per-doc work is linear in text length; the window
+    * partitions by document (millions of independent frames, no
+    * skew ceiling). Documents shorter than w+k−1 normalized chars
+    * yield no fingerprints; positions are capped at 2^16−1 so the
+    * packing stays exact (fingerprint the first 64 KiB — the standard
+    * prefix cap for near-dup sketches of long documents).
+    *
+    * Returns (idCol, fp_pos, fp_hash) — the distinct selected
+    * fingerprints per document.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be positive, got k=$k w=$w")
+    val norm = regexp_replace(lower(col(textCol)), "[^a-z0-9]", "")
+    val grams = df
+      .select(col(idCol), norm.as("__norm"))
+      .withColumn("__n", least(length(col("__norm")) - (k - 1), lit(65535)))
+      .filter(col("__n") >= w) // too short for one full window → no fingerprints
+      .withColumn("pos", explode(sequence(lit(1), col("__n"))))
+      .withColumn("__h",
+        conv(substring(md5(col("__norm").substr(col("pos"), lit(k))), 1, 11), 16, 10).cast("long"))
+    val winFrame = Window.partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(0, w - 1)
+    grams
+      .withColumn("__key", col("__h") * 65536L + (lit(65535L) - col("pos")))
+      .withColumn("__wmin", min(col("__key")).over(winFrame))
+      .filter(col("pos") <= col("__n") - (w - 1)) // full windows only
+      .select(
+        col(idCol),
+        (lit(65535L) - col("__wmin") % 65536L).cast("int").as("fp_pos"),
+        shiftright(col("__wmin"), 16).as("fp_hash")
+      )
+      .distinct()
+  }
+
+  /** Winnowing near-dup pairs: join the per-doc fingerprint SETS on
+    * fp_hash (a postings-list equi-join — never a doc cross join),
+    * count distinct shared hashes per pair, and score containment
+    * `shared / min(|A|, |B|)`. `maxDocsPerHash` drops boilerplate
+    * fingerprints that appear in more than that many documents before
+    * the pair join — the standard postings cap that bounds bucket
+    * fan-out at corpus scale (a header shared by 10⁶ docs would
+    * otherwise create 10¹² pairs).
+    */
+  def winnowPairs(fp: DataFrame, idCol: String, maxDocsPerHash: Int): DataFrame = {
+    val sets = fp.select(col(idCol), col("fp_hash")).distinct()
+    val kept = sets
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("fp_hash"))))
+      .filter(col("__df") <= maxDocsPerHash)
+      .select(col(idCol), col("fp_hash"))
+    val sizes = kept.groupBy(col(idCol)).agg(count(lit(1)).as("__sz"))
+    kept.select(col(idCol).as("a_id"), col("fp_hash"))
+      .join(kept.select(col(idCol).as("b_id"), col("fp_hash")), Seq("fp_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("a_id"), col("__sz").as("na")), Seq("a_id"))
+      .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("nb")), Seq("b_id"))
+      .select(
+        col("a_id"), col("b_id"), col("n_shared"), col("na"), col("nb"),
+        round(col("n_shared") / least(col("na"), col("nb")).cast("double"), 6).as("containment")
+      )
+  }
 }
