@@ -91,4 +91,19 @@ class PlanSpec extends AnyFunSuite {
       assert(hasAggBelow, "q38 explodes the scan before aggregating")
     }
   }
+
+  test("winnowing pair search is a postings equi-join — no doc cross join (d11)") {
+    val p = planOf("d11_winnow_pairs")
+    assert(!p.contains("CartesianProduct"), "d11 planned a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "d11 planned a nested-loop join")
+  }
+
+  test("quantized-recall candidate scans broadcast the query side (e07)") {
+    // both top-k passes must broadcast the 32 queries into the corpus
+    // scan; the corpus itself never shuffles for the scoring join
+    val p = planOf("e07_quant_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "e07 lost the query-side broadcast")
+    assert(!p.contains("CartesianProduct"), "e07 planned a cartesian product")
+  }
 }
