@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.operators.{Dedup, TextOps}
+
+/** Structured Streaming face of the DEDUP family (the training-data
+  * pipeline's incremental ingest: new documents arrive continuously;
+  * yesterday's kept documents must stay kept). Batch dedup (d01–d11)
+  * recomputes over the corpus; these twins maintain the same
+  * decisions append-only:
+  *
+  *  - exact dedup: state per DISTINCT CONTENT fingerprint (the
+  *    representative id), so state grows with unique contents, not
+  *    with stream length, and the shuffle key is the fingerprint —
+  *    the same partitioning the batch group-by uses;
+  *  - LSH near-dup candidates: state per (band, band-signature)
+  *    bucket (member ids, capped), emitting each candidate pair once
+  *    when its second member arrives.
+  *
+  * MinHash band signatures are computed as PURE COLUMN EXPRESSIONS
+  * (array fold over the per-doc shingle set) rather than the batch
+  * path's shingle-row aggregation — a streaming query gets one
+  * stateful operator, so the signature must arrive at the state op
+  * already formed. The arithmetic is the same universal-hash family
+  * over the same md5-prefix base hash, so signatures (and therefore
+  * buckets) are byte-identical to `Dedup.lshBandsFromShingles` —
+  * `DocStreamSpec` asserts it.
+  */
+object DocStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)
+  ))
+
+  def readDocs(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(docSchema).format("parquet").load(path)
+
+  /** Per-band LSH signature columns from a text column, scalar-only:
+    * distinct k-shingle array → base-hash array → per-hash-index min
+    * fold → per-band md5 digest. Byte-identical to the batch
+    * `lshBandsFromShingles` signatures (same hash family, same
+    * `md5(concat_ws(",", mh_j…))` in j order).
+    */
+  def bandSigs(text: Column, k: Int, numHashes: Int, rowsPerBand: Int): Column = {
+    val shingles = array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
+        i => text.substr(i, lit(k))
+      )
+    )
+    val h31s = transform(shingles, s => Dedup.baseHash31(s))
+    val mh = (0 until numHashes).map { j =>
+      aggregate(h31s, lit(Long.MaxValue), (acc, h) => least(acc, Dedup.universalHash(h, lit(j))))
+    }
+    val bands = (0 until numHashes / rowsPerBand).map { b =>
+      val mhCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => mh(j).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", mhCols: _*)).as("band_sig"))
+    }
+    array(bands: _*)
+  }
+
+  case class DocVerdict(doc_id: Long, fp: String, is_dup: Boolean, rep_id: Long)
+
+  /** Incremental EXACT dedup: each arriving document gets a final
+    * verdict row (kept or duplicate-of-representative) the moment it
+    * arrives. The representative of a content fingerprint is the
+    * FIRST-SEEN doc (min doc_id within a micro-batch) and never
+    * changes — the production contract that already-published kept
+    * docs stay kept. State per distinct content: one long. At 100 TB
+    * the shuffle key is the 128-bit content digest — uniformly
+    * distributed by construction, no skew; state volume is
+    * O(distinct contents), the same cardinality the batch group-by
+    * shuffles.
+    */
+  def incrementalExactDedup(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String
+  ): DataFrame = {
+    import spark.implicits._
+    val docs = readDocs(spark, path)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)]
+    val out = docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          val ids = it.map(_._1).toArray.sorted
+          val rep = state.getOption.getOrElse {
+            val r = ids.head
+            state.update(r)
+            r
+          }
+          ids.iterator.map(id => DocVerdict(id, fp, id != rep, rep))
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir)
+  }
+
+  case class CandPair(a_id: Long, b_id: Long, band: Int)
+
+  /** Incremental LSH near-dup candidates: per-doc band signatures
+    * (scalar [[bandSigs]]), keyed by (band, signature); each bucket's
+    * state is its member-id list, and a new member emits one candidate
+    * pair per existing member. `maxBucket` caps both state and
+    * emission per bucket — the same boilerplate-bucket guard as the
+    * batch path's frequency caps (an exact-dup cluster of n docs
+    * would otherwise hold n ids and emit n² pairs from ONE bucket;
+    * past the cap, exact dedup upstream is the right tool). Pairs may
+    * repeat across bands, as in the batch path before its distinct.
+    */
+  def incrementalLshCandidates(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    implicit val memberEnc: org.apache.spark.sql.Encoder[Vector[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Vector[Long]]
+    val bands = readDocs(spark, path)
+      .select(col("doc_id"), explode(bandSigs(col("text"), k, numHashes, rowsPerBand)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+      .as[(Long, Int, String)]
+    val out = bands
+      .groupByKey(r => s"${r._2}:${r._3}")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(Long, Int, String)], state: GroupState[Vector[Long]]) =>
+          val band = key.takeWhile(_ != ':').toInt
+          var members = state.getOption.getOrElse(Vector.empty[Long])
+          val seen = scala.collection.mutable.Set(members: _*)
+          val pairs = Vector.newBuilder[CandPair]
+          it.map(_._1).toArray.sorted.foreach { id =>
+            if (!seen.contains(id) && members.length < maxBucket) {
+              members.foreach { m =>
+                pairs += CandPair(math.min(m, id), math.max(m, id), band)
+              }
+              members = members :+ id
+              seen += id
+            }
+          }
+          state.update(members)
+          pairs.result().iterator
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir)
+  }
+
+  /** AvailableNow append run to parquet, shared by the twins. */
+  private def runAppend(spark: SparkSession, out: DataFrame, checkpoint: String, outDir: String): DataFrame = {
+    val q = out.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextOps}
+import graft.sources.Tables
+import graft.streaming.DocStream
+
+/** Streaming dedup twins: scalar band signatures are byte-identical
+  * to the batch LSH path, and the incremental exact-dedup /
+  * candidate-pair streams reproduce the batch decisions across
+  * checkpointed micro-batches.
+  */
+class DocStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    .select("doc_id", "text", "lang", "source", "n_chars")
+
+  test("scalar band signatures are byte-identical to the batch shingle-aggregation path") {
+    val d = docs.limit(120).cache()
+    val scalar = d
+      .select(col("doc_id"), explode(DocStream.bandSigs(col("text"), 3, 32, 4)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
+    val batch = Dedup.lshBandsFromShingles(
+      Dedup.charShingles(d, "doc_id", "text", 3), "doc_id", 32, 4)
+    assert(scalar.except(batch).count() == 0 && batch.except(scalar).count() == 0,
+      "scalar and batch band signatures diverge")
+  }
+
+  test("incremental exact dedup matches batch groups and survives a checkpoint restart") {
+    val src = java.nio.file.Files.createTempDirectory("docsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("docckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("docout").toString
+
+    // chunk 1 = low ids, chunk 2 = high ids: first-seen == min id, so
+    // the streaming representative equals the batch min-id rep
+    docs.filter(col("doc_id") < 250).write.mode("append").parquet(src)
+    val out1 = DocStream.incrementalExactDedup(spark, src, ckpt, outDir)
+    assert(out1.count() == docs.filter(col("doc_id") < 250).count(),
+      "every arriving doc must get exactly one verdict")
+
+    // chunk 2 carries a verbatim copy of doc 0 under a new high id —
+    // the cross-micro-batch duplicate the state must catch
+    val copyOfZero = docs.filter(col("doc_id") === 0)
+      .withColumn("doc_id", lit(999999L))
+    val all = docs.unionByName(copyOfZero)
+    docs.filter(col("doc_id") >= 250).unionByName(copyOfZero)
+      .write.mode("append").parquet(src)
+    val out2 = DocStream.incrementalExactDedup(spark, src, ckpt, outDir)
+    assert(out2.count() == all.count(), "second batch re-emitted or dropped verdicts")
+
+    val batch = all
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("rep_id", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("is_dup", col("doc_id") =!= col("rep_id"))
+    assert(out2.select("doc_id", "fp", "is_dup", "rep_id")
+      .except(batch.select("doc_id", "fp", "is_dup", "rep_id")).count() == 0,
+      "streaming verdicts diverge from the batch dedup groups")
+    // the injected cross-chunk duplicate was caught against chunk-1 state
+    val v = out2.filter(col("doc_id") === 999999L).collect()
+    assert(v.length == 1 && v.head.getAs[Boolean]("is_dup") && v.head.getAs[Long]("rep_id") == 0L)
+  }
+
+  test("incremental LSH candidates equal the batch candidate set across micro-batches") {
+    val src = java.nio.file.Files.createTempDirectory("lshsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lshckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lshout").toString
+    val d = docs.filter(col("doc_id") < 150).cache()
+
+    d.filter(col("doc_id") < 75).write.mode("append").parquet(src)
+    DocStream.incrementalLshCandidates(spark, src, ckpt, outDir, maxBucket = 1000)
+    d.filter(col("doc_id") >= 75).write.mode("append").parquet(src)
+    val got = DocStream.incrementalLshCandidates(spark, src, ckpt, outDir, maxBucket = 1000)
+      .select("a_id", "b_id").distinct()
+
+    val expect = Dedup.lshCandidates(
+      Dedup.lshBandsFromShingles(Dedup.charShingles(d, "doc_id", "text", 3), "doc_id", 32, 4),
+      "doc_id")
+    assert(got.except(expect).count() == 0, "streaming emitted pairs the batch path lacks")
+    assert(expect.except(got).count() == 0, "streaming missed batch candidate pairs")
+    assert(got.count() > 0)
+  }
+}
