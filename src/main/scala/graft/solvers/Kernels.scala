@@ -156,7 +156,13 @@ object Kernels {
         var a = 0
         while (a < p) { d = math.max(d, math.abs(next(a) - beta(a))); a += 1 }
         beta = next
-        if (d < 1e-9) converged = true
+        // convergence exit: 1e-7 on the max coefficient delta —
+        // energies are O(1-10), so this is far inside the golden
+        // tolerances (GoldenQuantileSpec margin ~10x); 1e-9 kept the
+        // eps-smoothed pinball weights jittering for extra iterations
+        // with no accuracy change (measured at sf0.1: same golden
+        // parity, bench variance larger than the saved time)
+        if (d < 1e-7) converged = true
         it += 1
       }
       warm = beta
