@@ -157,6 +157,67 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir)
   }
 
+  case class FpPair(a_id: Long, b_id: Long, fp_hash: Long)
+
+  /** Incremental WINNOWING near-dup pair events: per-doc robust-
+    * winnowing fingerprints (scalar `Dedup.winnowFpArray`, value-
+    * identical to the batch operator), keyed by fingerprint hash;
+    * each hash's state is its posting list (member doc ids, capped at
+    * `maxDocsPerHash`), and a new member emits one pair event per
+    * existing member. Downstream `groupBy(a_id, b_id).count()` over
+    * the append-only pair log equals the batch `Dedup.winnowPairs`
+    * n_shared — exactly, when no hash exceeds the cap. Cap semantics
+    * differ past the cap BY DESIGN: the batch cap drops a
+    * too-frequent hash retrospectively (its document frequency is
+    * known), the streaming cap stops admitting members once full
+    * (frequency is only known as it grows) — the first
+    * `maxDocsPerHash` members' pairs have already been published and
+    * stay published, consistent with the append-only contract.
+    */
+  def incrementalWinnowPairs(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      k: Int = 5,
+      w: Int = 4,
+      maxDocsPerHash: Int = 20
+  ): DataFrame = {
+    import spark.implicits._
+    implicit val memberEnc: org.apache.spark.sql.Encoder[Vector[Long]] =
+      org.apache.spark.sql.Encoders.kryo[Vector[Long]]
+    // per-doc DISTINCT hashes are derived inside the row (a streaming
+    // query gets one stateful operator, and a global .distinct()
+    // would be a second): the same hash selected at two positions
+    // collapses before the explode, so the pair log counts distinct
+    // shared hashes exactly as winnowPairs does
+    val fps = readDocs(spark, path)
+      .select(
+        col("doc_id"),
+        explode(array_distinct(
+          transform(Dedup.winnowFpArray(col("text"), k, w), fp => fp.getField("fp_hash"))
+        )).as("fp_hash"))
+      .as[(Long, Long)]
+    val out = fps
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: Long, it: Iterator[(Long, Long)], state: GroupState[Vector[Long]]) =>
+          var members = state.getOption.getOrElse(Vector.empty[Long])
+          val seen = scala.collection.mutable.Set(members: _*)
+          val pairs = Vector.newBuilder[FpPair]
+          it.map(_._1).toArray.sorted.foreach { id =>
+            if (!seen.contains(id) && members.length < maxDocsPerHash) {
+              members.foreach(m => pairs += FpPair(math.min(m, id), math.max(m, id), hash))
+              members = members :+ id
+              seen += id
+            }
+          }
+          state.update(members)
+          pairs.result().iterator
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir)
+  }
+
   /** AvailableNow append run to parquet, shared by the twins. */
   private def runAppend(spark: SparkSession, out: DataFrame, checkpoint: String, outDir: String): DataFrame = {
     val q = out.writeStream

@@ -84,4 +84,26 @@ class DocStreamSpec extends AnyFunSuite {
     assert(expect.except(got).count() == 0, "streaming missed batch candidate pairs")
     assert(got.count() > 0)
   }
+
+  test("incremental winnowing pair log aggregates to the batch winnowPairs counts") {
+    val src = java.nio.file.Files.createTempDirectory("winsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("winckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("winout").toString
+    val d = docs.filter(col("doc_id") < 150).cache()
+
+    // cap high enough that no hash exceeds it: past the cap the
+    // streaming (prefix) and batch (retrospective) semantics differ
+    d.filter(col("doc_id") < 75).write.mode("append").parquet(src)
+    DocStream.incrementalWinnowPairs(spark, src, ckpt, outDir, maxDocsPerHash = 1000)
+    d.filter(col("doc_id") >= 75).write.mode("append").parquet(src)
+    val got = DocStream.incrementalWinnowPairs(spark, src, ckpt, outDir, maxDocsPerHash = 1000)
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+
+    val expect = Dedup.winnowPairs(
+      Dedup.winnowFingerprints(d, "doc_id", "text", 5, 4), "doc_id", maxDocsPerHash = 1000)
+      .select("a_id", "b_id", "n_shared")
+    assert(got.except(expect).count() == 0, "streaming pair counts absent from batch")
+    assert(expect.except(got).count() == 0, "batch pair counts missing from the stream log")
+    assert(got.count() > 0)
+  }
 }

@@ -49,6 +49,17 @@ class WinnowSpec extends AnyFunSuite {
     assert(n > grams * 0.15 && n < grams * 0.7, s"selected $n of $grams k-gram hashes")
   }
 
+  test("scalar winnowFpArray is value-identical to the window-aggregate operator") {
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 150).select("doc_id", "text")
+    val scalar = d.select(col("doc_id"), explode(Dedup.winnowFpArray(col("text"), 5, 4)).as("fp"))
+      .select(col("doc_id"), col("fp.fp_pos").as("fp_pos"), col("fp.fp_hash").as("fp_hash"))
+    val agg = Dedup.winnowFingerprints(d, "doc_id", "text", 5, 4)
+    assert(scalar.except(agg).count() == 0 && agg.except(scalar).count() == 0,
+      "scalar and window-aggregate winnowing diverge")
+  }
+
   test("short documents yield no fingerprints; selection is deterministic") {
     val df = docs(1L -> "ab c", 2L -> "repeat repeat repeat repeat")
     val fp = Dedup.winnowFingerprints(df, "doc_id", "text", 5, 4)
