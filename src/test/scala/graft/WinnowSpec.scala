@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup
@@ -58,6 +59,44 @@ class WinnowSpec extends AnyFunSuite {
     val agg = Dedup.winnowFingerprints(d, "doc_id", "text", 5, 4)
     assert(scalar.except(agg).count() == 0 && agg.except(scalar).count() == 0,
       "scalar and window-aggregate winnowing diverge")
+  }
+
+  test("both Spark paths agree with an independent plain-Scala winnowing on random inputs") {
+    // three implementations, one definition: window-aggregate SQL,
+    // scalar array expression, and a direct per-string fold
+    def refWinnow(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+      val norm = text.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9]", "")
+      val nGrams = math.min(norm.length - (k - 1), 65535)
+      if (nGrams < w) return Set.empty
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): Long = {
+        val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.take(11), 16)
+      }
+      val keys = (1 to nGrams).map(pos => h(norm.substring(pos - 1, pos - 1 + k)) * 65536L + (65535L - pos))
+      (0 until nGrams - (w - 1)).map(i => keys.slice(i, i + w).min)
+        .toSet[Long].map(m => ((65535L - m % 65536L).toInt, m >> 16))
+    }
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcXYZ019 .,!?-_éñ中\t"
+    val texts = (0 until 60).map { i =>
+      val len = rnd.nextInt(120)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    } :+ (60L -> "") :+ (61L -> "aaaaaaaaaaaaaaaa") :+ (62L -> ("xy" * 300))
+    import spark.implicits._
+    val df = texts.toDF("doc_id", "text").cache()
+    def collectFps(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[(Int, Long)]] =
+      rows.map(r => (r.getLong(0), (r.getInt(1), r.getLong(2))))
+        .groupBy(_._1).map { case (id, a) => id -> a.map(_._2).toSet }
+    val agg = collectFps(Dedup.winnowFingerprints(df, "doc_id", "text", 5, 4).collect())
+    val scalar = collectFps(df.select(col("doc_id"),
+      explode(Dedup.winnowFpArray(col("text"), 5, 4)).as("fp"))
+      .select(col("doc_id"), col("fp.fp_pos"), col("fp.fp_hash")).collect())
+    texts.foreach { case (id, text) =>
+      val expect = refWinnow(text, 5, 4)
+      assert(agg.getOrElse(id, Set.empty) == expect, s"window-aggregate path diverges on doc $id: '$text'")
+      assert(scalar.getOrElse(id, Set.empty) == expect, s"scalar path diverges on doc $id: '$text'")
+    }
   }
 
   test("short documents yield no fingerprints; selection is deterministic") {
