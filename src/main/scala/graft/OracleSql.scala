@@ -1092,6 +1092,45 @@ object OracleSql {
       AND round(CAST(p.n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) >= 0.2
   """
 
+  // Rolling-hash MinHash+LSH: the shingle hash is the 31-bit
+  // polynomial fold ((acc*131 + codepoint) mod 2^31-1) — pure integer
+  // arithmetic, the exact recurrence of graft_rolling_hashes — feeding
+  // the shared universal-hash family. Distinct-on-string here vs
+  // distinct-on-hash in Spark cannot diverge: duplicates never change
+  // a min. The estimate k/64 is binary-exact (no float surface).
+  private val d12 = s"""
+    WITH ${shinglesCte(150)},
+    hh AS (SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, len(shingle) + 1),
+                   i -> ord(substring(shingle, CAST(i AS INT), 1)))),
+               (acc, c) -> (acc * 131 + c) % 2147483647) AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 64) AS t(j)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(j / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+    ag AS (
+      SELECT c.a_id, c.b_id,
+        sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 64.0 AS est
+      FROM cands c
+      JOIN sig sa ON sa.doc_id = c.a_id
+      JOIN sig sb ON sb.doc_id = c.b_id AND sb.j = sa.j
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, est FROM ag WHERE est >= 0.35
+  """
+
   private val d08 = """
     WITH toks AS (
       SELECT doc_id, tok, count(*) AS cnt FROM (
@@ -1411,6 +1450,7 @@ object OracleSql {
     "d09_dup_components" -> d09,
     "d10_minhash_estimate" -> d10,
     "d11_winnow_pairs" -> d11,
+    "d12_rolling_minhash" -> d12,
     "e01_cosine_topk" -> e01,
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,

@@ -71,7 +71,17 @@ object GraftFunctions {
       ArrayDot.buildDist2,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_hashes",
+      buildRollingHashes,
+      "built-in"
+    )
   }
+
+  def buildRollingHashes(exprs: Seq[Expression]): Expression =
+    RollingHashes(
+      Cast(exprs(0), org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.IntegerType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -96,6 +106,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[ArrayDist2].getName, "graft_dist2"),
         (exprs: Seq[Expression]) => ArrayDot.buildDist2(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_hashes"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RollingHashes].getName, "graft_rolling_hashes"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildRollingHashes(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

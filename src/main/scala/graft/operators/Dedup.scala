@@ -417,6 +417,36 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash signature from ROLLING-HASH shingles as one scalar
+    * column, `array<bigint>` of `numHashes` mins: the native
+    * `graft_rolling_hashes` expression hashes every k-gram in O(n)
+    * integer arithmetic (no md5 per shingle — the md5 path's CPU
+    * floor), `array_distinct` dedups in-row, and each universal-hash
+    * min folds over the hash set. Zero shuffle until the caller
+    * aggregates or joins. Duplicate-hash collisions (31-bit, ~n²/2³¹
+    * per doc) cannot change a min, so the signature equals the one a
+    * collision-free path would produce except when two distinct
+    * shingles collide AND one of them held a row min — noise far
+    * below MinHash's own 1/√H sketch error.
+    */
+  def rollingMinhashSig(text: Column, k: Int, numHashes: Int): Column = {
+    val hset = array_distinct(call_function("graft_rolling_hashes", text, lit(k)))
+    array((0 until numHashes).map { j =>
+      aggregate(hset, lit(Long.MaxValue), (acc, h) => least(acc, universalHash(h, lit(j))))
+    }: _*)
+  }
+
+  /** LSH band structs from a signature array column (same
+    * `md5(concat_ws(",", mh_j…))` digest as [[lshBandsFromShingles]] —
+    * one md5 per BAND per doc, not per shingle).
+    */
+  def bandsFromSig(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    array((0 until numHashes / rowsPerBand).map { b =>
+      val mhCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => element_at(sig, j + 1).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", mhCols: _*)).as("band_sig"))
+    }: _*)
+
   /** [[winnowFingerprints]] as ONE scalar column: the per-document
     * fingerprint array `array<struct<fp_pos:int, fp_hash:bigint>>`
     * computed entirely inside a row expression (k-gram key array →

@@ -80,4 +80,41 @@ class ExpressionSpec extends AnyFunSuite {
     ).as[Long].head()
     assert(n == 0L)
   }
+
+  test("graft_rolling_hashes equals the per-gram polynomial fold, incl. unicode and short strings") {
+    GraftFunctions.register(spark)
+    // independent reference: hash each k-gram separately by direct fold
+    def ref(s: String, k: Int): Seq[Long] = {
+      val cps = s.codePoints().toArray
+      def fold(a: Array[Int]): Long = a.foldLeft(0L)((acc, c) => (acc * 131 + c) % 2147483647L)
+      if (cps.length <= k) Seq(fold(cps))
+      else (0 to cps.length - k).map(i => fold(cps.slice(i, i + k)))
+    }
+    val texts = Seq("", "a", "ab", "abc", "hello world", "aaaaaaa",
+      "héllo wörld 中文 🙂 mix", "tab\tnew\nline", "x" * 500)
+    val df = texts.toDF("t")
+    val got = df.select(expr("graft_rolling_hashes(t, 3)")).as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g == ref(t, 3), s"rolling hashes diverge on '$t'")
+    }
+    // k > gram: single truncated hash, k = 1: per-codepoint hashes
+    assert(df.filter("t = 'ab'").select(expr("graft_rolling_hashes(t, 5)")).as[Seq[Long]].head()
+      == ref("ab", 5))
+    assert(df.filter("t = 'abc'").select(expr("graft_rolling_hashes(t, 1)")).as[Seq[Long]].head()
+      == Seq('a'.toLong, 'b'.toLong, 'c'.toLong))
+    // null in, null out
+    assert(spark.sql("SELECT graft_rolling_hashes(NULL, 3) IS NULL AS ok").as[Boolean].head())
+  }
+
+  test("rollingMinhashSig signatures survive whole-stage codegen over a large frame") {
+    GraftFunctions.register(spark)
+    // same signature from the codegen'd scan twice (determinism) and
+    // values inside [0, 2^31-1)
+    val df = spark.range(2000).selectExpr("concat('doc ', CAST(id % 97 AS STRING), ' body text') AS t")
+    val sig = graft.operators.Dedup.rollingMinhashSig(col("t"), 3, 16)
+    val a = df.select(sig.as("s")).as[Seq[Long]].collect()
+    val b = df.select(sig.as("s")).as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.flatten.forall(v => v >= 0 && v < 2147483647L))
+  }
 }
