@@ -80,29 +80,55 @@ object DocStream {
     * O(distinct contents), the same cardinality the batch group-by
     * shuffles.
     */
+  /** @param ttlMs optional state TTL (processing time, sliding —
+    *   renewed whenever the fingerprint is seen again). 0 = keep
+    *   state forever, the exactness default. Production ingest over
+    *   unbounded corpora sets a TTL to bound state at "contents seen
+    *   within the window": the explicit tradeoff is that a duplicate
+    *   of a COLD content (last seen > TTL ago) is re-admitted as
+    *   kept — `DocStreamSpec` pins that behavior so the tradeoff is
+    *   a measured contract, not a surprise. TTL runs use a
+    *   single-batch trigger: `AvailableNow` + `ProcessingTimeTimeout`
+    *   schedules a fresh micro-batch for every pending timeout, so a
+    *   query whose groups all carry TTLs re-triggers every ttlMs and
+    *   `awaitTermination` never returns (measured: 2 500 empty
+    *   batches before we killed it). `Trigger.Once` fires expired
+    *   timeouts in its one batch and terminates; eviction therefore
+    *   happens on the NEXT ingest tick after expiry — the same point
+    *   a long-running `ProcessingTime` deployment would observe it.
+    */
   def incrementalExactDedup(
       spark: SparkSession,
       path: String,
       checkpoint: String,
-      outDir: String
+      outDir: String,
+      ttlMs: Long = 0L
   ): DataFrame = {
     import spark.implicits._
     val docs = readDocs(spark, path)
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .as[(Long, String)]
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = docs
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (fp: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
-          val ids = it.map(_._1).toArray.sorted
-          val rep = state.getOption.getOrElse {
-            val r = ids.head
-            state.update(r)
-            r
+          if (state.hasTimedOut) {
+            state.remove() // cold content: forget the representative
+            Iterator.empty
+          } else {
+            val ids = it.map(_._1).toArray.sorted
+            val rep = state.getOption.getOrElse {
+              val r = ids.head
+              state.update(r)
+              r
+            }
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            ids.iterator.map(id => DocVerdict(id, fp, id != rep, rep))
           }
-          ids.iterator.map(id => DocVerdict(id, fp, id != rep, rep))
       }
-    runAppend(spark, out.toDF(), checkpoint, outDir)
+    runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
   case class CandPair(a_id: Long, b_id: Long, band: Int)
@@ -116,6 +142,12 @@ object DocStream {
     * would otherwise hold n ids and emit n² pairs from ONE bucket;
     * past the cap, exact dedup upstream is the right tool). Pairs may
     * repeat across bands, as in the batch path before its distinct.
+    *
+    * @param ttlMs optional sliding state TTL (see
+    *   [[incrementalExactDedup]]): 0 keeps bucket membership forever
+    *   (the exactness default); > 0 evicts buckets untouched for
+    *   ttlMs, so a new near-dup of only-COLD members goes unpaired —
+    *   recall decays to "within the window", state stays bounded.
     */
   def incrementalLshCandidates(
       spark: SparkSession,
@@ -125,7 +157,8 @@ object DocStream {
       k: Int = 3,
       numHashes: Int = 32,
       rowsPerBand: Int = 4,
-      maxBucket: Int = 64
+      maxBucket: Int = 64,
+      ttlMs: Long = 0L
   ): DataFrame = {
     import spark.implicits._
     implicit val memberEnc: org.apache.spark.sql.Encoder[Vector[Long]] =
@@ -134,27 +167,35 @@ object DocStream {
       .select(col("doc_id"), explode(bandSigs(col("text"), k, numHashes, rowsPerBand)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.band_sig").as("band_sig"))
       .as[(Long, Int, String)]
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = bands
       .groupByKey(r => s"${r._2}:${r._3}")
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (key: String, it: Iterator[(Long, Int, String)], state: GroupState[Vector[Long]]) =>
-          val band = key.takeWhile(_ != ':').toInt
-          var members = state.getOption.getOrElse(Vector.empty[Long])
-          val seen = scala.collection.mutable.Set(members: _*)
-          val pairs = Vector.newBuilder[CandPair]
-          it.map(_._1).toArray.sorted.foreach { id =>
-            if (!seen.contains(id) && members.length < maxBucket) {
-              members.foreach { m =>
-                pairs += CandPair(math.min(m, id), math.max(m, id), band)
+          if (state.hasTimedOut) {
+            state.remove() // cold bucket: forget its members
+            Iterator.empty
+          } else {
+            val band = key.takeWhile(_ != ':').toInt
+            var members = state.getOption.getOrElse(Vector.empty[Long])
+            val seen = scala.collection.mutable.Set(members: _*)
+            val pairs = Vector.newBuilder[CandPair]
+            it.map(_._1).toArray.sorted.foreach { id =>
+              if (!seen.contains(id) && members.length < maxBucket) {
+                members.foreach { m =>
+                  pairs += CandPair(math.min(m, id), math.max(m, id), band)
+                }
+                members = members :+ id
+                seen += id
               }
-              members = members :+ id
-              seen += id
             }
+            state.update(members)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            pairs.result().iterator
           }
-          state.update(members)
-          pairs.result().iterator
       }
-    runAppend(spark, out.toDF(), checkpoint, outDir)
+    runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
   case class FpPair(a_id: Long, b_id: Long, fp_hash: Long)
@@ -173,6 +214,12 @@ object DocStream {
     * (frequency is only known as it grows) — the first
     * `maxDocsPerHash` members' pairs have already been published and
     * stay published, consistent with the append-only contract.
+    *
+    * @param ttlMs optional sliding state TTL (see
+    *   [[incrementalExactDedup]]): 0 keeps posting lists forever; > 0
+    *   evicts hashes unseen for ttlMs — shared fingerprints with
+    *   only-COLD documents stop producing pair events, so containment
+    *   scores undercount against cold docs while state stays bounded.
     */
   def incrementalWinnowPairs(
       spark: SparkSession,
@@ -181,7 +228,8 @@ object DocStream {
       outDir: String,
       k: Int = 5,
       w: Int = 4,
-      maxDocsPerHash: Int = 20
+      maxDocsPerHash: Int = 20,
+      ttlMs: Long = 0L
   ): DataFrame = {
     import spark.implicits._
     implicit val memberEnc: org.apache.spark.sql.Encoder[Vector[Long]] =
@@ -198,28 +246,48 @@ object DocStream {
           transform(Dedup.winnowFpArray(col("text"), k, w), fp => fp.getField("fp_hash"))
         )).as("fp_hash"))
       .as[(Long, Long)]
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = fps
       .groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (hash: Long, it: Iterator[(Long, Long)], state: GroupState[Vector[Long]]) =>
-          var members = state.getOption.getOrElse(Vector.empty[Long])
-          val seen = scala.collection.mutable.Set(members: _*)
-          val pairs = Vector.newBuilder[FpPair]
-          it.map(_._1).toArray.sorted.foreach { id =>
-            if (!seen.contains(id) && members.length < maxDocsPerHash) {
-              members.foreach(m => pairs += FpPair(math.min(m, id), math.max(m, id), hash))
-              members = members :+ id
-              seen += id
+          if (state.hasTimedOut) {
+            state.remove() // cold fingerprint: drop its posting list
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Vector.empty[Long])
+            val seen = scala.collection.mutable.Set(members: _*)
+            val pairs = Vector.newBuilder[FpPair]
+            it.map(_._1).toArray.sorted.foreach { id =>
+              if (!seen.contains(id) && members.length < maxDocsPerHash) {
+                members.foreach(m => pairs += FpPair(math.min(m, id), math.max(m, id), hash))
+                members = members :+ id
+                seen += id
+              }
             }
+            state.update(members)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            pairs.result().iterator
           }
-          state.update(members)
-          pairs.result().iterator
       }
-    runAppend(spark, out.toDF(), checkpoint, outDir)
+    runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
-  /** AvailableNow append run to parquet, shared by the twins. */
-  private def runAppend(spark: SparkSession, out: DataFrame, checkpoint: String, outDir: String): DataFrame = {
+  /** Append run to parquet, shared by the twins: `AvailableNow` for
+    * the exact (no-TTL) paths, `Trigger.Once` when processing-time
+    * timeouts are registered (see the TTL scaladoc on
+    * [[incrementalExactDedup]] for why AvailableNow livelocks there).
+    */
+  private def runAppend(
+      spark: SparkSession,
+      out: DataFrame,
+      checkpoint: String,
+      outDir: String,
+      ttlMs: Long = 0L
+  ): DataFrame = {
+    val trigger: Trigger =
+      if (ttlMs > 0) Trigger.Once() else Trigger.AvailableNow()
     val q = out.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -227,7 +295,7 @@ object DocStream {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir)

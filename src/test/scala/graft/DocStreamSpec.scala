@@ -85,6 +85,55 @@ class DocStreamSpec extends AnyFunSuite {
     assert(got.count() > 0)
   }
 
+  test("state TTL evicts cold fingerprints: a late duplicate is re-admitted as kept") {
+    val src = java.nio.file.Files.createTempDirectory("ttlsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ttlckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("ttlout").toString
+    val ttl = 500L
+
+    docs.filter(col("doc_id") === 0).write.mode("append").parquet(src)
+    DocStream.incrementalExactDedup(spark, src, ckpt, outDir, ttlMs = ttl)
+    Thread.sleep(2 * ttl + 500)
+
+    // a tick with unrelated data: doc 0's fingerprint group has no new
+    // rows and is past its TTL, so this batch evicts it
+    docs.filter(col("doc_id") === 1).write.mode("append").parquet(src)
+    DocStream.incrementalExactDedup(spark, src, ckpt, outDir, ttlMs = ttl)
+
+    // the late duplicate of the now-cold content: re-admitted as KEPT
+    // (the documented TTL tradeoff), rep = itself
+    docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(777L))
+      .write.mode("append").parquet(src)
+    val out = DocStream.incrementalExactDedup(spark, src, ckpt, outDir, ttlMs = ttl)
+    val v = out.filter(col("doc_id") === 777L).collect()
+    assert(v.length == 1)
+    assert(!v.head.getAs[Boolean]("is_dup") && v.head.getAs[Long]("rep_id") == 777L,
+      "cold content was not re-admitted as kept after TTL eviction")
+  }
+
+  test("state TTL evicts cold LSH buckets: a late near-dup of cold members goes unpaired") {
+    val src = java.nio.file.Files.createTempDirectory("lttlsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lttlckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("lttlout").toString
+    val ttl = 500L
+
+    docs.filter(col("doc_id") === 0).write.mode("append").parquet(src)
+    DocStream.incrementalLshCandidates(spark, src, ckpt, outDir, ttlMs = ttl)
+    Thread.sleep(2 * ttl + 500)
+
+    // a tick with unrelated content evicts doc 0's cold buckets
+    docs.filter(col("doc_id") === 1).write.mode("append").parquet(src)
+    DocStream.incrementalLshCandidates(spark, src, ckpt, outDir, ttlMs = ttl)
+
+    // a verbatim copy of doc 0 arrives after eviction: with warm state
+    // it would share every band bucket and emit pairs; cold → none
+    docs.filter(col("doc_id") === 0).withColumn("doc_id", lit(555L))
+      .write.mode("append").parquet(src)
+    val out = DocStream.incrementalLshCandidates(spark, src, ckpt, outDir, ttlMs = ttl)
+    assert(out.filter(col("a_id") === 0L && col("b_id") === 555L).count() == 0,
+      "evicted bucket still paired the late duplicate against a cold member")
+  }
+
   test("incremental winnowing pair log aggregates to the batch winnowPairs counts") {
     val src = java.nio.file.Files.createTempDirectory("winsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("winckpt").toString
