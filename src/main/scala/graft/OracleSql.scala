@@ -1384,6 +1384,49 @@ object OracleSql {
     WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
   """
 
+  private val t01 = """
+    WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
+    r AS (SELECT lang, n_stratum,
+            CAST(floor(least(1.0, 50.0 / n_stratum) * 1000000.0) AS BIGINT) AS keep_threshold
+          FROM c)
+    SELECT d.doc_id, d.lang, r.n_stratum, r.keep_threshold,
+      (CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT) % 1000000)
+        < r.keep_threshold AS kept
+    FROM documents d JOIN r USING (lang)
+  """
+
+  private val t02 = """
+    WITH c AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY source),
+    t AS (SELECT list_reduce(
+                   list_prepend(0.0, list(sqrt(CAST(n_stratum AS DOUBLE)) ORDER BY source)),
+                   (a, x) -> a + x) AS tot
+          FROM c)
+    SELECT source, n_stratum,
+      round(sqrt(CAST(n_stratum AS DOUBLE)) / tot, 6) AS weight,
+      round(10000.0 * sqrt(CAST(n_stratum AS DOUBLE)) / tot / n_stratum, 6) AS epochs
+    FROM c, t
+  """
+
+  private val t03 = s"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+        CAST($tokCount AS BIGINT) + CAST(floor(len(text) / 16.0) AS BIGINT) AS tok,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM documents),
+    o AS (
+      SELECT id, tok, h, CAST(h % 8 AS INT) AS shard,
+        row_number() OVER (PARTITION BY h % 8 ORDER BY h, id) AS rn
+      FROM base),
+    packed AS (
+      SELECT id, tok, shard, rn, 1 AS pack_id, tok AS acc FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.id, o.tok, o.shard, o.rn,
+        CASE WHEN p.acc + o.tok > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+        CASE WHEN p.acc + o.tok > 512 THEN o.tok ELSE p.acc + o.tok END
+      FROM o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT id, shard, CAST(pack_id AS INT) AS pack_id, tok FROM packed
+  """
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_clamp" -> q02,
@@ -1457,6 +1500,9 @@ object OracleSql {
     "e04_cosine_neardup" -> e04,
     "e05_ivf_topk" -> e05,
     "e06_scalar_quant" -> e06,
-    "e07_quant_recall" -> e07
+    "e07_quant_recall" -> e07,
+    "t01_stratified_sample" -> t01,
+    "t02_mixture_weights" -> t02,
+    "t03_pack_sequences" -> t03
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1272,6 +1272,32 @@ object SparkEntry {
       )
   }
 
+  /** Deterministic stratified sampling for training-data mixing:
+    * per-language keep rates derived from stratum counts (target 50
+    * docs/stratum), keep decision a stateless hash threshold — no
+    * sort, no per-stratum shuffle of the corpus (`Mixing
+    * .stratifiedSample`).
+    */
+  private def t01(s: SparkSession, dir: String): DataFrame =
+    Mixing.stratifiedSample(Tables.documents(s, dir), Seq("lang"), "doc_id", 50L)
+      .select(col("doc_id"), col("lang"), col("n_stratum"), col("keep_threshold"), col("kept"))
+
+  /** Temperature mixture weights per source (p ∝ n^0.5 — sqrt is
+    * IEEE-exact, so the weights are bit-reproducible cross-engine)
+    * and the per-source epoch factor for a 10k-doc training budget.
+    */
+  private def t02(s: SparkSession, dir: String): DataFrame =
+    Mixing.temperatureWeights(Tables.documents(s, dir), Seq("source"), 10000.0)
+
+  /** Greedy sequence packing into 512-token context windows over 8
+    * hash shards: the training-stream assembly step. Deterministic
+    * hash order makes pack assignments independent of partitioning.
+    */
+  private def t03(s: SparkSession, dir: String): DataFrame =
+    Mixing.packGreedy(
+      Tables.documents(s, dir), "doc_id", TextOps.approxBpeTokens(col("text")),
+      budget = 512L, nShards = 8)
+
   /** End-to-end IVF ANN search: probe the 2 nearest of 8 coarse cells
     * per query, exact cosine top-3 within the probed cells only —
     * each query scans ~1/4 of the corpus instead of all of it.
@@ -1438,7 +1464,10 @@ object SparkEntry {
     "e04_cosine_neardup" -> (e04 _),
     "e05_ivf_topk" -> (e05 _),
     "e06_scalar_quant" -> (e06 _),
-    "e07_quant_recall" -> (e07 _)
+    "e07_quant_recall" -> (e07 _),
+    "t01_stratified_sample" -> (t01 _),
+    "t02_mixture_weights" -> (t02 _),
+    "t03_pack_sequences" -> (t03 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

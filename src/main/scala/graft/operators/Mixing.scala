@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Training-data MIXING operators: the steps between "corpus is
+  * deduplicated" and "corpus is a training stream" in an LLM data
+  * pipeline — stratified down-sampling, temperature-based source
+  * re-weighting, and greedy packing of documents into fixed-size
+  * context windows.
+  *
+  * All decisions are pure functions of content-free ids via the
+  * engine's shared md5-prefix hash (see [[Dedup.baseHash31]]), so
+  * every operator is deterministic, restart-stable, reproducible on
+  * any engine (the DuckDB oracles replay them exactly), and — because
+  * there is no RNG state — independent of partitioning and cluster
+  * size.
+  */
+object Mixing {
+
+  /** 48-bit deterministic hash of an id for sampling/ordering: first
+    * 12 hex chars of md5 of the id's decimal string.
+    */
+  def idHash(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 12), 16, 10).cast("long")
+
+  /** Deterministic stratified Bernoulli sampling: keep a document iff
+    * `idHash mod 1e6 < floor(min(1, target/stratum_count) * 1e6)`.
+    *
+    * The per-stratum rates derive from the stratum counts (one
+    * aggregation, broadcast back — the side grows with #strata, not
+    * rows), and the keep decision is a stateless map against that
+    * broadcast: no sort, no window, no per-stratum shuffle of the
+    * corpus — the 100 TB path. Expected kept per stratum ≈ `target`
+    * (binomial, not exact-k: exact-k would need a per-stratum top-k
+    * by hash, a sort the scale path avoids; the gate pins the
+    * binomial outcome, which is deterministic given the ids).
+    *
+    * @return input rows + (`n_stratum`, `keep_threshold`, `kept`)
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCols: Seq[String],
+      idCol: String,
+      target: Long
+  ): DataFrame = {
+    val keyCols = strataCols.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum"))
+    val withRate = counts.withColumn(
+      "keep_threshold",
+      floor(least(lit(1.0), lit(target).cast("double") / col("n_stratum")) * 1e6).cast("long")
+    )
+    SideJoin.back(df, withRate, strataCols)
+      .withColumn("kept", pmod(idHash(col(idCol)), lit(1000000L)) < col("keep_threshold"))
+  }
+
+  /** Temperature-based mixture weights over strata (the standard
+    * `p_s ∝ n_s^alpha` re-weighting that up-weights small sources;
+    * alpha fixed at 0.5 so the power is `sqrt`, which IEEE-754
+    * guarantees correctly rounded — bit-identical on every engine,
+    * unlike a general `pow`). The normalizing sum folds over the
+    * strata IN KEY ORDER (sorted collect + ordered fold), so even
+    * the float summation order is pinned and the oracle can compare
+    * values after a fixed rounding.
+    *
+    * `epochs = weight * tokenBudget / n_s`: how many times each
+    * stratum's documents repeat in the mixed stream.
+    *
+    * @return (strata..., n_stratum, weight, epochs)
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      strataCols: Seq[String],
+      tokenBudget: Double
+  ): DataFrame = {
+    val keyCols = strataCols.map(col)
+    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum"))
+    counts
+      .withColumn("__r", sqrt(col("n_stratum").cast("double")))
+      // ordered fold: collect (key, sqrt) pairs, sort by key, fold left —
+      // the sum is evaluated in stratum-key order on both engines
+      .withColumn(
+        "__tot",
+        expr("aggregate(transform(sort_array(collect_list(struct(" +
+          strataCols.mkString(", ") + ", __r)) over ()), x -> x.__r), 0D, (a, x) -> a + x)")
+      )
+      .withColumn("weight", round(col("__r") / col("__tot"), 6))
+      .withColumn("epochs", round(lit(tokenBudget) * col("__r") / col("__tot") / col("n_stratum"), 6))
+      .drop("__r", "__tot")
+  }
+
+  /** Greedy sequence packing: order documents by `(idHash, id)`
+    * within a hash shard, then fill context windows of `budget`
+    * tokens first-come — a new pack starts when the next document
+    * would overflow (an oversize document gets a pack of its own).
+    *
+    * Packing is inherently sequential, so the parallel unit is the
+    * SHARD: documents hash-partition into `nShards` independent
+    * streams, each packed in one pass of bounded arithmetic. At
+    * cluster scale `nShards` tracks total cores (thousands of
+    * shards), each shard's pack stream writes independently, and the
+    * hash order makes the result identical across any partitioning —
+    * unlike the "sort by length then zip" packers whose output
+    * depends on global sort stability.
+    *
+    * @return (id, shard, pack_id, tok) — pack_id is per-shard,
+    *   1-based, in hash order
+    */
+  def packGreedy(
+      df: DataFrame,
+      idCol: String,
+      tokCol: Column,
+      budget: Long,
+      nShards: Int
+  ): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        tokCol.cast("long").as("tok"),
+        idHash(col(idCol)).as("h")
+      )
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .as[(Long, Long, Long, Int)]
+    rows
+      .groupByKey(_._4)
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Long, Long, Int)]) =>
+        val docs = it.toArray.sortBy(r => (r._3, r._1))
+        var pack = 1
+        var acc = 0L
+        docs.iterator.map { case (id, tok, _, _) =>
+          if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
+          acc += tok
+          (id, shard, pack, tok)
+        }
+      }
+      .toDF("id", "shard", "pack_id", "tok")
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Mixing, TextOps}
+import graft.sources.Tables
+
+/** Training-data mixing operators: deterministic sampling rates,
+  * temperature weights, and greedy pack invariants.
+  */
+class MixingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("stratified sample: rates follow counts, decision is deterministic and partition-free") {
+    val out = Mixing.stratifiedSample(docs, Seq("lang"), "doc_id", 10L).cache()
+    // a stratum smaller than target keeps everything (threshold = 1e6)
+    val small = out.filter(col("n_stratum") <= 10)
+    assert(small.filter(!col("kept")).count() == 0, "small stratum dropped rows")
+    // kept count lands near the target for big strata (hash-uniform)
+    val big = out.filter(col("n_stratum") > 20)
+      .groupBy(col("lang"), col("n_stratum"))
+      .agg(sum(col("kept").cast("long")).as("n_kept"))
+      .collect()
+    big.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept >= 2 && kept <= 25, s"kept $kept far from target 10 for ${r.mkString(",")}")
+    }
+    // decision is a pure function of the id: re-running on a
+    // repartitioned input yields the identical kept set
+    val again = Mixing.stratifiedSample(docs.repartition(7), Seq("lang"), "doc_id", 10L)
+    assert(out.select("doc_id", "kept").except(again.select("doc_id", "kept")).count() == 0)
+  }
+
+  test("temperature weights sum to 1 and up-weight small sources") {
+    val out = Mixing.temperatureWeights(docs, Seq("source"), 10000.0).collect()
+    val wsum = out.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    // per-doc share (weight / n) must be LARGER for smaller strata
+    val sorted = out.sortBy(_.getAs[Long]("n_stratum"))
+    val perDoc = sorted.map(r => r.getAs[Double]("weight") / r.getAs[Long]("n_stratum"))
+    assert(perDoc.zip(perDoc.tail).forall { case (a, b) => a >= b - 1e-12 },
+      "per-doc share not monotone decreasing in stratum size")
+  }
+
+  test("greedy packing: every doc packed once, no pack over budget unless single oversize doc") {
+    val budget = 512L
+    val out = Mixing.packGreedy(
+      docs, "doc_id", TextOps.approxBpeTokens(col("text")), budget, nShards = 4).cache()
+    assert(out.count() == docs.count(), "doc lost or duplicated by packing")
+    val packs = out.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok")).as("tok_sum"), count(lit(1)).as("n_docs"))
+    assert(packs.filter(col("tok_sum") > budget && col("n_docs") > 1).count() == 0,
+      "multi-doc pack exceeds the budget")
+    // packs are dense 1..K per shard
+    val dense = packs.groupBy(col("shard"))
+      .agg(max(col("pack_id")).as("mx"), countDistinct(col("pack_id")).as("nd"))
+    assert(dense.filter(col("mx") =!= col("nd")).count() == 0, "pack ids not dense")
+    // deterministic under repartition
+    val again = Mixing.packGreedy(
+      docs.repartition(5), "doc_id", TextOps.approxBpeTokens(col("text")), budget, nShards = 4)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+}
