@@ -1384,6 +1384,30 @@ object OracleSql {
     WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
   """
 
+  private val d13 = s"""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+    top AS (
+      SELECT doc_id, max(cnt) AS max_cnt FROM (
+        SELECT doc_id, w, count(*) AS cnt FROM w GROUP BY 1, 2) GROUP BY 1),
+    base AS (
+      SELECT doc_id,
+        CAST($tokCount AS BIGINT) AS n_words,
+        round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                    / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_frac
+      FROM (
+        SELECT doc_id, text,
+          list_transform(
+            range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1) + 1),
+            i -> array_to_string(
+                   list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')) AS grams
+        FROM documents))
+    SELECT b.doc_id, b.n_words, b.dup_bigram_frac,
+      round(CAST(coalesce(t.max_cnt, 0) AS DOUBLE)
+            / CAST(greatest(b.n_words, 1) AS DOUBLE), 6) AS top_word_share
+    FROM base b LEFT JOIN top t USING (doc_id)
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1501,6 +1525,7 @@ object OracleSql {
     "e05_ivf_topk" -> e05,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
+    "d13_repetition" -> d13,
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03

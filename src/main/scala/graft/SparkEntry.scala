@@ -1037,6 +1037,27 @@ object SparkEntry {
       TextOps.approxBpeTokens(col("text")).as("approx_bpe")
     )
 
+  /** Intra-document repetition metrics (the Gopher-style repetition
+    * quality filters): duplicate word-bigram fraction computed
+    * IN-ROW (array expressions — a pure map, no shuffle at any
+    * corpus scale) and top-word share via one doc-keyed aggregation.
+    */
+  private def d13(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_words"),
+      TextOps.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"))
+    val words = docs.select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+    val top = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id")).agg(max(col("cnt")).as("max_cnt"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_words"), col("dup_bigram_frac"),
+        round(coalesce(col("max_cnt"), lit(0L)).cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_share"))
+  }
+
   private def d04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -1458,6 +1479,7 @@ object SparkEntry {
     "d10_minhash_estimate" -> (d10 _),
     "d11_winnow_pairs" -> (d11 _),
     "d12_rolling_minhash" -> (d12 _),
+    "d13_repetition" -> (d13 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

@@ -79,4 +79,20 @@ object TextOps {
     */
   def prefixFingerprint(text: Column, n: Int): Column =
     md5(substring(regexp_replace(lower(text), "[^a-z0-9]", ""), 1, n))
+
+  /** Duplicate word-n-gram fraction (the standard intra-document
+    * repetition quality signal): 1 − distinct/total over the doc's
+    * word n-grams, computed entirely in-row (array expressions, no
+    * shuffle — a pure map over the corpus at any scale). A doc
+    * shorter than n words contributes its single whole-text "gram"
+    * (fraction 0).
+    */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))
+    )
+    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6)
+  }
 }

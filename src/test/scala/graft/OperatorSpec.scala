@@ -189,6 +189,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("dupNgramFrac: repeated bigrams counted, unique text scores 0, short text scores 0") {
+    val df = Seq(
+      "a b a b a b",   // bigrams: ab ba ab ba ab → 5 grams, 2 distinct → 0.6
+      "w x y z",       // all distinct → 0.0
+      "solo"           // shorter than n → single whole-text gram → 0.0
+    ).toDF("t")
+    val got = df.select(TextOps.dupNgramFrac(col("t"), 2)).as[Double].collect()
+    assert(got.toSeq == Seq(0.6, 0.0, 0.0), got.toSeq.toString)
+  }
+
   test("fixDst drops nonexistent and ambiguous stamps, keeps fixed-offset clock") {
     // America/Los_Angeles 2015: spring-forward 03-08 02:00→03:00
     // (02:30 nonexistent), fall-back 11-01 02:00→01:00 (01:30 ambiguous)
