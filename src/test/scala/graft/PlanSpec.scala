@@ -106,4 +106,21 @@ class PlanSpec extends AnyFunSuite {
       "e07 lost the query-side broadcast")
     assert(!p.contains("CartesianProduct"), "e07 planned a cartesian product")
   }
+
+  test("stratified sampling broadcasts the rate table — the corpus never shuffles (t01)") {
+    val p = planOf("t01_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), "t01 lost the rate-table broadcast")
+    assert(!p.contains("SortMergeJoin"), "t01 shuffled the corpus to join per-stratum rates")
+  }
+
+  test("in-row repetition metric computes without an extra corpus shuffle branch (d13)") {
+    // the top-word aggregation needs its two shuffles ((doc,word) then
+    // doc); the in-row bigram branch must contribute NONE — it feeds
+    // the broadcast join probe side straight from the scan
+    val p = planOf("d13_repetition")
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+    assert(shuffles <= 2, s"d13 plan grew to $shuffles shuffle exchanges:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "d13 lost the aggregate-side broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
 }
