@@ -1408,6 +1408,24 @@ object OracleSql {
     FROM base b LEFT JOIN top t USING (doc_id)
   """
 
+  private val d14 = s"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 4, 1) + 1),
+        i -> array_to_string(
+               list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 4), ' ')))) AS gram
+      FROM documents),
+    bg AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id < 20),
+    tg AS (SELECT DISTINCT gram FROM g WHERE doc_id >= 20)
+    SELECT bench_id,
+      count(*) AS n_grams,
+      CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+      round(CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 6) AS contamination
+    FROM bg LEFT JOIN tg t USING (gram)
+    GROUP BY bench_id
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1526,6 +1544,7 @@ object OracleSql {
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
     "d13_repetition" -> d13,
+    "d14_contamination" -> d14,
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03

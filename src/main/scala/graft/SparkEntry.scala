@@ -1058,6 +1058,18 @@ object SparkEntry {
           greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_share"))
   }
 
+  /** Benchmark contamination audit: per benchmark doc (ids < 20), the
+    * fraction of its distinct word 5-grams appearing anywhere in the
+    * training split (ids >= 20). Train grams semi-join a broadcast
+    * benchmark gram set — the training corpus never shuffles.
+    */
+  private def d14(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.contamination(
+      docs.filter(col("doc_id") >= 20), docs.filter(col("doc_id") < 20),
+      "doc_id", "text", 5)
+  }
+
   private def d04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -1480,6 +1492,7 @@ object SparkEntry {
     "d11_winnow_pairs" -> (d11 _),
     "d12_rolling_minhash" -> (d12 _),
     "d13_repetition" -> (d13 _),
+    "d14_contamination" -> (d14 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

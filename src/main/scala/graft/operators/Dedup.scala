@@ -505,4 +505,41 @@ object Dedup {
         round(col("n_shared") / least(col("na"), col("nb")).cast("double"), 6).as("containment")
       )
   }
+
+  /** Benchmark contamination check (the train/test leak audit of an
+    * LLM data pipeline): for each BENCHMARK document, the fraction of
+    * its distinct word n-grams that appear anywhere in the TRAINING
+    * corpus.
+    *
+    * Plan shape for a 100 TB training side: train grams explode
+    * map-side and semi-join against the BROADCAST benchmark gram set
+    * (benchmarks are small by construction), so the training corpus
+    * never shuffles — the only exchanged rows are the surviving
+    * intersection grams (≤ |benchmark grams|), deduplicated and
+    * broadcast back over the benchmark side.
+    *
+    * @return (bench_id, n_grams, n_hit, contamination)
+    */
+  def contamination(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val bg = bench.select(
+      col(idCol).as("bench_id"),
+      explode(TextOps.wordNgramArray(col(textCol), n)).as("gram"))
+    val tg = train.select(explode(TextOps.wordNgramArray(col(textCol), n)).as("gram"))
+    val matched = tg
+      .join(broadcast(bg.select(col("gram")).distinct()), Seq("gram"), "left_semi")
+      .distinct()
+    bg.join(broadcast(matched.withColumn("hit", lit(1))), Seq("gram"), "left")
+      .groupBy(col("bench_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+  }
 }

@@ -95,4 +95,15 @@ object TextOps {
     )
     round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6)
   }
+
+  /** The word n-gram array of a document, DISTINCT, built in-row (the
+    * docs-shorter-than-n edge contributes its single whole-text gram).
+    */
+  def wordNgramArray(text: Column, n: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(words, i, lit(n)))
+    ))
+  }
 }

@@ -107,6 +107,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "e07 planned a cartesian product")
   }
 
+  test("contamination audit never shuffles the training corpus (d14)") {
+    // the train-side gram explosion must reach its semi-join through a
+    // broadcast; the only allowed exchanges carry benchmark-sized data
+    // (bench grams dedup, intersection dedup, final per-bench agg)
+    val p = planOf("d14_contamination")
+    assert(p.contains("BroadcastHashJoin"), "d14 lost the benchmark-gram broadcast")
+    assert(!p.contains("SortMergeJoin"), "d14 shuffled the training corpus into a sort-merge join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("stratified sampling broadcasts the rate table — the corpus never shuffles (t01)") {
     val p = planOf("t01_stratified_sample")
     assert(p.contains("BroadcastHashJoin"), "t01 lost the rate-table broadcast")
