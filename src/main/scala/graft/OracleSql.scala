@@ -1449,6 +1449,20 @@ object OracleSql {
     FROM c, t
   """
 
+  private val t04 = """
+    WITH c AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY source),
+    t AS (SELECT list_reduce(
+                   list_prepend(0.0, list(sqrt(CAST(n_stratum AS DOUBLE)) ORDER BY source)),
+                   (a, x) -> a + x) AS tot
+          FROM c),
+    w AS (SELECT source, n_stratum,
+            round(sqrt(CAST(n_stratum AS DOUBLE)) / tot, 6) AS weight FROM c, t)
+    SELECT d.doc_id, d.source,
+      round(CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+             / 281474976710656.0 * CAST(w.n_stratum AS DOUBLE) / w.weight, 6) AS ikey
+    FROM documents d JOIN w USING (source)
+  """
+
   private val t03 = s"""
     WITH RECURSIVE base AS (
       SELECT doc_id AS id,
@@ -1547,6 +1561,7 @@ object OracleSql {
     "d14_contamination" -> d14,
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
-    "t03_pack_sequences" -> t03
+    "t03_pack_sequences" -> t03,
+    "t04_interleave" -> t04
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1322,6 +1322,21 @@ object SparkEntry {
   private def t02(s: SparkSession, dir: String): DataFrame =
     Mixing.temperatureWeights(Tables.documents(s, dir), Seq("source"), 10000.0)
 
+  /** Deterministic weighted interleave: each doc gets a stride key
+    * `uniform(hash)·n/weight` from its source's temperature weight —
+    * sorting by the key streams sources in weight proportion, with no
+    * per-source rank window (map + broadcast join only).
+    */
+  private def t04(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Mixing.temperatureWeights(docs, Seq("source"), 10000.0)
+      .select(col("source"), col("n_stratum"), col("weight"))
+    docs.join(broadcast(w), Seq("source"))
+      .select(
+        col("doc_id"), col("source"),
+        round(Mixing.interleaveKey(col("doc_id"), col("n_stratum"), col("weight")), 6).as("ikey"))
+  }
+
   /** Greedy sequence packing into 512-token context windows over 8
     * hash shards: the training-stream assembly step. Deterministic
     * hash order makes pack assignments independent of partitioning.
@@ -1502,7 +1517,8 @@ object SparkEntry {
     "e07_quant_recall" -> (e07 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
-    "t03_pack_sequences" -> (t03 _)
+    "t03_pack_sequences" -> (t03 _),
+    "t04_interleave" -> (t04 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -89,6 +89,26 @@ object Mixing {
       .drop("__r", "__tot")
   }
 
+  /** Deterministic weighted-interleave sort key (stride scheduling):
+    * `key = uniform(id) · n_stratum / weight`. True stride
+    * scheduling orders each stratum's documents by `rank/weight`;
+    * `uniform(id) · n_stratum` — the 48-bit id hash scaled to [0, 1)
+    * times the stratum size — is that rank in expectation, so a
+    * stratum's keys land uniformly on [0, n/w] and any sorted prefix
+    * `key < x` holds `x·w_s` docs of stratum s: share exactly
+    * proportional to the weights until a stratum exhausts (its
+    * repetition factor past that point is `temperatureWeights`'
+    * epochs, a separate decision). The point of the hash-rank
+    * approximation: NO per-stratum `row_number` window (which would
+    * funnel each stratum through one reducer at corpus scale) — the
+    * key is a pure map against broadcast (n, weight) scalars.
+    * Consumers materialize the order with a distributed
+    * range-partitioned sort on the key, not a single-partition
+    * global window.
+    */
+  def interleaveKey(id: Column, nStratum: Column, weight: Column): Column =
+    idHash(id).cast("double") / lit(281474976710656.0) * nStratum.cast("double") / weight
+
   /** Greedy sequence packing: order documents by `(idHash, id)`
     * within a hash shard, then fill context windows of `budget`
     * tokens first-come — a new pack starts when the next document

@@ -46,6 +46,29 @@ class MixingSpec extends AnyFunSuite {
       "per-doc share not monotone decreasing in stratum size")
   }
 
+  test("interleave key: early sorted prefixes carry each stratum near its weight share") {
+    // use the bigger sf0.01 corpus: the share test is statistical
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.01")
+    val w = Mixing.temperatureWeights(corpus, Seq("lang"), 10000.0)
+      .select(col("lang"), col("n_stratum"), col("weight"))
+    val keyed = corpus.join(broadcast(w), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("weight"),
+        Mixing.interleaveKey(col("doc_id"), col("n_stratum"), col("weight")).as("ikey"))
+      .orderBy(col("ikey"))
+      .collect()
+    val weights = keyed.map(r => r.getAs[String]("lang") -> r.getAs[Double]("weight")).toMap
+    // prefixes before any stratum exhausts: share_s ≈ weight_s, NOT
+    // the corpus frequency n_s/N (en is ~45% of docs but weighted ~23%)
+    Seq(keyed.length / 4, keyed.length / 2).foreach { pre =>
+      val prefix = keyed.take(pre)
+      weights.foreach { case (lang, wt) =>
+        val share = prefix.count(_.getAs[String]("lang") == lang).toDouble / pre
+        assert(math.abs(share - wt) < 0.1,
+          s"prefix $pre: $lang share $share far from weight $wt")
+      }
+    }
+  }
+
   test("greedy packing: every doc packed once, no pack over budget unless single oversize doc") {
     val budget = 512L
     val out = Mixing.packGreedy(
