@@ -1,0 +1,87 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Dedup, Mixing, TextOps}
+import graft.sources.Tables
+
+/** End-to-end demo of the training-data lifecycle on the documents
+  * table: dedup (exact groups + LSH near-dup clusters) → quality and
+  * repetition filtering → benchmark contamination audit → stratified
+  * sampling → temperature weights → weighted interleave → greedy
+  * packing into context windows. Shows library ergonomics and
+  * doubles as a runnable smoke for the corpus stack.
+  *
+  * Usage: runMain graft.examples.CorpusDemo [sfDir]
+  */
+object CorpusDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = GraftSession.local()
+    val docs = Tables.documents(spark, sfDir).cache()
+    println(s"[demo] corpus: ${docs.count()} documents")
+
+    // 1. exact dedup: keep one representative per distinct content
+    val fp = docs.withColumn("fp", TextOps.fingerprint(col("text")))
+    val kept = fp
+      .withColumn("rep", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("doc_id") === col("rep"))
+      .drop("fp", "rep")
+      .cache()
+    println(s"[demo] after exact dedup: ${kept.count()}")
+
+    // 2. near-dup clusters: LSH candidates verified by exact Jaccard
+    // (band collisions alone over-connect a small-vocabulary corpus)
+    val sh = Dedup.charShingles(kept, "doc_id", "text", 3)
+    val cands = Dedup.lshCandidates(Dedup.lshBandsFromShingles(sh, "doc_id", 32, 4), "doc_id")
+    val edges = Dedup.jaccardOnCandidates(cands, sh, "doc_id")
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val comps = Dedup.connectedComponents(kept.select(col("doc_id")), edges, "doc_id", partitions = 4)
+    val nearKept = kept.join(
+      comps.withColumn("rep", min(col("id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))))
+        .filter(col("id") === col("rep")).select(col("id").as("doc_id")),
+      Seq("doc_id"))
+    println(s"[demo] after near-dup clustering: ${nearKept.count()}")
+
+    // 3. quality + repetition filter
+    val scored = nearKept
+      .withColumn("quality", TextOps.qualityScore(col("text")))
+      .withColumn("dup_frac", TextOps.dupNgramFrac(col("text"), 2))
+    val clean = scored.filter(col("quality") >= 0.3 && col("dup_frac") <= 0.3).cache()
+    println(s"[demo] after quality/repetition filter: ${clean.count()}")
+
+    // 4. contamination audit against a held-out "benchmark" slice
+    val contam = Dedup.contamination(
+      clean.filter(col("doc_id") >= 20), clean.filter(col("doc_id") < 20),
+      "doc_id", "text", 5)
+    println("[demo] most-contaminated benchmark docs:")
+    contam.orderBy(col("contamination").desc).show(5)
+
+    // 5. stratified sampling + temperature weights + interleave + pack
+    val sampled = Mixing.stratifiedSample(clean, Seq("lang"), "doc_id", 100L)
+      .filter(col("kept"))
+      .drop("n_stratum", "keep_threshold", "kept")
+    val weights = Mixing.temperatureWeights(sampled, Seq("source"), 10000.0)
+    println("[demo] temperature mixture weights (smallest strata up-weighted):")
+    weights.orderBy(col("n_stratum")).show(5)
+
+    val ordered = sampled
+      .join(broadcast(weights.select(col("source"), col("n_stratum"), col("weight"))), Seq("source"))
+      .withColumn("ikey", Mixing.interleaveKey(col("doc_id"), col("n_stratum"), col("weight")))
+    val packs = Mixing.packGreedy(
+      ordered, "doc_id", TextOps.approxBpeTokens(col("text")), budget = 512L, nShards = 8)
+    val packStats = packs.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok")).as("tok"), count(lit(1)).as("n_docs"))
+    println("[demo] pack fill (512-token windows):")
+    packStats.agg(
+      count(lit(1)).as("n_packs"),
+      round(avg(col("tok")), 1).as("avg_tok"),
+      round(avg(col("n_docs")), 2).as("avg_docs")).show()
+
+    spark.stop()
+  }
+}
