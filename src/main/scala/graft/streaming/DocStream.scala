@@ -274,6 +274,57 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
+  case class PackAssign(doc_id: Long, shard: Int, pack_id: Long, tok: Long)
+
+  /** Incremental greedy sequence packing — the streaming face of
+    * `Mixing.packGreedy` for continuous training-data assembly: each
+    * arriving document is assigned to its hash shard's OPEN pack at
+    * arrival (final verdict, append-only); the open pack closes when
+    * the next document would overflow `budget`. State per shard is
+    * two longs (open pack id, tokens used) — O(nShards) total,
+    * independent of stream length.
+    *
+    * Semantics vs batch: packing order is ARRIVAL order within a
+    * micro-batch-stable tiebreak (docs sorted by id inside each
+    * batch), not the batch operator's corpus-wide hash order — a
+    * streaming assembler cannot reorder documents it has already
+    * emitted, so pack CONTENTS differ from `packGreedy` by design
+    * while every invariant (no multi-doc pack over budget, dense pack
+    * ids per shard, each doc packed exactly once) is preserved —
+    * `DocStreamSpec` asserts them across checkpointed restarts.
+    */
+  def incrementalPack(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      budget: Long = 512L,
+      nShards: Int = 8
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = readDocs(spark, path)
+      .select(
+        col("doc_id"),
+        graft.operators.TextOps.approxBpeTokens(col("text")).cast("long").as("tok"),
+        pmod(graft.operators.Mixing.idHash(col("doc_id")), lit(nShards.toLong)).cast("int").as("shard")
+      )
+      .as[(Long, Long, Int)]
+    val out = rows
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[(Long, Long, Int)], state: GroupState[(Long, Long)]) =>
+          var (pack, acc) = state.getOption.getOrElse((1L, 0L))
+          val assigns = it.toArray.sortBy(_._1).map { case (id, tok, _) =>
+            if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
+            acc += tok
+            PackAssign(id, shard, pack, tok)
+          }
+          state.update((pack, acc))
+          assigns.iterator
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir)
+  }
+
   /** Append run to parquet, shared by the twins: `AvailableNow` for
     * the exact (no-TTL) paths, `Trigger.Once` when processing-time
     * timeouts are registered (see the TTL scaladoc on

@@ -134,6 +134,32 @@ class DocStreamSpec extends AnyFunSuite {
       "evicted bucket still paired the late duplicate against a cold member")
   }
 
+  test("incremental packing holds every batch invariant across a checkpointed restart") {
+    val src = java.nio.file.Files.createTempDirectory("packsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("packckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("packout").toString
+    val budget = 512L
+
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    DocStream.incrementalPack(spark, src, ckpt, outDir, budget, nShards = 4)
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    val out = DocStream.incrementalPack(spark, src, ckpt, outDir, budget, nShards = 4).cache()
+
+    // every doc assigned exactly once, with a final verdict at arrival
+    assert(out.count() == docs.count())
+    assert(out.select("doc_id").distinct().count() == docs.count())
+    // no multi-doc pack over budget — including packs SPANNING the two
+    // micro-batches (open-pack state carried across the restart)
+    val packs = out.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok")).as("tok_sum"), count(lit(1)).as("n_docs"))
+    assert(packs.filter(col("tok_sum") > budget && col("n_docs") > 1).count() == 0,
+      "multi-doc pack exceeds the budget")
+    // dense pack ids per shard
+    val dense = packs.groupBy(col("shard"))
+      .agg(max(col("pack_id")).as("mx"), countDistinct(col("pack_id")).as("nd"))
+    assert(dense.filter(col("mx") =!= col("nd")).count() == 0, "pack ids not dense")
+  }
+
   test("incremental winnowing pair log aggregates to the batch winnowPairs counts") {
     val src = java.nio.file.Files.createTempDirectory("winsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("winckpt").toString
