@@ -1384,6 +1384,36 @@ object OracleSql {
     WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
   """
 
+  private val e08 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4) AS d2
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2 ASC, centroid_id ASC) AS rn FROM d) t
+      WHERE rn = 1),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY 1),
+    dropped AS (
+      SELECT DISTINCT bb.vec_id FROM assign aa
+      JOIN assign bb ON aa.centroid_id = bb.centroid_id AND aa.vec_id < bb.vec_id
+      JOIN e ea ON ea.vec_id = aa.vec_id JOIN e eb ON eb.vec_id = bb.vec_id
+      JOIN n na ON na.vec_id = aa.vec_id JOIN n nb ON nb.vec_id = bb.vec_id
+      CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY aa.vec_id, bb.vec_id, na.nrm, nb.nrm
+      HAVING round(sum(CAST(ea.embedding[CAST(i AS INT)] AS DOUBLE)
+                       * CAST(eb.embedding[CAST(i AS INT)] AS DOUBLE))
+                   / (na.nrm * nb.nrm), 5) >= 0.4)
+    SELECT a.vec_id, a.centroid_id, (dr.vec_id IS NOT NULL) AS is_dropped
+    FROM assign a LEFT JOIN dropped dr ON a.vec_id = dr.vec_id
+  """
+
   private val d13 = s"""
     WITH w AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
@@ -1557,6 +1587,7 @@ object OracleSql {
     "e05_ivf_topk" -> e05,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
+    "e08_semantic_dedup" -> e08,
     "d13_repetition" -> d13,
     "d14_contamination" -> d14,
     "t01_stratified_sample" -> t01,

@@ -1305,6 +1305,15 @@ object SparkEntry {
       )
   }
 
+  /** SemDeDup-style semantic dedup: cluster to the 8 coarse
+    * centroids, drop in-cluster vectors with cosine >= 0.4 to a
+    * smaller-id member — pairwise work confined to clusters.
+    */
+  private def e08(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDedup(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 0.4)
+  }
+
   /** Deterministic stratified sampling for training-data mixing:
     * per-language keep rates derived from stratum counts (target 50
     * docs/stratum), keep decision a stateless hash threshold — no
@@ -1515,6 +1524,7 @@ object SparkEntry {
     "e05_ivf_topk" -> (e05 _),
     "e06_scalar_quant" -> (e06 _),
     "e07_quant_recall" -> (e07 _),
+    "e08_semantic_dedup" -> (e08 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -94,6 +94,56 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication: cluster every vector to
+    * its nearest centroid, then inside each cluster drop any vector
+    * whose cosine to a SMALLER-id member reaches `threshold` —
+    * deterministic keep-first (the kept representative of a dup group
+    * is its min id; a dropped vector may itself shadow later ones,
+    * the standard greedy variant). Pairwise work is confined to
+    * clusters via an equi-join on `centroid_id`: at corpus scale the
+    * centroid count grows with the corpus (IVF-style), bounding
+    * cluster sizes, and the corpus-sized sides only ever shuffle on
+    * the cluster key. Threshold applies to the ROUNDED cosine so the
+    * drop set is engine-reproducible.
+    *
+    * @return (idCol, centroid_id, is_dropped)
+    */
+  def semanticDedup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val spark = vectors.sparkSession
+    // the assigned+normed corpus feeds THREE consumers (pair sides a
+    // and b, final output) and Spark plans no subtree reuse across
+    // them — materialize the assignment ONCE as a persisted RDD (the
+    // ContextCleaner frees it when the result goes out of scope; a
+    // DataFrame .cache() would pin it in the CacheManager for the
+    // session's life)
+    val v0 = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+      .withColumn("nrm", norm(col("vv")))
+      .join(
+        assignToCentroids(vectors, centroids, idCol, vecCol).select(col(idCol), col("centroid_id")),
+        Seq(idCol))
+    val vRdd = v0.rdd.setName("semanticDedup assigned corpus")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val v = spark.createDataFrame(vRdd, v0.schema)
+    val assign = v.select(col(idCol), col("centroid_id"))
+    val a = v.select(col(idCol).as("a_id"), col("vv").as("av"), col("nrm").as("an"), col("centroid_id"))
+    val b = v.select(col(idCol).as("b_id"), col("vv").as("bv"), col("nrm").as("bn"), col("centroid_id"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 5))
+      .filter(col("cosine") >= threshold)
+      .select(col("b_id").as(idCol))
+      .distinct()
+    assign
+      .join(dropped.withColumn("__d", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("centroid_id"), coalesce(col("__d"), lit(false)).as("is_dropped"))
+  }
+
   /** End-to-end IVF search: assign every vector to its nearest
     * centroid cell ([[assignToCentroids]]), probe the `nprobe` nearest
     * cells per query, and run exact cosine top-k only against the

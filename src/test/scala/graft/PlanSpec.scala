@@ -107,6 +107,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "e07 planned a cartesian product")
   }
 
+  test("semantic dedup pairs only inside clusters — equi-join on centroid, no cross join (e08)") {
+    // the only nested-loop allowed is the 8-centroid broadcast in the
+    // assignment stage; the corpus-sized pair stage must be an
+    // equi-join keyed on centroid_id
+    val p = planOf("e08_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), "e08 planned a cartesian product")
+    assert(p.contains("centroid_id"), p)
+    // the assignment subtree (the one legitimate nested loop, over 8
+    // broadcast centroids) is materialized ONCE as a persisted RDD;
+    // the three consumers must read that, not replay the assignment
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 0, s"e08 replayed the centroid assignment $bnlj times in the consumer plan")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+  }
+
   test("contamination audit never shuffles the training corpus (d14)") {
     // the train-side gram explosion must reach its semi-join through a
     // broadcast; the only allowed exchanges carry benchmark-sized data
