@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.Similarity
+
+/** Structured Streaming face of SEMANTIC dedup (`Similarity
+  * .semanticDedup`'s incremental twin): embeddings arrive
+  * continuously; each gets a final keep/drop verdict at arrival.
+  *
+  * The centroid ASSIGNMENT runs as a scalar expression — the argmin
+  * over k centroids is a `least(...)` fold over `(round(dist2, 4),
+  * centroid_id)` structs (struct comparison is lexicographic, so the
+  * tie-break matches the batch window's `(d2, centroid_id)` order),
+  * with the centroid vectors baked into the plan as literals: a
+  * streaming query gets one stateful operator, so assignment must
+  * arrive at the state op already decided, and centroids are small by
+  * the IVF contract (they come from a driver-side collect).
+  *
+  * The stateful op mirrors the batch drop rule exactly: a vector is
+  * dropped iff its rounded cosine to ANY earlier-SEEN member of its
+  * cluster (kept or dropped — the batch a-side includes dropped
+  * vectors) reaches the threshold. "Earlier" is arrival order
+  * (append-only verdicts cannot be revised), so verdicts equal the
+  * batch output whenever ids arrive in id order — `VecStreamSpec`
+  * asserts that equality across checkpointed micro-batches. State per
+  * cluster is its seen members' vectors, capped at `maxCluster` (past
+  * the cap new arrivals are kept-by-default and not added — the same
+  * prefix-cap semantics as the LSH bucket twin).
+  */
+object VecStream {
+
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)
+  ))
+
+  case class VecVerdict(vec_id: Long, centroid_id: Long, is_dropped: Boolean)
+
+  /** @param centroids (centroid_id, vector) pairs, driver-side (small
+    *   by the IVF contract); the batch twin derives them from a
+    *   DataFrame — collect it before calling.
+    */
+  def incrementalSemanticDedup(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      centroids: Array[(Long, Array[Double])],
+      threshold: Double = 0.4,
+      maxCluster: Int = 4096
+  ): DataFrame = {
+    import spark.implicits._
+    require(centroids.nonEmpty, "incrementalSemanticDedup needs at least one centroid")
+
+    val vecD = col("embedding").cast("array<double>")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(
+        round(Similarity.dist2(vecD, typedLit(cv.toSeq)), 4).as("d2"),
+        lit(cid).as("centroid_id"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored: _*)
+
+    val rows = spark.readStream.schema(vecSchema).format("parquet").load(path)
+      .select(
+        col("vec_id"),
+        vecD.as("v"),
+        best.getField("centroid_id").as("centroid_id"))
+      .as[(Long, Array[Double], Long)]
+
+    val out = rows
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cid: Long, it: Iterator[(Long, Array[Double], Long)],
+         state: GroupState[Vector[(Long, Array[Double])]]) =>
+          var members = state.getOption.getOrElse(Vector.empty[(Long, Array[Double])])
+          val verdicts = it.toArray.sortBy(_._1).map { case (id, v, _) =>
+            val dropped = members.exists { case (_, m) => cosine5(v, m) >= threshold }
+            if (members.length < maxCluster) members = members :+ (id -> v)
+            VecVerdict(id, cid, dropped)
+          }
+          state.update(members)
+          verdicts.iterator
+      }
+
+    val q = out.toDF().writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
+  /** Rounded cosine, arithmetic-identical to the batch expression:
+    * `graft_dot` folds in index order (a plain loop), `round(x, 5)`
+    * is HALF_UP.
+    */
+  private def cosine5(a: Array[Double], b: Array[Double]): Double = {
+    var dab = 0.0; var daa = 0.0; var dbb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { dab += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { daa += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { dbb += b(i) * b(i); i += 1 }
+    val c = dab / (math.sqrt(daa) * math.sqrt(dbb))
+    BigDecimal(c).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+import graft.streaming.VecStream
+
+/** Streaming semantic dedup: verdicts equal the batch
+  * `Similarity.semanticDedup` output when vectors arrive in id order,
+  * across checkpointed micro-batches.
+  */
+class VecStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("incremental semantic dedup equals the batch verdicts across a checkpointed restart") {
+    val src = java.nio.file.Files.createTempDirectory("vecsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vecckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vecout").toString
+
+    val cents = emb.filter(col("vec_id") < 8)
+    val centArr = cents
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+    // id-ordered arrival: batch drop rule (vs smaller ids) == arrival rule
+    emb.filter(col("vec_id") < 60).write.mode("append").parquet(src)
+    VecStream.incrementalSemanticDedup(spark, src, ckpt, outDir, centArr, threshold = 0.4)
+    emb.filter(col("vec_id") >= 60).write.mode("append").parquet(src)
+    val got = VecStream.incrementalSemanticDedup(spark, src, ckpt, outDir, centArr, threshold = 0.4)
+      .select("vec_id", "centroid_id", "is_dropped")
+
+    assert(got.count() == emb.count(), "every vector needs exactly one verdict")
+    val expect = Similarity.semanticDedup(emb, cents, "vec_id", "embedding", 0.4)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"), col("is_dropped"))
+    assert(got.except(expect).count() == 0, "streaming verdicts absent from batch output")
+    assert(expect.except(got).count() == 0, "batch verdicts missing from the stream")
+    assert(got.filter(col("is_dropped")).count() > 0, "no drops — test has no signal")
+  }
+}
