@@ -1456,6 +1456,23 @@ object OracleSql {
     GROUP BY bench_id
   """
 
+  private val pfp40 =
+    "md5(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40))"
+
+  private val d15 = s"""
+    WITH dfp AS (SELECT doc_id, $pfp40 AS fp FROM documents WHERE doc_id >= 400),
+    hits AS (SELECT DISTINCT $pfp40 AS fp FROM documents WHERE doc_id < 400),
+    d AS (
+      SELECT dfp.doc_id, dfp.fp, (h.fp IS NOT NULL) AS hit,
+        min(dfp.doc_id) OVER (PARTITION BY dfp.fp) AS min_id
+      FROM dfp LEFT JOIN hits h USING (fp))
+    SELECT doc_id, fp,
+      CASE WHEN hit THEN 'dup_of_corpus'
+           WHEN doc_id <> min_id THEN 'dup_in_delta'
+           ELSE 'kept' END AS verdict
+    FROM d
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1590,6 +1607,7 @@ object OracleSql {
     "e08_semantic_dedup" -> e08,
     "d13_repetition" -> d13,
     "d14_contamination" -> d14,
+    "d15_delta_dedup" -> d15,
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03,

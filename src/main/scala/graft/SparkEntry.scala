@@ -1058,6 +1058,21 @@ object SparkEntry {
           greatest(col("n_words"), lit(1L)).cast("double"), 6).as("top_word_share"))
   }
 
+  /** Delta dedup: docs with ids >= 400 arrive as the new ingest batch
+    * and are deduplicated against the 0–399 corpus (fingerprint
+    * semi-join, corpus side broadcast-probed — never shuffled) and
+    * within the batch (min-id representative).
+    */
+  private def d15(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // prefix fingerprint (shared opening passage, as d02): the test
+    // corpus has no full-content exact dups across this split, so the
+    // prefix key is what gives the verdict columns real signal
+    Dedup.deltaDedup(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", TextOps.prefixFingerprint(_, 40))
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1517,6 +1532,7 @@ object SparkEntry {
     "d12_rolling_minhash" -> (d12 _),
     "d13_repetition" -> (d13 _),
     "d14_contamination" -> (d14 _),
+    "d15_delta_dedup" -> (d15 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

@@ -506,6 +506,42 @@ object Dedup {
       )
   }
 
+  /** Delta dedup (the incremental corpus-update shape): give each
+    * document of a NEW batch a verdict against the EXISTING corpus —
+    * `dup_of_corpus` when its content fingerprint already exists,
+    * `dup_in_delta` when an earlier (smaller-id) delta doc has the
+    * same fingerprint, else kept.
+    *
+    * Plan shape for a 100 TB corpus side: the corpus projects its
+    * fingerprint column and semi-joins against the BROADCAST delta
+    * fingerprint set (the delta is small by construction — it is one
+    * ingest batch), so the corpus never shuffles; the surviving
+    * matches (≤ |delta|) broadcast back over the delta.
+    *
+    * @return (idCol, fp, verdict)
+    */
+  def deltaDedup(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpOf: Column => Column = TextOps.fingerprint
+  ): DataFrame = {
+    val dfp = delta.select(col(idCol), fpOf(col(textCol)).as("fp"))
+    val corpusHits = corpus.select(fpOf(col(textCol)).as("fp"))
+      .join(broadcast(dfp.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+      .distinct()
+    val wFp = Window.partitionBy(col("fp"))
+    dfp
+      .join(broadcast(corpusHits.withColumn("__hit", lit(true))), Seq("fp"), "left")
+      .withColumn("__min_id", min(col(idCol)).over(wFp))
+      .withColumn("verdict",
+        when(col("__hit"), lit("dup_of_corpus"))
+          .when(col(idCol) =!= col("__min_id"), lit("dup_in_delta"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("fp"), col("verdict"))
+  }
+
   /** Benchmark contamination check (the train/test leak audit of an
     * LLM data pipeline): for each BENCHMARK document, the fraction of
     * its distinct word n-grams that appear anywhere in the TRAINING
