@@ -44,6 +44,14 @@ object VecStream {
   /** @param centroids (centroid_id, vector) pairs, driver-side (small
     *   by the IVF contract); the batch twin derives them from a
     *   DataFrame — collect it before calling.
+    * @param ttlMs optional sliding state TTL (same contract and
+    *   `Trigger.Once` requirement as the `DocStream` twins — see
+    *   `DocStream.incrementalExactDedup`): 0 keeps cluster members
+    *   forever; > 0 evicts clusters untouched for ttlMs, so a
+    *   near-dup of only-cold members is re-admitted as kept. This
+    *   twin's state holds actual vectors (64 doubles per member), so
+    *   production ingest over unbounded corpora wants the TTL most
+    *   here.
     */
   def incrementalSemanticDedup(
       spark: SparkSession,
@@ -52,7 +60,8 @@ object VecStream {
       outDir: String,
       centroids: Array[(Long, Array[Double])],
       threshold: Double = 0.4,
-      maxCluster: Int = 4096
+      maxCluster: Int = 4096,
+      ttlMs: Long = 0L
   ): DataFrame = {
     import spark.implicits._
     require(centroids.nonEmpty, "incrementalSemanticDedup needs at least one centroid")
@@ -72,21 +81,31 @@ object VecStream {
         best.getField("centroid_id").as("centroid_id"))
       .as[(Long, Array[Double], Long)]
 
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     val out = rows
       .groupByKey(_._3)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (cid: Long, it: Iterator[(Long, Array[Double], Long)],
          state: GroupState[Vector[(Long, Array[Double])]]) =>
-          var members = state.getOption.getOrElse(Vector.empty[(Long, Array[Double])])
-          val verdicts = it.toArray.sortBy(_._1).map { case (id, v, _) =>
-            val dropped = members.exists { case (_, m) => cosine5(v, m) >= threshold }
-            if (members.length < maxCluster) members = members :+ (id -> v)
-            VecVerdict(id, cid, dropped)
+          if (state.hasTimedOut) {
+            state.remove() // cold cluster: forget its members
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Vector.empty[(Long, Array[Double])])
+            val verdicts = it.toArray.sortBy(_._1).map { case (id, v, _) =>
+              val dropped = members.exists { case (_, m) => cosine5(v, m) >= threshold }
+              if (members.length < maxCluster) members = members :+ (id -> v)
+              VecVerdict(id, cid, dropped)
+            }
+            state.update(members)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            verdicts.iterator
           }
-          state.update(members)
-          verdicts.iterator
       }
 
+    val trigger: Trigger =
+      if (ttlMs > 0) Trigger.Once() else Trigger.AvailableNow()
     val q = out.toDF().writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -94,7 +113,7 @@ object VecStream {
         ()
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
     q.awaitTermination()
     spark.read.parquet(outDir)

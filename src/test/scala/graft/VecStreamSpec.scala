@@ -42,4 +42,34 @@ class VecStreamSpec extends AnyFunSuite {
     assert(expect.except(got).count() == 0, "batch verdicts missing from the stream")
     assert(got.filter(col("is_dropped")).count() > 0, "no drops — test has no signal")
   }
+
+  test("state TTL evicts cold clusters: a late near-dup of cold members is kept") {
+    val src = java.nio.file.Files.createTempDirectory("vttlsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vttlckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vttlout").toString
+    val ttl = 500L
+
+    val cents = emb.filter(col("vec_id") < 8)
+    val centArr = cents
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+    emb.filter(col("vec_id") === 10).write.mode("append").parquet(src)
+    VecStream.incrementalSemanticDedup(spark, src, ckpt, outDir, centArr, ttlMs = ttl)
+    Thread.sleep(2 * ttl + 500)
+
+    // unrelated tick fires vec 10's cluster timeout and evicts it
+    emb.filter(col("vec_id") === 11).write.mode("append").parquet(src)
+    VecStream.incrementalSemanticDedup(spark, src, ckpt, outDir, centArr, ttlMs = ttl)
+
+    // an exact copy of vec 10 (cosine 1.0) arrives after eviction:
+    // warm state would drop it; cold -> kept (the documented tradeoff)
+    emb.filter(col("vec_id") === 10).withColumn("vec_id", lit(888L))
+      .write.mode("append").parquet(src)
+    val out = VecStream.incrementalSemanticDedup(spark, src, ckpt, outDir, centArr, ttlMs = ttl)
+    val v = out.filter(col("vec_id") === 888L).collect()
+    assert(v.length == 1 && !v.head.getAs[Boolean]("is_dropped"),
+      "cold cluster still dropped the late near-dup")
+  }
 }
