@@ -1459,6 +1459,32 @@ object OracleSql {
   private val pfp40 =
     "md5(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40))"
 
+  private val m03 = s"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id AS id,
+        CAST($tokCount AS BIGINT) + CAST(floor(len(text) / 16.0) AS BIGINT) AS tok_a,
+        CAST(ceil(len(text) / 64.0) AS BIGINT) AS tok_b,
+        CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) AS h
+      FROM documents),
+    o AS (
+      SELECT id, tok_a, tok_b, h, CAST(h % 8 AS INT) AS shard,
+        row_number() OVER (PARTITION BY h % 8 ORDER BY h, id) AS rn
+      FROM base),
+    packed AS (
+      SELECT id, tok_a, tok_b, shard, rn, 1 AS pack_id,
+        tok_a AS acc_a, tok_b AS acc_b FROM o WHERE rn = 1
+      UNION ALL
+      SELECT o.id, o.tok_a, o.tok_b, o.shard, o.rn,
+        CASE WHEN p.acc_a + o.tok_a > 512 OR p.acc_b + o.tok_b > 24
+             THEN p.pack_id + 1 ELSE p.pack_id END,
+        CASE WHEN p.acc_a + o.tok_a > 512 OR p.acc_b + o.tok_b > 24
+             THEN o.tok_a ELSE p.acc_a + o.tok_a END,
+        CASE WHEN p.acc_a + o.tok_a > 512 OR p.acc_b + o.tok_b > 24
+             THEN o.tok_b ELSE p.acc_b + o.tok_b END
+      FROM o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1)
+    SELECT id, shard, CAST(pack_id AS INT) AS pack_id, tok_a, tok_b FROM packed
+  """
+
   private val d15 = s"""
     WITH dfp AS (SELECT doc_id, $pfp40 AS fp FROM documents WHERE doc_id >= 400),
     hits AS (SELECT DISTINCT $pfp40 AS fp FROM documents WHERE doc_id < 400),
@@ -1585,6 +1611,7 @@ object OracleSql {
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,
+    "m03_multimodal_pack" -> m03,
     "d01_dedup_stats" -> d01,
     "d02_exact_dup_groups" -> d02,
     "d03_token_stats" -> d03,

@@ -1006,6 +1006,18 @@ object SparkEntry {
       )
   }
 
+  /** Multimodal dual-budget packing: assemble docs into context
+    * windows capped at 512 text tokens AND 24 image patches (the
+    * 64-byte blob chunks standing in for patches) — a new window when
+    * either budget would overflow. Same hash-shard determinism as t03.
+    */
+  private def m03(s: SparkSession, dir: String): DataFrame =
+    Mixing.packGreedy2(
+      Tables.documents(s, dir), "doc_id",
+      TextOps.approxBpeTokens(col("text")), 512L,
+      ceil(length(col("text")) / 64.0).cast("long"), 24L,
+      nShards = 8)
+
   // ---------------------------------------------------------------- //
   // Training-data pipeline layer: dedup / text / similarity
   // ---------------------------------------------------------------- //
@@ -1518,6 +1530,7 @@ object SparkEntry {
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
+    "m03_multimodal_pack" -> (m03 _),
     "d01_dedup_stats" -> (d01 _),
     "d02_exact_dup_groups" -> (d02 _),
     "d03_token_stats" -> (d03 _),

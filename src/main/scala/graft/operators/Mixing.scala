@@ -109,6 +109,52 @@ object Mixing {
   def interleaveKey(id: Column, nStratum: Column, weight: Column): Column =
     idHash(id).cast("double") / lit(281474976710656.0) * nStratum.cast("double") / weight
 
+  /** Dual-budget greedy packing for MULTIMODAL context windows (VLM
+    * training assembles text tokens AND image patches into one
+    * window, each with its own capacity): same hash-shard / hash-order
+    * contract as [[packGreedy]], but a new pack starts when EITHER
+    * accumulator would overflow its budget.
+    *
+    * @return (id, shard, pack_id, tok_a, tok_b)
+    */
+  def packGreedy2(
+      df: DataFrame,
+      idCol: String,
+      tokA: Column,
+      budgetA: Long,
+      tokB: Column,
+      budgetB: Long,
+      nShards: Int
+  ): DataFrame = {
+    import df.sparkSession.implicits._
+    val rows = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        tokA.cast("long").as("tok_a"),
+        tokB.cast("long").as("tok_b"),
+        idHash(col(idCol)).as("h")
+      )
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .as[(Long, Long, Long, Long, Int)]
+    rows
+      .groupByKey(_._5)
+      .flatMapGroups { (shard: Int, it: Iterator[(Long, Long, Long, Long, Int)]) =>
+        val docs = it.toArray.sortBy(r => (r._4, r._1))
+        var pack = 1
+        var accA = 0L
+        var accB = 0L
+        docs.iterator.map { case (id, ta, tb, _, _) =>
+          if ((accA > 0 || accB > 0) && (accA + ta > budgetA || accB + tb > budgetB)) {
+            pack += 1; accA = 0L; accB = 0L
+          }
+          accA += ta
+          accB += tb
+          (id, shard, pack, ta, tb)
+        }
+      }
+      .toDF("id", "shard", "pack_id", "tok_a", "tok_b")
+  }
+
   /** Greedy sequence packing: order documents by `(idHash, id)`
     * within a hash shard, then fill context windows of `budget`
     * tokens first-come — a new pack starts when the next document

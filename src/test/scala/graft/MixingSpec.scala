@@ -69,6 +69,19 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("dual-budget packing: no multi-doc pack exceeds either budget, binding constraint varies") {
+    val out = Mixing.packGreedy2(
+      docs, "doc_id",
+      TextOps.approxBpeTokens(col("text")), 512L,
+      ceil(length(col("text")) / 64.0).cast("long"), 24L,
+      nShards = 4).cache()
+    assert(out.count() == docs.count())
+    val packs = out.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok_a")).as("a"), sum(col("tok_b")).as("b"), count(lit(1)).as("n"))
+    assert(packs.filter((col("a") > 512 || col("b") > 24) && col("n") > 1).count() == 0,
+      "multi-doc pack exceeds a budget")
+  }
+
   test("greedy packing: every doc packed once, no pack over budget unless single oversize doc") {
     val budget = 512L
     val out = Mixing.packGreedy(
