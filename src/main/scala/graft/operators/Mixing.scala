@@ -44,6 +44,8 @@ object Mixing {
       idCol: String,
       target: Long
   ): DataFrame = {
+    require(strataCols.nonEmpty, "stratifiedSample needs at least one stratum column")
+    require(target > 0, s"stratifiedSample target must be positive, got $target")
     val keyCols = strataCols.map(col)
     val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum"))
     val withRate = counts.withColumn(
@@ -73,6 +75,8 @@ object Mixing {
       strataCols: Seq[String],
       tokenBudget: Double
   ): DataFrame = {
+    require(strataCols.nonEmpty, "temperatureWeights needs at least one stratum column")
+    require(tokenBudget > 0, s"temperatureWeights budget must be positive, got $tokenBudget")
     val keyCols = strataCols.map(col)
     val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum"))
     counts
@@ -126,6 +130,8 @@ object Mixing {
       budgetB: Long,
       nShards: Int
   ): DataFrame = {
+    require(budgetA > 0 && budgetB > 0 && nShards > 0,
+      s"packGreedy2 needs positive budgets and shard count, got a=$budgetA b=$budgetB nShards=$nShards")
     import df.sparkSession.implicits._
     val rows = df
       .select(
@@ -179,6 +185,8 @@ object Mixing {
       budget: Long,
       nShards: Int
   ): DataFrame = {
+    require(budget > 0 && nShards > 0,
+      s"packGreedy needs positive budget and shard count, got budget=$budget nShards=$nShards")
     import df.sparkSession.implicits._
     val rows = df
       .select(
