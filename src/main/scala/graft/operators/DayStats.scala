@@ -30,6 +30,19 @@ object DayStats {
     df.groupBy(col(site))
       .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
 
+  /** Sketch-state capacity for the 100 TB deployment: exact
+    * `percentile` buffers EVERY value of a group in the aggregation
+    * state (per-site memory grows with scan rate × years — the one
+    * reference aggregate whose state is not trivially bounded);
+    * `approx_percentile` keeps a fixed-size histogram sketch instead,
+    * with RANK error ≤ 1/accuracy — note value error is unbounded at
+    * a distribution cliff (measured 69% at one site), so the contract
+    * `OperatorSpec` calibrates is the rank window, not the value.
+    */
+  def capacityApprox(df: DataFrame, site: String, valueCol: String, accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(site))
+      .agg(approx_percentile(col(valueCol), lit(0.95), lit(accuracy)).as("capacity"))
+
   /** Daily density: fraction of slots with value above 2% of the
     * site's capacity (reference `data_quality.py:35-41`). Capacity is
     * joined back (one row per site) under the [[SideJoin]] strategy.

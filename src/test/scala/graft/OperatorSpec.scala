@@ -189,6 +189,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("capacityApprox lands at rank 0.95 within the sketch's rank-error bound") {
+    // the GK sketch guarantees RANK error <= 1/accuracy — not value
+    // error, which is unbounded at a distribution cliff (observed:
+    // 69% value error at a site whose p95 sits on a steep edge). The
+    // calibrated contract: the fraction of values strictly below the
+    // sketch's answer stays <= 0.95 + eps, and the fraction at-or-
+    // below stays >= 0.95 - eps.
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("user_id").as("site"), col("value"))
+    val approx = DayStats.capacityApprox(ev, "site", "value", accuracy = 10000)
+      .withColumnRenamed("capacity", "cap_approx")
+    val ranks = ev.join(org.apache.spark.sql.functions.broadcast(approx), Seq("site"))
+      .groupBy(col("site"))
+      .agg(
+        avg((col("value") < col("cap_approx")).cast("double")).as("frac_lt"),
+        avg((col("value") <= col("cap_approx")).cast("double")).as("frac_le"))
+      .collect()
+    val eps = 1e-3 // 10x the nominal 1/accuracy, margin for small groups
+    ranks.foreach { r =>
+      val (lt, le) = (r.getAs[Double]("frac_lt"), r.getAs[Double]("frac_le"))
+      assert(lt <= 0.95 + eps && le >= 0.95 - eps,
+        s"site ${r.get(0)}: rank window [$lt, $le] misses 0.95±$eps")
+    }
+    assert(ranks.nonEmpty)
+  }
+
   test("dupNgramFrac: repeated bigrams counted, unique text scores 0, short text scores 0") {
     val df = Seq(
       "a b a b a b",   // bigrams: ab ba ab ba ab → 5 grams, 2 distinct → 0.6
