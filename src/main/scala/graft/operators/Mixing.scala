@@ -78,7 +78,20 @@ object Mixing {
     require(strataCols.nonEmpty, "temperatureWeights needs at least one stratum column")
     require(tokenBudget > 0, s"temperatureWeights budget must be positive, got $tokenBudget")
     val keyCols = strataCols.map(col)
-    val counts = df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum"))
+    weightsFromCounts(
+      df.groupBy(keyCols: _*).agg(count(lit(1)).as("n_stratum")), strataCols, tokenBudget)
+  }
+
+  /** The counts → weights half of [[temperatureWeights]], exposed so
+    * an incrementally-maintained count table (e.g. a streaming
+    * aggregation snapshot) can be re-weighted with the identical
+    * arithmetic.
+    */
+  def weightsFromCounts(
+      counts: DataFrame,
+      strataCols: Seq[String],
+      tokenBudget: Double
+  ): DataFrame = {
     counts
       .withColumn("__r", sqrt(col("n_stratum").cast("double")))
       // ordered fold: collect (key, sqrt) pairs, sort by key, fold left —

@@ -274,6 +274,40 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
+  /** Live mixture weights for continuous ingest: a streaming
+    * per-stratum count (complete-mode aggregation — state is one long
+    * per stratum) re-weighted through `Mixing.weightsFromCounts` on
+    * every tick and snapshotted (overwrite, not append: weights are a
+    * VIEW of the current corpus, unlike the twins' append-only
+    * verdict logs). After any tick the snapshot equals the batch
+    * `temperatureWeights` of everything ingested so far — identical
+    * arithmetic on identical counts, `DocStreamSpec`-asserted.
+    */
+  def incrementalMixtureWeights(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      strataCol: String = "source",
+      tokenBudget: Double = 10000.0
+  ): DataFrame = {
+    val counts = readDocs(spark, path)
+      .groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Mixing.weightsFromCounts(batch, Seq(strataCol), tokenBudget)
+          .write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   case class PackAssign(doc_id: Long, shard: Int, pack_id: Long, tok: Long)
 
   /** Incremental greedy sequence packing — the streaming face of

@@ -134,6 +134,25 @@ class DocStreamSpec extends AnyFunSuite {
       "evicted bucket still paired the late duplicate against a cold member")
   }
 
+  test("incremental mixture weights snapshot equals the batch weights after each tick") {
+    val src = java.nio.file.Files.createTempDirectory("mixsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("mixckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("mixout").toString
+
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    val snap1 = DocStream.incrementalMixtureWeights(spark, src, ckpt, outDir)
+    val batch1 = graft.operators.Mixing.temperatureWeights(
+      docs.filter(col("doc_id") < 25), Seq("source"), 10000.0)
+    assert(snap1.except(batch1).count() == 0 && batch1.except(snap1).count() == 0,
+      "tick-1 snapshot diverges from batch weights")
+
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    val snap2 = DocStream.incrementalMixtureWeights(spark, src, ckpt, outDir)
+    val batch2 = graft.operators.Mixing.temperatureWeights(docs, Seq("source"), 10000.0)
+    assert(snap2.except(batch2).count() == 0 && batch2.except(snap2).count() == 0,
+      "tick-2 snapshot diverges from batch weights over the full corpus")
+  }
+
   test("incremental packing holds every batch invariant across a checkpointed restart") {
     val src = java.nio.file.Files.createTempDirectory("packsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("packckpt").toString
