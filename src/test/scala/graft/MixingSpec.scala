@@ -69,6 +69,29 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy packing is maximal: the doc opening pack k+1 could not have fit in pack k") {
+    val budget = 512L
+    val out = Mixing.packGreedy(
+      docs, "doc_id", TextOps.approxBpeTokens(col("text")), budget, nShards = 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("pack_id"))
+    val sums = out.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok")).as("tok_sum"), min(col("tok")).as("first_tok_proxy"))
+    // the FIRST doc of each pack in hash order is the one the greedy
+    // loop failed to place in the previous pack; recover it exactly
+    val firstDoc = out
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("pack_id"))
+          .orderBy(Mixing.idHash(col("id")), col("id"))))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("pack_id"), col("tok").as("first_tok"))
+    val viol = sums.select(col("shard"), col("pack_id"), col("tok_sum"))
+      .join(firstDoc.withColumn("pack_id", col("pack_id") - 1), Seq("shard", "pack_id"))
+      .filter(col("tok_sum") + col("first_tok") <= budget)
+    assert(viol.count() == 0, "a pack closed although its successor's first doc would have fit")
+  }
+
   test("dual-budget packing: no multi-doc pack exceeds either budget, binding constraint varies") {
     val out = Mixing.packGreedy2(
       docs, "doc_id",

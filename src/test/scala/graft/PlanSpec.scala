@@ -138,6 +138,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "t01 shuffled the corpus to join per-stratum rates")
   }
 
+  test("interleave key is a map against broadcast weights — no corpus shuffle (t04)") {
+    val p = planOf("t04_interleave")
+    assert(p.contains("BroadcastHashJoin"), "t04 lost the weight-table broadcast")
+    assert(!p.contains("SortMergeJoin"), "t04 shuffled the corpus to attach weights")
+    // the key is rank-free: no per-stratum row_number anywhere (the
+    // only window is the ordered fold over the tiny COUNTS table)
+    assert(!p.contains("row_number"), "t04 reintroduced a rank window")
+  }
+
   test("in-row repetition metric computes without an extra corpus shuffle branch (d13)") {
     // the top-word aggregation needs its two shuffles ((doc,word) then
     // doc); the in-row bigram branch must contribute NONE — it feeds
