@@ -1485,6 +1485,22 @@ object OracleSql {
     SELECT id, shard, CAST(pack_id AS INT) AS pack_id, tok_a, tok_b FROM packed
   """
 
+  private val d16 = s"""
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total, count(*) AS n_types FROM counts),
+    top AS (
+      SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rk,
+        CAST(sum(cnt) OVER (ORDER BY cnt DESC, w ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
+      FROM counts)
+    SELECT CAST(rk AS INT) AS rk, w, cnt,
+      round(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage,
+      n_types
+    FROM top, total WHERE rk <= 20
+  """
+
   private val d15 = s"""
     WITH dfp AS (SELECT doc_id, $pfp40 AS fp FROM documents WHERE doc_id >= 400),
     hits AS (SELECT DISTINCT $pfp40 AS fp FROM documents WHERE doc_id < 400),
@@ -1635,6 +1651,7 @@ object OracleSql {
     "d13_repetition" -> d13,
     "d14_contamination" -> d14,
     "d15_delta_dedup" -> d15,
+    "d16_vocab" -> d16,
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03,

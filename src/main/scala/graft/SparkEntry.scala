@@ -1097,6 +1097,30 @@ object SparkEntry {
       "doc_id", "text", 5)
   }
 
+  /** Corpus vocabulary stats (tokenizer-training prep): corpus-wide
+    * top-20 words by frequency with cumulative coverage of all token
+    * occurrences, plus the distinct-type count. The top-k is
+    * `orderBy().limit(k)` — a distributed TakeOrdered, never a
+    * single-reducer global window over the vocabulary; the cumulative
+    * window then runs over exactly k rows.
+    */
+  private def d16(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_types"))
+    val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(20)
+    val w = Window.orderBy(col("cnt").desc, col("w").asc)
+    top
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(
+        col("rk"), col("w"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("coverage"),
+        col("n_types"))
+  }
+
   private def d04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -1546,6 +1570,7 @@ object SparkEntry {
     "d13_repetition" -> (d13 _),
     "d14_contamination" -> (d14 _),
     "d15_delta_dedup" -> (d15 _),
+    "d16_vocab" -> (d16 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
