@@ -94,6 +94,73 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Lloyd's k-means over the embedding column — the trainer for the
+    * IVF coarse centroids ([[assignToCentroids]] / [[ivfTopK]] /
+    * [[semanticDedup]] consume its output). No RNG anywhere: initial
+    * centroids are the k smallest ids, a fixed iteration count, and
+    * the assignment tie-break is (d2, centroid_id). Assignments are
+    * exactly reproducible; the centroid MEANS vary across
+    * partitionings only by float summation order (the map-side
+    * combine folds partitions in arbitrary order — ulp-scale, spec
+    * bounds it at 1e-9), which downstream consumers absorb by
+    * rounding d2 to 4 decimals before the argmin.
+    *
+    * Scale shape (the standard Spark k-means pattern): centroids live
+    * on the driver (k × dim doubles — small by the IVF contract) and
+    * ship into each iteration's assignment as broadcast literals; the
+    * per-iteration centroid update is one map-side-combined
+    * aggregation (elementwise sums + counts per cluster), so shuffle
+    * volume per iteration is O(k × dim), independent of corpus size.
+    *
+    * @return (centroid_id, centroid) — k rows
+    */
+  def kmeansFit(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5
+  ): DataFrame = {
+    import vectors.sparkSession.implicits._
+    require(k > 0 && iters >= 0, s"kmeansFit needs k > 0 and iters >= 0, got k=$k iters=$iters")
+    val v = vectors
+      .select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+      .orderBy(col(idCol))
+    var cents: Array[(Long, Array[Double])] = v.limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
+
+    var it = 0
+    while (it < iters) {
+      val scored = cents.map { case (cid, cv) =>
+        struct(round(dist2(col("vv"), typedLit(cv.toSeq)), 4).as("d2"), lit(cid).as("cid"))
+      }
+      val best = if (scored.length == 1) scored.head else least(scored: _*)
+      val updated = v
+        .select(best.getField("cid").as("cid"), col("vv"))
+        .as[(Long, Seq[Double])]
+        .rdd
+        .map { case (cid, vv) => cid -> (vv.toArray, 1L) }
+        .reduceByKey { (a, b) =>
+          val s = a._1.clone()
+          var i = 0
+          while (i < s.length && i < b._1.length) { s(i) += b._1(i); i += 1 }
+          (s, a._2 + b._2)
+        }
+        .mapValues { case (sum, n) => sum.map(_ / n) }
+        .collect()
+        .sortBy(_._1)
+      // a cluster that lost every member keeps its previous centroid
+      val byId = updated.toMap
+      cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
+      it += 1
+    }
+    val out = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+    vectors.sparkSession.createDataset(out).toDF("centroid_id", "centroid")
+      .select(col("centroid_id"), col("centroid").cast("array<double>"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster every vector to
     * its nearest centroid, then inside each cluster drop any vector
     * whose cosine to a SMALLER-id member reaches `threshold` —
