@@ -1356,6 +1356,21 @@ object SparkEntry {
       )
   }
 
+  /** IVF search over TRAINED centroids: Lloyd's k-means (k=8, 3
+    * iterations, RNG-free) fits the coarse quantizer, then the probe
+    * search runs against its cells. Rows-only check — the oracle
+    * cannot replay the iterative fit; the trainer's own contracts
+    * live in `KmeansSpec`, and the search path is oracle-verified
+    * with fixed centroids in e05.
+    */
+  private def e09(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+      .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    Similarity.ivfTopK(emb, cents, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", nprobe = 2, k = 3)
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -1579,6 +1594,7 @@ object SparkEntry {
     "e06_scalar_quant" -> (e06 _),
     "e07_quant_recall" -> (e07 _),
     "e08_semantic_dedup" -> (e08 _),
+    "e09_ivf_trained" -> (e09 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),
