@@ -69,11 +69,17 @@ object CorpusDemo {
     println("[demo] temperature mixture weights (smallest strata up-weighted):")
     weights.orderBy(col("n_stratum")).show(5)
 
+    // the interleave key defines the TRAINING ORDER (a range-
+    // partitioned sort realizes it); packing shards by hash are an
+    // independent, order-free grouping of the same stream
     val ordered = sampled
       .join(broadcast(weights.select(col("source"), col("n_stratum"), col("weight"))), Seq("source"))
       .withColumn("ikey", Mixing.interleaveKey(col("doc_id"), col("n_stratum"), col("weight")))
+    println("[demo] head of the weighted-interleave training order:")
+    ordered.orderBy(col("ikey")).select("doc_id", "source", "lang", "ikey").show(5)
+
     val packs = Mixing.packGreedy(
-      ordered, "doc_id", TextOps.approxBpeTokens(col("text")), budget = 512L, nShards = 8)
+      sampled, "doc_id", TextOps.approxBpeTokens(col("text")), budget = 512L, nShards = 8)
     val packStats = packs.groupBy(col("shard"), col("pack_id"))
       .agg(sum(col("tok")).as("tok"), count(lit(1)).as("n_docs"))
     println("[demo] pack fill (512-token windows):")

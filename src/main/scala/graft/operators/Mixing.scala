@@ -162,12 +162,17 @@ object Mixing {
         var pack = 1
         var accA = 0L
         var accB = 0L
+        // see packGreedy: membership is tracked separately from the
+        // accumulators so a zero-token opener can't admit an oversize
+        // successor
+        var started = false
         docs.iterator.map { case (id, ta, tb, _, _) =>
-          if ((accA > 0 || accB > 0) && (accA + ta > budgetA || accB + tb > budgetB)) {
+          if (started && (accA + ta > budgetA || accB + tb > budgetB)) {
             pack += 1; accA = 0L; accB = 0L
           }
           accA += ta
           accB += tb
+          started = true
           (id, shard, pack, ta, tb)
         }
       }
@@ -215,9 +220,17 @@ object Mixing {
         val docs = it.toArray.sortBy(r => (r._3, r._1))
         var pack = 1
         var acc = 0L
+        // "pack already has a member" must be tracked separately from
+        // acc > 0: a zero-token opener leaves acc at 0, and the next
+        // oversize doc would otherwise join its pack and break the
+        // budget invariant (this is also exactly the oracle's
+        // semantics — its recursion checks overflow for every
+        // non-first doc unconditionally)
+        var started = false
         docs.iterator.map { case (id, tok, _, _) =>
-          if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
+          if (started && acc + tok > budget) { pack += 1; acc = 0L }
           acc += tok
+          started = true
           (id, shard, pack, tok)
         }
       }

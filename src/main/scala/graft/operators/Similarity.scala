@@ -94,6 +94,25 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cosine"))
   }
 
+  /** Scalar centroid-argmin over DRIVER-HELD centroids: a `least()`
+    * fold over `(round(dist2, 4), centroid_id)` structs (struct
+    * comparison is lexicographic, so the tie-break matches
+    * [[assignToCentroids]]'s `(d2, centroid_id)` window order) with
+    * the centroid vectors baked in as literals. The ONE shared
+    * definition of this arithmetic: [[kmeansFit]]'s iterations and
+    * the streaming twin (`VecStream`) both call it, and the
+    * batch/stream bit-equality contract depends on the rounding and
+    * field order staying identical.
+    */
+  def centroidArgminExpr(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "centroidArgminExpr needs at least one centroid")
+    val scored = centroids.map { case (cid, cv) =>
+      struct(round(dist2(vec, typedLit(cv.toSeq)), 4).as("d2"), lit(cid).as("cid"))
+    }
+    val best = if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
+    best.getField("cid")
+  }
+
   /** Lloyd's k-means over the embedding column — the trainer for the
     * IVF coarse centroids ([[assignToCentroids]] / [[ivfTopK]] /
     * [[semanticDedup]] consume its output). No RNG anywhere: initial
@@ -123,22 +142,19 @@ object Similarity {
   ): DataFrame = {
     import vectors.sparkSession.implicits._
     require(k > 0 && iters >= 0, s"kmeansFit needs k > 0 and iters >= 0, got k=$k iters=$iters")
-    val v = vectors
-      .select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
-      .orderBy(col(idCol))
-    var cents: Array[(Long, Array[Double])] = v.limit(k)
+    // sort ONLY the init's top-k (a distributed TakeOrdered); the loop
+    // reuses the unsorted projection — an orderBy baked into `v` would
+    // re-execute a full-corpus sort under every iteration's .rdd
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    var cents: Array[(Long, Array[Double])] = v.orderBy(col(idCol)).limit(k)
       .collect()
       .zipWithIndex
       .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
 
     var it = 0
     while (it < iters) {
-      val scored = cents.map { case (cid, cv) =>
-        struct(round(dist2(col("vv"), typedLit(cv.toSeq)), 4).as("d2"), lit(cid).as("cid"))
-      }
-      val best = if (scored.length == 1) scored.head else least(scored: _*)
       val updated = v
-        .select(best.getField("cid").as("cid"), col("vv"))
+        .select(centroidArgminExpr(col("vv"), cents).as("cid"), col("vv"))
         .as[(Long, Seq[Double])]
         .rdd
         .map { case (cid, vv) => cid -> (vv.toArray, 1L) }

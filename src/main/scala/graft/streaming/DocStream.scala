@@ -346,14 +346,18 @@ object DocStream {
     val out = rows
       .groupByKey(_._3)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (shard: Int, it: Iterator[(Long, Long, Int)], state: GroupState[(Long, Long)]) =>
-          var (pack, acc) = state.getOption.getOrElse((1L, 0L))
+        (shard: Int, it: Iterator[(Long, Long, Int)], state: GroupState[(Long, Long, Boolean)]) =>
+          // third element: the open pack already has a member — kept
+          // separately from acc > 0 so a zero-token opener can't admit
+          // an oversize successor (see Mixing.packGreedy)
+          var (pack, acc, started) = state.getOption.getOrElse((1L, 0L, false))
           val assigns = it.toArray.sortBy(_._1).map { case (id, tok, _) =>
-            if (acc > 0 && acc + tok > budget) { pack += 1; acc = 0L }
+            if (started && acc + tok > budget) { pack += 1; acc = 0L }
             acc += tok
+            started = true
             PackAssign(id, shard, pack, tok)
           }
-          state.update((pack, acc))
+          state.update((pack, acc, started))
           assigns.iterator
       }
     runAppend(spark, out.toDF(), checkpoint, outDir)

@@ -27,9 +27,11 @@ import graft.operators.Similarity
   * (append-only verdicts cannot be revised), so verdicts equal the
   * batch output whenever ids arrive in id order — `VecStreamSpec`
   * asserts that equality across checkpointed micro-batches. State per
-  * cluster is its seen members' vectors, capped at `maxCluster` (past
-  * the cap new arrivals are kept-by-default and not added — the same
-  * prefix-cap semantics as the LSH bucket twin).
+  * cluster is its seen members' vectors, capped at `maxCluster`: the
+  * cap bounds STATE, not matching — an arrival at a full cluster is
+  * still compared against (and dropped by) the capped membership, it
+  * just is not added, so only near-dups of post-cap arrivals are
+  * missed.
   */
 object VecStream {
 
@@ -67,18 +69,11 @@ object VecStream {
     require(centroids.nonEmpty, "incrementalSemanticDedup needs at least one centroid")
 
     val vecD = col("embedding").cast("array<double>")
-    val scored = centroids.map { case (cid, cv) =>
-      struct(
-        round(Similarity.dist2(vecD, typedLit(cv.toSeq)), 4).as("d2"),
-        lit(cid).as("centroid_id"))
-    }
-    val best = if (scored.length == 1) scored.head else least(scored: _*)
-
     val rows = spark.readStream.schema(vecSchema).format("parquet").load(path)
       .select(
         col("vec_id"),
         vecD.as("v"),
-        best.getField("centroid_id").as("centroid_id"))
+        Similarity.centroidArgminExpr(vecD, centroids).as("centroid_id"))
       .as[(Long, Array[Double], Long)]
 
     val timeoutConf =

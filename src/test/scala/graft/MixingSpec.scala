@@ -69,14 +69,29 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("a zero-token opener cannot admit an oversize successor into its pack") {
+    import spark.implicits._
+    // 10 empty docs (0 tokens) interleaved by hash with 10 oversize
+    // docs (tokens > budget): pre-fix, an empty doc opening a pack
+    // left acc = 0 and the oversize successor joined it, producing a
+    // multi-doc pack over budget
+    val oversize = Array.fill(700)("w").mkString(" ")
+    val df = ((1L to 10L).map(i => (i, "")) ++ (11L to 20L).map(i => (i, oversize)))
+      .toDF("doc_id", "text")
+    val out = Mixing.packGreedy(
+      df, "doc_id", TextOps.approxBpeTokens(col("text")), budget = 512L, nShards = 1)
+    val packs = out.groupBy(col("shard"), col("pack_id"))
+      .agg(sum(col("tok")).as("tok_sum"), count(lit(1)).as("n"))
+    assert(packs.filter(col("tok_sum") > 512 && col("n") > 1).count() == 0,
+      "zero-token opener admitted an oversize doc")
+  }
+
   test("greedy packing is maximal: the doc opening pack k+1 could not have fit in pack k") {
     val budget = 512L
     val out = Mixing.packGreedy(
       docs, "doc_id", TextOps.approxBpeTokens(col("text")), budget, nShards = 4)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("shard")).orderBy(col("pack_id"))
     val sums = out.groupBy(col("shard"), col("pack_id"))
-      .agg(sum(col("tok")).as("tok_sum"), min(col("tok")).as("first_tok_proxy"))
+      .agg(sum(col("tok")).as("tok_sum"))
     // the FIRST doc of each pack in hash order is the one the greedy
     // loop failed to place in the previous pack; recover it exactly
     val firstDoc = out
