@@ -52,7 +52,11 @@ object Dilation {
   ): DataFrame = {
     import spark.implicits._
     val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
-    val rows = SideJoin.back(df, siteMax, Seq(site))
+    // null guard before the non-nullable tuple decode: upstream
+    // cleaning (clampToNull) deliberately produces null values, and a
+    // single null ts/value row must not kill the fleet job
+    val rows = SideJoin.back(
+        df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull), siteMax, Seq(site))
       .select(
         col(site).cast("long").as("site"),
         to_date(col(tsCol)).cast("string").as("day"),
@@ -95,6 +99,30 @@ object Dilation {
       .toDF("site", "day", "dil_slot", "dil_value")
   }
 
+  /** The (site, day, rise_h, set_h) table [[dilate]] derives
+    * internally, exposed as the companion [[undilate]] needs: same
+    * rule (hours of the first/last sample strictly above
+    * thresholdFrac × site max), so a round-trip caller does not
+    * re-implement the threshold logic and silently drift from it.
+    * Days dilate skips (fewer than 2 lit samples) may still appear
+    * here; undilate's join ignores them.
+    */
+  def riseSetTable(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      thresholdFrac: Double = 0.01
+  ): DataFrame = {
+    val siteMax = df.groupBy(col(site)).agg(max(col(valueCol)).as("site_max"))
+    SideJoin.back(df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull), siteMax, Seq(site))
+      .filter(col(valueCol) > col("site_max") * thresholdFrac)
+      .groupBy(col(site).cast("long").as("site"), to_date(col(tsCol)).cast("string").as("day"))
+      .agg(
+        min(TimeAxis.hourOfDay(col(tsCol))).as("rise_h"),
+        max(TimeAxis.hourOfDay(col(tsCol))).as("set_h"))
+  }
+
   /** Undilate: map a dilated (site, day, dil_slot, dil_value) frame
     * back onto an `outSlots`-per-day hour grid spanning rise→set,
     * again preserving energy (piecewise-constant density integral).
@@ -108,8 +136,10 @@ object Dilation {
       outSlots: Int
   ): DataFrame = {
     import spark.implicits._
-    val joined = dilated
-      .join(riseSet, Seq("site", "day"))
+    // riseSet is (site, day)-grain — route it through the engine's
+    // side-table join strategy (broadcast by default; `dilated` is
+    // matrix-sized and must never shuffle for this attach)
+    val joined = SideJoin.back(dilated, riseSet, Seq("site", "day"))
       .select(
         col("site").cast("long"), col("day").cast("string"),
         col("dil_slot").cast("int"), col("dil_value").cast("double"),
@@ -125,15 +155,19 @@ object Dilation {
         else {
           val rise = bins.head._5
           val set = bins.head._6
-          val nBins = bins.length
+          // the grid size comes from the MAX dil_slot, and each bin is
+          // positioned by its OWN dil_slot — a frame with a dropped or
+          // filtered slot must leave a hole, not silently shift every
+          // later bin onto the wrong time interval (bins.length would)
+          val nBins = bins.last._3 + 1
           val dg = (set - rise) / nBins
           val dh = (set - rise) / outSlots
           // piecewise-constant density: integral over [a, b)
           def integral(a: Double, b: Double): Double = {
             var s = 0.0
             var i = 0
-            while (i < nBins) {
-              val g0 = rise + i * dg
+            while (i < bins.length) {
+              val g0 = rise + bins(i)._3 * dg
               val g1 = g0 + dg
               val lo = math.max(a, g0)
               val hi = math.min(b, g1)

@@ -88,6 +88,9 @@ object Filling {
       slotsPerDay: Int
   ): DataFrame = {
     val spark = df.sparkSession
+    require(86400 % slotsPerDay == 0,
+      s"slotsPerDay must divide 86400 (got $slotsPerDay) — otherwise end-of-day slots " +
+        "fall off the grid and their data is silently dropped by the grid join")
     val freqS = 86400 / slotsPerDay
     // the slotted aggregate feeds the rise/set derivation AND the
     // final grid join, and Spark plans no exchange reuse across those
@@ -99,16 +102,19 @@ object Filling {
       .groupBy(
         col(site).as("site"),
         to_date(col(tsCol)).as("day"),
-        ((unix_timestamp(col(tsCol)) % 86400L) / freqS).cast("int").as("slot")
+        // secondsOfDay, NOT epoch % 86400: `day` is session-tz local,
+        // so the slot must be too — the epoch form silently wraps a
+        // non-UTC session's local day through slot 0
+        (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int").as("slot")
       )
       .agg(avg(col(valueCol)).as("raw"))
     val slottedRdd = slotted0.rdd
       .setName("filledDayGrid slotted matrix")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val slotted = spark.createDataFrame(slottedRdd, slotted0.schema)
-    val cap = df
-      .groupBy(col(site).as("site"))
-      .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
+    // the ONE capacity definition (DayStats.capacity) — duplicating
+    // the aggregate here let the fill path drift from the fact table
+    val cap = DayStats.capacity(df, site, valueCol).withColumnRenamed(site, "site")
     // rough sunrise/sunset slots per day, smoothed by a ±7-day median
     val rough0 = SideJoin.back(slotted, cap, Seq("site"))
       .groupBy(col("site"), col("day"))

@@ -363,10 +363,11 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir)
   }
 
-  /** Append run to parquet, shared by the twins: `AvailableNow` for
-    * the exact (no-TTL) paths, `Trigger.Once` when processing-time
-    * timeouts are registered (see the TTL scaladoc on
-    * [[incrementalExactDedup]] for why AvailableNow livelocks there).
+  /** Append run to parquet, shared by the twins (via the idempotent
+    * [[StreamSink]]): `AvailableNow` for the exact (no-TTL) paths,
+    * `Trigger.Once` when processing-time timeouts are registered (see
+    * the TTL scaladoc on [[incrementalExactDedup]] for why
+    * AvailableNow livelocks there).
     */
   private def runAppend(
       spark: SparkSession,
@@ -377,16 +378,6 @@ object DocStream {
   ): DataFrame = {
     val trigger: Trigger =
       if (ttlMs > 0) Trigger.Once() else Trigger.AvailableNow()
-    val q = out.writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    StreamSink.runAppend(spark, out, checkpoint, outDir, trigger)
   }
 }

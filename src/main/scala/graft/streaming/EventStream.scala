@@ -91,6 +91,9 @@ object EventStream {
     implicit val stateEnc: org.apache.spark.sql.Encoder[(Map[String, D], String, C)] =
       org.apache.spark.sql.Encoders.kryo[(Map[String, D], String, C)]
     val evs = readEvents(spark, path)
+      // null ts/value guard: the Ev decode is non-nullable, and a single
+      // poisoned file would otherwise kill the query on every restart
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
       .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
       .as[Ev]
     val out = evs
@@ -120,17 +123,7 @@ object EventStream {
             outRows.iterator
           }
       }
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, Trigger.AvailableNow())
   }
 
   /** Streaming DAY FINALIZATION — the streaming twin of the batch
@@ -314,6 +307,9 @@ object EventStream {
     // batch Pipeline.dayStats twin regardless of the host's default TZ
     // (Timestamp.toString would render in the JVM default zone).
     val evs = readEvents(spark, path)
+      // null ts/value guard: the Ev decode is non-nullable, and a single
+      // poisoned file would otherwise kill the query on every restart
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
       .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
       .as[Ev]
     val updated = evs

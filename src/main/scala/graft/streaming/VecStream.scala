@@ -101,17 +101,7 @@ object VecStream {
 
     val trigger: Trigger =
       if (ttlMs > 0) Trigger.Once() else Trigger.AvailableNow()
-    val q = out.toDF().writeStream
-      .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", checkpoint)
-      .trigger(trigger)
-      .start()
-    q.awaitTermination()
-    spark.read.parquet(outDir)
+    StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, trigger)
   }
 
   /** Rounded cosine, arithmetic-identical to the batch expression:

@@ -18,7 +18,10 @@ class QueriesSpec extends AnyFunSuite {
 
   test("every query has an oracle or is explicitly rows-only") {
     val rowsOnly = Set("p01_fleet_pipeline", "p02_dilation", "p03_quantile_clearsky",
-      "p04_pca_shade", "p05_pvpro_post")
+      "p04_pca_shade", "p05_pvpro_post",
+      // iterative k-means fit: the oracle cannot replay the trainer;
+      // the search path is oracle-verified with fixed centroids (e05)
+      "e09_ivf_trained")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
