@@ -327,8 +327,9 @@ object EventStream {
     val q = updated.toDF().writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outDir)
+        // idempotent like StreamSink: a replayed batch overwrites its
+        // own partition instead of appending duplicate update rows
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", checkpoint)
