@@ -74,7 +74,10 @@ object OracleSql {
       SELECT user_id,
         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS dt_s
       FROM events),
-    r AS (SELECT user_id, CAST(round(dt_s / 10.0) * 10 AS BIGINT) AS dt_r FROM d WHERE dt_s IS NOT NULL),
+    r AS (SELECT user_id,
+            CAST(CASE WHEN dt_s < 10 THEN greatest(round(dt_s), 1)
+                 ELSE round(dt_s / 10.0) * 10 END AS BIGINT) AS dt_r
+          FROM d WHERE dt_s IS NOT NULL),
     c AS (SELECT user_id, dt_r, count(*) AS cnt FROM r GROUP BY 1, 2)
     SELECT user_id, dt_r AS freq_s FROM (
       SELECT user_id, dt_r,
@@ -148,13 +151,14 @@ object OracleSql {
 
   private val q12 = """
     WITH p AS (
-      SELECT user_id, ts, event_type,
-        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      SELECT user_id, ts, event_id, event_type,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
       FROM events),
     r AS (
       SELECT user_id,
-        sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts
+        sum(CASE WHEN rn = 1 OR prev IS DISTINCT FROM event_type THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
       FROM p)
     SELECT user_id, CAST(max(run_id) AS BIGINT) AS n_runs, count(*) AS n_events
@@ -258,15 +262,15 @@ object OracleSql {
 
   private val q21 = """
     WITH p AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) AS e,
         lag(date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts))
-          OVER (PARTITION BY user_id ORDER BY ts) AS pe
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
       FROM events),
     s AS (
       SELECT user_id, e,
         sum(CASE WHEN pe IS NULL OR (e - pe) > 1800 THEN 1 ELSE 0 END)
-          OVER (PARTITION BY user_id ORDER BY ts
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM p),
     g AS (SELECT user_id, session_id, count(*) AS n, max(e) - min(e) AS dur_s
@@ -603,7 +607,9 @@ object OracleSql {
       SELECT user_id,
         date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS dt_s
       FROM events),
-    r AS (SELECT user_id, CAST(round(dt_s / 10.0) * 10 AS BIGINT) AS dt_r
+    r AS (SELECT user_id,
+            CAST(CASE WHEN dt_s < 10 THEN greatest(round(dt_s), 1)
+                 ELSE round(dt_s / 10.0) * 10 END AS BIGINT) AS dt_r
           FROM d WHERE dt_s IS NOT NULL),
     c AS (SELECT user_id, dt_r, count(*) AS cnt FROM r GROUP BY 1, 2),
     t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS tot FROM c GROUP BY 1),

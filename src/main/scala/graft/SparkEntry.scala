@@ -164,7 +164,8 @@ object SparkEntry {
       .withColumn("com_hour", round(try_divide(col("num_sv") / 3600.0, col("sum_v")), 6))
 
   private def q12(s: SparkSession, dir: String): DataFrame =
-    Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type")
+    Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type",
+        tieBreak = Seq("event_id"))
       .groupBy(col("user_id"))
       .agg(max(col("run_id")).as("n_runs"), count(lit(1)).as("n_events"))
 
@@ -222,7 +223,8 @@ object SparkEntry {
   }
 
   private def q21(s: SparkSession, dir: String): DataFrame = {
-    val sessions = Runs.sessionize(Tables.events(s, dir), Seq("user_id"), "ts", 1800L)
+    val sessions = Runs.sessionize(Tables.events(s, dir), Seq("user_id"), "ts", 1800L,
+        tieBreak = Seq("event_id"))
       .withColumn("e", unix_timestamp(col("ts")))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n"), (max(col("e")) - min(col("e"))).as("dur_s"))
@@ -629,7 +631,7 @@ object SparkEntry {
   private def q41(s: SparkSession, dir: String): DataFrame = {
     val deltas = TimeAxis.withDeltas(Tables.events(s, dir), Seq("user_id"), "ts")
       .filter(col("dt_s").isNotNull)
-      .withColumn("dt_r", (round(col("dt_s") / 10.0) * 10).cast("long"))
+      .withColumn("dt_r", TimeAxis.roundedDelta(col("dt_s")))
     val counts = deltas.groupBy(col("user_id"), col("dt_r")).agg(count(lit(1)).as("cnt"))
     val totals = counts.groupBy(col("user_id")).agg(sum(col("cnt")).cast("long").as("tot"))
     counts

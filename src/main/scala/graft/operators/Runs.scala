@@ -14,15 +14,24 @@ import org.apache.spark.sql.{Column, DataFrame}
 object Runs {
 
   /** Gaps-and-islands: assign a run id (1-based per key) to maximal
-    * runs of equal `valueCol`, ordered by `orderCol`.
+    * runs of equal `valueCol`, ordered by `(orderCol, tieBreak...)` —
+    * pass a tie-break when order values can repeat, or the assignment
+    * is shuffle-order-dependent. Null-safe: a null value is a run
+    * value like any other (`lag <=> value` change detection; the
+    * first row starts run 1 explicitly, since a lag-null <=> null
+    * comparison would otherwise read as "no change").
     */
-  def withRunId(df: DataFrame, keys: Seq[String], orderCol: String, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(orderCol))
-    val changed = when(
-      lag(col(valueCol), 1).over(w).isNull ||
-        lag(col(valueCol), 1).over(w) =!= col(valueCol),
-      1
-    ).otherwise(0)
+  def withRunId(
+      df: DataFrame,
+      keys: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      tieBreak: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy((orderCol +: tieBreak).map(col): _*)
+    val changed = when(row_number().over(w) === 1, 1)
+      .when(!(lag(col(valueCol), 1).over(w) <=> col(valueCol)), 1)
+      .otherwise(0)
     df.withColumn("__chg", changed)
       .withColumn("run_id", sum(col("__chg")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__chg")
@@ -30,9 +39,16 @@ object Runs {
 
   /** Sessionize: new session when the gap to the previous event
     * exceeds `gapS` seconds. Adds `session_id` (1-based per key).
+    * As with [[withRunId]], pass `tieBreak` when timestamps repeat.
     */
-  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String, gapS: Long): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+  def sessionize(
+      df: DataFrame,
+      keys: Seq[String],
+      tsCol: String,
+      gapS: Long,
+      tieBreak: Seq[String] = Seq.empty
+  ): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy((tsCol +: tieBreak).map(col): _*)
     val e = TimeAxis.epochS(col(tsCol))
     val newSession = when(
       lag(e, 1).over(w).isNull || (e - lag(e, 1).over(w)) > gapS,
@@ -45,14 +61,26 @@ object Runs {
 
   /** Per-key IQR bounds: (keys..., q1, q3, lo, hi) with
     * lo/hi = q1/q3 ∓ k·IQR (reference `utilities.py:12-31`).
-    * Exact percentiles; bounds rounded to 6 dp so the same predicate
-    * evaluates identically in any engine doing the comparison.
+    * Exact percentiles by default; bounds rounded to 6 dp so the same
+    * predicate evaluates identically in any engine doing the
+    * comparison. `exact = false` swaps in the GK sketch
+    * (`approx_percentile`, rank error ≤ 1e-4) — the deployment-scale
+    * path, since the exact aggregate buffers every group value (the
+    * same unbounded-state hazard `DayStats.capacityApprox` addresses).
     */
-  def iqrBounds(df: DataFrame, keys: Seq[String], valueCol: String, k: Double): DataFrame =
+  def iqrBounds(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      k: Double,
+      exact: Boolean = true
+  ): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(
-        percentile(col(valueCol), lit(0.25)).as("q1"),
-        percentile(col(valueCol), lit(0.75)).as("q3")
+        (if (exact) percentile(col(valueCol), lit(0.25))
+         else approx_percentile(col(valueCol), lit(0.25), lit(10000))).as("q1"),
+        (if (exact) percentile(col(valueCol), lit(0.75))
+         else approx_percentile(col(valueCol), lit(0.75), lit(10000))).as("q3")
       )
       .withColumn("lo", round(col("q1") - lit(k) * (col("q3") - col("q1")), 6))
       .withColumn("hi", round(col("q3") + lit(k) * (col("q3") - col("q1")), 6))

@@ -35,7 +35,15 @@ object SideJoin {
   /** Join `side` (derived, site/site-day grain) back onto `big` (the
     * scan grain) on `keys` under the session's configured strategy.
     */
-  def back(big: DataFrame, side: DataFrame, keys: Seq[String], joinType: String = "inner"): DataFrame =
+  def back(big: DataFrame, side: DataFrame, keys: Seq[String], joinType: String = "inner"): DataFrame = {
+    // right/full outer joins cannot build the broadcast (right) side:
+    // Spark drops the hint with only a log warning and plans the
+    // sort-merge that shuffles the scan — fail loudly instead
+    val jt = joinType.toLowerCase.replace("_", "")
+    require(!Set("right", "rightouter", "full", "fullouter", "outer").contains(jt),
+      s"SideJoin.back: joinType '$joinType' cannot broadcast the side table " +
+        "(Spark silently falls back to shuffling the scan); swap the sides " +
+        "and use a left join instead")
     big.sparkSession.conf.get(ConfKey, Broadcast) match {
       case Broadcast => big.join(broadcast(side), keys, joinType)
       case Shuffle   => big.join(side.hint("shuffle_merge"), keys, joinType)
@@ -43,4 +51,5 @@ object SideJoin {
         throw new IllegalArgumentException(
           s"$ConfKey must be '$Broadcast' or '$Shuffle', got '$other'")
     }
+  }
 }

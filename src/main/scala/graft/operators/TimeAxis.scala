@@ -44,15 +44,26 @@ object TimeAxis {
     df.withColumn("dt_s", epochS(col(tsCol)) - lag(epochS(col(tsCol)), 1).over(w))
   }
 
-  /** Sampling-frequency inference: modal consecutive delta rounded to
-    * the nearest 10 s (reference: `time_axis_manipulation.py:193-231`).
+  /** THE delta classifier shared by [[inferFrequency]] and
+    * [[scanRateSegments]]'s default: 10 s rounding for ≥ 10 s deltas,
+    * 1 s granularity (floored at 1) below. The sub-10 s tier matters:
+    * plain 10 s rounding maps a 2 s scan rate (or duplicate
+    * timestamps) to freq 0, which downstream grid/slot derivations
+    * DIVIDE by — freq 0 silently nulls every grid stamp and collapses
+    * the dataset to one row per key.
+    */
+  def roundedDelta(dt: Column): Column =
+    when(dt < 10, greatest(round(dt), lit(1))).otherwise(round(dt / 10.0) * 10).cast("long")
+
+  /** Sampling-frequency inference: modal consecutive delta via
+    * [[roundedDelta]] (reference: `time_axis_manipulation.py:193-231`).
     * Tie-break: higher count wins, then smaller delta — deterministic.
     * Returns one row per key: (keys..., freq_s).
     */
   def inferFrequency(df: DataFrame, keys: Seq[String], tsCol: String): DataFrame = {
     val rounded = withDeltas(df, keys, tsCol)
       .filter(col("dt_s").isNotNull)
-      .withColumn("dt_r", (round(col("dt_s") / 10.0) * 10).cast("long"))
+      .withColumn("dt_r", roundedDelta(col("dt_s")))
     val counts = rounded.groupBy((keys :+ "dt_r").map(col): _*).agg(count(lit(1)).as("cnt"))
     // modal Δt via min_by on the (-count, Δt) ordering struct — the
     // same deterministic tie-break as a (cnt desc, dt asc) row_number
@@ -125,7 +136,7 @@ object TimeAxis {
       df: DataFrame,
       keys: Seq[String],
       tsCol: String,
-      classify: Column => Column = dt => (round(dt / 10.0) * 10).cast("long")
+      classify: Column => Column = roundedDelta
   ): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
     val deltas = withDeltas(df, keys, tsCol)

@@ -61,11 +61,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == 300L)
   }
 
+  test("inferFrequency never returns 0: sub-10s rates keep 1s granularity") {
+    val base = 1704067200L
+    // 2-second scan rate — plain 10s rounding would yield freq 0,
+    // which downstream grid derivations divide by
+    val df = (0L to 20L).map(i => (1L, base + 2 * i)).toDF("k", "e")
+      .withColumn("ts", timestamp_seconds(col("e")))
+    val out = TimeAxis.inferFrequency(df, Seq("k"), "ts").select("freq_s").as[Long].head()
+    assert(out == 2L, s"got $out")
+    // duplicate stamps (delta 0) floor at 1, never 0
+    val dup = Seq((1L, base), (1L, base), (1L, base)).toDF("k", "e")
+      .withColumn("ts", timestamp_seconds(col("e")))
+    val out2 = TimeAxis.inferFrequency(dup, Seq("k"), "ts").select("freq_s").as[Long].head()
+    assert(out2 == 1L, s"got $out2")
+  }
+
   test("withRunId segments runs; sessionize splits on gaps") {
     val df = Seq((1L, 1L, "a"), (1L, 2L, "a"), (1L, 3L, "b"), (1L, 4L, "a"))
       .toDF("k", "o", "v")
     val runs = Runs.withRunId(df, Seq("k"), "o", "v").orderBy("o").select("run_id").as[Long].collect()
     assert(runs.toSeq == Seq(1L, 1L, 2L, 3L))
+
+    // null values are run values like any other: [a, null, null, a]
+    // is three runs, and a leading null still starts run 1
+    val nulls = Seq((1L, 1L, Some("a")), (1L, 2L, None), (1L, 3L, None), (1L, 4L, Some("a")),
+      (2L, 1L, None), (2L, 2L, Some("b")))
+      .toDF("k", "o", "v")
+    val nr = Runs.withRunId(nulls, Seq("k"), "o", "v").orderBy("k", "o")
+      .select("run_id").as[Long].collect()
+    assert(nr.toSeq == Seq(1L, 2L, 2L, 3L, 1L, 2L), nr.toSeq.toString)
 
     val ev = Seq((1L, 0L), (1L, 100L), (1L, 3000L), (1L, 3100L))
       .toDF("k", "e")
