@@ -33,6 +33,9 @@ object ClearDay {
       energyThreshold: Double = 0.8
   ): DataFrame = {
     import spark.implicits._
+    require(86400 % slotsPerDay == 0,
+      s"slotsPerDay must divide 86400 (got $slotsPerDay) — otherwise slot boundaries " +
+        "drift and end-of-day samples fall outside the grid silently")
     val freqS = (86400 / slotsPerDay).toLong
     val rows = df
       .select(
@@ -53,12 +56,20 @@ object ClearDay {
         buf.foreach { case (_, day, slot, v) =>
           if (slot >= 0 && slot < slotsPerDay) m(slot)(dayIdx(day)) = v
         }
-        // per-slot rolling p90 envelope over ±windowDays
+        // per-slot rolling p90 envelope over ±windowDays of CALENDAR
+        // time: window bounds by date distance, not observed-day rank —
+        // across a data gap the rank window would mix seasons
+        val epochDay = days.map(s => java.time.LocalDate.parse(s).toEpochDay)
         val env = Array.ofDim[Double](slotsPerDay, nD)
         var d = 0
+        var loP = 0
+        var hiP = 0
         while (d < nD) {
-          val lo = math.max(0, d - windowDays)
-          val hi = math.min(nD, d + windowDays + 1)
+          while (epochDay(loP) < epochDay(d) - windowDays) loP += 1
+          if (hiP < d) hiP = d
+          while (hiP < nD && epochDay(hiP) <= epochDay(d) + windowDays) hiP += 1
+          val lo = loP
+          val hi = hiP
           var s = 0
           while (s < slotsPerDay) {
             val w = java.util.Arrays.copyOfRange(m(s), lo, hi)

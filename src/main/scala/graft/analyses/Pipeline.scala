@@ -66,9 +66,14 @@ object Pipeline {
     * per-site capacity.
     */
   def dayStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
-    val cap = DayStats.capacity(df, site, valueCol)
+    // null rows carry no signal and would (a) bias energy low — the
+    // mean-power×24 divides by the ALL-row count — and (b) let an
+    // all-null day emit null energy/max that crashes run()'s
+    // non-nullable decode outside the per-stage catch
+    val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val cap = DayStats.capacity(clean, site, valueCol)
     val h = TimeAxis.hourOfDay(col(tsCol))
-    SideJoin.back(df, cap, Seq(site))
+    SideJoin.back(clean, cap, Seq(site))
       .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
       .agg(
         (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
@@ -101,14 +106,33 @@ object Pipeline {
     // RDD stage instead: partitions == defaultParallelism, which AQE
     // never re-plans, and each task groups its sites locally.
     val par = spark.sparkContext.defaultParallelism
+    // repartitionAndSortWithinPartitions on (site, day_idx): sites are
+    // hash-partitioned, rows arrive site-grouped and day-ordered, and
+    // the task streams ONE site's days at a time — per-task memory is
+    // O(days-of-one-site), not O(sites-per-partition) as a
+    // whole-partition toArray.groupBy would be
     val solved = rows
       .as[(Long, Double, Double, Double, Double, Double, Long, Double)]
       .rdd
-      .keyBy(_._1)
-      .partitionBy(new org.apache.spark.HashPartitioner(par))
+      .map(r => ((r._1, r._2), r))
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = par
+        override def getPartition(key: Any): Int = {
+          val h = key.asInstanceOf[(Long, Double)]._1.hashCode
+          ((h % par) + par) % par
+        }
+      })
       .mapPartitions { it =>
-        it.map(_._2).toArray.groupBy(_._1).iterator.map { case (siteId, days) =>
-          analyzeSite(siteId, days.sortBy(_._2))
+        val rowsIt = it.map(_._2).buffered
+        new Iterator[SiteReport] {
+          override def hasNext: Boolean = rowsIt.hasNext
+          override def next(): SiteReport = {
+            val siteId = rowsIt.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[
+              (Long, Double, Double, Double, Double, Double, Long, Double)]
+            while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
+            analyzeSite(siteId, buf.toArray) // already day-ordered by the sort
+          }
         }
       }
     spark.createDataset(solved)
@@ -157,8 +181,13 @@ object Pipeline {
         val fit = Kernels.cdfPwlFit(sorted, lambdaD2 = 100.0)
         val d = fit.indices.drop(1).map(i => fit(i) - fit(i - 1))
         val span = math.max(sorted.last - sorted.head, 1e-9)
-        // a long run of near-zero slope in the upper CDF = point mass at max
-        val flat = d.zipWithIndex.count { case (dd, i) => i > d.length / 2 && dd < 0.001 * span }
+        // a long run of near-zero slope in the upper CDF = point mass
+        // at max. "Flat" must be judged against the TYPICAL gap
+        // span/n, not an absolute span fraction: with an absolute
+        // 0.001·span cutoff any series past ~1000 days has mean gaps
+        // below it and every site reads as clipped
+        val flatThr = 0.3 * span / d.length
+        val flat = d.zipWithIndex.count { case (dd, i) => i > d.length / 2 && dd < flatThr }
         flat > d.length / 10
       }
     }
@@ -166,7 +195,11 @@ object Pipeline {
     // quality clustering: DBSCAN on normalized (density, daily_max)
     // day-score pairs (reference `data_handler.py:1172-1199`)
     val (nClusters, abnormal) = stage("cluster", (-1, -1)) {
-      val mScale = math.max(dailyMax.max, 1e-9)
+      // NaN sorts greatest: one NaN daily max would make mScale NaN
+      // and every normalized coordinate NaN — all days "abnormal"
+      // with no error recorded
+      val finite = dailyMax.filterNot(_.isNaN)
+      val mScale = math.max(if (finite.nonEmpty) finite.max else 1e-9, 1e-9)
       val labels = Cluster.dbscan2d(density, dailyMax.map(_ / mScale), eps = 0.06, minPts = 3)
       val k = labels.filter(_ >= 0).distinct.length
       (k, labels.count(_ == -1))
@@ -188,7 +221,8 @@ object Pipeline {
     // time shifts: pwc fit on solar-noon series (weekly basis — a
     // longer-than-window period would absorb one-time steps)
     val shiftDays = stage("timeshift", -1) {
-      val valid = comHour.map(v => if (v.isNaN) Kernels.median(comHour) else v)
+      val medCom = Kernels.median(comHour) // hoisted: the map ran a full sort per NaN day
+      val valid = comHour.map(v => if (v.isNaN) medCom else v)
       val (pwc, _) = Kernels.tvSeasonalFit(valid, t, lambdaTv = 10.0, harmonics = 1, period = 7.0)
       val base = Kernels.median(pwc)
       pwc.count(v => math.abs(v - base) > 0.5)
@@ -207,12 +241,22 @@ object Pipeline {
     // loss factors: soiling-separation decomposition + exact Shapley
     // (reference `soiling.py:78-178` + `loss_factor_analysis.py:620-656`)
     val losses = stage("loss", Array.fill(4)(Double.NaN)) {
-      val (soil, rate, _) = Kernels.soilingSeparation(energy, t, period = 7.0, harmonics = 2)
+      val (soil, rate, seasonal) = Kernels.soilingSeparation(energy, t, period = 7.0, harmonics = 2)
       val degrF = t.map(d => math.exp(rate * d))
-      val baseline = energy.indices.map { i =>
-        math.max(energy(i) / math.max(soil(i) * degrF(i), 1e-9), 1e-9)
+      // baseline = the MODELED seasonal envelope, not actual/(soil·degr):
+      // a baseline derived from actual energy collapses to ~0 on outage
+      // days, so the outage player had nothing to explain and outages
+      // were invisible in the attribution. With a modeled baseline the
+      // weather player is the true residual factor rather than a
+      // constant-1 placeholder (whose Shapley share was identically 0).
+      val baseline = seasonal.map(v => math.max(v, 1e-9))
+      val weather = energy.indices.map { i =>
+        if (energy(i) <= 0.0) 1.0 // outage day: its own player explains it
+        else {
+          val denom = math.max(baseline(i) * soil(i) * degrF(i), 1e-9)
+          math.min(math.max(energy(i) / denom, 0.0), 2.0)
+        }
       }.toArray
-      val weather = Array.fill(n)(1.0)
       val outage = energy.map(e => if (e <= 0.0) 0.0 else 1.0)
       val attr = Kernels.shapleyAttribution(baseline, Array(degrF, soil, weather, outage))
       val total = baseline.sum

@@ -51,15 +51,38 @@ object Quantiles {
     // HashPartitioner RDD shuffle (AQE would coalesce the Dataset
     // groupByKey by byte size; see analyses.Pipeline.run)
     val par = spark.sparkContext.defaultParallelism
+    // sites hash-partitioned with (day, slot) secondary sort: the task
+    // streams one site at a time (memory O(one site's grid), not
+    // O(sites-per-partition))
     val solved = rows.rdd
-      .keyBy(_._1)
-      .partitionBy(new org.apache.spark.HashPartitioner(par))
+      .map(r => ((r._1, r._2, r._3), r))
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = par
+        override def getPartition(key: Any): Int = {
+          val h = key.asInstanceOf[(Long, String, Int)]._1.hashCode
+          ((h % par) + par) % par
+        }
+      })
       .mapPartitions { part =>
-        part.map(_._2).toArray.groupBy(_._1).iterator.flatMap { case (siteId, group) =>
-        val pts = group.sortBy(p => (p._2, p._3))
-        val days = pts.map(_._2).distinct.sorted
-        val dayIdx = days.zipWithIndex.toMap
-        val t = pts.map(p => dayIdx(p._2) * nBins.toDouble + p._3)
+        val rowsIt = part.map(_._2).buffered
+        new Iterator[Array[(Long, String, Int, Double)]] {
+          override def hasNext: Boolean = rowsIt.hasNext
+          override def next(): Array[(Long, String, Int, Double)] = {
+            val siteId = rowsIt.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Double)]
+            while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
+            buf.toArray
+          }
+        }.flatMap { pts =>
+        val siteId = pts(0)._1
+        val days = pts.map(_._2).distinct // sorted by the shuffle's secondary sort
+        // CALENDAR day offsets, not observed-day ranks: a data gap
+        // must advance the yearly-period phase, or every post-gap day
+        // evaluates the seasonal basis out of phase
+        val day0 = java.time.LocalDate.parse(days.head).toEpochDay
+        val dayOff = days.map(d =>
+          (java.time.LocalDate.parse(d).toEpochDay - day0).toDouble).zip(days).map(_.swap).toMap
+        val t = pts.map(p => dayOff(p._2) * nBins.toDouble + p._3)
         val y = pts.map(_._4)
         val bases = Seq((nBins.toDouble, harmonicsDaily), (365.2425 * nBins, harmonicsYearly))
         val Seq(lo, mid, hi) =
