@@ -1521,6 +1521,43 @@ object OracleSql {
     FROM d
   """
 
+  // d17: ExactSubstr duplicated spans — DuckDB takes the direct
+  // gram-explode route (substring per position); the Spark side's
+  // rolling-hash + bloom prefilter is invisible in the result by
+  // construction (exact gram recount).
+  private val d17 = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    g AS (SELECT doc_id, CAST(p AS INT) AS pos,
+            substring(text, CAST(p + 1 AS INT), 15) AS gram, n
+          FROM d, UNNEST(range(0, greatest(n - 15 + 1, 1))) AS t(p)),
+    dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+            GROUP BY gram HAVING count(*) >= 2),
+    occ AS (SELECT g.doc_id, g.pos, g.n FROM g JOIN dup USING (gram)),
+    fl AS (SELECT doc_id, pos, n,
+             CASE WHEN max(pos + 15) OVER w IS NULL
+                    OR pos > max(pos + 15) OVER w THEN 1 ELSE 0 END AS nw
+           FROM occ
+           WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    isl AS (SELECT doc_id, pos, n,
+              sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM fl),
+    sp AS (SELECT doc_id, grp, count(*) AS cnt, min(pos) AS s,
+             least(max(pos) + 15, min(n)) AS e
+           FROM isl GROUP BY 1, 2),
+    pd AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_dup_grams,
+             count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS dup_chars
+           FROM sp GROUP BY 1)
+    SELECT d.doc_id,
+      coalesce(pd.n_dup_grams, 0) AS n_dup_grams,
+      coalesce(pd.n_spans, 0) AS n_spans,
+      coalesce(pd.dup_chars, 0) AS dup_chars,
+      round(CAST(coalesce(pd.dup_chars, 0) AS DOUBLE) /
+            CAST(greatest(d.n, 1) AS DOUBLE), 6) AS dup_frac
+    FROM d LEFT JOIN pd USING (doc_id)
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1658,6 +1695,9 @@ object OracleSql {
     "d14_contamination" -> d14,
     "d15_delta_dedup" -> d15,
     "d16_vocab" -> d16,
+    "d17_dup_spans" -> d17,
+    "d18_bloom_delta" -> d15, // bloom plan, identical verdicts by construction
+
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03,

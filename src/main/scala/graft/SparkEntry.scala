@@ -1087,6 +1087,26 @@ object SparkEntry {
       "doc_id", "text", TextOps.prefixFingerprint(_, 40))
   }
 
+  /** ExactSubstr duplicated-span audit: per document, the merged
+    * character spans its 15-grams share verbatim with other documents
+    * (rolling-hash prefilter → bloom-broadcast second scan → exact
+    * gram recount; document text never shuffles, no pair join).
+    */
+  private def d17(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpans(Tables.documents(s, dir), "doc_id", "text", 15)
+
+  /** d15's delta dedup through the BLOOM plan (`deltaDedupBloom`):
+    * the corpus probes a bloom literal of the delta fingerprints
+    * instead of an exact broadcast set — the big-batch escape hatch —
+    * and the exact verify join makes the verdicts identical.
+    */
+  private def d18(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.deltaDedupBloom(
+      docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+      "doc_id", "text", TextOps.prefixFingerprint(_, 40))
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1588,6 +1608,8 @@ object SparkEntry {
     "d14_contamination" -> (d14 _),
     "d15_delta_dedup" -> (d15 _),
     "d16_vocab" -> (d16 _),
+    "d17_dup_spans" -> (d17 _),
+    "d18_bloom_delta" -> (d18 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

@@ -76,12 +76,20 @@ object GraftFunctions {
       buildRollingHashes,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      buildBloomContains,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
     RollingHashes(
       Cast(exprs(0), org.apache.spark.sql.types.StringType),
       Cast(exprs(1), org.apache.spark.sql.types.IntegerType))
+
+  def buildBloomContains(exprs: Seq[Expression]): Expression =
+    BloomContains(exprs(0), Cast(exprs(1), org.apache.spark.sql.types.LongType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -112,6 +120,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[RollingHashes].getName, "graft_rolling_hashes"),
         (exprs: Seq[Expression]) => GraftFunctions.buildRollingHashes(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_bloom_contains"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[BloomContains].getName, "graft_bloom_contains"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildBloomContains(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

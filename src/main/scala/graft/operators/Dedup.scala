@@ -542,6 +542,166 @@ object Dedup {
       .select(col(idCol), col("fp"), col("verdict"))
   }
 
+  /** [[deltaDedup]] for ingest batches past the exact-broadcast
+    * envelope: instead of broadcasting the delta's exact fingerprint
+    * SET at the corpus (fine for one ingest batch, ~50+ bytes/key;
+    * past ~10⁸ distinct fingerprints it outgrows the broadcast
+    * ceiling), broadcast a BLOOM FILTER of the delta fingerprints
+    * (~`bitsPerKey/8` bytes/key — 10 bits/key is 40× smaller than the
+    * exact set) as a literal inside a codegen'd
+    * `graft_bloom_contains` probe. The corpus side — the 100 TB side —
+    * still never shuffles: non-members die at the scan. Bloom false
+    * positives (<1% at the defaults) survive the probe but are killed
+    * by an exact fingerprint join against the delta, which only ever
+    * moves the candidates (≤ corpus-matches + FPR·|corpus distinct|)
+    * and the delta fingerprints — so the result is EXACTLY
+    * [[deltaDedup]]'s, verdict for verdict. No join in this variant
+    * forces a broadcast: with a delta too big for the exact envelope,
+    * the verify and hit joins are plain shuffles of the two small(er)
+    * sides, and AQE upgrades them when they do fit.
+    *
+    * @return (idCol, fp, verdict) — identical to [[deltaDedup]]
+    */
+  def deltaDedupBloom(
+      corpus: DataFrame,
+      delta: DataFrame,
+      idCol: String,
+      textCol: String,
+      fpOf: Column => Column = TextOps.fingerprint,
+      bitsPerKey: Int = 10,
+      numProbes: Int = 6
+  ): DataFrame = {
+    val dfp = delta.select(col(idCol), fpOf(col(textCol)).as("fp"))
+    val dfps = dfp.select(col("fp")).distinct()
+    // the delta (the SMALL side) is scanned four times — count, bloom
+    // build, exact verify, final verdict join — all cheap next to the
+    // single corpus scan this variant exists to protect; deliberately
+    // not cached so the operator leaves no persisted state behind its
+    // lazily-returned result.
+    val nKeys = math.max(1L, dfps.count())
+    val bloom = graft.functions.Bloom.build(
+      dfps, xxhash64(col("fp")), nKeys * bitsPerKey.toLong, numProbes)
+    val cand = corpus.select(fpOf(col(textCol)).as("fp"))
+      .filter(graft.functions.Bloom.containsCol(bloom, xxhash64(col("fp"))))
+      .distinct()
+    val corpusHits = cand.join(dfps, Seq("fp"), "left_semi") // exact: kills bloom FPs
+    val wFp = Window.partitionBy(col("fp"))
+    dfp
+      .join(corpusHits.withColumn("__hit", lit(true)), Seq("fp"), "left")
+      .withColumn("__min_id", min(col(idCol)).over(wFp))
+      .withColumn("verdict",
+        when(col("__hit"), lit("dup_of_corpus"))
+          .when(col(idCol) =!= col("__min_id"), lit("dup_in_delta"))
+          .otherwise(lit("kept")))
+      .select(col(idCol), col("fp"), col("verdict"))
+  }
+
+  /** Duplicated-substring spans (the ExactSubstr dedup family of
+    * training-data pipelines — Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022: find the exact
+    * character ranges a document shares verbatim with OTHER
+    * documents, rather than a whole-document verdict): for every
+    * document, each character k-gram that also occurs in ≥ 2 distinct
+    * documents marks the span `[pos, pos+k)`; overlapping and
+    * adjacent spans merge, and the per-document report is the
+    * duplicated-occurrence count, merged-span count, covered
+    * characters, and covered fraction.
+    *
+    * Plan shape for 100 TB — there is NO pair join anywhere (unlike
+    * every sketch-based near-dup operator, fan-out never multiplies):
+    *  1. one scan emits the O(n) rolling 31-bit hash per position
+    *     (native `graft_rolling_hashes` — no per-gram digest, no
+    *     k-byte gram explosion) and one hash-keyed long shuffle
+    *     counts cross-document frequency. Equal grams hash equal, so
+    *     `df(hash) ≥ 2` is a SUPERSET of the true duplicated grams —
+    *     no false negatives;
+    *  2. the candidate hash set broadcasts back as a BLOOM literal
+    *     (codegen'd probe, ~1 byte/candidate) over a second scan,
+    *     which extracts the k-char gram string in-row for surviving
+    *     positions only — document text never enters a shuffle;
+    *  3. gram-string frequency re-counts exactly (this kills both
+    *     31-bit hash collisions and bloom false positives — the
+    *     result is independent of either), and span merging is a
+    *     per-document prefix-max window: frames bounded by document
+    *     length, millions of independent partitions, no skew ceiling.
+    *
+    * Assumes `idCol` is unique per document (the corpus contract
+    * everywhere in this family): duplicate ids would interleave two
+    * texts' positions into one span stream.
+    *
+    * @return (idCol, n_dup_grams, n_spans, dup_chars, dup_frac) — one
+    *         row per input document, zeros when nothing is shared.
+    */
+  def dupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bitsPerKey: Int = 10
+  ): DataFrame = {
+    require(k >= 1, s"dupSpans: k must be >= 1, got $k")
+    val base = docs.select(col(idCol), col(textCol).as("__text"), length(col(textCol)).as("__n"))
+    // pass 1: cross-doc document frequency on the rolling hash
+    val candH = base
+      .select(col(idCol), explode(call_function("graft_rolling_hashes", col("__text"), lit(k))).as("h"))
+      .distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("h"))
+    // the sizing count and the bit-setting pass are the only two
+    // consumers, both actions inside this call — persist between them
+    // so the distinct+groupBy shuffle runs once, release right after
+    candH.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val nCand = math.max(1L, candH.count())
+        graft.functions.Bloom.build(candH, col("h"), nCand * bitsPerKey.toLong, 6)
+      } finally candH.unpersist(blocking = false)
+    // pass 2: candidate positions keep their exact gram, in-row.
+    // Bloom false positives (and 31-bit collisions) only admit grams
+    // whose true document frequency is 1 — the exact recount below
+    // drops them, so the output does not depend on bloom sizing.
+    val posed = base.select(col(idCol), col("__n"), posexplode(
+      call_function("graft_rolling_hashes", col("__text"), lit(k))).as(Seq("pos", "h")),
+      col("__text"))
+    val grams = posed
+      .filter(graft.functions.Bloom.containsCol(bloom, col("h")))
+      .select(col(idCol), col("__n"), col("pos"),
+        col("__text").substr(col("pos") + lit(1), lit(k)).as("gram"))
+    val dupG = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2)
+      .select(col("gram"))
+    val occ = grams.join(dupG, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos"), col("__n"))
+    // merge overlapping/adjacent spans: a new island starts where pos
+    // clears the running max end of all prior spans
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(k)).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = occ
+      .withColumn("__new", when(prevEnd.isNull || col("pos") > prevEnd, 1).otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(
+        count(lit(1)).as("__cnt"),
+        min(col("pos")).as("__s"),
+        least(max(col("pos")) + lit(k), min(col("__n"))).as("__e"))
+    val perDoc = spans.groupBy(col(idCol))
+      .agg(
+        sum(col("__cnt")).as("n_dup_grams"),
+        count(lit(1)).as("n_spans"),
+        sum(col("__e") - col("__s")).cast("long").as("dup_chars"))
+    base.select(col(idCol), col("__n"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        round(coalesce(col("dup_chars"), lit(0L)).cast("double") /
+          greatest(col("__n"), lit(1)).cast("double"), 6).as("dup_frac"))
+  }
+
   /** Benchmark contamination check (the train/test leak audit of an
     * LLM data pipeline): for each BENCHMARK document, the fraction of
     * its distinct word n-grams that appear anywhere in the TRAINING

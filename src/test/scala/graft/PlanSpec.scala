@@ -157,4 +157,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "d13 lost the aggregate-side broadcast")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
+
+  test("duplicated-span search never shuffles document text (d17)") {
+    // the contract: only position hashes (longs) and candidate k-char
+    // grams cross Exchanges — the raw text column is consumed in-row
+    // at the two scans and must not appear in any Exchange's input
+    val p = planOf("d17_dup_spans")
+    val exchangeInputs = "\\(\\d+\\) Exchange\\s*\\nInput \\[\\d+\\]: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchangeInputs.nonEmpty, s"no Exchange inputs parsed from plan:\n$p")
+    exchangeInputs.foreach { cols =>
+      assert(!cols.contains("__text") && !cols.contains("text#"),
+        s"document text entered a shuffle: [$cols]")
+    }
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "d17 planned a cross join — the no-pair-join contract broke")
+  }
 }
