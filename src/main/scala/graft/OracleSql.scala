@@ -1558,6 +1558,32 @@ object OracleSql {
     FROM d LEFT JOIN pd USING (doc_id)
   """
 
+  // d19: unigram LM score — every probability is the exact integer
+  // ratio (cnt+1)/(total+1001), so the only float surface is ln() and
+  // the mean; round(,6) absorbs the cross-libm ulp like the trig
+  // queries do.
+  private val d19 = """
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0),
+    counts AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+    model AS (SELECT w, cnt FROM counts ORDER BY cnt DESC, w ASC LIMIT 1000),
+    sc AS (SELECT words.doc_id,
+             CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+             ln(CAST(coalesce(m.cnt + 1, 1) AS DOUBLE) /
+                CAST(total + 1001 AS DOUBLE)) AS logp
+           FROM words LEFT JOIN model m USING (w), tot),
+    pd AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(avg(logp), 6) AS avg_logp
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+      coalesce(pd.n_oov, 0) AS n_oov, pd.avg_logp
+    FROM documents d LEFT JOIN pd USING (doc_id)
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1697,6 +1723,7 @@ object OracleSql {
     "d16_vocab" -> d16,
     "d17_dup_spans" -> d17,
     "d18_bloom_delta" -> d15, // bloom plan, identical verdicts by construction
+    "d19_lm_score" -> d19,
 
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,

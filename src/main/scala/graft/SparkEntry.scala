@@ -1107,6 +1107,16 @@ object SparkEntry {
       "doc_id", "text", TextOps.prefixFingerprint(_, 40))
   }
 
+  /** Unigram LM quality score (the KenLM-shaped perplexity filter):
+    * each doc's mean log token probability under the corpus's own
+    * top-1000-word unigram model with add-one smoothing and a shared
+    * OOV bucket. The model is broadcast by construction (vocab cap);
+    * the token stream only shuffles for word counts and the per-doc
+    * aggregate.
+    */
+  private def d19(s: SparkSession, dir: String): DataFrame =
+    LangModel.unigramScore(Tables.documents(s, dir), "doc_id", "text", 1000)
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1610,6 +1620,7 @@ object SparkEntry {
     "d16_vocab" -> (d16 _),
     "d17_dup_spans" -> (d17 _),
     "d18_bloom_delta" -> (d18 _),
+    "d19_lm_score" -> (d19 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-trained unigram language-model scoring — the KenLM-shaped
+  * quality filter of LLM data pipelines (CCNet et al. score documents
+  * by LM perplexity and drop the tail; a unigram model over the
+  * corpus's own vocabulary is the distributable first rung of that
+  * ladder, and the plan shape below is exactly what a bigger model
+  * needs too).
+  *
+  * Model: the top-`vocabK` words by corpus frequency (ties broken by
+  * word — deterministic on any engine) with add-one smoothing over a
+  * single shared out-of-vocabulary bucket:
+  * `p(w in model) = (cnt_w + 1) / (total + vocabK + 1)`,
+  * `p(OOV) = 1 / (total + vocabK + 1)` — `total` counted over ALL
+  * token occurrences, so every probability is an exact integer ratio.
+  *
+  * Scale shape for 100 TB: the vocabulary CAP is what makes the plan
+  * scale-safe — the model is `vocabK` rows by construction (a
+  * distributed TakeOrdered over the word counts, the d16 pattern;
+  * never a global sort), so the score join is a BROADCAST probe and
+  * the corpus token stream never shuffles for the model. The only
+  * corpus-sized shuffles are the word-count aggregation (map-side
+  * combined, keyed by word) and the per-document score aggregation
+  * (keyed by doc id) — both linear, both skew-free.
+  */
+object LangModel {
+
+  /** Per-document unigram LM score against the corpus's own top-K
+    * vocabulary.
+    *
+    * @return (idCol, n_tokens, n_oov, avg_logp) — `avg_logp` is the
+    *         mean natural-log token probability (≤ 0; higher = more
+    *         typical of the corpus), rounded to 6 places; empty/
+    *         whitespace-only docs score n_tokens=0 with null avg_logp.
+    */
+  def unigramScore(docs: DataFrame, idCol: String, textCol: String, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"unigramScore: vocabK must be >= 1, got $vocabK")
+    val words = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    val model = counts.orderBy(col("cnt").desc, col("w").asc).limit(vocabK)
+    val scored = words
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col(idCol),
+        col("cnt").isNull.cast("long").as("oov"),
+        log(coalesce(col("cnt") + lit(1L), lit(1L)).cast("double") /
+          (col("total") + lit(vocabK.toLong + 1L)).cast("double")).as("logp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("avg_logp"))
+  }
+}
