@@ -1117,6 +1117,20 @@ object SparkEntry {
   private def d19(s: SparkSession, dir: String): DataFrame =
     LangModel.unigramScore(Tables.documents(s, dir), "doc_id", "text", 1000)
 
+  /** Compression-ratio quality signal (the gzip-ratio repetition
+    * detector of corpus pipelines): deflate-compressed size over raw
+    * UTF-8 size per document via the native `graft_deflate_ratio`
+    * expression — a pure map, no shuffle. No SQL oracle (DEFLATE is
+    * not reproducible in DuckDB) → driver records the rows-only
+    * check; value contracts live in `DeflateSpec`.
+    */
+  private def d20(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      round(call_function("graft_deflate_ratio", col("text")), 4).as("deflate_ratio"))
+      .withColumn("repetitive", col("deflate_ratio") < 0.35)
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1621,6 +1635,7 @@ object SparkEntry {
     "d17_dup_spans" -> (d17 _),
     "d18_bloom_delta" -> (d18 _),
     "d19_lm_score" -> (d19 _),
+    "d20_compress_ratio" -> (d20 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

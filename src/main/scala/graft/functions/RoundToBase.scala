@@ -81,6 +81,11 @@ object GraftFunctions {
       buildBloomContains,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_ratio",
+      buildDeflateRatio,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
@@ -90,6 +95,9 @@ object GraftFunctions {
 
   def buildBloomContains(exprs: Seq[Expression]): Expression =
     BloomContains(exprs(0), Cast(exprs(1), org.apache.spark.sql.types.LongType))
+
+  def buildDeflateRatio(exprs: Seq[Expression]): Expression =
+    DeflateRatio(Cast(exprs(0), org.apache.spark.sql.types.StringType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -126,6 +134,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[BloomContains].getName, "graft_bloom_contains"),
         (exprs: Seq[Expression]) => GraftFunctions.buildBloomContains(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_deflate_ratio"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DeflateRatio].getName, "graft_deflate_ratio"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildDeflateRatio(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
