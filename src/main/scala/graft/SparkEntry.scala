@@ -1417,6 +1417,19 @@ object SparkEntry {
       "vec_id", "embedding", nprobe = 2, k = 3)
   }
 
+  /** Product quantization end-to-end: train 4×16 codebooks (one
+    * fused pass per iteration), encode the corpus to 4 bytes/vector,
+    * ADC top-3 for the first 16 queries from the broadcast lookup
+    * table. Rows-only check (the oracle cannot replay Lloyd's);
+    * recall and compression contracts live in `PqSpec`.
+    */
+  private def e10(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqAdcTopK(codes, books, emb.filter(col("vec_id") < 16), "vec_id", "embedding", 3)
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -1645,6 +1658,7 @@ object SparkEntry {
     "e07_quant_recall" -> (e07 _),
     "e08_semantic_dedup" -> (e08 _),
     "e09_ivf_trained" -> (e09 _),
+    "e10_pq_adc" -> (e10 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -281,4 +281,177 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(sum(col("bit") * pow(lit(2.0), col("plane_id")).cast("long")).as("bucket"))
   }
+
+  /** Shared PQ assignment arithmetic: per subspace, the codeword
+    * minimizing the 4-dp-rounded squared distance, ties to the
+    * smaller code — [[centroidArgminExpr]]'s contract, but as a
+    * compiled JVM function. At PQ sizes (m·k ≥ 64 codewords) the
+    * unrolled Catalyst `least()`-over-structs form exceeds janino's
+    * method limits and silently falls back to interpreted eval; a
+    * plain function is both the robust and the fast shape, and is
+    * trivially deterministic and partition-independent.
+    */
+  private def pqAssignCodes(vv: Array[Double], books: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val out = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      val bs = books(s)
+      val off = s * sub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < bs.length) {
+        val cw = bs(j)
+        var d = 0.0
+        var t = 0
+        while (t < sub) { val diff = vv(off + t) - cw(t); d += diff * diff; t += 1 }
+        val dr = math.floor(d * 1e4 + 0.5) / 1e4 // HALF_UP at 4 dp (d >= 0)
+        if (dr < bestD) { bestD = dr; best = j }
+        j += 1
+      }
+      out(s) = best
+      s += 1
+    }
+    out
+  }
+
+  /** Product-quantization codebook training (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * dimension into `m` contiguous subspaces and run Lloyd's
+    * independently in each — `m` codebooks of `k` codewords. Same
+    * determinism contract as [[kmeansFit]] (smallest-id init, fixed
+    * iterations, (rounded d2, code) argmin; means wobble only by
+    * float summation order).
+    *
+    * Scale shape: ONE pass per iteration — each row's m subspace
+    * assignments come from one broadcast-codebook map, and the update
+    * is one map-side-combined `reduceByKey` keyed by (subspace,
+    * code): shuffle volume O(k·dim) per iteration, independent of
+    * corpus size. Codebooks stay on the driver (k·dim doubles — the
+    * IVF-centroid envelope).
+    *
+    * @return codebooks indexed [subspace][code][component]
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 3
+  ): Array[Array[Array[Double]]] = {
+    import vectors.sparkSession.implicits._
+    require(m >= 1 && k >= 1 && iters >= 0, s"pqTrain: bad m=$m k=$k iters=$iters")
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    val dim = v.select(size(col("vv"))).as[Int].head()
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible into m=$m subspaces")
+    val sub = dim / m
+    val init = v.orderBy(col(idCol)).limit(k).select(col("vv")).as[Seq[Double]].collect()
+    require(init.length == k, s"pqTrain: need at least k=$k vectors, got ${init.length}")
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => Array.tabulate(k)(j => init(j).slice(s * sub, (s + 1) * sub).toArray))
+    val rdd = v.select(col("vv")).as[Seq[Double]].rdd
+    var it = 0
+    while (it < iters) {
+      val bc = rdd.sparkContext.broadcast(books)
+      val updated = rdd
+        .flatMap { vvSeq =>
+          val vv = vvSeq.toArray
+          val bks = bc.value
+          val codes = pqAssignCodes(vv, bks)
+          val sd = bks(0)(0).length
+          codes.iterator.zipWithIndex.map { case (code, s) =>
+            ((s, code), (java.util.Arrays.copyOfRange(vv, s * sd, (s + 1) * sd), 1L))
+          }
+        }
+        .reduceByKey { (a, b) =>
+          val sm = a._1.clone()
+          var i = 0
+          while (i < sm.length) { sm(i) += b._1(i); i += 1 }
+          (sm, a._2 + b._2)
+        }
+        .mapValues { case (sm, n) => sm.map(_ / n) }
+        .collect()
+        .toMap
+      bc.destroy()
+      // a codeword that lost every member keeps its previous value
+      books = Array.tabulate(m)(s => Array.tabulate(k)(j =>
+        updated.getOrElse((s, j), books(s)(j))))
+      it += 1
+    }
+    books
+  }
+
+  /** PQ encoding: each vector compresses to `m` small ints (4× to 64×
+    * smaller than the floats — the memory-residency lever for serving
+    * ANN over 100 TB of embeddings). Pure map over broadcast
+    * codebooks; the shared [[pqAssignCodes]] arithmetic.
+    *
+    * @return (idCol, codes array<int>)
+    */
+  def pqEncode(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      books: Array[Array[Array[Double]]]
+  ): DataFrame = {
+    import vectors.sparkSession.implicits._
+    val bc = vectors.sparkSession.sparkContext.broadcast(books)
+    vectors
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, vvSeq) => (id, pqAssignCodes(vvSeq.toArray, bc.value).toSeq) }
+      .toDF(idCol, "codes")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, the
+    * distance to each encoded vector is the sum over subspaces of
+    * `||q_s - codeword||²`, looked up from a per-query table of
+    * m·k precomputed entries. The LUT (queries × m × k rows — small by
+    * the ANN-query contract) broadcasts; the code table joins it on
+    * (subspace, code) and aggregates — the only corpus-sized shuffle
+    * is the (query, neighbor) partial-sum combine, m-fold reduced
+    * map-side.
+    *
+    * @return (query_id, neighbor_id, adc_d2, rk)
+    */
+  def pqAdcTopK(
+      codes: DataFrame,
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int
+  ): DataFrame = {
+    import codes.sparkSession.implicits._
+    val m = books.length
+    val sub = books(0)(0).length
+    val qs = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .as[(Long, Seq[Double])].collect()
+    val lutRows = for {
+      (qid, qv) <- qs.toSeq
+      s <- 0 until m
+      (cv, j) <- books(s).zipWithIndex
+    } yield {
+      var d = 0.0
+      var t = 0
+      while (t < sub) { val diff = qv(s * sub + t) - cv(t); d += diff * diff; t += 1 }
+      (qid, s, j, d)
+    }
+    val lut = codes.sparkSession.createDataset(lutRows).toDF("query_id", "s", "code", "pd")
+    val exploded = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2").asc, col("neighbor_id").asc)
+    exploded
+      .join(broadcast(lut), Seq("s", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(round(sum(col("pd")), 4).as("adc_d2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rk"))
+  }
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Product-quantization contract tests: code range and compression,
+  * reconstruction error shrinking with codebook size, ADC recall
+  * against the exact L2 ranking, and partition-independence of the
+  * encoding.
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  val dir = "/root/testdata/sf0.001"
+
+  private lazy val emb = Tables.embeddings(spark, dir)
+
+  test("codes are in range and one per subspace") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 8))
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books).collect()
+    assert(codes.nonEmpty)
+    codes.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4)
+      assert(cs.forall(c => c >= 0 && c < 8), s"code out of range: $cs")
+    }
+  }
+
+  test("reconstruction error shrinks as the codebook grows") {
+    import spark.implicits._
+    val vecs = emb.select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+    def reconErr(k: Int): Double = {
+      val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = k, iters = 2)
+      val sub = books(0)(0).length
+      val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+        .orderBy("vec_id").collect().map(_.getSeq[Int](1))
+      vecs.zip(codes).map { case (v, cs) =>
+        cs.zipWithIndex.map { case (c, s) =>
+          val cw = books(s)(c)
+          (0 until sub).map(t => math.pow(v(s * sub + t) - cw(t), 2)).sum
+        }.sum
+      }.sum / vecs.length
+    }
+    val e2 = reconErr(2)
+    val e16 = reconErr(16)
+    assert(e16 < e2 * 0.8, s"k=16 recon error $e16 not well below k=2's $e2")
+  }
+
+  test("ADC top-3 lands in the exact L2 near-neighborhood (rank contract)") {
+    // the fixture embeddings are near-isotropic — exact d2 from a
+    // query to its rank-1 vs rank-5 neighbor differs by only ~5%, so
+    // top-3 set recall is noise by construction. The meaningful ADC
+    // contract is RANK: the vectors ADC picks must sit deep in the
+    // exact ordering's head (measured ~31 mean rank of 499; random
+    // choice would average ~250).
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val queries = emb.filter(col("vec_id") < 8)
+    val adc = Similarity.pqAdcTopK(codes, books, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val ranks = (0L until 8L).flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      val ranked = all.filter(_._1 != qid)
+        .map { case (nid, nv) => nid -> nv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum }
+        .sortBy { case (nid, d) => (d, nid) }.map(_._1).zipWithIndex.toMap
+      adc(qid).map(n => ranked(n) + 1)
+    }
+    val meanRank = ranks.sum.toDouble / ranks.length
+    assert(meanRank <= 60.0, s"mean exact rank of ADC picks $meanRank (random ~250)")
+  }
+
+  test("encoding is independent of input partitioning") {
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
+    val a = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = Similarity.pqEncode(emb.repartition(13), "vec_id", "embedding", books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+  }
+}
