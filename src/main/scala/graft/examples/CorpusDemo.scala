@@ -47,12 +47,27 @@ object CorpusDemo {
       Seq("doc_id"))
     println(s"[demo] after near-dup clustering: ${nearKept.count()}")
 
-    // 3. quality + repetition filter
+    // 2b. span-level audit: how much VERBATIM text the survivors
+    // still share (whole-document sketches can't see shared passages)
+    val spans = graft.operators.Dedup.dupSpans(nearKept, "doc_id", "text", 15)
+    println("[demo] worst duplicated-span coverage among kept docs:")
+    spans.orderBy(col("dup_frac").desc).show(3)
+
+    // 3. quality + repetition filter: heuristic score, in-row bigram
+    // repetition, compression ratio, and the corpus-trained unigram
+    // LM score (each catches junk the others miss)
+    val lm = graft.operators.LangModel.unigramScore(nearKept, "doc_id", "text", 1000)
     val scored = nearKept
       .withColumn("quality", TextOps.qualityScore(col("text")))
       .withColumn("dup_frac", TextOps.dupNgramFrac(col("text"), 2))
-    val clean = scored.filter(col("quality") >= 0.3 && col("dup_frac") <= 0.3).cache()
-    println(s"[demo] after quality/repetition filter: ${clean.count()}")
+      .withColumn("deflate", call_function("graft_deflate_ratio", col("text")))
+      .join(lm.select(col("doc_id"), col("avg_logp")), Seq("doc_id"), "left")
+    val clean = scored
+      .filter(col("quality") >= 0.3 && col("dup_frac") <= 0.3 && col("deflate") >= 0.2)
+      .cache()
+    println(s"[demo] after quality/repetition/compression filter: ${clean.count()}")
+    println("[demo] least-typical docs by unigram LM score:")
+    clean.orderBy(col("avg_logp").asc).select("doc_id", "avg_logp", "quality").show(3)
 
     // 4. contamination audit against a held-out "benchmark" slice
     val contam = Dedup.contamination(
