@@ -1150,22 +1150,8 @@ object SparkEntry {
     * single-reducer global window over the vocabulary; the cumulative
     * window then runs over exactly k rows.
     */
-  private def d16(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(s, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
-    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_types"))
-    val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(20)
-    val w = Window.orderBy(col("cnt").desc, col("w").asc)
-    top
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum_cnt", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .crossJoin(broadcast(total))
-      .select(
-        col("rk"), col("w"), col("cnt"),
-        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("coverage"),
-        col("n_types"))
-  }
+  private def d16(s: SparkSession, dir: String): DataFrame =
+    LangModel.vocabStats(Tables.documents(s, dir), "text", 20)
 
   private def d04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -65,4 +66,39 @@ object LangModel {
         coalesce(col("n_oov"), lit(0L)).as("n_oov"),
         col("avg_logp"))
   }
+
+  /** Vocabulary table from a prepared word-count relation `(w, cnt)`:
+    * corpus-wide top-`topK` words with cumulative coverage of all
+    * token occurrences, plus the distinct-type count. ONE shared
+    * implementation of the arithmetic — the batch query (d16) and the
+    * streaming twin (`DocStream.incrementalVocab`) both call it, so
+    * snapshot-equals-batch is identity, not coincidence. The top-K is
+    * `orderBy().limit(k)` — a distributed TakeOrdered, never a
+    * single-reducer global window over the vocabulary; the cumulative
+    * window then runs over exactly k rows.
+    *
+    * @return (rk, w, cnt, coverage, n_types)
+    */
+  def vocabFromCounts(counts: DataFrame, topK: Int): DataFrame = {
+    val total = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_types"))
+    val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("w").asc)
+    top
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(
+        col("rk"), col("w"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("coverage"),
+        col("n_types"))
+  }
+
+  /** [[vocabFromCounts]] from the documents themselves (whitespace
+    * tokens — the d16 batch query).
+    */
+  def vocabStats(docs: DataFrame, textCol: String, topK: Int): DataFrame =
+    vocabFromCounts(
+      docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt")),
+      topK)
 }

@@ -308,6 +308,42 @@ object DocStream {
     spark.read.parquet(outDir)
   }
 
+  /** Live vocabulary stats for continuous ingest (the d16 tokenizer-
+    * prep table as a stream): a complete-mode word-count aggregation —
+    * state is one long per DISTINCT word, the same cardinality the
+    * batch shuffle carries, growing with corpus content rather than
+    * stream length — re-ranked through the shared
+    * `LangModel.vocabFromCounts` arithmetic and snapshotted every
+    * tick (overwrite, not append: like the mixture weights, the table
+    * is a VIEW of the corpus so far). After any tick the snapshot
+    * equals the batch `vocabStats` of everything ingested —
+    * `DocStreamSpec`-asserted across a checkpointed restart.
+    */
+  def incrementalVocab(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      topK: Int = 20
+  ): DataFrame = {
+    val counts = readDocs(spark, path)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = counts.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LangModel.vocabFromCounts(batch, topK)
+          .write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   case class PackAssign(doc_id: Long, shard: Int, pack_id: Long, tok: Long)
 
   /** Incremental greedy sequence packing — the streaming face of

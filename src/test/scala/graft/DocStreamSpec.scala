@@ -153,6 +153,24 @@ class DocStreamSpec extends AnyFunSuite {
       "tick-2 snapshot diverges from batch weights over the full corpus")
   }
 
+  test("incremental vocabulary snapshot equals the batch stats after each tick") {
+    val src = java.nio.file.Files.createTempDirectory("vocsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("vocckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("vocout").toString
+
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    val snap1 = DocStream.incrementalVocab(spark, src, ckpt, outDir)
+    val batch1 = graft.operators.LangModel.vocabStats(docs.filter(col("doc_id") < 25), "text", 20)
+    assert(snap1.except(batch1).count() == 0 && batch1.except(snap1).count() == 0,
+      "tick-1 snapshot diverges from batch vocab stats")
+
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    val snap2 = DocStream.incrementalVocab(spark, src, ckpt, outDir)
+    val batch2 = graft.operators.LangModel.vocabStats(docs, "text", 20)
+    assert(snap2.except(batch2).count() == 0 && batch2.except(snap2).count() == 0,
+      "tick-2 snapshot diverges from batch vocab stats over the full corpus")
+  }
+
   test("incremental packing holds every batch invariant across a checkpointed restart") {
     val src = java.nio.file.Files.createTempDirectory("packsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("packckpt").toString
