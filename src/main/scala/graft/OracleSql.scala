@@ -1607,6 +1607,31 @@ object OracleSql {
     FROM c, t
   """
 
+  // t05: quality-budget subset — integer bucket from the 6-dp-rounded
+  // quality (the d04 arithmetic), greedy keep in (bucket desc, id asc)
+  // order via cross-bucket cumulative + in-bucket cumulative.
+  private val t05 = s"""
+    WITH base AS (
+      SELECT doc_id,
+        CAST($tokCount AS BIGINT) AS tokens,
+        CAST(round(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
+               + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100.0, 0) AS INT) AS qbucket
+      FROM documents),
+    cum AS (
+      SELECT qbucket,
+        coalesce(sum(btok) OVER (ORDER BY qbucket DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS better_tok
+      FROM (SELECT qbucket, sum(tokens) AS btok FROM base GROUP BY qbucket) h)
+    SELECT b.doc_id, b.tokens, b.qbucket,
+      (CAST(c.better_tok AS BIGINT)
+       + CAST(sum(b.tokens) OVER (PARTITION BY b.qbucket ORDER BY b.doc_id ASC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      ) <= 12000 AS kept
+    FROM base b JOIN cum c USING (qbucket)
+  """
+
   private val t04 = """
     WITH c AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY source),
     t AS (SELECT list_reduce(
@@ -1728,6 +1753,7 @@ object OracleSql {
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03,
-    "t04_interleave" -> t04
+    "t04_interleave" -> t04,
+    "t05_budget_select" -> t05
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

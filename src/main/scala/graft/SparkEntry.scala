@@ -1442,6 +1442,17 @@ object SparkEntry {
   private def t02(s: SparkSession, dir: String): DataFrame =
     Mixing.temperatureWeights(Tables.documents(s, dir), Seq("source"), 10000.0)
 
+  /** Quality-budget subset selection: keep the best documents (by
+    * integer quality bucket, id tie-break) whose tokens fit a 12k
+    * budget — bucket histogram + broadcast cumulative instead of a
+    * global sort.
+    */
+  private def t05(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Mixing.budgetSelect(docs, "doc_id",
+      TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")), 12000L)
+  }
+
   /** Deterministic weighted interleave: each doc gets a stride key
     * `uniform(hash)·n/weight` from its source's temperature weight —
     * sorting by the key streams sources in weight proportion, with no
@@ -1648,7 +1659,8 @@ object SparkEntry {
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),
-    "t04_interleave" -> (t04 _)
+    "t04_interleave" -> (t04 _),
+    "t05_budget_select" -> (t05 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

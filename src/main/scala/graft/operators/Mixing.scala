@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -125,6 +126,47 @@ object Mixing {
     */
   def interleaveKey(id: Column, nStratum: Column, weight: Column): Column =
     idHash(id).cast("double") / lit(281474976710656.0) * nStratum.cast("double") / weight
+
+  /** Quality-budget data selection (the "best subset under a token
+    * budget" step of pretraining assembly, cf. quality-filtered
+    * pretraining subsets): keep documents in (quality bucket DESC,
+    * id ASC) order while the running token cost fits `budget` —
+    * exactly the full-sort greedy's keep set, with the in-bucket tie
+    * order being id.
+    *
+    * There is NO global sort in the plan: quality discretizes to an
+    * integer percent bucket (≤ ~101 distinct values), the cross-bucket
+    * cumulative runs over that broadcast-sized histogram, and ordered
+    * work happens only WITHIN a bucket (window partitioned by bucket —
+    * bounded by the quality resolution, not the corpus; raise the
+    * resolution if one bucket dominates). The bucket is derived from
+    * the 6-dp-rounded quality (`round(q·100)`), integer end to end,
+    * so the keep set is engine-reproducible.
+    *
+    * @return (idCol, tokens, qbucket, kept)
+    */
+  def budgetSelect(
+      docs: DataFrame,
+      idCol: String,
+      tokensCol: Column,
+      qualityCol: Column,
+      budget: Long
+  ): DataFrame = {
+    val base = docs.select(
+      col(idCol),
+      tokensCol.cast("long").as("tokens"),
+      round(qualityCol * 100.0, 0).cast("int").as("qbucket"))
+    val wd = Window.orderBy(col("qbucket").desc)
+    val cum = base.groupBy(col("qbucket")).agg(sum(col("tokens")).as("btok"))
+      .withColumn("better_tok",
+        coalesce(sum(col("btok")).over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("qbucket"), col("better_tok"))
+    val wb = Window.partitionBy(col("qbucket")).orderBy(col(idCol).asc)
+    base.join(broadcast(cum), Seq("qbucket"))
+      .withColumn("__wtok", sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("kept", col("better_tok") + col("__wtok") <= budget)
+      .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
+  }
 
   /** Dual-budget greedy packing for MULTIMODAL context windows (VLM
     * training assembles text tokens AND image patches into one

@@ -15,6 +15,32 @@ class MixingSpec extends AnyFunSuite {
 
   private def docs = Tables.documents(spark, "/root/testdata/sf0.001")
 
+  test("budget select equals the full-sort greedy and respects the budget") {
+    import graft.operators.TextOps
+    val budget = 3000L
+    val out = Mixing.budgetSelect(docs, "doc_id",
+      TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getBoolean(3)))
+    // brute-force greedy over the same (qbucket desc, id asc) order
+    val sorted = out.sortBy { case (id, _, qb, _) => (-qb, id) }
+    var cum = 0L
+    val expectKept = sorted.map { case (id, tok, _, _) =>
+      cum += tok
+      id -> (cum <= budget)
+    }.toMap
+    out.foreach { case (id, _, _, kept) =>
+      assert(kept == expectKept(id), s"doc $id: kept=$kept, greedy says ${expectKept(id)}")
+    }
+    val keptTok = out.filter(_._4).map(_._2).sum
+    assert(keptTok <= budget, s"kept tokens $keptTok exceed budget $budget")
+    assert(out.exists(_._4) && out.exists(!_._4), "fixture should split kept/dropped")
+    // selection favors quality: every kept bucket >= every dropped bucket
+    // except the boundary bucket where the budget ran out mid-bucket
+    val keptMin = out.filter(_._4).map(_._3).min
+    val droppedAbove = out.filter(o => !o._4 && o._3 > keptMin)
+    assert(droppedAbove.isEmpty, s"dropped docs in buckets above kept minimum: ${droppedAbove.take(3).toSeq}")
+  }
+
   test("stratified sample: rates follow counts, decision is deterministic and partition-free") {
     val out = Mixing.stratifiedSample(docs, Seq("lang"), "doc_id", 10L).cache()
     // a stratum smaller than target keeps everything (threshold = 1e6)
