@@ -67,7 +67,7 @@ object CorpusDemo {
       .cache()
     println(s"[demo] after quality/repetition/compression filter: ${clean.count()}")
     println("[demo] least-typical docs by unigram LM score:")
-    clean.orderBy(col("avg_logp").asc).select("doc_id", "avg_logp", "quality").show(3)
+    clean.orderBy(col("avg_logp").asc_nulls_last).select("doc_id", "avg_logp", "quality").show(3)
 
     // 4. contamination audit against a held-out "benchmark" slice
     val contam = Dedup.contamination(
@@ -75,6 +75,15 @@ object CorpusDemo {
       "doc_id", "text", 5)
     println("[demo] most-contaminated benchmark docs:")
     contam.orderBy(col("contamination").desc).show(5)
+
+    // 4b. budget selection: the best of what survived, under a token
+    // budget (bucket histogram + broadcast cumulative — no global sort)
+    val selected = Mixing.budgetSelect(clean, "doc_id",
+      TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")), 12000L)
+    val selStats = selected.filter(col("kept"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("tokens")), lit(0L)).as("tok")).head
+    println(s"[demo] budget-selected: ${selStats.getLong(0)} docs " +
+      s"(${selStats.getLong(1)} tokens of 12000 budget)")
 
     // 5. stratified sampling + temperature weights + interleave + pack
     val sampled = Mixing.stratifiedSample(clean, Seq("lang"), "doc_id", 100L)

@@ -94,7 +94,9 @@ object GraftFunctions {
       Cast(exprs(1), org.apache.spark.sql.types.IntegerType))
 
   def buildBloomContains(exprs: Seq[Expression]): Expression =
-    BloomContains(exprs(0), Cast(exprs(1), org.apache.spark.sql.types.LongType))
+    BloomContains(
+      Cast(exprs(0), org.apache.spark.sql.types.BinaryType),
+      Cast(exprs(1), org.apache.spark.sql.types.LongType))
 
   def buildDeflateRatio(exprs: Seq[Expression]): Expression =
     DeflateRatio(Cast(exprs(0), org.apache.spark.sql.types.StringType))

@@ -531,9 +531,19 @@ object Dedup {
     val corpusHits = corpus.select(fpOf(col(textCol)).as("fp"))
       .join(broadcast(dfp.select(col("fp")).distinct()), Seq("fp"), "left_semi")
       .distinct()
+    deltaVerdicts(dfp, broadcast(corpusHits), idCol)
+  }
+
+  /** Shared verdict construction for the delta-dedup variants: given
+    * the delta's (id, fp) and the DISTINCT corpus-matched fingerprint
+    * set, label each delta doc dup_of_corpus / dup_in_delta / kept.
+    * [[deltaDedup]] and [[deltaDedupBloom]] differ ONLY in how
+    * `corpusHits` is computed — the verdicts are this one definition.
+    */
+  private def deltaVerdicts(dfp: DataFrame, corpusHits: DataFrame, idCol: String): DataFrame = {
     val wFp = Window.partitionBy(col("fp"))
     dfp
-      .join(broadcast(corpusHits.withColumn("__hit", lit(true))), Seq("fp"), "left")
+      .join(corpusHits.withColumn("__hit", lit(true)), Seq("fp"), "left")
       .withColumn("__min_id", min(col(idCol)).over(wFp))
       .withColumn("verdict",
         when(col("__hit"), lit("dup_of_corpus"))
@@ -585,15 +595,10 @@ object Dedup {
       .filter(graft.functions.Bloom.containsCol(bloom, xxhash64(col("fp"))))
       .distinct()
     val corpusHits = cand.join(dfps, Seq("fp"), "left_semi") // exact: kills bloom FPs
-    val wFp = Window.partitionBy(col("fp"))
-    dfp
-      .join(corpusHits.withColumn("__hit", lit(true)), Seq("fp"), "left")
-      .withColumn("__min_id", min(col(idCol)).over(wFp))
-      .withColumn("verdict",
-        when(col("__hit"), lit("dup_of_corpus"))
-          .when(col(idCol) =!= col("__min_id"), lit("dup_in_delta"))
-          .otherwise(lit("kept")))
-      .select(col(idCol), col("fp"), col("verdict"))
+    // no broadcast force here: with a delta past the exact envelope,
+    // the hit join is a plain shuffle of the two small(er) sides, and
+    // AQE upgrades it when it does fit
+    deltaVerdicts(dfp, corpusHits, idCol)
   }
 
   /** Duplicated-substring spans (the ExactSubstr dedup family of

@@ -152,10 +152,17 @@ object Mixing {
       qualityCol: Column,
       budget: Long
   ): DataFrame = {
-    val base = docs.select(
+    val all = docs.select(
       col(idCol),
       tokensCol.cast("long").as("tokens"),
       round(qualityCol * 100.0, 0).cast("int").as("qbucket"))
+    // a null quality or token count can't be ranked or budgeted:
+    // report the doc (kept = false) instead of silently dropping it
+    // through the inner bucket join
+    val nullRows = all
+      .filter(col("qbucket").isNull || col("tokens").isNull)
+      .select(col(idCol), col("tokens"), col("qbucket"), lit(false).as("kept"))
+    val base = all.filter(col("qbucket").isNotNull && col("tokens").isNotNull)
     val wd = Window.orderBy(col("qbucket").desc)
     val cum = base.groupBy(col("qbucket")).agg(sum(col("tokens")).as("btok"))
       .withColumn("better_tok",
@@ -166,6 +173,7 @@ object Mixing {
       .withColumn("__wtok", sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("kept", col("better_tok") + col("__wtok") <= budget)
       .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
+      .unionByName(nullRows)
   }
 
   /** Dual-budget greedy packing for MULTIMODAL context windows (VLM

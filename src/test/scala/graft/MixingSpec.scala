@@ -41,6 +41,22 @@ class MixingSpec extends AnyFunSuite {
     assert(droppedAbove.isEmpty, s"dropped docs in buckets above kept minimum: ${droppedAbove.take(3).toSeq}")
   }
 
+  test("budget select reports null-quality docs as kept=false instead of dropping them") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option("good words here and the of to in")),
+      (2L, None),
+      (3L, Option("more of the and it is on for text"))
+    ).toDF("doc_id", "text")
+    val out = Mixing.budgetSelect(df, "doc_id",
+      graft.operators.TextOps.tokenCount(col("text")),
+      graft.operators.TextOps.qualityScore(col("text")), 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"row dropped: ${out.keySet}")
+    assert(!out(2L), "null-text doc must not be kept")
+    assert(out(1L) && out(3L))
+  }
+
   test("stratified sample: rates follow counts, decision is deterministic and partition-free") {
     val out = Mixing.stratifiedSample(docs, Seq("lang"), "doc_id", 10L).cache()
     // a stratum smaller than target keeps everything (threshold = 1e6)

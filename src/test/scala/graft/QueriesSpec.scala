@@ -21,7 +21,13 @@ class QueriesSpec extends AnyFunSuite {
       "p04_pca_shade", "p05_pvpro_post",
       // iterative k-means fit: the oracle cannot replay the trainer;
       // the search path is oracle-verified with fixed centroids (e05)
-      "e09_ivf_trained")
+      "e09_ivf_trained",
+      // DEFLATE is not reproducible in a SQL engine (DeflateSpec
+      // carries the value contracts)
+      "d20_compress_ratio",
+      // per-subspace Lloyd's trainer, as e09 (PqSpec carries rank/
+      // reconstruction contracts)
+      "e10_pq_adc")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
