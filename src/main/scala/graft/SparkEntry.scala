@@ -1416,6 +1416,20 @@ object SparkEntry {
     Similarity.pqAdcTopK(codes, books, emb.filter(col("vec_id") < 16), "vec_id", "embedding", 3)
   }
 
+  /** IVF-PQ search (the FAISS IVFADC shape): trained coarse cells
+    * route each query to its 2 nearest of 8; ADC over the 4×16 PQ
+    * codes runs on those cells' members only. Rows-only (two trained
+    * stages); the exhaustive-probe ≡ full-ADC identity is PqSpec's.
+    */
+  private def e11(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    Similarity.ivfPqTopK(emb, cents, books, emb.filter(col("vec_id") < 16),
+      "vec_id", "embedding", nprobe = 2, k = 3)
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -1656,6 +1670,7 @@ object SparkEntry {
     "e08_semantic_dedup" -> (e08 _),
     "e09_ivf_trained" -> (e09 _),
     "e10_pq_adc" -> (e10 _),
+    "e11_ivf_pq" -> (e11 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -425,7 +425,24 @@ object Similarity {
       vecCol: String,
       k: Int
   ): DataFrame = {
-    import codes.sparkSession.implicits._
+    val exploded = codes.select(col(idCol).as("neighbor_id"),
+      posexplode(col("codes")).as(Seq("s", "code")))
+    adcAggregate(exploded, adcLut(codes.sparkSession, books, queries, idCol, vecCol), k)
+  }
+
+  /** Per-query ADC lookup table (query_id, s, code, pd): m·k partial
+    * squared distances per query, computed on the driver from the
+    * collected queries (small by the ANN-query contract) — the thing
+    * every ADC consumer broadcasts.
+    */
+  private def adcLut(
+      spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    import spark.implicits._
     val m = books.length
     val sub = books(0)(0).length
     val qs = queries
@@ -441,17 +458,67 @@ object Similarity {
       while (t < sub) { val diff = qv(s * sub + t) - cv(t); d += diff * diff; t += 1 }
       (qid, s, j, d)
     }
-    val lut = codes.sparkSession.createDataset(lutRows).toDF("query_id", "s", "code", "pd")
-    val exploded = codes.select(col(idCol).as("neighbor_id"),
-      posexplode(col("codes")).as(Seq("s", "code")))
+    spark.createDataset(lutRows).toDF("query_id", "s", "code", "pd")
+  }
+
+  /** Shared ADC tail: broadcast-LUT join on (s, code) [inner on
+    * query_id too when the exploded side already carries it], partial
+    * sums m-fold reduced map-side, top-k per query.
+    */
+  private def adcAggregate(exploded: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val joinCols = if (exploded.columns.contains("query_id")) Seq("query_id", "s", "code")
+    else Seq("s", "code")
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2").asc, col("neighbor_id").asc)
     exploded
-      .join(broadcast(lut), Seq("s", "code"))
+      .join(broadcast(lut), joinCols)
       .filter(col("neighbor_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(round(sum(col("pd")), 4).as("adc_d2"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("rk"))
+  }
+
+  /** IVF-PQ search — the composed serving architecture for ANN over
+    * 100 TB of embeddings (FAISS's IVFADC shape): the coarse
+    * quantizer routes each query to its `nprobe` nearest cells, and
+    * ADC runs over the PQ codes of THOSE cells' members only — the
+    * scan shrinks by ~nprobe/nCells while everything stays a
+    * broadcast probe or an equi-join on the cell id. With
+    * `nprobe = nCells` the result equals [[pqAdcTopK]] over the full
+    * corpus exactly (`PqSpec`-asserted) — probing only changes which
+    * members are scanned, never the distance arithmetic.
+    *
+    * @return (query_id, neighbor_id, adc_d2, rk)
+    */
+  def ivfPqTopK(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      books: Array[Array[Array[Double]]],
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val assign = assignToCentroids(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"))
+    val codes = pqEncode(vectors, idCol, vecCol, books)
+    val members = codes.join(assign, Seq(idCol))
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val cent = centroids.select(col(idCol).as("centroid_id"), col(vecCol).cast("array<double>").as("centv"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("pd2").asc, col("centroid_id").asc)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .crossJoin(broadcast(cent))
+      .withColumn("pd2", round(dist2(col("qv"), col("centv")), 4))
+      .withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("centroid_id"))
+    val lut = adcLut(vectors.sparkSession, books, queries, idCol, vecCol)
+    val routed = members.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("neighbor_id"), col("s"), col("code"))
+    adcAggregate(routed, lut, k)
   }
 }

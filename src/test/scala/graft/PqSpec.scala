@@ -76,6 +76,46 @@ class PqSpec extends AnyFunSuite {
     assert(meanRank <= 60.0, s"mean exact rank of ADC picks $meanRank (random ~250)")
   }
 
+  test("IVF-PQ with exhaustive probing equals the full ADC scan; pruning only removes rows") {
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
+    val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val queries = emb.filter(col("vec_id") < 6)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val full = Similarity.pqAdcTopK(codes, books, queries, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // nprobe = nCells: every member scanned -> identical result
+    val exhaustive = Similarity.ivfPqTopK(emb, cents, books, queries,
+      "vec_id", "embedding", nprobe = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(exhaustive == full, "exhaustive probing diverged from the full ADC scan")
+    // pruned probing: each returned (query, neighbor, d2) exists in the
+    // full scan with the same distance — routing changes WHICH members
+    // are scanned, never the arithmetic
+    val pruned = Similarity.ivfPqTopK(emb, cents, books, queries,
+      "vec_id", "embedding", nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fullD = full.map { case (q, n, d, _) => (q, n) -> d }.toMap
+    // distances for pruned picks must match the full scan's where present;
+    // compute the reference distance directly when outside the top-k set
+    val codesMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val qvs = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val sub = books(0)(0).length
+    pruned.foreach { case (q, n, d) =>
+      val expected = fullD.getOrElse((q, n), {
+        val qv = qvs(q)
+        val raw = codesMap(n).zipWithIndex.map { case (c, s) =>
+          (0 until sub).map(t => math.pow(qv(s * sub + t) - books(s)(c)(t), 2)).sum
+        }.sum
+        math.floor(raw * 1e4 + 0.5) / 1e4
+      })
+      assert(math.abs(d - expected) < 1e-9, s"ADC distance mismatch for ($q,$n): $d vs $expected")
+    }
+  }
+
   test("encoding is independent of input partitioning") {
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val a = Similarity.pqEncode(emb, "vec_id", "embedding", books)

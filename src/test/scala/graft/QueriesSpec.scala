@@ -27,7 +27,10 @@ class QueriesSpec extends AnyFunSuite {
       "d20_compress_ratio",
       // per-subspace Lloyd's trainer, as e09 (PqSpec carries rank/
       // reconstruction contracts)
-      "e10_pq_adc")
+      "e10_pq_adc",
+      // composed trained stages (coarse k-means + PQ); PqSpec pins
+      // exhaustive-probe equivalence to the full ADC scan
+      "e11_ivf_pq")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
