@@ -77,4 +77,30 @@ object Tables {
       .option("inferSchema", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
+
+  /** JSONL document source — the lingua franca of text-corpus
+    * distribution (one JSON object per line). Schema is EXPLICIT, not
+    * inferred: at 100 TB an inference pass is a second full scan, and
+    * a drifting upstream field silently reshaping the table is worse.
+    * Reads PERMISSIVE with a `_corrupt_record` column — a malformed
+    * line (truncated upload, stray log line) lands there as raw text
+    * with nulls in the data columns instead of failing the job;
+    * callers triage with `where(_corrupt_record is [not] null)`.
+    */
+  def documentsJsonl(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)
+    ))
+    spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
 }

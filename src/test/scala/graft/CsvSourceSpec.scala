@@ -9,6 +9,27 @@ import graft.sources.Tables
   * (`sdt_dask/dataplugs/csv_plug.py:23-33`).
   */
 class CsvSourceSpec extends AnyFunSuite {
+
+  test("JSONL documents round-trip; a corrupt line is captured, not fatal") {
+    val spark = GraftSession.local("4")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
+    val f = java.nio.file.Paths.get(dir, "part0.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s0", "n_chars": 11}""",
+      """{"doc_id": 2, "text": "zweite zeile", "lang": "de", "source": "s1", "n_chars": 12}""",
+      """this is not json at all""",
+      """{"doc_id": 3, "text": "third", "lang": "en", "source": "s0", "n_chars": 5}"""
+    ))
+    val df = graft.sources.Tables.documentsJsonl(spark, dir).cache()
+    val good = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNull)
+    val bad = df.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull)
+    assert(good.count() == 3)
+    assert(bad.count() == 1)
+    assert(bad.head.getAs[String]("_corrupt_record").contains("not json"))
+    val row = good.filter(org.apache.spark.sql.functions.col("doc_id") === 2).head
+    assert(row.getAs[String]("text") == "zweite zeile" && row.getAs[String]("lang") == "de")
+    df.unpersist()
+  }
   lazy val spark: SparkSession = GraftSession.local("4")
 
   test("csvTimeSeries parses header + timestamps + float columns") {
