@@ -1584,6 +1584,94 @@ object OracleSql {
     FROM documents d LEFT JOIN pd USING (doc_id)
   """
 
+  // d21: Gopher rules — every signal mirrors the Spark column
+  // expression; flags compare the same 6-dp-rounded values both sides.
+  private val d21 = s"""
+    WITH base AS (
+      SELECT doc_id,
+        CAST($tokCount AS BIGINT) AS n_words,
+        round(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+              / CAST(greatest($tokCount, 1) AS DOUBLE), 6) AS mean_wlen,
+        round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS DOUBLE),
+              6) AS alpha_frac,
+        CAST(len(list_intersect(
+               list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
+        round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                    / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_frac
+      FROM (
+        SELECT doc_id, text,
+          list_transform(
+            range(1, greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 1, 1) + 1),
+            i -> array_to_string(
+                   list_slice(regexp_split_to_array(trim(text), '\\s+'), i, i + 1), ' ')) AS grams
+        FROM documents))
+    SELECT doc_id, n_words, mean_wlen, alpha_frac, stop_hits, dup_bigram_frac,
+      n_words BETWEEN 50 AND 100000 AS ok_words,
+      mean_wlen BETWEEN 3.0 AND 10.0 AS ok_wlen,
+      alpha_frac >= 0.8 AS ok_alpha,
+      stop_hits >= 2 AS ok_stop,
+      dup_bigram_frac <= 0.05 AS ok_rep,
+      (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3.0 AND 10.0)
+        AND alpha_frac >= 0.8 AND stop_hits >= 2 AND dup_bigram_frac <= 0.05 AS pass
+    FROM base
+  """
+
+  // d22: bigram stupid backoff — bigrams formed in-row (1-based list
+  // indexing both engines); hit path ln(cnt2/cnt1) with the FULL
+  // prefix count as denominator, miss path ln(0.4 · add-one unigram).
+  private val d22 = """
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0),
+    counts AS (SELECT w, count(*) AS cntu FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(cntu) AS BIGINT) AS total FROM counts),
+    uni AS (SELECT w, cntu FROM counts ORDER BY cntu DESC, w ASC LIMIT 1000),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(2, len(ws) + 1), i -> ws[i-1] || ' ' || ws[i])) AS bg
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)),
+    bgm AS (
+      SELECT b.bg, b.cnt2, c.cntu AS cnt1
+      FROM (SELECT bg, count(*) AS cnt2 FROM bg GROUP BY bg
+            ORDER BY cnt2 DESC, bg ASC LIMIT 500) b
+      JOIN counts c ON split_part(b.bg, ' ', 1) = c.w),
+    sc AS (
+      SELECT bg.doc_id,
+        CASE WHEN m.cnt2 IS NULL THEN 0 ELSE 1 END AS hit,
+        CASE WHEN m.cnt2 IS NOT NULL
+             THEN ln(CAST(m.cnt2 AS DOUBLE) / CAST(m.cnt1 AS DOUBLE))
+             ELSE ln(0.4 * (CAST(coalesce(u.cntu + 1, 1) AS DOUBLE)
+                            / CAST(total + 1001 AS DOUBLE))) END AS logp
+      FROM bg LEFT JOIN bgm m USING (bg)
+      LEFT JOIN uni u ON split_part(bg.bg, ' ', 2) = u.w, tot),
+    pd AS (SELECT doc_id, count(*) AS n_bigrams, CAST(sum(hit) AS BIGINT) AS n_hits,
+             round(avg(logp), 6) AS avg_logp
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams,
+      coalesce(pd.n_hits, 0) AS n_hits, pd.avg_logp
+    FROM documents d LEFT JOIN pd USING (doc_id)
+  """
+
+  // d23: per-source triage report — the d21 and d19 statements embed
+  // verbatim as subqueries, so the composition stays arithmetic-
+  // identical to its parts.
+  private val d23 = s"""
+    SELECT d.source,
+      count(*) AS n_docs,
+      CAST(sum(CASE WHEN g.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      round(avg(CASE WHEN g.pass THEN 1.0 ELSE 0.0 END), 6) AS pass_rate,
+      round(avg(l.avg_logp), 6) AS avg_lm
+    FROM documents d
+    JOIN ($d21) g USING (doc_id)
+    JOIN ($d19) l USING (doc_id)
+    GROUP BY d.source
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1749,6 +1837,9 @@ object OracleSql {
     "d17_dup_spans" -> d17,
     "d18_bloom_delta" -> d15, // bloom plan, identical verdicts by construction
     "d19_lm_score" -> d19,
+    "d21_gopher_rules" -> d21,
+    "d22_bigram_lm" -> d22,
+    "d23_source_report" -> d23,
 
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,

@@ -1131,6 +1131,58 @@ object SparkEntry {
       round(call_function("graft_deflate_ratio", col("text")), 4).as("deflate_ratio"))
       .withColumn("repetitive", col("deflate_ratio") < 0.35)
 
+  /** Gopher-style document rule filter (Rae et al. 2021 §A1.1): word
+    * count band, mean-word-length band, alphabetic-word fraction,
+    * stopword presence, and intra-doc bigram repetition — each rule a
+    * boolean flag plus the all-rules verdict. Every signal is an
+    * in-row column expression (codegen'd, zero shuffle): the rule
+    * filter runs inside the parquet scan stage at any scale.
+    */
+  private def d21(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextOps.tokenCount(t).cast("long").as("n_words"),
+      round(TextOps.meanTokenLen(t), 6).as("mean_wlen"),
+      round(TextOps.alphaWordFrac(t), 6).as("alpha_frac"),
+      TextOps.stopwordHits(t).cast("long").as("stop_hits"),
+      TextOps.dupNgramFrac(t, 2).as("dup_bigram_frac"))
+      .withColumn("ok_words", col("n_words").between(50L, 100000L))
+      .withColumn("ok_wlen", col("mean_wlen").between(3.0, 10.0))
+      .withColumn("ok_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("ok_stop", col("stop_hits") >= 2L)
+      .withColumn("ok_rep", col("dup_bigram_frac") <= 0.05)
+      .withColumn("pass",
+        col("ok_words") && col("ok_wlen") && col("ok_alpha") && col("ok_stop") && col("ok_rep"))
+  }
+
+  /** Bigram LM score with stupid backoff (the next rung above d19 on
+    * the KenLM ladder): top-500 bigram model with exact conditional
+    * probabilities, backing off to 0.4× the top-1000 add-one unigram
+    * model. Both model tables broadcast by construction.
+    */
+  private def d22(s: SparkSession, dir: String): DataFrame =
+    LangModel.bigramScore(Tables.documents(s, dir), "doc_id", "text", 1000, 500)
+
+  /** Per-source corpus triage report: the d21 rule verdicts joined
+    * with the d19 LM scores, aggregated by source — the composed
+    * "which sources are worth keeping" table a curation pipeline
+    * actually acts on. Both inputs are per-doc relations keyed by
+    * doc_id, so the composition is two equi-joins + one aggregate.
+    */
+  private def d23(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val flags = d21(s, dir).select(col("doc_id"), col("pass"))
+    val lm = d19(s, dir).select(col("doc_id"), col("avg_logp"))
+    docs.join(flags, Seq("doc_id")).join(lm, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("pass").cast("long")).as("n_pass"),
+        round(avg(col("pass").cast("double")), 6).as("pass_rate"),
+        round(avg(col("avg_logp")), 6).as("avg_lm"))
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1660,6 +1712,9 @@ object SparkEntry {
     "d18_bloom_delta" -> (d18 _),
     "d19_lm_score" -> (d19 _),
     "d20_compress_ratio" -> (d20 _),
+    "d21_gopher_rules" -> (d21 _),
+    "d22_bigram_lm" -> (d22 _),
+    "d23_source_report" -> (d23 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

@@ -67,6 +67,75 @@ object LangModel {
         col("avg_logp"))
   }
 
+  /** Per-document bigram LM score with stupid backoff (Brants et al.
+    * 2007): each bigram occurrence `(w1, w2)` scores
+    * `ln(cnt(w1 w2) / cnt(w1))` when the bigram is in the top-`bigramK`
+    * model, else backs off to `ln(0.4 · p_unigram(w2))` with the
+    * [[unigramScore]] add-one unigram model (top-`vocabK`, shared OOV
+    * bucket). Bigrams are built IN-ROW from the token array (no
+    * position window, no per-doc sort); both model tables are capped
+    * by construction, so they broadcast and the corpus token stream
+    * never shuffles for the model — the same 100 TB plan shape as the
+    * unigram scorer, one rung up the KenLM ladder.
+    *
+    * @return (idCol, n_bigrams, n_hits, avg_logp) — docs with < 2
+    *         tokens score n_bigrams=0 with null avg_logp.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+                  vocabK: Int, bigramK: Int, backoff: Double = 0.4): DataFrame = {
+    require(vocabK >= 1 && bigramK >= 1,
+      s"bigramScore: vocabK and bigramK must be >= 1, got ($vocabK, $bigramK)")
+    val toks = docs
+      .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cntu"))
+    val total = counts.agg(sum(col("cntu")).cast("long").as("total"))
+    val uniModel = counts.orderBy(col("cntu").desc, col("w").asc).limit(vocabK)
+      .withColumnRenamed("w", "w2")
+    // bigram occurrences, formed in-row; tokens of a trimmed \s+ split
+    // contain no whitespace, so "w1 w2" is an unambiguous key
+    val ws = split(trim(col(textCol)), "\\s+")
+    val bigrams = docs.select(
+      col(idCol),
+      explode(transform(
+        when(size(ws) >= 2, sequence(lit(2), size(ws)))
+          .otherwise(array().cast("array<int>")),
+        i => concat_ws(" ", element_at(ws, i - 1), element_at(ws, i)))).as("bg"))
+    val bgModel = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("cnt2"))
+      .orderBy(col("cnt2").desc, col("bg").asc).limit(bigramK)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    // denominator = FULL corpus count of the prefix word (exact
+    // conditional probability); the join output is bigramK rows
+    val bgModelD = counts.withColumnRenamed("w", "w1").withColumnRenamed("cntu", "cnt1")
+      .join(broadcast(bgModel), Seq("w1"))
+      .select(col("bg"), col("cnt2"), col("cnt1"))
+    val scored = bigrams
+      .join(broadcast(bgModelD), Seq("bg"), "left")
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .join(broadcast(uniModel), Seq("w2"), "left")
+      .crossJoin(broadcast(total))
+      .select(
+        col(idCol),
+        col("cnt2").isNotNull.cast("long").as("hit"),
+        when(col("cnt2").isNotNull,
+          log(col("cnt2").cast("double") / col("cnt1").cast("double")))
+          .otherwise(log(lit(backoff) *
+            (coalesce(col("cntu") + lit(1L), lit(1L)).cast("double") /
+              (col("total") + lit(vocabK.toLong + 1L)).cast("double")))).as("logp"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("hit")).as("n_hits"),
+        round(avg(col("logp")), 6).as("avg_logp"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("avg_logp"))
+  }
+
   /** Vocabulary table from a prepared word-count relation `(w, cnt)`:
     * corpus-wide top-`topK` words with cumulative coverage of all
     * token occurrences, plus the distinct-type count. ONE shared

@@ -96,6 +96,30 @@ object TextOps {
     round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6)
   }
 
+  /** The Gopher rule stopword set (Rae et al. 2021 §A1.1: a document
+    * must contain at least two of these to pass the rule filter).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Fraction of whitespace tokens containing at least one alphabetic
+    * character (the Gopher "80% of words contain an alphabetic
+    * character" rule). In-row, codegen'd — a pure map at any scale.
+    */
+  def alphaWordFrac(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Number of DISTINCT [[GopherStopwords]] present in the document
+    * (token-exact, lowercased).
+    */
+  def stopwordHits(text: Column): Column =
+    size(array_intersect(
+      array_distinct(split(lower(trim(text)), "\\s+")),
+      array(GopherStopwords.map(lit): _*)))
+
   /** The word n-gram array of a document, DISTINCT, built in-row (the
     * docs-shorter-than-n edge contributes its single whole-text gram).
     */

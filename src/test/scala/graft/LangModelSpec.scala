@@ -64,4 +64,46 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(1L)._2 == 2L, s"exactly the two c tokens should be OOV: ${out(1L)}")
     assert(math.abs(out(1L)._3 - BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
+
+  private def bscore(vocabK: Int, bigramK: Int, rows: (Long, String)*) = {
+    import spark.implicits._
+    LangModel.bigramScore(rows.toDF("doc_id", "text"), "doc_id", "text", vocabK, bigramK)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))))
+      .toMap
+  }
+
+  test("bigram: hand-computed stupid backoff on a tiny corpus") {
+    // doc1 tokens: a b a b  -> bigrams: "a b","b a","a b"
+    // doc2 tokens: a c      -> bigram:  "a c"
+    // bigram counts: "a b"=2, "b a"=1, "a c"=1; bigramK=1 keeps "a b" only
+    // unigram counts: a=3, b=2, c=1; total=6; vocabK=10 -> denom=6+11=17
+    val out = bscore(10, 1, 1L -> "a b a b", 2L -> "a c")
+    // doc1: "a b" hit ln(2/3) twice; "b a" backoff ln(0.4*(3+1)/17)
+    val exp1 = (math.log(2.0 / 3.0) * 2 + math.log(0.4 * (4.0 / 17.0))) / 3.0
+    // doc2: "a c" backoff onto unigram c: ln(0.4*(1+1)/17)
+    val exp2 = math.log(0.4 * (2.0 / 17.0))
+    assert(out(1L)._1 == 3L && out(1L)._2 == 2L, s"doc1 counts: ${out(1L)}")
+    assert(math.abs(out(1L)._3 - BigDecimal(exp1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0L, s"doc2 counts: ${out(2L)}")
+    assert(math.abs(out(2L)._3 - BigDecimal(exp2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram: backoff onto an OOV second word uses the OOV bucket") {
+    // vocabK=1 keeps only "a" (cnt 3); bigramK=1 keeps "a a" (cnt 2)
+    // doc2's "a z": miss -> backoff; z OOV -> p = 1/(total+2)
+    val out = bscore(1, 1, 1L -> "a a a", 2L -> "a z")
+    val total = 5.0 // a=3 + a,z from doc2? a appears 4 times, z once -> total 5
+    val exp2 = math.log(0.4 * (1.0 / (total + 2.0)))
+    assert(out(2L)._1 == 1L && out(2L)._2 == 0L)
+    assert(math.abs(out(2L)._3 - BigDecimal(exp2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("bigram: sub-2-token docs emit zero bigrams with null avg") {
+    val out = bscore(10, 10, 1L -> "one", 2L -> "", 3L -> "two words")
+    assert(out(1L)._1 == 0L && out(1L)._3.isNaN)
+    assert(out(2L)._1 == 0L && out(2L)._3.isNaN)
+    assert(out(3L)._1 == 1L && out(3L)._2 == 1L)
+  }
 }

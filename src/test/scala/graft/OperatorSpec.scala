@@ -249,6 +249,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0.6, 0.0, 0.0), got.toSeq.toString)
   }
 
+  test("gopher signals: alpha-word fraction and distinct stopword hits") {
+    val df = Seq(
+      "the cat sat with the dog",     // stopwords present: the, with → 2 hits
+      "123 456 foo",                  // 1/3 words alphabetic
+      "have to have to"               // have, to → 2 hits (distinct, not 4)
+    ).toDF("t")
+    val alpha = df.select(TextOps.alphaWordFrac(col("t"))).as[Double].collect()
+    assert(alpha(0) == 1.0 && math.abs(alpha(1) - 1.0 / 3.0) < 1e-9 && alpha(2) == 1.0,
+      alpha.toSeq.toString)
+    val hits = df.select(TextOps.stopwordHits(col("t"))).as[Int].collect()
+    assert(hits.toSeq == Seq(2, 0, 2), hits.toSeq.toString)
+  }
+
   test("fixDst drops nonexistent and ambiguous stamps, keeps fixed-offset clock") {
     // America/Los_Angeles 2015: spring-forward 03-08 02:00→03:00
     // (02:30 nonexistent), fall-back 11-01 02:00→01:00 (01:30 ambiguous)
