@@ -1672,6 +1672,54 @@ object OracleSql {
     GROUP BY d.source
   """
 
+  // d24: sliding token-window chunking — chunk count is
+  // 1 + ceil(max(n-64,0)/48); list_slice clamps like Spark's slice, so
+  // the final short window hashes identically. Integer index math
+  // only; the sole string surface is the md5 hex both engines share.
+  private val d24 = """
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents WHERE len(trim(text)) > 0),
+    n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    ix AS (
+      SELECT doc_id, ws, n,
+        unnest(range(1, 2 + CAST(ceil(greatest(n - 64, 0) / 48.0) AS BIGINT))) AS i
+      FROM n)
+    SELECT doc_id,
+      CAST(i - 1 AS BIGINT) AS chunk_idx,
+      CAST(1 + (i - 1) * 48 AS BIGINT) AS start_tok,
+      CAST(least(64, n - (1 + (i - 1) * 48) + 1) AS BIGINT) AS n_tokens,
+      md5(array_to_string(list_slice(ws, 1 + (i - 1) * 48, (1 + (i - 1) * 48) + 63), ' ')) AS chunk_hash
+    FROM ix
+  """
+
+  // e12: prototype pruning on top of the e02 assignment CTE — the
+  // keep rule is pure integer arithmetic (2·rank ≤ n+1 ⟺ rank ≤
+  // ceil(n/2)) so no float threshold can drift between engines.
+  private val e12 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4) AS d2
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    a AS (
+      SELECT vec_id, centroid_id, d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d2 ASC, centroid_id ASC) AS rn FROM d) t
+      WHERE rn = 1)
+    SELECT vec_id, centroid_id, d2,
+      CAST(row_number() OVER (PARTITION BY centroid_id
+                              ORDER BY d2 DESC, vec_id ASC) AS BIGINT) AS hard_rank,
+      CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT) AS cluster_n,
+      row_number() OVER (PARTITION BY centroid_id
+                         ORDER BY d2 DESC, vec_id ASC) * 2
+        <= count(*) OVER (PARTITION BY centroid_id) + 1 AS keep
+    FROM a
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1827,6 +1875,7 @@ object OracleSql {
     "e03_sign_lsh_buckets" -> e03,
     "e04_cosine_neardup" -> e04,
     "e05_ivf_topk" -> e05,
+    "e12_prototype_prune" -> e12,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
     "e08_semantic_dedup" -> e08,
@@ -1840,6 +1889,7 @@ object OracleSql {
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,
     "d23_source_report" -> d23,
+    "d24_token_chunks" -> d24,
 
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,

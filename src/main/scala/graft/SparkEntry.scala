@@ -1183,6 +1183,69 @@ object SparkEntry {
         round(avg(col("avg_logp")), 6).as("avg_lm"))
   }
 
+  /** Sliding token-window chunking (fixed context windows, stride <
+    * window for overlap): the prep step between cleaning and packing
+    * in a training pipeline, and before embedding in a RAG pipeline.
+    * Chunk boundaries, sizes, and content hashes are all computed
+    * in-row ([[TextOps.tokenChunks]]) and exploded — the only row
+    * multiplication is the explode itself; nothing shuffles.
+    */
+  private def d24(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), explode(TextOps.tokenChunks(col("text"), 64, 48)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        col("c.start_tok").as("start_tok"), col("c.n_tokens").as("n_tokens"),
+        col("c.chunk_hash").as("chunk_hash"))
+
+  /** Prototype-based dataset pruning (Sorscher et al. 2022 "Beyond
+    * neural scaling laws"): rank each vector within its assigned
+    * cluster by distance to the prototype (centroid), hardest first,
+    * and keep the hardest half — the data-pruning recipe that beats
+    * random subsampling at large scale. Reuses the e02 broadcast
+    * assignment; the only added cost is one window over the
+    * cluster-partitioned assignment (integer rank arithmetic, no
+    * float thresholds to drift cross-engine).
+    */
+  private def e12(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = Similarity.assignToCentroids(
+      emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+    val byHard = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("d2").desc, col("vec_id").asc)
+    val cluster = Window.partitionBy(col("centroid_id"))
+    assigned
+      .withColumn("hard_rank", row_number().over(byHard).cast("long"))
+      .withColumn("cluster_n", count(lit(1)).over(cluster))
+      .withColumn("keep", col("hard_rank") * 2 <= col("cluster_n") + 1)
+      .select(col("vec_id"), col("centroid_id"), col("d2"),
+        col("hard_rank"), col("cluster_n"), col("keep"))
+  }
+
+  /** BPE tokenizer training (Sennrich 2016): the corpus reduces ONCE
+    * to a word histogram (the only corpus-wide shuffle, cardinality =
+    * vocabulary), the merge loop runs over that histogram on the
+    * driver — the same shape every production tokenizer trainer uses.
+    * Result is the trained merge table. Deterministic (count desc,
+    * pair lexicographic tie-break); no SQL oracle for the iterative
+    * loop → rows-only gate + `BpeSpec` hand-computed contracts.
+    */
+  private def d25(s: SparkSession, dir: String): DataFrame =
+    Bpe.merges(s, Tables.documents(s, dir), "text", 40)
+
+  /** BPE encoding under the trained merges: per-doc subword token
+    * counts via a broadcast merge table and a per-partition word memo
+    * (no shuffle over the corpus). Rows-only gate; `BpeSpec` pins the
+    * classic lowest→[low, est</w>] encoding and count arithmetic.
+    */
+  private def d26(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hist = Bpe.wordHistogram(docs, "text").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val mergeList = Bpe.trainMerges(hist, 40).map { case (l, r, _) => (l, r) }
+    Bpe.encodeStats(docs, "doc_id", "text", mergeList)
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1715,6 +1778,9 @@ object SparkEntry {
     "d21_gopher_rules" -> (d21 _),
     "d22_bigram_lm" -> (d22 _),
     "d23_source_report" -> (d23 _),
+    "d24_token_chunks" -> (d24 _),
+    "d25_bpe_merges" -> (d25 _),
+    "d26_bpe_encode" -> (d26 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),
@@ -1726,6 +1792,7 @@ object SparkEntry {
     "e09_ivf_trained" -> (e09 _),
     "e10_pq_adc" -> (e10 _),
     "e11_ivf_pq" -> (e11 _),
+    "e12_prototype_prune" -> (e12 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -1,0 +1,116 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training and encoding (Sennrich et
+  * al. 2016, "Neural Machine Translation of Rare Words with Subword
+  * Units"). The distributed shape is the one real tokenizer trainers
+  * use: the corpus is aggregated ONCE into a word histogram (shuffle
+  * cardinality = vocabulary size, not corpus size), the merge loop
+  * then runs over that histogram only — at 100 TB the corpus is
+  * touched exactly once, and the iterative part never sees it.
+  * Encoding broadcasts the merge table and maps each document with a
+  * per-partition word→tokens memo (vocabulary is Zipfian, so the memo
+  * hit rate is near 1).
+  *
+  * Everything is deterministic: merge selection is (count desc, pair
+  * lexicographic), with no RNG and no float arithmetic anywhere.
+  */
+object Bpe {
+
+  /** End-of-word marker, appended as its own symbol. */
+  val Eow = "</w>"
+
+  private[operators] def mergePair(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { b += (l + r); i += 2 }
+      else { b += syms(i); i += 1 }
+    }
+    b.result()
+  }
+
+  /** Train up to `numMerges` merges from a word histogram. Returns
+    * merges in priority order with the adjacent-pair count each one
+    * had when selected. Stops early when no adjacent pair remains.
+    */
+  def trainMerges(wordCounts: Iterable[(String, Long)], numMerges: Int): Vector[(String, String, Long)] = {
+    var words: Vector[(Vector[String], Long)] =
+      wordCounts.toVector.map { case (w, c) => (w.map(_.toString).toVector :+ Eow, c) }
+    val out = Vector.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((l, r, c))
+        words = words.map { case (syms, cnt) => (mergePair(syms, l, r), cnt) }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Encode one word with a trained merge list (priority order). */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var syms = word.map(_.toString).toVector :+ Eow
+    for ((l, r) <- merges) syms = mergePair(syms, l, r)
+    syms
+  }
+
+  /** The corpus word histogram: one `groupBy(word)` — the single
+    * corpus-wide shuffle in BPE training, with map-side partial
+    * aggregation and output cardinality = |vocabulary|.
+    */
+  def wordHistogram(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** Trained merge table as a DataFrame: (rank, left, right,
+    * pair_count). The histogram collects to the driver — it is
+    * vocabulary-sized, the same reduction every production tokenizer
+    * trainer performs before its merge loop.
+    */
+  def merges(spark: SparkSession, docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val hist = wordHistogram(docs, textCol).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val m = trainMerges(hist, numMerges).zipWithIndex.map {
+      case ((l, r, c), i) => (i.toLong, l, r, c)
+    }
+    spark.createDataFrame(m).toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** Per-document BPE token counts under a broadcast merge table.
+    * Typed map over (id, text) — no shuffle; the per-partition memo
+    * makes the cost per row ~the number of DISTINCT words in it.
+    */
+  def encodeStats(docs: DataFrame, idCol: String, textCol: String,
+                  mergeList: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(mergeList.toVector)
+    docs.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions { it =>
+        val merges = bc.value
+        val memo = mutable.Map.empty[String, Int]
+        it.map { case (id, text) =>
+          val ws = text.trim.split("\\s+").filter(_.nonEmpty)
+          var total = 0L
+          ws.foreach { w =>
+            total += memo.getOrElseUpdate(w, encodeWord(w, merges).length)
+          }
+          (id, ws.length.toLong, total)
+        }
+      }
+      .toDF(idCol, "n_words", "n_bpe_tokens")
+  }
+}

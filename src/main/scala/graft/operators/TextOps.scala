@@ -130,4 +130,32 @@ object TextOps {
       i => concat_ws(" ", slice(words, i, lit(n)))
     ))
   }
+
+  /** Sliding token-window chunk array: each element is a struct
+    * `(chunk_idx, start_tok, n_tokens, chunk_hash)` for the window of
+    * `window` whitespace tokens starting every `stride` tokens — the
+    * fixed-context chunking a training pipeline runs before packing
+    * (and a RAG pipeline before embedding). The chunk COUNT is
+    * `1 + ceil(max(n - window, 0) / stride)`, so the final window
+    * always reaches the last token and short docs yield exactly one
+    * chunk. Built entirely in-row (sequence/transform/slice): at
+    * 100 TB the explode that follows multiplies rows but the chunker
+    * itself never shuffles.
+    */
+  def tokenChunks(text: Column, window: Int, stride: Int): Column = {
+    val words = split(trim(text), "\\s+")
+    val n = size(words)
+    val nChunks = (lit(1) + ceil(greatest(n - window, lit(0)).cast("double") / stride)).cast("int")
+    transform(
+      sequence(lit(1), nChunks),
+      i => {
+        val start = lit(1) + (i - 1) * stride
+        struct(
+          (i - 1).cast("long").as("chunk_idx"),
+          start.cast("long").as("start_tok"),
+          least(lit(window), n - start + 1).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", slice(words, start, lit(window)))).as("chunk_hash"))
+      }
+    )
+  }
 }

@@ -28,6 +28,10 @@ class QueriesSpec extends AnyFunSuite {
       // per-subspace Lloyd's trainer, as e09 (PqSpec carries rank/
       // reconstruction contracts)
       "e10_pq_adc",
+      // iterative BPE merge loop: no SQL replay (BpeSpec carries the
+      // hand-computed merge-order and encoding contracts)
+      "d25_bpe_merges",
+      "d26_bpe_encode",
       // composed trained stages (coarse k-means + PQ); PqSpec pins
       // exhaustive-probe equivalence to the full ADC scan
       "e11_ivf_pq")
