@@ -1768,6 +1768,23 @@ object OracleSql {
     FROM base b JOIN cum c USING (qbucket)
   """
 
+  // t06: deterministic epoch shuffle — the oracle replays the rank as
+  // one per-epoch row_number over (key, doc_id); the Spark side's
+  // bucketed prefix-sum must equal it exactly.
+  private val t06 = """
+    WITH e AS (
+      SELECT doc_id, epoch
+      FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch) t),
+    k AS (
+      SELECT doc_id, CAST(epoch AS INT) AS epoch,
+        md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS shuffle_key
+      FROM e)
+    SELECT doc_id, epoch, shuffle_key,
+      CAST(row_number() OVER (PARTITION BY epoch
+                              ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS pos
+    FROM k
+  """
+
   private val t04 = """
     WITH c AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY source),
     t AS (SELECT list_reduce(
@@ -1895,6 +1912,7 @@ object OracleSql {
     "t02_mixture_weights" -> t02,
     "t03_pack_sequences" -> t03,
     "t04_interleave" -> t04,
-    "t05_budget_select" -> t05
+    "t05_budget_select" -> t05,
+    "t06_epoch_order" -> t06
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1597,6 +1597,21 @@ object SparkEntry {
         round(Mixing.interleaveKey(col("doc_id"), col("n_stratum"), col("weight")), 6).as("ikey"))
   }
 
+  /** Deterministic epoch shuffle: each (doc, epoch) pair gets an
+    * md5 shuffle key and its exact global position within the epoch —
+    * the reproducible training-order permutation. The rank comes from
+    * [[Mixing.globalRankInGroup]] (bucketed prefix-sum), so no
+    * single-partition window exists anywhere in the plan.
+    */
+  private def t06(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val epochs = s.range(0, 2).select(col("id").cast("int").as("epoch"))
+    val keyed = docs.crossJoin(broadcast(epochs))
+      .withColumn("shuffle_key", Mixing.epochShuffleKey(col("doc_id"), col("epoch")))
+    Mixing.globalRankInGroup(keyed, "epoch", "shuffle_key", "doc_id", "pos")
+      .select(col("doc_id"), col("epoch"), col("shuffle_key"), col("pos"))
+  }
+
   /** Greedy sequence packing into 512-token context windows over 8
     * hash shards: the training-stream assembly step. Deterministic
     * hash order makes pack assignments independent of partitioning.
@@ -1797,7 +1812,8 @@ object SparkEntry {
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),
     "t04_interleave" -> (t04 _),
-    "t05_budget_select" -> (t05 _)
+    "t05_budget_select" -> (t05 _),
+    "t06_epoch_order" -> (t06 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all

@@ -286,4 +286,46 @@ object Mixing {
       }
       .toDF("id", "shard", "pack_id", "tok")
   }
+
+  /** Deterministic per-epoch shuffle key: md5 of `"id:epoch"`. Every
+    * epoch gets an independent, reproducible global permutation with
+    * no RNG state — the property a resumable training-data writer
+    * needs (re-running epoch 7 yields the same order on any cluster).
+    */
+  def epochShuffleKey(id: Column, epoch: Column): Column =
+    md5(concat_ws(":", id.cast("string"), epoch.cast("string")))
+
+  /** Global rank by `(keyCol, tieCol)` within each `groupCol` value,
+    * WITHOUT a single-partition window: rows bucket by the key's
+    * first two hex chars (256 ranges — md5 keys are uniform by
+    * construction), a per-(group, bucket) count aggregate collects to
+    * the driver (≤ 256·|groups| longs), prefix sums become a
+    * broadcast offset table, and the rank is `offset + row_number`
+    * inside the (group, bucket) partition. Equals
+    * `row_number() OVER (PARTITION BY group ORDER BY key, tie)`
+    * exactly, but the widest window partition is ~1/256 of a group —
+    * at 100 TB this is the difference between a working epoch-order
+    * writer and one executor sorting the world.
+    */
+  def globalRankInGroup(df: DataFrame, groupCol: String, keyCol: String,
+                        tieCol: String, rankName: String): DataFrame = {
+    val spark = df.sparkSession
+    val withB = df.withColumn("__bkt", substring(col(keyCol), 1, 2))
+    val counts = withB.groupBy(col(groupCol).cast("string").as("__g"), col("__bkt"))
+      .agg(count(lit(1)).as("__n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val offsets = counts.groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, b, n) => val o = acc; acc += n; (g, b, o) }
+    }
+    import spark.implicits._
+    val offDf = offsets.toDF("__g", "__obkt", "__off")
+    val w = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col(keyCol).asc, col(tieCol).asc)
+    withB
+      .join(broadcast(offDf),
+        withB(groupCol).cast("string") === offDf("__g") && withB("__bkt") === offDf("__obkt"))
+      .withColumn(rankName, col("__off") + row_number().over(w))
+      .drop("__bkt", "__g", "__obkt", "__off")
+  }
 }

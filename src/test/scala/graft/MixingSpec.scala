@@ -180,4 +180,29 @@ class MixingSpec extends AnyFunSuite {
       docs.repartition(5), "doc_id", TextOps.approxBpeTokens(col("text")), budget, nShards = 4)
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
+
+  test("bucketed global rank equals the single-window row_number, partition-free") {
+    import spark.implicits._
+    val rows = (0L until 400L).map(i => (i, i % 3))
+    val df = rows.toDF("doc_id", "epoch").repartition(7)
+      .withColumn("shuffle_key", Mixing.epochShuffleKey(col("doc_id"), col("epoch")))
+    val got = Mixing.globalRankInGroup(df, "epoch", "shuffle_key", "doc_id", "pos")
+      .select(col("epoch"), col("doc_id"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // reference: in-memory per-epoch sort by (key, id)
+    val keyed = got.keys.toSeq.map { case (e, id) => (e, id) }
+    val expected = keyed.groupBy(_._1).flatMap { case (e, g) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def key(id: Long) = md.digest(s"$id:$e".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      g.map(_._2).sortBy(id => (key(id), id)).zipWithIndex
+        .map { case (id, i) => (e, id) -> (i + 1L) }
+    }
+    assert(got == expected)
+    // every epoch is a dense permutation 1..n
+    val byEpoch = got.groupBy(_._1._1)
+    byEpoch.foreach { case (_, m) =>
+      assert(m.values.toSeq.sorted == (1L to m.size.toLong).toSeq)
+    }
+  }
 }
