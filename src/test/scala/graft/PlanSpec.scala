@@ -173,4 +173,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "d17 planned a cross join — the no-pair-join contract broke")
   }
+
+  test("token chunking is explode-only — zero shuffles (d24)") {
+    val p = planOf("d24_token_chunks")
+    assert(!p.contains("Exchange"), s"d24 grew a shuffle:\n$p")
+    assert(p.contains("Generate"), "d24 lost the explode")
+  }
+
+  test("prototype pruning adds only cluster-partitioned windows — no global sort (e12)") {
+    val p = planOf("e12_prototype_prune")
+    assert(!p.contains("SinglePartition"), s"e12 planned a single-partition stage:\n$p")
+    val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+    assert(shuffles <= 2, s"e12 plan grew to $shuffles shuffle exchanges:\n$p")
+    assert(!p.contains("SortMergeJoin"), "e12 shuffled the corpus against the centroids")
+  }
+
+  test("epoch ordering never materializes a single-partition window (t06)") {
+    val p = planOf("t06_epoch_order")
+    assert(!p.contains("SinglePartition"), s"t06 planned a global window/sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "t06 lost the offset-table broadcast")
+    assert(!p.contains("SortMergeJoin"), "t06 shuffled the corpus to attach offsets")
+  }
 }
