@@ -1720,6 +1720,55 @@ object OracleSql {
     FROM a
   """
 
+  // c01: the composed corpus pipeline — each CTE embeds the SAME
+  // arithmetic its standalone oracle uses (d02's prefix fingerprint,
+  // d21's rule signals, t05's bucket/budget math, t06's epoch key),
+  // so the end-to-end hash match certifies the COMPOSITION, not new
+  // logic.
+  private val c01 = s"""
+    WITH pfp AS (
+      SELECT doc_id,
+        md5(substring(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40)) AS fp
+      FROM documents),
+    dd AS (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp) AS dedup_keep FROM pfp),
+    rl AS (SELECT doc_id, ok_words, ok_rep FROM ($d21)),
+    flags AS (
+      SELECT d.doc_id, dd.dedup_keep, rl.ok_words, rl.ok_rep,
+        dd.dedup_keep AND rl.ok_words AND rl.ok_rep AS eligible
+      FROM documents d JOIN dd USING (doc_id) JOIN rl USING (doc_id)),
+    base AS (
+      SELECT d.doc_id,
+        CAST($tokCount AS BIGINT) AS tokens,
+        CAST(round(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
+               + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100.0, 0) AS INT) AS qbucket
+      FROM documents d JOIN flags USING (doc_id)
+      WHERE flags.eligible),
+    cum AS (
+      SELECT qbucket,
+        coalesce(sum(btok) OVER (ORDER BY qbucket DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS better_tok
+      FROM (SELECT qbucket, sum(tokens) AS btok FROM base GROUP BY qbucket) h),
+    selq AS (
+      SELECT b.doc_id,
+        (CAST(c.better_tok AS BIGINT)
+         + CAST(sum(b.tokens) OVER (PARTITION BY b.qbucket ORDER BY b.doc_id ASC
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        ) <= 6000 AS kept
+      FROM base b JOIN cum c USING (qbucket)),
+    ord AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':0') ASC, doc_id ASC) AS BIGINT) AS pos
+      FROM selq WHERE kept)
+    SELECT f.doc_id, f.dedup_keep, f.ok_words, f.ok_rep, f.eligible,
+      coalesce(s.kept, false) AS selected, o.pos
+    FROM flags f
+    LEFT JOIN selq s USING (doc_id)
+    LEFT JOIN ord o USING (doc_id)
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1907,6 +1956,7 @@ object OracleSql {
     "d22_bigram_lm" -> d22,
     "d23_source_report" -> d23,
     "d24_token_chunks" -> d24,
+    "c01_corpus_pipeline" -> c01,
 
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,

@@ -1240,10 +1240,63 @@ object SparkEntry {
     */
   private def d26(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val hist = Bpe.wordHistogram(docs, "text").collect()
+    val hist = Bpe.wordHistogram(docs, "text")
+      .orderBy(col("cnt").desc, col("word").asc).limit(1 << 20).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val mergeList = Bpe.trainMerges(hist, 40).map { case (l, r, _) => (l, r) }
     Bpe.encodeStats(docs, "doc_id", "text", mergeList)
+  }
+
+  /** End-to-end corpus curation pipeline, ORACLE-VERIFIED (the
+    * training-data counterpart of the p01 fleet flagship, but every
+    * stage is SQL-replayable so the whole composition hash-matches
+    * DuckDB): near-dup drop (prefix-fingerprint groups keep their min
+    * id) → rule filter (the d21 word-count and repetition signals;
+    * thresholds composed for this corpus) → quality-budget selection
+    * ([[Mixing.budgetSelect]], 6k tokens) → deterministic epoch-0
+    * training order over the selected set
+    * ([[Mixing.globalRankInGroup]]). Every doc gets a verdict row;
+    * `pos` is non-null exactly for the selected stream.
+    */
+  private def c01(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val byFp = Window.partitionBy(col("fp"))
+    val dedup = docs.select(col("doc_id"), TextOps.prefixFingerprint(col("text"), 40).as("fp"))
+      .withColumn("dedup_keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .select(col("doc_id"), col("dedup_keep"))
+    val rules = d21(s, dir).select(col("doc_id"), col("ok_words"), col("ok_rep"))
+    // The per-doc verdict table feeds three downstream jobs (budget
+    // selection, the rank's offset collect, the final join). Persist
+    // it NARROW (no text — the token/quality signals are reduced here,
+    // scan-side) as an RDD, so the ContextCleaner releases it when the
+    // result goes out of scope (the Shade.pcaShade lesson).
+    val flagsRdd = docs.select(col("doc_id"), col("text"))
+      .join(dedup, Seq("doc_id")).join(rules, Seq("doc_id"))
+      .withColumn("eligible", col("dedup_keep") && col("ok_words") && col("ok_rep"))
+      .select(col("doc_id"), col("dedup_keep"), col("ok_words"), col("ok_rep"), col("eligible"),
+        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Long, Double)]
+      .rdd.setName("c01 per-doc verdicts").persist()
+    val flags = s.createDataset(flagsRdd)
+      .toDF("doc_id", "dedup_keep", "ok_words", "ok_rep", "eligible", "tokens", "quality")
+    val selRdd = Mixing.budgetSelect(flags.filter(col("eligible")), "doc_id",
+        col("tokens"), col("quality"), 6000L)
+      .select(col("doc_id"), col("kept"))
+      .as[(Long, Boolean)].rdd.setName("c01 selection").persist()
+    val sel = s.createDataset(selRdd).toDF("doc_id", "kept")
+    val ordered = Mixing.globalRankInGroup(
+        sel.filter(col("kept")).withColumn("epoch", lit(0))
+          .withColumn("shuffle_key", Mixing.epochShuffleKey(col("doc_id"), col("epoch"))),
+        "epoch", "shuffle_key", "doc_id", "pos")
+      .select(col("doc_id"), col("pos"))
+    flags.select(col("doc_id"), col("dedup_keep"), col("ok_words"), col("ok_rep"), col("eligible"))
+      .join(sel, Seq("doc_id"), "left")
+      .join(ordered, Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("kept"), lit(false)))
+      .select(col("doc_id"), col("dedup_keep"), col("ok_words"), col("ok_rep"),
+        col("eligible"), col("selected"), col("pos"))
   }
 
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
@@ -1794,6 +1847,7 @@ object SparkEntry {
     "d22_bigram_lm" -> (d22 _),
     "d23_source_report" -> (d23 _),
     "d24_token_chunks" -> (d24 _),
+    "c01_corpus_pipeline" -> (c01 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
     "e01_cosine_topk" -> (e01 _),

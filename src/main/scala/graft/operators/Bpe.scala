@@ -78,10 +78,16 @@ object Bpe {
   /** Trained merge table as a DataFrame: (rank, left, right,
     * pair_count). The histogram collects to the driver — it is
     * vocabulary-sized, the same reduction every production tokenizer
-    * trainer performs before its merge loop.
+    * trainer performs before its merge loop — and is CAPPED at the
+    * `maxVocab` most frequent words (TakeOrdered with a (count desc,
+    * word) total order) so driver memory stays bounded on an
+    * unbounded-vocabulary corpus; rare-word truncation is exactly the
+    * min-frequency pruning real trainers apply.
     */
-  def merges(spark: SparkSession, docs: DataFrame, textCol: String, numMerges: Int): DataFrame = {
-    val hist = wordHistogram(docs, textCol).collect()
+  def merges(spark: SparkSession, docs: DataFrame, textCol: String, numMerges: Int,
+             maxVocab: Int = 1 << 20): DataFrame = {
+    val hist = wordHistogram(docs, textCol)
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxVocab).collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val m = trainMerges(hist, numMerges).zipWithIndex.map {
       case ((l, r, c), i) => (i.toLong, l, r, c)
