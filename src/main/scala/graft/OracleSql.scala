@@ -1769,6 +1769,36 @@ object OracleSql {
     LEFT JOIN ord o USING (doc_id)
   """
 
+  // d27: per-source cap — the oracle replays the bucketed rank as a
+  // plain per-source row_number over (md5 key, id).
+  private val d27 = """
+    SELECT doc_id, source,
+      CAST(row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS rk,
+      row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) <= 40 AS capped_keep
+    FROM documents
+  """
+
+  // t07: length-bucketed batching — integer bucket/batch arithmetic,
+  // rank replayed per bucket.
+  private val t07 = s"""
+    WITH b AS (
+      SELECT doc_id,
+        CAST($tokCount AS BIGINT) AS tokens,
+        CAST(floor(CAST($tokCount AS BIGINT) / 32.0) AS INT) AS lbucket,
+        md5(CAST(doc_id AS VARCHAR)) AS bkey
+      FROM documents),
+    r AS (
+      SELECT doc_id, tokens, lbucket,
+        CAST(row_number() OVER (PARTITION BY lbucket
+               ORDER BY bkey ASC, doc_id ASC) AS BIGINT) AS rk
+      FROM b)
+    SELECT doc_id, tokens, lbucket, rk,
+      CAST(floor((rk - 1) / 16.0) AS BIGINT) AS batch_id
+    FROM r
+  """
+
   private val t01 = """
     WITH c AS (SELECT lang, count(*) AS n_stratum FROM documents GROUP BY lang),
     r AS (SELECT lang, n_stratum,
@@ -1957,6 +1987,8 @@ object OracleSql {
     "d23_source_report" -> d23,
     "d24_token_chunks" -> d24,
     "c01_corpus_pipeline" -> c01,
+    "d27_source_cap" -> d27,
+    "t07_length_batches" -> t07,
 
     "t01_stratified_sample" -> t01,
     "t02_mixture_weights" -> t02,

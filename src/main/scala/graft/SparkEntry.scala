@@ -1299,6 +1299,38 @@ object SparkEntry {
         col("eligible"), col("selected"), col("pos"))
   }
 
+  /** Per-source document cap (the C4/RefinedWeb "domain balancing"
+    * rule): each source keeps its first 40 documents in deterministic
+    * hash order — an exact-N cap whose selection is stable across
+    * runs and partitionings. The rank comes from
+    * [[Mixing.globalRankInGroup]], so a giant source still ranks in
+    * 256 parallel buckets instead of one executor-sized window.
+    */
+  private def d27(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"))
+      .withColumn("cap_key", md5(col("doc_id").cast("string")))
+    Mixing.globalRankInGroup(keyed, "source", "cap_key", "doc_id", "rk")
+      .withColumn("capped_keep", col("rk") <= 40L)
+      .select(col("doc_id"), col("source"), col("rk"), col("capped_keep"))
+  }
+
+  /** Length-bucketed batching (padding-efficiency prep for inference/
+    * training): docs group into 32-token length buckets, then form
+    * 16-doc batches in deterministic hash order within each bucket —
+    * every batch pads to at most 31 wasted tokens per row. Bucketed
+    * rank again, so no bucket serializes on one task.
+    */
+  private def t07(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("tokens"))
+      .withColumn("lbucket", floor(col("tokens") / lit(32.0)).cast("int"))
+      .withColumn("bkey", md5(col("doc_id").cast("string")))
+    Mixing.globalRankInGroup(keyed, "lbucket", "bkey", "doc_id", "rk")
+      .withColumn("batch_id", floor((col("rk") - 1) / lit(16.0)).cast("long"))
+      .select(col("doc_id"), col("tokens"), col("lbucket"), col("rk"), col("batch_id"))
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1848,6 +1880,8 @@ object SparkEntry {
     "d23_source_report" -> (d23 _),
     "d24_token_chunks" -> (d24 _),
     "c01_corpus_pipeline" -> (c01 _),
+    "d27_source_cap" -> (d27 _),
+    "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
     "e01_cosine_topk" -> (e01 _),
