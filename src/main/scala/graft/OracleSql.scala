@@ -1780,6 +1780,30 @@ object OracleSql {
     FROM documents
   """
 
+  // d28: TF-IDF top-3 — tf/idf are exact integer ratios into one ln
+  // and one product; rank ties on the 6-dp-rounded score break by
+  // term, so the top-3 set is engine-stable.
+  private val d28 = s"""
+    WITH ww AS (
+      SELECT doc_id, CAST($tokCount AS BIGINT) AS doc_tok,
+        unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM documents),
+    ww2 AS (SELECT doc_id, doc_tok, w FROM ww WHERE len(w) > 0),
+    tf AS (SELECT doc_id, doc_tok, w, count(*) AS tf_cnt FROM ww2 GROUP BY 1, 2, 3),
+    dfreq AS (SELECT w, count(DISTINCT doc_id) AS dfc FROM ww2 GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    sc AS (
+      SELECT t.doc_id, t.w AS term,
+        round((CAST(t.tf_cnt AS DOUBLE) / CAST(t.doc_tok AS DOUBLE))
+              * ln(CAST(n.n_docs AS DOUBLE) / CAST(f.dfc AS DOUBLE)), 6) AS tfidf
+      FROM tf t JOIN dfreq f ON t.w = f.w, n)
+    SELECT doc_id, term, tfidf, rk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rk
+      FROM sc) z
+    WHERE rk <= 3
+  """
+
   // t07: length-bucketed batching — integer bucket/batch arithmetic,
   // rank replayed per bucket.
   private val t07 = s"""
@@ -1988,6 +2012,7 @@ object OracleSql {
     "d24_token_chunks" -> d24,
     "c01_corpus_pipeline" -> c01,
     "d27_source_cap" -> d27,
+    "d28_tfidf_terms" -> d28,
     "t07_length_batches" -> t07,
 
     "t01_stratified_sample" -> t01,

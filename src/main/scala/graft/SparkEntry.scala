@@ -1331,6 +1331,36 @@ object SparkEntry {
       .select(col("doc_id"), col("tokens"), col("lbucket"), col("rk"), col("batch_id"))
   }
 
+  /** Per-document TF-IDF top-3 terms (the classic keyword-extraction
+    * table). The DAG is the honest distributed inverted-index shape:
+    * one (doc, word) aggregation for term frequencies (doc token
+    * totals ride along from the scan, in-row — no extra window
+    * shuffle), one word aggregation for document frequencies, one
+    * word-keyed join to attach idf, one doc-partitioned top-k window.
+    * No vocabulary cap: idf rewards RARE words, so truncating the
+    * vocab would invert the signal — the word join shuffles instead
+    * of broadcasting, which is the correct trade at any scale.
+    */
+  private def d28(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ww = docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("doc_tok"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val tf = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
+      .agg(count(lit(1)).as("tf_cnt"))
+    val dfreq = ww.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("dfc"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val sc = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round((col("tf_cnt").cast("double") / col("doc_tok").cast("double"))
+          * log(col("n_docs").cast("double") / col("dfc").cast("double")), 6))
+    val wr = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w").asc)
+    sc.withColumn("rk", row_number().over(wr).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rk"))
+  }
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1881,6 +1911,7 @@ object SparkEntry {
     "d24_token_chunks" -> (d24 _),
     "c01_corpus_pipeline" -> (c01 _),
     "d27_source_cap" -> (d27 _),
+    "d28_tfidf_terms" -> (d28 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
