@@ -405,6 +405,44 @@ object DocStream {
     * the TTL scaladoc on [[incrementalExactDedup]] for why
     * AvailableNow livelocks there).
     */
+  case class CapVerdict(doc_id: Long, source: String, arrival_rank: Long, capped_keep: Boolean)
+
+  /** Incremental per-source document cap (the d27 domain-balancing
+    * rule at ingest): state per source is ONE LONG — documents
+    * admitted so far — and every arriving document gets its final
+    * verdict the moment it arrives: kept while the source has quota,
+    * capped forever after. The batch d27 caps in deterministic HASH
+    * order; an append-only stream necessarily caps in ARRIVAL order
+    * (doc_id order within a micro-batch, for determinism) — the
+    * documented difference. The shared invariant is exact: once a
+    * source has emitted `cap` kept verdicts, no later doc of that
+    * source is ever kept, across any micro-batch boundary or restart.
+    */
+  def incrementalSourceCap(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      cap: Long = 40L
+  ): DataFrame = {
+    import spark.implicits._
+    val docs = readDocs(spark, path)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+    val out = docs
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          var seen = state.getOption.getOrElse(0L)
+          val verdicts = it.map(_._1).toArray.sorted.map { id =>
+            seen += 1
+            CapVerdict(id, source, seen, seen <= cap)
+          }
+          state.update(seen)
+          verdicts.iterator
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir)
+  }
+
   private def runAppend(
       spark: SparkSession,
       out: DataFrame,

@@ -218,4 +218,41 @@ class DocStreamSpec extends AnyFunSuite {
     assert(expect.except(got).count() == 0, "batch pair counts missing from the stream log")
     assert(got.count() > 0)
   }
+
+  test("incremental source cap: quota exact across micro-batches, verdicts final") {
+    val src = java.nio.file.Files.createTempDirectory("capsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("capckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("capout").toString
+    val d = docs.filter(col("doc_id") < 200).cache()
+
+    d.filter(col("doc_id") < 100).write.mode("append").parquet(src)
+    val out1 = DocStream.incrementalSourceCap(spark, src, ckpt, outDir, cap = 3L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("capped_keep").cast("long")).as("n_kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    d.filter(col("doc_id") >= 100).write.mode("append").parquet(src)
+    val out2df = DocStream.incrementalSourceCap(spark, src, ckpt, outDir, cap = 3L)
+    val out2 = out2df
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("capped_keep").cast("long")).as("n_kept"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val perSource = d.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perSource.foreach { case (s, n) =>
+      assert(out2(s)._1 == n, s"source $s: ${out2(s)._1} verdicts for $n docs")
+      assert(out2(s)._2 == math.min(3L, n), s"source $s kept ${out2(s)._2}, cap 3")
+    }
+    // batch-1 verdicts are final: already-kept counts never shrink
+    out1.foreach { case (s, (_, kept1)) =>
+      assert(out2(s)._2 >= kept1, s"source $s lost kept verdicts after batch 2")
+    }
+    // arrival ranks are a dense 1..n per source
+    val ranks = out2df.groupBy(col("source"))
+      .agg(max(col("arrival_rank")).as("mx"), countDistinct(col("arrival_rank")).as("nd"),
+        count(lit(1)).as("n"))
+    assert(ranks.filter(col("mx") =!= col("n") || col("nd") =!= col("n")).count() == 0,
+      "arrival ranks not dense per source")
+  }
 }
