@@ -1240,10 +1240,7 @@ object SparkEntry {
     */
   private def d26(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val hist = Bpe.wordHistogram(docs, "text")
-      .orderBy(col("cnt").desc, col("word").asc).limit(1 << 20).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    val mergeList = Bpe.trainMerges(hist, 40).map { case (l, r, _) => (l, r) }
+    val mergeList = Bpe.trainFromCorpus(docs, "text", 40).map { case (l, r, _) => (l, r) }
     Bpe.encodeStats(docs, "doc_id", "text", mergeList)
   }
 

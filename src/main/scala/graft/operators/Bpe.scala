@@ -37,24 +37,46 @@ object Bpe {
   /** Train up to `numMerges` merges from a word histogram. Returns
     * merges in priority order with the adjacent-pair count each one
     * had when selected. Stops early when no adjacent pair remains.
+    *
+    * Incremental trainer: a pair→count map plus a pair→words inverted
+    * index, both updated only for the words that CONTAIN the selected
+    * pair — each iteration costs O(support of the merged pair) plus
+    * one scan of the pair map for the argmax, instead of re-counting
+    * the whole histogram (the merged pair's support is typically a
+    * tiny fraction of a million-word vocabulary).
     */
   def trainMerges(wordCounts: Iterable[(String, Long)], numMerges: Int): Vector[(String, String, Long)] = {
-    var words: Vector[(Vector[String], Long)] =
-      wordCounts.toVector.map { case (w, c) => (w.map(_.toString).toVector :+ Eow, c) }
+    val words = wordCounts.toArray.map { case (w, c) =>
+      (w.map(_.toString).toVector :+ Eow, c)
+    }
+    val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    val where = mutable.Map.empty[(String, String), mutable.Set[Int]]
+    def index(i: Int, syms: Vector[String], c: Long, sign: Long): Unit = {
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = counts(p) + sign * c
+        if (n <= 0) counts.remove(p) else counts(p) = n
+        if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        else where.get(p).foreach(_ -= i)
+        j += 1
+      }
+    }
+    for (i <- words.indices) index(i, words(i)._1, words(i)._2, 1L)
     val out = Vector.newBuilder[(String, String, Long)]
     var k = 0
-    var done = false
-    while (k < numMerges && !done) {
-      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
-      for ((syms, c) <- words; i <- 0 until syms.length - 1)
-        counts((syms(i), syms(i + 1))) += c
-      if (counts.isEmpty) done = true
-      else {
-        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-        out += ((l, r, c))
-        words = words.map { case (syms, cnt) => (mergePair(syms, l, r), cnt) }
-        k += 1
+    while (k < numMerges && counts.nonEmpty) {
+      val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+      out += ((l, r, c))
+      val members = where.getOrElse((l, r), mutable.Set.empty).toArray
+      for (i <- members) {
+        val (syms, wc) = words(i)
+        index(i, syms, wc, -1L)
+        val merged = mergePair(syms, l, r)
+        words(i) = (merged, wc)
+        index(i, merged, wc, 1L)
       }
+      k += 1
     }
     out.result()
   }
@@ -75,21 +97,30 @@ object Bpe {
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
 
-  /** Trained merge table as a DataFrame: (rank, left, right,
-    * pair_count). The histogram collects to the driver — it is
-    * vocabulary-sized, the same reduction every production tokenizer
-    * trainer performs before its merge loop — and is CAPPED at the
-    * `maxVocab` most frequent words (TakeOrdered with a (count desc,
-    * word) total order) so driver memory stays bounded on an
-    * unbounded-vocabulary corpus; rare-word truncation is exactly the
-    * min-frequency pruning real trainers apply.
+  /** Train merges straight from a corpus: the histogram collects to
+    * the driver — it is vocabulary-sized, the same reduction every
+    * production tokenizer trainer performs before its merge loop —
+    * and is CAPPED at the `maxVocab` most frequent words (TakeOrdered
+    * with a (count desc, word) total order) so driver memory stays
+    * bounded on an unbounded-vocabulary corpus; rare-word truncation
+    * is exactly the min-frequency pruning real trainers apply.
+    * The single source of truth for d25 (merge table) and d26
+    * (encoding) — both must train on identical merges.
     */
-  def merges(spark: SparkSession, docs: DataFrame, textCol: String, numMerges: Int,
-             maxVocab: Int = 1 << 20): DataFrame = {
+  def trainFromCorpus(docs: DataFrame, textCol: String, numMerges: Int,
+                      maxVocab: Int = 1 << 20): Vector[(String, String, Long)] = {
     val hist = wordHistogram(docs, textCol)
       .orderBy(col("cnt").desc, col("word").asc).limit(maxVocab).collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    val m = trainMerges(hist, numMerges).zipWithIndex.map {
+    trainMerges(hist, numMerges)
+  }
+
+  /** Trained merge table as a DataFrame: (rank, left, right,
+    * pair_count).
+    */
+  def merges(spark: SparkSession, docs: DataFrame, textCol: String, numMerges: Int,
+             maxVocab: Int = 1 << 20): DataFrame = {
+    val m = trainFromCorpus(docs, textCol, numMerges, maxVocab).zipWithIndex.map {
       case ((l, r, c), i) => (i.toLong, l, r, c)
     }
     spark.createDataFrame(m).toDF("rank", "left_sym", "right_sym", "pair_count")

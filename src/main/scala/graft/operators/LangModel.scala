@@ -29,6 +29,23 @@ import org.apache.spark.sql.DataFrame
   */
 object LangModel {
 
+  /** The corpus word-count table, persisted as an RDD: it feeds up to
+    * three downstream subtrees (total, top-K model, bigram
+    * denominators) and Spark does not dedupe common subplans — without
+    * this the corpus would be re-scanned and re-shuffled once per use.
+    * RDD persist (not DataFrame cache) so the ContextCleaner releases
+    * it when the scorer's result goes out of scope (the
+    * `Shade.pcaShade` lesson). The cached volume is vocabulary-sized,
+    * never corpus-sized.
+    */
+  private def persistedCounts(toks: DataFrame, cntName: String): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val rdd = toks.groupBy(col("w")).agg(count(lit(1)).as(cntName))
+      .as[(String, Long)].rdd.setName("LangModel word counts").persist()
+    spark.createDataset(rdd).toDF("w", cntName)
+  }
+
   /** Per-document unigram LM score against the corpus's own top-K
     * vocabulary.
     *
@@ -42,7 +59,7 @@ object LangModel {
     val words = docs
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val counts = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val counts = persistedCounts(words, "cnt")
     val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
     val model = counts.orderBy(col("cnt").desc, col("w").asc).limit(vocabK)
     val scored = words
@@ -88,8 +105,12 @@ object LangModel {
     val toks = docs
       .select(col(idCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("cntu"))
+    val counts = persistedCounts(toks, "cntu")
     val total = counts.agg(sum(col("cntu")).cast("long").as("total"))
+    // the exploded bigram stream below appears in two subtrees (model
+    // counts, scoring) and is deliberately NOT cached: its volume is
+    // corpus-sized, and at scale re-reading the columnar scan is
+    // cheaper than spill-caching every token occurrence
     val uniModel = counts.orderBy(col("cntu").desc, col("w").asc).limit(vocabK)
       .withColumnRenamed("w", "w2")
     // bigram occurrences, formed in-row; tokens of a trimmed \s+ split

@@ -306,6 +306,10 @@ object Mixing {
     * exactly, but the widest window partition is ~1/256 of a group —
     * at 100 TB this is the difference between a working epoch-order
     * writer and one executor sorting the world.
+    *
+    * `keyCol` must be non-null (every caller derives it from md5 of a
+    * non-null id); a null GROUP value is fine — it ranks as its own
+    * partition, like SQL's `PARTITION BY`.
     */
   def globalRankInGroup(df: DataFrame, groupCol: String, keyCol: String,
                         tieCol: String, rankName: String): DataFrame = {
@@ -322,9 +326,12 @@ object Mixing {
     val offDf = offsets.toDF("__g", "__obkt", "__off")
     val w = Window.partitionBy(col(groupCol), col("__bkt"))
       .orderBy(col(keyCol).asc, col(tieCol).asc)
+    // null-SAFE join keys: a null group value is a legitimate
+    // partition (the counts side keeps it), and === would silently
+    // drop its rows here
     withB
       .join(broadcast(offDf),
-        withB(groupCol).cast("string") === offDf("__g") && withB("__bkt") === offDf("__obkt"))
+        withB(groupCol).cast("string") <=> offDf("__g") && withB("__bkt") <=> offDf("__obkt"))
       .withColumn(rankName, col("__off") + row_number().over(w))
       .drop("__bkt", "__g", "__obkt", "__off")
   }

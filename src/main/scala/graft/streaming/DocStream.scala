@@ -399,12 +399,6 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir)
   }
 
-  /** Append run to parquet, shared by the twins (via the idempotent
-    * [[StreamSink]]): `AvailableNow` for the exact (no-TTL) paths,
-    * `Trigger.Once` when processing-time timeouts are registered (see
-    * the TTL scaladoc on [[incrementalExactDedup]] for why
-    * AvailableNow livelocks there).
-    */
   case class CapVerdict(doc_id: Long, source: String, arrival_rank: Long, capped_keep: Boolean)
 
   /** Incremental per-source document cap (the d27 domain-balancing
@@ -443,6 +437,12 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir)
   }
 
+  /** Append run to parquet, shared by the twins (via the idempotent
+    * [[StreamSink]]): `AvailableNow` for the exact (no-TTL) paths,
+    * `Trigger.Once` when processing-time timeouts are registered (see
+    * the TTL scaladoc on [[incrementalExactDedup]] for why
+    * AvailableNow livelocks there).
+    */
   private def runAppend(
       spark: SparkSession,
       out: DataFrame,
