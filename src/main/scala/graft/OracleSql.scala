@@ -1344,6 +1344,79 @@ object OracleSql {
     WHERE rk <= 5
   """
 
+  // e13: IVF recall@3 — the exact side is e01's arithmetic at (< 16,
+  // k=3), the IVF side is e05 verbatim; the composition is one
+  // left join + per-query fraction.
+  private val e13 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    xdots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        sum(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e q CROSS JOIN e c CROSS JOIN range(1, 65) AS t(i)
+      WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    xs AS (
+      SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 5) AS cosine
+      FROM xdots d
+      JOIN n nq ON d.query_id = nq.vec_id
+      JOIN n nc ON d.neighbor_id = nc.vec_id),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM xs) t
+      WHERE rk <= 3),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    ad AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4) AS d2
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    assign AS (
+      SELECT vec_id AS neighbor_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM ad) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, centroid_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM ad WHERE vec_id < 16) t
+      WHERE rn <= 2),
+    idots AS (
+      SELECT p.query_id, m.neighbor_id,
+        sum(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM probes p
+      JOIN assign m ON p.centroid_id = m.centroid_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e v ON v.vec_id = m.neighbor_id
+      CROSS JOIN range(1, 65) AS t(i)
+      WHERE m.neighbor_id <> p.query_id
+      GROUP BY 1, 2),
+    ivs AS (
+      SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 5) AS cosine
+      FROM idots d
+      JOIN n nq ON d.query_id = nq.vec_id
+      JOIN n nc ON d.neighbor_id = nc.vec_id),
+    ivf AS (
+      SELECT query_id, neighbor_id, 1 AS hit FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM ivs) t
+      WHERE rk <= 3)
+    SELECT x.query_id,
+      CAST(count(*) AS BIGINT) AS k_exact,
+      CAST(coalesce(sum(i.hit), 0) AS BIGINT) AS n_hit,
+      round(CAST(coalesce(sum(i.hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+    FROM exact x
+    LEFT JOIN ivf i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+    GROUP BY 1
+  """
+
   private val e02 = """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
@@ -1996,6 +2069,7 @@ object OracleSql {
     "e04_cosine_neardup" -> e04,
     "e05_ivf_topk" -> e05,
     "e12_prototype_prune" -> e12,
+    "e13_ivf_recall" -> e13,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
     "e08_semantic_dedup" -> e08,

@@ -1339,14 +1339,22 @@ object SparkEntry {
     * of broadcasting, which is the correct trade at any scale.
     */
   private def d28(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val docs = Tables.documents(s, dir)
     val ww = docs.select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("doc_tok"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val tf = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
+    // tf rows are DISTINCT (doc, word) pairs, so document frequency is
+    // a row count per word over tf itself — deriving it here (from the
+    // persisted pair table) replaces a second corpus explode + a
+    // countDistinct shuffle of raw token pairs with one vocab-keyed
+    // count of already-aggregated rows
+    val tfRdd = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
       .agg(count(lit(1)).as("tf_cnt"))
-    val dfreq = ww.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("dfc"))
+      .as[(Long, Long, String, Long)].rdd.setName("d28 tf pairs").persist()
+    val tf = s.createDataset(tfRdd).toDF("doc_id", "doc_tok", "w", "tf_cnt")
+    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
       .withColumn("tfidf",
@@ -1747,6 +1755,29 @@ object SparkEntry {
     )
   }
 
+  /** IVF recall calibration (the e07 pattern for the OTHER ANN
+    * approximation axis): per-query recall@3 of the nprobe=2 IVF
+    * search against the exact brute-force top-3 — the measurement
+    * that decides nprobe before a 100 TB corpus trusts pruned
+    * serving. Both sides reuse the verified operators; the recall
+    * join touches k rows per query per side.
+    */
+  private def e13(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 16)
+    val exact = Similarity.cosineTopK(queries, emb, "vec_id", "embedding", 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), queries,
+        "vec_id", "embedding", nprobe = 2, k = 3)
+      .select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    exact.join(ivf, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("k_exact").cast("double"), 6))
+  }
+
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
     * per-site solver stages via mapGroups. Rows-only check — the
     * solver stages are not SQL-expressible.
@@ -1924,6 +1955,7 @@ object SparkEntry {
     "e10_pq_adc" -> (e10 _),
     "e11_ivf_pq" -> (e11 _),
     "e12_prototype_prune" -> (e12 _),
+    "e13_ivf_recall" -> (e13 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),
