@@ -1339,22 +1339,20 @@ object SparkEntry {
     * of broadcasting, which is the correct trade at any scale.
     */
   private def d28(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, dir)
     val ww = docs.select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("doc_tok"),
         explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    // tf rows are DISTINCT (doc, word) pairs, so document frequency is
-    // a row count per word over tf itself — deriving it here (from the
-    // persisted pair table) replaces a second corpus explode + a
-    // countDistinct shuffle of raw token pairs with one vocab-keyed
-    // count of already-aggregated rows
-    val tfRdd = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
+    val tf = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
       .agg(count(lit(1)).as("tf_cnt"))
-      .as[(Long, Long, String, Long)].rdd.setName("d28 tf pairs").persist()
-    val tf = s.createDataset(tfRdd).toDF("doc_id", "doc_tok", "w", "tf_cnt")
-    val dfreq = tf.groupBy(col("w")).agg(count(lit(1)).as("dfc"))
+    // dfreq deliberately recomputes from the scan rather than reusing
+    // a persisted tf: MEASURED, caching the corpus-sized pair table
+    // costs more (materialize + read-back, broken codegen span) than
+    // the second columnar scan + map-side-combined distinct — the
+    // same "never cache corpus-sized intermediates" rule as the
+    // bigram scorer
+    val dfreq = ww.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
       .withColumn("tfidf",
