@@ -65,6 +65,19 @@ object Tables {
     graft.operators.DayStats
       .qualityFlags(events(spark, dir), "user_id", "ts", "value", 10L)
       .createOrReplaceTempView("day_stats")
+    // the corpus-side derived fact view: per-doc token/quality/lang
+    // signals, all scan-side column expressions — SQL users get the
+    // curation signals without touching the Scala operators
+    import org.apache.spark.sql.functions.{col, round}
+    import graft.operators.TextOps
+    documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextOps.qualityScore(col("text")), 6).as("quality"),
+      TextOps.langId(col("text")).as("lang_pred"),
+      round(TextOps.dupNgramFrac(col("text"), 2), 6).as("dup_bigram_frac"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .createOrReplaceTempView("doc_stats")
   }
 
   /** CSV time-series source in the shape of the reference's data plugs

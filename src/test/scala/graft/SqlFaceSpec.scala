@@ -30,6 +30,23 @@ class SqlFaceSpec extends AnyFunSuite {
     assert(out.count() == typed.count())
   }
 
+  test("spark.sql can triage the corpus through the doc_stats view") {
+    Tables.registerViews(spark, dir)
+    val out = spark.sql("""
+      SELECT source, count(*) AS n_docs, sum(n_tokens) AS tot_tokens,
+             round(avg(quality), 4) AS avg_quality
+      FROM doc_stats
+      GROUP BY source
+    """).collect()
+    assert(out.length > 1, "doc_stats should aggregate over multiple sources")
+    assert(out.forall(r => r.getLong(2) > 0L), "token totals must be positive")
+    // fingerprint column joins back to the base table
+    val joined = spark.sql(
+      "SELECT count(*) AS n FROM doc_stats s JOIN documents d USING (doc_id)")
+      .collect().head.getLong(0)
+    assert(joined == spark.table("documents").count())
+  }
+
   test("SQL over a base view keeps filter pushdown at the scan") {
     Tables.registerViews(spark, dir)
     val df = spark.sql("SELECT l_quantity FROM lineitem WHERE l_quantity > 40.0")
