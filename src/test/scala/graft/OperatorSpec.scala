@@ -392,6 +392,33 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenChunks: full coverage, exact count, stride spacing for every length 1..150") {
+    import spark.implicits._
+    val W = 64
+    val S = 48
+    val df = (1 to 150).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = df.select(col("doc_id"),
+        explode(TextOps.tokenChunks(col("text"), W, S)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"), col("c.n_tokens"))
+      .collect()
+      .groupBy(_.getLong(0))
+    (1 to 150).foreach { n =>
+      val cs = chunks(n.toLong).sortBy(_.getLong(1))
+      val expect = 1 + math.ceil(math.max(n - W, 0) / S.toDouble).toInt
+      assert(cs.length == expect, s"n=$n: ${cs.length} chunks, expected $expect")
+      // starts at 1, stride S apart, last window reaches token n
+      assert(cs.head.getLong(2) == 1L)
+      cs.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) - a.getLong(2) == S.toLong)
+        case _ =>
+      }
+      val last = cs.last
+      assert(last.getLong(2) + last.getLong(3) - 1 == n.toLong, s"n=$n: last chunk short")
+      assert(cs.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= W))
+    }
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }

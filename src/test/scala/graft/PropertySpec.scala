@@ -97,4 +97,54 @@ class PropertySpec extends AnyFunSuite {
       l >= -1e-9 && gv.zip(v).forall { case (a, b) => math.abs(a - l * b) < 1e-3 * scale }
     })
   }
+
+  private val genHistogram: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 12)
+    words <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString.take(8)))
+    cnts <- Gen.listOfN(n, Gen.choose(1L, 50L))
+  } yield words.distinct.zip(cnts)
+
+  test("incremental BPE trainer equals the naive full-recount trainer") {
+    import graft.operators.Bpe
+    // reference implementation: re-encode every word with the merge
+    // prefix list and recount all pairs from scratch each round — the
+    // O(merges × histogram) algorithm the incremental pair-index
+    // trainer must reproduce exactly, ties included
+    def naive(hist: List[(String, Long)], numMerges: Int): Vector[(String, String, Long)] = {
+      val out = Vector.newBuilder[(String, String, Long)]
+      var merges = Vector.empty[(String, String)]
+      var k = 0
+      var done = false
+      while (k < numMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        for ((w, c) <- hist) {
+          val syms = Bpe.encodeWord(w, merges)
+          for (i <- 0 until syms.length - 1) counts((syms(i), syms(i + 1))) += c
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), m) => (-m, a, b) }
+          out += ((l, r, c))
+          merges = merges :+ ((l, r))
+          k += 1
+        }
+      }
+      out.result()
+    }
+    check(Prop.forAll(genHistogram, Gen.choose(1, 12)) { (hist, m) =>
+      hist.isEmpty || Bpe.trainMerges(hist, m) == naive(hist, m)
+    })
+  }
+
+  test("BPE encoding always reconstructs the word (merges only concatenate)") {
+    import graft.operators.Bpe
+    check(Prop.forAll(genHistogram, Gen.choose(1, 10)) { (hist, m) =>
+      hist.isEmpty || {
+        val merges = Bpe.trainMerges(hist, m).map { case (l, r, _) => (l, r) }
+        hist.forall { case (w, _) =>
+          Bpe.encodeWord(w, merges).mkString == w + Bpe.Eow
+        }
+      }
+    })
+  }
 }
