@@ -1364,6 +1364,31 @@ object SparkEntry {
       .select(col("doc_id"), col("w").as("term"), col("tfidf"), col("rk"))
   }
 
+  /** HyperLogLog++ cardinality calibration (the d10 sketch-accuracy
+    * pattern for distinct counting): per source, the HLL estimate of
+    * distinct content fingerprints at two precisions vs the exact
+    * count, with relative errors. The estimate is merge-based and
+    * therefore partition-independent and cross-run deterministic, but
+    * engine-SPECIFIC — DuckDB's HLL would give different numbers, so
+    * this is a rows-only gate with the error contracts in
+    * `OperatorSpec`. At 100 TB this sketch (constant memory per
+    * group) is how distinct-count dashboards exist at all.
+    */
+  private def d29(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("fp")).as("exact_distinct"),
+        approx_count_distinct(col("fp"), 0.05).as("hll_coarse"),
+        approx_count_distinct(col("fp"), 0.01).as("hll_fine"))
+      .withColumn("err_coarse",
+        round(abs(col("hll_coarse") - col("exact_distinct")).cast("double") /
+          greatest(col("exact_distinct"), lit(1L)).cast("double"), 6))
+      .withColumn("err_fine",
+        round(abs(col("hll_fine") - col("exact_distinct")).cast("double") /
+          greatest(col("exact_distinct"), lit(1L)).cast("double"), 6))
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1938,6 +1963,7 @@ object SparkEntry {
     "c01_corpus_pipeline" -> (c01 _),
     "d27_source_cap" -> (d27 _),
     "d28_tfidf_terms" -> (d28 _),
+    "d29_hll_calibration" -> (d29 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -419,6 +419,22 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL distinct estimates: inside rsd bounds, partition-independent") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (s"g${i % 4}", s"v${i % 1700}")).toDF("g", "fp")
+    def est(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("g"))
+      .agg(countDistinct(col("fp")).as("exact"),
+        approx_count_distinct(col("fp"), 0.01).as("hll"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = est(df)
+    a.foreach { case (g, (exact, hll)) =>
+      // 0.01 rsd: allow a generous 5-sigma band
+      assert(math.abs(hll - exact) <= math.max(5, 0.05 * exact), s"$g: hll=$hll exact=$exact")
+    }
+    // merge-based estimate: identical under any partitioning
+    assert(est(df.repartition(13)) == a)
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }

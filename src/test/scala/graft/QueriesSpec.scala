@@ -32,6 +32,9 @@ class QueriesSpec extends AnyFunSuite {
       // hand-computed merge-order and encoding contracts)
       "d25_bpe_merges",
       "d26_bpe_encode",
+      // HLL++ estimates are engine-specific (OperatorSpec carries the
+      // error-bound and partition-independence contracts)
+      "d29_hll_calibration",
       // composed trained stages (coarse k-means + PQ); PqSpec pins
       // exhaustive-probe equivalence to the full ADC scan
       "e11_ivf_pq")
