@@ -67,10 +67,11 @@ object Tables {
       .createOrReplaceTempView("day_stats")
     // the corpus-side derived fact view: per-doc token/quality/lang
     // signals, all scan-side column expressions — SQL users get the
-    // curation signals without touching the Scala operators
-    import org.apache.spark.sql.functions.{col, round}
+    // curation signals without touching the Scala operators. Same
+    // missing-table tolerance as the base loop: a time-series-only
+    // directory registers everything else and skips doc_stats.
     import graft.operators.TextOps
-    documents(spark, dir).select(
+    try documents(spark, dir).select(
       col("doc_id"), col("source"), col("lang"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
       round(TextOps.qualityScore(col("text")), 6).as("quality"),
@@ -78,6 +79,7 @@ object Tables {
       round(TextOps.dupNgramFrac(col("text"), 2), 6).as("dup_bigram_frac"),
       TextOps.fingerprint(col("text")).as("fp"))
       .createOrReplaceTempView("doc_stats")
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** CSV time-series source in the shape of the reference's data plugs

@@ -40,9 +40,13 @@ class SqlFaceSpec extends AnyFunSuite {
     """).collect()
     assert(out.length > 1, "doc_stats should aggregate over multiple sources")
     assert(out.forall(r => r.getLong(2) > 0L), "token totals must be positive")
-    // fingerprint column joins back to the base table
-    val joined = spark.sql(
-      "SELECT count(*) AS n FROM doc_stats s JOIN documents d USING (doc_id)")
+    // the fp column is a usable content join key: recomputing the
+    // fingerprint from the base table in SQL matches every row
+    val joined = spark.sql("""
+      SELECT count(*) AS n
+      FROM doc_stats s JOIN documents d
+        ON s.doc_id = d.doc_id
+       AND s.fp = md5(regexp_replace(lower(d.text), '[^a-z0-9]', ''))""")
       .collect().head.getLong(0)
     assert(joined == spark.table("documents").count())
   }
