@@ -1995,6 +1995,142 @@ object OracleSql {
     SELECT id, shard, CAST(pack_id AS INT) AS pack_id, tok FROM packed
   """
 
+  // d30: DSIR importance weights — one conditional word count builds
+  // both group models; shared top-500 vocabulary; add-one ratios are
+  // exact integers, ln + 6-dp-rounded mean is the only float surface.
+  private val d30 = """
+    WITH words AS (
+      SELECT doc_id, is_t, w FROM (
+        SELECT doc_id, (lang = 'en') AS is_t,
+          unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0),
+    counts AS (SELECT w,
+        CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+        CAST(sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cnt_r
+      FROM words GROUP BY w),
+    tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS total_t,
+                   CAST(sum(cnt_r) AS BIGINT) AS total_r FROM counts),
+    model AS (SELECT w, cnt_t, cnt_r FROM counts
+              ORDER BY (cnt_t + cnt_r) DESC, w ASC LIMIT 500),
+    sc AS (SELECT words.doc_id,
+             CASE WHEN m.cnt_t IS NULL THEN 1 ELSE 0 END AS oov,
+             ln(CAST(coalesce(m.cnt_t, 0) + 1 AS DOUBLE) / CAST(total_t + 501 AS DOUBLE))
+               - ln(CAST(coalesce(m.cnt_r, 0) + 1 AS DOUBLE) / CAST(total_r + 501 AS DOUBLE)) AS logw
+           FROM words LEFT JOIN model m USING (w), tot),
+    pd AS (SELECT doc_id, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(avg(logw), 6) AS logw_avg
+           FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+      coalesce(pd.n_oov, 0) AS n_oov, pd.logw_avg
+    FROM documents d LEFT JOIN pd USING (doc_id)
+  """
+
+  // d31: per-source unigram KL vs the corpus over the shared top-200
+  // vocabulary + one OOV bucket, add-one smoothed on both sides.
+  private val d31 = """
+    WITH words AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents) t
+      WHERE len(w) > 0),
+    gc AS (SELECT w, source, count(*) AS cnt_g FROM words GROUP BY 1, 2),
+    wc AS (SELECT w, CAST(sum(cnt_g) AS BIGINT) AS cnt_c FROM gc GROUP BY 1),
+    top AS (SELECT w, cnt_c FROM wc ORDER BY cnt_c DESC, w ASC LIMIT 200),
+    totals AS (SELECT source, CAST(sum(cnt_g) AS BIGINT) AS total_g FROM gc GROUP BY 1),
+    totc AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS total_c FROM wc),
+    pairs AS (
+      SELECT t.source, t.total_g, p.cnt_c, coalesce(g.cnt_g, 0) AS cnt_g
+      FROM totals t CROSS JOIN top p
+      LEFT JOIN gc g ON g.w = p.w AND g.source = t.source),
+    vocab_part AS (
+      SELECT source, total_g, total_c,
+        sum((CAST(cnt_g + 1 AS DOUBLE) / CAST(total_g + 201 AS DOUBLE)) *
+            (ln(CAST(cnt_g + 1 AS DOUBLE) / CAST(total_g + 201 AS DOUBLE)) -
+             ln(CAST(cnt_c + 1 AS DOUBLE) / CAST(total_c + 201 AS DOUBLE)))) AS kl_vocab
+      FROM pairs, totc GROUP BY 1, 2, 3),
+    in_g AS (SELECT source, total_g, CAST(sum(cnt_g) AS BIGINT) AS in_g FROM pairs GROUP BY 1, 2),
+    in_c AS (SELECT CAST(sum(cnt_c) AS BIGINT) AS in_c FROM top),
+    oov_part AS (
+      SELECT source, total_g - in_g AS oov_g,
+        ((CAST(total_g - in_g + 1 AS DOUBLE) / CAST(total_g + 201 AS DOUBLE)) *
+         (ln(CAST(total_g - in_g + 1 AS DOUBLE) / CAST(total_g + 201 AS DOUBLE)) -
+          ln(CAST(total_c - in_c + 1 AS DOUBLE) / CAST(total_c + 201 AS DOUBLE)))) AS kl_oov
+      FROM in_g, in_c, totc)
+    SELECT v.source, v.total_g AS n_tokens, o.oov_g AS n_oov,
+      round(v.kl_vocab + o.kl_oov, 6) AS kl
+    FROM vocab_part v JOIN oov_part o USING (source)
+  """
+
+  // d32: PII scan — RE2/java.util.regex-shared syntax; the synthetic
+  // corpus is PII-free so this certifies the true-negative path (the
+  // pattern-hit contracts live in OperatorSpec on literal PII rows).
+  private val d32 = """
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text,
+        '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(text,
+        '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ]?[0-9]{2,4}\b')) AS BIGINT) AS n_phone,
+      CAST(len(text) - len(
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ]?[0-9]{2,4}\b', '<PHONE>', 'g')
+      ) AS BIGINT) AS len_delta
+    FROM documents
+  """
+
+  // e14: Matryoshka truncation recall — e07's shape with the second
+  // search space = the first 32 dims (queries AND corpus truncated).
+  private val e14 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    cf AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS emb FROM e),
+    qf AS (SELECT vec_id, emb FROM cf WHERE vec_id < 32),
+    ch AS (SELECT vec_id, list_transform(embedding[1:32], v -> CAST(v AS DOUBLE)) AS emb FROM e),
+    qh AS (SELECT vec_id, emb FROM ch WHERE vec_id < 32),
+    nf AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb, x -> x * x)), (s, x) -> s + x)) AS nrm FROM cf),
+    nh AS (SELECT vec_id, sqrt(list_reduce(list_prepend(0.0,
+             list_transform(emb, x -> x * x)), (s, x) -> s + x)) AS nrm FROM ch),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_reduce(list_prepend(0.0, list_transform(range(1, 65), i ->
+              q.emb[CAST(i AS INT)] * c.emb[CAST(i AS INT)])), (s, x) -> s + x)
+            / (a.nrm * b.nrm), 5) AS cosine
+        FROM qf q
+        JOIN cf c ON c.vec_id <> q.vec_id
+        JOIN nf a ON a.vec_id = q.vec_id
+        JOIN nf b ON b.vec_id = c.vec_id) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+    tr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          round(list_reduce(list_prepend(0.0, list_transform(range(1, 33), i ->
+              q.emb[CAST(i AS INT)] * c.emb[CAST(i AS INT)])), (s, x) -> s + x)
+            / (a.nrm * b.nrm), 5) AS cosine
+        FROM qh q
+        JOIN ch c ON c.vec_id <> q.vec_id
+        JOIN nh a ON a.vec_id = q.vec_id
+        JOIN nh b ON b.vec_id = c.vec_id) s
+      QUALIFY row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id ASC) <= 5),
+    com AS (
+      SELECT ex.query_id, count(*) AS n_common
+      FROM ex JOIN tr ON ex.query_id = tr.query_id AND ex.neighbor_id = tr.neighbor_id
+      GROUP BY 1)
+    SELECT x.query_id,
+      x.n_exact, u.n_trunc,
+      coalesce(c.n_common, 0) AS n_common,
+      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE), 6) AS recall
+    FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) x
+    JOIN (SELECT query_id, count(*) AS n_trunc FROM tr GROUP BY 1) u ON x.query_id = u.query_id
+    LEFT JOIN com c ON x.query_id = c.query_id
+  """
+
   val all: Map[String, String] = Map(
     "q01_pricing_summary" -> q01,
     "q02_clamp" -> q02,
@@ -2080,6 +2216,10 @@ object OracleSql {
     "d17_dup_spans" -> d17,
     "d18_bloom_delta" -> d15, // bloom plan, identical verdicts by construction
     "d19_lm_score" -> d19,
+    "d30_dsir_weights" -> d30,
+    "d31_source_kl" -> d31,
+    "d32_pii_scan" -> d32,
+    "e14_matryoshka_recall" -> e14,
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,
     "d23_source_report" -> d23,

@@ -1389,6 +1389,44 @@ object SparkEntry {
         round(abs(col("hll_fine") - col("exact_distinct")).cast("double") /
           greatest(col("exact_distinct"), lit(1L)).cast("double"), 6))
 
+  /** DSIR-style importance weights (Xie et al. 2023): every document
+    * scored by `mean ln(p_target(w) / p_raw(w))` under add-one unigram
+    * models over a shared corpus-wide top-500 vocabulary, with the
+    * `lang = 'en'` slice as the target domain — the importance-
+    * resampling signal that shifts a raw-web mixture toward a target
+    * domain without hand rules. One corpus word shuffle builds BOTH
+    * models (conditional sums); the model broadcasts; the token stream
+    * never shuffles for scoring.
+    */
+  private def d30(s: SparkSession, dir: String): DataFrame =
+    LangModel.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en", 500)
+
+  /** Per-source unigram KL divergence from the corpus (drift /
+    * contamination diagnostic): `KL(p_source ‖ p_corpus)` over the
+    * shared top-200 vocabulary plus an OOV bucket, add-one smoothed on
+    * both sides. After the one corpus word shuffle everything is
+    * vocabulary-sized; re-run per ingest batch this is the cheap
+    * detector for a source gone bad.
+    */
+  private def d31(s: SparkSession, dir: String): DataFrame =
+    LangModel.sourceKl(Tables.documents(s, dir), "source", "text", 200)
+
+  /** PII scan + redaction audit (the C4/Dolma/FineWeb redaction
+    * step): per-document email/IPv4/phone hit counts and the redacted
+    * length delta — all in-row regex work, zero shuffle, running
+    * inside the parquet scan stage at any scale. The synthetic corpus
+    * is PII-free, so the oracle certifies the true-negative path
+    * (counts 0, text unchanged); the pattern-hit contracts live in
+    * `OperatorSpec` on literal PII rows.
+    */
+  private def d32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextOps.piiCounts(col("text")).as("p"),
+        (length(col("text")) - length(TextOps.redactPii(col("text")))).cast("long").as("len_delta"))
+      .select(col("doc_id"), col("p.n_email").as("n_email"),
+        col("p.n_ipv4").as("n_ipv4"), col("p.n_phone").as("n_phone"), col("len_delta"))
+
   /** Benchmark contamination audit: per benchmark doc (ids < 20), the
     * fraction of its distinct word 5-grams appearing anywhere in the
     * training split (ids >= 20). Train grams semi-join a broadcast
@@ -1801,6 +1839,35 @@ object SparkEntry {
       .withColumn("recall", round(col("n_hit").cast("double") / col("k_exact").cast("double"), 6))
   }
 
+  /** Matryoshka dimension-truncation recall (Kusupati et al. 2022):
+    * recall@5 of cosine top-k computed on the FIRST HALF of each
+    * embedding vs the full-dimension exact baseline — the third ANN
+    * approximation axis next to quantization (e07) and IVF probe
+    * pruning (e13). A 2× dimension cut halves memory AND FLOPs per
+    * comparison; this query is the acceptance measurement. Plan shape
+    * is e01 twice: queries broadcast, the candidate scan never
+    * shuffles, the recall join touches 5 rows per query per side.
+    */
+  private def e14(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val half = emb.select(col("vec_id"), slice(col("embedding"), 1, 32).as("embedding"))
+    val q = emb.filter(col("vec_id") < 32)
+    val qh = half.filter(col("vec_id") < 32)
+    val exact = Similarity.cosineTopK(q, emb, "vec_id", "embedding", 5)
+    val trunc = Similarity.cosineTopK(qh, half, "vec_id", "embedding", 5)
+    val common = exact.select(col("query_id"), col("neighbor_id"))
+      .join(trunc.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(trunc.groupBy(col("query_id")).agg(count(lit(1)).as("n_trunc")), Seq("query_id"))
+      .join(common, Seq("query_id"), "left")
+      .select(
+        col("query_id"), col("n_exact"), col("n_trunc"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double"), 6).as("recall")
+      )
+  }
+
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
     * per-site solver stages via mapGroups. Rows-only check — the
     * solver stages are not SQL-expressible.
@@ -1967,6 +2034,10 @@ object SparkEntry {
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
+    "d30_dsir_weights" -> (d30 _),
+    "d31_source_kl" -> (d31 _),
+    "d32_pii_scan" -> (d32 _),
+    "e14_matryoshka_recall" -> (e14 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),
     "e03_sign_lsh_buckets" -> (e03 _),

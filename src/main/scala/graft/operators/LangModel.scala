@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Corpus-trained unigram language-model scoring — the KenLM-shaped
   * quality filter of LLM data pipelines (CCNet et al. score documents
@@ -155,6 +155,144 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("avg_logp"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under a TARGET
+    * unigram model than under the RAW (non-target) model —
+    * `logw(doc) = mean_w [ln p_t(w) − ln p_r(w)]`. Pipelines rank the
+    * raw pool by this weight and resample the top to shift the
+    * training mixture toward the target domain without hand rules.
+    *
+    * Both models share ONE vocabulary (corpus-wide top-`vocabK`, ties
+    * by word) and the [[unigramScore]] add-one convention per group:
+    * `p_g(w) = (cnt_g(w) + 1) / (total_g + vocabK + 1)` with `total_g`
+    * counted over ALL token occurrences of group `g`, so every
+    * probability is an exact integer ratio and an out-of-vocabulary
+    * token contributes the constant
+    * `ln((total_r + K + 1) / (total_t + K + 1))`.
+    *
+    * Scale shape: one corpus-sized word shuffle produces BOTH groups'
+    * counts (conditional sums keyed by word — never two passes); the
+    * model is `vocabK` rows by construction and broadcasts, so scoring
+    * never shuffles the token stream; the per-doc aggregation is keyed
+    * by doc id. Same 100 TB plan as the LM scorers.
+    *
+    * @param targetPred boolean Column over `docs`' columns selecting
+    *        the target domain (e.g. `col("source") === "wiki"`).
+    * @return (idCol, n_tokens, n_oov, logw_avg) for EVERY doc (target
+    *         docs score too — their weights sanity-check the model);
+    *         empty docs score n_tokens=0 with null logw_avg.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetPred: Column, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"dsirWeights: vocabK must be >= 1, got $vocabK")
+    val words = docs
+      .select(col(idCol), targetPred.cast("boolean").as("is_t"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // one shuffle keyed by word; persisted vocabulary-sized (feeds the
+    // top-K selection, the totals, and the broadcast model)
+    val rdd = words.groupBy(col("w"))
+      .agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("cnt_t"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("cnt_r"))
+      .as[(String, Long, Long)].rdd.setName("DSIR word counts").persist()
+    val counts = spark.createDataset(rdd).toDF("w", "cnt_t", "cnt_r")
+    val totals = counts.agg(
+      sum(col("cnt_t")).cast("long").as("total_t"),
+      sum(col("cnt_r")).cast("long").as("total_r"))
+    val model = counts
+      .orderBy((col("cnt_t") + col("cnt_r")).desc, col("w").asc).limit(vocabK)
+    val kp1 = lit(vocabK.toLong + 1L)
+    val scored = words
+      .join(broadcast(model), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(
+        col(idCol),
+        col("cnt_t").isNull.cast("long").as("oov"),
+        (log((coalesce(col("cnt_t"), lit(0L)) + lit(1L)).cast("double") /
+             (col("total_t") + kp1).cast("double")) -
+         log((coalesce(col("cnt_r"), lit(0L)) + lit(1L)).cast("double") /
+             (col("total_r") + kp1).cast("double"))).as("logw"))
+    val perDoc = scored.groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("oov")).as("n_oov"),
+        round(avg(col("logw")), 6).as("logw_avg"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        col("logw_avg"))
+  }
+
+  /** Per-group unigram KL divergence from the corpus:
+    * `KL(p_g ‖ p_c) = Σ p_g(w) · ln(p_g(w) / p_c(w))` over the shared
+    * corpus-wide top-`vocabK` vocabulary plus one OOV bucket, with the
+    * [[unigramScore]] add-one convention on both sides (probabilities
+    * over K+1 outcomes sum to exactly 1, all exact integer ratios
+    * before the final ln). The standard drift/contamination diagnostic
+    * for a multi-source corpus: a source whose language diverges from
+    * the pool (template spam, wrong language, boilerplate) shows a
+    * large KL; re-run per ingest batch it detects drift over time.
+    *
+    * Plan: one corpus shuffle keyed (w, group) — cardinality
+    * |vocab|·|groups|; the top-K vocabulary broadcasts onto it; the KL
+    * sum aggregates |groups|·(K+1) rows. Nothing downstream of the
+    * word count is corpus-sized.
+    *
+    * @return (groupCol, n_tokens, n_oov, kl) — kl rounded to 6, ≥ 0 up
+    *         to rounding.
+    */
+  def sourceKl(docs: DataFrame, groupCol: String, textCol: String, vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"sourceKl: vocabK must be >= 1, got $vocabK")
+    val words = docs
+      .select(col(groupCol), explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    // one corpus-sized shuffle; (w, group) cardinality ≤ |vocab|·|groups|
+    val gc = words.groupBy(col("w"), col(groupCol)).agg(count(lit(1)).as("cnt_g"))
+    val wc = gc.groupBy(col("w")).agg(sum(col("cnt_g")).as("cnt_c"))
+    val top = wc.orderBy(col("cnt_c").desc, col("w").asc).limit(vocabK)
+    val totals = gc.groupBy(col(groupCol)).agg(sum(col("cnt_g")).cast("long").as("total_g"))
+    val totalC = wc.agg(sum(col("cnt_c")).cast("long").as("total_c"))
+    val kp1 = lit(vocabK.toLong + 1L)
+    // in-vocab terms: every (group, top-K word) pair, absent counts = 0
+    val pairs = totals.crossJoin(broadcast(top))
+      .join(gc, Seq("w", groupCol), "left")
+      .select(col(groupCol), col("total_g"), col("cnt_c"),
+        coalesce(col("cnt_g"), lit(0L)).as("cnt_g"))
+    val inG = pairs.groupBy(col(groupCol), col("total_g"))
+      .agg(sum(col("cnt_g")).as("in_g"))
+    val inC = top.agg(sum(col("cnt_c")).cast("long").as("in_c"))
+    val termKl =
+      ((col("cnt_g") + lit(1L)).cast("double") / (col("total_g") + kp1).cast("double")) *
+        (log((col("cnt_g") + lit(1L)).cast("double") / (col("total_g") + kp1).cast("double")) -
+         log((col("cnt_c") + lit(1L)).cast("double") / (col("total_c") + kp1).cast("double")))
+    val vocabPart = pairs.crossJoin(broadcast(totalC))
+      .groupBy(col(groupCol), col("total_g"), col("total_c"))
+      .agg(sum(termKl).as("kl_vocab"))
+    val oovPart = inG.crossJoin(broadcast(inC)).crossJoin(broadcast(totalC))
+      .select(col(groupCol),
+        col("total_g") - col("in_g").cast("long") as "oov_g",
+        col("total_c") - col("in_c") as "oov_c",
+        col("total_g"), col("total_c"))
+      .select(col(groupCol), col("oov_g"),
+        (((col("oov_g") + lit(1L)).cast("double") / (col("total_g") + kp1).cast("double")) *
+          (log((col("oov_g") + lit(1L)).cast("double") / (col("total_g") + kp1).cast("double")) -
+           log((col("oov_c") + lit(1L)).cast("double") / (col("total_c") + kp1).cast("double")))
+        ).as("kl_oov"))
+    vocabPart.join(oovPart, Seq(groupCol))
+      .select(
+        col(groupCol),
+        col("total_g").as("n_tokens"),
+        col("oov_g").as("n_oov"),
+        round(col("kl_vocab") + col("kl_oov"), 6).as("kl"))
   }
 
   /** Vocabulary table from a prepared word-count relation `(w, cnt)`:

@@ -158,4 +158,38 @@ object TextOps {
       }
     )
   }
+
+  /** PII detector patterns (the C4/Dolma/FineWeb redaction step).
+    * Deliberately restricted to syntax RE2 and java.util.regex share
+    * (no lookaround, no backreferences) so the same pattern is
+    * replayable on any engine's regex for cross-checking. These are
+    * the standard high-precision curation patterns, not validators —
+    * e.g. the IPv4 pattern accepts octets > 255, as the published
+    * pipelines' versions do.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ]?[0-9]{2,4}\\b"
+
+  /** Per-document PII hit counts `(n_email, n_ipv4, n_phone)` — pure
+    * column expressions, zero shuffle (the scan-stage pre-pass that
+    * decides whether the redaction rewrite runs at all).
+    */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).cast("long").as("n_ipv4"),
+      size(regexp_extract_all(text, lit(PhoneRe), lit(0))).cast("long").as("n_phone"))
+
+  /** PII-redacted text: each match class replaced by a fixed tag
+    * (emails first — an email must not be half-eaten by the phone
+    * pattern's digit runs). In-row rewrite; at 100 TB this is a pure
+    * map over the scan.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 }

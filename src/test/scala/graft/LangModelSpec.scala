@@ -106,4 +106,77 @@ class LangModelSpec extends AnyFunSuite {
     assert(out(2L)._1 == 0L && out(2L)._3.isNaN)
     assert(out(3L)._1 == 1L && out(3L)._2 == 1L)
   }
+
+  private def dsir(vocabK: Int, rows: (Long, String)*) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    LangModel.dsirWeights(rows.toDF("doc_id", "text"), "doc_id", "text",
+        col("doc_id") === 1L, vocabK)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))))
+      .toMap
+  }
+
+  test("dsir: hand-computed importance weights on a tiny corpus") {
+    // target = doc 1 ("a a b"), raw = doc 2 ("a c")
+    // cnt_t: a=2, b=1; cnt_r: a=1, c=1; total_t=3, total_r=2; K=10 -> +11
+    val out = dsir(10, 1L -> "a a b", 2L -> "a c")
+    val lwA = math.log(3.0 / 14.0) - math.log(2.0 / 13.0)
+    val lwB = math.log(2.0 / 14.0) - math.log(1.0 / 13.0)
+    val lwC = math.log(1.0 / 14.0) - math.log(2.0 / 13.0)
+    val exp1 = (lwA * 2 + lwB) / 3.0
+    val exp2 = (lwA + lwC) / 2.0
+    assert(out(1L)._1 == 3L && out(1L)._2 == 0L)
+    assert(math.abs(out(1L)._3 - BigDecimal(exp1).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0L)
+    assert(math.abs(out(2L)._3 - BigDecimal(exp2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // a target-typical token scores above a raw-typical one
+    assert(lwB > lwA && lwA > lwC)
+  }
+
+  test("dsir: OOV tokens contribute the constant ratio of totals") {
+    // vocabK=1 keeps only "a" (cnt 3); "z" in doc 2 is OOV:
+    // logw = ln(1/(3+2)) - ln(1/(2+2)) with K=1 -> denoms total+2
+    val out = dsir(1, 1L -> "a a a", 2L -> "a z")
+    val lwOov = math.log(1.0 / 5.0) - math.log(1.0 / 4.0)
+    val lwA = math.log(4.0 / 5.0) - math.log(2.0 / 4.0)
+    val exp2 = (lwA + lwOov) / 2.0
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L)
+    assert(math.abs(out(2L)._3 - BigDecimal(exp2).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  private def kl(vocabK: Int, rows: (String, String)*) = {
+    import spark.implicits._
+    LangModel.sourceKl(rows.toDF("source", "text"), "source", "text", vocabK)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+  }
+
+  test("sourceKl: a single group IS the corpus — KL exactly 0") {
+    val out = kl(10, "s" -> "a a b c", "s" -> "b c d")
+    assert(out("s")._1 == 7L && out("s")._2 == 0L)
+    assert(out("s")._3 == 0.0, s"single-group KL must be exactly 0, got ${out("s")._3}")
+  }
+
+  test("sourceKl: divergent vocabulary scores higher KL; counts add up") {
+    // s1 speaks the corpus-majority language; s2 is disjoint
+    val out = kl(4,
+      "s1" -> "a a a b b", "s1" -> "a b a b",
+      "s2" -> "x y x y")
+    assert(out("s1")._1 == 9L && out("s2")._1 == 4L)
+    assert(out("s1")._3 >= 0.0 && out("s2")._3 >= 0.0)
+    assert(out("s2")._3 > out("s1")._3,
+      s"disjoint-vocab group must diverge more: ${out("s2")._3} vs ${out("s1")._3}")
+    // vocabK=4 holds all of a,b,x,y -> no OOV anywhere
+    assert(out("s1")._2 == 0L && out("s2")._2 == 0L)
+  }
+
+  test("sourceKl: the OOV bucket absorbs beyond-vocab tokens") {
+    // vocabK=1 -> only the global top word "a" is in-vocab
+    val out = kl(1, "s1" -> "a a a z", "s2" -> "a q r")
+    assert(out("s1")._2 == 1L, s"s1 OOV: ${out("s1")}")
+    assert(out("s2")._2 == 2L, s"s2 OOV: ${out("s2")}")
+  }
 }

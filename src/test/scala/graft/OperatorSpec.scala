@@ -446,4 +446,35 @@ class OperatorSpec extends AnyFunSuite {
       .count()
     assert(flagged == 3) // 9, 11, 1000 are all outside the degenerate IQR
   }
+
+  test("piiCounts finds emails, IPv4s, and phone numbers; clean text is untouched") {
+    val df = Seq(
+      (1L, "contact bob.smith+spam@example.co.uk or alice@test.org today"),
+      (2L, "server at 192.168.1.10 and 10.0.0.1 responded"),
+      (3L, "call +1 555 867 5309 or 44-555-123-4567 now"),
+      (4L, "a perfectly clean sentence with nothing to redact")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.piiCounts(col("text")).as("p"))
+      .select(col("doc_id"), col("p.n_email"), col("p.n_ipv4"), col("p.n_phone"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 0L, 0L)), s"emails: ${out(1L)}")
+    assert(out(2L) == ((0L, 2L, 0L)), s"ips: ${out(2L)}")
+    assert(out(3L)._3 == 2L, s"phones: ${out(3L)}")
+    assert(out(4L) == ((0L, 0L, 0L)), s"clean: ${out(4L)}")
+  }
+
+  test("redactPii replaces every hit with its tag and leaves clean text identical") {
+    val df = Seq(
+      (1L, "mail bob@example.com from 10.0.0.1"),
+      (2L, "a perfectly clean sentence")
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> from <IP>", s"redacted: ${out(1L)}")
+    assert(out(2L) == "a perfectly clean sentence")
+    // redaction is idempotent: tags contain no redactable syntax
+    val again = df.select(col("doc_id"), TextOps.redactPii(TextOps.redactPii(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == out)
+  }
 }
