@@ -923,6 +923,40 @@ object OracleSql {
     FROM n WHERE abs(jump_r) > 0.1 AND abs(jump_r) = nbr_max
   """
 
+  private val q52 = """
+    WITH sm AS (SELECT user_id, max(value) * 0.01 AS thr FROM events GROUP BY 1),
+    b AS (
+      SELECT e.user_id AS site, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
+        date_diff('second', date_trunc('day', e.ts), e.ts) AS sec,
+        CAST(round(e.value * 100) AS BIGINT) AS vc,
+        e.value AS v, e.event_id, sm.thr
+      FROM events e JOIN sm ON e.user_id = sm.user_id),
+    rs AS (
+      SELECT site, day,
+        min(CASE WHEN v > thr THEN h END) AS rise_h,
+        max(CASE WHEN v > thr THEN h END) AS set_h
+      FROM b GROUP BY 1, 2
+      HAVING max(CASE WHEN v > thr THEN h END) > min(CASE WHEN v > thr THEN h END)),
+    seg AS (
+      SELECT b.site, b.day,
+        (b.vc + lag(b.vc) OVER w) * (b.sec - lag(b.sec) OVER w) AS sc
+      FROM b JOIN rs ON b.site = rs.site AND b.day = rs.day
+      WHERE b.h >= rs.rise_h AND b.h <= rs.set_h
+      WINDOW w AS (PARTITION BY b.site, b.day ORDER BY b.sec, b.event_id)),
+    en AS (SELECT site, day, CAST(sum(sc) AS BIGINT) AS day_energy_vs FROM seg GROUP BY 1, 2),
+    g AS (
+      SELECT rs.site, rs.day, rs.rise_h, rs.set_h, en.day_energy_vs,
+        unnest(range(0, 12)) AS dil_slot,
+        (rs.set_h - rs.rise_h) / 12 AS dg
+      FROM rs JOIN en ON rs.site = en.site AND rs.day = en.day)
+    SELECT site, day, round(rise_h, 6) AS rise_h, round(set_h, 6) AS set_h,
+      day_energy_vs, CAST(dil_slot AS INT) AS dil_slot,
+      round(rise_h + dil_slot * dg, 6) AS bin_start_h,
+      round(rise_h + (dil_slot + 1) * dg, 6) AS bin_end_h
+    FROM g
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -2183,6 +2217,7 @@ object OracleSql {
     "q49_clipping_verdict" -> q49,
     "q50_filled_energy" -> q50,
     "q51_capacity_shifts" -> q51,
+    "q52_dilation_grid" -> q52,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

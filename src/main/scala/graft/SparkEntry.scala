@@ -955,6 +955,53 @@ object SparkEntry {
       .select(col("user_id"), col("day").cast("string").as("day"), col("jump_r"))
   }
 
+  /** Dilated-grid construction — the relational face of [[Dilation]]
+    * (reference `dilation.py:84-122`): per-day rise/set via the
+    * operator's own [[Dilation.riseSetTable]], daylight trapezoid
+    * energy, and the sunrise→sunset bin boundaries the dilation
+    * resamples onto. Hash-gated, so the geometry feeding the
+    * rows-only p02 fit is itself oracle-verified (the fit's
+    * energy-conservation against exactly this grid is `DilationSpec`).
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 12
+    val ev = Tables.events(s, dir)
+      .select(col("user_id").as("site"), col("ts"), col("value"), col("event_id"))
+    val rs = Dilation.riseSetTable(ev, "site", "ts", "value", 0.01)
+      .filter(col("set_h") > col("rise_h"))
+    // Trapezoid daylight integral in EXACT integer arithmetic
+    // (centi-value × seconds, ×2): with 600 s scan steps and 2-decimal
+    // values, many day totals are exact .xx5 rationals, so rounding a
+    // float total is tie-unstable across engines no matter the
+    // summation order. Integer segments sum exactly on both sides;
+    // day_energy_vs / 720000 is the value·hours quantity.
+    val base = ev.select(
+      col("site").cast("long").as("site"),
+      to_date(col("ts")).cast("string").as("day"),
+      TimeAxis.hourOfDay(col("ts")).as("h"),
+      TimeAxis.secondsOfDay(col("ts")).as("sec"),
+      round(col("value") * 100).cast("long").as("vc"),
+      col("event_id"))
+    val w = Window.partitionBy(col("site"), col("day")).orderBy(col("sec"), col("event_id"))
+    val energy = SideJoin.back(base, rs, Seq("site", "day"))
+      .filter(col("h") >= col("rise_h") && col("h") <= col("set_h"))
+      .withColumn("seg_c",
+        (col("vc") + lag(col("vc"), 1).over(w)) * (col("sec") - lag(col("sec"), 1).over(w)))
+      .groupBy(col("site"), col("day"))
+      .agg(sum(col("seg_c")).cast("long").as("day_energy_vs"))
+    SideJoin.back(rs, energy, Seq("site", "day"))
+      .select(col("site"), col("day"), col("rise_h"), col("set_h"), col("day_energy_vs"),
+        explode(sequence(lit(0), lit(nBins - 1))).as("dil_slot"),
+        ((col("set_h") - col("rise_h")) / nBins).as("dg"))
+      .select(
+        col("site"), col("day"),
+        round(col("rise_h"), 6).as("rise_h"),
+        round(col("set_h"), 6).as("set_h"),
+        col("day_energy_vs"), col("dil_slot"),
+        round(col("rise_h") + col("dil_slot") * col("dg"), 6).as("bin_start_h"),
+        round(col("rise_h") + (col("dil_slot") + 1) * col("dg"), 6).as("bin_end_h"))
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -1999,6 +2046,7 @@ object SparkEntry {
     "q49_clipping_verdict" -> (q49 _),
     "q50_filled_energy" -> (q50 _),
     "q51_capacity_shifts" -> (q51 _),
+    "q52_dilation_grid" -> (q52 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

@@ -85,12 +85,11 @@ object Shade {
       shadeThreshold: Double = 0.25
   ): DataFrame = {
     import spark.implicits._
-    // Persist the per-site profile as an RDD, not a DataFrame cache:
-    // both downstream jobs (Gram treeAggregate, final projection) read
-    // it, and an RDD persist is released by the ContextCleaner as soon
-    // as the result of this call goes out of scope — a DataFrame-level
-    // .cache() would pin partitions in the CacheManager for the life of
-    // the session (it leaked across repeated pcaShade calls).
+    // Persist the per-site profile as an RDD: both downstream jobs
+    // (Gram treeAggregate, final projection) read it. Released
+    // explicitly in the finally below — not left to ContextCleaner GC,
+    // which in a long-lived session holds the partitions until an
+    // eventual driver GC cycle.
     val prof = dilated
       .groupBy(col("site"), col("dil_slot"))
       .agg(percentile(col("dil_value"), lit(0.5)).as("med_v"))
@@ -103,7 +102,8 @@ object Shade {
       .persist()
 
     val n2 = nBins * nBins
-    val gramFlat = prof.map(_._2).treeAggregate(new Array[Double](n2))(
+    try {
+      val gramFlat = prof.map(_._2).treeAggregate(new Array[Double](n2))(
       (acc, p) => {
         var i = 0
         while (i < nBins) {
@@ -114,39 +114,48 @@ object Shade {
         }
         acc
       },
-      (a, b) => { var i = 0; while (i < n2) { a(i) += b(i); i += 1 }; a }
-    )
-    val gramB = spark.sparkContext.broadcast(gramFlat)
+        (a, b) => { var i = 0; while (i < n2) { a(i) += b(i); i += 1 }; a }
+      )
+      val gramB = spark.sparkContext.broadcast(gramFlat)
 
-    prof
-      .flatMap { case (site, p) =>
-        val g = gramB.value
-        val loo = Array.tabulate(nBins, nBins) { (i, j) =>
-          val pi = if (i < p.length) p(i) else 0.0
-          val pj = if (j < p.length) p(j) else 0.0
-          g(i * nBins + j) - pi * pj
+      val out = prof
+        .flatMap { case (site, p) =>
+          val g = gramB.value
+          val loo = Array.tabulate(nBins, nBins) { (i, j) =>
+            val pi = if (i < p.length) p(i) else 0.0
+            val pj = if (j < p.length) p(j) else 0.0
+            g(i * nBins + j) - pi * pj
+          }
+          // drop eigenpairs far below the top eigenvalue: a rank-deficient
+          // leave-one-out Gram (tiny fleet) must not contribute numerical
+          // noise directions to the projection basis
+          val pairs = Kernels.topEigen(loo, k)
+          val lambdaMax = if (pairs.nonEmpty) pairs(0)._1 else 0.0
+          val vs = pairs.filter(_._1 > lambdaMax * 1e-9).map(_._2)
+          val coefs = vs.map { v =>
+            var s = 0.0; var i = 0
+            while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
+            s
+          }
+          p.indices.map { i =>
+            var recon = 0.0
+            var j = 0
+            while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
+            val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
+            (site, i, p(i), recon, frac)
+          }
         }
-        // drop eigenpairs far below the top eigenvalue: a rank-deficient
-        // leave-one-out Gram (tiny fleet) must not contribute numerical
-        // noise directions to the projection basis
-        val pairs = Kernels.topEigen(loo, k)
-        val lambdaMax = if (pairs.nonEmpty) pairs(0)._1 else 0.0
-        val vs = pairs.filter(_._1 > lambdaMax * 1e-9).map(_._2)
-        val coefs = vs.map { v =>
-          var s = 0.0; var i = 0
-          while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
-          s
-        }
-        p.indices.map { i =>
-          var recon = 0.0
-          var j = 0
-          while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
-          val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
-          (site, i, p(i), recon, frac)
-        }
-      }
-      .toDF("site", "dil_slot", "med_v", "recon_v", "shade_frac")
-      .withColumn("shaded", col("shade_frac") > shadeThreshold)
+        .toDF("site", "dil_slot", "med_v", "recon_v", "shade_frac")
+        .withColumn("shaded", col("shade_frac") > shadeThreshold)
+      // Run the projection NOW (eager localCheckpoint): the returned
+      // DataFrame then reads its own materialized partitions — sized
+      // fleet×nBins rows, alive exactly as long as the caller holds the
+      // result — and the finally can release prof and the Gram
+      // broadcast deterministically instead of waiting for driver GC.
+      out.localCheckpoint(true)
+    } finally {
+      prof.unpersist(blocking = false)
+    }
   }
 
   /** Per-site shade summary: fraction of slots shaded and the longest

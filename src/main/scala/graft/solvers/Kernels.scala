@@ -320,6 +320,23 @@ object Kernels {
     *                    variant (`signal_decompositions.py:188-226`)
     *                    used by capacity-change detection, robust to
     *                    outage-day outliers.
+    * @param sumCard     nonconvex cardinality penalty on jumps — the
+    *                    reference's `sum_card=True` QSS path
+    *                    (`_osd_signal_decompositions.py:85-104`, invoked
+    *                    with convex warm start at
+    *                    `data_handler.py:1356-1405`). The convex (ℓ1 /
+    *                    fused-lasso) solution is computed FIRST and used
+    *                    to warm-start graduated ℓ0 reweighting
+    *                    (w_i = δ²/(Δx_i² + δ²), δ shrinking), then a
+    *                    hard-threshold debias: detected breakpoints are
+    *                    frozen and each segment refit exactly (weighted
+    *                    mean / weighted median per segment) — so kept
+    *                    jumps pay NO shrinkage, the property that
+    *                    distinguishes SumCard from SumAbs. If the
+    *                    nonconvex pass degenerates (non-finite values),
+    *                    the convex solution is returned — the same
+    *                    fallback discipline the reference applies when
+    *                    QSS is unavailable.
     */
   def tvSeasonalFit(
       y: Array[Double],
@@ -329,7 +346,8 @@ object Kernels {
       period: Double = YearPeriod,
       outerIters: Int = 8,
       irlsIters: Int = 12,
-      l1Residual: Boolean = false
+      l1Residual: Boolean = false,
+      sumCard: Boolean = false
   ): (Array[Double], Array[Double]) = {
     val n = y.length
     var x = Array.fill(n)(median(y))
@@ -381,7 +399,83 @@ object Kernels {
       val _ = base
       outer += 1
     }
-    (x, s)
+    if (!sumCard) (x, s)
+    else {
+      val xCard = sumCardRefine(y, s, x, lambdaTv, l1Residual)
+      if (xCard.forall(java.lang.Double.isFinite)) (xCard, s) else (x, s)
+    }
+  }
+
+  /** Nonconvex SumCard refinement of a convex fused-lasso solution
+    * (see [[tvSeasonalFit]] `sumCard`): graduated ℓ0 reweighting
+    * (weights δ²/(Δx²+δ²) penalize SMALL diffs only, so surviving
+    * jumps stop paying shrinkage as δ → 0), then exact per-segment
+    * refit on the frozen breakpoint support.
+    */
+  private def sumCardRefine(
+      y: Array[Double],
+      s: Array[Double],
+      xWarm: Array[Double],
+      lambdaTv: Double,
+      l1Residual: Boolean
+  ): Array[Double] = {
+    val n = y.length
+    if (n < 3) return xWarm.clone()
+    val target = Array.tabulate(n)(i => y(i) - s(i))
+    var x = xWarm.clone()
+    val range = {
+      var mn = Double.MaxValue; var mx = Double.MinValue
+      var i = 0
+      while (i < n) { val v = target(i); if (v < mn) mn = v; if (v > mx) mx = v; i += 1 }
+      math.max(mx - mn, 1e-9)
+    }
+    var delta = 0.2 * range
+    var gnc = 0
+    while (gnc < 10) {
+      val rw =
+        if (l1Residual) Array.tabulate(n)(i => 1.0 / math.max(math.abs(target(i) - x(i)), 1e-3))
+        else Array.fill(n)(1.0)
+      val diag = new Array[Double](n)
+      val off = new Array[Double](n)
+      val rhs = new Array[Double](n)
+      var i = 0
+      while (i < n) { diag(i) = rw(i); rhs(i) = rw(i) * target(i); i += 1 }
+      i = 0
+      while (i < n - 1) {
+        val d = x(i + 1) - x(i)
+        // δ²/(Δx²+δ²): ≈1 for |Δx|≪δ (flatten), ≈0 for |Δx|≫δ (free jump)
+        val w = delta * delta / (d * d + delta * delta)
+        val lw = lambdaTv * w / math.max(delta, 1e-9) // scale keeps flattening pressure as δ shrinks
+        diag(i) += lw
+        diag(i + 1) += lw
+        off(i) = -lw
+        i += 1
+      }
+      x = Linalg.solveBandedSpd(Array(diag, off.take(n - 1) ++ Array(0.0)), rhs)
+      delta *= 0.6
+      gnc += 1
+    }
+    // breakpoint support: diffs that survived graduated flattening
+    val absDiffs = Array.tabulate(n - 1)(i => math.abs(x(i + 1) - x(i)))
+    val tau = math.max(3.0 * median(absDiffs.clone()), 1e-3 * range)
+    val out = new Array[Double](n)
+    var segStart = 0
+    var i = 0
+    while (i <= n - 1) {
+      val atBreak = i < n - 1 && absDiffs(i) > tau
+      if (atBreak || i == n - 1) {
+        val segEnd = i + 1 // exclusive
+        val seg = java.util.Arrays.copyOfRange(target, segStart, segEnd)
+        val v =
+          if (l1Residual) median(seg)
+          else { var sum = 0.0; var j = 0; while (j < seg.length) { sum += seg(j); j += 1 }; sum / seg.length }
+        var j = segStart
+        while (j < segEnd) { out(j) = v; j += 1 }
+        segStart = segEnd
+      }
+      i += 1
+    }
+    out
   }
 
   /** Full `l1_pwc_smoothper_trend` analog
@@ -635,6 +729,86 @@ object Kernels {
     }
     val soilLog = x.map(v => math.min(v, 0.0))
     (soilLog.map(math.exp), degrRate, seasonal.map(math.exp))
+  }
+
+  /** Randomized Monte-Carlo degradation-rate distribution with the
+    * reference's stabilization exit (`loss_factor_analysis.py:106-196`):
+    * each sample draws τ ~ U(0.85, 0.95), soiling stiffness
+    * ~ U(0.1, 1), and a random `fractionHold` day holdout (without
+    * replacement), refits [[soilingSeparation]], and records the
+    * annualized rate (%/yr). The loop exits when BOTH the last change
+    * and the mean of the last 10 changes of the running
+    * (P50, P2.5, P97.5) are within (medianTol, confidenceTol,
+    * confidenceTol) — after ≥ 20 samples, ≤ maxSamples. Seeded RNG:
+    * the draw sequence (and hence the result) is reproducible, which
+    * the reference dodges with wide test tolerances (SURVEY §7.5 #3).
+    *
+    * @return ((p50, p025, p975) in %/yr, samples drawn, converged)
+    */
+  def mcDegradationRate(
+      energy: Array[Double],
+      t: Array[Double],
+      seed: Long,
+      maxSamples: Int = 500,
+      medianTol: Double = 5e-3,
+      confidenceTol: Double = 1e-2,
+      fractionHold: Double = 0.2,
+      period: Double = YearPeriod,
+      harmonics: Int = 2
+  ): (Array[Double], Int, Boolean) = {
+    val n = energy.length
+    require(n >= 20, s"need >= 20 days for MC resampling, got $n")
+    val rng = new scala.util.Random(seed)
+    val degs = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var prevStats: Array[Double] = null
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def runningStats(): Array[Double] = {
+      val sorted = degs.toArray.sorted
+      def q(p: Double): Double = {
+        val pos = p * (sorted.length - 1)
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, sorted.length - 1)
+        sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+      }
+      Array(q(0.5), q(0.025), q(0.975))
+    }
+    var counter = 0
+    var smallNow = false
+    var smallWindow = false
+    while (!(smallNow && smallWindow) && counter <= maxSamples) {
+      val tau = 0.85 + 0.10 * rng.nextDouble()
+      val stiffness = 0.1 + 0.9 * rng.nextDouble()
+      // random holdout without replacement: partial Fisher–Yates
+      val ixs = Array.tabulate(n)(identity)
+      val nHold = (n * fractionHold).toInt
+      var i = 0
+      while (i < nHold) {
+        val j = i + rng.nextInt(n - i)
+        val tmp = ixs(i); ixs(i) = ixs(j); ixs(j) = tmp
+        i += 1
+      }
+      val keep = ixs.drop(nHold).sorted
+      val (_, rate, _) = soilingSeparation(
+        keep.map(energy), keep.map(t),
+        period = period, harmonics = harmonics,
+        lambdaTv = 0.05 * stiffness, tau = tau)
+      degs += 100.0 * (math.exp(rate * 365.2425) - 1.0) // %/yr
+      val stats = runningStats()
+      if (prevStats != null)
+        diffs += Array.tabulate(3)(k => math.abs(stats(k) - prevStats(k)))
+      prevStats = stats
+      counter += 1
+      if (counter >= 20 && diffs.nonEmpty) {
+        val tol = Array(medianTol, confidenceTol, confidenceTol)
+        val last = diffs.last
+        smallNow = (0 until 3).forall(k => last(k) <= tol(k))
+        val window = diffs.takeRight(10)
+        smallWindow = (0 until 3).forall { k =>
+          window.map(_(k)).sum / window.length <= tol(k)
+        }
+      }
+    }
+    (prevStats, counter, smallNow && smallWindow)
   }
 
   /** Two-state Viterbi dynamic program for clear-sky labeling

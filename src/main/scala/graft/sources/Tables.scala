@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Readers for the harness tables (one parquet file per table under an
@@ -14,10 +14,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
-  /** The harness parquet stores timestamps as INT64 TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects. Read them as long nanos
-    * (`nanosAsLong`) and convert to TimestampType via exact integer
-    * division to microseconds.
+  /** The harness parquet has shipped timestamps as INT64 TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as long nanos via
+    * `nanosAsLong` and divide to micros) and, in later generations, as
+    * `timestamp[us] isAdjustedToUTC=0`, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize BOTH to plain TimestampType here so no
+    * downstream operator ever sees the writer's type choice: the session
+    * zone is pinned to UTC (GraftSession), so `NTZ → TIMESTAMP` is an
+    * exact relabeling of the same micros value, and strict functions
+    * like `unix_micros` keep working.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -29,11 +34,21 @@ object Tables {
       "orders" -> Seq("o_orderdate"),
       "lineitem" -> Seq("l_shipdate")
     ).getOrElse(name, Seq.empty)
-    tsCols.foldLeft(df) { (d, c) =>
+    val converted = tsCols.foldLeft(df) { (d, c) =>
       if (d.schema.fieldNames.contains(c) && d.schema(c).dataType == LongType)
         d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
       else d
     }
+    normalizeNtz(converted)
+  }
+
+  /** Cast every TIMESTAMP_NTZ column to TIMESTAMP. Exact under the UTC
+    * session zone; a scan-side projection, so pushdown/pruning survive.
+    */
+  def normalizeNtz(df: DataFrame): DataFrame = {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType).map(_.name)
+    if (ntz.isEmpty) df
+    else df.withColumns(ntz.map(c => c -> col(c).cast(TimestampType)).toMap)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

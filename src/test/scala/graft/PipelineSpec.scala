@@ -37,6 +37,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(stepSite.capacityChanges >= 1, s"capacityChanges ${stepSite.capacityChanges}")
   }
 
+  test("seeded MC degradation sampler reproduces the reference's stabilization exit") {
+    // reference `loss_factor_analysis.py:106-196`: random (τ, stiffness,
+    // 20% holdout) samples until P50/P2.5/P97.5 running stats stabilize
+    // (last change AND 10-sample mean change within tolerance), ≥ 20
+    // and ≤ 500 samples. Two years of daily energy with a known −15%/yr
+    // exponential degradation + weekly seasonality + noise.
+    import graft.solvers.Kernels
+    val n = 730
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(42)
+    val truthRate = math.log(0.85) / 365.2425 // −15%/yr in per-day log space
+    val energy = t.map { d =>
+      10.0 * math.exp(truthRate * d) *
+        (1.0 + 0.05 * math.sin(2 * math.Pi * d / 7.0)) *
+        (1.0 - 0.03 * rng.nextDouble())
+    }
+    val (stats, samples, converged) =
+      Kernels.mcDegradationRate(energy, t, seed = 7L, period = 7.0, harmonics = 2)
+    assert(converged, s"MC did not stabilize within 500 samples (drew $samples)")
+    assert(samples >= 20 && samples <= 500, s"samples $samples")
+    assert(stats(1) <= stats(0) && stats(0) <= stats(2),
+      s"interval not ordered: (${stats(1)}, ${stats(0)}, ${stats(2)})")
+    // annualized %/yr estimate lands near the injected −15%/yr
+    assert(math.abs(stats(0) - (-15.0)) < 3.0, s"P50 ${stats(0)} vs −15%/yr")
+    // seeded: same seed, same draw sequence, same result
+    val (stats2, samples2, _) =
+      Kernels.mcDegradationRate(energy, t, seed = 7L, period = 7.0, harmonics = 2)
+    assert(samples2 == samples && stats2.sameElements(stats), "seeded run not reproducible")
+  }
+
   test("pipeline is best-effort per site: degenerate site reports errors, not exceptions") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

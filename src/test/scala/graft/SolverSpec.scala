@@ -72,6 +72,42 @@ class SolverSpec extends AnyFunSuite {
     assert(math.abs(left - right) > 2.0, s"left $left right $right")
   }
 
+  test("tvSeasonalFit sumCard keeps jumps unshrunk and flattens segments (reference sum_card path)") {
+    // the reference's nonconvex sum_card formulation
+    // (_osd_signal_decompositions.py:85-104, convex-warm-started at
+    // data_handler.py:1356-1405): same fixture structure as its
+    // l2_l1d1_l2d2p365 tests — seasonal + piecewise-constant with two
+    // known steps — asserting the property SumCard buys over SumAbs:
+    // kept jumps pay no shrinkage, flat segments are exactly flat.
+    val n = 400
+    val t = Array.tabulate(n)(_.toDouble)
+    val rng = new scala.util.Random(7)
+    def level(d: Double): Double = if (d < 150) 10.0 else if (d < 280) 7.5 else 9.0
+    val y = t.map { d =>
+      level(d) + 0.6 * math.sin(2 * math.Pi * d / 30.0) + rng.nextGaussian() * 0.08
+    }
+    val (pwcCvx, _) = Kernels.tvSeasonalFit(y, t, lambdaTv = 20.0, harmonics = 3, period = 30.0)
+    val (pwcCard, sCard) =
+      Kernels.tvSeasonalFit(y, t, lambdaTv = 20.0, harmonics = 3, period = 30.0, sumCard = true)
+    assert(sCard.length == n && pwcCard.length == n)
+
+    // each segment's recovered level is unshrunk (within noise of truth)
+    val segs = Seq((10, 140, 10.0), (160, 270, 7.5), (290, 390, 9.0))
+    segs.foreach { case (a, b, truth) =>
+      val m = pwcCard.slice(a, b).sum / (b - a)
+      assert(math.abs(m - truth) < 0.1, s"segment [$a,$b) mean $m vs $truth")
+    }
+    // cardinality: exactly the true breakpoints survive (2 jumps)
+    val jumps = (0 until n - 1).count(i => math.abs(pwcCard(i + 1) - pwcCard(i)) > 1e-9)
+    assert(jumps == 2, s"expected 2 jumps, got $jumps")
+    // within-segment flatness is EXACT (piecewise-constant refit), which
+    // the convex TV solution does not achieve
+    val flatCard = pwcCard.slice(20, 120).distinct.length
+    assert(flatCard == 1, s"sumCard segment not exactly flat: $flatCard levels")
+    val cvxJumps = (0 until n - 1).count(i => math.abs(pwcCvx(i + 1) - pwcCvx(i)) > 1e-9)
+    assert(cvxJumps > jumps, s"convex TV should wiggle more ($cvxJumps) than sumCard ($jumps)")
+  }
+
   test("optimizeTvWeight picks from the grid and still finds the step") {
     val n = 300
     val t = Array.tabulate(n)(_.toDouble)
