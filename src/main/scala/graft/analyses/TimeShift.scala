@@ -18,8 +18,15 @@ object TimeShift {
   /** Per-day shift table: (site, day, shift_h, roll_slots).
     * Solar noon per day → pwc+seasonal fit → shift = pwc − its
     * median, rounded to the slot grid.
+    *
+    * @param sumCard use the nonconvex cardinality-penalized pwc fit
+    *   (the reference's QSS `sum_card=True` re-solve after the convex
+    *   pass, `data_handler.py:1356-1405`): shift plateaus come out
+    *   exactly flat and jump unshrunk, at the cost of a nonconvex
+    *   refinement per site. Default false — the reference's default
+    *   CLARABEL (convex) path.
     */
-  def detect(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String, slotsPerDay: Int): DataFrame = {
+  def detect(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String, slotsPerDay: Int, sumCard: Boolean = false): DataFrame = {
     import spark.implicits._
     val com = df
       .groupBy(col(site).cast("long").as("site"), to_date(col(tsCol)).cast("string").as("day"))
@@ -44,7 +51,7 @@ object TimeShift {
           // weekly basis: periodic within any window, so it cannot
           // absorb a one-time clock-shift step (a 365 d basis over a
           // shorter span is non-periodic and would eat the step)
-          val (pwc, _) = Kernels.tvSeasonalFit(y, t, lambdaTv = 10.0, harmonics = 1, period = 7.0)
+          val (pwc, _) = Kernels.tvSeasonalFit(y, t, lambdaTv = 10.0, harmonics = 1, period = 7.0, sumCard = sumCard)
           val base = Kernels.median(pwc)
           days.indices.iterator.map { i =>
             val shiftH = pwc(i) - base

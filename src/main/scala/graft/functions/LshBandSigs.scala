@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, QuaternaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression
+  * `graft_lsh_band_sigs(text, k, numHashes, rowsPerBand)` →
+  * `array<struct<band:int, band_sig:string>>`: the complete per-row
+  * MinHash band-signature computation (distinct k-shingles → md5
+  * base hash → universal-hash min-fold → per-band digest) as ONE
+  * tight JVM loop.
+  *
+  * Exists because the streaming dedup twins need the signature as a
+  * scalar column (one stateful operator per streaming query — the
+  * signature must arrive at the state op already formed, so the batch
+  * path's shingle-row AGGREGATION is unavailable), and the
+  * composed-builtin version (`transform` → `aggregate` min-fold per
+  * hash index) evaluates ~10⁴ interpreted lambda steps per document —
+  * measured 63 s for 5 000 docs at sf0.1 where this expression and
+  * the batch aggregation path both run in ~1 s.
+  *
+  * Byte-identical to `Dedup.lshBandsFromShingles` (and the previous
+  * builtin composition): same md5-prefix base hash mod 2³¹−1
+  * (`Dedup.baseHash31`), same `(a·h+b) mod p` family seeded from the
+  * hash index (`Dedup.universalHash`), same
+  * `md5(concat_ws(",", mh_j…))` digest in j order — `DocStreamSpec`
+  * asserts the parity.
+  */
+case class LshBandSigs(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band", IntegerType, nullable = false),
+      StructField("band_sig", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_lsh_band_sigs"
+
+  override protected def nullSafeEval(t: Any, kv: Any, nh: Any, rpb: Any): Any =
+    LshBandSigs.compute(
+      t.asInstanceOf[UTF8String],
+      kv.asInstanceOf[Int],
+      nh.asInstanceOf[Int],
+      rpb.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, nh, rpb) =>
+      s"graft.functions.LshBandSigs.compute($t, $k, $nh, $rpb)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression, newFourth: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird, fourth = newFourth)
+}
+
+object LshBandSigs {
+  private val P = 2147483647L // Mersenne prime 2^31 - 1 (Dedup.MersennePrime31)
+
+  private def hex(digest: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < digest.length) {
+      sb.append(Character.forDigit((digest(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(digest(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, k: Int, numHashes: Int, rowsPerBand: Int): ArrayData = {
+    require(k >= 1 && numHashes >= 1 && rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"graft_lsh_band_sigs: bad params k=$k numHashes=$numHashes rowsPerBand=$rowsPerBand")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // universal-hash coefficients per hash index (Dedup.universalHash)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      as(j) = (1103515245L * (j + 1)) % P
+      bs(j) = (69069L * (j + 1) + 12345L) % P
+      j += 1
+    }
+    val mh = Array.fill(numHashes)(Long.MaxValue)
+
+    // distinct k-shingles over CODE POINTS (Spark substr semantics);
+    // a string shorter than k contributes its single truncated shingle
+    val s = text.toString
+    val nCp = Character.codePointCount(s, 0, s.length)
+    val nShingles = math.max(nCp - k + 1, 1)
+    val seen = new java.util.HashSet[String](nShingles * 2)
+    var start = 0 // UTF-16 offset of shingle start
+    var i = 0
+    while (i < nShingles) {
+      val endCp = math.min(i + k, nCp)
+      val end = s.offsetByCodePoints(start, endCp - i)
+      val shingle = s.substring(start, end)
+      if (seen.add(shingle)) {
+        // baseHash31: first 12 hex chars of md5 (= first 6 digest
+        // bytes, big-endian) parsed base-16, mod P
+        val digest = md.digest(shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h48 = 0L
+        var b = 0
+        while (b < 6) { h48 = (h48 << 8) | (digest(b) & 0xffL); b += 1 }
+        val h31 = h48 % P
+        j = 0
+        while (j < numHashes) {
+          val v = (as(j) * h31 + bs(j)) % P
+          if (v < mh(j)) mh(j) = v
+          j += 1
+        }
+      }
+      if (i + 1 < nShingles) start = s.offsetByCodePoints(start, 1)
+      i += 1
+    }
+
+    val numBands = numHashes / rowsPerBand
+    val rows = new Array[Any](numBands)
+    var band = 0
+    while (band < numBands) {
+      val sb = new java.lang.StringBuilder(rowsPerBand * 11)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mh(band * rowsPerBand + r))
+        r += 1
+      }
+      val sig = hex(md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      rows(band) = InternalRow(band, UTF8String.fromString(sig))
+      band += 1
+    }
+    new GenericArrayData(rows)
+  }
+}

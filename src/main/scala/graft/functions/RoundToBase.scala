@@ -86,6 +86,11 @@ object GraftFunctions {
       buildDeflateRatio,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lsh_band_sigs",
+      buildLshBandSigs,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
@@ -100,6 +105,13 @@ object GraftFunctions {
 
   def buildDeflateRatio(exprs: Seq[Expression]): Expression =
     DeflateRatio(Cast(exprs(0), org.apache.spark.sql.types.StringType))
+
+  def buildLshBandSigs(exprs: Seq[Expression]): Expression =
+    LshBandSigs(
+      Cast(exprs(0), org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.IntegerType),
+      Cast(exprs(2), org.apache.spark.sql.types.IntegerType),
+      Cast(exprs(3), org.apache.spark.sql.types.IntegerType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -142,6 +154,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[DeflateRatio].getName, "graft_deflate_ratio"),
         (exprs: Seq[Expression]) => GraftFunctions.buildDeflateRatio(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_lsh_band_sigs"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[LshBandSigs].getName, "graft_lsh_band_sigs"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildLshBandSigs(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -48,24 +48,16 @@ object DocStream {
     * fold → per-band md5 digest. Byte-identical to the batch
     * `lshBandsFromShingles` signatures (same hash family, same
     * `md5(concat_ws(",", mh_j…))` in j order).
+    *
+    * Delegates to the native `graft_lsh_band_sigs` expression
+    * ([[graft.functions.LshBandSigs]]): the same computation as a
+    * composition of `transform`/`aggregate` builtins evaluates ~10⁴
+    * interpreted lambda steps per document and measured 60× slower
+    * at sf0.1 — this is the profiled-hot-spot case SURVEY §7.4
+    * reserves the custom-`Expression` path for.
     */
-  def bandSigs(text: Column, k: Int, numHashes: Int, rowsPerBand: Int): Column = {
-    val shingles = array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(text) - (k - 1), lit(1))),
-        i => text.substr(i, lit(k))
-      )
-    )
-    val h31s = transform(shingles, s => Dedup.baseHash31(s))
-    val mh = (0 until numHashes).map { j =>
-      aggregate(h31s, lit(Long.MaxValue), (acc, h) => least(acc, Dedup.universalHash(h, lit(j))))
-    }
-    val bands = (0 until numHashes / rowsPerBand).map { b =>
-      val mhCols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(j => mh(j).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", mhCols: _*)).as("band_sig"))
-    }
-    array(bands: _*)
-  }
+  def bandSigs(text: Column, k: Int, numHashes: Int, rowsPerBand: Int): Column =
+    call_function("graft_lsh_band_sigs", text, lit(k), lit(numHashes), lit(rowsPerBand))
 
   case class DocVerdict(doc_id: Long, fp: String, is_dup: Boolean, rep_id: Long)
 

@@ -106,6 +106,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_rolling_hashes(NULL, 3) IS NULL AS ok").as[Boolean].head())
   }
 
+  test("graft_lsh_band_sigs equals the batch shingle-aggregation signatures, incl. edge strings") {
+    GraftFunctions.register(spark)
+    // ground truth: the batch path (charShingles → min-aggregate →
+    // band digest) on the same texts — the operator DocStream twins
+    // must stay interchangeable with
+    val texts = Seq("", "a", "ab", "abc", "hello world hello world",
+      "héllo wörld 中文 🙂 mix", "x" * 300, "the quick brown fox")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = graft.operators.Dedup
+      .lshBandsFromShingles(graft.operators.Dedup.charShingles(df, "doc_id", "text", 3), "doc_id", 8, 4)
+      .select(col("doc_id"), col("band"), col("band_sig"))
+      .as[(Long, Int, String)].collect().toSet
+    val native = df
+      .select(col("doc_id"), explode(expr("graft_lsh_band_sigs(text, 3, 8, 4)")).as("bs"))
+      .select(col("doc_id"), col("bs.band"), col("bs.band_sig"))
+      .as[(Long, Int, String)].collect().toSet
+    assert(native == batch, s"native ${native.size} vs batch ${batch.size}")
+    // null in, null out
+    assert(spark.sql("SELECT graft_lsh_band_sigs(NULL, 3, 8, 4) IS NULL AS ok").as[Boolean].head())
+  }
+
   test("rollingMinhashSig signatures survive whole-stage codegen over a large frame") {
     GraftFunctions.register(spark)
     // same signature from the codegen'd scan twice (determinism) and

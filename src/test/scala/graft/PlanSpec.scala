@@ -75,6 +75,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "q50 lost the day-grain broadcasts")
   }
 
+  test("dilation-grid side tables broadcast; bin explosion sits above the day grain (q52)") {
+    // rise/set and day-energy are (site, day)-grain side tables — they
+    // broadcast onto each other, and the 12-bin Generate multiplies
+    // the DAY table, never the raw event scan
+    val p = planOf("q52_dilation_grid")
+    assert(p.contains("BroadcastHashJoin"), "q52 lost the day-grain broadcast join")
+    assert(!p.contains("CartesianProduct"), "q52 planned a cartesian product")
+    val plan = SparkEntry.queries("q52_dilation_grid")(spark, dir).queryExecution.sparkPlan
+    val gens = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected the bin-sequence Generate")
+    gens.foreach { g =>
+      val hasAggBelow = g.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow, "q52 explodes the raw scan instead of the day-grain table")
+    }
+  }
+
   test("grid search stays single-scan: no row explosion before aggregation (q38)") {
     // the threshold grid is evaluated as conditional aggregate columns;
     // every Generate (explode) must sit DOWNSTREAM of an aggregate —

@@ -38,4 +38,29 @@ class TimeShiftSpec extends AnyFunSuite {
     val comEarly = corrected.filter(col("day") < "2024-03-01").agg(avg("com_slot")).as[Double].head()
     assert(math.abs(comLate - comEarly) < 1.0, s"com late $comLate early $comEarly")
   }
+
+  test("sumCard detect yields exactly-flat shift plateaus (reference QSS re-solve)") {
+    val slotsPerDay = 48
+    val fleet = Synth.pvFleet(spark, nSites = 1, nDays = 120, slotsPerDay = slotsPerDay)
+    val shifted = fleet.withColumn(
+      "ts",
+      when(col("day") >= 60, col("ts") + expr("INTERVAL 2 HOURS")).otherwise(col("ts"))
+    )
+    val shifts = TimeShift
+      .detect(spark, shifted, "site", "ts", "power", slotsPerDay, sumCard = true)
+      .cache()
+    // the cardinality penalty flattens the shift series to a handful of
+    // exactly-constant segments (the detected breakpoint may sit a day
+    // or two off the injected one); the convex TV path wiggles instead
+    val nLevelsCard = shifts.agg(countDistinct(round(col("shift_h"), 6))).as[Long].head()
+    assert(nLevelsCard <= 4, s"sumCard shift series has $nLevelsCard distinct levels")
+    val nLevelsCvx = TimeShift
+      .detect(spark, shifted, "site", "ts", "power", slotsPerDay)
+      .agg(countDistinct(round(col("shift_h"), 6))).as[Long].head()
+    assert(nLevelsCvx > nLevelsCard,
+      s"convex path ($nLevelsCvx levels) should wiggle more than sumCard ($nLevelsCard)")
+    val lateDays = shifts.filter(col("day") >= "2024-03-01").agg(avg("roll_slots")).as[Double].head()
+    val earlyDays = shifts.filter(col("day") < "2024-03-01").agg(avg("roll_slots")).as[Double].head()
+    assert(math.abs((lateDays - earlyDays) - 4.0) < 1.0, s"late $lateDays early $earlyDays")
+  }
 }
