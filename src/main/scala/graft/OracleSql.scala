@@ -957,6 +957,19 @@ object OracleSql {
     FROM g
   """
 
+  private val q53 = """
+    WITH prof AS (
+      SELECT user_id AS site,
+        CAST(floor(date_diff('second', date_trunc('day', ts), ts) / 3600.0) AS INT) AS slot,
+        CAST(round(quantile_cont(value, 0.5) * 1000) AS BIGINT) AS pm
+      FROM events GROUP BY 1, 2)
+    SELECT a.slot AS i, b.slot AS j,
+      CAST(sum(a.pm * b.pm) AS BIGINT) AS g_m6,
+      count(*) AS n_sites
+    FROM prof a JOIN prof b ON a.site = b.site
+    GROUP BY 1, 2
+  """
+
   private val d01 = s"""
     SELECT source, count(*) AS n_docs,
       count(DISTINCT $fp) AS n_distinct,
@@ -2218,6 +2231,7 @@ object OracleSql {
     "q50_filled_energy" -> q50,
     "q51_capacity_shifts" -> q51,
     "q52_dilation_grid" -> q52,
+    "q53_profile_gram" -> q53,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

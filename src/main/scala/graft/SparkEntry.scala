@@ -1002,6 +1002,30 @@ object SparkEntry {
         round(col("rise_h") + (col("dil_slot") + 1) * col("dg"), 6).as("bin_end_h"))
   }
 
+  /** Fleet-Gram construction — the relational face of the PCA-shade
+    * basis (p04 / [[graft.analyses.Shade.pcaShade]], reference
+    * `algorithms/shade.py:351-410`): per-site hour-slot median
+    * profile, then the Gram matrix G[i,j] = Σ_site p_i·p_j as a
+    * site-keyed self-join + pair aggregation. Hash-gated: the same
+    * median-profile × outer-product arithmetic the p04 treeAggregate
+    * computes, verified value-exact against DuckDB (profiles scaled
+    * to exact 1e-3 integers — medians are multiples of 0.005 on
+    * 2-decimal data, so the Gram sums stay integer and tie-free).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.events(s, dir)
+      .groupBy(col("user_id").as("site"),
+        floor(TimeAxis.secondsOfDay(col("ts")) / lit(3600.0)).cast("int").as("slot"))
+      .agg(round(percentile(col("value"), lit(0.5)) * 1000).cast("long").as("pm"))
+    val a = prof.select(col("site"), col("slot").as("i"), col("pm").as("pi"))
+    val b = prof.select(col("site"), col("slot").as("j"), col("pm").as("pj"))
+    a.join(b, Seq("site"))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        sum(col("pi") * col("pj")).cast("long").as("g_m6"),
+        count(lit(1)).as("n_sites"))
+  }
+
   /** Skew-salted aggregation (hot-key mitigation): the two-phase
     * salted plan must produce byte-identical results to the direct
     * groupBy — the oracle is the plain aggregation, so this query
@@ -2047,6 +2071,7 @@ object SparkEntry {
     "q50_filled_energy" -> (q50 _),
     "q51_capacity_shifts" -> (q51 _),
     "q52_dilation_grid" -> (q52 _),
+    "q53_profile_gram" -> (q53 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
