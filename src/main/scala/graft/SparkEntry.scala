@@ -1797,6 +1797,24 @@ object SparkEntry {
       "vec_id", "embedding", nprobe = 2, k = 3)
   }
 
+  /** PQ encode + ADC with DETERMINISTIC data-derived codebooks (no
+    * Lloyd's): codeword `j` of subspace `s` is the s-th 16-dim slice
+    * of the corpus vector with the j-th smallest `vec_id` — exactly
+    * the trainer's init state (`Similarity.pqTrain` with 0
+    * iterations). With training removed, every number on the PQ
+    * serving path — code-assignment argmin at 4-dp HALF_UP, LUT
+    * partial distances, ADC sums, the (distance, id) top-k
+    * tie-break — is exact relational arithmetic the DuckDB oracle
+    * replays, hash-gating the machinery that e10/e11's rows-only
+    * checks exercise behind trained books.
+    */
+  private def e15(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 0)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqAdcTopK(codes, books, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -2124,6 +2142,7 @@ object SparkEntry {
     "e11_ivf_pq" -> (e11 _),
     "e12_prototype_prune" -> (e12 _),
     "e13_ivf_recall" -> (e13 _),
+    "e15_pq_exact" -> (e15 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -116,6 +116,16 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("zero-iteration training returns the id-ordered init slices (e15's oracle contract)") {
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 0)
+    val first = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
+    for (s <- 0 until 4; j <- 0 until 8)
+      assert(books(s)(j).toSeq == first(j).slice(s * 16, (s + 1) * 16),
+        s"init codeword ($s,$j) is not the raw vector slice")
+  }
+
   test("encoding is independent of input partitioning") {
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 2)
     val a = Similarity.pqEncode(emb, "vec_id", "embedding", books)
