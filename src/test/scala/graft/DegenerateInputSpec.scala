@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyses.Pipeline
+import graft.operators.{DayStats, Dedup, Filling, Runs, Similarity, TimeAxis}
+import graft.solvers.Kernels
+
+/** Degenerate-input contracts: at fleet scale an empty site, a
+  * single-row site, an all-null value column, or a text shorter than
+  * the shingle width is a CERTAINTY, and an operator that throws on
+  * one turns a 1000-executor job into a retry storm. Every core
+  * entry point must map degenerate input to a sane (usually empty)
+  * result — never an exception.
+  */
+class DegenerateInputSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def emptySeries: DataFrame =
+    Seq.empty[(Long, Timestamp, Double)].toDF("site", "ts", "value")
+
+  private def oneRow: DataFrame =
+    Seq((1L, ts("2024-06-01 12:00:00"), 5.0)).toDF("site", "ts", "value")
+
+  test("time-axis operators on empty and single-row input") {
+    assert(TimeAxis.sortDedup(emptySeries, Seq("site"), "ts", "value").count() == 0)
+    assert(TimeAxis.inferFrequency(emptySeries, Seq("site"), "ts").count() == 0)
+    assert(TimeAxis.snapToGrid(emptySeries, Seq("site"), "ts", 300L, "value").count() == 0)
+    // one row has no deltas → no modal frequency row, but no throw
+    assert(TimeAxis.inferFrequency(oneRow, Seq("site"), "ts").count() == 0)
+    assert(TimeAxis.sortDedup(oneRow, Seq("site"), "ts", "value").count() == 1)
+    assert(TimeAxis.snapToGrid(oneRow, Seq("site"), "ts", 300L, "value").count() == 1)
+  }
+
+  test("interpolation leaves an all-null series null and an empty frame empty") {
+    val allNull = Seq[(Long, Long, Option[Double])]((1L, 0L, None), (1L, 1L, None), (1L, 2L, None))
+      .toDF("site", "x", "v")
+    val out = Filling.interpolateLinear(allNull, Seq("site"), "x", "v", "filled")
+    assert(out.count() == 3)
+    assert(out.filter(col("filled").isNotNull).count() == 0)
+    val empty = Seq.empty[(Long, Long, Option[Double])].toDF("site", "x", "v")
+    assert(Filling.interpolateLinear(empty, Seq("site"), "x", "v", "filled").count() == 0)
+  }
+
+  test("filled day grid on empty input is empty (rise/set medians never see a row)") {
+    assert(Filling.filledDayGrid(emptySeries, "site", "ts", "value", 288).count() == 0)
+  }
+
+  test("day statistics on empty input are empty, on one row are finite") {
+    assert(DayStats.capacity(emptySeries, "site", "value").count() == 0)
+    assert(DayStats.qualityFlags(emptySeries, "site", "ts", "value", 5L).count() == 0)
+    assert(DayStats.datasetScores(
+      DayStats.qualityFlags(emptySeries, "site", "ts", "value", 5L), "site").count() == 0)
+    val one = DayStats.capacity(oneRow, "site", "value").collect()
+    assert(one.length == 1 && one(0).getDouble(1) == 5.0)
+  }
+
+  test("IQR bounds and ECDF on a single row degenerate to that value") {
+    val b = Runs.iqrBounds(oneRow, Seq("site"), "value", 1.5).collect()
+    assert(b.length == 1)
+    val e = Runs.ecdf(oneRow, Seq("site"), "value", "ts").collect()
+    assert(e.length == 1)
+  }
+
+  test("dedup family: empty corpus and sub-shingle-width text") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.exactDupGroups(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.minhashSignatures(empty, "doc_id", "text", 5, 16).count() == 0)
+    // text shorter than the shingle width fingerprints as ONE
+    // whole-text shingle (charShingles floors the position range at
+    // 1): two identical short docs still become near-dup candidates
+    val shorts = Seq((1L, "ab"), (2L, ""), (3L, "ab")).toDF("doc_id", "text")
+    val sh = Dedup.charShingles(shorts, "doc_id", "text", 5)
+    assert(sh.count() == 3 &&
+      sh.filter(col("doc_id") === 1L).collect().map(_.getString(1)).toSeq == Seq("ab"))
+    assert(Dedup.minhashSignatures(shorts, "doc_id", "text", 5, 16).count() == 3 * 16)
+    // identical short docs land in identical LSH buckets
+    val cands = Dedup.lshCandidates(
+      Dedup.lshBandsFromShingles(sh, "doc_id", 16, 4), "doc_id").collect()
+    assert(cands.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 3L)))
+    // exact dedup still sees them (hash of the raw text)
+    assert(Dedup.exactDupGroups(shorts, "doc_id", "text").count() == 2)
+  }
+
+  test("similarity search with empty query or candidate set is empty") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(none, vecs, "vec_id", "embedding", 3).count() == 0)
+    assert(Similarity.cosineTopK(vecs, none, "vec_id", "embedding", 3).count() == 0)
+  }
+
+  test("solver kernels on tiny arrays return without throwing") {
+    // below the design-matrix rank → all-NaN, length preserved
+    val f1 = Kernels.quantileFourierFit(Array(1.0), Array(0.0), tau = 0.5, harmonics = 2, period = 7.0)
+    assert(f1.length == 1 && f1(0).isNaN)
+    val f2 = Kernels.quantileFourierFit(Array(1.0, 2.0), Array(0.0, 1.0), tau = 0.5, harmonics = 2, period = 7.0)
+    assert(f2.length == 2)
+    assert(Kernels.cdfPwlFit(Array(1.0)).length == 1)
+  }
+
+  test("per-site analysis handles a one-day site") {
+    val r = Pipeline.analyzeSite(7L, Array((7L, 0.0, 10.0, 0.9, 4.0, 12.0, 288L, 5.0)))
+    assert(r.site == 7L && r.nDays == 1)
+  }
+
+  test("fleet pipeline over an empty frame yields an empty report") {
+    assert(Pipeline.run(spark, emptySeries, "site", "ts", "value").count() == 0)
+  }
+}
