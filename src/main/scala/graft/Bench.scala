@@ -57,9 +57,51 @@ object Bench {
     val coldTotal = results.values.collect { case (c, _) if c >= 0 => c }.sum
 
     val streamJson = streamingLine(spark, sfDir)
+    val scaleJson = pipelineScaleLine(spark)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"cold_total":$coldTotal,"streaming":$streamJson,"sf":"$sfDir"}""")
+    // Field order matters: the harness archives only the TAIL of this
+    // line (observed 2000-char cap in the per-round artifacts, where
+    // "parsed" came back null every round) — so the corpus-sized
+    // "queries" map goes FIRST and every headline scalar (value,
+    // failed, streaming, pipeline_scale) goes LAST, where truncation
+    // cannot reach it. JSON key order is semantically irrelevant, so
+    // a full-line parse is unaffected.
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"streaming":$streamJson,"pipeline_scale":$scaleJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Apples-to-apples against the reference's one published number
+    * (25.99 s for the full pipeline on one 3-yr 1-minute site —
+    * 1,576,800 rows ≈ 60.7 k rows/s): run the full fleet pipeline on
+    * a synthetic site of exactly that shape, and on a 16-site fleet
+    * of the same shape (25.2 M rows) to show the horizontal axis the
+    * reference needs Dask for. The sf-dir tables stay the
+    * correctness/bench substrate; this line exists because at sf0.1
+    * (100 k rows) fixed job latency dominates and the per-row rate
+    * reads ~3× worse than the engine's actual throughput.
+    */
+  private[graft] def pipelineScaleLine(spark: SparkSession): String = {
+    try {
+      def run(nSites: Int): (Long, Double) = {
+        val df = graft.sources.Synth.pvFleet(spark, nSites, nDays = 1095, slotsPerDay = 1440)
+          .select(org.apache.spark.sql.functions.col("site"),
+            org.apache.spark.sql.functions.col("ts"),
+            org.apache.spark.sql.functions.col("power"))
+        val rows = nSites.toLong * 1095L * 1440L
+        val t0 = System.nanoTime()
+        val n = graft.analyses.Pipeline.run(spark, df, "site", "ts", "power").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(n == nSites, s"pipeline scale run returned $n reports for $nSites sites")
+        (rows, sec)
+      }
+      run(1) // warm the plan + JIT once at full row count
+      val (r1, s1) = run(1)
+      val (r16, s16) = run(16)
+      s"""{"single_site_rows":$r1,"single_site_sec":$s1,"single_site_rows_per_sec":${r1 / s1},""" +
+        s""""fleet16_rows":$r16,"fleet16_sec":$s16,"fleet16_rows_per_sec":${r16 / s16}}"""
+    } catch {
+      case scala.util.control.NonFatal(_) => """{"single_site_rows_per_sec":-1}"""
+    }
   }
 
   /** One streaming perf number: docs/sec through the stateful LSH
