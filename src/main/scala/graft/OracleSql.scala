@@ -1657,6 +1657,33 @@ object OracleSql {
     SELECT id, shard, CAST(pack_id AS INT) AS pack_id, tok_a, tok_b FROM packed
   """
 
+  // d33: initial BPE pair statistics. Pairs are overlapping adjacent
+  // symbol occurrences over (chars + '</w>'), weighted by the word
+  // histogram — the same counting Bpe.trainMerges does at iteration
+  // 0. The bounded range(1, 1000) cross join + i < length(word)
+  // filter stands in for a correlated lateral; words are
+  // whitespace-free so length is far below the bound.
+  private val d33 = s"""
+    WITH words AS (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
+      WHERE length(w) > 0 GROUP BY w),
+    prs AS (
+      SELECT cnt, substr(word, CAST(i AS INT), 1) AS lsym,
+             substr(word, CAST(i + 1 AS INT), 1) AS rsym
+      FROM words, (SELECT unnest(range(1, 1000)) AS i) t
+      WHERE i < length(word)
+      UNION ALL
+      SELECT cnt, substr(word, length(word), 1) AS lsym, '</w>' AS rsym FROM words),
+    agg AS (
+      SELECT lsym, rsym, CAST(sum(cnt) AS BIGINT) AS pair_cnt
+      FROM prs GROUP BY 1, 2)
+    SELECT CAST(rk AS INT) AS rk, lsym, rsym, pair_cnt FROM (
+      SELECT *, row_number() OVER (ORDER BY pair_cnt DESC, lsym ASC, rsym ASC) AS rk
+      FROM agg) t
+    WHERE rk <= 50
+  """
+
   private val d16 = s"""
     WITH words AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
@@ -2315,6 +2342,7 @@ object OracleSql {
     "d30_dsir_weights" -> d30,
     "d31_source_kl" -> d31,
     "d32_pii_scan" -> d32,
+    "d33_bpe_pairs" -> d33,
     "e14_matryoshka_recall" -> e14,
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,

@@ -1304,6 +1304,33 @@ object SparkEntry {
   private def d25(s: SparkSession, dir: String): DataFrame =
     Bpe.merges(s, Tables.documents(s, dir), "text", 40)
 
+  /** Initial BPE adjacent-pair statistics — the relational face of
+    * the tokenizer trainer (what d25's rows-only merge loop consumes
+    * at iteration 0): word histogram → per-word symbol pairs (chars +
+    * the end-of-word marker, overlapping occurrences each counted, as
+    * [[Bpe.trainMerges]] counts them) → histogram-weighted pair
+    * counts, top-50 by the trainer's own (count desc, pair lex)
+    * total order. Hash-gated: rank 1 here IS the trainer's first
+    * merge selection (`BpeSpec` asserts the tie), so the argmax
+    * driving every subsequent merge is cross-engine verified. The
+    * final window is over pair cardinality (bounded by charset², not
+    * corpus) — no scale concern.
+    */
+  private def d33(s: SparkSession, dir: String): DataFrame = {
+    val hist = Bpe.wordHistogram(Tables.documents(s, dir), "text")
+    val w = Window.orderBy(col("pair_cnt").desc, col("lsym").asc, col("rsym").asc)
+    hist
+      .withColumn("syms", expr(
+        s"concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('${Bpe.Eow}'))"))
+      .select(col("cnt"),
+        explode(expr("transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS lsym, syms[i+1] AS rsym))")).as("p"))
+      .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
+      .agg(sum(col("cnt")).as("pair_cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("rk"), col("lsym"), col("rsym"), col("pair_cnt"))
+  }
+
   /** BPE encoding under the trained merges: per-doc subword token
     * counts via a broadcast merge table and a per-partition word memo
     * (no shuffle over the corpus). Rows-only gate; `BpeSpec` pins the
@@ -2128,6 +2155,7 @@ object SparkEntry {
     "d30_dsir_weights" -> (d30 _),
     "d31_source_kl" -> (d31 _),
     "d32_pii_scan" -> (d32 _),
+    "d33_bpe_pairs" -> (d33 _),
     "e14_matryoshka_recall" -> (e14 _),
     "e01_cosine_topk" -> (e01 _),
     "e02_centroid_assign" -> (e02 _),

@@ -78,4 +78,16 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.merges(spark, docs.repartition(7), "text", 10).collect().toSeq.map(_.toSeq)
     assert(a == b)
   }
+
+  test("d33's rank-1 pair is the trainer's first merge selection") {
+    val dir = "/root/testdata/sf0.001"
+    val top = SparkEntry.queries("d33_bpe_pairs")(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("rk") === 1).collect()
+    assert(top.length == 1)
+    val first = Bpe.trainFromCorpus(
+      graft.sources.Tables.documents(spark, dir), "text", 1).head
+    assert((top(0).getString(1), top(0).getString(2), top(0).getLong(3)) ==
+      ((first._1, first._2, first._3)),
+      "relational pair argmax diverged from the merge loop's selection")
+  }
 }
