@@ -1660,9 +1660,9 @@ object OracleSql {
   // d33: initial BPE pair statistics. Pairs are overlapping adjacent
   // symbol occurrences over (chars + '</w>'), weighted by the word
   // histogram — the same counting Bpe.trainMerges does at iteration
-  // 0. The bounded range(1, 1000) cross join + i < length(word)
-  // filter stands in for a correlated lateral; words are
-  // whitespace-free so length is far below the bound.
+  // 0. The correlated lateral range is exact for ANY word length
+  // (a fixed position bound would silently diverge from the Spark
+  // side on a 1000+-char whitespace-free token).
   private val d33 = s"""
     WITH words AS (
       SELECT w AS word, count(*) AS cnt FROM (
@@ -1671,8 +1671,7 @@ object OracleSql {
     prs AS (
       SELECT cnt, substr(word, CAST(i AS INT), 1) AS lsym,
              substr(word, CAST(i + 1 AS INT), 1) AS rsym
-      FROM words, (SELECT unnest(range(1, 1000)) AS i) t
-      WHERE i < length(word)
+      FROM words, LATERAL (SELECT unnest(range(1, length(word))) AS i) t
       UNION ALL
       SELECT cnt, substr(word, length(word), 1) AS lsym, '</w>' AS rsym FROM words),
     agg AS (

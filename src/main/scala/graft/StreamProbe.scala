@@ -28,8 +28,7 @@ object StreamProbe {
         docs.select(col("doc_id"),
             explode(graft.streaming.DocStream.bandSigs(col("text"), 3, 32, 4)).as("bs"))
           .agg(count(col("bs.band_sig")), max(length(col("bs.band_sig"))))
-          .collect()
-        40000L
+          .collect()(0).getLong(0)
       }
     }
     // batch path signatures (shingle-row aggregation) for comparison

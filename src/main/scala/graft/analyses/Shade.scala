@@ -102,6 +102,7 @@ object Shade {
       .persist()
 
     val n2 = nBins * nBins
+    var gramB: org.apache.spark.broadcast.Broadcast[Array[Double]] = null
     try {
       val gramFlat = prof.map(_._2).treeAggregate(new Array[Double](n2))(
       (acc, p) => {
@@ -116,7 +117,7 @@ object Shade {
       },
         (a, b) => { var i = 0; while (i < n2) { a(i) += b(i); i += 1 }; a }
       )
-      val gramB = spark.sparkContext.broadcast(gramFlat)
+      gramB = spark.sparkContext.broadcast(gramFlat)
 
       val out = prof
         .flatMap { case (site, p) =>
@@ -155,6 +156,7 @@ object Shade {
       out.localCheckpoint(true)
     } finally {
       prof.unpersist(blocking = false)
+      if (gramB != null) gramB.destroy()
     }
   }
 

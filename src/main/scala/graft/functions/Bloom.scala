@@ -118,9 +118,11 @@ object Bloom {
     out
   }
 
-  /** Column form of the probe (requires `GraftFunctions.register`,
-    * which [[graft.GraftSession]] does): `contains(filterBytes, hash)`.
+  /** Column form of the probe: `contains(filterBytes, hash)`.
+    * Self-registering on the active session (`GraftFunctions.ensure`).
     */
-  def containsCol(filter: Array[Byte], hash: Column): Column =
+  def containsCol(filter: Array[Byte], hash: Column): Column = {
+    GraftFunctions.ensure()
     call_function("graft_bloom_contains", lit(filter), hash)
+  }
 }

@@ -92,7 +92,9 @@ object LshBandSigs {
     val s = text.toString
     val nCp = Character.codePointCount(s, 0, s.length)
     val nShingles = math.max(nCp - k + 1, 1)
-    val seen = new java.util.HashSet[String](nShingles * 2)
+    // capacity is only a hint: cap it so nShingles * 2 cannot overflow
+    // Int on a pathological multi-GB-character document
+    val seen = new java.util.HashSet[String](math.min(nShingles, 1 << 20) * 2)
     var start = 0 // UTF-16 offset of shingle start
     var i = 0
     while (i < nShingles) {

@@ -55,7 +55,29 @@ object GraftFunctions {
   def build(exprs: Seq[Expression]): Expression =
     RoundToBase(Cast(exprs(0), DoubleType), Cast(exprs(1), DoubleType))
 
+  // sessions already registered (weak keys: a stopped session must not
+  // be pinned by the guard) — lets library Column builders call
+  // [[ensure]] on every invocation without re-registering or spamming
+  // "replaced a previously registered function" warnings
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently register into the current active (or default)
+    * session. Library Column builders that resolve a graft function
+    * BY NAME (`call_function`) call this first, so a consumer holding
+    * a plain `SparkSession` — one that never went through
+    * `GraftSession.local` — still resolves the functions at analysis
+    * time instead of failing with "undefined function".
+    */
+  def ensure(): Unit =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach(ensure)
+
+  /** Session-explicit variant for call sites that hold a DataFrame. */
+  def ensure(spark: SparkSession): Unit =
+    if (registered.put(spark, java.lang.Boolean.TRUE) == null) register(spark)
+
   def register(spark: SparkSession): Unit = {
+    registered.put(spark, java.lang.Boolean.TRUE)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_round_to_base",
       build,

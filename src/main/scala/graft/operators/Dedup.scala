@@ -430,6 +430,7 @@ object Dedup {
     * below MinHash's own 1/√H sketch error.
     */
   def rollingMinhashSig(text: Column, k: Int, numHashes: Int): Column = {
+    graft.functions.GraftFunctions.ensure()
     val hset = array_distinct(call_function("graft_rolling_hashes", text, lit(k)))
     array((0 until numHashes).map { j =>
       aggregate(hset, lit(Long.MaxValue), (acc, h) => least(acc, universalHash(h, lit(j))))
@@ -645,6 +646,7 @@ object Dedup {
       bitsPerKey: Int = 10
   ): DataFrame = {
     require(k >= 1, s"dupSpans: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.ensure(docs.sparkSession)
     val base = docs.select(col(idCol), col(textCol).as("__text"), length(col(textCol)).as("__n"))
     // pass 1: cross-doc document frequency on the rolling hash
     val candH = base

@@ -24,7 +24,10 @@ object Similarity {
     * `GraftFunctions.register` on the session — `sources.Tables`
     * does this on every read.
     */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def dot(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.ensure()
+    call_function("graft_dot", a, b)
+  }
 
   /** L2 norm of an array<double> column. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -32,7 +35,10 @@ object Similarity {
   /** Squared L2 distance between two array<double> columns (native
     * [[graft.functions.ArrayDist2]]).
     */
-  def dist2(a: Column, b: Column): Column = call_function("graft_dist2", a, b)
+  def dist2(a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.ensure()
+    call_function("graft_dist2", a, b)
+  }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * candidates by cosine similarity (rounded to 5 dp; deterministic

@@ -775,7 +775,7 @@ object Kernels {
     var counter = 0
     var smallNow = false
     var smallWindow = false
-    while (!(smallNow && smallWindow) && counter <= maxSamples) {
+    while (!(smallNow && smallWindow) && counter < maxSamples) {
       val tau = 0.85 + 0.10 * rng.nextDouble()
       val stiffness = 0.1 + 0.9 * rng.nextDouble()
       // random holdout without replacement: partial Fisher–Yates

@@ -56,8 +56,10 @@ object DocStream {
     * at sf0.1 — this is the profiled-hot-spot case SURVEY §7.4
     * reserves the custom-`Expression` path for.
     */
-  def bandSigs(text: Column, k: Int, numHashes: Int, rowsPerBand: Int): Column =
+  def bandSigs(text: Column, k: Int, numHashes: Int, rowsPerBand: Int): Column = {
+    graft.functions.GraftFunctions.ensure()
     call_function("graft_lsh_band_sigs", text, lit(k), lit(numHashes), lit(rowsPerBand))
+  }
 
   case class DocVerdict(doc_id: Long, fp: String, is_dup: Boolean, rep_id: Long)
 
