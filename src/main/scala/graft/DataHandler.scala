@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.analyses.{Pipeline, Profiler, SiteReport}
+import graft.operators.{DayStats, Dilation, Filling, TimeAxis}
+
+/** API-parity facade over the engine's operators, mirroring the
+  * reference's `DataHandler` entry point (`data_handler.py:53-220`):
+  * a user of the reference drives everything through
+  * `DataHandler(df).run_pipeline()` + named accessors, so the engine
+  * exposes the same verbs with the same meanings — each a one-line
+  * delegation to the operator that implements it (no logic lives
+  * here; every delegate keeps its own oracle/spec coverage).
+  *
+  * Differences by design: the facade is FLEET-grain (every method
+  * returns per-site relational results, keyed by `site`, instead of
+  * mutating single-site state), and plotting methods are out of scope
+  * for a query engine.
+  *
+  * @param df       long-form power table
+  * @param site     site/system key column
+  * @param tsCol    timestamp column
+  * @param valueCol power column
+  */
+class DataHandler(
+    df: DataFrame,
+    site: String = "site",
+    tsCol: String = "ts",
+    valueCol: String = "value"
+) {
+  private val spark = df.sparkSession
+
+  /** `run_pipeline` (`data_handler.py:220`): the full per-site
+    * analysis — quality, clear days, clipping, quality clustering,
+    * capacity changes, time shifts, loss factors — one job fleet-wide.
+    */
+  def runPipeline(): Dataset[SiteReport] =
+    Pipeline.run(spark, df, site, tsCol, valueCol)
+
+  /** `report(return_values=True)` (`data_handler.py:718`): the
+    * reference's summary dictionary as a per-site relation —
+    * length (years), capacity, sampling (minutes), quality score,
+    * clearness score, clipping flag, capacity-change flag, time-shift
+    * flag.
+    */
+  def report(): DataFrame = {
+    val freq = TimeAxis.inferFrequency(df, Seq(site), tsCol)
+      .withColumnRenamed(site, "site")
+    runPipeline().toDF()
+      .join(freq, Seq("site"), "left")
+      .select(
+        col("site"),
+        round(col("nDays") / lit(365.2425), 3).as("length_years"),
+        col("capacity"),
+        (col("freq_s") / 60.0).as("sampling_minutes"),
+        col("qualityScore").as("quality_score"),
+        col("clearFrac").as("clearness_score"),
+        col("clipped").as("inverter_clipping"),
+        (col("capacityChanges") > 0).as("capacity_change"),
+        (col("timeShiftDays") > 0).as("time_shift_correction"),
+        col("degrRateP50").as("degradation_pct_per_year"),
+        col("errors")
+      )
+  }
+
+  /** `make_data_matrix` (`data_handler.py:1091`): the raw day/slot
+    * matrix embedding in long form — (site, day, slot, value).
+    */
+  def makeDataMatrix(slotsPerDay: Int = 288): DataFrame = {
+    val freqS = 86400L / slotsPerDay
+    TimeAxis.withDaySlot(
+      df.select(col(site).as("site"), col(tsCol).as(tsCol), col(valueCol)), tsCol, freqS)
+  }
+
+  /** `make_filled_data_matrix` (`data_handler.py:1110`): densified
+    * grid with nighttime zeroing and in-day interpolation.
+    */
+  def makeFilledDataMatrix(slotsPerDay: Int = 288): DataFrame =
+    Filling.filledDayGrid(df, site, tsCol, valueCol, slotsPerDay)
+
+  /** `get_density_scores` (`data_handler.py:1201`). */
+  def getDensityScores(): DataFrame =
+    DayStats.dailyDensity(df, site, tsCol, valueCol)
+
+  /** `get_linearity_scores` (`data_handler.py:1217`). */
+  def getLinearityScores(): DataFrame =
+    DayStats.linearityMode(df, site, tsCol, valueCol)
+
+  /** `get_daily_scores` / quality flag table (`data_handler.py:1149`). */
+  def getDailyScores(minCount: Long = 5L): DataFrame =
+    DayStats.qualityFlags(df, site, tsCol, valueCol, minCount)
+
+  /** `score_data_set` (`data_handler.py:1232`). */
+  def scoreDataSet(minCount: Long = 5L): DataFrame =
+    DayStats.datasetScores(getDailyScores(minCount), site)
+
+  /** `clipping_check` (`data_handler.py:1244`): per-day clipping
+    * statistics (clip1 = daily max vs site max, clip2 = clipped-mass
+    * share of the normalized profile).
+    */
+  def clippingCheck(): DataFrame =
+    DayStats.clipStats(df, site, tsCol, valueCol)
+
+  /** Capacity estimate (p95 of the power column, the reference's
+    * `capacity_estimate` attribute).
+    */
+  def capacityEstimate(): DataFrame =
+    DayStats.capacity(df, site, valueCol)
+
+  /** `fix_dst` (`data_handler.py:842`): tz-database DST repair to a
+    * fixed-offset clock.
+    */
+  def fixDst(zone: String, fixedOffsetHours: Int): DataFrame =
+    TimeAxis.fixDst(df, tsCol, zone, fixedOffsetHours)
+
+  /** `apply_time_dilation` (`data_handler.py:2369`): sunrise→sunset
+    * energy-preserving resample onto `nBins` dilated slots.
+    */
+  def applyTimeDilation(nBins: Int = 100): DataFrame =
+    Dilation.dilate(spark, df, site, tsCol, valueCol, nBins)
+
+  /** `estimate_longitude` + `estimate_latitude`
+    * (`data_handler.py:1502-1525`, `pvsystemprofiler/`): per-site
+    * medians of per-day estimates.
+    */
+  def estimateLocation(): DataFrame =
+    Profiler.estimateLocation(df, site, tsCol, valueCol)
+}

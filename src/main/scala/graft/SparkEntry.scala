@@ -506,36 +506,8 @@ object SparkEntry {
     * from solar noon vs equation of time; site estimate = median of
     * per-day values.
     */
-  private def q37(s: SparkSession, dir: String): DataFrame = {
-    val DegToRad = 0.017453292519943295
-    val RadToDeg = 57.29577951308232
-    val ev = Tables.events(s, dir)
-    val siteMax = ev.groupBy(col("user_id")).agg(round(max(col("value")) * 0.05, 6).as("thr"))
-    val h = TimeAxis.hourOfDay(col("ts"))
-    val daily = ev
-      .join(broadcast(siteMax), Seq("user_id"))
-      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-      .agg(
-        (max(when(col("value") > col("thr"), h)) - min(when(col("value") > col("thr"), h))).as("dl_h"),
-        // CoM from rounded sums (see q11 note) + try_divide dead-day guard
-        round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
-        round(sum(col("value")), 2).as("sum_v")
-      )
-      .withColumn("com_hour", try_divide(col("num_sv") / 3600.0, col("sum_v")))
-    val doy = dayofyear(col("day"))
-    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
-    val eot = Solar.equationOfTimeMin(doy)
-    val withEst = daily
-      .withColumn("lat_day", atan(-cos(lit(7.5) * col("dl_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
-      .withColumn("lon_day", lit(-15.0) * (col("com_hour") - lit(12.0) + eot / lit(60.0)))
-    withEst
-      .groupBy(col("user_id"))
-      .agg(
-        round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
-        round(percentile(col("lon_day"), lit(0.5)), 6).as("lon_est"),
-        count(lit(1)).as("n_days")
-      )
-  }
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Profiler.estimateLocation(Tables.events(s, dir), "user_id", "ts", "value")
 
   /** Sunrise/sunset threshold grid optimization (reference
     * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold

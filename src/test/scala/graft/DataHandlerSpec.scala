@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyses.{Pipeline, Profiler}
+import graft.operators.{DayStats, Filling}
+import graft.sources.Synth
+
+/** The DataHandler facade is pure delegation: every method must equal
+  * the operator it fronts, and report() must expose the reference's
+  * summary fields with sane values on the synthetic fleet.
+  */
+class DataHandlerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private lazy val fleet = Synth.pvFleet(spark, nSites = 3, nDays = 40, slotsPerDay = 96)
+    .select(col("site"), col("ts"), col("power"))
+  private lazy val dh = new DataHandler(fleet, "site", "ts", "power")
+
+  test("facade methods equal their operators") {
+    assert(dh.capacityEstimate().collect().toSet ==
+      DayStats.capacity(fleet, "site", "power").collect().toSet)
+    assert(dh.getDensityScores().collect().toSet ==
+      DayStats.dailyDensity(fleet, "site", "ts", "power").collect().toSet)
+    assert(dh.makeFilledDataMatrix(96).count() ==
+      Filling.filledDayGrid(fleet, "site", "ts", "power", 96).count())
+    assert(dh.estimateLocation().collect().toSet ==
+      Profiler.estimateLocation(fleet, "site", "ts", "power").collect().toSet)
+    assert(dh.runPipeline().collect().map(_.site).sorted.toSeq ==
+      Pipeline.run(spark, fleet, "site", "ts", "power").collect().map(_.site).sorted.toSeq)
+  }
+
+  test("report() carries the reference's summary fields with sane values") {
+    val rows = dh.report().collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("length_years") - 40.0 / 365.2425) < 1e-3)
+      assert(math.abs(r.getAs[Double]("sampling_minutes") - 15.0) < 1e-9)
+      assert(r.getAs[Double]("capacity") > 5.0 && r.getAs[Double]("capacity") < 20.0)
+      val q = r.getAs[Double]("quality_score")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("facade works with non-default column names") {
+    val renamed = fleet.select(col("site").as("sys_id"), col("ts").as("t"), col("power").as("p"))
+    val alt = new DataHandler(renamed, "sys_id", "t", "p")
+    assert(alt.report().count() == 3)
+    assert(alt.clippingCheck().count() > 0)
+  }
+}
