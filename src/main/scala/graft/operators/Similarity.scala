@@ -110,13 +110,22 @@ object Similarity {
     * batch/stream bit-equality contract depends on the rounding and
     * field order staying identical.
     */
-  def centroidArgminExpr(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
-    require(centroids.nonEmpty, "centroidArgminExpr needs at least one centroid")
+  def centroidArgminExpr(vec: Column, centroids: Array[(Long, Array[Double])]): Column =
+    centroidBestExpr(vec, centroids).getField("cid")
+
+  /** Like [[centroidArgminExpr]] but returns the full winning struct
+    * `(d2, cid)` — for consumers that need the assignment distance as
+    * well (e.g. per-cell occupancy/distance statistics). Identical
+    * selection rule to [[assignToCentroids]]: 4-dp-rounded squared
+    * L2, ties to the smaller centroid id (struct least is
+    * lexicographic on (d2, cid)).
+    */
+  def centroidBestExpr(vec: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    require(centroids.nonEmpty, "centroidBestExpr needs at least one centroid")
     val scored = centroids.map { case (cid, cv) =>
       struct(round(dist2(vec, typedLit(cv.toSeq)), 4).as("d2"), lit(cid).as("cid"))
     }
-    val best = if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
-    best.getField("cid")
+    if (scored.length == 1) scored.head else least(scored.toIndexedSeq: _*)
   }
 
   /** Lloyd's k-means over the embedding column — the trainer for the

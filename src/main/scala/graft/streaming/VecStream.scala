@@ -104,6 +104,50 @@ object VecStream {
     StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, trigger)
   }
 
+  /** IVF index-health monitor for continuous vector ingest: per-cell
+    * occupancy and assignment-distance statistics as a complete-mode
+    * snapshot. Assignment is the batch path's exact scalar rule
+    * ([[Similarity.centroidBestExpr]] over broadcast-literal
+    * centroids — stateless, zero shuffle before the k-row aggregate),
+    * so after ANY tick the snapshot equals the batch per-cell
+    * aggregation of [[Similarity.assignToCentroids]] over everything
+    * ingested (`VecStreamSpec`-asserted). State is one row per cell
+    * (k rows total, the IVF contract). Skewed occupancy or a
+    * drifting mean distance is the standard "retrain the coarse
+    * quantizer" signal a production ANN ingest watches.
+    *
+    * @return snapshot (centroid_id, n_vecs, mean_d2, max_d2)
+    */
+  def incrementalCellStats(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      centroids: Array[(Long, Array[Double])]
+  ): DataFrame = {
+    require(centroids.nonEmpty, "incrementalCellStats needs at least one centroid")
+    val vecD = col("embedding").cast("array<double>")
+    val best = Similarity.centroidBestExpr(vecD, centroids)
+    val stats = spark.readStream.schema(vecSchema).format("parquet").load(path)
+      .select(best.getField("cid").as("centroid_id"), best.getField("d2").as("d2"))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("d2")), 4).as("mean_d2"),
+        max(col("d2")).as("max_d2"))
+    val q = stats.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   /** Rounded cosine, arithmetic-identical to the batch expression:
     * `graft_dot` folds in index order (a plain loop), `round(x, 5)`
     * is HALF_UP.

@@ -43,6 +43,34 @@ class VecStreamSpec extends AnyFunSuite {
     assert(got.filter(col("is_dropped")).count() > 0, "no drops — test has no signal")
   }
 
+  test("incremental cell stats snapshot equals the batch per-cell aggregation") {
+    val src = java.nio.file.Files.createTempDirectory("cellsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cellckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cellout").toString
+
+    val cents = emb.filter(col("vec_id") < 8)
+    val centArr = cents
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+
+    emb.filter(col("vec_id") < 200).write.mode("append").parquet(src)
+    VecStream.incrementalCellStats(spark, src, ckpt, outDir, centArr)
+    emb.filter(col("vec_id") >= 200).write.mode("append").parquet(src)
+    val got = VecStream.incrementalCellStats(spark, src, ckpt, outDir, centArr)
+      .select("centroid_id", "n_vecs", "mean_d2", "max_d2")
+
+    val expect = Similarity.assignToCentroids(emb, cents, "vec_id", "embedding")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("d2")), 4).as("mean_d2"),
+        max(col("d2")).as("max_d2"))
+    assert(got.count() > 1, "stats need at least two occupied cells for signal")
+    assert(got.except(expect).count() == 0 && expect.except(got).count() == 0,
+      "streaming snapshot diverged from the batch per-cell aggregation")
+  }
+
   test("state TTL evicts cold clusters: a late near-dup of cold members is kept") {
     val src = java.nio.file.Files.createTempDirectory("vttlsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("vttlckpt").toString
