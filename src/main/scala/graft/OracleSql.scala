@@ -1683,6 +1683,21 @@ object OracleSql {
     WHERE rk <= 50
   """
 
+  // d34: the HLL register table (m=256, 52-bit rank field) from the
+  // content fingerprint's own hex digits — integer-exact end to end:
+  // register = first byte, rho = leading zeros of the 52-bit
+  // remainder + 1 via length(bin(x)) (⌊log₂x⌋+1, no float).
+  private val d34 = s"""
+    WITH f AS (SELECT source, $fp AS fp FROM documents),
+    r AS (SELECT source, fp,
+      CAST('0x' || substring(fp, 1, 2) AS BIGINT) AS reg,
+      CAST('0x' || substring(fp, 3, 13) AS BIGINT) AS rem FROM f)
+    SELECT source, CAST(reg AS INT) AS reg,
+      CAST(max(CASE WHEN rem = 0 THEN 53 ELSE 53 - length(bin(rem)) END) AS INT) AS rho,
+      count(DISTINCT fp) AS n_fps
+    FROM r GROUP BY source, reg
+  """
+
   private val d16 = s"""
     WITH words AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
@@ -2342,6 +2357,7 @@ object OracleSql {
     "d31_source_kl" -> d31,
     "d32_pii_scan" -> d32,
     "d33_bpe_pairs" -> d33,
+    "d34_hll_registers" -> d34,
     "e14_matryoshka_recall" -> e14,
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,

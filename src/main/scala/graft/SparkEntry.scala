@@ -1459,6 +1459,34 @@ object SparkEntry {
         round(abs(col("hll_fine") - col("exact_distinct")).cast("double") /
           greatest(col("exact_distinct"), lit(1L)).cast("double"), 6))
 
+  /** The HLL register table behind d29's sketch, HASH-GATED (the
+    * e15/d33 move: when a component is rows-only because of an
+    * engine-specific ingredient, gate the deterministic machinery).
+    * d29's `approx_count_distinct` is Spark's private HLL++; this
+    * query builds the same structure from public arithmetic — the
+    * content fingerprint IS the hash (md5 is already uniform), the
+    * first 2 hex chars index m=256 registers, the next 13 (52 bits)
+    * carry the rank pattern, and the register holds
+    * `max(leadingZeros + 1)` — all exact integers both engines
+    * replay bit-for-bit (`length(bin(x))` = ⌊log₂x⌋+1 with no float
+    * anywhere). The register table is the whole sketch: merging
+    * partitions = elementwise max, memory = m integers per source
+    * regardless of corpus size — the constant-memory property that
+    * makes distinct-count dashboards possible at 100 TB.
+    * `OperatorSpec` closes the loop by feeding these registers
+    * through the harmonic-mean estimator and checking the estimate
+    * against the exact per-source distinct count.
+    */
+  private def d34(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), TextOps.fingerprint(col("text")).as("fp"))
+      .withColumn("reg", conv(substring(col("fp"), 1, 2), 16, 10).cast("int"))
+      .withColumn("rem", conv(substring(col("fp"), 3, 13), 16, 10).cast("long"))
+      .withColumn("rho",
+        when(col("rem") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("rem")))).cast("int"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("rho"), countDistinct(col("fp")).as("n_fps"))
+
   /** DSIR-style importance weights (Xie et al. 2023): every document
     * scored by `mean ln(p_target(w) / p_raw(w))` under add-one unigram
     * models over a shared corpus-wide top-500 vocabulary, with the
@@ -2121,6 +2149,7 @@ object SparkEntry {
     "d27_source_cap" -> (d27 _),
     "d28_tfidf_terms" -> (d28 _),
     "d29_hll_calibration" -> (d29 _),
+    "d34_hll_registers" -> (d34 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -435,6 +435,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(est(df.repartition(13)) == a)
   }
 
+  test("d34 register table drives the standard HLL estimator to the exact count") {
+    // the d34 register arithmetic (m=256 from the first fp byte,
+    // rho = leading zeros of the 52-bit remainder + 1), fed through
+    // the published HLL harmonic-mean estimator with small-range
+    // correction — the estimate must land inside the 1.04/√m rsd
+    // band of the true distinct count, and the register table must
+    // be partition-independent (it is a max-merge sketch).
+    val df = (0L until 10000L).map(i => (s"g${i % 2}", s"v${i % 3001}")).toDF("g", "v")
+      .withColumn("fp", md5(col("v")))
+      .withColumn("reg", conv(substring(col("fp"), 1, 2), 16, 10).cast("int"))
+      .withColumn("rem", conv(substring(col("fp"), 3, 13), 16, 10).cast("long"))
+      .withColumn("rho",
+        when(col("rem") === 0L, lit(53)).otherwise(lit(53) - length(bin(col("rem")))).cast("int"))
+    def regs(d: org.apache.spark.sql.DataFrame) =
+      d.groupBy(col("g"), col("reg")).agg(max(col("rho")).as("rho"))
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val a = regs(df)
+    val exact = df.groupBy(col("g")).agg(countDistinct(col("v")).as("x"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = 256
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    exact.foreach { case (g, x) =>
+      val rhos = (0 until m).map(j => a.getOrElse((g, j), 0))
+      val z = rhos.map(r => math.pow(2.0, -r)).sum
+      var e = alpha * m * m / z
+      val zeros = rhos.count(_ == 0)
+      if (e <= 2.5 * m && zeros > 0) e = m * math.log(m.toDouble / zeros)
+      assert(math.abs(e - x) <= 4 * 1.04 / math.sqrt(m.toDouble) * x,
+        s"$g: estimate $e vs exact $x")
+    }
+    assert(regs(df.repartition(13)) == a)
+  }
+
   test("iqrBounds flags only extreme values") {
     val df = (Seq.fill(20)(10.0) ++ Seq(9.0, 11.0, 1000.0)).zipWithIndex
       .map { case (v, i) => (1L, i.toLong, v) }
