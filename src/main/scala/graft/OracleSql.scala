@@ -1437,6 +1437,66 @@ object OracleSql {
     WHERE rk <= 3
   """
 
+  // e16: e15's ADC machinery widened to a 6-candidate shortlist,
+  // then exact float re-rank (sum of squared diffs over the 64 dims,
+  // rounded 4dp like the ADC sums) with (exact_d2, neighbor_id)
+  // tie-break — the FAISS refine shape, fully replayed.
+  private val e16 = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vv
+      FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+    books AS (
+      SELECT CAST(s.s AS INT) AS s, init.j,
+             list_slice(vv, CAST(s.s * 16 + 1 AS INT), CAST(s.s * 16 + 16 AS INT)) AS cw
+      FROM init CROSS JOIN (SELECT UNNEST(range(4)) AS s) s),
+    dall AS (
+      SELECT v.vec_id, b.s, b.j,
+        floor(sum((vv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])
+                * (vv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])) * 1e4 + 0.5) / 1e4 AS dr
+      FROM v CROSS JOIN books b CROSS JOIN range(1, 17) AS t(i)
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr ASC, j ASC) AS rn
+        FROM dall) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 8),
+    lut AS (
+      SELECT q.query_id, b.s, b.j AS code,
+        sum((qv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])
+          * (qv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])) AS pd
+      FROM q CROSS JOIN books b CROSS JOIN range(1, 17) AS t(i)
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(pd), 4) AS adc_d2
+      FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    sl AS (
+      SELECT query_id, neighbor_id, adc_d2 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2 ASC, neighbor_id ASC) AS rka
+        FROM adc) t
+      WHERE rka <= 6),
+    ex AS (
+      SELECT sl.query_id, sl.neighbor_id, sl.adc_d2,
+        round(sum((q.qv[CAST(t.i AS INT)] - nv.vv[CAST(t.i AS INT)])
+                * (q.qv[CAST(t.i AS INT)] - nv.vv[CAST(t.i AS INT)])), 4) AS exact_d2
+      FROM sl
+      JOIN q ON q.query_id = sl.query_id
+      JOIN v nv ON nv.vec_id = sl.neighbor_id
+      CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2, 3)
+    SELECT query_id, neighbor_id, adc_d2, exact_d2, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY exact_d2 ASC, neighbor_id ASC) AS rk
+      FROM ex) t
+    WHERE rk <= 3
+  """
+
   // e13: IVF recall@3 — the exact side is e01's arithmetic at (< 16,
   // k=3), the IVF side is e05 verbatim; the composition is one
   // left join + per-query fraction.
@@ -2343,6 +2403,7 @@ object OracleSql {
     "e12_prototype_prune" -> e12,
     "e13_ivf_recall" -> e13,
     "e15_pq_exact" -> e15,
+    "e16_adc_refine" -> e16,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
     "e08_semantic_dedup" -> e08,

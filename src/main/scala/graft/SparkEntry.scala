@@ -1842,6 +1842,24 @@ object SparkEntry {
     Similarity.pqAdcTopK(codes, books, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 3)
   }
 
+  /** ADC shortlist + exact re-rank (the FAISS "refine" serving
+    * shape) under the e15 deterministic init codebooks: the
+    * compressed index nominates 6 candidates per query, true float
+    * distances pick the top 3. With training removed the ENTIRE
+    * two-stage serving path — code assignment, LUT, ADC shortlist,
+    * float re-rank, both tie-breaks — is exact relational arithmetic
+    * the DuckDB oracle replays. `PqSpec` adds the semantic contract:
+    * refined ranks follow exact distances, and a full-width
+    * shortlist reproduces the brute-force float top-k.
+    */
+  private def e16(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 0)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    Similarity.pqAdcRefineTopK(codes, books, emb, emb.filter(col("vec_id") < 8),
+      "vec_id", "embedding", shortlist = 6, k = 3)
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -2172,6 +2190,7 @@ object SparkEntry {
     "e12_prototype_prune" -> (e12 _),
     "e13_ivf_recall" -> (e13 _),
     "e15_pq_exact" -> (e15 _),
+    "e16_adc_refine" -> (e16 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

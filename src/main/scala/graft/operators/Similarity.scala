@@ -445,6 +445,51 @@ object Similarity {
     adcAggregate(exploded, adcLut(codes.sparkSession, books, queries, idCol, vecCol), k)
   }
 
+  /** ADC shortlist → exact re-rank (FAISS's "refine" serving shape):
+    * the compressed index nominates `shortlist` candidates per query,
+    * then TRUE float distances re-rank them down to top-k. This is
+    * how production ANN recovers exact-ordering quality from lossy
+    * codes without ever scanning floats corpus-wide: the float read
+    * touches only `queries × shortlist` rows.
+    *
+    * Plan shape at 100 TB: the shortlist (queries × shortlist rows —
+    * small by the ANN-query contract) BROADCASTS into the float
+    * corpus scan, so the corpus never shuffles and the join reduces
+    * to a probe; only the surviving candidate vectors flow into the
+    * per-query re-rank window (partitions = queries, frames =
+    * shortlist).
+    *
+    * @return (query_id, neighbor_id, adc_d2, exact_d2, rk) — rk by
+    *         exact distance; adc_d2 kept so recall diagnostics can
+    *         compare the two orderings from one result.
+    */
+  def pqAdcRefineTopK(
+      codes: DataFrame,
+      books: Array[Array[Array[Double]]],
+      vectors: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      shortlist: Int,
+      k: Int
+  ): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val sl = pqAdcTopK(codes, books, queries, idCol, vecCol, shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"))
+    val cand = vectors.select(col(idCol).cast("long").as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("nv"))
+    val qv = queries.select(col(idCol).cast("long").as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("exact_d2").asc, col("neighbor_id").asc)
+    cand
+      .join(broadcast(sl), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("exact_d2", round(dist2(col("qv"), col("nv")), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_d2"), col("exact_d2"), col("rk"))
+  }
+
   /** Per-query ADC lookup table (query_id, s, code, pd): m·k partial
     * squared distances per query, computed on the driver from the
     * collected queries (small by the ANN-query contract) — the thing

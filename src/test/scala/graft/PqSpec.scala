@@ -76,6 +76,36 @@ class PqSpec extends AnyFunSuite {
     assert(meanRank <= 60.0, s"mean exact rank of ADC picks $meanRank (random ~250)")
   }
 
+  test("refine: full-width shortlist reproduces the brute-force float top-k; ranks follow exact d2") {
+    import spark.implicits._
+    val n = emb.count().toInt
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 0)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val queries = emb.filter(col("vec_id") < 4)
+    // shortlist = whole corpus ⇒ the lossy stage nominates everyone
+    // and refine must return exactly the brute-force float top-3
+    val refined = Similarity.pqAdcRefineTopK(codes, books, emb, queries,
+      "vec_id", "embedding", shortlist = n, k = 3)
+      .orderBy("query_id", "rk").collect()
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val expect = (0L until 4L).flatMap { qid =>
+      val qv = all.find(_._1 == qid).get._2
+      all.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          val d = nv.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (nid, math.floor(d * 1e4 + 0.5) / 1e4)
+        }
+        .sortBy { case (nid, d) => (d, nid) }.take(3).map(_._1)
+    }
+    assert(refined.map(_.getLong(1)).toSeq == expect, "full-shortlist refine != brute force")
+    // within each query, rk order must follow exact_d2 (adc_d2 may disagree)
+    refined.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRk = rs.sortBy(_.getInt(4)).map(_.getDouble(3))
+      assert(byRk.sameElements(byRk.sorted), "rk does not follow exact_d2")
+    }
+  }
+
   test("IVF-PQ with exhaustive probing equals the full ADC scan; pruning only removes rows") {
     import spark.implicits._
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
