@@ -1585,6 +1585,33 @@ object OracleSql {
     WHERE rn = 1
   """
 
+  // e17: simplified silhouette vs the e02 centroids — e02's distance
+  // arithmetic through an IEEE-exact sqrt (rounded 6dp), rn 1/2 as
+  // own/nearest-other, s = (b-a)/max(a,b) rounded 6dp.
+  private val e17 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
+    d AS (
+      SELECT v.vec_id, c.centroid_id,
+        round(sqrt(round(sum((CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))
+                * (CAST(v.embedding[CAST(i AS INT)] AS DOUBLE) - CAST(c.cemb[CAST(i AS INT)] AS DOUBLE))), 4)), 6) AS dist
+      FROM e v CROSS JOIN c CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY dist ASC, centroid_id ASC) AS rn FROM d),
+    p AS (
+      SELECT vec_id,
+        max(CASE WHEN rn = 1 THEN centroid_id END) AS centroid_id,
+        max(CASE WHEN rn = 1 THEN dist END) AS a_dist,
+        max(CASE WHEN rn = 2 THEN dist END) AS b_dist
+      FROM r WHERE rn <= 2 GROUP BY vec_id)
+    SELECT vec_id, centroid_id, a_dist, b_dist,
+      CASE WHEN greatest(a_dist, b_dist) = 0.0 THEN 0.0
+           ELSE round((b_dist - a_dist) / greatest(a_dist, b_dist), 6) END AS sil
+    FROM p
+  """
+
   private val e03 = """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     p AS (SELECT CAST(vec_id - 8 AS INT) AS plane_id, embedding AS pemb
@@ -2404,6 +2431,7 @@ object OracleSql {
     "e13_ivf_recall" -> e13,
     "e15_pq_exact" -> e15,
     "e16_adc_refine" -> e16,
+    "e17_silhouette" -> e17,
     "e06_scalar_quant" -> e06,
     "e07_quant_recall" -> e07,
     "e08_semantic_dedup" -> e08,

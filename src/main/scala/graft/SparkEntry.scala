@@ -1860,6 +1860,16 @@ object SparkEntry {
       "vec_id", "embedding", shortlist = 6, k = 3)
   }
 
+  /** Per-vector simplified silhouette against the e02 coarse
+    * centroids — the clustering-quality audit (is this partition of
+    * the corpus real?) that gates IVF/SemDeDup/pruning decisions.
+    * O(n·k) broadcast form, no corpus shuffle; fully hash-gated.
+    */
+  private def e17(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.simplifiedSilhouette(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+  }
+
   /** SemDeDup-style semantic dedup: cluster to the 8 coarse
     * centroids, drop in-cluster vectors with cosine >= 0.4 to a
     * smaller-id member — pairwise work confined to clusters.
@@ -2191,6 +2201,7 @@ object SparkEntry {
     "e13_ivf_recall" -> (e13 _),
     "e15_pq_exact" -> (e15 _),
     "e16_adc_refine" -> (e16 _),
+    "e17_silhouette" -> (e17 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

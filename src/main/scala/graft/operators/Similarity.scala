@@ -83,6 +83,46 @@ object Similarity {
       .select(col(idCol), col("centroid_id"), col("d2"))
   }
 
+  /** Simplified silhouette (the centroid form of Rousseeuw's
+    * silhouette, as in scikit-learn's large-sample practice): per
+    * vector, `a` = distance to its own centroid, `b` = distance to
+    * the nearest OTHER centroid, `s = (b − a) / max(a, b)` — the
+    * clustering-quality audit run before trusting IVF cells,
+    * SemDeDup clusters, or prototype-pruning decisions downstream.
+    * The classical pairwise silhouette is O(n²) and dead at corpus
+    * scale; this form is O(n·k) with the centroids broadcast, so the
+    * vector scan never shuffles and the only window is per-vector
+    * over k rows. Distances are 4-dp-rounded squared L2 through an
+    * IEEE-exact sqrt, so every number is cross-engine replayable.
+    *
+    * @return (id, centroid_id, a_dist, b_dist, sil) — one row per
+    *         vector; `avg(sil)` per centroid_id is the usual summary
+    */
+  def simplifiedSilhouette(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    val cent = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).cast("array<double>").as("centv"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("dist").asc, col("centroid_id").asc)
+    v.crossJoin(broadcast(cent))
+      .withColumn("dist", round(sqrt(round(dist2(col("vv"), col("centv")), 4)), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col(idCol))
+      .agg(
+        max(when(col("rn") === 1, col("centroid_id"))).as("centroid_id"),
+        max(when(col("rn") === 1, col("dist"))).as("a_dist"),
+        max(when(col("rn") === 2, col("dist"))).as("b_dist"))
+      .withColumn("sil",
+        when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(0.0))
+          .otherwise(round((col("b_dist") - col("a_dist")) /
+            greatest(col("a_dist"), col("b_dist")), 6)))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above a
     * cosine threshold. Quadratic — bound the input or run it inside
     * LSH/IVF buckets at scale (compose with [[signLshBuckets]] /

