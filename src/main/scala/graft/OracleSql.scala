@@ -1785,6 +1785,41 @@ object OracleSql {
     FROM r GROUP BY source, reg
   """
 
+  /** The fixed literal merge table d35 encodes under — shared with
+    * SparkEntry so the two sides cannot drift.
+    */
+  val D35Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "</w>"), ("s", "</w>"), ("o", "n"))
+
+  // d35: BPE encoding under the fixed merge table. Each symbol is
+  // wrapped chr(1)…chr(2) so merge patterns match only on symbol
+  // boundaries; one replace() per merge in training order = the
+  // encoder's leftmost-non-overlapping pass (verified equivalent to
+  // Bpe.mergePair). Token count = number of chr(1) markers left.
+  private val d35: String = {
+    val chain = D35Merges.zipWithIndex.map { case ((l, r), i) =>
+      s"enc${i + 1} AS (SELECT w, replace(s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
+        s"chr(1)||'$l$r'||chr(2)) AS s FROM enc$i)"
+    }.mkString(",\n    ")
+    s"""
+    WITH words2 AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
+      WHERE length(w) > 0),
+    distinctw AS (SELECT DISTINCT w FROM words2),
+    enc0 AS (SELECT w,
+      list_aggregate(list_transform(string_split(w, ''), c -> chr(1)||c||chr(2)), 'string_agg', '')
+        || chr(1)||'</w>'||chr(2) AS s
+      FROM distinctw),
+    $chain,
+    tok AS (SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_tok
+            FROM enc${D35Merges.length})
+    SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM words2 JOIN tok USING (w) GROUP BY doc_id
+  """
+  }
+
   private val d16 = s"""
     WITH words AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
@@ -2447,6 +2482,7 @@ object OracleSql {
     "d32_pii_scan" -> d32,
     "d33_bpe_pairs" -> d33,
     "d34_hll_registers" -> d34,
+    "d35_bpe_encode_fixed" -> d35,
     "e14_matryoshka_recall" -> e14,
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,

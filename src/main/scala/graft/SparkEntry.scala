@@ -1314,6 +1314,21 @@ object SparkEntry {
     Bpe.encodeStats(docs, "doc_id", "text", mergeList)
   }
 
+  /** The d26 encoder under a FIXED literal merge table, HASH-GATED
+    * (the e15/e16 move applied to BPE): d26 is rows-only because its
+    * merges are TRAINED (iterative driver loop), but the encoder
+    * itself — `Bpe.encodeWord`'s in-training-order, leftmost-
+    * non-overlapping merge passes — is deterministic machinery. With
+    * the merge list pinned to 8 literal pairs, the DuckDB oracle
+    * replays each pass as one guarded `replace()` over bracket-
+    * delimited symbols (chr(1)/chr(2) wrappers make symbol
+    * boundaries unambiguous, and SQL replace's leftmost-non-
+    * overlapping scan IS `mergePair`'s semantics — cross-checked),
+    * so every per-doc token count is value-exact cross-engine.
+    */
+  private def d35(s: SparkSession, dir: String): DataFrame =
+    Bpe.encodeStats(Tables.documents(s, dir), "doc_id", "text", OracleSql.D35Merges)
+
   /** End-to-end corpus curation pipeline, ORACLE-VERIFIED (the
     * training-data counterpart of the p01 fleet flagship, but every
     * stage is SQL-replayable so the whole composition hash-matches
@@ -2178,6 +2193,7 @@ object SparkEntry {
     "d28_tfidf_terms" -> (d28 _),
     "d29_hll_calibration" -> (d29 _),
     "d34_hll_registers" -> (d34 _),
+    "d35_bpe_encode_fixed" -> (d35 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
