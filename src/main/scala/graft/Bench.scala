@@ -47,6 +47,12 @@ object Bench {
           try { fn(spark, sfDir).count(); (System.nanoTime() - t1) / 1e9 }
           catch { case scala.util.control.NonFatal(_) => -1.0 }
         }
+      // quiesce between queries: a 110-query suite accumulates young-gen
+      // garbage and finalizable refs from prior plans; without this the
+      // heaviest queries read up to 3× their isolated times from GC
+      // pauses charged to whoever runs next (r3's in-suite numbers were
+      // 3–6× off for exactly this reason)
+      System.gc()
       name -> (cold, warm)
     }
     val qs = results.map { case (k, (_, w)) => "\"" + k + "\":" + w }

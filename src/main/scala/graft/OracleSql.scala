@@ -1820,6 +1820,68 @@ object OracleSql {
   """
   }
 
+  /** d25/d26: the FULL BPE training loop replayed relationally — the
+    * "irreducibly iterative" claim overturned. Each of the 40 merge
+    * iterations is one generated CTE triple over the word-histogram
+    * state (word, cnt, bracket-encoded symbols): adjacent-pair counts
+    * (overlapping occurrences each counted, as the trainer counts
+    * them) → argmax under the trainer's (count desc, pair lex) order
+    * → one guarded replace() applying the winner (= mergePair's
+    * leftmost-non-overlapping pass, the d35 equivalence). Every CTE
+    * is MATERIALIZED: win_i and st_{i+1} both reference st_i, so
+    * default inlining would expand the chain exponentially (measured:
+    * "too many open files" from re-planned scans before it OOMs).
+    * The final state carries every word's TRAINED encoding, which is
+    * exactly what d26's per-doc token counts need — training and
+    * encoding verify from one replay.
+    */
+  private def bpeReplayCtes(n: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""
+    hist AS MATERIALIZED (
+      SELECT w AS word, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
+      WHERE length(w) > 0 GROUP BY w),
+    st0 AS MATERIALIZED (
+      SELECT word, cnt,
+        list_aggregate(list_transform(string_split(word, ''), c -> chr(1)||c||chr(2)), 'string_agg', '')
+          || chr(1)||'</w>'||chr(2) AS s
+      FROM hist)""")
+    for (i <- 0 until n) sb.append(s""",
+    pairs$i AS MATERIALIZED (
+      SELECT ls[CAST(j AS INT)] AS lsym, ls[CAST(j + 1 AS INT)] AS rsym, CAST(sum(cnt) AS BIGINT) AS pc
+      FROM (SELECT cnt, regexp_extract_all(s, chr(1)||'([^'||chr(2)||']*)'||chr(2), 1) AS ls FROM st$i) sy
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(ls))) AS j) t
+      WHERE len(ls) > 1
+      GROUP BY 1, 2),
+    win$i AS MATERIALIZED (
+      SELECT CAST($i AS BIGINT) AS rank, lsym, rsym, pc FROM pairs$i
+      ORDER BY pc DESC, lsym ASC, rsym ASC LIMIT 1),
+    st${i + 1} AS MATERIALIZED (
+      SELECT st.word, st.cnt,
+        replace(st.s, chr(1)||w.lsym||chr(2)||chr(1)||w.rsym||chr(2), chr(1)||w.lsym||w.rsym||chr(2)) AS s
+      FROM st$i st CROSS JOIN win$i w)""")
+    sb.toString
+  }
+
+  private val BpeTrainMerges = 40
+
+  private val d25: String = {
+    val wins = (0 until BpeTrainMerges).map(i => s"SELECT * FROM win$i").mkString(" UNION ALL ")
+    s"""WITH ${bpeReplayCtes(BpeTrainMerges)}
+    SELECT rank, lsym AS left_sym, rsym AS right_sym, pc AS pair_count FROM ($wins)"""
+  }
+
+  private val d26: String =
+    s"""WITH ${bpeReplayCtes(BpeTrainMerges)},
+    tok AS (SELECT word, length(s) - length(replace(s, chr(1), '')) AS n_tok FROM st$BpeTrainMerges),
+    words2 AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
+      WHERE length(w) > 0)
+    SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM words2 JOIN tok ON w = word GROUP BY doc_id"""
+
   private val d16 = s"""
     WITH words AS (
       SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
@@ -2483,6 +2545,8 @@ object OracleSql {
     "d33_bpe_pairs" -> d33,
     "d34_hll_registers" -> d34,
     "d35_bpe_encode_fixed" -> d35,
+    "d25_bpe_merges" -> d25,
+    "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,
     "d21_gopher_rules" -> d21,
     "d22_bigram_lm" -> d22,

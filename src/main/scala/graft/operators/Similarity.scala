@@ -96,7 +96,10 @@ object Similarity {
     * IEEE-exact sqrt, so every number is cross-engine replayable.
     *
     * @return (id, centroid_id, a_dist, b_dist, sil) — one row per
-    *         vector; `avg(sil)` per centroid_id is the usual summary
+    *         vector; `avg(sil)` per centroid_id is the usual summary.
+    *         With a single centroid `b_dist`/`sil` are null (the
+    *         silhouette of a 1-clustering is undefined — null is the
+    *         honest answer, not 0).
     */
   def simplifiedSilhouette(
       vectors: DataFrame,

@@ -94,6 +94,11 @@ class DegenerateInputSpec extends AnyFunSuite {
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assert(Similarity.cosineTopK(none, vecs, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.cosineTopK(vecs, none, "vec_id", "embedding", 3).count() == 0)
+    // single centroid: a 1-clustering has no silhouette — b_dist/sil
+    // null (documented), never an exception or a fake 0
+    val one = Seq((9L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val sil = Similarity.simplifiedSilhouette(vecs, one, "vec_id", "embedding").collect()
+    assert(sil.length == 2 && sil.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
   test("solver kernels on tiny arrays return without throwing") {

@@ -214,4 +214,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "t06 lost the offset-table broadcast")
     assert(!p.contains("SortMergeJoin"), "t06 shuffled the corpus to attach offsets")
   }
+
+  test("refine re-rank broadcasts the shortlist into the float corpus (e16)") {
+    val p = planOf("e16_adc_refine")
+    assert(p.contains("BroadcastHashJoin"), "e16 lost the shortlist/query broadcasts")
+    assert(!p.contains("SortMergeJoin"), "e16 shuffled the float corpus for the re-rank join")
+    assert(!p.contains("CartesianProduct"), "e16 planned a cartesian product")
+  }
+
+  test("silhouette is one broadcast NLJ over the scan — corpus never sort-merge joins (e17)") {
+    val p = planOf("e17_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin"), "e17's centroid cross join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "e17 shuffled the corpus against the centroids")
+    assert(!p.contains("SinglePartition"), s"e17 planned a single-partition stage:\n$p")
+  }
+
+  test("fixed-merge BPE encoding is shuffle-free (d35)") {
+    val p = planOf("d35_bpe_encode_fixed")
+    assert(!p.contains("Exchange"), s"d35 grew a shuffle:\n$p")
+  }
+
+  test("HLL register build is scan → partial-agg → final-agg, no joins (d34)") {
+    val p = planOf("d34_hll_registers")
+    assert(!p.contains("Join"), s"d34 planned a join:\n$p")
+    assert(p.contains("HashAggregate"), "d34 lost hash aggregation")
+  }
 }
