@@ -6,8 +6,8 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Write-path data layout: the other half of the 100 TB story.
   *
@@ -65,6 +65,72 @@ object Layout {
       .repartitionByRange(n, axes: _*)
       .sortWithinPartitions(axes: _*)
     arranged.write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Morton (Z-order) key over `cols` — multi-dimension clustering
+    * for [[writeClustered]] when queries filter on MORE than one
+    * high-cardinality axis (the Delta/Iceberg `OPTIMIZE ZORDER`
+    * analog, parquet-native). Each column is min/max-scaled to a
+    * `bits`-bit rank (one small stats aggregation, collected as plan
+    * literals), then the ranks are bit-interleaved: sorting by the
+    * interleaved key gives every file a bounded range in EVERY
+    * z-dimension, so row-group min/max skipping works for predicates
+    * on any of them — a single-column sort gives locality on that
+    * column only, and files span the full domain of every other.
+    *
+    * Nulls rank lowest (coalesce to the column minimum); a constant
+    * column ranks 0 everywhere and drops out of the interleave
+    * harmlessly. `cols.size * bits` must fit a signed long.
+    */
+  def zorderKey(df: DataFrame, cols: Seq[String], bits: Int = 16): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    require(cols.size * bits <= 62, s"${cols.size} cols x $bits bits exceeds a long")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c).cast("double")).as(s"mn$i"), max(col(c).cast("double")).as(s"mx$i"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val maxRank = (1L << bits) - 1
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(stats.fieldIndex(s"mn$i"))
+      val mx = stats.getDouble(stats.fieldIndex(s"mx$i"))
+      if (mx <= mn) lit(0L)
+      else least(lit(maxRank), greatest(lit(0L),
+        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+          lit(mx - mn) * lit(maxRank.toDouble)).cast("long")))
+    }
+    // interleave: output bit (b * nCols + i) = bit b of rank i
+    val n = cols.size
+    val terms = for (b <- 0 until bits; i <- 0 until n)
+      yield shiftleft(shiftright(ranks(i), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** [[writeClustered]] with a Z-order cluster axis: range-distribute
+    * and sort on the interleaved key, drop it before writing (it is
+    * derivable, not data). Partition directories still come first —
+    * z-ordering is for the fine-grained axes inside them.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      zCols: Seq[String],
+      numRanges: Int = 0,
+      maxRecordsPerFile: Long = 4L * 1024 * 1024,
+      bits: Int = 16
+  ): Unit = {
+    val keyed = df.withColumn("__graft_z", zorderKey(df, zCols, bits))
+    val axes = (partitionCols :+ "__graft_z").map(col)
+    val n = if (numRanges > 0) numRanges else df.sparkSession.sparkContext.defaultParallelism
+    keyed
+      .repartitionByRange(n, axes: _*)
+      .sortWithinPartitions(axes: _*)
+      .drop("__graft_z")
+      .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .mode("overwrite")

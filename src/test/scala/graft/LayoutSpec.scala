@@ -71,6 +71,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(nFiles <= nParts + 8, s"$nFiles files for $nParts partitions — small-files explosion")
   }
 
+  test("z-order bounds per-file ranges in EVERY z-dimension; single-col sort does not") {
+    import spark.implicits._
+    // two independent uniform dims — the worst case for a single-column sort
+    val n = 40000
+    val df = (0 until n).map { i => (i.toLong, ((i.toLong * 2654435761L) % n), i.toDouble) }
+      .toDF("a", "b", "v")
+    val outZ = tmp()
+    val outA = tmp()
+    Layout.writeZOrdered(df, outZ, Seq.empty, Seq("a", "b"), numRanges = 16,
+      maxRecordsPerFile = 4000)
+    Layout.writeClustered(df, outA, Seq.empty, Seq("a"), numRanges = 16,
+      maxRecordsPerFile = 4000)
+
+    def medianWidth(path: String, c: String): Double = {
+      val w = Layout.clusterRanges(spark, path, c).map { case (mn, mx) => (mx - mn).toDouble }
+        .sorted
+      w(w.size / 2)
+    }
+    val domain = n.toDouble
+    // z layout: BOTH dims bounded well below the domain per file
+    assert(medianWidth(outZ, "a") < domain / 2, s"z: a width ${medianWidth(outZ, "a")}")
+    assert(medianWidth(outZ, "b") < domain / 2, s"z: b width ${medianWidth(outZ, "b")}")
+    // a-sorted layout: a is tight but b spans ~the whole domain per file
+    assert(medianWidth(outA, "a") < domain / 8)
+    assert(medianWidth(outA, "b") > domain / 2, s"a-sort: b width ${medianWidth(outA, "b")}")
+    // layout never changes content
+    assert(spark.read.parquet(outZ).agg(sum("v")).collect()(0).getDouble(0)
+      == df.agg(sum("v")).collect()(0).getDouble(0))
+  }
+
   test("maxRecordsPerFile splits a skewed partition without breaking sort order") {
     val out = tmp()
     val ev = Tables.events(spark, "/root/testdata/sf0.001").select("event_id", "user_id", "value")
