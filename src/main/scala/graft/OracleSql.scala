@@ -1238,6 +1238,48 @@ object OracleSql {
     FROM labels GROUP BY 1 HAVING count(*) > 1
   """
 
+  // d36: d09's component labels (recursive-CTE reachability over the
+  // LSH star edges) for EVERY doc in the slice, then the group-grain
+  // md5 split — near-dups share a component, so they share a split.
+  private val d36 = s"""
+    WITH RECURSIVE ${shinglesCte(150)},
+    hh AS (SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 16) AS t(j)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(j / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    bucketmin AS (
+      SELECT band, band_sig, min(doc_id) AS a_id
+      FROM bands GROUP BY 1, 2),
+    star AS (
+      SELECT DISTINCT m.a_id, b.doc_id AS b_id
+      FROM bands b JOIN bucketmin m ON b.band = m.band AND b.band_sig = m.band_sig
+      WHERE b.doc_id <> m.a_id),
+    edges AS (
+      SELECT a_id, b_id FROM star
+      UNION ALL
+      SELECT b_id AS a_id, a_id AS b_id FROM star),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM d
+      UNION
+      SELECT r.src, e.b_id AS dst FROM reach r JOIN edges e ON r.dst = e.a_id),
+    labels AS (SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY 1)
+    SELECT doc_id, component,
+      CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, component,
+        CAST('0x' || substring(md5('split:' || CAST(component AS VARCHAR)), 1, 4) AS BIGINT) % 100 AS h
+      FROM labels) t
+  """
+
   private val e06 = """
     WITH base AS (
       SELECT vec_id, embedding,
@@ -2545,6 +2587,7 @@ object OracleSql {
     "d33_bpe_pairs" -> d33,
     "d34_hll_registers" -> d34,
     "d35_bpe_encode_fixed" -> d35,
+    "d36_leaksafe_split" -> d36,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

@@ -1708,6 +1708,27 @@ object SparkEntry {
       .filter(col("n_docs") > 1)
   }
 
+  /** Leakage-safe corpus split: d09's near-dup components (every doc,
+    * singleton components included) hashed to train/val/test at the
+    * GROUP grain ([[Mixing.leakSafeSplit]]) — near-duplicates cannot
+    * straddle splits, so a benchmark answer cannot leak into training
+    * through a paraphrase. Hash-gated end to end: the component
+    * labels replay via d09's recursive-CTE reachability and the split
+    * is pure md5 arithmetic. Note the shares land at the GROUP grain:
+    * on this corpus slice the LSH chains 105 of 150 docs into one
+    * transitive component, and that whole chain moves as a unit —
+    * exactly the behavior that prevents leakage (and the reason
+    * production pipelines watch their giant component's size).
+    */
+  private def d36(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val edges = Dedup.lshStarEdges(Dedup.lshBandsFromShingles(sh, "doc_id", 16, 4), "doc_id")
+    val comp = Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id", partitions = 4)
+    Mixing.leakSafeSplit(comp, "component", 80, 10)
+      .select(col("id").as("doc_id"), col("component"), col("split"))
+  }
+
   private def e01(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.cosineTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", 5)
@@ -2194,6 +2215,7 @@ object SparkEntry {
     "d29_hll_calibration" -> (d29 _),
     "d34_hll_registers" -> (d34 _),
     "d35_bpe_encode_fixed" -> (d35 _),
+    "d36_leaksafe_split" -> (d36 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -335,4 +335,35 @@ object Mixing {
       .withColumn(rankName, col("__off") + row_number().over(w))
       .drop("__bkt", "__g", "__obkt", "__off")
   }
+
+  /** Leakage-safe train/val/test assignment: the split key is the
+    * near-duplicate GROUP (e.g. [[Dedup.connectedComponents]]'s
+    * `component` label), not the document — so two near-duplicates
+    * can never straddle train and test, the standard guard against a
+    * benchmark answer leaking into training through a paraphrase.
+    * The decision is a stateless hash threshold on the group label
+    * (the t01 pattern): no shuffle beyond what the caller's
+    * component table already paid, deterministic under any
+    * partitioning, and reproducible forever from the label alone.
+    *
+    * @param pctTrain  percentage 0–100 routed to "train"
+    * @param pctVal    percentage routed to "val"; the rest is "test"
+    */
+  def leakSafeSplit(
+      components: DataFrame,
+      groupCol: String,
+      pctTrain: Int,
+      pctVal: Int
+  ): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100, "bad split percentages")
+    components
+      .withColumn("__h",
+        conv(substring(md5(concat(lit("split:"), col(groupCol).cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 100)
+      .withColumn("split",
+        when(col("__h") < pctTrain, "train")
+          .when(col("__h") < pctTrain + pctVal, "val")
+          .otherwise("test"))
+      .drop("__h")
+  }
 }

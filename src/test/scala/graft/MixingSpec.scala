@@ -205,4 +205,23 @@ class MixingSpec extends AnyFunSuite {
       assert(m.values.toSeq.sorted == (1L to m.size.toLong).toSeq)
     }
   }
+
+  test("leakSafeSplit: a component never straddles splits; shares track the percentages") {
+    import spark.implicits._
+    // 1000 groups of 5 near-dups each
+    val comp = (0L until 5000L).map(i => (i, i % 1000)).toDF("doc_id", "component")
+    val s = Mixing.leakSafeSplit(comp, "component", 80, 10)
+    assert(s.groupBy("component").agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count() == 0, "a group straddles splits")
+    val byShare = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byShare("train") - 4000.0) < 400, s"train share ${byShare("train")}")
+    assert(math.abs(byShare.getOrElse("val", 0L) - 500.0) < 250)
+    assert(math.abs(byShare.getOrElse("test", 0L) - 500.0) < 250)
+    // deterministic under repartitioning
+    val s2 = Mixing.leakSafeSplit(comp.repartition(13), "component", 80, 10)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s1 = s.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2)
+  }
 }
