@@ -1856,9 +1856,13 @@ object OracleSql {
       FROM distinctw),
     $chain,
     tok AS (SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_tok
-            FROM enc${D35Merges.length})
-    SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
-    FROM words2 JOIN tok USING (w) GROUP BY doc_id
+            FROM enc${D35Merges.length}),
+    agg AS (
+      SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM words2 JOIN tok USING (w) GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+      CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
   """
   }
 
@@ -1876,6 +1880,15 @@ object OracleSql {
     * The final state carries every word's TRAINED encoding, which is
     * exactly what d26's per-doc token counts need — training and
     * encoding verify from one replay.
+    *
+    * win_i always yields exactly one row: a sentinel (pc = −1,
+    * chr(3) symbols that can never match a bracketed pattern) loses
+    * to any real pair but survives when the corpus exhausts mergeable
+    * pairs early — an empty winner would cross-join the whole word
+    * state away. d25 filters sentinel rows out (pc >= 0), mirroring
+    * the trainer's early stop. NOTE: no `--` comments inside the SQL
+    * itself — the harness flattens statements to one line, and a SQL
+    * comment would swallow the rest of the query.
     */
   private def bpeReplayCtes(n: Int): String = {
     val sb = new StringBuilder
@@ -1897,8 +1910,10 @@ object OracleSql {
       WHERE len(ls) > 1
       GROUP BY 1, 2),
     win$i AS MATERIALIZED (
-      SELECT CAST($i AS BIGINT) AS rank, lsym, rsym, pc FROM pairs$i
-      ORDER BY pc DESC, lsym ASC, rsym ASC LIMIT 1),
+      SELECT CAST($i AS BIGINT) AS rank, lsym, rsym, pc FROM (
+        SELECT lsym, rsym, pc, 0 AS pri FROM pairs$i
+        UNION ALL SELECT chr(3), chr(3), CAST(-1 AS BIGINT), 1
+      ) ORDER BY pri ASC, pc DESC, lsym ASC, rsym ASC LIMIT 1),
     st${i + 1} AS MATERIALIZED (
       SELECT st.word, st.cnt,
         replace(st.s, chr(1)||w.lsym||chr(2)||chr(1)||w.rsym||chr(2), chr(1)||w.lsym||w.rsym||chr(2)) AS s
@@ -1910,19 +1925,28 @@ object OracleSql {
 
   private val d25: String = {
     val wins = (0 until BpeTrainMerges).map(i => s"SELECT * FROM win$i").mkString(" UNION ALL ")
+    // pc >= 0 drops sentinel winners — the trainer stops early when no
+    // pair remains and emits fewer rows, and so must the replay
     s"""WITH ${bpeReplayCtes(BpeTrainMerges)}
-    SELECT rank, lsym AS left_sym, rsym AS right_sym, pc AS pair_count FROM ($wins)"""
+    SELECT rank, lsym AS left_sym, rsym AS right_sym, pc AS pair_count FROM ($wins)
+    WHERE pc >= 0"""
   }
 
+  // LEFT JOIN from documents: a zero-word doc still gets its (0, 0)
+  // row, exactly as the Spark encoder emits one row per input doc
   private val d26: String =
     s"""WITH ${bpeReplayCtes(BpeTrainMerges)},
     tok AS (SELECT word, length(s) - length(replace(s, chr(1), '')) AS n_tok FROM st$BpeTrainMerges),
     words2 AS (
       SELECT doc_id, w FROM (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
-      WHERE length(w) > 0)
-    SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
-    FROM words2 JOIN tok ON w = word GROUP BY doc_id"""
+      WHERE length(w) > 0),
+    agg AS (
+      SELECT doc_id, count(*) AS n_words, CAST(sum(n_tok) AS BIGINT) AS n_bpe_tokens
+      FROM words2 JOIN tok ON w = word GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+      CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
   private val d16 = s"""
     WITH words AS (

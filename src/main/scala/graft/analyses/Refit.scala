@@ -37,7 +37,18 @@ import graft.operators.SideJoin
   */
 object Refit {
 
-  /** The fleet report plus each site's `as_of` ingest watermark. */
+  /** The fleet report plus each site's ingest watermark: the human-
+    * readable `as_of` day AND a content signature `ingest_sig` =
+    * (row count, commutative sum of xxhash64(ts, value)). The
+    * signature is what dirty detection compares — it changes on ANY
+    * mutation (appended days, same-day backfills, corrected values,
+    * deletions), where a max-day watermark alone misses restatements
+    * that do not advance the clock. Order-independent by
+    * construction (sum over a hash), so it is stable across
+    * partitionings; each term is masked to 32 bits so the long sum
+    * cannot overflow under ANSI mode below ~2×10⁹ rows per site
+    * (two centuries of 1-second telemetry).
+    */
   def buildReport(
       spark: SparkSession,
       events: DataFrame,
@@ -47,25 +58,31 @@ object Refit {
   ): DataFrame = {
     val rep = Pipeline.run(spark, events, siteCol, tsCol, valueCol).toDF()
     val asOf = events.groupBy(col(siteCol).as("site"))
-      .agg(max(to_date(col(tsCol))).as("as_of"))
+      .agg(max(to_date(col(tsCol))).as("as_of"),
+        count(lit(1)).as("ingest_n"),
+        sum(xxhash64(col(tsCol), col(valueCol)).bitwiseAND(lit(0xFFFFFFFFL))).as("ingest_sig"))
     SideJoin.back(rep, asOf, Seq("site"))
   }
 
-  /** Sites whose ingested data advanced past the report's watermark,
-    * plus sites the report has never seen. One aggregation over the
-    * scan; everything after is site-cardinality.
+  /** Sites whose ingested content differs from the report's signature
+    * (appends, restatements, deletions), plus sites the report has
+    * never seen. One map-side-combined aggregation over the scan;
+    * everything after is site-cardinality.
     */
   def dirtySites(
       events: DataFrame,
       report: DataFrame,
       siteCol: String,
-      tsCol: String
+      tsCol: String,
+      valueCol: String
   ): DataFrame = {
     val cur = events.groupBy(col(siteCol).as("site"))
-      .agg(max(to_date(col(tsCol))).as("cur_max"))
-    cur.join(report.select(col("site"), col("as_of")), Seq("site"), "left")
-      .filter(col("as_of").isNull || col("cur_max") > col("as_of"))
-      .select(col("site"), col("cur_max"))
+      .agg(count(lit(1)).as("cur_n"),
+        sum(xxhash64(col(tsCol), col(valueCol)).bitwiseAND(lit(0xFFFFFFFFL))).as("cur_sig"))
+    cur.join(report.select(col("site"), col("ingest_n"), col("ingest_sig")), Seq("site"), "left")
+      .filter(col("ingest_sig").isNull ||
+        col("cur_n") =!= col("ingest_n") || col("cur_sig") =!= col("ingest_sig"))
+      .select(col("site"))
   }
 
   /** Refresh `prevReport` against the current `events`: re-fit dirty
@@ -74,6 +91,13 @@ object Refit {
     * returns the report unchanged (and runs no solver work: the
     * refreshed branch is an empty frame the solver stage never sees
     * rows for).
+    *
+    * The dirty-site list is COLLECTED once (site-cardinality — bytes)
+    * and re-enters the plan as one local frame feeding both the
+    * semi-join and the anti-join: a single consistent snapshot, so a
+    * live source cannot yield one dirty set to the trim and another
+    * to the merge (a site could otherwise vanish from both branches),
+    * and the events scan is not re-aggregated per consumer.
     */
   def incremental(
       spark: SparkSession,
@@ -83,12 +107,18 @@ object Refit {
       tsCol: String,
       valueCol: String
   ): DataFrame = {
-    val dirty = dirtySites(events, prevReport, siteCol, tsCol)
-      .select(col("site").as(siteCol))
-    val dirtyEvents = events.join(broadcast(dirty), Seq(siteCol), "left_semi")
+    val dirtyRows = dirtySites(events, prevReport, siteCol, tsCol, valueCol)
+      .collect().toSeq
+    val siteField = prevReport.schema("site")
+    val dirtyDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(dirtyRows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(siteField)))
+    val dirtyEvents = events.join(
+      broadcast(dirtyDf.select(col("site").as(siteCol))), Seq(siteCol), "left_semi")
     val refreshed = buildReport(spark, dirtyEvents, siteCol, tsCol, valueCol)
     prevReport
-      .join(broadcast(dirty.select(col(siteCol).as("site"))), Seq("site"), "left_anti")
+      .join(broadcast(dirtyDf), Seq("site"), "left_anti")
       .unionByName(refreshed)
   }
 }

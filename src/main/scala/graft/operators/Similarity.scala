@@ -121,7 +121,11 @@ object Similarity {
         max(when(col("rn") === 1, col("dist"))).as("a_dist"),
         max(when(col("rn") === 2, col("dist"))).as("b_dist"))
       .withColumn("sil",
-        when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(0.0))
+        // null b_dist (single centroid) stays null even when the
+        // vector sits ON its centroid — Spark's greatest() skips
+        // nulls, so the zero branch must not fire first
+        when(col("b_dist").isNull, lit(null).cast("double"))
+          .when(greatest(col("a_dist"), col("b_dist")) === 0.0, lit(0.0))
           .otherwise(round((col("b_dist") - col("a_dist")) /
             greatest(col("a_dist"), col("b_dist")), 6)))
   }

@@ -95,12 +95,20 @@ object Layout {
     val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val maxRank = (1L << bits) - 1
     val ranks = cols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(stats.fieldIndex(s"mn$i"))
-      val mx = stats.getDouble(stats.fieldIndex(s"mx$i"))
-      if (mx <= mn) lit(0L)
-      else least(lit(maxRank), greatest(lit(0L),
-        floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
-          lit(mx - mn) * lit(maxRank.toDouble)).cast("long")))
+      val mnIdx = stats.fieldIndex(s"mn$i")
+      val mxIdx = stats.fieldIndex(s"mx$i")
+      // null stats (empty frame, all-null column, non-numeric cast):
+      // the column carries no ordering information — rank 0 drops it
+      // from the interleave instead of NPEing here
+      if (stats.isNullAt(mnIdx) || stats.isNullAt(mxIdx)) lit(0L)
+      else {
+        val mn = stats.getDouble(mnIdx)
+        val mx = stats.getDouble(mxIdx)
+        if (mx <= mn) lit(0L)
+        else least(lit(maxRank), greatest(lit(0L),
+          floor((coalesce(col(c).cast("double"), lit(mn)) - lit(mn)) /
+            lit(mx - mn) * lit(maxRank.toDouble)).cast("long")))
+      }
     }
     // interleave: output bit (b * nCols + i) = bit b of rank i
     val n = cols.size

@@ -95,10 +95,12 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(Similarity.cosineTopK(none, vecs, "vec_id", "embedding", 3).count() == 0)
     assert(Similarity.cosineTopK(vecs, none, "vec_id", "embedding", 3).count() == 0)
     // single centroid: a 1-clustering has no silhouette — b_dist/sil
-    // null (documented), never an exception or a fake 0
+    // null (documented), never an exception or a fake 0 — INCLUDING
+    // for a vector sitting exactly on the centroid (a = 0)
     val one = Seq((9L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
-    val sil = Similarity.simplifiedSilhouette(vecs, one, "vec_id", "embedding").collect()
-    assert(sil.length == 2 && sil.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    val onC = vecs.union(Seq((3L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding"))
+    val sil = Similarity.simplifiedSilhouette(onC, one, "vec_id", "embedding").collect()
+    assert(sil.length == 3 && sil.forall(r => r.isNullAt(3) && r.isNullAt(4)))
   }
 
   test("solver kernels on tiny arrays return without throwing") {

@@ -60,13 +60,17 @@ class KmeansSpec extends AnyFunSuite {
     assert(s(100L)._1 == 0L && s(100L)._2 > 0.98, s"tight member: ${s(100L)}")
     assert(math.abs(s(101L)._2) < 1e-9, s"boundary point: ${s(101L)}")
     assert(s(102L)._1 == 0L && s(102L)._2 == 1.0, s"on-centroid: ${s(102L)}")
-    // mean silhouette of a real clustering is higher than of a
-    // degenerate one (all vectors assigned across two identical
-    // centroids → a == b → sil 0)
-    val emb001 = emb
-    val good = Similarity.simplifiedSilhouette(emb001,
-      emb001.filter(col("vec_id") < 8), "vec_id", "embedding")
+    // a real separation scores high; two IDENTICAL centroids (the
+    // degenerate clustering) score exactly 0 everywhere (a == b)
+    val wellSep = (Seq.tabulate(20)(i => (i.toLong, Seq(0.1 * (i % 5), 0.0))) ++
+      Seq.tabulate(20)(i => (100L + i, Seq(10.0 + 0.1 * (i % 5), 0.0)))).toDF("id", "vec")
+    val sepCents = Seq((0L, Seq(0.2, 0.0)), (1L, Seq(10.2, 0.0))).toDF("id", "vec")
+    val goodMean = Similarity.simplifiedSilhouette(wellSep, sepCents, "id", "vec")
       .agg(avg(col("sil"))).collect()(0).getDouble(0)
-    assert(good > -1.0 && good < 1.0)
+    assert(goodMean > 0.9, s"well-separated clustering mean sil $goodMean")
+    val sameCents = Seq((0L, Seq(5.0, 0.0)), (1L, Seq(5.0, 0.0))).toDF("id", "vec")
+    val degen = Similarity.simplifiedSilhouette(wellSep, sameCents, "id", "vec")
+      .select(col("sil")).collect().map(_.getDouble(0))
+    assert(degen.forall(_ == 0.0), "identical centroids must score 0 everywhere")
   }
 }

@@ -28,7 +28,7 @@ class RefitSpec extends AnyFunSuite {
         to_date(col("ts")) <= date_sub(lit(cutoff), 30))
     val prev = Refit.buildReport(spark, stale, "site", "ts", "power")
 
-    val dirty = Refit.dirtySites(full, prev, "site", "ts")
+    val dirty = Refit.dirtySites(full, prev, "site", "ts", "power")
       .collect().map(_.getLong(0)).sorted
     assert(dirty.toSeq == Seq(0L, 2L), s"dirty sites: ${dirty.toSeq}")
 
@@ -46,9 +46,24 @@ class RefitSpec extends AnyFunSuite {
     assert(prevRows.toSeq == keptRows.toSeq, "clean sites' rows were rewritten")
 
     // idempotence: nothing dirty against the fresh report
-    assert(Refit.dirtySites(full, rebuilt, "site", "ts").count() == 0)
+    assert(Refit.dirtySites(full, rebuilt, "site", "ts", "power").count() == 0)
     val again = Refit.incremental(spark, full, rebuilt, "site", "ts", "power")
     assert(again.orderBy("site").collect().map(_.toSeq).toSeq == r.toSeq)
+  }
+
+  test("a same-day restatement (no new days) still marks the site dirty") {
+    val full = fleet(30)
+    val prev = Refit.buildReport(spark, full, "site", "ts", "power")
+    // site 1 gets one value corrected — max(day) does not move
+    val restated = full.withColumn("power",
+      when(col("site") === 1L, col("power") * 1.01).otherwise(col("power")))
+    val dirty = Refit.dirtySites(restated, prev, "site", "ts", "power")
+      .collect().map(_.getLong(0))
+    assert(dirty.toSeq == Seq(1L), s"dirty: ${dirty.toSeq}")
+    val merged = Refit.incremental(spark, restated, prev, "site", "ts", "power")
+    val rebuilt = Refit.buildReport(spark, restated, "site", "ts", "power")
+    assert(merged.orderBy("site").collect().map(_.toSeq).toSeq
+      == rebuilt.orderBy("site").collect().map(_.toSeq).toSeq)
   }
 
   test("a brand-new site is dirty by definition and appears in the refresh") {
@@ -56,7 +71,7 @@ class RefitSpec extends AnyFunSuite {
       .select(col("site"), col("ts"), col("power"))
     val four = five.filter(col("site") < 4)
     val prev = Refit.buildReport(spark, four, "site", "ts", "power")
-    val dirty = Refit.dirtySites(five, prev, "site", "ts").collect().map(_.getLong(0))
+    val dirty = Refit.dirtySites(five, prev, "site", "ts", "power").collect().map(_.getLong(0))
     assert(dirty.toSeq == Seq(4L), s"dirty: ${dirty.toSeq}")
     val merged = Refit.incremental(spark, five, prev, "site", "ts", "power")
     assert(merged.count() == 5)
