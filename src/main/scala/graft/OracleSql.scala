@@ -957,6 +957,43 @@ object OracleSql {
     FROM g
   """
 
+  // q54: ClearDay.detect replayed — dense (site, day, slot) grid with
+  // max-on-collision fill (greatest(max(v), 0) = the operator's
+  // zero-initialized in-place max), per-slot p90 envelope over ±10
+  // CALENDAR days (quantile_cont = the operator's sorted linear
+  // interpolation), then correlation / energy-ratio verdicts.
+  private val q54 = """
+    WITH e AS (
+      SELECT user_id AS site, CAST(ts AS DATE) AS day,
+        CAST(floor(date_diff('second', date_trunc('day', ts), ts) / 900.0) AS INT) AS slot,
+        CAST(value AS DOUBLE) AS v
+      FROM events),
+    days AS (SELECT DISTINCT site, day FROM e),
+    grid AS (SELECT site, day, CAST(s.slot AS INT) AS slot
+             FROM days CROSS JOIN (SELECT unnest(range(96)) AS slot) s),
+    mx AS (SELECT site, day, slot, max(v) AS mv FROM e GROUP BY 1, 2, 3),
+    cells AS (
+      SELECT g.site, g.day, g.slot, coalesce(greatest(m.mv, 0), 0) AS v
+      FROM grid g LEFT JOIN mx m ON g.site = m.site AND g.day = m.day AND g.slot = m.slot),
+    env AS (
+      SELECT a.site, a.slot, a.day, quantile_cont(b.v, 0.9) AS env
+      FROM cells a JOIN cells b ON a.site = b.site AND a.slot = b.slot
+        AND abs(date_diff('day', b.day, a.day)) <= 10
+      GROUP BY 1, 2, 3),
+    fin AS (
+      SELECT c.site, c.day,
+        sum(c.v * e2.env) AS num, sum(c.v * c.v) AS mm, sum(e2.env * e2.env) AS ee,
+        sum(c.v) AS sm, sum(e2.env) AS se
+      FROM cells c JOIN env e2 ON c.site = e2.site AND c.slot = e2.slot AND c.day = e2.day
+      GROUP BY 1, 2)
+    SELECT site, CAST(day AS VARCHAR) AS day,
+      round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
+      round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio,
+      ((CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END) > 0.98
+       AND (CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END) > 0.8) AS clear
+    FROM fin
+  """
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2569,6 +2606,7 @@ object OracleSql {
     "q51_capacity_shifts" -> q51,
     "q52_dilation_grid" -> q52,
     "q53_profile_gram" -> q53,
+    "q54_clear_days" -> q54,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

@@ -910,6 +910,23 @@ object SparkEntry {
     * the cross-engine comparison is tie-stable. One shuffle to the
     * (site, day) grain; windows are per-site — the same partitioning.
     */
+  /** Clear-day detection HASH-GATED end to end — the p03 stage that
+    * was rows-only because it lives in a per-site `mapGroups`, now
+    * cross-engine-verified: the dense (site, day, slot) grid with
+    * max-on-collision fill, the ±10-calendar-day per-slot p90
+    * envelope (linear-interpolated — `quantile_cont` semantics), and
+    * the correlation/energy-ratio verdicts all replay relationally.
+    * The Spark side runs the REAL operator ([[ClearDay.detect]]),
+    * not a SQL re-derivation — so the gate certifies the solver-path
+    * code itself.
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.ClearDay.detect(s, Tables.events(s, dir), "user_id", "ts", "value", 96, 10)
+      .select(col("site"), col("day"),
+        round(col("env_corr"), 6).as("env_corr"),
+        round(col("energy_ratio"), 6).as("energy_ratio"),
+        col("clear"))
+
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -2181,6 +2198,7 @@ object SparkEntry {
     "q51_capacity_shifts" -> (q51 _),
     "q52_dilation_grid" -> (q52 _),
     "q53_profile_gram" -> (q53 _),
+    "q54_clear_days" -> (q54 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

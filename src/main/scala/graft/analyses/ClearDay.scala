@@ -54,7 +54,14 @@ object ClearDay {
         val nD = days.length
         val m = Array.fill(slotsPerDay, nD)(0.0)
         buf.foreach { case (_, day, slot, v) =>
-          if (slot >= 0 && slot < slotsPerDay) m(slot)(dayIdx(day)) = v
+          // MAX on slot collisions (two samples landing in one slot):
+          // plain assignment would keep whichever the shuffle happened
+          // to deliver last — partition-order-dependent output. Max is
+          // commutative, so the matrix is deterministic under any
+          // arrival order (and power is nonnegative, matching the
+          // zero-initialized grid).
+          if (slot >= 0 && slot < slotsPerDay && v > m(slot)(dayIdx(day)))
+            m(slot)(dayIdx(day)) = v
         }
         // per-slot rolling p90 envelope over ±windowDays of CALENDAR
         // time: window bounds by date distance, not observed-day rank —
