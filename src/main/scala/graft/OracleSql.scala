@@ -1317,6 +1317,25 @@ object OracleSql {
       FROM labels) t
   """
 
+  // d37: seed-centroid quality — per-dim means over the src0 seed
+  // rounded 6dp (absorbing float summation-order noise), then cosine
+  // of every embedding to the centroid at 5dp; keep compares the
+  // ROUNDED cosine, like the Spark side.
+  private val d37 = """
+    WITH ev AS (SELECT vec_id AS doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+    seed AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+    dims AS (SELECT e.doc_id, t.i, v[CAST(t.i AS INT)] AS x
+             FROM ev e CROSS JOIN LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) t),
+    cent AS (SELECT i, round(avg(x), 6) AS c FROM dims JOIN seed USING (doc_id) GROUP BY i),
+    cn AS (SELECT sqrt(sum(c * c)) AS cnorm FROM cent),
+    sc AS (
+      SELECT d.doc_id, sum(d.x * c.c) AS dot, sqrt(sum(d.x * d.x)) AS vnorm
+      FROM dims d JOIN cent c USING (i) GROUP BY d.doc_id)
+    SELECT doc_id, round(dot / (vnorm * cnorm), 5) AS cosine,
+      round(dot / (vnorm * cnorm), 5) >= 0.1 AS keep
+    FROM sc, cn
+  """
+
   private val e06 = """
     WITH base AS (
       SELECT vec_id, embedding,
@@ -2650,6 +2669,7 @@ object OracleSql {
     "d34_hll_registers" -> d34,
     "d35_bpe_encode_fixed" -> d35,
     "d36_leaksafe_split" -> d36,
+    "d37_seed_quality" -> d37,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

@@ -1746,6 +1746,33 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"), col("split"))
   }
 
+  /** Seed-centroid quality scoring (the embedding-side quality
+    * filter of DCLM/FineWeb-edu lineage, linear-probe-lite): a SEED
+    * set of known-good documents (here source 'src0') defines a
+    * centroid in embedding space; every document scores by cosine to
+    * it. The one documents ⋈ embeddings equi-join in the suite (both
+    * tables share the id grain); the centroid is vocabulary-free
+    * model state — per-dim means rounded to 6 dp so float
+    * summation-order noise (ulp-scale, the kmeansFit lesson) cannot
+    * reach the hash — collected to the driver and baked into the
+    * scoring scan as a literal, so scoring never shuffles.
+    */
+  private def d37(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
+    val seedIds = Tables.documents(s, dir).filter(col("source") === "src0").select("doc_id")
+    val cent = emb.join(seedIds, Seq("doc_id"))
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 6).as("c"))
+      .orderBy(col("i")).collect().map(_.getDouble(1))
+    val centC = typedLit(cent.toSeq)
+    emb
+      .withColumn("cosine", round(
+        Similarity.dot(col("v"), centC) / (Similarity.norm(col("v")) * Similarity.norm(centC)), 5))
+      .withColumn("keep", col("cosine") >= 0.1)
+      .select(col("doc_id"), col("cosine"), col("keep"))
+  }
+
   private def e01(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.cosineTopK(emb.filter(col("vec_id") < 32), emb, "vec_id", "embedding", 5)
@@ -2234,6 +2261,7 @@ object SparkEntry {
     "d34_hll_registers" -> (d34 _),
     "d35_bpe_encode_fixed" -> (d35 _),
     "d36_leaksafe_split" -> (d36 _),
+    "d37_seed_quality" -> (d37 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
