@@ -239,4 +239,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"d34 planned a join:\n$p")
     assert(p.contains("HashAggregate"), "d34 lost hash aggregation")
   }
+
+  test("seed-quality scoring is a pure scan — the centroid is literal model state (d37)") {
+    // the centroid is collected at plan-build time; the SCORING plan
+    // must be a map over the embedding scan with zero joins/shuffles
+    val p = planOf("d37_seed_quality")
+    assert(!p.contains("Exchange"), s"d37 scoring grew a shuffle:\n$p")
+    assert(!p.contains("Join"), s"d37 scoring planned a join:\n$p")
+  }
 }
