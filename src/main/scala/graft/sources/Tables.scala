@@ -80,6 +80,13 @@ object Tables {
     graft.operators.DayStats
       .qualityFlags(events(spark, dir), "user_id", "ts", "value", 10L)
       .createOrReplaceTempView("day_stats")
+    // solver-grade fact view: per site-day clear-sky verdicts from the
+    // full envelope operator — lazy like every other view, so a SQL
+    // user pays for it only when queried
+    try graft.analyses.ClearDay
+      .detect(spark, events(spark, dir), "user_id", "ts", "value", 96, 10)
+      .createOrReplaceTempView("clear_days")
+    catch { case scala.util.control.NonFatal(_) => () }
     // the corpus-side derived fact view: per-doc token/quality/lang
     // signals, all scan-side column expressions — SQL users get the
     // curation signals without touching the Scala operators. Same

@@ -51,6 +51,15 @@ class SqlFaceSpec extends AnyFunSuite {
     assert(joined == spark.table("documents").count())
   }
 
+  test("spark.sql reaches the solver-grade clear_days view") {
+    Tables.registerViews(spark, dir)
+    val r = spark.sql(
+      """SELECT count(*) AS n, sum(CASE WHEN clear THEN 1 ELSE 0 END) AS n_clear
+         FROM clear_days""").collect().head
+    assert(r.getLong(0) > 0, "clear_days view is empty")
+    assert(r.getLong(1) >= 0 && r.getLong(1) <= r.getLong(0))
+  }
+
   test("SQL over a base view keeps filter pushdown at the scan") {
     Tables.registerViews(spark, dir)
     val df = spark.sql("SELECT l_quantity FROM lineitem WHERE l_quantity > 40.0")
