@@ -2387,6 +2387,28 @@ object OracleSql {
   // t06: deterministic epoch shuffle — the oracle replays the rank as
   // one per-epoch row_number over (key, doc_id); the Spark side's
   // bucketed prefix-sum must equal it exactly.
+  // t08: curriculum admission (epoch-indexed quality-bucket
+  // threshold) + within-epoch order by the md5 epoch key, exactly the
+  // d04 quality arithmetic and the t06 ordering rule. The bucket
+  // floors round(quality, 6) * 100 — both engines compute the same
+  // double, so any float-floor quirk is shared, which is what the
+  // hash needs.
+  private val t08 = s"""
+    WITH q AS (
+      SELECT doc_id,
+        CAST(floor(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
+               + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100) AS INT) AS qb
+      FROM documents),
+    e(epoch, qmin) AS (SELECT * FROM (VALUES (0, 75), (1, 50), (2, 25), (3, 0)) v),
+    adm AS (SELECT doc_id, epoch, qb FROM q CROSS JOIN e WHERE qb >= qmin)
+    SELECT doc_id, epoch, qb,
+      CAST(row_number() OVER (PARTITION BY epoch
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || ':c:' || CAST(epoch AS VARCHAR)) ASC,
+                 doc_id ASC) AS BIGINT) AS pos
+    FROM adm
+  """
+
   private val t06 = """
     WITH e AS (
       SELECT doc_id, epoch
@@ -2687,6 +2709,7 @@ object OracleSql {
     "t03_pack_sequences" -> t03,
     "t04_interleave" -> t04,
     "t05_budget_select" -> t05,
-    "t06_epoch_order" -> t06
+    "t06_epoch_order" -> t06,
+    "t08_curriculum" -> t08
   ).map { case (k, v) => k -> v.trim.replaceAll("\\s+", " ") }
 }

@@ -1746,6 +1746,28 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"), col("split"))
   }
 
+  /** Curriculum schedule (progressive admission): epoch 0 trains on
+    * only the highest-quality bucket, each later epoch lowers the
+    * bar until epoch 3 admits everything — the anneal-from-clean
+    * curriculum shape. Admission is a pure threshold on the integer
+    * quality bucket (no sort); the within-epoch training order is the
+    * deterministic t06 machinery (md5 epoch keys + bucketed rank, no
+    * single-partition window). Fully hash-gated.
+    */
+  private def t08(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        floor(round(TextOps.qualityScore(col("text")), 6) * 100).cast("int").as("qb"))
+    val epochs = Seq((0, 75), (1, 50), (2, 25), (3, 0)).toDF("epoch", "qmin")
+    val admitted = docs.crossJoin(broadcast(epochs))
+      .filter(col("qb") >= col("qmin"))
+      .withColumn("ekey",
+        md5(concat(col("doc_id").cast("string"), lit(":c:"), col("epoch").cast("string"))))
+    Mixing.globalRankInGroup(admitted, "epoch", "ekey", "doc_id", "pos")
+      .select(col("doc_id"), col("epoch"), col("qb"), col("pos"))
+  }
+
   /** Seed-centroid quality scoring (the embedding-side quality
     * filter of DCLM/FineWeb-edu lineage, linear-probe-lite): a SEED
     * set of known-good documents (here source 'src0') defines a
@@ -2291,7 +2313,8 @@ object SparkEntry {
     "t03_pack_sequences" -> (t03 _),
     "t04_interleave" -> (t04 _),
     "t05_budget_select" -> (t05 _),
-    "t06_epoch_order" -> (t06 _)
+    "t06_epoch_order" -> (t06 _),
+    "t08_curriculum" -> (t08 _)
   )
 
   def oracleSql: Map[String, String] = OracleSql.all
