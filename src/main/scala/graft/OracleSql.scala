@@ -1317,6 +1317,32 @@ object OracleSql {
       FROM labels) t
   """
 
+  // d38: Count-Min sketch (d=4, w=16) + top-20 heavy-hitter probe
+  // with measured overestimate — integer md5 arithmetic end to end.
+  private val d38 = s"""
+    WITH words AS (
+      SELECT w FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
+      WHERE length(w) > 0),
+    rows_ AS (SELECT unnest(range(4)) AS r),
+    cms AS (
+      SELECT r, CAST('0x' || substring(md5(w || ':cms:' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS b,
+        count(*) AS c
+      FROM words CROSS JOIN rows_ GROUP BY 1, 2),
+    exact AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+    top AS (
+      SELECT w, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, w ASC) AS INT) AS rk
+      FROM exact QUALIFY row_number() OVER (ORDER BY cnt DESC, w ASC) <= 20),
+    probes AS (
+      SELECT t.rk, t.w, t.cnt, r.r,
+        CAST('0x' || substring(md5(t.w || ':cms:' || CAST(r.r AS VARCHAR)), 1, 8) AS BIGINT) % 16 AS b
+      FROM top t CROSS JOIN rows_ r)
+    SELECT p.rk, p.w AS word, p.cnt AS exact_cnt,
+      CAST(min(c.c) AS BIGINT) AS cms_est, CAST(min(c.c) - p.cnt AS BIGINT) AS overest
+    FROM probes p JOIN cms c ON p.r = c.r AND p.b = c.b
+    GROUP BY 1, 2, 3
+  """
+
   // d37: seed-centroid quality — per-dim means over the src0 seed
   // rounded 6dp (absorbing float summation-order noise), then cosine
   // of every embedding to the centroid at 5dp; keep compares the
@@ -2692,6 +2718,7 @@ object OracleSql {
     "d35_bpe_encode_fixed" -> d35,
     "d36_leaksafe_split" -> d36,
     "d37_seed_quality" -> d37,
+    "d38_cms_heavy_hitters" -> d38,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

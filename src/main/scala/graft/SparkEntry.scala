@@ -1746,6 +1746,43 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"), col("split"))
   }
 
+  /** Count-Min sketch heavy-hitter calibration — the FREQUENCY
+    * sketch family next to HLL (cardinality, d34) and MinHash
+    * (similarity, d07): d=4 hash rows × w=16 counters built in ONE
+    * map-side-combined aggregation whose output is d·w rows no
+    * matter the corpus size (the constant-memory property that lets
+    * frequency dashboards exist at 100 TB), then the top-20 exact
+    * words probed against it — estimate = min over rows, and the
+    * report carries the overestimate so the sketch's error is
+    * MEASURED, not assumed. Width 16 is sized to the fixture's
+    * 31-word vocabulary so collisions actually occur (at w=64 the
+    * sketch is trivially exact and certifies nothing); production
+    * sizing is w ≈ ⌈e/ε⌉. All integer md5 arithmetic — hash-gated.
+    * The global top-20 window orders a vocabulary-sized table (31
+    * rows) — bounded by |vocab|, not the corpus.
+    */
+  private def d38(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val rowsDf = Seq(0, 1, 2, 3).toDF("r")
+    def bucket: Column =
+      conv(substring(md5(concat(col("w"), lit(":cms:"), col("r").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 16
+    val cms = words.crossJoin(broadcast(rowsDf)).withColumn("b", bucket)
+      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val top = exact
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+      .filter(col("rk") <= 20)
+    top.crossJoin(broadcast(rowsDf)).withColumn("b", bucket)
+      .join(broadcast(cms), Seq("r", "b"))
+      .groupBy(col("rk"), col("w").as("word"), col("cnt").as("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("overest", col("cms_est") - col("exact_cnt"))
+  }
+
   /** Curriculum schedule (progressive admission): epoch 0 trains on
     * only the highest-quality bucket, each later epoch lowers the
     * bar until epoch 3 admits everything — the anneal-from-clean
@@ -2284,6 +2321,7 @@ object SparkEntry {
     "d35_bpe_encode_fixed" -> (d35 _),
     "d36_leaksafe_split" -> (d36 _),
     "d37_seed_quality" -> (d37 _),
+    "d38_cms_heavy_hitters" -> (d38 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
