@@ -1343,6 +1343,38 @@ object OracleSql {
     GROUP BY 1, 2, 3
   """
 
+  // d39: the bloom probe's exact bit arithmetic replayed — murmur
+  // fmix64 as chained CTE steps in mod-2^64 HUGEINT arithmetic
+  // (u64 masks to the unsigned domain; mul64 splits the multiplicand
+  // to keep the 128-bit intermediate inside HUGEINT), then the
+  // double-hashing schedule pos_i = (h + i*(fmix64(h)|1)) mod 1024.
+  // A doc hits iff all 5 positions are set by some inserted key.
+  private def u64(x: String): String =
+    s"(CAST($x AS HUGEINT) & 18446744073709551615)"
+  private def mul64(a: String, b: String): String =
+    s"((((( ${u64(a)}) >> 32) * ${u64(b)}) & 4294967295) * 4294967296 " +
+      s"+ ((( ${u64(a)} & 4294967295) * ${u64(b)}) & 18446744073709551615)) & 18446744073709551615"
+  private val d39: String = s"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 2 = 0 AS inserted,
+        CAST('0x' || substring($fp, 1, 15) AS BIGINT) AS h
+      FROM documents),
+    m1 AS (SELECT *, xor(${u64("h")}, ${u64("h")} >> 33) AS t1 FROM base),
+    m2 AS (SELECT *, (${mul64("t1", "18397679294719823053")}) AS t2 FROM m1),
+    m3 AS (SELECT *, xor(t2, t2 >> 33) AS t3 FROM m2),
+    m4 AS (SELECT *, (${mul64("t3", "14181476777654086739")}) AS t4 FROM m3),
+    m5 AS (SELECT *, (xor(t4, t4 >> 33) | 1) AS h2 FROM m4),
+    pos AS (
+      SELECT doc_id, inserted, t.i,
+        CAST(((${u64("h")} + ((${u64("t.i")} * h2) & 18446744073709551615)) & 1023) AS BIGINT) AS p
+      FROM m5 CROSS JOIN (SELECT unnest(range(5)) AS i) t),
+    setbits AS (SELECT DISTINCT p FROM pos WHERE inserted),
+    verdict AS (
+      SELECT doc_id, inserted, bool_and(p IN (SELECT p FROM setbits)) AS hit
+      FROM pos GROUP BY 1, 2)
+    SELECT doc_id, inserted, hit, hit AND NOT inserted AS false_pos FROM verdict
+  """
+
   // d37: seed-centroid quality — per-dim means over the src0 seed
   // rounded 6dp (absorbing float summation-order noise), then cosine
   // of every embedding to the centroid at 5dp; keep compares the
@@ -2719,6 +2751,7 @@ object OracleSql {
     "d36_leaksafe_split" -> d36,
     "d37_seed_quality" -> d37,
     "d38_cms_heavy_hitters" -> d38,
+    "d39_bloom_fpr" -> d39,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

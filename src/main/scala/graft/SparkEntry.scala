@@ -1783,6 +1783,29 @@ object SparkEntry {
       .withColumn("overest", col("cms_est") - col("exact_cnt"))
   }
 
+  /** Bloom-filter false-positive calibration, HASH-GATED down to the
+    * bit arithmetic: even doc_ids' fingerprint hashes build a
+    * deliberately tight filter (1024 bits / ~250 keys / k=5 →
+    * ~17% FPR so the false-positive surface is actually exercised;
+    * production sizing is 10 bits/key → <1%), then EVERY doc probes
+    * it through the native `graft_bloom_contains` expression. The
+    * oracle replays murmur fmix64 and the double-hashing probe
+    * schedule in mod-2⁶⁴ HUGEINT arithmetic, so the gate certifies
+    * the codegen'd expression's exact bit behavior — including the
+    * no-false-negative guarantee (every inserted doc must hit) and
+    * each individual false positive.
+    */
+  private def d39(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Bloom
+    val fp = Tables.documents(s, dir).select(col("doc_id"),
+      conv(substring(TextOps.fingerprint(col("text")), 1, 15), 16, 10).cast("long").as("h"))
+    val filter = Bloom.build(fp.filter(col("doc_id") % 2 === 0), col("h"), numBits = 1024, k = 5)
+    fp.withColumn("inserted", col("doc_id") % 2 === 0)
+      .withColumn("hit", Bloom.containsCol(filter, col("h")))
+      .withColumn("false_pos", col("hit") && !col("inserted"))
+      .select(col("doc_id"), col("inserted"), col("hit"), col("false_pos"))
+  }
+
   /** Curriculum schedule (progressive admission): epoch 0 trains on
     * only the highest-quality bucket, each later epoch lowers the
     * bar until epoch 3 admits everything — the anneal-from-clean
@@ -2322,6 +2345,7 @@ object SparkEntry {
     "d36_leaksafe_split" -> (d36 _),
     "d37_seed_quality" -> (d37 _),
     "d38_cms_heavy_hitters" -> (d38 _),
+    "d39_bloom_fpr" -> (d39 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),
