@@ -28,10 +28,6 @@ class QueriesSpec extends AnyFunSuite {
       // per-subspace Lloyd's trainer, as e09 (PqSpec carries rank/
       // reconstruction contracts)
       "e10_pq_adc",
-      // iterative BPE merge loop: no SQL replay (BpeSpec carries the
-      // hand-computed merge-order and encoding contracts)
-      "d25_bpe_merges",
-      "d26_bpe_encode",
       // HLL++ estimates are engine-specific (OperatorSpec carries the
       // error-bound and partition-independence contracts)
       "d29_hll_calibration",
@@ -40,6 +36,11 @@ class QueriesSpec extends AnyFunSuite {
       "e11_ivf_pq")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
+    // the list must stay honest in the other direction too: a query
+    // that GAINED an oracle (as d25/d26 did via the training-loop
+    // replay) must be dropped from it
+    val stale = rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(stale.isEmpty, s"rows-only entries that now have oracles: $stale")
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
