@@ -986,12 +986,13 @@ object OracleSql {
         sum(c.v) AS sm, sum(e2.env) AS se
       FROM cells c JOIN env e2 ON c.site = e2.site AND c.slot = e2.slot AND c.day = e2.day
       GROUP BY 1, 2)
-    SELECT site, CAST(day AS VARCHAR) AS day,
-      round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
-      round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio,
-      ((CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END) > 0.98
-       AND (CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END) > 0.8) AS clear
-    FROM fin
+    SELECT site, day, env_corr, energy_ratio,
+      (env_corr > 0.98 AND energy_ratio > 0.8) AS clear
+    FROM (
+      SELECT site, CAST(day AS VARCHAR) AS day,
+        round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
+        round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio
+      FROM fin) t
   """
 
   private val q53 = """

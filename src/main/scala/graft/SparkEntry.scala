@@ -921,11 +921,8 @@ object SparkEntry {
     * code itself.
     */
   private def q54(s: SparkSession, dir: String): DataFrame =
-    graft.analyses.ClearDay.detect(s, Tables.events(s, dir), "user_id", "ts", "value", 96, 10)
-      .select(col("site"), col("day"),
-        round(col("env_corr"), 6).as("env_corr"),
-        round(col("energy_ratio"), 6).as("energy_ratio"),
-        col("clear"))
+    graft.analyses.ClearDay.detectDefault(s, Tables.events(s, dir))
+      .select(col("site"), col("day"), col("env_corr"), col("energy_ratio"), col("clear"))
 
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)

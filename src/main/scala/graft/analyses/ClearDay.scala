@@ -98,12 +98,28 @@ object ClearDay {
             num += a * b; mm += a * a; ee += b * b; sm += a; se += b
             s += 1
           }
-          val corr = if (mm > 0 && ee > 0) num / math.sqrt(mm * ee) else 0.0
-          val eratio = if (se > 1e-9) sm / se else 0.0
+          // emit and THRESHOLD the 6-dp-rounded statistics (HALF_UP,
+          // matching SQL round()): the raw doubles differ across
+          // engines at ulp scale (summation order, quantile
+          // interpolation), so a verdict on the raw value could flip
+          // cross-engine on a knife-edge day while the reported
+          // numbers agree — the d37 lesson applied here
+          val corrRaw = if (mm > 0 && ee > 0) num / math.sqrt(mm * ee) else 0.0
+          val eratioRaw = if (se > 1e-9) sm / se else 0.0
+          val corr = math.floor(corrRaw * 1e6 + 0.5) / 1e6
+          val eratio = math.floor(eratioRaw * 1e6 + 0.5) / 1e6
           (siteId, days(d2), corr, eratio,
             corr > corrThreshold && eratio > energyThreshold)
         }
       }
       .toDF("site", "day", "env_corr", "energy_ratio", "clear")
   }
+
+  /** The engine's default clear-day table over the harness events
+    * grain (15-minute slots, ±10-day envelope) — the ONE definition
+    * shared by the hash-gated q54 query and the `clear_days` SQL
+    * view, so they cannot desynchronize.
+    */
+  def detectDefault(spark: SparkSession, events: DataFrame): DataFrame =
+    detect(spark, events, "user_id", "ts", "value", 96, 10)
 }

@@ -82,11 +82,12 @@ object Tables {
       .createOrReplaceTempView("day_stats")
     // solver-grade fact view: per site-day clear-sky verdicts from the
     // full envelope operator — lazy like every other view, so a SQL
-    // user pays for it only when queried
-    try graft.analyses.ClearDay
-      .detect(spark, events(spark, dir), "user_id", "ts", "value", 96, 10)
+    // user pays for it only when queried. No catch: events is a
+    // MANDATORY table (day_stats above already threw if it is
+    // missing), and swallowing a registration error here would leave
+    // a prior directory's view silently serving stale rows.
+    graft.analyses.ClearDay.detectDefault(spark, events(spark, dir))
       .createOrReplaceTempView("clear_days")
-    catch { case scala.util.control.NonFatal(_) => () }
     // the corpus-side derived fact view: per-doc token/quality/lang
     // signals, all scan-side column expressions — SQL users get the
     // curation signals without touching the Scala operators. Same
