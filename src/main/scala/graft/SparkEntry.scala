@@ -1759,21 +1759,18 @@ object SparkEntry {
     * rows) — bounded by |vocab|, not the corpus.
     */
   private def d38(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val words = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val rowsDf = Seq(0, 1, 2, 3).toDF("r")
-    def bucket: Column =
-      conv(substring(md5(concat(col("w"), lit(":cms:"), col("r").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 16
-    val cms = words.crossJoin(broadcast(rowsDf)).withColumn("b", bucket)
-      .groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val cms = TextOps.cmsCounters(words, "w", depth = 4, width = 16)
     val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     val top = exact
       .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
       .filter(col("rk") <= 20)
-    top.crossJoin(broadcast(rowsDf)).withColumn("b", bucket)
+    top
+      .select(col("rk"), col("w"), col("cnt"),
+        explode(typedLit((0 until 4).toArray)).as("r"))
+      .withColumn("b", TextOps.cmsBucket(col("w"), col("r"), 16))
       .join(broadcast(cms), Seq("r", "b"))
       .groupBy(col("rk"), col("w").as("word"), col("cnt").as("exact_cnt"))
       .agg(min(col("c")).as("cms_est"))

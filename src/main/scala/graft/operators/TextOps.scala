@@ -192,4 +192,30 @@ object TextOps {
         regexp_replace(text, EmailRe, "<EMAIL>"),
         Ipv4Re, "<IP>"),
       PhoneRe, "<PHONE>")
+
+  /** Count-Min counter table over a word column: `depth × width`
+    * counter rows from ONE map-side-combined aggregation — output
+    * cardinality d·w at any corpus size, the constant-memory property
+    * that makes frequency dashboards possible at 100 TB. The row
+    * fan-out is an in-row explode of the depth indices (no join), so
+    * the shuffle carries d·w partials per task. The ONE definition of
+    * the sketch arithmetic: the d38 batch gate and the streaming twin
+    * both call it, so batch/stream equality is identity, not
+    * coincidence (the clear-day lesson).
+    */
+  /** Row `r`'s counter index for `word` — the sketch's hash schedule,
+    * shared between the counter build and every probe.
+    */
+  def cmsBucket(word: Column, r: Column, width: Int): Column =
+    conv(substring(md5(concat(word, lit(":cms:"), r.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % width
+
+  def cmsCounters(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                  depth: Int, width: Int): org.apache.spark.sql.DataFrame =
+    words
+      .select(col(wordCol).as("w"),
+        explode(typedLit((0 until depth).toArray)).as("r"))
+      .withColumn("b", cmsBucket(col("w"), col("r"), width))
+      .groupBy(col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
 }

@@ -338,6 +338,41 @@ object DocStream {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming Count-Min sketch — the frequency-sketch twin (d38's
+    * counter table maintained live): a complete-mode aggregation
+    * whose state is EXACTLY the sketch — depth × width longs, the
+    * same cardinality the batch shuffle carries, independent of
+    * stream length. Each tick overwrites the counter snapshot, which
+    * equals the batch [[graft.operators.TextOps.cmsCounters]] over
+    * the ingested prefix IDENTICALLY (one shared definition of the
+    * hash schedule — spec-asserted), so a live heavy-hitter dashboard
+    * reads the same numbers a batch job would compute.
+    */
+  def incrementalCms(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      depth: Int = 4,
+      width: Int = 16
+  ): DataFrame = {
+    val words = readDocs(spark, path)
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counters = graft.operators.TextOps.cmsCounters(words, "w", depth, width)
+    val q = counters.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
+  }
+
   case class PackAssign(doc_id: Long, shard: Int, pack_id: Long, tok: Long)
 
   /** Incremental greedy sequence packing — the streaming face of

@@ -171,6 +171,30 @@ class DocStreamSpec extends AnyFunSuite {
       "tick-2 snapshot diverges from batch vocab stats over the full corpus")
   }
 
+  test("incremental CMS snapshot equals the batch counter table after each tick") {
+    val src = java.nio.file.Files.createTempDirectory("cmssrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cmsckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("cmsout").toString
+    def batchCms(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.cmsCounters(
+        d.select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0), "w", 4, 16)
+
+    docs.filter(col("doc_id") < 25).write.mode("append").parquet(src)
+    val snap1 = DocStream.incrementalCms(spark, src, ckpt, outDir)
+    val b1 = batchCms(docs.filter(col("doc_id") < 25))
+    assert(snap1.except(b1).count() == 0 && b1.except(snap1).count() == 0,
+      "tick-1 CMS snapshot diverges from the batch counters")
+
+    docs.filter(col("doc_id") >= 25).write.mode("append").parquet(src)
+    val snap2 = DocStream.incrementalCms(spark, src, ckpt, outDir)
+    val b2 = batchCms(docs)
+    assert(snap2.except(b2).count() == 0 && b2.except(snap2).count() == 0,
+      "tick-2 CMS snapshot diverges from the batch counters over the full corpus")
+    // bounded state: the snapshot is the sketch itself — at most d*w rows
+    assert(snap2.count() <= 4 * 16)
+  }
+
   test("incremental packing holds every batch invariant across a checkpointed restart") {
     val src = java.nio.file.Files.createTempDirectory("packsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("packckpt").toString
