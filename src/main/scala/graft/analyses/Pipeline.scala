@@ -45,6 +45,8 @@ case class SiteReport(
     degrRateP50: Double,
     degrRateP025: Double,
     degrRateP975: Double,
+    mcSamples: Int,
+    mcConverged: Boolean,
     errors: String
 )
 
@@ -85,8 +87,24 @@ object Pipeline {
       )
   }
 
-  /** Run the full per-site analysis fleet-wide. */
-  def run(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String): Dataset[SiteReport] = {
+  /** Run the full per-site analysis fleet-wide.
+    *
+    * @param period seasonal period (days) for the quality / clear /
+    *   capacity / clear-sky / loss fits. `None` (default) picks it
+    *   from the observed span per site: annual (365.2425, the
+    *   reference's `tl1_l2d2p365` / `l2_l1d1_l2d2p365` period,
+    *   `signal_decompositions.py:45-185`) once a site spans ≥ ~18
+    *   months, weekly below that — short fixtures can't identify an
+    *   annual harmonic, multi-year sites alias under a weekly one.
+    */
+  def run(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      period: Option[Double] = None
+  ): Dataset[SiteReport] = {
     import spark.implicits._
     val stats = dayStats(df, site, tsCol, valueCol)
     // first-day via broadcast agg (one small join) instead of a
@@ -131,7 +149,7 @@ object Pipeline {
             val buf = scala.collection.mutable.ArrayBuffer.empty[
               (Long, Double, Double, Double, Double, Double, Long, Double)]
             while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
-            analyzeSite(siteId, buf.toArray) // already day-ordered by the sort
+            analyzeSite(siteId, buf.toArray, period) // already day-ordered by the sort
           }
         }
       }
@@ -141,10 +159,18 @@ object Pipeline {
   /** Per-site analysis on bounded state; each stage is best-effort. */
   def analyzeSite(
       siteId: Long,
-      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double)]
+      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double)],
+      period: Option[Double] = None
   ): SiteReport = {
     val n = days.length
     val t = days.map(_._2)
+    // Span-aware seasonal period (see run()): annual once the site
+    // spans ≥ 548 days (~18 months — enough to identify the annual
+    // harmonic), weekly otherwise. The time-shift stage stays weekly
+    // regardless: its pwc component must absorb one-time steps, which
+    // a longer-than-step seasonal basis would smooth away.
+    val span = if (n > 1) t.last - t.head else 0.0
+    val seasonPeriod = period.getOrElse(if (span >= 548.0) Kernels.YearPeriod else 7.0)
     val energy = days.map(_._3)
     val density = days.map(_._4)
     val dailyMax = days.map(_._5)
@@ -158,7 +184,7 @@ object Pipeline {
 
     // data quality: density fit (tl1_l2d2p365 analog) + flags
     val quality = stage("quality", Double.NaN) {
-      val fit = Kernels.quantileFourierFit(density, t, tau = 0.5, harmonics = 2, period = 7.0)
+      val fit = Kernels.quantileFourierFit(density, t, tau = 0.5, harmonics = 2, period = seasonPeriod)
       val good = density.indices.count { i =>
         val rel = if (fit(i) != 0.0) density(i) / fit(i) else 0.0
         rel > 0.6 && rel < 1.5
@@ -168,7 +194,7 @@ object Pipeline {
 
     // clear days: smooth + high-energy days vs seasonal energy fit
     val clearFrac = stage("clear", Double.NaN) {
-      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
+      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = seasonPeriod)
       val clear = energy.indices.count(i => fit(i) > 0 && energy(i) / fit(i) > 0.8 && density(i) > 0.9)
       clear.toDouble / math.max(n, 1)
     }
@@ -213,7 +239,7 @@ object Pipeline {
     val capChanges = stage("capacity", -1) {
       val logMax = dailyMax.map(v => math.log(math.max(v, 1e-6)))
       val (_, pwc, _) = Kernels.optimizeTvWeight(logMax, t, Array(2.0, 5.0, 15.0),
-        harmonics = 1, period = 7.0, l1Residual = true)
+        harmonics = 1, period = seasonPeriod, l1Residual = true)
       val rounded = pwc.map(v => math.round(v / 0.05) * 0.05)
       rounded.sliding(2).count(p => p.length == 2 && math.abs(p(1) - p(0)) > 1e-9)
     }
@@ -231,7 +257,7 @@ object Pipeline {
     // clear-sky labeling: 2-state Viterbi DP on the energy/envelope
     // ratio (reference `clear_sky_detection.py:84-108` via §3.3)
     val clearSkyDays = stage("clearsky", -1) {
-      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = 7.0)
+      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = seasonPeriod)
       val ratio = energy.indices.map { i =>
         if (fit(i) > 0) energy(i) / fit(i) else Double.NaN
       }.toArray
@@ -241,7 +267,7 @@ object Pipeline {
     // loss factors: soiling-separation decomposition + exact Shapley
     // (reference `soiling.py:78-178` + `loss_factor_analysis.py:620-656`)
     val losses = stage("loss", Array.fill(4)(Double.NaN)) {
-      val (soil, rate, seasonal) = Kernels.soilingSeparation(energy, t, period = 7.0, harmonics = 2)
+      val (soil, rate, seasonal) = Kernels.soilingSeparation(energy, t, period = seasonPeriod, harmonics = 2)
       val degrF = t.map(d => math.exp(rate * d))
       // baseline = the MODELED seasonal envelope, not actual/(soil·degr):
       // a baseline derived from actual energy collapses to ~0 on outage
@@ -263,28 +289,20 @@ object Pipeline {
       attr.map(a => if (total > 0) a / total else Double.NaN)
     }
 
-    // Monte-Carlo degradation-rate uncertainty (reference
-    // `loss_factor_analysis.py:78-197`): resample days by
-    // deterministic index hash (no RNG state), refit the soiling
-    // separation per sample, report P50/P2.5/P97.5 of the rate.
-    val mcRates = stage("mc", Array(Double.NaN, Double.NaN, Double.NaN)) {
-      if (n < 20) Array(Double.NaN, Double.NaN, Double.NaN)
-      else {
-        val nSamples = 8
-        val rates = (0 until nSamples).map { s =>
-          val keep = energy.indices.filter(i => ((i.toLong * 2654435761L + s * 97L) % 100) < 80).toArray
-          val (_, rate, _) = Kernels.soilingSeparation(keep.map(energy), keep.map(t), period = 7.0, harmonics = 2)
-          rate
-        }.sorted.toArray
-        def q(p: Double): Double = {
-          val pos = p * (rates.length - 1)
-          val lo = pos.toInt
-          val hi = math.min(lo + 1, rates.length - 1)
-          rates(lo) + (pos - lo) * (rates(hi) - rates(lo))
-        }
-        Array(q(0.5), q(0.025), q(0.975))
+    // Monte-Carlo degradation-rate uncertainty with the reference's
+    // stabilization exit (`loss_factor_analysis.py:78-197`): draw
+    // (τ, stiffness, 20% holdout) samples until the running
+    // P50/P2.5/P97.5 stop moving (≥ 20, ≤ 500 samples — "typically
+    // stabilizes in 50–100"). Seeded per site, so p01 rows stay
+    // deterministic. Rates are annualized %/yr, the units
+    // DataHandler.report exposes as degradation_pct_per_year.
+    val (mcRates, mcSamples, mcConverged) =
+      stage("mc", (Array(Double.NaN, Double.NaN, Double.NaN), 0, false)) {
+        if (n < 20) (Array(Double.NaN, Double.NaN, Double.NaN), 0, false)
+        else Kernels.mcDegradationRate(
+          energy, t, seed = 0x9E3779B97F4A7C15L * (siteId + 1),
+          period = seasonPeriod, harmonics = 2)
       }
-    }
 
     SiteReport(
       site = siteId,
@@ -305,6 +323,8 @@ object Pipeline {
       degrRateP50 = mcRates(0),
       degrRateP025 = mcRates(1),
       degrRateP975 = mcRates(2),
+      mcSamples = mcSamples,
+      mcConverged = mcConverged,
       errors = errs.mkString("; ")
     )
   }

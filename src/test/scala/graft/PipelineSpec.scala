@@ -26,6 +26,11 @@ class PipelineSpec extends AnyFunSuite {
       // MC degradation interval: ordered and containing the median
       assert(r.degrRateP025 <= r.degrRateP50 && r.degrRateP50 <= r.degrRateP975,
         s"site ${r.site} MC interval (${r.degrRateP025}, ${r.degrRateP50}, ${r.degrRateP975})")
+      // the stabilization exit fired: ≥ 20 samples drawn and the
+      // running P50/P2.5/P97.5 met tolerance before the 500 cap
+      // (reference `loss_factor_analysis.py:78-197`)
+      assert(r.mcSamples >= 20 && r.mcSamples <= 500, s"site ${r.site} mcSamples ${r.mcSamples}")
+      assert(r.mcConverged, s"site ${r.site} MC did not stabilize in ${r.mcSamples} samples")
       // clean synthetic PV: the DP labels at least half the days clear
       // (the capacity-step site loses its post-step days — the envelope
       // fit stays at the old capacity, which is exactly right)
@@ -65,6 +70,31 @@ class PipelineSpec extends AnyFunSuite {
     val (stats2, samples2, _) =
       Kernels.mcDegradationRate(energy, t, seed = 7L, period = 7.0, harmonics = 2)
     assert(samples2 == samples && stats2.sameElements(stats), "seeded run not reproducible")
+  }
+
+  test("multi-year site: annual-period fit recovers seasonality the weekly fit aliases") {
+    // Three years of daily stats with a ±40% annual energy cycle and a
+    // deterministic 20% cloudy-day pattern. The span-aware default
+    // must pick the annual period (365.2425) — its τ=0.9 envelope
+    // tracks the cycle and keeps winter clear days clear. A forced
+    // weekly fit can't represent the annual harmonic: its envelope
+    // sits near the summer peak, so winter clear days fall below the
+    // 0.8 ratio and clearFrac collapses.
+    val n = 1096
+    val days = Array.tabulate(n) { d =>
+      val seasonal = 1.0 + 0.4 * math.sin(2 * math.Pi * d / 365.2425)
+      val cloudy = d % 5 == 3
+      val e = 10.0 * seasonal * (if (cloudy) 0.45 else 1.0)
+      (0L, d.toDouble, e, if (cloudy) 0.7 else 0.98, e / 10.0, 12.0, 288L, 1.0)
+    }
+    val annual = Pipeline.analyzeSite(0L, days) // span 1095 d → annual default
+    val weekly = Pipeline.analyzeSite(0L, days, period = Some(7.0))
+    assert(annual.errors.isEmpty, s"annual errors: ${annual.errors}")
+    // 4 of 5 days are clear by construction; the annual envelope keeps them
+    assert(annual.clearFrac > 0.7, s"annual clearFrac ${annual.clearFrac}")
+    // the weekly fit aliases the annual cycle away: clear fraction collapses
+    assert(weekly.clearFrac < annual.clearFrac - 0.2,
+      s"weekly ${weekly.clearFrac} vs annual ${annual.clearFrac}")
   }
 
   test("pipeline is best-effort per site: degenerate site reports errors, not exceptions") {
