@@ -35,9 +35,25 @@ class DataHandler(
   /** `run_pipeline` (`data_handler.py:220`): the full per-site
     * analysis — quality, clear days, clipping, quality clustering,
     * capacity changes, time shifts, loss factors — one job fleet-wide.
+    *
+    * @param estimateSunTimes when true, reference pipeline stage 3:
+    *   run the holdout-tuned [[graft.analyses.SunriseSunset]]
+    *   optimizer first and restrict every downstream stage to the
+    *   estimated sun-up window (`sunrise_sunset_estimation.py:184-335`).
     */
-  def runPipeline(): Dataset[SiteReport] =
-    Pipeline.run(spark, df, site, tsCol, valueCol)
+  def runPipeline(estimateSunTimes: Boolean = false): Dataset[SiteReport] = {
+    val input =
+      if (estimateSunTimes)
+        graft.analyses.SunriseSunset.applySunupFilter(spark, df, site, tsCol, valueCol)
+      else df
+    Pipeline.run(spark, input, site, tsCol, valueCol)
+  }
+
+  /** `SunriseSunset.run_optimizer` estimates per (site, day):
+    * threshold-tuned smoothed sunrise/sunset times.
+    */
+  def sunriseSunsetEstimates(): DataFrame =
+    graft.analyses.SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
 
   /** `report(return_values=True)` (`data_handler.py:718`): the
     * reference's summary dictionary as a per-site relation —

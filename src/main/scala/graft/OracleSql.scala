@@ -995,6 +995,42 @@ object OracleSql {
       FROM fin) t
   """
 
+  /** q55: the sunrise/sunset optimizer's threshold-grid stage.
+    * Generated over the same `np.logspace(-5, -1, 21)` grid the Spark
+    * operator uses; the CASE guards replay `rise_set_rough`'s
+    * argmax-0/argmax-last boundary rule against the day's first/last
+    * observed sample.
+    */
+  private val q55: String = {
+    val ths = graft.analyses.SunriseSunset.thresholdGrid(21)
+    val aggs = ths.zipWithIndex.map { case (th, k) =>
+      s"      min(CASE WHEN scaled > $th THEN h END) AS sr$k,\n" +
+        s"      max(CASE WHEN scaled > $th THEN h END) AS ss$k"
+    }.mkString(",\n")
+    val branches = ths.indices.map { k =>
+      s"  SELECT user_id, CAST(day AS VARCHAR) AS day, CAST($k AS INT) AS th_idx,\n" +
+        s"    round(CASE WHEN sr$k = h_first THEN NULL ELSE sr$k END, 6) AS sunrise_h,\n" +
+        s"    round(CASE WHEN ss$k = h_last THEN NULL ELSE ss$k END, 6) AS sunset_h\n" +
+        s"  FROM daily"
+    }.mkString("\n  UNION ALL\n")
+    s"""
+    WITH scale AS (
+      SELECT user_id, quantile_cont(value, 0.99) AS hi,
+        greatest(min(value), -0.005 * quantile_cont(value, 0.99)) AS lo
+      FROM events GROUP BY 1),
+    base AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
+        round((e.value - s.lo) / s.hi, 6) AS scaled
+      FROM events e JOIN scale s ON e.user_id = s.user_id),
+    daily AS (
+      SELECT user_id, day, min(h) AS h_first, max(h) AS h_last,
+$aggs
+      FROM base GROUP BY 1, 2)
+$branches
+  """
+  }
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2707,6 +2743,7 @@ object OracleSql {
     "q52_dilation_grid" -> q52,
     "q53_profile_gram" -> q53,
     "q54_clear_days" -> q54,
+    "q55_sunrise_grid" -> q55,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

@@ -924,6 +924,18 @@ object SparkEntry {
     graft.analyses.ClearDay.detectDefault(s, Tables.events(s, dir))
       .select(col("site"), col("day"), col("env_corr"), col("energy_ratio"), col("clear"))
 
+  /** Sunrise/sunset optimizer's threshold-grid stage, HASH-GATED
+    * (reference `detect_sun` + `rise_set_rough` over the 21-point
+    * `np.logspace(-5, -1)` grid, `sunrise_sunset_estimation.py:199-206`):
+    * p99/min scaling, per-day first/last above-threshold hour with
+    * the argmax-0 boundary guards, all thresholds in one scan pass
+    * (grid as columns — see [[graft.analyses.SunriseSunset.roughGrid]]).
+    * The holdout fit selection on top of this grid is solver-path,
+    * spec-gated in SunriseSunsetSpec.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.SunriseSunset.roughGridLong(Tables.events(s, dir), "user_id", "ts", "value")
+
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -2302,6 +2314,7 @@ object SparkEntry {
     "q52_dilation_grid" -> (q52 _),
     "q53_profile_gram" -> (q53 _),
     "q54_clear_days" -> (q54 _),
+    "q55_sunrise_grid" -> (q55 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
