@@ -1391,6 +1391,51 @@ $branches
   private def mul64(a: String, b: String): String =
     s"((((( ${u64(a)}) >> 32) * ${u64(b)}) & 4294967295) * 4294967296 " +
       s"+ ((( ${u64(a)} & 4294967295) * ${u64(b)}) & 18446744073709551615)) & 18446744073709551615"
+  // d40: giant-component guard — d09's reachability labels (ALL
+  // components, singletons included) → size histogram + top share.
+  private val d40 = s"""
+    WITH RECURSIVE ${shinglesCte(150)},
+    hh AS (SELECT doc_id,
+             CAST('0x' || substring(md5(shingle), 1, 12) AS BIGINT) % 2147483647 AS h31
+           FROM sh),
+    sig AS (
+      SELECT doc_id, j,
+        min((((1103515245 * (j + 1)) % 2147483647) * h31
+             + ((69069 * (j + 1) + 12345) % 2147483647)) % 2147483647) AS mh
+      FROM hh CROSS JOIN range(0, 16) AS t(j)
+      GROUP BY 1, 2),
+    bands AS (
+      SELECT doc_id, CAST(floor(j / 4.0) AS INT) AS band,
+        md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j)) AS band_sig
+      FROM sig GROUP BY 1, 2),
+    bucketmin AS (
+      SELECT band, band_sig, min(doc_id) AS a_id
+      FROM bands GROUP BY 1, 2),
+    star AS (
+      SELECT DISTINCT m.a_id, b.doc_id AS b_id
+      FROM bands b JOIN bucketmin m ON b.band = m.band AND b.band_sig = m.band_sig
+      WHERE b.doc_id <> m.a_id),
+    edges AS (
+      SELECT a_id, b_id FROM star
+      UNION ALL
+      SELECT b_id AS a_id, a_id AS b_id FROM star),
+    reach(src, dst) AS (
+      SELECT doc_id AS src, doc_id AS dst FROM d
+      UNION
+      SELECT r.src, e.b_id AS dst FROM reach r JOIN edges e ON r.dst = e.a_id),
+    labels AS (SELECT src, min(dst) AS component FROM reach GROUP BY 1),
+    sizes AS (SELECT component, count(*) AS component_size FROM labels GROUP BY 1),
+    hist AS (
+      SELECT component_size, count(*) AS n_components,
+        component_size * count(*) AS n_docs
+      FROM sizes GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS total, max(component_size) AS max_sz FROM hist)
+    SELECT component_size, n_components, n_docs,
+      round(CAST(n_docs AS DOUBLE) / total, 6) AS doc_share,
+      round(CAST(max_sz AS DOUBLE) / total, 6) AS top_share
+    FROM hist, tot
+  """
+
   private val d39: String = s"""
     WITH base AS (
       SELECT doc_id, doc_id % 2 = 0 AS inserted,
@@ -2790,6 +2835,7 @@ $branches
     "d37_seed_quality" -> d37,
     "d38_cms_heavy_hitters" -> d38,
     "d39_bloom_fpr" -> d39,
+    "d40_component_histogram" -> d40,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

@@ -1801,6 +1801,20 @@ object SparkEntry {
     * no-false-negative guarantee (every inserted doc must hit) and
     * each individual false positive.
     */
+  /** Giant-component guard over d09's near-dup labels
+    * ([[Dedup.componentStats]]): component-size histogram + top
+    * component share. The percolation audit production dedup
+    * pipelines run before any group-grain policy (this slice chains
+    * 105/150 docs into one component — top_share 0.7).
+    */
+  private def d40(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val edges = Dedup.lshStarEdges(Dedup.lshBandsFromShingles(sh, "doc_id", 16, 4), "doc_id")
+    val comp = Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id", partitions = 4)
+    Dedup.componentStats(comp, "id")
+  }
+
   private def d39(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Bloom
     val fp = Tables.documents(s, dir).select(col("doc_id"),
@@ -2353,6 +2367,7 @@ object SparkEntry {
     "d37_seed_quality" -> (d37 _),
     "d38_cms_heavy_hitters" -> (d38 _),
     "d39_bloom_fpr" -> (d39 _),
+    "d40_component_histogram" -> (d40 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -340,6 +340,40 @@ object Dedup {
     labels.toDF("id", "component")
   }
 
+  /** Giant-component guard: the component-size histogram of a
+    * near-dup labeling, with each size's share of all documents and
+    * the top component's share as a constant audit column.
+    *
+    * This is the percolation signal production dedup pipelines watch:
+    * a too-permissive LSH config (low threshold, few rows per band)
+    * transitively chains most of the corpus into ONE component, and
+    * any group-grain policy downstream — keep-one-per-component,
+    * leak-safe splitting — then silently drops or freezes almost
+    * everything (d36's own 150-doc slice chains 105 docs into one
+    * component). One groupBy over the label table plus a broadcast
+    * 1-row total; no scan of the documents themselves.
+    *
+    * @param comp (id, component) labels from [[connectedComponents]].
+    * @return one row per distinct component size: (component_size,
+    *   n_components, n_docs, doc_share, top_share).
+    */
+  def componentStats(comp: DataFrame, idCol: String): DataFrame = {
+    val hist = comp
+      .groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+      .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
+      .withColumn("n_docs", col("component_size") * col("n_components"))
+    val totals = hist.agg(
+      sum(col("n_docs")).as("__total"),
+      max(col("component_size")).as("__max_sz"))
+    hist
+      .crossJoin(broadcast(totals))
+      .select(
+        col("component_size"), col("n_components"), col("n_docs"),
+        round(col("n_docs") / col("__total"), 6).as("doc_share"),
+        round(col("__max_sz") / col("__total"), 6).as("top_share")
+      )
+  }
+
   /** SimHash (nBits ≤ 32): weighted sign-sum of token-hash bits,
     * packed into a long. Tokens weighted by in-document frequency.
     *

@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
+import graft.operators.SideJoin
+
 /** Training-data MIXING operators: the steps between "corpus is
   * deduplicated" and "corpus is a training stream" in an LLM data
   * pipeline — stratified down-sampling, temperature-based source
@@ -365,5 +367,31 @@ object Mixing {
           .when(col("__h") < pctTrain + pctVal, "val")
           .otherwise("test"))
       .drop("__h")
+  }
+
+  /** [[leakSafeSplit]] with a giant-component cap: components holding
+    * more than `maxComponentDocs` documents are routed WHOLLY to
+    * train. Still leak-safe by construction — an oversized component
+    * has NO members in val/test, so nothing can leak out of the
+    * held-out sets through it — while keeping val/test sizes immune
+    * to a percolated near-dup graph (the 105/150 failure mode
+    * [[graft.operators.Dedup.componentStats]] surfaces: one giant
+    * component hash-landing in "test" would swallow 70% of the
+    * corpus). Size comes from one component-grain aggregate broadcast
+    * back; the document table itself never reshuffles.
+    */
+  def leakSafeSplitCapped(
+      components: DataFrame,
+      groupCol: String,
+      pctTrain: Int,
+      pctVal: Int,
+      maxComponentDocs: Long
+  ): DataFrame = {
+    require(maxComponentDocs >= 1, "maxComponentDocs must be >= 1")
+    val sizes = components.groupBy(col(groupCol)).agg(count(lit(1)).as("__sz"))
+    SideJoin.back(leakSafeSplit(components, groupCol, pctTrain, pctVal), sizes, Seq(groupCol))
+      .withColumn("split", when(col("__sz") > maxComponentDocs, "train").otherwise(col("split")))
+      .withColumn("capped", col("__sz") > maxComponentDocs)
+      .drop("__sz")
   }
 }

@@ -111,6 +111,41 @@ class MixingSpec extends AnyFunSuite {
     }
   }
 
+  test("giant-component guard: histogram surfaces the 105/150 percolation, cap routes it to train") {
+    import graft.operators.Dedup
+    // the d36/d09 slice: LSH at 16 hashes / 4 rows-per-band chains
+    // 105 of 150 docs into ONE transitive component
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01").filter(col("doc_id") < 150)
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 3)
+    val edges = Dedup.lshStarEdges(Dedup.lshBandsFromShingles(sh, "doc_id", 16, 4), "doc_id")
+    val comp = Dedup.connectedComponents(docs.select(col("doc_id")), edges, "doc_id", partitions = 4)
+      .cache()
+    val stats = Dedup.componentStats(comp, "id").collect()
+    // histogram accounts for every doc exactly once
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 150)
+    val top = stats.maxBy(_.getAs[Long]("component_size"))
+    assert(top.getAs[Long]("component_size") == 105, s"giant = ${top.getAs[Long]("component_size")}")
+    // top_share constant across rows and = 105/150
+    stats.foreach(r => assert(math.abs(r.getAs[Double]("top_share") - 0.7) < 1e-9))
+    // doc_share sums to 1
+    assert(math.abs(stats.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-6)
+
+    // capped split: the giant component is forced WHOLLY to train;
+    // smaller components keep their hash-assigned split
+    val capped = Mixing.leakSafeSplitCapped(comp, "component", 60, 20, maxComponentDocs = 50)
+      .collect()
+    val giantRows = capped.filter(_.getAs[Boolean]("capped"))
+    assert(giantRows.length == 105)
+    assert(giantRows.forall(_.getAs[String]("split") == "train"))
+    // uncapped rows match the plain split's assignment
+    val plain = Mixing.leakSafeSplit(comp, "component", 60, 20)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    capped.filterNot(_.getAs[Boolean]("capped")).foreach { r =>
+      assert(r.getAs[String]("split") == plain(r.getAs[Long]("id")))
+    }
+    comp.unpersist()
+  }
+
   test("a zero-token opener cannot admit an oversize successor into its pack") {
     import spark.implicits._
     // 10 empty docs (0 tokens) interleaved by hash with 10 oversize
