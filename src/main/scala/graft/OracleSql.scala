@@ -2086,13 +2086,25 @@ $branches
     * itself — the harness flattens statements to one line, and a SQL
     * comment would swallow the rest of the query.
     */
+  /** BPE merge-loop replay. Two stated preconditions, matching the
+    * Spark trainer exactly on any corpus that satisfies them:
+    *  - the histogram carries the same (cnt DESC, word ASC) LIMIT as
+    *    `Bpe.trainFromCorpus(maxVocab = 1 << 20)`, so the gate holds
+    *    even past a million distinct words;
+    *  - the chr(1)/chr(2) symbol brackets (and the chr(3) sentinel)
+    *    assume document text contains no \\x01-\\x03 control
+    *    characters (true of the fixtures and of any sanely-ingested
+    *    corpus; a text containing them would break the bracket
+    *    encoding in this replay only, not in `Bpe.encodeWord`).
+    */
   private def bpeReplayCtes(n: Int): String = {
     val sb = new StringBuilder
     sb.append(s"""
     hist AS MATERIALIZED (
       SELECT w AS word, count(*) AS cnt FROM (
         SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents) u
-      WHERE length(w) > 0 GROUP BY w),
+      WHERE length(w) > 0 GROUP BY w
+      ORDER BY count(*) DESC, w ASC LIMIT 1048576),
     st0 AS MATERIALIZED (
       SELECT word, cnt,
         list_aggregate(list_transform(string_split(word, ''), c -> chr(1)||c||chr(2)), 'string_agg', '')

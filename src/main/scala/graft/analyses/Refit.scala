@@ -65,9 +65,13 @@ object Refit {
   }
 
   /** Sites whose ingested content differs from the report's signature
-    * (appends, restatements, deletions), plus sites the report has
-    * never seen. One map-side-combined aggregation over the scan;
-    * everything after is site-cardinality.
+    * (appends, restatements, partial deletions), plus sites the
+    * report has never seen AND report-only sites whose events were
+    * deleted wholesale — the full outer join is what catches the
+    * latter (a left join from current events would scan only sites
+    * that still HAVE events, so a fully-deleted site would keep its
+    * stale report row forever). One map-side-combined aggregation
+    * over the scan; everything after is site-cardinality.
     */
   def dirtySites(
       events: DataFrame,
@@ -79,18 +83,21 @@ object Refit {
     val cur = events.groupBy(col(siteCol).as("site"))
       .agg(count(lit(1)).as("cur_n"),
         sum(xxhash64(col(tsCol), col(valueCol)).bitwiseAND(lit(0xFFFFFFFFL))).as("cur_sig"))
-    cur.join(report.select(col("site"), col("ingest_n"), col("ingest_sig")), Seq("site"), "left")
-      .filter(col("ingest_sig").isNull ||
+    cur.join(report.select(col("site"), col("ingest_n"), col("ingest_sig")), Seq("site"), "full_outer")
+      .filter(col("ingest_sig").isNull || col("cur_sig").isNull ||
         col("cur_n") =!= col("ingest_n") || col("cur_sig") =!= col("ingest_sig"))
       .select(col("site"))
   }
 
   /** Refresh `prevReport` against the current `events`: re-fit dirty
-    * sites only, keep clean sites' rows verbatim. Idempotent — a
-    * second call with unchanged events finds nothing dirty and
-    * returns the report unchanged (and runs no solver work: the
-    * refreshed branch is an empty frame the solver stage never sees
-    * rows for).
+    * sites only, keep clean sites' rows verbatim. A site whose events
+    * were deleted wholesale is dirty (see [[dirtySites]]) and simply
+    * DROPS from the merged report — its prior row leaves through the
+    * anti-join and the refresh finds no events to rebuild it from.
+    * Idempotent — a second call with unchanged events finds nothing
+    * dirty and returns the report unchanged (and runs no solver work:
+    * the refreshed branch is an empty frame the solver stage never
+    * sees rows for).
     *
     * The dirty-site list is COLLECTED once (site-cardinality — bytes)
     * and re-enters the plan as one local frame feeding both the

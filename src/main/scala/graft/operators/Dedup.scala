@@ -109,7 +109,11 @@ object Dedup {
     // spread the streamed side: AQE coalesces the tiny post-groupBy
     // shuffle to one partition, which would serialize every pairwise
     // intersect onto a single core of the nested-loop join
-    val width = sh.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // numShufflePartitions is always defined (falls back to the
+    // session default), unlike a raw conf read whose hard-coded
+    // default would silently under-parallelize on a cluster session
+    // that never set the key explicitly
+    val width = sh.sparkSession.sessionState.conf.numShufflePartitions
     val a = sets.repartition(width)
       .select(col(idCol).as("a_id"), col("shset").as("a_set"), col("sz").as("na"))
     val b = sets.select(col(idCol).as("b_id"), col("shset").as("b_set"), col("sz").as("nb"))

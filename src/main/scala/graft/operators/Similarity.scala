@@ -206,9 +206,14 @@ object Similarity {
     require(k > 0 && iters >= 0, s"kmeansFit needs k > 0 and iters >= 0, got k=$k iters=$iters")
     // sort ONLY the init's top-k (a distributed TakeOrdered); the loop
     // reuses the unsorted projection — an orderBy baked into `v` would
-    // re-execute a full-corpus sort under every iteration's .rdd
+    // re-execute a full-corpus sort under every iteration's .rdd.
+    // Hash-ordered seeds: ids often encode source/shard, so the k
+    // smallest IDS would all come from one region of the embedding
+    // space; ordering by md5(id) keeps the init deterministic while
+    // sampling uniformly across the corpus
     val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
-    var cents: Array[(Long, Array[Double])] = v.orderBy(col(idCol)).limit(k)
+    var cents: Array[(Long, Array[Double])] = v
+      .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .collect()
       .zipWithIndex
       .map { case (r, i) => i.toLong -> r.getSeq[Double](1).toArray }
@@ -383,9 +388,13 @@ object Similarity {
     * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
     * dimension into `m` contiguous subspaces and run Lloyd's
     * independently in each — `m` codebooks of `k` codewords. Same
-    * determinism contract as [[kmeansFit]] (smallest-id init, fixed
-    * iterations, (rounded d2, code) argmin; means wobble only by
-    * float summation order).
+    * determinism guarantees as [[kmeansFit]] (fixed iterations,
+    * (rounded d2, code) argmin; means wobble only by float summation
+    * order) — but with a smallest-id init rather than kmeansFit's
+    * hash-ordered one: e15's oracle replays exactly the id-ordered
+    * zero-iteration codebook, so the init IS a cross-engine contract
+    * here. Id-shard bias matters less per subspace (codewords are
+    * dim/m-sized slices), and the trained paths are property-gated.
     *
     * Scale shape: ONE pass per iteration — each row's m subspace
     * assignments come from one broadcast-codebook map, and the update

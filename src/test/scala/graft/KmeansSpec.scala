@@ -46,6 +46,27 @@ class KmeansSpec extends AnyFunSuite {
     assert(maxDelta < 1e-9, s"centroids drift $maxDelta across partitionings")
   }
 
+  test("hash-ordered init survives id-correlated clusters (smallest-id seeds would not)") {
+    import spark.implicits._
+    // ids encode the cluster (the common shard-by-source layout): ids
+    // 0..99 sit near the origin, ids 100..199 near (10, 10). A
+    // smallest-id init would place BOTH seeds inside the low-id
+    // cluster; the md5-ordered init samples across the id space, so
+    // Lloyd converges to one centroid per true cluster.
+    val pts = (Seq.tabulate(100)(i => (i.toLong, Seq(0.1 * (i % 7), 0.1 * (i % 5)))) ++
+      Seq.tabulate(100)(i => (100L + i, Seq(10.0 + 0.1 * (i % 7), 10.0 + 0.1 * (i % 5)))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansFit(pts, "vec_id", "embedding", k = 2, iters = 8)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    assert(cents.length == 2)
+    // one centroid in each cluster's neighborhood
+    val nearLow = cents.count(c => math.abs(c(0)) < 2.0 && math.abs(c(1)) < 2.0)
+    val nearHigh = cents.count(c => math.abs(c(0) - 10.0) < 2.5 && math.abs(c(1) - 10.0) < 2.5)
+    assert(nearLow == 1 && nearHigh == 1,
+      s"centroids ${cents.map(_.mkString("(", ",", ")")).mkString(" ")}")
+  }
+
   test("simplified silhouette: tight member ≈ 1, boundary point 0, wrong-side point < 0") {
     import spark.implicits._
     // two centroids on the x axis at 0 and 10 (2-dim vectors)

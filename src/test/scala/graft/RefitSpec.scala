@@ -77,4 +77,23 @@ class RefitSpec extends AnyFunSuite {
     assert(merged.count() == 5)
     assert(merged.filter(col("site") === 4L).count() == 1)
   }
+
+  test("a wholesale-deleted site is flagged dirty and drops from the refreshed report") {
+    // the docstring's 'deletions' claim, exercised end to end: site 2
+    // loses ALL its events; the full-outer dirty check must flag it
+    // (a cur-side-only scan never would) and incremental() must drop
+    // its stale row rather than carry it forever
+    val full = fleet(30)
+    val prev = Refit.buildReport(spark, full, "site", "ts", "power")
+    val afterDelete = full.filter(col("site") =!= 2L)
+    val dirty = Refit.dirtySites(afterDelete, prev, "site", "ts", "power")
+      .collect().map(_.getLong(0))
+    assert(dirty.toSeq == Seq(2L), s"dirty: ${dirty.toSeq}")
+    val merged = Refit.incremental(spark, afterDelete, prev, "site", "ts", "power")
+    assert(merged.count() == 3)
+    assert(merged.filter(col("site") === 2L).count() == 0, "stale row for deleted site kept")
+    // and the survivors kept their rows verbatim
+    val prevRows = prev.filter(col("site") =!= 2L).orderBy("site").collect().map(_.toSeq)
+    assert(merged.orderBy("site").collect().map(_.toSeq).toSeq == prevRows.toSeq)
+  }
 }
