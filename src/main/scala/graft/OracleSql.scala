@@ -1031,6 +1031,87 @@ $branches
   """
   }
 
+  /** q56: undilate replay. Mirrors Dilation.undilate's expression
+    * tree exactly — dg = span/16, dh = span/8, g0 = rise + slot·dg,
+    * g1 = g0 + dg, a = rise + k·dh, b = a + dh, Σ dv·(min(b,g1) −
+    * max(a,g0)) over positive overlaps, ÷ dh. Power-of-2 grids make
+    * dh = 2·dg exact and every out slot exactly two bins wide, so
+    * both engines compute bit-identical doubles.
+    */
+  private val q56 = """
+    WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
+    e AS (
+      SELECT user_id AS site, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        date_diff('second', date_trunc('day', ts), ts) / 3600.0 AS h,
+        value, CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    rs AS (
+      SELECT e.site, e.day, min(e.h) AS rise_h, max(e.h) AS set_h
+      FROM e JOIN m ON e.site = m.user_id
+      WHERE e.value > m.site_max * 0.01
+      GROUP BY 1, 2 HAVING max(e.h) > min(e.h)),
+    binned AS (
+      SELECT e.site, e.day,
+        CAST(least(floor((e.h - r.rise_h) / ((r.set_h - r.rise_h) / 16.0)), 15) AS INT) AS dil_slot,
+        sum(e.vc) AS sv
+      FROM e JOIN rs r ON e.site = r.site AND e.day = r.day
+      WHERE e.h >= r.rise_h AND e.h < r.set_h
+      GROUP BY 1, 2, 3),
+    grid AS (
+      SELECT r.site, r.day, r.rise_h, r.set_h, CAST(s.i AS INT) AS dil_slot,
+        CAST(coalesce(b.sv, 0) AS DOUBLE) AS dv
+      FROM rs r
+      CROSS JOIN (SELECT unnest(range(16)) AS i) s
+      LEFT JOIN binned b ON b.site = r.site AND b.day = r.day AND b.dil_slot = s.i),
+    terms AS (
+      SELECT g.site, g.day, CAST(k.k AS INT) AS out_slot,
+        (g.set_h - g.rise_h) / 8.0 AS dh,
+        least((g.rise_h + k.k * ((g.set_h - g.rise_h) / 8.0)) + (g.set_h - g.rise_h) / 8.0,
+              (g.rise_h + g.dil_slot * ((g.set_h - g.rise_h) / 16.0)) + (g.set_h - g.rise_h) / 16.0) AS hi,
+        greatest(g.rise_h + k.k * ((g.set_h - g.rise_h) / 8.0),
+                 g.rise_h + g.dil_slot * ((g.set_h - g.rise_h) / 16.0)) AS lo,
+        g.dv
+      FROM grid g CROSS JOIN (SELECT unnest(range(8)) AS k) k)
+    SELECT site, day, out_slot,
+      round(sum(CASE WHEN hi > lo THEN dv * (hi - lo) ELSE 0 END) / any_value(dh), 6) AS value
+    FROM terms GROUP BY 1, 2, 3
+  """
+
+  /** q57: fixed-basis shade projection replay (Shade.projectOnBasis /
+    * projectRows). Integer-valued profiles × integer basis keep every
+    * coefficient and reconstruction exact; only the final shade
+    * fraction divides, with identical operands on both engines.
+    */
+  private val q57 = """
+    WITH prof AS (
+      SELECT user_id AS site,
+        CAST(floor(date_diff('second', date_trunc('day', ts), ts) / 3600.0) AS INT) AS dil_slot,
+        CAST(CAST(round(quantile_cont(value, 0.5) * 1000) AS BIGINT) AS DOUBLE) AS pm
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT site, max(dil_slot) AS mslot FROM prof GROUP BY 1),
+    grid AS (
+      SELECT m.site, CAST(s.i AS INT) AS dil_slot, coalesce(p.pm, 0) AS pm
+      FROM mx m
+      CROSS JOIN LATERAL (SELECT unnest(range(m.mslot + 1)) AS i) s
+      LEFT JOIN prof p ON p.site = m.site AND p.dil_slot = s.i),
+    basis AS (
+      SELECT CAST(i AS INT) AS dil_slot, CAST(1.0 AS DOUBLE) AS v0,
+        CAST(CASE WHEN i < 12 THEN 1.0 ELSE -1.0 END AS DOUBLE) AS v1
+      FROM range(0, 24) t(i)),
+    coefs AS (
+      SELECT g.site, sum(g.pm * b.v0) AS c0, sum(g.pm * b.v1) AS c1
+      FROM grid g JOIN basis b ON g.dil_slot = b.dil_slot GROUP BY 1),
+    proj AS (
+      SELECT g.site, g.dil_slot, g.pm, c.c0 * b.v0 + c.c1 * b.v1 AS recon
+      FROM grid g
+      JOIN basis b ON g.dil_slot = b.dil_slot
+      JOIN coefs c ON c.site = g.site)
+    SELECT site, dil_slot, pm AS med_v, recon AS recon_v,
+      round(CASE WHEN recon > 1e-9 THEN greatest(0.0, 1 - pm / recon) ELSE 0 END, 6) AS shade_frac,
+      (CASE WHEN recon > 1e-9 THEN greatest(0.0, 1 - pm / recon) ELSE 0 END) > 0.25 AS shaded
+    FROM proj
+  """
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2801,6 +2882,8 @@ $branches
     "q53_profile_gram" -> q53,
     "q54_clear_days" -> q54,
     "q55_sunrise_grid" -> q55,
+    "q56_undilate" -> q56,
+    "q57_shade_projection" -> q57,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

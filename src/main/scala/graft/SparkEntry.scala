@@ -936,6 +936,71 @@ object SparkEntry {
   private def q55(s: SparkSession, dir: String): DataFrame =
     graft.analyses.SunriseSunset.roughGridLong(Tables.events(s, dir), "user_id", "ts", "value")
 
+  /** Undilate HASH-GATED — p02's remaining half: the REAL
+    * [[Dilation.undilate]] operator (per-day piecewise-constant
+    * density integral back onto an hour grid) runs on a relationally-
+    * built 16-bin dilated frame at fixed rise/set, and DuckDB replays
+    * the identical arithmetic. Bin and output grids are powers of two
+    * (16 → 8), so dh = 2·dg EXACTLY (power-of-2 divisions round
+    * nothing) and every out slot covers exactly two bins with
+    * bit-identical boundary doubles — the float sums are two-term and
+    * order-immune, so the gate is value-exact, not tolerance-based.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val nBins = 16
+    val outSlots = 8
+    val ev = Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value"))
+    val rs = Dilation.riseSetTable(ev, "site", "ts", "value", 0.01)
+      .filter(col("set_h") > col("rise_h"))
+    val h = TimeAxis.hourOfDay(col("ts"))
+    val base = ev.select(
+      col("site").cast("long").as("site"),
+      to_date(col("ts")).cast("string").as("day"),
+      h.as("h"),
+      round(col("value") * 100).cast("long").as("vc"))
+    // integer centi-value sums per bin: the dilated input itself is
+    // exact on both engines (q52's integer-arithmetic lesson)
+    val binned = SideJoin.back(base, rs, Seq("site", "day"))
+      .filter(col("h") >= col("rise_h") && col("h") < col("set_h"))
+      .withColumn("dil_slot",
+        least(floor((col("h") - col("rise_h")) / ((col("set_h") - col("rise_h")) / nBins)),
+          lit(nBins - 1)).cast("int"))
+      .groupBy(col("site"), col("day"), col("dil_slot"))
+      .agg(sum(col("vc")).as("sv"))
+    val grid = rs
+      .select(col("site"), col("day"), explode(sequence(lit(0), lit(nBins - 1))).as("dil_slot"))
+      .join(binned, Seq("site", "day", "dil_slot"), "left")
+      .withColumn("dil_value", coalesce(col("sv"), lit(0L)).cast("double"))
+      .select(col("site"), col("day"), col("dil_slot"), col("dil_value"))
+    Dilation.undilate(s, grid, rs, outSlots)
+      .select(col("site"), col("day"), col("out_slot"), round(col("value"), 6).as("value"))
+  }
+
+  /** Shade projection HASH-GATED — the per-site eigen-projection
+    * arithmetic behind p04 (the fleet Gram is already q53): the REAL
+    * [[graft.analyses.Shade.projectOnBasis]] (sharing `projectRows`
+    * with the pcaShade eigen path) runs against a FIXED integer basis
+    * over the hour-grain median profile, so coefficients and
+    * reconstructions are exact integer-valued doubles on both engines
+    * (order-immune sums) and only the final shade-fraction division
+    * is float — identical operands, identical result. The eigen
+    * SOLVER stays spec-gated (PropertySpec topEigen, ShadeSpec);
+    * this gate certifies the projection code itself, the e15
+    * fixed-codebook pattern.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val prof = Tables.events(s, dir)
+      .groupBy(col("user_id").cast("long").as("site"),
+        floor(TimeAxis.hourOfDay(col("ts"))).cast("int").as("dil_slot"))
+      .agg(round(percentile(col("value"), lit(0.5)) * 1000).cast("long").cast("double").as("med_v"))
+    val basis = Seq(
+      Array.fill(24)(1.0),
+      Array.tabulate(24)(i => if (i < 12) 1.0 else -1.0))
+    graft.analyses.Shade.projectOnBasis(s, prof, basis)
+      .select(col("site"), col("dil_slot"), col("med_v"), col("recon_v"),
+        round(col("shade_frac"), 6).as("shade_frac"), col("shaded"))
+  }
+
   private def q51(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
@@ -2329,6 +2394,8 @@ object SparkEntry {
     "q53_profile_gram" -> (q53 _),
     "q54_clear_days" -> (q54 _),
     "q55_sunrise_grid" -> (q55 _),
+    "q56_undilate" -> (q56 _),
+    "q57_shade_projection" -> (q57 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

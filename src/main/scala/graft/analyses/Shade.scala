@@ -51,6 +51,64 @@ object Shade {
       .drop("p90_v", "mirror_p90")
   }
 
+  /** The rank-k projection arithmetic shared by [[pcaShade]] (leave-
+    * one-out eigenbasis) and [[projectOnBasis]] (caller-fixed basis):
+    * coefficients c_j = p·v_j, reconstruction Σ_j c_j v_j(i), shade
+    * fraction = relative depression below the reconstruction.
+    */
+  private[analyses] def projectRows(
+      site: Long,
+      p: Array[Double],
+      vs: Array[Array[Double]]
+  ): IndexedSeq[(Long, Int, Double, Double, Double)] = {
+    val coefs = vs.map { v =>
+      var s = 0.0
+      var i = 0
+      while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
+      s
+    }
+    p.indices.map { i =>
+      var recon = 0.0
+      var j = 0
+      while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
+      val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
+      (site, i, p(i), recon, frac)
+    }
+  }
+
+  /** The projection stage alone, on a caller-supplied FIXED basis —
+    * the q57 hash-gate surface for p04: with a literal basis the
+    * coefficient / reconstruction / shade-fraction arithmetic is
+    * SQL-replayable, so the oracle certifies the very code
+    * [[pcaShade]] runs per site (both paths share [[projectRows]]),
+    * while the eigen solver itself stays spec-gated (PropertySpec
+    * `topEigen`, ShadeSpec). Profiles: (site, dil_slot, med_v);
+    * missing slots below a site's max read as 0, mirroring
+    * pcaShade's dense positional profile.
+    */
+  def projectOnBasis(
+      spark: SparkSession,
+      profiles: DataFrame,
+      basis: Seq[Array[Double]],
+      shadeThreshold: Double = 0.25
+  ): DataFrame = {
+    import spark.implicits._
+    val bs = basis.map(_.clone).toArray
+    profiles
+      .select(col("site").cast("long"), col("dil_slot").cast("int"), col("med_v").cast("double"))
+      .as[(Long, Int, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (site: Long, it: Iterator[(Long, Int, Double)]) =>
+        val arr = it.toArray
+        val n = arr.map(_._2).max + 1
+        val p = new Array[Double](n)
+        arr.foreach(r => p(r._2) = r._3)
+        projectRows(site, p, bs).iterator
+      }
+      .toDF("site", "dil_slot", "med_v", "recon_v", "shade_frac")
+      .withColumn("shaded", col("shade_frac") > shadeThreshold)
+  }
+
   /** PCA-basis shade decomposition (reference
     * `algorithms/shade.py:351-410`, where the clear-sky component is a
     * projection onto a PCA basis loaded from fixtures,
@@ -133,18 +191,7 @@ object Shade {
           val pairs = Kernels.topEigen(loo, k)
           val lambdaMax = if (pairs.nonEmpty) pairs(0)._1 else 0.0
           val vs = pairs.filter(_._1 > lambdaMax * 1e-9).map(_._2)
-          val coefs = vs.map { v =>
-            var s = 0.0; var i = 0
-            while (i < p.length && i < v.length) { s += p(i) * v(i); i += 1 }
-            s
-          }
-          p.indices.map { i =>
-            var recon = 0.0
-            var j = 0
-            while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
-            val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
-            (site, i, p(i), recon, frac)
-          }
+          projectRows(site, p, vs)
         }
         .toDF("site", "dil_slot", "med_v", "recon_v", "shade_frac")
         .withColumn("shaded", col("shade_frac") > shadeThreshold)
