@@ -1112,6 +1112,43 @@ $branches
     FROM proj
   """
 
+  /** e18/e19/e20: the trained-ANN property gates. The oracle derives
+    * the exact cosine top-3 baseline independently (e01's arithmetic)
+    * and asserts the property columns' known-true values; the Spark
+    * side computes them FROM the trained search result, so a failed
+    * recall floor / row-count / self-match invariant breaks the hash.
+    * The trained result itself is irreducibly iterative and not
+    * SQL-replayable — this is the predicate gate the driver's
+    * hash-compare can still verify.
+    */
+  private val annRecallGate = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        sum(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(c.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e q CROSS JOIN e c CROSS JOIN range(1, 65) AS t(i)
+      WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2),
+    s AS (
+      SELECT d.query_id, d.neighbor_id, round(d.dot / (nq.nrm * nc.nrm), 5) AS cosine
+      FROM dots d
+      JOIN n nq ON d.query_id = nq.vec_id
+      JOIN n nc ON d.neighbor_id = nc.vec_id),
+    top3 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rk
+        FROM s) t
+      WHERE rk <= 3)
+    SELECT query_id,
+      string_agg(CAST(neighbor_id AS VARCHAR), ',' ORDER BY neighbor_id) AS exact_top3,
+      true AS k_rows_returned, true AS no_self_match, true AS fleet_recall_ok
+    FROM top3 GROUP BY query_id
+  """
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2931,6 +2968,9 @@ $branches
     "d38_cms_heavy_hitters" -> d38,
     "d39_bloom_fpr" -> d39,
     "d40_component_histogram" -> d40,
+    "e18_ivf_recall_gate" -> annRecallGate,
+    "e19_adc_recall_gate" -> annRecallGate,
+    "e20_ivfpq_recall_gate" -> annRecallGate,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

@@ -2259,6 +2259,74 @@ object SparkEntry {
       )
   }
 
+  /** Shared scaffolding for the trained-path PROPERTY gates e18–e20:
+    * join a trained ANN search result against the exact cosine top-3
+    * (which DuckDB derives independently with e01's arithmetic) and
+    * emit per query (exact_top3, n_hits, recall_ok). The oracle
+    * recomputes exact_top3 in SQL and asserts the property columns'
+    * known-true values — a failed recall floor breaks the hash, so
+    * the driver's compare verifies the PREDICATE even though the
+    * trained result itself is not SQL-replayable.
+    */
+  private def recallGate(exact: DataFrame, approx: DataFrame, k: Int, floorPct: Int): DataFrame = {
+    val hits = exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
+    val perQ = approx.groupBy(col("query_id")).agg(
+      count(lit(1)).as("__n"),
+      sum(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L)).as("__self"))
+    val w = Window.partitionBy()
+    exact.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("__ex"))
+      .join(hits, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        array_join(col("__ex"), ",").as("exact_top3"),
+        (coalesce(col("__n"), lit(0L)) === k).as("k_rows_returned"),
+        (coalesce(col("__self"), lit(0L)) === 0L).as("no_self_match"),
+        // integer predicate: Σ hits × 100 ≥ floorPct × nq × k — exact
+        // arithmetic, no float recall in the gate
+        (sum(coalesce(col("__h"), lit(0L))).over(w) * 100L >=
+          count(lit(1)).over(w) * (floorPct.toLong * k)).as("fleet_recall_ok"))
+  }
+
+  /** e09's trained IVF (k-means 3 iters, nprobe 2/8) property-gated:
+    * fleet recall@3 ≥ 30% vs the exact cosine top-3 (observed ~44% on
+    * these near-uniform random embeddings — cell routing carries weak
+    * signal by construction, so the floor is a margin-2 bound, not a
+    * quality claim), exactly k rows per query, no self-matches.
+    */
+  private def e18(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 16)
+    recallGate(
+      Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
+      e09(s, dir), k = 3, floorPct = 30)
+  }
+
+  /** e10's trained PQ-ADC (4×16 codebooks, 2 iters) property-gated:
+    * fleet recall@3 ≥ 10% (observed ~21%; chance ≈ 0.9%).
+    */
+  private def e19(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 16)
+    recallGate(
+      Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
+      e10(s, dir), k = 3, floorPct = 10)
+  }
+
+  /** e11's trained IVF-PQ (both stages trained) property-gated:
+    * fleet recall@3 ≥ 8% (observed ~17%; chance ≈ 0.9%).
+    */
+  private def e20(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 16)
+    recallGate(
+      Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
+      e11(s, dir), k = 3, floorPct = 8)
+  }
+
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
     * per-site solver stages via mapGroups. Rows-only check — the
     * solver stages are not SQL-expressible.
@@ -2459,6 +2527,9 @@ object SparkEntry {
     "e15_pq_exact" -> (e15 _),
     "e16_adc_refine" -> (e16 _),
     "e17_silhouette" -> (e17 _),
+    "e18_ivf_recall_gate" -> (e18 _),
+    "e19_adc_recall_gate" -> (e19 _),
+    "e20_ivfpq_recall_gate" -> (e20 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),
