@@ -55,6 +55,12 @@ class DataHandler(
   def sunriseSunsetEstimates(): DataFrame =
     graft.analyses.SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
 
+  /** Location estimates from the TUNED smoothed rise/set curves —
+    * the reference's `optimized_sunrise_sunset.py` profiling path.
+    */
+  def estimateLocationOptimized(): DataFrame =
+    Profiler.estimateLocationOptimized(spark, df, site, tsCol, valueCol)
+
   /** `report(return_values=True)` (`data_handler.py:718`): the
     * reference's summary dictionary as a per-site relation —
     * length (years), capacity, sampling (minutes), quality score,

@@ -27,6 +27,7 @@ object Profiler {
     *
     * @return (<site>, lat_est, lon_est, n_days)
     */
+  // (the q37 oracle-gated path — rough rise/set from the 5% threshold)
   def estimateLocation(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val siteMax = df.groupBy(col(site)).agg(round(max(col(valueCol)) * 0.05, 6).as("thr"))
     val h = TimeAxis.hourOfDay(col(tsCol))
@@ -51,6 +52,47 @@ object Profiler {
       .agg(
         round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
         round(percentile(col("lon_day"), lit(0.5)), 6).as("lon_est"),
+        count(lit(1)).as("n_days")
+      )
+  }
+
+  /** [[estimateLocation]] fed by the holdout-TUNED smoothed
+    * sunrise/sunset estimates instead of the rough 5%-threshold
+    * times — the reference's `optimized_sunrise_sunset.py` path
+    * (`get_optimized_sunrise_sunset` → latitude/longitude studies):
+    * daylight = set − rise of the smoothed curves, solar noon =
+    * their midpoint, then the identical Duffie inversion and
+    * equation-of-time correction. On noisy multi-year sites the
+    * smoothed curves cut the day-estimate variance the rough times
+    * carry — which is exactly why the reference tunes the threshold
+    * before profiling. Solver-path (quantile fits) → spec-gated
+    * (SunriseSunsetSpec recovers a known lat/lon through it); q37
+    * stays the oracle-gated relational analog.
+    */
+  def estimateLocationOptimized(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      searchPts: Int = 21
+  ): DataFrame = {
+    val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol, searchPts)
+    val doy = dayofyear(col("day"))
+    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+    val eot = Solar.equationOfTimeMin(doy)
+    est
+      .filter(col("plausible") && !isnan(col("sunrise_est")) && !isnan(col("sunset_est")))
+      .withColumn("dl_h", col("sunset_est") - col("sunrise_est"))
+      .withColumn("noon_h", (col("sunrise_est") + col("sunset_est")) / 2.0)
+      .withColumn("lat_day",
+        atan(-cos(lit(7.5) * col("dl_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
+      .withColumn("lon_day", lit(-15.0) * (col("noon_h") - lit(12.0) + eot / lit(60.0)))
+      .groupBy(col(site))
+      .agg(
+        round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
+        round(percentile(col("lon_day"), lit(0.5)), 6).as("lon_est"),
+        first(col("threshold")).as("threshold"),
         count(lit(1)).as("n_days")
       )
   }

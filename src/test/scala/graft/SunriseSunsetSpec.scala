@@ -107,6 +107,43 @@ class SunriseSunsetSpec extends AnyFunSuite {
     assert(fit.hoErr >= 1e2)
   }
 
+  test("optimized profiler recovers lat/lon from EoT-shifted clock-time data") {
+    // the reference's optimized_sunrise_sunset.py path: tuned smoothed
+    // rise/set → daylight + solar noon → Duffie inversion + EoT
+    // correction. Clock-time synthetic at lat 37.5, lon 0, tz 0:
+    // clock = solar − EoT (solar_to_clock with lon = 15·tz), Spencer
+    // EoT matching functions.Solar.equationOfTimeMin.
+    import spark.implicits._
+    def eotMin(doy: Int): Double = {
+      val b = 2.0 * math.Pi * (doy - 1) / 365.0
+      229.18 * (0.000075 + 0.001868 * math.cos(b) - 0.032077 * math.sin(b) -
+        0.014615 * math.cos(2 * b) - 0.04089 * math.sin(2 * b))
+    }
+    val rows = for {
+      d <- 0 until 365
+      s <- 0 until slots
+    } yield {
+      val (srS, ssS) = riseSetTrue(d + 1, lat)
+      val sr = srS - eotMin(d + 1) / 60.0
+      val ss = ssS - eotMin(d + 1) / 60.0
+      val h = s * 24.0 / slots
+      val sun = if (h > sr && h < ss) math.sin(math.Pi * (h - sr) / (ss - sr)) else 0.0
+      val noise = 0.004 * (((d * slots + s) * 2654435761L) % 7).toDouble / 7.0
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2023, 1, 1).plusDays(d).atTime(0, 0).plusMinutes(s * 5L))
+      (0L, ts, sun + noise)
+    }
+    val df = rows.toDF("site", "ts", "power")
+    val loc = graft.analyses.Profiler
+      .estimateLocationOptimized(spark, df, "site", "ts", "power")
+      .collect()
+    assert(loc.length == 1)
+    val latEst = loc(0).getAs[Double]("lat_est")
+    val lonEst = loc(0).getAs[Double]("lon_est")
+    assert(math.abs(latEst - lat) < 1.5, f"lat $latEst%.2f vs $lat")
+    assert(math.abs(lonEst - 0.0) < 1.5, f"lon $lonEst%.2f vs 0")
+  }
+
   test("193-day fixture: selected threshold and estimates are physically sane") {
     val ts = graft.sources.Tables.csvTimeSeries(
       spark, "/root/reference/tests/fixtures/data_transforms/timeseries.csv")
