@@ -247,4 +247,46 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"d37 scoring grew a shuffle:\n$p")
     assert(!p.contains("Join"), s"d37 scoring planned a join:\n$p")
   }
+
+  test("sunrise threshold grid stays single-scan with a broadcast scale join (q55)") {
+    // the 21-threshold grid is 42 conditional aggregates over ONE
+    // scan pass; the unpivot Generate must sit above the aggregate,
+    // and the per-site p99/min scaling joins back by broadcast
+    val plan = SparkEntry.queries("q55_sunrise_grid")(spark, dir).queryExecution.sparkPlan
+    val gens = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected the post-aggregate unpivot Generate")
+    gens.foreach { g =>
+      val hasAggBelow = g.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow, "q55 explodes the scan before aggregating")
+    }
+    val p = planOf("q55_sunrise_grid")
+    assert(p.contains("BroadcastHashJoin"), "q55 lost the scale broadcast")
+    assert(!p.contains("SortMergeJoin"), "q55 shuffled the scan for the site-grain scale table")
+    assert(!p.contains("CartesianProduct"), "q55 planned a cartesian product")
+  }
+
+  test("undilate gate keeps its side tables broadcast — the scan never sort-merge joins (q56)") {
+    val p = planOf("q56_undilate")
+    assert(p.contains("BroadcastHashJoin"), "q56 lost its rise/set broadcast")
+    assert(!p.contains("SortMergeJoin"), "q56 shuffled the scan for a site-day side table")
+    assert(!p.contains("CartesianProduct"), "q56 planned a cartesian product")
+  }
+
+  test("sun-up mask broadcasts day-grain estimates back — the scan never shuffles (stage C)") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id").as("site"), col("ts"), col("value"))
+    // a stand-in day-grain estimate table (the mask join shape is
+    // independent of how the estimates were fit)
+    val est = ev.groupBy(col("site"), to_date(col("ts")).as("day"))
+      .agg(lit(6.0).as("sunrise_est"), lit(18.0).as("sunset_est"))
+    val p = graft.analyses.SunriseSunset.sunupMask(ev, est, "site", "ts")
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), "sunupMask lost its broadcast")
+    assert(!p.contains("SortMergeJoin"), "sunupMask shuffled the scan")
+  }
 }
