@@ -62,6 +62,12 @@ object EventStream {
   }
 
   case class Ev(day: String, user_id: Long, value: Double)
+
+  /** [[Ev]] plus the fractional hour of day — the timed event the
+    * intra-day twins (rise/set) fold; value-only twins adapt through
+    * [[finalizedFold]] so there is ONE closure core.
+    */
+  case class EvH(day: String, user_id: Long, value: Double, h: Double)
   case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
   case class SiteDay(site: Long, day: String, nObs: Long, sumV: Double, maxV: Double)
 
@@ -85,6 +91,23 @@ object EventStream {
       foldEv: (D, Double) => D,
       carry0: C,
       onClose: (C, Long, String, D) => (C, Seq[O])
+  )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame =
+    finalizedFoldH(spark, path, checkpoint, outDir, zero,
+      (d: D, e: EvH) => foldEv(d, e.value), carry0, onClose)
+
+  /** [[finalizedFold]] over TIMED events ([[EvH]], value + hour of
+    * day) — the same closure/watermark/carry core; value-only twins
+    * delegate here so the closure rule has one definition.
+    */
+  def finalizedFoldH[D, C, O](
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      zero: D,
+      foldEv: (D, EvH) => D,
+      carry0: C,
+      onClose: (C, Long, String, D) => (C, Seq[O])
   )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
@@ -94,17 +117,18 @@ object EventStream {
       // null ts/value guard: the Ev decode is non-nullable, and a single
       // poisoned file would otherwise kill the query on every restart
       .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"))
-      .as[Ev]
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"),
+        graft.operators.TimeAxis.hourOfDay(col("ts")).as("h"))
+      .as[EvH]
     val out = evs
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[Ev], state: GroupState[(Map[String, D], String, C)]) =>
+        (site: Long, it: Iterator[EvH], state: GroupState[(Map[String, D], String, C)]) =>
           val (open0, closedMax, c0) =
             state.getOption.getOrElse((Map.empty[String, D], "", carry0))
           val m = it.foldLeft(open0) { (acc, e) =>
             if (e.day <= closedMax) acc // late row for a finalized day: drop
-            else acc.updated(e.day, foldEv(acc.getOrElse(e.day, zero), e.value))
+            else acc.updated(e.day, foldEv(acc.getOrElse(e.day, zero), e))
           }
           if (m.isEmpty) Iterator.empty
           else {
@@ -237,6 +261,57 @@ object EventStream {
           } else Double.NaN
         val siteMax = math.max(siteMax0, dmax)
         (siteMax, Seq(SiteDayClip(site, day, dmax, clip2, siteMax, dmax / siteMax)))
+      }
+    )
+  }
+
+  case class SiteDayRiseSet(
+      site: Long, day: String, rise_h: Double, set_h: Double, daylight_h: Double)
+
+  /** Streaming twin of the rough sunrise/sunset table (q18's measured
+    * times, reference `sunrise_sunset.py:11-27`): as days finalize,
+    * emit the day's first/last hour with value above thresholdFrac ×
+    * the site's EXPANDING max (running max over closed daily maxes
+    * including the day itself — the same carry shape as
+    * [[incrementalClipStats]]'s clip1; the batch rule thresholds
+    * against the FULL-series max, so early days here see a
+    * still-growing threshold base, reproducible in batch with an
+    * expanding `max(daily_max) over (order by day)` window). A day
+    * with no above-threshold sample, or whose first/last sample is
+    * itself the extreme (the rise_set_rough argmax guards), emits
+    * NaN for that side. State per site: the open day's (h, v) buffer
+    * (≤ scans/day) + watermark + one running max — flat in stream
+    * length. Feeds the same day-grain consumers as
+    * [[graft.analyses.SunriseSunset]]'s measured times; the
+    * threshold-TUNING loop stays batch (it needs the whole series).
+    */
+  def incrementalRiseSet(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      thresholdFrac: Double = 0.05
+  ): DataFrame = {
+    import spark.implicits._
+    finalizedFoldH[Vector[(Double, Double)], Double, SiteDayRiseSet](
+      spark, path, checkpoint, outDir,
+      zero = Vector.empty[(Double, Double)],
+      foldEv = (vs, e) => vs :+ ((e.h, e.value)),
+      carry0 = Double.MinValue,
+      onClose = { (siteMax0, site, day, hv) =>
+        val dmax = hv.iterator.map(_._2).max
+        val siteMax = math.max(siteMax0, dmax)
+        val thr = siteMax * thresholdFrac
+        val hFirst = hv.iterator.map(_._1).min
+        val hLast = hv.iterator.map(_._1).max
+        val lit2 = hv.filter(_._2 > thr)
+        val rise =
+          if (lit2.isEmpty) Double.NaN
+          else { val r = lit2.iterator.map(_._1).min; if (r == hFirst) Double.NaN else r }
+        val set =
+          if (lit2.isEmpty) Double.NaN
+          else { val s = lit2.iterator.map(_._1).max; if (s == hLast) Double.NaN else s }
+        (siteMax, Seq(SiteDayRiseSet(site, day, rise, set, set - rise)))
       }
     )
   }

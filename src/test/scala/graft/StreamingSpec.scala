@@ -138,6 +138,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupes.count() == 0, "a closed day emitted clip stats more than once")
   }
 
+  test("incrementalRiseSet matches the batch rule against the expanding site max") {
+    val src = java.nio.file.Files.createTempDirectory("evrs").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evrsckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evrsout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalRiseSet(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalRiseSet(spark, src, ckpt, outDir)
+
+    // batch twin: per closed (site, day), first/last hour above
+    // 0.05 × expanding max of daily maxes, with the first/last-sample
+    // guards, exactly the onClose rule
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.operators.TimeAxis.hourOfDay(col("ts"))
+    val evs2 = all.select(col("user_id").as("site"), col("day"), col("value"), h.as("h"))
+    val daily = evs2.groupBy(col("site"), col("day"))
+      .agg(max("value").as("e_dmax"), min(col("h")).as("h_first"), max(col("h")).as("h_last"))
+    val w = Window.partitionBy("site").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val withThr = daily.withColumn("e_site_max", max(col("e_dmax")).over(w))
+      .withColumn("thr", col("e_site_max") * 0.05)
+    val lit2 = evs2.join(withThr, Seq("site", "day"))
+      .filter(col("value") > col("thr"))
+      .groupBy(col("site"), col("day"))
+      .agg(min(col("h")).as("lit_min"), max(col("h")).as("lit_max"))
+    val lastDay = daily.groupBy("site").agg(max("day").as("last_day"))
+    val expect = withThr.join(lit2, Seq("site", "day"), "left")
+      .join(lastDay, "site")
+      .filter(col("day") < col("last_day"))
+      .withColumn("e_rise", when(col("lit_min").isNull || col("lit_min") === col("h_first"),
+        lit(Double.NaN)).otherwise(col("lit_min")))
+      .withColumn("e_set", when(col("lit_max").isNull || col("lit_max") === col("h_last"),
+        lit(Double.NaN)).otherwise(col("lit_max")))
+    assert(out.count() == expect.count(), "closed-day row count mismatch")
+    val joined = out.join(expect, Seq("site", "day"))
+    val bad = joined.filter(
+      (!isnan(col("rise_h")) || !isnan(col("e_rise"))) &&
+        !(abs(col("rise_h") - col("e_rise")) < 1e-9) ||
+        (!isnan(col("set_h")) || !isnan(col("e_set"))) &&
+          !(abs(col("set_h") - col("e_set")) < 1e-9))
+    assert(bad.count() == 0, s"streaming rise/set diverges from the batch twin")
+    val dupes = out.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a closed day emitted rise/set more than once")
+  }
+
   test("incrementalCapacityJumps matches the batch windowed log-ratio on full-frame days") {
     val src = java.nio.file.Files.createTempDirectory("evcap").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evcapckpt").toString
