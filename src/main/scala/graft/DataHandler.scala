@@ -61,6 +61,22 @@ class DataHandler(
   def estimateLocationOptimized(): DataFrame =
     Profiler.estimateLocationOptimized(spark, df, site, tsCol, valueCol)
 
+  /** `generate_extra_matrix` (`data_handler.py:1128-1147`): an extra
+    * measured column embedded on the power matrix's (site, day, slot)
+    * grid, plus its daytime-completeness audit (q58's gate). Apply
+    * time-shift corrections with [[graft.operators.TimeAxis.fixDst]] /
+    * the q47 row-grain shift join before calling when needed.
+    */
+  def generateExtraMatrix(extra: org.apache.spark.sql.Column, slotsPerDay: Int = 288)
+      : (DataFrame, DataFrame) = {
+    val freqS = 86400L / slotsPerDay
+    val grid = TimeAxis.withDaySlot(
+      df.select(col(site).as("site"), col(tsCol), col(valueCol), extra.as("extra_v")),
+      tsCol, freqS)
+    val audit = DayStats.extraQuality(df, site, tsCol, valueCol, extra)
+    (grid, audit)
+  }
+
   /** `report(return_values=True)` (`data_handler.py:718`): the
     * reference's summary dictionary as a per-site relation —
     * length (years), capacity, sampling (minutes), quality score,

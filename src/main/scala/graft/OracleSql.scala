@@ -1149,6 +1149,26 @@ $branches
     FROM top3 GROUP BY query_id
   """
 
+  /** q58: the extra-matrix quality audit replay (find_daytime p5/p95
+    * scaling, 6-dp boundary rounding, JSON extra column).
+    */
+  private val q58 = """
+    WITH scale AS (
+      SELECT user_id, greatest(quantile_cont(value, 0.05), 0) AS lo,
+        quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY 1),
+    d AS (
+      SELECT e.user_id, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+        CAST(json_extract(e.props, '$.k') AS DOUBLE) AS extra
+      FROM events e JOIN scale s ON e.user_id = s.user_id
+      WHERE round((e.value - s.lo) / (s.p95 - s.lo), 6) >= 0.01)
+    SELECT user_id, day, count(*) AS n_daytime,
+      count(extra) AS n_extra_daytime,
+      round(CAST(sum(extra) AS DOUBLE), 2) AS extra_sum,
+      round(count(extra) / CAST(count(*) AS DOUBLE), 6) AS extra_quality
+    FROM d GROUP BY 1, 2
+  """
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2921,6 +2941,7 @@ $branches
     "q55_sunrise_grid" -> q55,
     "q56_undilate" -> q56,
     "q57_shade_projection" -> q57,
+    "q58_extra_matrix" -> q58,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

@@ -2259,6 +2259,16 @@ object SparkEntry {
       )
   }
 
+  /** Extra-matrix quality audit HASH-GATED (`generate_extra_matrix`,
+    * reference `data_handler.py:1128-1147`): the JSON `props.k`
+    * measurement as the extra column, scored for completeness over
+    * the find_daytime mask (p5/p95-scaled power ≥ 1%).
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    DayStats.extraQuality(
+      Tables.events(s, dir), "user_id", "ts", "value",
+      get_json_object(col("props"), "$.k").cast("double"))
+
   /** Shared scaffolding for the trained-path PROPERTY gates e18–e20:
     * join a trained ANN search result against the exact cosine top-3
     * (which DuckDB derives independently with e01's arithmetic) and
@@ -2464,6 +2474,7 @@ object SparkEntry {
     "q55_sunrise_grid" -> (q55 _),
     "q56_undilate" -> (q56 _),
     "q57_shade_projection" -> (q57 _),
+    "q58_extra_matrix" -> (q58 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

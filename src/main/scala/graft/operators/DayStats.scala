@@ -184,6 +184,45 @@ object DayStats {
       .agg(count(col(valueCol)).as("n_obs"), avg(col(valueCol)).as("avg_v"))
       .withColumn("good_day", (col("n_obs") >= minCount) && (col("avg_v") > 0.0))
 
+  /** Extra-column quality audit — the scoring half of
+    * `generate_extra_matrix` (reference `data_handler.py:1128-1147`):
+    * an extra measured column (irradiance, temperature — here any
+    * column expression) is embedded on the power matrix's grid
+    * ([[TimeAxis.withDaySlot]] does the embed; time-shift application
+    * is q47's row-grain correction), and its completeness is scored
+    * over DAYTIME cells only — daytime per `find_daytime`
+    * (`daytime.py:11-38`): power scaled by the site's p5/p95 band,
+    * cells ≥ `threshold`. Day-grain output (the reference's per-site
+    * `extra_quality_scores` is its trivial rollup): (site, day,
+    * n_daytime, n_extra_daytime, extra_sum, extra_quality).
+    */
+  def extraQuality(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      extra: Column,
+      threshold: Double = 0.01
+  ): DataFrame = {
+    val scale = df.groupBy(col(site))
+      .agg(
+        percentile(col(valueCol), lit(0.05)).as("__p05"),
+        percentile(col(valueCol), lit(0.95)).as("__p95"))
+      .withColumn("__lo", greatest(col("__p05"), lit(0.0)))
+      .select(col(site), col("__lo"), col("__p95"))
+    // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55)
+    val scaled = round((col(valueCol) - col("__lo")) / (col("__p95") - col("__lo")), 6)
+    SideJoin.back(df.withColumn("__extra", extra), scale, Seq(site))
+      .filter(scaled >= threshold)
+      .groupBy(col(site), to_date(col(tsCol)).as("day"))
+      .agg(
+        count(lit(1)).as("n_daytime"),
+        count(col("__extra")).as("n_extra_daytime"),
+        round(sum(col("__extra")), 2).as("extra_sum"))
+      .withColumn("extra_quality",
+        round(col("n_extra_daytime") / col("n_daytime").cast("double"), 6))
+  }
+
   def datasetScores(dayFlags: DataFrame, site: String): DataFrame =
     dayFlags
       .groupBy(col(site))
