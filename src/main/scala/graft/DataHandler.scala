@@ -61,6 +61,24 @@ class DataHandler(
   def estimateLocationOptimized(): DataFrame =
     Profiler.estimateLocationOptimized(spark, df, site, tsCol, valueCol)
 
+  /** The FILLED-matrix re-estimate (reference pipeline stage 12,
+    * `get_optimized_sunrise_sunset(filled_data_matrix=...)`,
+    * `optimized_sunrise_sunset.py:21-27`): run the threshold-tuned
+    * optimizer on the densified/night-zeroed/interpolated grid rather
+    * than the raw scan — the cleaned-data estimates the reference
+    * stores alongside the raw ones. Timestamps are synthesized back
+    * from (day, slot) at the grid's own cadence.
+    */
+  def sunriseSunsetEstimatesFilled(slotsPerDay: Int = 288): DataFrame = {
+    val freqS = 86400L / slotsPerDay
+    val filled = Filling.filledDayGrid(df, site, tsCol, valueCol, slotsPerDay)
+      .select(col("site"),
+        (col("day").cast("timestamp").cast("long") + col("slot") * freqS)
+          .cast("timestamp").as("ts"),
+        col("filled"))
+    graft.analyses.SunriseSunset.estimates(spark, filled, "site", "ts", "filled")
+  }
+
   /** `generate_extra_matrix` (`data_handler.py:1128-1147`): an extra
     * measured column embedded on the power matrix's (site, day, slot)
     * grid, plus its daytime-completeness audit (q58's gate). Apply

@@ -153,6 +153,21 @@ class SunriseSunsetSpec extends AnyFunSuite {
     val est = SunriseSunset.estimates(spark, ts, "site", "ts", "power").collect()
     assert(est.length == 193)
     assert(est.forall(_.getBoolean(5)), "fixture fit not plausible")
+
+    // the FILLED-matrix re-estimate (reference pipeline stage 12):
+    // same site through the densified grid — still plausible, and its
+    // smoothed curves stay within an hour of the raw-path estimates
+    val estF = new graft.DataHandler(ts, "site", "ts", "power")
+      .sunriseSunsetEstimatesFilled().collect()
+    assert(estF.length == 193)
+    assert(estF.forall(_.getBoolean(5)), "filled-matrix fit not plausible")
+    val rawByDay = est.map(r => r.getDate(1).toString -> ((r.getDouble(8), r.getDouble(9)))).toMap
+    val drift = estF.flatMap { r =>
+      rawByDay.get(r.getDate(1).toString).map { case (sr, ss) =>
+        math.max(math.abs(r.getDouble(8) - sr), math.abs(r.getDouble(9) - ss))
+      }
+    }
+    assert(drift.max < 1.0, f"filled-vs-raw estimate drift ${drift.max}%.2f h")
     val srMean = est.map(_.getDouble(8)).sum / est.length
     val ssMean = est.map(_.getDouble(9)).sum / est.length
     assert(srMean > 4.0 && srMean < 10.0, f"mean sunrise $srMean%.2f")
