@@ -2173,6 +2173,9 @@ $branches
   // boundaries; one replace() per merge in training order = the
   // encoder's leftmost-non-overlapping pass (verified equivalent to
   // Bpe.mergePair). Token count = number of chr(1) markers left.
+  // Same \x01-\x03-free text precondition as bpeReplayCtes (see its
+  // Scaladoc) — a control character in document text would break the
+  // bracket encoding in this replay, not in Bpe.encodeWord.
   private val d35: String = {
     val chain = D35Merges.zipWithIndex.map { case ((l, r), i) =>
       s"enc${i + 1} AS (SELECT w, replace(s, chr(1)||'$l'||chr(2)||chr(1)||'$r'||chr(2), " +
