@@ -1169,6 +1169,38 @@ $branches
     FROM d GROUP BY 1, 2
   """
 
+  /** q59: PAVA replay via the isotonic minimax identity. y values are
+    * exact integer-valued doubles (centi-value day sums), interval
+    * means are single exact-sum divisions, and the minimax pick IS
+    * one of those means — so the only cross-engine float surface is
+    * PAVA's own pooled-mean accumulation, absorbed by 4-dp rounding.
+    */
+  private val q59 = """
+    WITH e AS (
+      SELECT user_id AS site, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    idx AS (
+      SELECT site, day, y,
+        row_number() OVER (PARTITION BY site ORDER BY day) AS i
+      FROM e),
+    iv AS (
+      SELECT k.site, k.i AS k, j.i AS j,
+        sum(z.y) / (j.i - k.i + 1) AS m
+      FROM idx k
+      JOIN idx j ON j.site = k.site AND j.i >= k.i
+      JOIN idx z ON z.site = k.site AND z.i >= k.i AND z.i <= j.i
+      GROUP BY 1, 2, 3),
+    inn AS (
+      SELECT iv.site, ix.i, iv.k, max(iv.m) AS mx
+      FROM iv
+      JOIN idx ix ON iv.site = ix.site AND iv.k <= ix.i AND iv.j >= ix.i
+      GROUP BY 1, 2, 3),
+    fit AS (SELECT site, i, min(mx) AS iso FROM inn GROUP BY 1, 2)
+    SELECT x.site, x.day, x.y, round(f.iso, 4) AS iso
+    FROM fit f JOIN idx x ON f.site = x.site AND f.i = x.i
+  """
+
   private val q53 = """
     WITH prof AS (
       SELECT user_id AS site,
@@ -2945,6 +2977,7 @@ $branches
     "q56_undilate" -> q56,
     "q57_shade_projection" -> q57,
     "q58_extra_matrix" -> q58,
+    "q59_isotonic" -> q59,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

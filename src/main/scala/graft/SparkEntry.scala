@@ -2269,6 +2269,33 @@ object SparkEntry {
       Tables.events(s, dir), "user_id", "ts", "value",
       get_json_object(col("props"), "$.k").cast("double"))
 
+  /** PAVA isotonic projection HASH-GATED — the kernel behind p05's
+    * monotone degradation trend ([[Kernels.isotonicDecreasing]],
+    * reference PVPro post-processing `pvpro_post_processing.py:270-441`):
+    * the REAL pool-adjacent-violators code runs per site on exact
+    * integer day energies, and DuckDB replays it through the isotonic
+    * minimax identity — decreasing_fit(i) = min_{k≤i} max_{j≥i}
+    * mean(y[k..j]) — whose result is always ONE of the interval means
+    * of those integers (no accumulated float arithmetic on the oracle
+    * side; 4-dp rounding absorbs PAVA's pooled-mean ulp wobble).
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id").cast("long").as("site"), to_date(col("ts")).cast("string").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("yv"))
+      .select(col("site"), col("day"), col("yv").cast("double").as("y"))
+      .as[(Long, String, Double)]
+    daily.groupByKey(_._1)
+      .flatMapGroups { (site: Long, it: Iterator[(Long, String, Double)]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val iso = graft.solvers.Kernels.isotonicDecreasing(rows.map(_._3))
+        rows.indices.iterator.map(i => (site, rows(i)._2, rows(i)._3, iso(i)))
+      }
+      .toDF("site", "day", "y", "iso")
+      .withColumn("iso", round(col("iso"), 4))
+  }
+
   /** Shared scaffolding for the trained-path PROPERTY gates e18–e20:
     * join a trained ANN search result against the exact cosine top-3
     * (which DuckDB derives independently with e01's arithmetic) and
@@ -2475,6 +2502,7 @@ object SparkEntry {
     "q56_undilate" -> (q56 _),
     "q57_shade_projection" -> (q57 _),
     "q58_extra_matrix" -> (q58 _),
+    "q59_isotonic" -> (q59 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
