@@ -1161,7 +1161,8 @@ $branches
       SELECT e.user_id, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
         CAST(json_extract(e.props, '$.k') AS DOUBLE) AS extra
       FROM events e JOIN scale s ON e.user_id = s.user_id
-      WHERE round((e.value - s.lo) / (s.p95 - s.lo), 6) >= 0.01)
+      WHERE CASE WHEN s.p95 - s.lo = 0 THEN NULL
+                 ELSE round((e.value - s.lo) / (s.p95 - s.lo), 6) END >= 0.01)
     SELECT user_id, day, count(*) AS n_daytime,
       count(extra) AS n_extra_daytime,
       round(CAST(sum(extra) AS DOUBLE), 2) AS extra_sum,

@@ -210,8 +210,11 @@ object DayStats {
         percentile(col(valueCol), lit(0.95)).as("__p95"))
       .withColumn("__lo", greatest(col("__p05"), lit(0.0)))
       .select(col(site), col("__lo"), col("__p95"))
-    // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55)
-    val scaled = round((col(valueCol) - col("__lo")) / (col("__p95") - col("__lo")), 6)
+    // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55).
+    // try_divide: a constant-signal site (p95 == lo — e.g. one sample)
+    // has no daytime band; null scaled → filtered, never a
+    // DIVIDE_BY_ZERO under ANSI mode. The oracle mirrors the null.
+    val scaled = round(try_divide(col(valueCol) - col("__lo"), col("__p95") - col("__lo")), 6)
     SideJoin.back(df.withColumn("__extra", extra), scale, Seq(site))
       .filter(scaled >= threshold)
       .groupBy(col(site), to_date(col(tsCol)).as("day"))

@@ -120,4 +120,45 @@ class DegenerateInputSpec extends AnyFunSuite {
   test("fleet pipeline over an empty frame yields an empty report") {
     assert(Pipeline.run(spark, emptySeries, "site", "ts", "value").count() == 0)
   }
+
+  test("round-5 operators on empty and single-row input") {
+    // sunrise/sunset: empty frame → empty grid and empty estimates
+    assert(graft.analyses.SunriseSunset
+      .roughGridLong(emptySeries, "site", "ts", "value").count() == 0)
+    assert(graft.analyses.SunriseSunset
+      .estimates(spark, emptySeries, "site", "ts", "value").count() == 0)
+    // one sample: its rise/set are the day's first AND last sample —
+    // both boundary guards fire, every threshold reads null
+    val one = Seq((1L, Timestamp.valueOf("2024-06-01 12:00:00"), 5.0))
+      .toDF("site", "ts", "value")
+    val g = graft.analyses.SunriseSunset
+      .roughGridLong(one, "site", "ts", "value").collect()
+    assert(g.length == 21 && g.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+    // extra-matrix audit: empty input is empty, and a constant-signal
+    // site (p95 == lo) has NO daytime band — null scaled power, rows
+    // filtered, never a DIVIDE_BY_ZERO
+    assert(DayStats.extraQuality(emptySeries, "site", "ts", "value", lit(null).cast("double"))
+      .count() == 0)
+    assert(DayStats.extraQuality(one, "site", "ts", "value", lit(null).cast("double"))
+      .count() == 0)
+    // a two-level site does have a band; the null extra column is
+    // counted in n_daytime but not in n_extra_daytime
+    val two = Seq(
+      (1L, Timestamp.valueOf("2024-06-01 06:00:00"), 0.0),
+      (1L, Timestamp.valueOf("2024-06-01 12:00:00"), 5.0))
+      .toDF("site", "ts", "value")
+    val eq = DayStats.extraQuality(two, "site", "ts", "value", lit(null).cast("double"))
+      .collect()
+    assert(eq.length == 1 && eq(0).getAs[Long]("n_daytime") == 1L
+      && eq(0).getAs[Long]("n_extra_daytime") == 0L)
+    // isotonic kernel: empty and singleton
+    assert(Kernels.isotonicDecreasing(Array.empty[Double]).isEmpty)
+    assert(Kernels.isotonicDecreasing(Array(3.0)).sameElements(Array(3.0)))
+    // component stats on an all-singleton labeling: one histogram row,
+    // top share = 1/n
+    val comp = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "component")
+    val cs = Dedup.componentStats(comp, "id").collect()
+    assert(cs.length == 1 && cs(0).getAs[Long]("component_size") == 1L
+      && math.abs(cs(0).getAs[Double]("top_share") - 1.0 / 3) < 1e-6)
+  }
 }
