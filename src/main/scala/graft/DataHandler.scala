@@ -41,12 +41,19 @@ class DataHandler(
     *   optimizer first and restrict every downstream stage to the
     *   estimated sun-up window (`sunrise_sunset_estimation.py:184-335`).
     */
-  def runPipeline(estimateSunTimes: Boolean = false): Dataset[SiteReport] = {
+  /** @param period seasonal period override for the solver stages —
+    *   `None` picks annual/weekly from each site's span (see
+    *   [[graft.analyses.Pipeline.run]]).
+    */
+  def runPipeline(
+      estimateSunTimes: Boolean = false,
+      period: Option[Double] = None
+  ): Dataset[SiteReport] = {
     val input =
       if (estimateSunTimes)
         graft.analyses.SunriseSunset.applySunupFilter(spark, df, site, tsCol, valueCol)
       else df
-    Pipeline.run(spark, input, site, tsCol, valueCol)
+    Pipeline.run(spark, input, site, tsCol, valueCol, period)
   }
 
   /** `SunriseSunset.run_optimizer` estimates per (site, day):
