@@ -353,14 +353,18 @@ object Kernels {
     var x = Array.fill(n)(median(y))
     var s = new Array[Double](n)
     val eps = 1e-6
+    // the trig design depends only on (t, period, harmonics) — build
+    // it ONCE, not once per outer iteration (it was ~a third of the
+    // kernel's cost at multi-year n; results are bit-identical)
+    val p = 1 + 2 * harmonics
+    val rows = Array.tabulate(n)(i => Linalg.fourierRow(t(i), period, harmonics))
+    val ones = Array.fill(n)(1.0)
     var outer = 0
     while (outer < outerIters) {
       // seasonal on residual (zero-mean seasonal: drop the intercept
       // into the pwc component by fitting with intercept then moving it)
       val resid = Array.tabulate(n)(i => y(i) - x(i))
-      val p = 1 + 2 * harmonics
-      val rows = Array.tabulate(n)(i => Linalg.fourierRow(t(i), period, harmonics))
-      val beta = Linalg.wls(n, p, rows, resid, Array.fill(n)(1.0))
+      val beta = Linalg.wls(n, p, rows, resid, ones)
       s = Array.tabulate(n) { i =>
         var f = 0.0
         var a = 1
