@@ -39,9 +39,9 @@ class DataHandler(
     * @param estimateSunTimes when true, reference pipeline stage 3:
     *   run the holdout-tuned [[graft.analyses.SunriseSunset]]
     *   optimizer first and restrict every downstream stage to the
-    *   estimated sun-up window (`sunrise_sunset_estimation.py:184-335`).
-    */
-  /** @param period seasonal period override for the solver stages —
+    *   estimated sun-up window (`sunrise_sunset_estimation.py:184-335`);
+    *   sites whose fit fails the plausibility guard keep all rows.
+    * @param period seasonal period override for the solver stages —
     *   `None` picks annual/weekly from each site's span (see
     *   [[graft.analyses.Pipeline.run]]).
     */

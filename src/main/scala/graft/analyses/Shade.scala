@@ -70,7 +70,14 @@ object Shade {
     p.indices.map { i =>
       var recon = 0.0
       var j = 0
-      while (j < vs.length) { recon += coefs(j) * vs(j)(i); j += 1 }
+      // bound i against each basis vector like the coef loop does: a
+      // profile longer than the basis (projectOnBasis with arbitrary
+      // caller slots) reconstructs 0 past the basis support instead of
+      // indexing out of bounds
+      while (j < vs.length) {
+        if (i < vs(j).length) recon += coefs(j) * vs(j)(i)
+        j += 1
+      }
       val frac = if (recon > 1e-9) math.max(0.0, 1.0 - p(i) / recon) else 0.0
       (site, i, p(i), recon, frac)
     }

@@ -1,7 +1,7 @@
 package graft.analyses
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.operators.{SideJoin, TimeAxis}
 import graft.solvers.Kernels
@@ -176,9 +176,13 @@ object SunriseSunset {
       }
       k += 1
     }
-    // smallest threshold within 10% of the best holdout error
+    // smallest threshold within 10% of the best holdout error. <= not
+    // <: with a perfect fit (minErr == 0) a strict compare matches
+    // NOTHING and would fall back to index 0 — a threshold that may
+    // have failed the 60% gate outright (the reference's `ho_error <
+    // 1.1 * min_val` selection crashes on that same edge)
     val minErr = errs.min
-    val selected = errs.indices.find(errs(_) < 1.1 * minErr).getOrElse(0)
+    val selected = errs.indices.find(errs(_) <= 1.1 * minErr).getOrElse(0)
     val sr = srGrid(selected)
     val ss = ssGrid(selected)
     val srEst = Kernels.quantileFourierFit(sr, t, tau = 0.1, harmonics, period)
@@ -265,13 +269,18 @@ object SunriseSunset {
     */
   def sunupMask(df: DataFrame, est: DataFrame, site: String, tsCol: String): DataFrame = {
     val h = TimeAxis.hourOfDay(col(tsCol))
+    // BOTH curves must be numeric: NaN compares as larger-than-any in
+    // Spark, so an unguarded `h < NaN-sunset` would read true and mark
+    // every post-sunrise hour (midnight included) as sun-up on a site
+    // whose sunset curve failed to fit
+    def num(c: Column): Column = c.isNotNull && !isnan(c)
     SideJoin.back(
       df.withColumn("day", to_date(col(tsCol))),
       est.select(col(site), col("day"), col("sunrise_est"), col("sunset_est")),
       Seq(site, "day")
     )
       .withColumn("sunup",
-        col("sunrise_est").isNotNull && !isnan(col("sunrise_est")) &&
+        num(col("sunrise_est")) && num(col("sunset_est")) &&
           h >= col("sunrise_est") && h < col("sunset_est"))
   }
 
@@ -279,6 +288,12 @@ object SunriseSunset {
     * wiring (reference `run_pipeline` stage 3 feeds the estimated
     * mask to downstream stages). Used by
     * `DataHandler.runPipeline(estimateSunTimes = true)`.
+    *
+    * Sites whose optimizer came back `plausible = false` (the
+    * reference's physical-plausibility guard) keep ALL their rows:
+    * applying an unvalidated mask would either feed garbage windows
+    * downstream or — when the fit is all-NaN — silently drop the
+    * whole site from the pipeline with no error row.
     */
   def applySunupFilter(
       spark: SparkSession,
@@ -290,8 +305,9 @@ object SunriseSunset {
       period: Double = Kernels.YearPeriod
   ): DataFrame = {
     val est = estimates(spark, df, site, tsCol, valueCol, searchPts, period)
-    sunupMask(df, est, site, tsCol)
-      .filter(col("sunup"))
-      .drop("sunup", "day", "sunrise_est", "sunset_est")
+    val plaus = est.groupBy(col(site)).agg(max(col("plausible")).as("__plausible"))
+    SideJoin.back(sunupMask(df, est, site, tsCol), plaus, Seq(site))
+      .filter(!col("__plausible") || col("sunup"))
+      .drop("sunup", "day", "sunrise_est", "sunset_est", "__plausible")
   }
 }

@@ -363,7 +363,9 @@ object Dedup {
     */
   def componentStats(comp: DataFrame, idCol: String): DataFrame = {
     val hist = comp
-      .groupBy(col("component")).agg(count(lit(1)).as("component_size"))
+      // count by the caller's id column (also validates it exists —
+      // the parameter was previously accepted and silently ignored)
+      .groupBy(col("component")).agg(count(col(idCol)).as("component_size"))
       .groupBy(col("component_size")).agg(count(lit(1)).as("n_components"))
       .withColumn("n_docs", col("component_size") * col("n_components"))
     val totals = hist.agg(

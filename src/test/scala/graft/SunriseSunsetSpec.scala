@@ -107,6 +107,25 @@ class SunriseSunsetSpec extends AnyFunSuite {
     assert(fit.hoErr >= 1e2)
   }
 
+  test("sun-up filter: implausible sites keep all rows instead of an unvalidated mask") {
+    import spark.implicits._
+    // constant daylight window every day → the 15-minute range guard
+    // fails at every threshold → plausible=false; the filter must NOT
+    // apply the unvalidated mask (which could drop the site wholesale)
+    val rows = for { d <- 0 until 60; s <- 0 until 96 } yield {
+      val h = s * 0.25
+      val v = if (h >= 6.0 && h < 18.0) 1.0 else 0.0
+      val ts = java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d).atTime(0, 0).plusMinutes(s * 15L))
+      (5L, ts, v)
+    }
+    val df = rows.toDF("site", "ts", "power")
+    val est = SunriseSunset.estimates(spark, df, "site", "ts", "power")
+    assert(est.filter(col("plausible")).count() == 0, "constant window read as plausible")
+    val kept = SunriseSunset.applySunupFilter(spark, df, "site", "ts", "power")
+    assert(kept.count() == df.count(), "implausible site lost rows to an unvalidated mask")
+  }
+
   test("optimized profiler recovers lat/lon from EoT-shifted clock-time data") {
     // the reference's optimized_sunrise_sunset.py path: tuned smoothed
     // rise/set → daylight + solar noon → Duffie inversion + EoT
