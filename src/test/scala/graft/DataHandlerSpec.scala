@@ -32,6 +32,25 @@ class DataHandlerSpec extends AnyFunSuite {
       Pipeline.run(spark, fleet, "site", "ts", "power").collect().map(_.site).sorted.toSeq)
   }
 
+  test("runPipeline(estimateSunTimes=true) runs stage 3 end to end") {
+    // the sun-up-filtered pipeline: every site still reports, no
+    // stage errors, and the daytime restriction can only RAISE the
+    // mean observed power versus the unfiltered run (nights dropped)
+    val masked = dh.runPipeline(estimateSunTimes = true).collect().sortBy(_.site)
+    assert(masked.length == 3)
+    masked.foreach { r =>
+      assert(r.errors.isEmpty, s"site ${r.site}: ${r.errors}")
+      assert(r.nDays >= 39, s"site ${r.site} lost days: ${r.nDays}")
+      assert(r.capacity > 0)
+    }
+    // on this clean synthetic the optimizer is plausible and the mask
+    // keeps strictly fewer rows than the raw scan (nights exist)
+    val filtered = graft.analyses.SunriseSunset
+      .applySunupFilter(spark, fleet, "site", "ts", "power")
+    assert(filtered.count() < fleet.count(), "mask filtered nothing")
+    assert(filtered.count() > 0)
+  }
+
   test("report() carries the reference's summary fields with sane values") {
     val rows = dh.report().collect()
     assert(rows.length == 3)
