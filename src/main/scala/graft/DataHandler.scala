@@ -68,6 +68,12 @@ class DataHandler(
   def estimateLocationOptimized(): DataFrame =
     Profiler.estimateLocationOptimized(spark, df, site, tsCol, valueCol)
 
+  /** Per-site tilt/azimuth estimate (reference `tilt_azimuth_study.py`
+    * — the Duffie 1.6.2 fit at known latitude).
+    */
+  def estimateOrientation(latOverride: Option[DataFrame] = None): DataFrame =
+    Profiler.estimateOrientation(spark, df, site, tsCol, valueCol, latOverride)
+
   /** The FILLED-matrix re-estimate (reference pipeline stage 12,
     * `get_optimized_sunrise_sunset(filled_data_matrix=...)`,
     * `optimized_sunrise_sunset.py:21-27`): run the threshold-tuned

@@ -121,4 +121,90 @@ object Cluster {
     }
     (c, phase, off)
   }
+
+  /** Duffie & Beckman eq. 1.6.2 angle-of-incidence cosine at known
+    * latitude φ (reference `utilities/angle_of_incidence_function.py`
+    * `func_costheta`, azimuth wrapped to (−π, π] like the reference).
+    * All angles in radians; γ follows the Duffie convention (0 =
+    * south).
+    */
+  def costhetaDuffie(
+      delta: Double, omega: Double, phi: Double, beta: Double, gamma: Double): Double = {
+    val g = gamma - math.rint(gamma / (2 * math.Pi)) * 2 * math.Pi
+    math.sin(delta) * math.sin(phi) * math.cos(beta) -
+      math.sin(delta) * math.cos(phi) * math.sin(beta) * math.cos(g) +
+      math.cos(delta) * math.cos(phi) * math.cos(beta) * math.cos(omega) +
+      math.cos(delta) * math.sin(phi) * math.sin(beta) * math.cos(g) * math.cos(omega) +
+      math.cos(delta) * math.sin(beta) * math.sin(g) * math.sin(omega)
+  }
+
+  /** Fit (tilt β, azimuth γ) of the Duffie 1.6.2 model at KNOWN
+    * latitude by damped Gauss–Newton on (δ, ω, cosθ) samples — the
+    * reference's `run_curve_fit(select_function(latitude, None,
+    * None))` path (`angle_of_incidence/curve_fitting.py:12-37`,
+    * 2-parameter nonlinear least squares). Tilt clamps to the
+    * reference's [0, π/2] bound (a > 90° tilt means a downward-facing
+    * panel); azimuth wraps to (−π, π] like the reference's output
+    * normalization. Angles in radians throughout; per-site state is
+    * the sample triple — this runs inside `mapGroups`.
+    *
+    * @return (tiltRad, azimuthRad)
+    */
+  def tiltAzimuthFit(
+      delta: Array[Double],
+      omega: Array[Double],
+      costheta: Array[Double],
+      phi: Double,
+      initTilt: Double = math.toRadians(30),
+      initAz: Double = math.toRadians(30),
+      iters: Int = 60
+  ): (Double, Double) = {
+    val n = delta.length
+    require(n == omega.length && n == costheta.length, "tiltAzimuthFit: length mismatch")
+    var beta = initTilt
+    var gamma = initAz
+    var lambda = 1e-6 // Levenberg damping, grown on a rejected step
+    var prevCost = Double.MaxValue
+    var it = 0
+    while (it < iters) {
+      var jtj00 = 0.0; var jtj01 = 0.0; var jtj11 = 0.0
+      var jtr0 = 0.0; var jtr1 = 0.0
+      var cost = 0.0
+      var i = 0
+      while (i < n) {
+        val sd = math.sin(delta(i)); val cd = math.cos(delta(i))
+        val so = math.sin(omega(i)); val co = math.cos(omega(i))
+        val sp = math.sin(phi); val cp = math.cos(phi)
+        val sb = math.sin(beta); val cb = math.cos(beta)
+        val sg = math.sin(gamma); val cg = math.cos(gamma)
+        val f = sd * sp * cb - sd * cp * sb * cg + cd * cp * cb * co +
+          cd * sp * sb * cg * co + cd * sb * sg * so
+        val r = costheta(i) - f
+        // ∂f/∂β and ∂f/∂γ (analytic)
+        val db = -sd * sp * sb - sd * cp * cb * cg - cd * cp * sb * co +
+          cd * sp * cb * cg * co + cd * cb * sg * so
+        val dg = sd * cp * sb * sg - cd * sp * sb * sg * co + cd * sb * cg * so
+        jtj00 += db * db; jtj01 += db * dg; jtj11 += dg * dg
+        jtr0 += db * r; jtr1 += dg * r
+        cost += r * r
+        i += 1
+      }
+      if (cost > prevCost) lambda = math.min(lambda * 10, 1e3)
+      else lambda = math.max(lambda / 3, 1e-9)
+      prevCost = cost
+      val d00 = jtj00 + lambda * (1 + jtj00)
+      val d11 = jtj11 + lambda * (1 + jtj11)
+      val det = d00 * d11 - jtj01 * jtj01
+      if (math.abs(det) < 1e-18) it = iters
+      else {
+        val stepB = (d11 * jtr0 - jtj01 * jtr1) / det
+        val stepG = (d00 * jtr1 - jtj01 * jtr0) / det
+        beta = math.min(math.max(beta + stepB, 0.0), math.Pi / 2)
+        gamma += stepG
+        it += 1
+      }
+    }
+    (beta, gamma - math.rint(gamma / (2 * math.Pi)) * 2 * math.Pi)
+  }
+
 }
