@@ -69,84 +69,6 @@ object Profiler {
     * (SunriseSunsetSpec recovers a known lat/lon through it); q37
     * stays the oracle-gated relational analog.
     */
-  /** Per-site tilt/azimuth estimate (reference `tilt_azimuth_study.py`
-    * via `run_curve_fit(select_function(latitude, None, None))`,
-    * `angle_of_incidence/curve_fitting.py:12-37`): the scan reduces
-    * to a bounded (day-of-year, hour) clear-sky envelope grid per
-    * site — max normalized power per cell, cells above 20% of
-    * capacity — with δ from Cooper's declination and ω centered on
-    * the site's rise/set-midpoint solar noon (azimuth-unbiased, see
-    * the inline note).
-    * The per-site Duffie-model Gauss–Newton fit
-    * ([[graft.solvers.Cluster.tiltAzimuthFit]]) then runs on ≤
-    * 366×24 points of state inside `mapGroups`. Azimuth is reported
-    * in the Duffie convention (0 = south, east negative).
-    *
-    * @param latOverride optional (site, lat_est) table; defaults to
-    *   [[estimateLocation]]'s daylight-hours latitude. The reference
-    *   likewise feeds a precalculated latitude into the fit.
-    * @return (site, lat_est, tilt_deg, azimuth_duffie_deg, n_cells)
-    */
-  def estimateOrientation(
-      spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame,
-      site: String,
-      tsCol: String,
-      valueCol: String,
-      latOverride: Option[DataFrame] = None
-  ): DataFrame = {
-    import spark.implicits._
-    import graft.operators.SideJoin
-    val lat = latOverride.getOrElse(
-      estimateLocation(df, site, tsCol, valueCol).select(col(site), col("lat_est")))
-    val cap = df.groupBy(col(site))
-      .agg(percentile(col(valueCol), lit(0.99)).as("__cap"))
-    // solar-noon origin from the rise/set MIDPOINT at a LOW threshold,
-    // not the energy center of mass: dawn/dusk detection is horizon-
-    // driven (diffuse light reaches any panel once the sun is up), so
-    // the midpoint is symmetric around true solar noon regardless of
-    // panel azimuth — a CoM origin shifts WITH the azimuth and the fit
-    // then absorbs gamma into the time axis (measured: gamma collapsed
-    // toward 0). Same architecture as the reference, which feeds
-    // longitude-study solar time into the tilt/azimuth fit.
-    val noon = graft.operators.DayStats.riseSetRough(df, site, tsCol, valueCol, 0.01)
-      .groupBy(col(site))
-      .agg(percentile((col("sunrise_h") + col("sunset_h")) / 2.0, lit(0.5)).as("__noon"))
-    val h = TimeAxis.hourOfDay(col(tsCol))
-    val cells = SideJoin.back(SideJoin.back(df, cap, Seq(site)), noon, Seq(site))
-      .select(
-        col(site).cast("long").as("site"),
-        dayofyear(to_date(col(tsCol))).as("doy"),
-        floor(h).cast("int").as("hslot"),
-        (col(valueCol) / col("__cap")).as("np"),
-        col("__noon").as("noon"))
-      .filter(col("np") > 0.2)
-      .groupBy(col("site"), col("doy"), col("hslot"))
-      .agg(max(col("np")).as("ct"), first(col("noon")).as("noon"))
-    val withLat = SideJoin.back(cells, lat.select(col(site).cast("long").as("site"),
-      col("lat_est")), Seq("site"))
-      .select(col("site"), col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
-      .as[(Long, Int, Int, Double, Double, Double)]
-    withLat.groupByKey(_._1)
-      .mapGroups { (siteId: Long, it: Iterator[(Long, Int, Int, Double, Double, Double)]) =>
-        val pts = it.toArray
-        val latDeg = pts(0)._6
-        val noonH = pts(0)._5
-        val delta = pts.map(p => math.toRadians(
-          23.45 * math.sin(2 * math.Pi * (p._2 + 284.0) / 365.0)))
-        val omega = pts.map(p => math.toRadians(15.0 * (p._3 + 0.5 - noonH)))
-        // normalize the envelope by its own max cell: the observed
-        // signal is only PROPORTIONAL to cos(theta) (p99 capacity
-        // normalization, calibration), and max(cos theta) over a year
-        // is ~1 for any sane orientation
-        val ctMax = pts.map(_._4).max
-        val ct = pts.map(p => math.min(p._4 / ctMax, 1.0))
-        val (b, g) = graft.solvers.Cluster.tiltAzimuthFit(
-          delta, omega, ct, math.toRadians(latDeg))
-        (siteId, latDeg, math.toDegrees(b), math.toDegrees(g), pts.length)
-      }
-      .toDF("site", "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
-  }
 
   def estimateLocationOptimized(
       spark: org.apache.spark.sql.SparkSession,
@@ -174,5 +96,99 @@ object Profiler {
         first(col("threshold")).as("threshold"),
         count(lit(1)).as("n_days")
       )
+  }
+
+  /** Per-site tilt/azimuth estimate (reference `tilt_azimuth_study.py`
+    * via `run_curve_fit(select_function(latitude, None, None))`,
+    * `angle_of_incidence/curve_fitting.py:12-37`): the scan reduces
+    * to a bounded (day-of-year, hour) clear-sky envelope grid per
+    * site, and the per-site Duffie-model Levenberg-Marquardt fit
+    * ([[graft.solvers.Cluster.tiltAzimuthFit]]) runs on <= 366x24
+    * points of state inside `mapGroups`. Azimuth is reported in the
+    * Duffie convention (0 = south, east negative).
+    *
+    * Solar time: hours are equation-of-time corrected per day
+    * (`Solar.equationOfTimeMin`, the reference's `clock_to_solar`
+    * path) and centered on the site's rise/set-MIDPOINT noon — dawn
+    * and dusk detection is horizon-driven, so the midpoint is
+    * azimuth-unbiased, where an energy-center-of-mass origin shifts
+    * WITH the azimuth and the fit then absorbs gamma into the time
+    * axis (measured: gamma collapsed toward 0). The same rise/set
+    * day table also supplies the default latitude (daylight-hours
+    * inversion) so the default path costs one day-grain aggregation
+    * plus the capacity and cell scans — not a separate
+    * estimateLocation pass.
+    *
+    * @param latOverride optional (site, lat_est) table; defaults to
+    *   the daylight-hours latitude from the shared rise/set table.
+    *   The reference likewise feeds a precalculated latitude.
+    * @return (<site>, lat_est, tilt_deg, azimuth_duffie_deg, n_cells)
+    *   with NaN angles when the fit is degenerate (reference: np.nan
+    *   on curve_fit failure).
+    */
+  def estimateOrientation(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      latOverride: Option[DataFrame] = None
+  ): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{DayStats, SideJoin}
+    val eotH = Solar.equationOfTimeMin(dayofyear(to_date(col(tsCol)))) / lit(60.0)
+    // one day-grain rise/set table feeds BOTH the solar-noon origin
+    // (EoT-corrected midpoint median) and the default latitude
+    val rs = DayStats.riseSetRough(df, site, tsCol, valueCol, 0.01)
+      .withColumn("__eot_h",
+        Solar.equationOfTimeMin(dayofyear(col("day"))) / lit(60.0))
+    val noon = rs.groupBy(col(site)).agg(
+      percentile((col("sunrise_h") + col("sunset_h")) / 2.0 + col("__eot_h"), lit(0.5))
+        .as("__noon"))
+    val lat = latOverride.getOrElse {
+      val declRad = Solar.declinationDeg(dayofyear(col("day"))) * lit(DegToRad)
+      rs.withColumn("__lat_day",
+        atan(-cos(lit(7.5) * col("daylight_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
+        .groupBy(col(site))
+        .agg(percentile(col("__lat_day"), lit(0.5)).as("lat_est"))
+    }
+    val cap = df.groupBy(col(site))
+      .agg(percentile(col(valueCol), lit(0.99)).as("__cap"))
+    val h = TimeAxis.hourOfDay(col(tsCol)) + eotH
+    val cells = SideJoin.back(SideJoin.back(df, cap, Seq(site)), noon, Seq(site))
+      .select(
+        col(site).cast("string").as("__site"),
+        dayofyear(to_date(col(tsCol))).as("doy"),
+        floor(h).cast("int").as("hslot"),
+        (col(valueCol) / col("__cap")).as("np"),
+        col("__noon").as("noon"))
+      .filter(col("np") > 0.2)
+      .groupBy(col("__site"), col("doy"), col("hslot"))
+      .agg(max(col("np")).as("ct"), first(col("noon")).as("noon"))
+    val withLat = cells
+      .join(broadcast(lat.select(col(site).cast("string").as("__site"), col("lat_est"))),
+        Seq("__site"))
+      .select(col("__site"), col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
+      .as[(String, Int, Int, Double, Double, Double)]
+    val fitted = withLat.groupByKey(_._1)
+      .mapGroups { (siteId: String, it: Iterator[(String, Int, Int, Double, Double, Double)]) =>
+        val pts = it.toArray
+        val latDeg = pts(0)._6
+        val noonH = pts(0)._5
+        val delta = pts.map(p => math.toRadians(
+          23.45 * math.sin(2 * math.Pi * (p._2 + 284.0) / 365.0)))
+        val omega = pts.map(p => math.toRadians(15.0 * (p._3 + 0.5 - noonH)))
+        // the observed envelope is only PROPORTIONAL to cos(theta)
+        // (p99 capacity normalization, calibration); max(cos theta)
+        // over a year is ~1 for any sane orientation, so normalize by
+        // the max cell
+        val ctMax = pts.map(_._4).max
+        val ct = pts.map(_._4 / ctMax)
+        val (b, g) = graft.solvers.Cluster.tiltAzimuthFit(
+          delta, omega, ct, math.toRadians(latDeg))
+        (siteId, latDeg, math.toDegrees(b), math.toDegrees(g), pts.length)
+      }
+      .toDF(site, "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+    fitted
   }
 }

@@ -161,12 +161,13 @@ object Cluster {
   ): (Double, Double) = {
     val n = delta.length
     require(n == omega.length && n == costheta.length, "tiltAzimuthFit: length mismatch")
-    var beta = initTilt
-    var gamma = initAz
-    var lambda = 1e-6 // Levenberg damping, grown on a rejected step
-    var prevCost = Double.MaxValue
-    var it = 0
-    while (it < iters) {
+    // too few samples to identify two angles: report NaN the way the
+    // reference fills np.nan when curve_fit fails
+    // (`tilt_azimuth_study.py` RuntimeError handling) - never the
+    // init values masquerading as an estimate
+    if (n < 8) return (Double.NaN, Double.NaN)
+    val sp = math.sin(phi); val cp = math.cos(phi)
+    def costAndGrad(beta: Double, gamma: Double): (Double, Double, Double, Double, Double, Double) = {
       var jtj00 = 0.0; var jtj01 = 0.0; var jtj11 = 0.0
       var jtr0 = 0.0; var jtr1 = 0.0
       var cost = 0.0
@@ -174,13 +175,12 @@ object Cluster {
       while (i < n) {
         val sd = math.sin(delta(i)); val cd = math.cos(delta(i))
         val so = math.sin(omega(i)); val co = math.cos(omega(i))
-        val sp = math.sin(phi); val cp = math.cos(phi)
         val sb = math.sin(beta); val cb = math.cos(beta)
         val sg = math.sin(gamma); val cg = math.cos(gamma)
         val f = sd * sp * cb - sd * cp * sb * cg + cd * cp * cb * co +
           cd * sp * sb * cg * co + cd * sb * sg * so
         val r = costheta(i) - f
-        // ∂f/∂β and ∂f/∂γ (analytic)
+        // df/dbeta and df/dgamma (analytic)
         val db = -sd * sp * sb - sd * cp * cb * cg - cd * cp * sb * co +
           cd * sp * cb * cg * co + cd * cb * sg * so
         val dg = sd * cp * sb * sg - cd * sp * sb * sg * co + cd * sb * cg * so
@@ -189,22 +189,45 @@ object Cluster {
         cost += r * r
         i += 1
       }
-      if (cost > prevCost) lambda = math.min(lambda * 10, 1e3)
-      else lambda = math.max(lambda / 3, 1e-9)
-      prevCost = cost
-      val d00 = jtj00 + lambda * (1 + jtj00)
-      val d11 = jtj11 + lambda * (1 + jtj11)
-      val det = d00 * d11 - jtj01 * jtj01
+      (cost, jtj00, jtj01, jtj11, jtr0, jtr1)
+    }
+    var beta = initTilt
+    var gamma = initAz
+    var state = costAndGrad(beta, gamma)
+    var lambda = 1e-6
+    var accepted = false
+    var it = 0
+    while (it < iters) {
+      val d00 = state._2 + lambda * (1 + state._2)
+      val d11 = state._4 + lambda * (1 + state._4)
+      val det = d00 * d11 - state._3 * state._3
       if (math.abs(det) < 1e-18) it = iters
       else {
-        val stepB = (d11 * jtr0 - jtj01 * jtr1) / det
-        val stepG = (d00 * jtr1 - jtj01 * jtr0) / det
-        beta = math.min(math.max(beta + stepB, 0.0), math.Pi / 2)
-        gamma += stepG
+        val stepB = (d11 * state._5 - state._3 * state._6) / det
+        val stepG = (d00 * state._6 - state._3 * state._5) / det
+        val betaT = math.min(math.max(beta + stepB, 0.0), math.Pi / 2)
+        val gammaT = gamma + stepG
+        val trial = costAndGrad(betaT, gammaT)
+        // true Levenberg-Marquardt acceptance: a worse trial is
+        // REJECTED (parameters kept, damping grown) rather than
+        // driving the next step from the overshoot point
+        if (trial._1 <= state._1) {
+          beta = betaT; gamma = gammaT
+          state = trial
+          lambda = math.max(lambda / 3, 1e-12)
+          accepted = true
+        } else {
+          lambda = lambda * 10
+          if (lambda > 1e6) it = iters // converged at the damping ceiling
+        }
         it += 1
       }
     }
-    (beta, gamma - math.rint(gamma / (2 * math.Pi)) * 2 * math.Pi)
+    // no step ever improved on the start point: the fit is degenerate
+    // (e.g. beta driven to 0 kills every df/dgamma term) - NaN, not
+    // the init values
+    if (!accepted) (Double.NaN, Double.NaN)
+    else (beta, gamma - math.rint(gamma / (2 * math.Pi)) * 2 * math.Pi)
   }
 
 }

@@ -61,6 +61,18 @@ class TiltAzimuthSpec extends AnyFunSuite {
     assert(math.abs(math.toDegrees(g) - 12.0) < 0.5, f"az ${math.toDegrees(g)}%.3f")
   }
 
+  test("degenerate fits report NaN, never the init values") {
+    // too few samples (reference fills np.nan on curve_fit failure) —
+    // a sub-8-point input cannot identify two angles and must not
+    // hand back the (30°, 30°) init as if it were an estimate.
+    // (Richer degeneracies — e.g. a single-declination season — are
+    // non-UNIQUE rather than un-fittable: many (β, γ) reproduce the
+    // curve exactly, so the fit legitimately returns one of them.)
+    val (b1, g1) = Cluster.tiltAzimuthFit(
+      Array(0.1, 0.2), Array(0.0, 0.1), Array(0.9, 0.8), math.toRadians(37))
+    assert(b1.isNaN && g1.isNaN)
+  }
+
   test("fleet operator recovers orientation from model-generated power") {
     import spark.implicits._
     val phiDeg = 37.5
@@ -74,7 +86,12 @@ class TiltAzimuthSpec extends AnyFunSuite {
       val doy = d + 1
       val deltaR = math.toRadians(23.45 * math.sin(2 * math.Pi * (doy + 284.0) / 365.0))
       val h = s * 24.0 / slots
-      val omegaR = math.toRadians(15.0 * (h - 12.0)) // solar-time clock
+      // CLOCK-time samples: solar hour = clock + EoT (Spencer, the
+      // operator's own correction must undo this)
+      val b = 2.0 * math.Pi * (doy - 1) / 365.0
+      val eotH = 229.18 * (0.000075 + 0.001868 * math.cos(b) - 0.032077 * math.sin(b) -
+        0.014615 * math.cos(2 * b) - 0.04089 * math.sin(2 * b)) / 60.0
+      val omegaR = math.toRadians(15.0 * (h + eotH - 12.0))
       val phiR = math.toRadians(phiDeg)
       val ct = Cluster.costhetaDuffie(deltaR, omegaR, phiR, betaTrue, gammaTrue)
       // beam + 10% diffuse: diffuse light reaches the panel whenever
