@@ -69,7 +69,6 @@ object Profiler {
     * (SunriseSunsetSpec recovers a known lat/lon through it); q37
     * stays the oracle-gated relational analog.
     */
-
   def estimateLocationOptimized(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,
