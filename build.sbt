@@ -30,4 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run-to-run variance (JIT/page-cache noise, not GC pressure) — 8g
   // is sufficient for local[32] at sf0.1
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 137-query suite generates thousands of codegen classes; the JVM
+  // default 240m code cache fills mid-suite and C2 stops compiling,
+  // which read as a 6x in-suite inflation of the pure-Scala solver
+  // stage (p01 29.8s in-suite vs 4.5s isolated, round 6). Headroom so
+  // late-suite queries still get compiled code.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

@@ -41,5 +41,8 @@ object ProfOne {
     tm("tvSeasonalFit") { Kernels.tvSeasonalFit(comHour, t, 10.0, 1, 7.0) }
     tm("soiling x1") { Kernels.soilingSeparation(energy, t, 7.0, 2) }
     tm("soiling x8 (MC)") { (1 to 8).foreach(_ => Kernels.soilingSeparation(energy, t, 7.0, 2)) }
+    var mcN = 0
+    tm("mc full") { mcN = Kernels.mcDegradationRate(energy, t, seed = 1L, period = 7.0, harmonics = 2)._2 }
+    println(s"[prof]   mc samples drawn:  $mcN")
   }
 }
