@@ -2052,6 +2052,41 @@ $branches
     WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
   """
 
+  // e21: bucketed near-dup pairs — re-derives the e03 sign-LSH buckets
+  // from raw dot products, then generates pairs ONLY inside a bucket
+  // (the same candidate set the Spark equi-join on bucket produces),
+  // with e04's 5-dp rounded-cosine threshold.
+  private val e21 = """
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    p AS (SELECT CAST(vec_id - 8 AS INT) AS plane_id, embedding AS pemb
+          FROM e WHERE vec_id >= 8 AND vec_id < 16),
+    pd AS (
+      SELECT v.vec_id, p.plane_id,
+        sum(CAST(v.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(p.pemb[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e v CROSS JOIN p CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2),
+    b AS (
+      SELECT vec_id,
+        CAST(sum(CASE WHEN dot > 0 THEN CAST(power(2.0, plane_id) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM pd GROUP BY 1),
+    n AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm
+          FROM (SELECT vec_id, UNNEST(embedding) AS x FROM e) u GROUP BY vec_id),
+    d AS (
+      SELECT a.vec_id AS a_id, b2.vec_id AS b_id,
+        sum(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+            * CAST(b2.embedding[CAST(i AS INT)] AS DOUBLE)) AS dot
+      FROM e a
+      JOIN b ba ON ba.vec_id = a.vec_id
+      JOIN b bb ON bb.bucket = ba.bucket
+      JOIN e b2 ON b2.vec_id = bb.vec_id AND a.vec_id < b2.vec_id
+      CROSS JOIN range(1, 65) AS t(i)
+      GROUP BY 1, 2)
+    SELECT a_id, b_id, round(d.dot / (na.nrm * nb.nrm), 5) AS cosine
+    FROM d JOIN n na ON d.a_id = na.vec_id JOIN n nb ON d.b_id = nb.vec_id
+    WHERE round(d.dot / (na.nrm * nb.nrm), 5) >= 0.3
+  """
+
   private val e08 = """
     WITH e AS (SELECT vec_id, embedding FROM embeddings),
     c AS (SELECT vec_id AS centroid_id, embedding AS cemb FROM e WHERE vec_id < 8),
@@ -2999,6 +3034,7 @@ $branches
     "e02_centroid_assign" -> e02,
     "e03_sign_lsh_buckets" -> e03,
     "e04_cosine_neardup" -> e04,
+    "e21_neardup_bucketed" -> e21,
     "e05_ivf_topk" -> e05,
     "e12_prototype_prune" -> e12,
     "e13_ivf_recall" -> e13,

@@ -1952,10 +1952,22 @@ object SparkEntry {
   }
 
   private def e04(s: SparkSession, dir: String): DataFrame =
-    Similarity.cosineNearDupPairs(
+    Similarity.cosineNearDupPairsExact(
       Tables.embeddings(s, dir).filter(col("vec_id") < 200),
       "vec_id", "embedding", 0.3
     )
+
+  /** Bucketed near-dup pairs — the production default: pairs only
+    * within sign-LSH buckets (equi-join on bucket, no nested loop),
+    * same hyperplanes as e03 so the oracle re-derives the buckets in
+    * SQL and the pair set is exactly reproducible.
+    */
+  private def e21(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val planes = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .withColumn("plane_id", (col("vec_id") - 8).cast("int"))
+    Similarity.cosineNearDupPairs(emb, planes, "vec_id", "embedding", 0.3)
+  }
 
   private def e03(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -2569,6 +2581,7 @@ object SparkEntry {
     "e18_ivf_recall_gate" -> (e18 _),
     "e19_adc_recall_gate" -> (e19 _),
     "e20_ivfpq_recall_gate" -> (e20 _),
+    "e21_neardup_bucketed" -> (e21 _),
     "t01_stratified_sample" -> (t01 _),
     "t02_mixture_weights" -> (t02 _),
     "t03_pack_sequences" -> (t03 _),

@@ -130,13 +130,47 @@ object Similarity {
             greatest(col("a_dist"), col("b_dist")), 6)))
   }
 
-  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs above a
-    * cosine threshold. Quadratic — bound the input or run it inside
-    * LSH/IVF buckets at scale (compose with [[signLshBuckets]] /
-    * [[assignToCentroids]]). The threshold is applied to the rounded
-    * cosine so the pair set is engine-reproducible.
+  /** Embedding-cosine near-duplicate pairs, bucketed (the DEFAULT
+    * scale path): candidate pairs are generated only WITHIN sign-LSH
+    * buckets ([[signLshBuckets]] over the given hyperplane table), so
+    * the join is an equi-join on the bucket id — shuffle-partitioned
+    * by bucket, never a nested-loop — and total work is
+    * Σ_bucket |bucket|² instead of N². Near-duplicate vectors agree on
+    * sign bits with high probability (SimHash/SemDeDup composition),
+    * so recall loss is confined to pairs straddling a hyperplane.
+    * Each id has exactly one bucket, so no cross-bucket dedup is
+    * needed. Same 5-dp rounded-cosine threshold contract as
+    * [[cosineNearDupPairsExact]].
     */
-  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      planes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    val buckets = signLshBuckets(vectors, planes, idCol, vecCol)
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+      .withColumn("nrm", norm(col("vv")))
+      .join(buckets, Seq(idCol))
+    val a = v.select(col("bucket"), col(idCol).as("a_id"), col("vv").as("av"), col("nrm").as("an"))
+    val b = v.select(col("bucket"), col(idCol).as("b_id"), col("vv").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 5))
+      .filter(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, EXACT: all (a < b) pairs
+    * above a cosine threshold. Quadratic by contract — a calibration /
+    * verify step for bounded inputs (ground-truthing the bucketed
+    * path's recall), NOT a production default; at corpus scale use
+    * [[cosineNearDupPairs]] (sign-LSH buckets) or compose with
+    * [[assignToCentroids]] cells. The threshold is applied to the
+    * rounded cosine so the pair set is engine-reproducible.
+    */
+  def cosineNearDupPairsExact(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
       .withColumn("nrm", norm(col("vv")))
     val a = v.select(col(idCol).as("a_id"), col("vv").as("av"), col("nrm").as("an"))

@@ -142,6 +142,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
   }
 
+  test("default near-dup path pairs only inside LSH buckets — equi-join, no nested loop (e21)") {
+    // the ONLY nested loop allowed is the 8-hyperplane broadcast attach
+    // inside signLshBuckets; the corpus-sized pair stage must be an
+    // equi-join keyed on the bucket id, never an a_id < b_id loop join
+    val p = planOf("e21_neardup_bucketed")
+    assert(!p.contains("CartesianProduct"), "e21 planned a cartesian product")
+    // the corpus-sized pair stage: a shuffle equi-join keyed on bucket
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      "e21 lost the bucket equi-join")
+    // nested loops may appear only as the 8-row hyperplane literal
+    // attach (Cross, condition-free, once per self-join side); a
+    // conditional nested loop would be the quadratic a_id < b_id form
+    assert(!"BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findFirstIn(p).isDefined,
+      "e21 planned a conditional nested-loop join")
+    assert(!p.contains("Join condition: (a_id"),
+      "e21 evaluated the pair predicate inside a nested-loop join")
+  }
+
   test("contamination audit never shuffles the training corpus (d14)") {
     // the train-side gram explosion must reach its semi-join through a
     // broadcast; the only allowed exchanges carry benchmark-sized data
