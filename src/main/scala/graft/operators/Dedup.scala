@@ -559,20 +559,48 @@ object Dedup {
     * ingest batch), so the corpus never shuffles; the surviving
     * matches (≤ |delta|) broadcast back over the delta.
     *
+    * Ingest batches are not always small: when the measured distinct
+    * fingerprint count exceeds `maxExactKeys`, the exact broadcast set
+    * would blow the executor broadcast envelope, so the call routes
+    * itself through [[deltaDedupBloom]] — verdict-identical by
+    * construction (bloom false positives die on an exact join), just a
+    * constant-factor-smaller broadcast. The switch is measured (one
+    * count job over the delta) and logged, never silent.
+    *
     * @return (idCol, fp, verdict)
     */
+  /** Distinct-fingerprint count above which [[deltaDedup]] routes
+    * itself through the bloom plan: ~50 bytes/key of exact broadcast
+    * set means 2·10⁷ keys ≈ 1 GB — the practical per-executor
+    * broadcast ceiling. Measured (one count job over the SMALL side)
+    * rather than guessed from row stats, and logged when it trips.
+    */
+  val DeltaExactBroadcastMaxKeys: Long = 20_000_000L
+
   def deltaDedup(
       corpus: DataFrame,
       delta: DataFrame,
       idCol: String,
       textCol: String,
-      fpOf: Column => Column = TextOps.fingerprint
+      fpOf: Column => Column = TextOps.fingerprint,
+      maxExactKeys: Long = DeltaExactBroadcastMaxKeys
   ): DataFrame = {
     val dfp = delta.select(col(idCol), fpOf(col(textCol)).as("fp"))
-    val corpusHits = corpus.select(fpOf(col(textCol)).as("fp"))
-      .join(broadcast(dfp.select(col("fp")).distinct()), Seq("fp"), "left_semi")
-      .distinct()
-    deltaVerdicts(dfp, broadcast(corpusHits), idCol)
+    val nKeys = dfp.select(col("fp")).distinct().count()
+    if (nKeys > maxExactKeys) {
+      // past the broadcast envelope the exact set would OOM the
+      // executors — the bloom probe (verdict-identical: bloom false
+      // positives are killed by an exact join) is the only safe plan
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"deltaDedup: $nKeys distinct delta fingerprints > $maxExactKeys exact-broadcast " +
+          "envelope; routing through deltaDedupBloom (identical verdicts)")
+      deltaDedupBloom(corpus, delta, idCol, textCol, fpOf)
+    } else {
+      val corpusHits = corpus.select(fpOf(col(textCol)).as("fp"))
+        .join(broadcast(dfp.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+        .distinct()
+      deltaVerdicts(dfp, broadcast(corpusHits), idCol)
+    }
   }
 
   /** Shared verdict construction for the delta-dedup variants: given

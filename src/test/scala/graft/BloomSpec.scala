@@ -71,6 +71,34 @@ class BloomSpec extends AnyFunSuite {
       "fixture should exercise all three verdicts")
   }
 
+  test("deltaDedup auto-routes to the bloom plan past the exact-broadcast envelope, verdicts unchanged") {
+    import spark.implicits._
+    val mk = (i: Long) => i match {
+      case i if i >= 50 && i % 7 == 0 => s"corpus text ${i % 10}"
+      case i if i >= 50 && i % 5 == 0 => "shared delta passage"
+      case i if i < 50                => s"corpus text ${i % 10}"
+      case i                          => s"fresh text $i"
+    }
+    val docs = (0L until 100L).map(i => (i, mk(i))).toDF("doc_id", "text")
+    val corpus = docs.filter($"doc_id" < 50)
+    val delta = docs.filter($"doc_id" >= 50)
+    val exact = Dedup.deltaDedup(corpus, delta, "doc_id", "text", TextOps.fingerprint)
+    // maxExactKeys = 1 forces the switch: every verdict must survive it
+    val routed = Dedup.deltaDedup(corpus, delta, "doc_id", "text", TextOps.fingerprint,
+      maxExactKeys = 1L)
+    // analyzed (pre-optimization) plans: on LocalRelation fixtures the
+    // optimizer constant-folds the whole probe away, so the optimized
+    // plan can't witness the routing decision
+    assert(!exact.queryExecution.analyzed.toString.contains("graft_bloom_contains"),
+      "small delta should keep the exact broadcast plan")
+    assert(routed.queryExecution.analyzed.toString.contains("graft_bloom_contains"),
+      "forced switch should plan the bloom probe")
+    val em = exact.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val rm = routed.collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(rm == em, "switch point changed verdicts")
+    assert(em.values.toSet == Set("dup_of_corpus", "dup_in_delta", "kept"))
+  }
+
   test("deltaDedupBloom survives a hostile 1-bit-per-key sizing (FPs killed exactly)") {
     import spark.implicits._
     val docs = (0L until 100L).map(i => (i, if (i % 9 == 0) "dup content" else s"text $i"))
