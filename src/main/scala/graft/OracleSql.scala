@@ -542,6 +542,40 @@ object OracleSql {
     FROM est GROUP BY 1
   """
 
+  // q60: q37's location inversion restricted to the estimator's
+  // day-interval window (doy strictly inside (5, 25) — the events table spans January, so the window must cut INSIDE it to exercise the filter with rows on both sides); the filter
+  // applies BEFORE the threshold scan so both engines see one table.
+  private val q60 = """
+    WITH ev AS (
+      SELECT * FROM events WHERE dayofyear(CAST(ts AS DATE)) > 5 AND dayofyear(CAST(ts AS DATE)) < 25),
+    m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM ev GROUP BY 1),
+    d0 AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        max(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END)
+          - min(CASE WHEN e.value > m.thr THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS dl_h,
+        round(sum(date_diff('second', date_trunc('day', e.ts), e.ts) * e.value), 2) AS num_sv,
+        round(sum(e.value), 2) AS sum_v
+      FROM ev e JOIN m ON e.user_id = m.user_id
+      GROUP BY 1, 2),
+    d AS (
+      SELECT user_id, day, dl_h,
+        num_sv / 3600.0 / nullif(sum_v, 0.0) AS com_hour
+      FROM d0),
+    est AS (
+      SELECT user_id, day,
+        atan(-cos(7.5 * dl_h * 0.017453292519943295)
+             / tan((23.45 * sin(6.283185307179586 * (dayofyear(day) + 284.0) / 365.0)) * 0.017453292519943295)) * 57.29577951308232 AS lat_day,
+        -15.0 * (com_hour - 0.0 - 12.0 + (229.18 * (0.000075
+            + 0.001868 * cos(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)
+            - 0.032077 * sin(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)
+            - 0.014615 * cos(2.0 * (6.283185307179586 * (dayofyear(day) - 1.0) / 365.0))
+            - 0.04089 * sin(2.0 * (6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)))) / 60.0) AS lon_day
+      FROM d)
+    SELECT user_id, round(quantile_cont(lat_day, 0.5), 6) AS lat_est,
+      round(quantile_cont(lon_day, 0.5), 6) AS lon_est, count(*) AS n_days
+    FROM est GROUP BY 1
+  """
+
   private val q38 = """
     WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
     g AS (
@@ -3014,6 +3048,7 @@ $branches
     "q57_shade_projection" -> q57,
     "q58_extra_matrix" -> q58,
     "q59_isotonic" -> q59,
+    "q60_profile_interval" -> q60,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

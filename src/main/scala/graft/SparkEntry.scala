@@ -509,6 +509,17 @@ object SparkEntry {
   private def q37(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Profiler.estimateLocation(Tables.events(s, dir), "user_id", "ts", "value")
 
+  /** The estimator's day-interval filtering knob applied to the
+    * location pass (reference `estimator.py:218-223` day_range:
+    * day-of-year strictly inside (lo, hi)) — the relational face of
+    * `Profiler.estimateAll(dayInterval = ...)`, hash-gated end to end.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Profiler.estimateLocation(
+      Tables.events(s, dir)
+        .filter(dayofyear(to_date(col("ts"))) > 5 && dayofyear(to_date(col("ts"))) < 25),
+      "user_id", "ts", "value")
+
   /** Sunrise/sunset threshold grid optimization (reference
     * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold
     * grid relationally, score each by daylight-range stability, pick
@@ -2515,6 +2526,7 @@ object SparkEntry {
     "q57_shade_projection" -> (q57 _),
     "q58_extra_matrix" -> (q58 _),
     "q59_isotonic" -> (q59 _),
+    "q60_profile_interval" -> (q60 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),

@@ -1,6 +1,6 @@
 package graft.analyses
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,7 +28,15 @@ object Profiler {
     * @return (<site>, lat_est, lon_est, n_days)
     */
   // (the q37 oracle-gated path — rough rise/set from the 5% threshold)
-  def estimateLocation(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+  //
+  // gmtOffsetHours: the reference estimator's required gmt_offset
+  // (`estimator.py:40`) — the timestamps' fixed offset from UTC (local
+  // standard time; 0 for UTC-stamped feeds like the gate tables). Only
+  // the longitude inversion needs it; latitude (daylight duration) and
+  // the orientation fit (noon-relative hour angles) are offset-free.
+  def estimateLocation(
+      df: DataFrame, site: String, tsCol: String, valueCol: String,
+      gmtOffsetHours: Double = 0.0): DataFrame = {
     val siteMax = df.groupBy(col(site)).agg(round(max(col(valueCol)) * 0.05, 6).as("thr"))
     val h = TimeAxis.hourOfDay(col(tsCol))
     val daily = df
@@ -47,7 +55,8 @@ object Profiler {
     val eot = Solar.equationOfTimeMin(doy)
     daily
       .withColumn("lat_day", atan(-cos(lit(7.5) * col("dl_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
-      .withColumn("lon_day", lit(-15.0) * (col("com_hour") - lit(12.0) + eot / lit(60.0)))
+      .withColumn("lon_day",
+        lit(-15.0) * (col("com_hour") - lit(gmtOffsetHours) - lit(12.0) + eot / lit(60.0)))
       .groupBy(col(site))
       .agg(
         round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
@@ -75,7 +84,8 @@ object Profiler {
       site: String,
       tsCol: String,
       valueCol: String,
-      searchPts: Int = 21
+      searchPts: Int = 21,
+      gmtOffsetHours: Double = 0.0
   ): DataFrame = {
     val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol, searchPts)
     val doy = dayofyear(col("day"))
@@ -87,7 +97,8 @@ object Profiler {
       .withColumn("noon_h", (col("sunrise_est") + col("sunset_est")) / 2.0)
       .withColumn("lat_day",
         atan(-cos(lit(7.5) * col("dl_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
-      .withColumn("lon_day", lit(-15.0) * (col("noon_h") - lit(12.0) + eot / lit(60.0)))
+      .withColumn("lon_day",
+        lit(-15.0) * (col("noon_h") - lit(gmtOffsetHours) - lit(12.0) + eot / lit(60.0)))
       .groupBy(col(site))
       .agg(
         round(percentile(col("lat_day"), lit(0.5)), 6).as("lat_est"),
@@ -189,5 +200,134 @@ object Profiler {
       }
       .toDF(site, "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
     fitted
+  }
+
+  /** The one-call configuration report (reference
+    * `pvsystemprofiler/estimator.py:186-215` `estimate_all`): per site,
+    * longitude + latitude from the day-grain location pass, then
+    * tilt/azimuth from the Duffie curve fit seeded with that latitude —
+    * with the reference's two filtering knobs:
+    *
+    *  - `dayInterval`: restrict the ORIENTATION fit to days-of-year in
+    *    `(lo, hi)` exclusive (`estimator.py:218-223` day_range) —
+    *    location estimation keeps the full span, as in the reference;
+    *  - `clearDaysOnly`: restrict the orientation fit to days the
+    *    clear-day detector labels clear (`estimator.py:72-75`
+    *    `daily_flags.clear`), via a left-semi join against
+    *    [[ClearDay.detect]] — row-grain data never duplicates.
+    *
+    * Plan shape: the location pass is one day-grain aggregation; the
+    * clear-day filter adds the bounded per-site grid pass; the
+    * orientation fit reduces to ≤ 366×24 envelope cells per site
+    * before any solver runs. Fleet-parallel throughout — no stage
+    * holds more than one site's day grid.
+    *
+    * @return (<site>, lon_est, lat_est, tilt_deg, azimuth_duffie_deg,
+    *   n_days, n_cells)
+    */
+  def estimateAll(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      dayInterval: Option[(Int, Int)] = None,
+      clearDaysOnly: Boolean = false,
+      clearSlotsPerDay: Int = 288,
+      // the reference's estimate_all defaults BOTH solar-noon and
+      // daylight to "optimized_estimates" (`estimator.py:41-43`) — the
+      // holdout-tuned sunrise/sunset curves — because the rough
+      // threshold window is panel-plane-limited and biases the
+      // daylight inversion; mirror that default here
+      optimizedLocation: Boolean = true,
+      gmtOffsetHours: Double = 0.0
+  ): DataFrame = {
+    val loc =
+      if (optimizedLocation)
+        estimateLocationOptimized(spark, df, site, tsCol, valueCol,
+          gmtOffsetHours = gmtOffsetHours)
+          .select(col(site), col("lat_est"), col("lon_est"), col("n_days"))
+      else estimateLocation(df, site, tsCol, valueCol, gmtOffsetHours)
+    val afterInterval = dayInterval match {
+      case Some((lo, hi)) =>
+        df.filter(dayofyear(to_date(col(tsCol))) > lo && dayofyear(to_date(col(tsCol))) < hi)
+      case None => df
+    }
+    val forOrient =
+      if (!clearDaysOnly) afterInterval
+      else {
+        val clear = ClearDay.detect(spark, afterInterval, site, tsCol, valueCol, clearSlotsPerDay)
+          .filter(col("clear"))
+          .select(col("site").as("__csite"), col("day").as("__cday"))
+        afterInterval.join(
+          clear,
+          col(site).cast("long") === col("__csite") &&
+            to_date(col(tsCol)).cast("string") === col("__cday"),
+          "left_semi")
+      }
+    val orient = estimateOrientation(
+      spark, forOrient, site, tsCol, valueCol,
+      latOverride = Some(loc.select(col(site), col("lat_est"))))
+    loc.join(
+      orient.select(col(site), col("tilt_deg"), col("azimuth_duffie_deg"), col("n_cells")),
+      Seq(site), "left")
+      .select(col(site), col("lon_est"), col("lat_est"), col("tilt_deg"),
+        col("azimuth_duffie_deg"), col("n_days"), col("n_cells"))
+  }
+
+  /** Estimate-vs-truth comparison table (reference
+    * `ground_truth_estimator.py`'s role as the accuracy harness): join
+    * [[estimateAll]] output to a known-parameter table and report
+    * per-site signed errors, the azimuth error wrapped to (−180, 180],
+    * and the great-circle distance between estimated and true
+    * location (haversine, km — the reference's own error metric for
+    * coordinates).
+    *
+    * @param truth (<site>, lat_deg, lon_deg, tilt_deg, az_deg)
+    * @return per-site (<site>, estimates..., truth...,
+    *   lat_err, lon_err, tilt_err, az_err, dist_km)
+    */
+  def compareToTruth(estimates: DataFrame, truth: DataFrame, site: String): DataFrame = {
+    val t = truth.select(col(site), col("lat_deg").as("lat_true"),
+      col("lon_deg").as("lon_true"), col("tilt_deg").as("tilt_true"),
+      col("az_deg").as("az_true"))
+    val j = estimates.join(broadcast(t), Seq(site))
+    val azRaw = col("azimuth_duffie_deg") - col("az_true")
+    // wrap to (-180, 180]: subtract the nearest whole turn
+    val azErr = azRaw - round(azRaw / 360.0, 0) * 360.0
+    val dLat = radians(col("lat_est") - col("lat_true"))
+    val dLon = radians(col("lon_est") - col("lon_true"))
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(col("lat_true"))) * cos(radians(col("lat_est"))) * pow(sin(dLon / 2), 2)
+    val distKm = lit(2.0 * 6371.0) * asin(sqrt(a))
+    j.withColumn("lat_err", col("lat_est") - col("lat_true"))
+      .withColumn("lon_err", col("lon_est") - col("lon_true"))
+      .withColumn("tilt_err", col("tilt_deg") - col("tilt_true"))
+      .withColumn("az_err", azErr)
+      .withColumn("dist_km", distKm)
+  }
+
+  /** Panel tilt/azimuth from a roof-plane normal vector — the
+    * geometry core of the reference's KML ground-truth pipeline
+    * (`ground_truth_estimator.py` `normalVec`/`tiltAz`): tilt =
+    * atan2(√(x²+y²), z) (z forced skyward), azimuth = 90° − atan2(y, x)
+    * folded into [−90°, 90°] exactly as the reference folds it. The
+    * KML/file parsing around it is I/O plumbing; the conversion is the
+    * reusable arithmetic, exposed as column expressions so a truth
+    * table can be derived from surveyed plane normals at any fleet
+    * size.
+    *
+    * @return struct(tilt_deg, az_deg)
+    */
+  def tiltAzimuthFromNormal(x: Column, y: Column, z: Column): Column = {
+    val zUp = abs(z)
+    val xs = when(z < 0, -x).otherwise(x)
+    val ys = when(z < 0, -y).otherwise(y)
+    val tilt = degrees(atan2(sqrt(xs * xs + ys * ys), zUp))
+    val azRaw = lit(90.0) - degrees(atan2(ys, xs))
+    val az = when(azRaw < -90.0, azRaw + 180.0)
+      .when(azRaw > 90.0, lit(180.0) - azRaw)
+      .otherwise(azRaw)
+    struct(tilt.as("tilt_deg"), az.as("az_deg"))
   }
 }
