@@ -576,6 +576,39 @@ object OracleSql {
     FROM est GROUP BY 1
   """
 
+  // p06: the fleet pipeline's relational spine re-derived from raw
+  // events — day count over null-cleaned rows and the p95 capacity
+  // (quantile_cont matches Spark's exact `percentile` interpolation,
+  // the q17 contract).
+  private val p06 = """
+    SELECT user_id AS site,
+      count(DISTINCT CAST(ts AS DATE)) AS n_days,
+      round(quantile_cont(value, 0.95), 6) AS capacity
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+  """
+
+  // d29: HLL calibration floor gate — exact distinct is SQL-derivable;
+  // the sketch estimates are engine-specific, so the oracle asserts
+  // the calibration bounds as known-true literals (a blown bound on
+  // the Spark side breaks the hash).
+  private val d29 = s"""
+    SELECT source, count(DISTINCT $fp) AS exact_distinct,
+      true AS coarse_ok, true AS fine_ok
+    FROM documents GROUP BY 1
+  """
+
+  // e09: per-query property gate over the TRAINED IVF serving path —
+  // the five invariants hold for every query id by construction of a
+  // correct top-k; the oracle emits them as literals per query.
+  private val e09 = """
+    SELECT vec_id AS query_id,
+      true AS k_rows, true AS ranks_contiguous, true AS no_self,
+      true AS neighbors_distinct, true AS cosine_bounded
+    FROM embeddings WHERE vec_id < 16
+  """
+
   private val q38 = """
     WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
     g AS (
@@ -3049,6 +3082,7 @@ $branches
     "q58_extra_matrix" -> q58,
     "q59_isotonic" -> q59,
     "q60_profile_interval" -> q60,
+    "p06_fleet_relational" -> p06,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,
@@ -3071,6 +3105,8 @@ $branches
     "e04_cosine_neardup" -> e04,
     "e21_neardup_bucketed" -> e21,
     "e05_ivf_topk" -> e05,
+    "e09_ivf_trained" -> e09,
+    "d29_hll_calibration" -> d29,
     "e12_prototype_prune" -> e12,
     "e13_ivf_recall" -> e13,
     "e15_pq_exact" -> e15,

@@ -17,22 +17,19 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
+    // round-6: d29 and e09 moved OUT of this set — both now carry
+    // property-gate oracles (exact-distinct + calibration bounds;
+    // per-query serving invariants)
     val rowsOnly = Set("p01_fleet_pipeline", "p02_dilation", "p03_quantile_clearsky",
       "p04_pca_shade", "p05_pvpro_post",
-      // iterative k-means fit: the oracle cannot replay the trainer;
-      // the search path is oracle-verified with fixed centroids (e05)
-      "e09_ivf_trained",
       // DEFLATE is not reproducible in a SQL engine (DeflateSpec
       // carries the value contracts)
       "d20_compress_ratio",
-      // per-subspace Lloyd's trainer, as e09 (PqSpec carries rank/
-      // reconstruction contracts)
+      // per-subspace Lloyd's trainer (PqSpec carries rank/
+      // reconstruction contracts); e19 adds the recall-floor gate
       "e10_pq_adc",
-      // HLL++ estimates are engine-specific (OperatorSpec carries the
-      // error-bound and partition-independence contracts)
-      "d29_hll_calibration",
       // composed trained stages (coarse k-means + PQ); PqSpec pins
-      // exhaustive-probe equivalence to the full ADC scan
+      // exhaustive-probe equivalence to the full ADC scan; e20 gates
       "e11_ivf_pq")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
