@@ -1692,7 +1692,7 @@ object SparkEntry {
       )
 
   private def d06(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(Tables.documents(s, dir).filter(col("doc_id") < 120), "doc_id", "text", 3)
+    Dedup.jaccardPairsExact(Tables.documents(s, dir).filter(col("doc_id") < 120), "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"), col("inter"), col("na"), col("nb"), round(col("jaccard"), 6).as("jacc"))
 
@@ -1736,7 +1736,7 @@ object SparkEntry {
     // one array row per doc: the pair join moves 2 rows per pair, not
     // 2×64, and the agreement count is a per-row zip_with fold
     val sig = Dedup.minhashArrayFromShingles(sh, "doc_id", 64)
-    val exact = Dedup.jaccardFromShingles(sh, "doc_id")
+    val exact = Dedup.jaccardFromShinglesExact(sh, "doc_id")
       .filter(col("jaccard") >= 0.3)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jacc"))
     exact

@@ -88,8 +88,8 @@ object Dedup {
     * verify step, not the scale path). Returns (a_id, b_id, inter,
     * na, nb, jaccard) for pairs sharing ≥1 shingle.
     */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
-    jaccardFromShingles(charShingles(df, idCol, textCol, k), idCol)
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    jaccardFromShinglesExact(charShingles(df, idCol, textCol, k), idCol)
 
   /** Jaccard pairs from a precomputed shingle table.
     *
@@ -103,7 +103,7 @@ object Dedup {
     * must be bounded (it is the verify/baseline step; the scale path
     * is [[lshCandidates]] + [[jaccardOnCandidates]]).
     */
-  def jaccardFromShingles(sh: DataFrame, idCol: String): DataFrame = {
+  def jaccardFromShinglesExact(sh: DataFrame, idCol: String): DataFrame = {
     val sets = sh.groupBy(col(idCol))
       .agg(collect_list(col("shingle")).as("shset"), count(lit(1)).as("sz"))
     // spread the streamed side: AQE coalesces the tiny post-groupBy
@@ -162,7 +162,7 @@ object Dedup {
     * the full shingle self-join (a ubiquitous 3-gram appearing in
     * every doc contributes |docs|² rows there). This is the verify
     * step of the MinHash+LSH scale path; results are value-identical
-    * to [[jaccardFromShingles]] filtered to the candidates.
+    * to [[jaccardFromShinglesExact]] filtered to the candidates.
     */
   def jaccardOnCandidates(cands: DataFrame, sh: DataFrame, idCol: String): DataFrame = {
     val sets = sh.groupBy(col(idCol))

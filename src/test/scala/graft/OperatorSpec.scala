@@ -112,7 +112,7 @@ class OperatorSpec extends AnyFunSuite {
       (4L, "totally unrelated text concerning photovoltaic power analytics")
     ).toDF("doc_id", "text")
     val exact = Dedup
-      .jaccardPairs(docs, "doc_id", "text", 3)
+      .jaccardPairsExact(docs, "doc_id", "text", 3)
       .filter(col("jaccard") >= 0.8)
       .select("a_id", "b_id")
       .as[(Long, Long)]
@@ -148,10 +148,10 @@ class OperatorSpec extends AnyFunSuite {
     val (viaStore, jacc) =
       Dedup.withMaterializedShingles(docs, "doc_id", "text", 3, path) { sh =>
         (sh.as[(Long, String)].collect().toSet,
-         Dedup.jaccardFromShingles(sh, "doc_id").as[(Long, Long, Long, Long, Long, Double)].collect().toSet)
+         Dedup.jaccardFromShinglesExact(sh, "doc_id").as[(Long, Long, Long, Long, Long, Double)].collect().toSet)
       }
     assert(viaStore == direct, "materialized shingle table diverges from the direct computation")
-    val jaccDirect = Dedup.jaccardPairs(docs, "doc_id", "text", 3)
+    val jaccDirect = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3)
       .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
     assert(jacc == jaccDirect, "downstream Jaccard over the store diverges")
   }
