@@ -609,6 +609,36 @@ object OracleSql {
     FROM embeddings WHERE vec_id < 16
   """
 
+  // d41: the full NB train+score path replayed — token hash buckets,
+  // per-class counts, add-one LLR weights quantized to integer micros
+  // (integer per-doc sums: order-free, no float drift), verdict at 0.
+  private val d41 = """
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS good,
+        CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) % 2147483647 % 256 AS bucket
+      FROM (
+        SELECT doc_id, source,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents) u
+      WHERE tok <> ''),
+    counts AS (
+      SELECT bucket,
+        sum(CASE WHEN good THEN 1 ELSE 0 END) AS c_good,
+        sum(CASE WHEN good THEN 0 ELSE 1 END) AS c_bad
+      FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c_good) AS t_good, sum(c_bad) AS t_bad FROM counts),
+    w AS (
+      SELECT bucket,
+        CAST(round((ln((c_good + 1.0) / (t_good + 256.0))
+          - ln((c_bad + 1.0) / (t_bad + 256.0))) * 1e6, 0) AS BIGINT) AS w_micro
+      FROM counts CROSS JOIN tot)
+    SELECT t.doc_id, count(*) AS n_toks,
+      CAST(sum(w.w_micro) AS BIGINT) AS score_micro,
+      sum(w.w_micro) > 0 AS quality
+    FROM toks t JOIN w ON t.bucket = w.bucket
+    GROUP BY 1
+  """
+
   private val q38 = """
     WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
     g AS (
@@ -3133,6 +3163,7 @@ $branches
     "d38_cms_heavy_hitters" -> d38,
     "d39_bloom_fpr" -> d39,
     "d40_component_histogram" -> d40,
+    "d41_nb_quality" -> d41,
     "e18_ivf_recall_gate" -> annRecallGate,
     "e19_adc_recall_gate" -> annRecallGate,
     "e20_ivfpq_recall_gate" -> annRecallGate,

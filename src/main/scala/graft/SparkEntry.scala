@@ -1943,6 +1943,17 @@ object SparkEntry {
     * reach the hash — collected to the driver and baked into the
     * scoring scan as a literal, so scoring never shuffles.
     */
+  /** Hashed-feature NB quality classifier (the fastText-style
+    * seed-vs-crawl filter as pure relational algebra — see
+    * `TextOps.nbQualityScores`): src0 is the seed class, every score
+    * is an exact integer-micro sum, the whole train+score path
+    * replays in SQL.
+    */
+  private def d41(s: SparkSession, dir: String): DataFrame =
+    TextOps.nbQualityScores(
+      Tables.documents(s, dir), "doc_id", "text",
+      goodIf = col("source") === "src0", buckets = 256)
+
   private def d37(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
@@ -2606,6 +2617,7 @@ object SparkEntry {
     "d38_cms_heavy_hitters" -> (d38 _),
     "d39_bloom_fpr" -> (d39 _),
     "d40_component_histogram" -> (d40 _),
+    "d41_nb_quality" -> (d41 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -218,4 +218,57 @@ object TextOps {
       .withColumn("b", cmsBucket(col("w"), col("r"), width))
       .groupBy(col("r"), col("b"))
       .agg(count(lit(1)).as("c"))
+
+  /** Hashed-feature Naive-Bayes quality classifier — the trainable
+    * twin of the fastText-style quality filters every curation
+    * pipeline runs (CCNet / DCLM / FineWeb seed-vs-crawl scoring),
+    * re-expressed as pure relational algebra with NOTHING iterative:
+    *
+    *  1. tokens hash into `buckets` feature slots (the md5 31-bit
+    *     base hash — cross-engine reproducible);
+    *  2. per-slot class counts under the `goodIf` label make the
+    *     multinomial NB log-likelihood-ratio weights with add-one
+    *     smoothing — ONE map-side-combined aggregation, `buckets`
+    *     rows total at any corpus size;
+    *  3. each document's score is the sum of its tokens' weights.
+    *
+    * Weights are quantized to integer MICROS before the per-doc sum
+    * (the q52/q56 lesson): integer sums are exact and
+    * summation-order-free, so the scores hash-match any engine and
+    * any partitioning — no float-accumulation drift at the verdict
+    * boundary. Two corpus scans, a `buckets`-row broadcast, no joins
+    * wider than the corpus: the 100 TB plan shape.
+    *
+    * @param goodIf boolean column marking the positive ("seed") class
+    * @return (idCol, n_toks, score_micro, quality = score > 0)
+    */
+  def nbQualityScores(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      goodIf: Column,
+      buckets: Int = 256
+  ): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol), goodIf.as("__good"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", Dedup.baseHash31(col("tok")) % buckets)
+    val counts = toks.groupBy(col("bucket")).agg(
+      sum(when(col("__good"), 1L).otherwise(0L)).as("c_good"),
+      sum(when(!col("__good"), 1L).otherwise(0L)).as("c_bad"))
+    val tot = counts.agg(
+      sum(col("c_good")).as("t_good"), sum(col("c_bad")).as("t_bad"))
+    val d = lit(buckets.toDouble)
+    val w = counts.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        round((log((col("c_good") + 1.0) / (col("t_good") + d))
+          - log((col("c_bad") + 1.0) / (col("t_bad") + d))) * 1e6, 0).cast("long"))
+      .select(col("bucket"), col("w_micro"))
+    toks
+      .join(broadcast(w), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"), sum(col("w_micro")).as("score_micro"))
+      .withColumn("quality", col("score_micro") > 0)
+  }
 }

@@ -179,4 +179,25 @@ class LangModelSpec extends AnyFunSuite {
     assert(out("s1")._2 == 1L, s"s1 OOV: ${out("s1")}")
     assert(out("s2")._2 == 2L, s"s2 OOV: ${out("s2")}")
   }
+
+  test("nb quality classifier separates seed vocabulary from crawl vocabulary") {
+    import spark.implicits._
+    // seed docs speak "clean" vocabulary, crawl docs speak "spam"
+    // vocabulary, two probe docs (one per dialect) are labeled BAD so
+    // their own tokens don't teach the classifier their class — their
+    // verdicts must come from the shared vocabulary alone
+    val seedWords = Seq("theorem", "proof", "lemma", "algebra", "integral")
+    val crawlWords = Seq("click", "buy", "cheap", "winner", "pills")
+    val docs =
+      (0L until 20L).map(i => (i, seedWords(i.toInt % 5) + " " + seedWords((i.toInt + 1) % 5), "seed")) ++
+      (20L until 40L).map(i => (i, crawlWords(i.toInt % 5) + " " + crawlWords((i.toInt + 1) % 5), "crawl")) ++
+      Seq((100L, "theorem proof integral", "probe"), (101L, "click buy pills", "probe"))
+    val df = docs.toDF("doc_id", "text", "src")
+    val scores = graft.operators.TextOps
+      .nbQualityScores(df, "doc_id", "text", goodIf = org.apache.spark.sql.functions.col("src") === "seed")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(scores(100L) > 0, s"seed-dialect probe scored ${scores(100L)}")
+    assert(scores(101L) < 0, s"crawl-dialect probe scored ${scores(101L)}")
+    assert(scores(100L) > scores(101L))
+  }
 }
