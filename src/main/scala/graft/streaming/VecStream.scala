@@ -104,6 +104,77 @@ object VecStream {
     StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, trigger)
   }
 
+  case class PairHit(a_id: Long, b_id: Long, cosine: Double)
+
+  /** Streaming face of the BUCKETED near-dup default
+    * (`Similarity.cosineNearDupPairs`'s incremental twin): vectors
+    * arrive continuously, each lands in its sign-LSH bucket via a
+    * stateless scalar expression (plane literals — same
+    * `Similarity.dot` fold as the batch bucket computation, so the
+    * bucket ids are bit-identical), and the stateful op emits every
+    * (earlier-member, arrival) pair at or above the rounded-cosine
+    * threshold the moment the LATER vector arrives. A pair is emitted
+    * exactly once — when its second vector is processed — so after
+    * any arrival order the emitted pair set equals the batch
+    * equi-join's (a_id < b_id normalized), as long as no bucket
+    * exceeds `maxBucket` (the cap bounds STATE: post-cap arrivals are
+    * still compared against the capped membership but not added, the
+    * `incrementalSemanticDedup` contract). `VecStreamSpec` asserts
+    * batch equality across checkpointed micro-batches.
+    */
+  def incrementalBucketNearDup(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      planes: Array[(Int, Array[Double])],
+      threshold: Double,
+      maxBucket: Int = 4096,
+      ttlMs: Long = 0L
+  ): DataFrame = {
+    import spark.implicits._
+    require(planes.nonEmpty, "incrementalBucketNearDup needs at least one hyperplane")
+
+    val vecD = col("embedding").cast("array<double>")
+    val bucket = planes.map { case (j, p) =>
+      when(Similarity.dot(vecD, typedLit(p.toSeq)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val rows = spark.readStream.schema(vecSchema).format("parquet").load(path)
+      .select(col("vec_id"), vecD.as("v"), bucket.as("bucket"))
+      .as[(Long, Array[Double], Long)]
+
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    val out = rows
+      .groupByKey(_._3)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (_: Long, it: Iterator[(Long, Array[Double], Long)],
+         state: GroupState[Vector[(Long, Array[Double])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Vector.empty[(Long, Array[Double])])
+            val hits = scala.collection.mutable.ArrayBuffer.empty[PairHit]
+            it.toArray.sortBy(_._1).foreach { case (id, v, _) =>
+              members.foreach { case (mid, m) =>
+                val c = cosine5(v, m)
+                if (c >= threshold && mid != id)
+                  hits += PairHit(math.min(id, mid), math.max(id, mid), c)
+              }
+              if (members.length < maxBucket) members = members :+ (id -> v)
+            }
+            state.update(members)
+            if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+            hits.iterator
+          }
+      }
+
+    val trigger: Trigger =
+      if (ttlMs > 0) Trigger.Once() else Trigger.AvailableNow()
+    StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, trigger)
+  }
+
   /** IVF index-health monitor for continuous vector ingest: per-cell
     * occupancy and assignment-distance statistics as a complete-mode
     * snapshot. Assignment is the batch path's exact scalar rule

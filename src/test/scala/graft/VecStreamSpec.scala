@@ -43,6 +43,31 @@ class VecStreamSpec extends AnyFunSuite {
     assert(got.filter(col("is_dropped")).count() > 0, "no drops — test has no signal")
   }
 
+  test("incremental bucketed near-dup pairs equal the batch equi-join across a restart") {
+    val src = java.nio.file.Files.createTempDirectory("bndsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bndckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("bndout").toString
+
+    val planesDf = emb.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .withColumn("plane_id", (col("vec_id") - 8).cast("int"))
+    val planeArr = planesDf
+      .select(col("plane_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+
+    emb.filter(col("vec_id") < 250).write.mode("append").parquet(src)
+    VecStream.incrementalBucketNearDup(spark, src, ckpt, outDir, planeArr, threshold = 0.3)
+    emb.filter(col("vec_id") >= 250).write.mode("append").parquet(src)
+    val got = VecStream.incrementalBucketNearDup(spark, src, ckpt, outDir, planeArr, threshold = 0.3)
+      .select("a_id", "b_id", "cosine")
+
+    val expect = Similarity.cosineNearDupPairs(emb, planesDf, "vec_id", "embedding", 0.3)
+      .select("a_id", "b_id", "cosine")
+    assert(got.count() > 0, "no pairs — test has no signal")
+    assert(got.except(expect).count() == 0, "streamed pairs absent from batch output")
+    assert(expect.except(got).count() == 0, "batch pairs missing from the stream")
+  }
+
   test("incremental cell stats snapshot equals the batch per-cell aggregation") {
     val src = java.nio.file.Files.createTempDirectory("cellsrc").toString
     val ckpt = java.nio.file.Files.createTempDirectory("cellckpt").toString
