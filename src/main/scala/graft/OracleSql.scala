@@ -639,6 +639,44 @@ object OracleSql {
     GROUP BY 1
   """
 
+  // d42: d41's exact integer scores + the fingerprint window — keep
+  // the best-scoring member of each exact-dup group, ties to min id.
+  private val d42 = """
+    WITH toks AS (
+      SELECT doc_id, source = 'src0' AS good,
+        CAST('0x' || substring(md5(tok), 1, 12) AS BIGINT) % 2147483647 % 256 AS bucket
+      FROM (
+        SELECT doc_id, source,
+          unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        FROM documents) u
+      WHERE tok <> ''),
+    counts AS (
+      SELECT bucket,
+        sum(CASE WHEN good THEN 1 ELSE 0 END) AS c_good,
+        sum(CASE WHEN good THEN 0 ELSE 1 END) AS c_bad
+      FROM toks GROUP BY 1),
+    tot AS (SELECT sum(c_good) AS t_good, sum(c_bad) AS t_bad FROM counts),
+    w AS (
+      SELECT bucket,
+        CAST(round((ln((c_good + 1.0) / (t_good + 256.0))
+          - ln((c_bad + 1.0) / (t_bad + 256.0))) * 1e6, 0) AS BIGINT) AS w_micro
+      FROM counts CROSS JOIN tot),
+    scores AS (
+      SELECT t.doc_id, CAST(sum(w.w_micro) AS BIGINT) AS score_micro
+      FROM toks t JOIN w ON t.bucket = w.bucket GROUP BY 1),
+    fps AS (
+      SELECT d.doc_id,
+        md5(substring(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g'), 1, 40)) AS fp,
+        s.score_micro
+      FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id)
+    SELECT doc_id, fp,
+      count(*) OVER (PARTITION BY fp) AS group_n,
+      score_micro AS score,
+      (row_number() OVER (PARTITION BY fp
+         ORDER BY score_micro DESC NULLS LAST, doc_id ASC)) = 1 AS keep
+    FROM fps
+  """
+
   private val q38 = """
     WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
     g AS (
@@ -3164,6 +3202,7 @@ $branches
     "d39_bloom_fpr" -> d39,
     "d40_component_histogram" -> d40,
     "d41_nb_quality" -> d41,
+    "d42_canonical_select" -> d42,
     "e18_ivf_recall_gate" -> annRecallGate,
     "e19_adc_recall_gate" -> annRecallGate,
     "e20_ivfpq_recall_gate" -> annRecallGate,

@@ -1954,6 +1954,20 @@ object SparkEntry {
       Tables.documents(s, dir), "doc_id", "text",
       goodIf = col("source") === "src0", buckets = 256)
 
+  /** Quality-aware canonical selection inside dup groups at the d02
+    * near-dup PREFIX grain (the corpus has shared openings, not
+    * full-text dups): the kept copy is the best-scoring one (NB
+    * integer-micro score from d41 — exact, so the argmax is
+    * engine-stable), ties to min id.
+    */
+  private def d42(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scores = TextOps.nbQualityScores(
+      docs, "doc_id", "text", goodIf = col("source") === "src0", buckets = 256)
+    Dedup.canonicalByQuality(docs, scores, "doc_id", "text", "score_micro",
+      fpOf = TextOps.prefixFingerprint(_, 40))
+  }
+
   private def d37(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
@@ -2618,6 +2632,7 @@ object SparkEntry {
     "d39_bloom_fpr" -> (d39 _),
     "d40_component_histogram" -> (d40 _),
     "d41_nb_quality" -> (d41 _),
+    "d42_canonical_select" -> (d42 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -83,6 +83,36 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_n"))
 
+  /** Quality-aware canonical selection: within each exact-duplicate
+    * group (content fingerprint), keep the member with the HIGHEST
+    * quality score (ties to the smaller id) instead of blindly
+    * keeping the minimum id — the curation-pipeline refinement of
+    * [[exactDupGroups]] (near-identical crawls differ in boilerplate;
+    * the kept copy should be the best one). One fingerprint window,
+    * no joins wider than the corpus; scores are whatever integer or
+    * float column the caller supplies (e.g.
+    * `TextOps.nbQualityScores`'s exact `score_micro`).
+    *
+    * @param scores (idCol, scoreCol) per document
+    * @return (idCol, fp, group_n, score, keep)
+    */
+  def canonicalByQuality(
+      df: DataFrame,
+      scores: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      fpOf: Column => Column = TextOps.fingerprint
+  ): DataFrame = {
+    val wFp = Window.partitionBy(col("fp"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.select(col(idCol), fpOf(col(textCol)).as("fp"))
+      .join(scores.select(col(idCol), col(scoreCol)), Seq(idCol), "left")
+      .withColumn("group_n", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .withColumn("keep", row_number().over(wFp) === 1)
+      .select(col(idCol), col("fp"), col("group_n"), col(scoreCol).as("score"), col("keep"))
+  }
+
   /** Pairwise exact n-gram Jaccard over a document set (use only on a
     * bounded subset or within LSH buckets — this is the quadratic
     * verify step, not the scale path). Returns (a_id, b_id, inter,

@@ -161,4 +161,35 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(cs.length == 1 && cs(0).getAs[Long]("component_size") == 1L
       && math.abs(cs(0).getAs[Double]("top_share") - 1.0 / 3) < 1e-6)
   }
+
+  test("round-6 operators on empty and degenerate input") {
+    // bucketed near-dup: empty vectors -> empty pairs; a single vector
+    // has no pair partner in its bucket
+    val noVecs = Seq.empty[(Long, Seq[Double])].toDF("vec_id", "embedding")
+    val planes = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding").withColumn("plane_id", col("vec_id").cast("int"))
+    assert(Similarity.cosineNearDupPairs(noVecs, planes, "vec_id", "embedding", 0.5).count() == 0)
+    val oneVec = Seq((7L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    assert(Similarity.cosineNearDupPairs(oneVec, planes, "vec_id", "embedding", 0.5).count() == 0)
+    // NB quality: empty corpus -> empty scores; whitespace-only docs
+    // contribute no tokens and get no row (no 0-token division)
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "src")
+    assert(graft.operators.TextOps
+      .nbQualityScores(noDocs, "doc_id", "text", col("src") === "good").count() == 0)
+    val wsDocs = Seq((1L, "   ", "good"), (2L, "real words here", "bad"))
+      .toDF("doc_id", "text", "src")
+    val nb = graft.operators.TextOps
+      .nbQualityScores(wsDocs, "doc_id", "text", col("src") === "good").collect()
+    assert(nb.map(_.getLong(0)).toSet == Set(2L), "whitespace-only doc must not score")
+    // estimateAll: empty frame -> empty report (no stage throws)
+    assert(graft.analyses.Profiler
+      .estimateAll(spark, emptySeries, "site", "ts", "value",
+        optimizedLocation = false).count() == 0)
+    // compareToTruth on an empty estimate table is empty
+    val truth = Seq((1L, 37.0, -122.0, 20.0, 10.0))
+      .toDF("site", "lat_deg", "lon_deg", "tilt_deg", "az_deg")
+    val emptyEst = Seq.empty[(Long, Double, Double, Double, Double, Long, Int)]
+      .toDF("site", "lon_est", "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_days", "n_cells")
+    assert(graft.analyses.Profiler.compareToTruth(emptyEst, truth, "site").count() == 0)
+  }
 }
