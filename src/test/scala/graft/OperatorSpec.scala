@@ -510,4 +510,30 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == out)
   }
+
+  test("canonicalByQuality keeps the best-scoring dup-group member, ties to min id") {
+    // docs 1-3 share content (one group), 4 is unique; 2 scores
+    // highest so it is the keeper; 5 and 6 tie -> smaller id wins
+    val docs = Seq(
+      (1L, "same content"), (2L, "same content"), (3L, "same content"),
+      (4L, "unique content"),
+      (5L, "tied content"), (6L, "tied content")
+    ).toDF("doc_id", "text")
+    val scores = Seq(
+      (1L, 10L), (2L, 50L), (3L, 20L), (4L, -5L), (5L, 7L), (6L, 7L)
+    ).toDF("doc_id", "score_micro")
+    val out = graft.operators.Dedup
+      .canonicalByQuality(docs, scores, "doc_id", "text", "score_micro")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("group_n"), r.getAs[Boolean]("keep")))
+      .toMap
+    assert(out(2L) == (3L, true) && !out(1L)._2 && !out(3L)._2, s"group A: $out")
+    assert(out(4L) == (1L, true), "unique doc keeps itself")
+    assert(out(5L) == (2L, true) && !out(6L)._2, "score tie must go to the smaller id")
+    // a doc with NO score row still gets a verdict (null sorts last)
+    val out2 = graft.operators.Dedup
+      .canonicalByQuality(docs, scores.filter(col("doc_id") =!= 2L), "doc_id", "text", "score_micro")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(out2(3L) && !out2(2L), "unscored member must lose to any scored one")
+  }
 }
