@@ -194,6 +194,60 @@ class DataHandler(
     * (`data_handler.py:1502-1525`, `pvsystemprofiler/`): per-site
     * medians of per-day estimates.
     */
-  def estimateLocation(): DataFrame =
-    Profiler.estimateLocation(df, site, tsCol, valueCol)
+  def estimateLocation(gmtOffsetHours: Double = 0.0): DataFrame =
+    Profiler.estimateLocation(df, site, tsCol, valueCol, gmtOffsetHours)
+
+  /** `estimate_location_and_orientation` (`data_handler.py:1595`) /
+    * `ConfigurationEstimator.estimate_all`: the one-call combined
+    * lon/lat/tilt/az report with the reference's day-interval and
+    * clear-day filter knobs.
+    */
+  def estimateLocationAndOrientation(
+      dayInterval: Option[(Int, Int)] = None,
+      clearDaysOnly: Boolean = false,
+      gmtOffsetHours: Double = 0.0
+  ): DataFrame =
+    Profiler.estimateAll(spark, df, site, tsCol, valueCol,
+      dayInterval = dayInterval, clearDaysOnly = clearDaysOnly,
+      gmtOffsetHours = gmtOffsetHours)
+
+  /** `detect_clear_days` (`data_handler.py:1416`): per-(site, day)
+    * clear verdicts from the envelope-correlation + energy-ratio
+    * detector.
+    */
+  def detectClearDays(slotsPerDay: Int = 288): DataFrame =
+    graft.analyses.ClearDay.detect(spark, df, site, tsCol, valueCol, slotsPerDay)
+
+  /** `estimate_quantiles` + `detect_clear_sky`
+    * (`data_handler.py:2376-2396`): smooth periodic quantile fits on
+    * the dilated grain with the 2-state clear-sky DP on the ratio.
+    */
+  def estimateQuantilesAndDetect(nBins: Int = 40): DataFrame =
+    graft.analyses.Quantiles.estimateAndDetect(
+      spark, applyTimeDilation(nBins), nBins)
+
+  /** `augment_data_frame` (`data_handler.py:1020`): join a day-grain
+    * (or (day, slot)-grain) boolean mask back onto the row-grain
+    * frame as a named column — the fleet-grain twin of the
+    * reference's matrix-mask column attach. `mask` must carry
+    * (site, day[, slot], <flag>); rows with no mask row get false.
+    */
+  def augmentDataFrame(mask: DataFrame, flagCol: String, columnName: String): DataFrame = {
+    val subDaily = mask.columns.contains("slot")
+    val freqS = 86400L / 288
+    val keyed = df
+      .withColumn("__site", col(site).cast("string"))
+      .withColumn("__day", to_date(col(tsCol)).cast("string"))
+      .withColumn("__slot", (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int"))
+    val mk = mask.select(
+      (Seq(col("site").cast("string").as("__site"),
+        col("day").cast("string").as("__day")) ++
+        (if (subDaily) Seq(col("slot").cast("int").as("__slot")) else Seq.empty) :+
+        col(flagCol).as(columnName)): _*)
+    val keys = Seq("__site", "__day") ++ (if (subDaily) Seq("__slot") else Seq.empty)
+    keyed
+      .join(mk, keys, "left")
+      .withColumn(columnName, coalesce(col(columnName), lit(false)))
+      .drop("__site", "__day", "__slot")
+  }
 }

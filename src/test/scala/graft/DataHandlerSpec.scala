@@ -69,4 +69,25 @@ class DataHandlerSpec extends AnyFunSuite {
     assert(alt.report().count() == 3)
     assert(alt.clippingCheck().count() > 0)
   }
+
+  test("round-6 facade methods: estimateAll, clear days, quantiles, mask augment") {
+    // one-call orientation report delegates to Profiler.estimateAll
+    val all = dh.estimateLocationAndOrientation()
+    assert(all.count() == 3)
+    assert(all.columns.toSet == Set("site", "lon_est", "lat_est", "tilt_deg",
+      "azimuth_duffie_deg", "n_days", "n_cells"))
+    // clear-day verdicts per (site, day)
+    val clear = dh.detectClearDays(slotsPerDay = 96)
+    assert(clear.select("site", "day").distinct().count() == clear.count())
+    assert(clear.columns.contains("clear"))
+    // day-grain mask joins back at row grain; rows with no mask row
+    // (sites 1-2 here — the mask covers site 0 only) come back false
+    val aug = dh.augmentDataFrame(clear.filter(col("site") === 0L), "clear", "is_clear")
+    assert(aug.count() == fleet.count(), "mask attach must not change row count")
+    assert(aug.columns.contains("is_clear"))
+    assert(aug.filter(col("is_clear")).select("site").distinct().count() == 1,
+      "only the masked site may flag true")
+    assert(aug.filter(col("site") =!= 0L && col("is_clear")).count() == 0,
+      "unmatched rows must fill false, not null")
+  }
 }
