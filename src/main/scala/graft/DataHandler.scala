@@ -231,20 +231,38 @@ class DataHandler(
     * frame as a named column — the fleet-grain twin of the
     * reference's matrix-mask column attach. `mask` must carry
     * (site, day[, slot], <flag>); rows with no mask row get false.
+    *
+    * The mask is OR-aggregated to its key grain first, so a mask
+    * carrying extra sub-key rows (e.g. a per-dilated-slot clear table
+    * attached at day grain) flags a row when ANY of its key's mask
+    * rows are true — and the attach can never multiply row count.
+    *
+    * @param slotsPerDay the grain the mask's `slot` column was built
+    *   at (ignored for day-grain masks); must match the mask or the
+    *   join keys miss
     */
-  def augmentDataFrame(mask: DataFrame, flagCol: String, columnName: String): DataFrame = {
+  def augmentDataFrame(
+      mask: DataFrame,
+      flagCol: String,
+      columnName: String,
+      slotsPerDay: Int = 288
+  ): DataFrame = {
     val subDaily = mask.columns.contains("slot")
-    val freqS = 86400L / 288
+    require(86400 % slotsPerDay == 0,
+      s"slotsPerDay must divide 86400 (got $slotsPerDay)")
+    val freqS = 86400L / slotsPerDay
     val keyed = df
       .withColumn("__site", col(site).cast("string"))
       .withColumn("__day", to_date(col(tsCol)).cast("string"))
       .withColumn("__slot", (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int"))
+    val keys = Seq("__site", "__day") ++ (if (subDaily) Seq("__slot") else Seq.empty)
     val mk = mask.select(
       (Seq(col("site").cast("string").as("__site"),
         col("day").cast("string").as("__day")) ++
         (if (subDaily) Seq(col("slot").cast("int").as("__slot")) else Seq.empty) :+
-        col(flagCol).as(columnName)): _*)
-    val keys = Seq("__site", "__day") ++ (if (subDaily) Seq("__slot") else Seq.empty)
+        col(flagCol).cast("boolean").as(columnName)): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(max(col(columnName)).as(columnName)) // boolean max = OR
     keyed
       .join(mk, keys, "left")
       .withColumn(columnName, coalesce(col(columnName), lit(false)))

@@ -242,12 +242,20 @@ object Profiler {
       optimizedLocation: Boolean = true,
       gmtOffsetHours: Double = 0.0
   ): DataFrame = {
-    val loc =
+    val loc0 =
       if (optimizedLocation)
         estimateLocationOptimized(spark, df, site, tsCol, valueCol,
           gmtOffsetHours = gmtOffsetHours)
           .select(col(site), col("lat_est"), col("lon_est"), col("n_days"))
       else estimateLocation(df, site, tsCol, valueCol, gmtOffsetHours)
+    // the location pass (the 21-threshold holdout grid on the
+    // optimized path — the most expensive stage here) feeds TWO
+    // consumers: the orientation fit's latitude override and the final
+    // join. Spark plans no subtree reuse, so materialize it once as a
+    // persisted RDD (ContextCleaner-freed; the semanticDedup idiom)
+    val locRdd = loc0.rdd.setName("estimateAll location pass")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val loc = spark.createDataFrame(locRdd, loc0.schema)
     val afterInterval = dayInterval match {
       case Some((lo, hi)) =>
         df.filter(dayofyear(to_date(col(tsCol))) > lo && dayofyear(to_date(col(tsCol))) < hi)
@@ -256,6 +264,11 @@ object Profiler {
     val forOrient =
       if (!clearDaysOnly) afterInterval
       else {
+        // ClearDay.detect keys sites as long internally; a non-numeric
+        // site column would null-cast and silently empty the semi-join
+        require(df.schema(site).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+          s"clearDaysOnly requires a numeric $site column (ClearDay.detect keys sites as long); " +
+            "map string site keys to a surrogate id first")
         val clear = ClearDay.detect(spark, afterInterval, site, tsCol, valueCol, clearSlotsPerDay)
           .filter(col("clear"))
           .select(col("site").as("__csite"), col("day").as("__cday"))

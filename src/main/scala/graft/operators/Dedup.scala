@@ -616,18 +616,22 @@ object Dedup {
       maxExactKeys: Long = DeltaExactBroadcastMaxKeys
   ): DataFrame = {
     val dfp = delta.select(col(idCol), fpOf(col(textCol)).as("fp"))
-    val nKeys = dfp.select(col("fp")).distinct().count()
+    val dfps = dfp.select(col("fp")).distinct()
+    val nKeys = dfps.count()
     if (nKeys > maxExactKeys) {
       // past the broadcast envelope the exact set would OOM the
       // executors — the bloom probe (verdict-identical: bloom false
-      // positives are killed by an exact join) is the only safe plan
+      // positives are killed by an exact join) is the only safe plan.
+      // dfp/dfps/nKeys are handed through so the bloom path derives
+      // nothing from the raw delta a second time.
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"deltaDedup: $nKeys distinct delta fingerprints > $maxExactKeys exact-broadcast " +
           "envelope; routing through deltaDedupBloom (identical verdicts)")
-      deltaDedupBloom(corpus, delta, idCol, textCol, fpOf)
+      deltaDedupBloomCore(corpus, dfp, dfps, nKeys, idCol, textCol, fpOf,
+        bitsPerKey = 10, numProbes = 6)
     } else {
       val corpusHits = corpus.select(fpOf(col(textCol)).as("fp"))
-        .join(broadcast(dfp.select(col("fp")).distinct()), Seq("fp"), "left_semi")
+        .join(broadcast(dfps), Seq("fp"), "left_semi")
         .distinct()
       deltaVerdicts(dfp, broadcast(corpusHits), idCol)
     }
@@ -688,6 +692,25 @@ object Dedup {
     // not cached so the operator leaves no persisted state behind its
     // lazily-returned result.
     val nKeys = math.max(1L, dfps.count())
+    deltaDedupBloomCore(corpus, dfp, dfps, nKeys, idCol, textCol, fpOf, bitsPerKey, numProbes)
+  }
+
+  /** Shared body of [[deltaDedupBloom]] and [[deltaDedup]]'s
+    * auto-route: takes the already-derived delta fingerprints and
+    * distinct count so the router's count job is not repeated.
+    */
+  private def deltaDedupBloomCore(
+      corpus: DataFrame,
+      dfp: DataFrame,
+      dfps: DataFrame,
+      nKeysRaw: Long,
+      idCol: String,
+      textCol: String,
+      fpOf: Column => Column,
+      bitsPerKey: Int,
+      numProbes: Int
+  ): DataFrame = {
+    val nKeys = math.max(1L, nKeysRaw)
     val bloom = graft.functions.Bloom.build(
       dfps, xxhash64(col("fp")), nKeys * bitsPerKey.toLong, numProbes)
     val cand = corpus.select(fpOf(col(textCol)).as("fp"))

@@ -69,6 +69,9 @@ object Synth {
       utcOffsetHours: Double = 0.0
   ): DataFrame = {
     require(sites.nonEmpty, "pvSites needs at least one site")
+    require(86400 % slotsPerDay == 0,
+      s"slotsPerDay must divide 86400 (got $slotsPerDay) — an integer slot stride that " +
+        "drops the day's tail would desync the stamped times from the solar clock")
     val nSites = sites.length
     val total = nSites.toLong * nDays * slotsPerDay
     val base = spark.range(total)

@@ -152,10 +152,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
       "e21 lost the bucket equi-join")
     // nested loops may appear only as the 8-row hyperplane literal
-    // attach (Cross, condition-free, once per self-join side); a
-    // conditional nested loop would be the quadratic a_id < b_id form
-    assert(!"BroadcastNestedLoopJoin (Inner|Left|Right|Full)".r.findFirstIn(p).isDefined,
-      "e21 planned a conditional nested-loop join")
+    // attach: exactly one per self-join side, each a condition-free
+    // Cross (formatted mode prints the type in the DETAIL section as
+    // "Join type: Cross" / "Join condition: None" — the tree line is
+    // just "(N) BroadcastNestedLoopJoin"). A regression to the
+    // quadratic a_id < b_id form would add a third BNLJ and a
+    // non-None join condition.
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 2, s"e21 planned $bnlj nested-loop joins; only the two plane attaches are allowed")
+    val crossNoCond = "Join type: Cross\\s*\\nJoin condition: None".r.findAllIn(p).length
+    assert(crossNoCond >= bnlj,
+      s"e21's nested loops must all be condition-free Cross plane attaches:\n$p")
     assert(!p.contains("Join condition: (a_id"),
       "e21 evaluated the pair predicate inside a nested-loop join")
   }
