@@ -980,6 +980,65 @@ object OracleSql {
     LEFT JOIN nm ON nd.user_id = nm.user_id
   """
 
+  // p07: the relational fleet report re-derived end-to-end from raw
+  // events — null-cleaned day grain, p95 capacity (q17 contract),
+  // good-day quality score (q19/q20 contract), day-grain density/
+  // energy lifted to exact integer micro-units before the site-grain
+  // sum (order-free), and the full q49 clipping-verdict derivation
+  // inlined. Site-grain means are quotients of bit-identical integer
+  // inputs, so the final round can't straddle a half-boundary
+  // differently across engines (the q07 contract).
+  private val p07 = s"""
+    WITH $clipStatsCte,
+    cs AS (
+      SELECT s.user_id, s.day, s.daily_max / m.site_max AS clip1,
+        round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2r
+      FROM sums s JOIN site m ON s.user_id = m.user_id),
+    masses AS (
+      SELECT user_id, round(clip1 / 0.01) * 0.01 AS mass, count(*) AS n_bucket
+      FROM cs GROUP BY 1, 2 HAVING count(*) >= 3),
+    clipdays AS (
+      SELECT user_id, count(*) AS n_clipped FROM (
+        SELECT DISTINCT c.user_id, c.day
+        FROM cs c JOIN masses m ON c.user_id = m.user_id
+        WHERE c.clip1 > 0.05 AND c.clip2r > 0.1 AND abs(c.clip1 - m.mass) < 0.0075)
+      GROUP BY 1),
+    csdays AS (SELECT user_id, count(*) AS n_days FROM cs GROUP BY 1),
+    clipv AS (
+      SELECT d.user_id, coalesce(c.n_clipped, 0) > d.n_days * 0.01 AS inverter_clipping
+      FROM csdays d LEFT JOIN clipdays c ON d.user_id = c.user_id),
+    cap AS (
+      SELECT user_id, round(quantile_cont(value, 0.95), 6) AS capacity,
+        round(quantile_cont(value, 0.95) * 0.02, 6) AS thr
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1),
+    dday AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        round(sum(e.value), 2) AS sum_v, count(*) AS n_slots,
+        sum(CASE WHEN e.value > cap.thr THEN 1 ELSE 0 END) AS n_above,
+        avg(e.value) AS avg_v
+      FROM events e JOIN cap ON e.user_id = cap.user_id
+      WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+      GROUP BY 1, 2),
+    dmetrics AS (
+      SELECT user_id,
+        CAST(round(round(sum_v * 24.0 / n_slots, 4) * 1e4, 0) AS BIGINT) AS energy_du,
+        CAST(round(round(CAST(n_above AS DOUBLE) / n_slots, 6) * 1e6, 0) AS BIGINT) AS density_micro,
+        CASE WHEN n_slots >= 10 AND avg_v > 0.0 THEN 1 ELSE 0 END AS good
+      FROM dday),
+    srpt AS (
+      SELECT user_id, count(*) AS n_days, sum(good) AS n_good,
+        sum(density_micro) AS sum_dm, sum(energy_du) AS sum_edu
+      FROM dmetrics GROUP BY 1)
+    SELECT r.user_id, r.n_days, cap.capacity,
+      round(CAST(r.n_good AS DOUBLE) / r.n_days, 6) AS quality_score,
+      round(CAST(r.sum_dm AS DOUBLE) / 1e6 / r.n_days, 6) AS mean_density,
+      round(CAST(r.sum_edu AS DOUBLE) / 1e4 / r.n_days, 4) AS mean_energy,
+      clipv.inverter_clipping
+    FROM srpt r
+    JOIN cap ON r.user_id = cap.user_id
+    JOIN clipv ON r.user_id = clipv.user_id
+  """
+
   private val q50 = """
     WITH slotted AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
@@ -3151,6 +3210,7 @@ $branches
     "q59_isotonic" -> q59,
     "q60_profile_interval" -> q60,
     "p06_fleet_relational" -> p06,
+    "p07_report_relational" -> p07,
     "j01_json_extract" -> j01,
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,

@@ -2440,16 +2440,76 @@ object SparkEntry {
 
   /** p01's SQL-expressible spine, hash-gated (the e18 pattern: the
     * oracle re-derives the exact baseline from raw events): the fleet
-    * report's relational columns — day count and p95 capacity — must
-    * match a direct SQL derivation even though they ride through the
-    * full pipeline (DayStats aggregation + the solver-stage shuffle).
-    * Solver columns stay rows-only in p01.
+    * report's relational columns — day count and p95 capacity — come
+    * straight from `Pipeline.dayStats`, the same stage-1/2 plan the
+    * full pipeline feeds its solvers from. Catalyst can't prune
+    * through the solver `mapGroups`, so gating these two columns via
+    * `p01(…).select(…)` re-ran the entire solver fleet (~13 s at
+    * sf0.1) for a projection the relational spine answers in one
+    * scan; the rounding contract is unchanged. Solver columns stay
+    * rows-only in p01; p07 gates the wider relational report surface.
     */
   private def p06(s: SparkSession, dir: String): DataFrame =
-    p01(s, dir).select(
-      col("site"),
-      col("nDays").as("n_days"),
-      round(col("capacity"), 6).as("capacity"))
+    Pipeline.dayStats(
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value")
+      .groupBy(col("site"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(first(col("capacity")), 6).as("capacity"))
+
+  /** The relational fleet report (reference `DataHandler.report`,
+    * `data_handler.py:456-575`, restricted to its SQL-expressible
+    * columns): per site — day count, p95 capacity, quality score
+    * (the q19/q20 good-day flag path), mean day-grain usable density
+    * (q08 path), mean daily energy (q07 path), and the q49
+    * inverter-clipping verdict — WITHOUT running any solver stage.
+    * This is the report a fleet operator can refresh continuously at
+    * 100 TB (one scan family, site-grain side tables broadcast),
+    * reserving the IRLS/MC solver pipeline (p01) for the columns that
+    * genuinely need it. Parity: day-grain quantities are rounded to a
+    * fixed decimal grid, lifted to exact integer micro-units, summed
+    * as longs (order-free), and site-grain means are derived as
+    * quotients of those bit-identical integers (the q07 contract).
+    */
+  private def p07(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val cap = DayStats.capacity(ev, "user_id", "value")
+      .withColumn("thr", round(col("capacity") * 0.02, 6))
+    val day = ev.join(broadcast(cap), Seq("user_id"))
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(
+        round(sum(col("value")), 2).as("sum_v"),
+        count(lit(1)).as("n_slots"),
+        sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"),
+        avg(col("value")).as("avg_v"),
+        first(col("capacity")).as("capacity")
+      )
+      .withColumn("energy_du",
+        round(round(col("sum_v") * 24.0 / col("n_slots"), 4) * 1e4).cast("long"))
+      .withColumn("density_micro",
+        round(round(col("n_above").cast("double") / col("n_slots"), 6) * 1e6).cast("long"))
+      .withColumn("good_day", col("n_slots") >= 10L && col("avg_v") > 0.0)
+    val site = day.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(first(col("capacity")), 6).as("capacity"),
+        sum(when(col("good_day"), 1L).otherwise(0L)).as("n_good"),
+        sum(col("density_micro")).as("sum_dm"),
+        sum(col("energy_du")).as("sum_edu")
+      )
+    site
+      .join(broadcast(q49(s, dir).select(col("user_id"), col("inverter_clipping"))),
+        Seq("user_id"))
+      .select(
+        col("user_id"), col("n_days"), col("capacity"),
+        round(col("n_good").cast("double") / col("n_days"), 6).as("quality_score"),
+        round(col("sum_dm").cast("double") / 1e6 / col("n_days"), 6).as("mean_density"),
+        round(col("sum_edu").cast("double") / 1e4 / col("n_days"), 4).as("mean_energy"),
+        col("inverter_clipping")
+      )
+  }
 
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
     * per-site solver stages via mapGroups. Rows-only check — the
@@ -2592,6 +2652,7 @@ object SparkEntry {
     "q59_isotonic" -> (q59 _),
     "q60_profile_interval" -> (q60 _),
     "p06_fleet_relational" -> (p06 _),
+    "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
