@@ -1156,38 +1156,184 @@ object OracleSql {
   // zero-initialized in-place max), per-slot p90 envelope over ±10
   // CALENDAR days (quantile_cont = the operator's sorted linear
   // interpolation), then correlation / energy-ratio verdicts.
-  private val q54 = """
-    WITH e AS (
+  // The clear-day flag derivation shared by q54 and the study sweeps
+  // (q61/q62): the full ClearDay.detect replay — 15-minute slot grid,
+  // ±10-day per-slot p90 envelope, 6-dp-rounded correlation/energy
+  // statistics, flag thresholds. Terminal CTE: cd_flags(site, day
+  // DATE, env_corr, energy_ratio, clear).
+  private val clearFlagsCte = """
+    cd_e AS (
       SELECT user_id AS site, CAST(ts AS DATE) AS day,
         CAST(floor(date_diff('second', date_trunc('day', ts), ts) / 900.0) AS INT) AS slot,
         CAST(value AS DOUBLE) AS v
       FROM events),
-    days AS (SELECT DISTINCT site, day FROM e),
-    grid AS (SELECT site, day, CAST(s.slot AS INT) AS slot
-             FROM days CROSS JOIN (SELECT unnest(range(96)) AS slot) s),
-    mx AS (SELECT site, day, slot, max(v) AS mv FROM e GROUP BY 1, 2, 3),
-    cells AS (
+    cd_days AS (SELECT DISTINCT site, day FROM cd_e),
+    cd_grid AS (SELECT site, day, CAST(s.slot AS INT) AS slot
+             FROM cd_days CROSS JOIN (SELECT unnest(range(96)) AS slot) s),
+    cd_mx AS (SELECT site, day, slot, max(v) AS mv FROM cd_e GROUP BY 1, 2, 3),
+    cd_cells AS (
       SELECT g.site, g.day, g.slot, coalesce(greatest(m.mv, 0), 0) AS v
-      FROM grid g LEFT JOIN mx m ON g.site = m.site AND g.day = m.day AND g.slot = m.slot),
-    env AS (
+      FROM cd_grid g LEFT JOIN cd_mx m ON g.site = m.site AND g.day = m.day AND g.slot = m.slot),
+    cd_env AS (
       SELECT a.site, a.slot, a.day, quantile_cont(b.v, 0.9) AS env
-      FROM cells a JOIN cells b ON a.site = b.site AND a.slot = b.slot
+      FROM cd_cells a JOIN cd_cells b ON a.site = b.site AND a.slot = b.slot
         AND abs(date_diff('day', b.day, a.day)) <= 10
       GROUP BY 1, 2, 3),
-    fin AS (
+    cd_fin AS (
       SELECT c.site, c.day,
         sum(c.v * e2.env) AS num, sum(c.v * c.v) AS mm, sum(e2.env * e2.env) AS ee,
         sum(c.v) AS sm, sum(e2.env) AS se
-      FROM cells c JOIN env e2 ON c.site = e2.site AND c.slot = e2.slot AND c.day = e2.day
-      GROUP BY 1, 2)
-    SELECT site, day, env_corr, energy_ratio,
-      (env_corr > 0.98 AND energy_ratio > 0.8) AS clear
-    FROM (
-      SELECT site, CAST(day AS VARCHAR) AS day,
-        round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
-        round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio
-      FROM fin) t
+      FROM cd_cells c JOIN cd_env e2 ON c.site = e2.site AND c.slot = e2.slot AND c.day = e2.day
+      GROUP BY 1, 2),
+    cd_flags AS (
+      SELECT site, day, env_corr, energy_ratio,
+        (env_corr > 0.98 AND energy_ratio > 0.8) AS clear
+      FROM (
+        SELECT site, day,
+          round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
+          round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio
+        FROM cd_fin) t)
   """
+
+  private val q54 = s"""
+    WITH $clearFlagsCte
+    SELECT site, CAST(day AS VARCHAR) AS day, env_corr, energy_ratio, clear
+    FROM cd_flags
+  """
+
+  // Day-grain CTEs shared by the q61/q62 study sweeps: cleaned events,
+  // modal sampling frequency (the q06 contract over the cleaned
+  // grain), detect_sun/find_daytime scale parameters, per-day
+  // conditional aggregates, and the boundary-null'd daylight / noon
+  // columns with clear flags attached. Terminal CTE: sw_day(site, day,
+  // doy, dl_ss, dl_raw, noon_com, noon_rs, clear).
+  private val studyDayCte = s"""
+    $clearFlagsCte,
+    sw_ev AS (
+      SELECT user_id AS site, ts, CAST(value AS DOUBLE) AS v
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    sw_fd AS (
+      SELECT site,
+        date_diff('second', lag(ts) OVER (PARTITION BY site ORDER BY ts), ts) AS dt_s
+      FROM sw_ev),
+    sw_fr AS (SELECT site,
+        CAST(CASE WHEN dt_s < 10 THEN greatest(round(dt_s), 1)
+             ELSE round(dt_s / 10.0) * 10 END AS BIGINT) AS dt_r
+      FROM sw_fd WHERE dt_s IS NOT NULL),
+    sw_fc AS (SELECT site, dt_r, count(*) AS cnt FROM sw_fr GROUP BY 1, 2),
+    sw_freq AS (
+      SELECT site, dt_r / 3600.0 AS freq_h FROM (
+        SELECT site, dt_r,
+          row_number() OVER (PARTITION BY site ORDER BY cnt DESC, dt_r ASC) AS rn
+        FROM sw_fc) t
+      WHERE rn = 1),
+    sw_scale AS (
+      SELECT site, quantile_cont(v, 0.99) AS hi99,
+        greatest(min(v), -0.005 * quantile_cont(v, 0.99)) AS lo99,
+        quantile_cont(v, 0.95) AS p95,
+        greatest(quantile_cont(v, 0.05), 0) AS bot
+      FROM sw_ev GROUP BY 1),
+    sw_base AS (
+      SELECT e.site, CAST(e.ts AS DATE) AS day,
+        CAST(date_diff('second', date_trunc('day', e.ts), e.ts) AS DOUBLE) AS sec,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
+        round((e.v - s.lo99) / s.hi99, 6) AS sc_d,
+        round((e.v - s.bot) / (s.p95 - s.bot), 6) AS sc_r,
+        e.v
+      FROM sw_ev e JOIN sw_scale s ON e.site = s.site),
+    sw_dd AS (
+      SELECT site, day,
+        min(CASE WHEN sc_d > 0.001 THEN h END) AS sr,
+        max(CASE WHEN sc_d > 0.001 THEN h END) AS ss,
+        min(CASE WHEN sc_d > 0.01 THEN h END) AS sr01,
+        max(CASE WHEN sc_d > 0.01 THEN h END) AS ss01,
+        min(h) AS h_first, max(h) AS h_last,
+        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime,
+        round(sum(sec * v), 2) AS num_sv,
+        round(sum(v), 2) AS sum_v
+      FROM sw_base GROUP BY 1, 2),
+    sw_day AS (
+      SELECT d.site, d.day, dayofyear(d.day) AS doy,
+        CASE WHEN d.sr = d.h_first OR d.ss = d.h_last THEN NULL
+             ELSE d.ss - d.sr END AS dl_ss,
+        d.n_daytime * f.freq_h AS dl_raw,
+        CASE WHEN d.sum_v <> 0 THEN (d.num_sv / 3600.0) / d.sum_v END AS noon_com,
+        CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
+             ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs,
+        coalesce(c.clear, false) AS clear
+      FROM sw_dd d
+      JOIN sw_freq f ON d.site = f.site
+      LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
+  """
+
+  // q61: the latitude study sweep — per-day Duffie latitude inversion
+  // under both declination series, config-filtered medians (FILTER ≡
+  // Spark's percentile-over-when, both skip nulls ≡ nanmedian).
+  private val q61: String = {
+    val cooper =
+      "(23.45 * sin(6.283185307179586 * (doy + 284.0) / 365.0))"
+    val spencerB = "(6.283185307179586 * (doy - 1.0) / 365.0)"
+    val spencer =
+      s"""(57.29577951308232 * (0.006918
+         - 0.399912 * cos($spencerB) + 0.070257 * sin($spencerB)
+         - 0.006758 * cos(2.0 * $spencerB) + 0.000907 * sin(2.0 * $spencerB)
+         - 0.002697 * cos(3.0 * $spencerB) + 0.00148 * sin(3.0 * $spencerB)))"""
+    def lat(dl: String, delta: String) =
+      s"atan(-cos(7.5 * $dl * 0.017453292519943295) / tan($delta * 0.017453292519943295)) * 57.29577951308232"
+    val variants = Seq(
+      ("sunrise-sunset", "cooper", lat("dl_ss", cooper)),
+      ("sunrise-sunset", "spencer", lat("dl_ss", spencer)),
+      ("raw-daylight", "cooper", lat("dl_raw", cooper)),
+      ("raw-daylight", "spencer", lat("dl_raw", spencer)))
+    val sels = Seq(("all", "TRUE"), ("clear", "clear"), ("cloudy", "NOT clear"))
+    val branches = variants.flatMap { case (dlName, dName, expr) =>
+      sels.map { case (sName, sPred) =>
+        s"""      SELECT site, 'raw' AS data_matrix, '$dlName' AS daylight_method,
+          '$dName' AS delta_method, '$sName' AS day_selection,
+          round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6) AS latitude,
+          count($expr) FILTER (WHERE $sPred) AS n_days
+        FROM sw_day GROUP BY 1"""
+      }
+    }.mkString("\n      UNION ALL\n")
+    s"""
+    WITH $studyDayCte
+    $branches
+    """
+  }
+
+  // q62: the longitude study sweep — Duffie eq. 1.5.2 per day under
+  // both equation-of-time series and both solar-noon methods.
+  private val q62: String = {
+    val duffieB = "(6.283185307179586 * (doy - 1.0) / 365.0)"
+    val duffie =
+      s"""(229.1831180523293 * (0.000075
+         + 0.001868 * cos($duffieB) - 0.032077 * sin($duffieB)
+         - 0.014615 * cos(2.0 * $duffieB) - 0.04089 * sin(2.0 * $duffieB)))"""
+    val daRosaB = "(6.283185307179586 * (doy - 81.0) / 365.0)"
+    val daRosa =
+      s"(9.87 * sin(2.0 * $daRosaB) - 7.53 * cos($daRosaB) - 1.5 * sin($daRosaB))"
+    def lon(noon: String, eot: String) =
+      s"(720.0 - 60.0 * $noon - $eot) / 4.0 + 0.0"
+    val variants = Seq(
+      ("energy_com", "duffie", lon("noon_com", duffie)),
+      ("energy_com", "da_rosa", lon("noon_com", daRosa)),
+      ("rise_set_average", "duffie", lon("noon_rs", duffie)),
+      ("rise_set_average", "da_rosa", lon("noon_rs", daRosa)))
+    val sels = Seq(("all", "TRUE"), ("clear", "clear"), ("cloudy", "NOT clear"))
+    val branches = variants.flatMap { case (nName, eName, expr) =>
+      sels.map { case (sName, sPred) =>
+        s"""      SELECT site, 'raw' AS data_matrix, '$nName' AS solar_noon_method,
+          '$eName' AS eot_calculation, '$sName' AS day_selection,
+          round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6) AS longitude,
+          count($expr) FILTER (WHERE $sPred) AS n_days
+        FROM sw_day GROUP BY 1"""
+      }
+    }.mkString("\n      UNION ALL\n")
+    s"""
+    WITH $studyDayCte
+    $branches
+    """
+  }
 
   /** q55: the sunrise/sunset optimizer's threshold-grid stage.
     * Generated over the same `np.logspace(-5, -1, 21)` grid the Spark
@@ -3209,6 +3355,8 @@ $branches
     "q58_extra_matrix" -> q58,
     "q59_isotonic" -> q59,
     "q60_profile_interval" -> q60,
+    "q61_latitude_study" -> q61,
+    "q62_longitude_study" -> q62,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,
     "j01_json_extract" -> j01,

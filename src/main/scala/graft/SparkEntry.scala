@@ -509,16 +509,56 @@ object SparkEntry {
   private def q37(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Profiler.estimateLocation(Tables.events(s, dir), "user_id", "ts", "value")
 
-  /** The estimator's day-interval filtering knob applied to the
-    * location pass (reference `estimator.py:218-223` day_range:
-    * day-of-year strictly inside (lo, hi)) — the relational face of
-    * `Profiler.estimateAll(dayInterval = ...)`, hash-gated end to end.
+  /** The estimator's day-interval filter mechanics (reference
+    * `estimator.py:218-223` day_range: day-of-year strictly inside
+    * (lo, hi)) composed with the location pass, hash-gated end to
+    * end. NOTE: this gates the FILTER, not `estimateAll`'s knob —
+    * `Profiler.estimateAll(dayInterval = ...)` applies the window to
+    * the orientation fit only and leaves the location pass unwindowed
+    * (GroundTruthSpec pins that), so no API path produces this exact
+    * composition; it exists to verify the day-window predicate and
+    * the location arithmetic together cross-engine.
     */
   private def q60(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Profiler.estimateLocation(
       Tables.events(s, dir)
         .filter(dayofyear(to_date(col("ts"))) > 5 && dayofyear(to_date(col("ts"))) < 25),
       "user_id", "ts", "value")
+
+  /** Latitude config-sweep study (reference `latitude_study.py:69-197`
+    * via `analyses/Study.latitudeStudy`) on its oracle-expressible
+    * slice: raw matrix × (sunrise-sunset | raw-daylight) × (cooper |
+    * spencer) × (all | clear | cloudy) = 12 config rows per site,
+    * hash-gated end to end — the oracle re-derives the modal sampling
+    * frequency, both scaling rules, the boundary-null rise/set span,
+    * the clear-day flags, both declination series, and every
+    * config-filtered median from raw events. The filled-matrix and
+    * optimized-daylight axes ride gates of their own (q50 grid, q55
+    * optimizer) plus the GroundTruthSpec fleet-recovery case.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.latitudeStudy(
+      s, Tables.events(s, dir), "user_id", "ts", "value",
+      includeFilled = false)
+      .select(
+        col("site"), col("data_matrix"), col("daylight_method"),
+        col("delta_method"), col("day_selection"),
+        round(col("latitude"), 6).as("latitude"), col("n_days"))
+
+  /** Longitude config-sweep study (reference
+    * `longitude_study.py:70-225` via `analyses/Study.longitudeStudy`),
+    * same oracle-expressible slice: raw matrix × (energy_com |
+    * rise_set_average) × (duffie | da_rosa EoT) × (all | clear |
+    * cloudy) = 12 config rows per site, hash-gated.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.longitudeStudy(
+      s, Tables.events(s, dir), "user_id", "ts", "value",
+      includeFilled = false)
+      .select(
+        col("site"), col("data_matrix"), col("solar_noon_method"),
+        col("eot_calculation"), col("day_selection"),
+        round(col("longitude"), 6).as("longitude"), col("n_days"))
 
   /** Sunrise/sunset threshold grid optimization (reference
     * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold
@@ -1576,6 +1616,12 @@ object SparkEntry {
       // 0.20/0.04 (3x the observed sf0.1 max of 0.068/0.012). The
       // oracle derives exact_distinct and emits the bounds as
       // known-true literals, so a blown calibration breaks the hash.
+      // CALIBRATION NOTE (sf-dependence): the 0.20/0.04 margins were
+      // measured at sf≤0.1. HLL relative error is scale-free in
+      // expectation but the observed max tightens/loosens with group
+      // cardinality — if this gate ever fails at a NEW scale factor,
+      // triage as calibration (re-measure and widen the margin), not
+      // as a code regression.
       .select(
         col("source"),
         col("exact_distinct"),
@@ -2107,6 +2153,13 @@ object SparkEntry {
     * distinct neighbors, bounded cosines — and the oracle emits them
     * as known-true literals per query id. e18 adds the fleet recall
     * floor on the same trained path.
+    *
+    * CALIBRATION NOTE (sf-dependence): `k_rows`/`neighbors_distinct`
+    * assume every query's 2 probed cells hold ≥ 3 non-self members —
+    * true at sf0.001+ (≥ 48 vectors over 8 cells) but data-dependent:
+    * at a smaller corpus or higher k the honest expectation is
+    * min(k, members-in-probed-cells). If this gate fails at a NEW
+    * scale factor, triage as calibration, not regression.
     */
   private def e09(s: SparkSession, dir: String): DataFrame =
     e09raw(s, dir)
@@ -2651,6 +2704,8 @@ object SparkEntry {
     "q58_extra_matrix" -> (q58 _),
     "q59_isotonic" -> (q59 _),
     "q60_profile_interval" -> (q60 _),
+    "q61_latitude_study" -> (q61 _),
+    "q62_longitude_study" -> (q62 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

@@ -269,7 +269,13 @@ object Profiler {
         require(df.schema(site).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
           s"clearDaysOnly requires a numeric $site column (ClearDay.detect keys sites as long); " +
             "map string site keys to a surrogate id first")
-        val clear = ClearDay.detect(spark, afterInterval, site, tsCol, valueCol, clearSlotsPerDay)
+        // detect on the FULL frame, not the day-windowed one: the
+        // detector's ±windowDays rolling p90 envelope would see a
+        // truncated span near the window edges and flip verdicts vs
+        // the reference, which computes daily_flags.clear on the full
+        // matrix before any day_range filtering. The dayInterval cut
+        // is applied by the semi-join's left side (afterInterval).
+        val clear = ClearDay.detect(spark, df, site, tsCol, valueCol, clearSlotsPerDay)
           .filter(col("clear"))
           .select(col("site").as("__csite"), col("day").as("__cday"))
         afterInterval.join(

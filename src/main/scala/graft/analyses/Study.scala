@@ -1,0 +1,351 @@
+package graft.analyses
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.functions.Solar
+import graft.operators.{Filling, TimeAxis}
+
+/** Config-sweep study harnesses (reference
+  * `pvsystemprofiler/latitude_study.py:29-256` and
+  * `longitude_study.py:31-225`): evaluate the cross product of
+  * estimation configurations — input matrix × per-day estimation
+  * method × astronomical equation × day selection — and report one
+  * estimate row per (site, config), optionally with residuals against
+  * ground truth ([[withResidual]]).
+  *
+  * Spark-first shape (the q38/q55 grid-as-columns idiom): every config
+  * axis is a COLUMN variant, not a job. Per-day quantities for every
+  * daylight / solar-noon method land in ONE day-grain aggregation of
+  * the raw scan; day-selection masks select via `when(...)` inside the
+  * site-grain median aggregates (`percentile` skips nulls, matching
+  * the reference's `nanmedian`); and the config cross-product is
+  * unpivoted only AFTER aggregation. The scan is never multiplied by
+  * the config count — adding a config adds a column, not a pass. The
+  * reference's nested Python loop (`latitude_study.py:158-192`)
+  * re-slices the in-RAM matrix per config; at 100 TB that loop
+  * becomes one shuffle at (site, day) grain plus a site-grain stack.
+  *
+  * Day-selection semantics: `all` = every observed day (the
+  * reference's `no_errors` flag analog on cleaned input), `clear` =
+  * [[ClearDay.detect]]'s verdict, `cloudy` = its complement
+  * (`daily_flags.cloudy`, `data_handler.py` daily flags).
+  */
+object Study {
+
+  // explicit double constants, NOT radians()/degrees(): Spark's
+  // radians() is Math.toRadians (x/180·π) while SQL oracles multiply
+  // by the literal π/180 double — a last-ulp difference that can move
+  // a median pair. The q37 contract: both engines multiply the same
+  // literal.
+  private val DegToRad = 0.017453292519943295
+  private val RadToDeg = 57.29577951308232
+
+  /** Per-day latitude inversion — Duffie eq. (1.6.11), the same
+    * arithmetic as `algorithms/latitude/calculation.py:14-30`:
+    * lat = atan(−cos(7.5°·H) / tan(δ)) with H in hours, δ in degrees.
+    */
+  private def latDay(daylightH: Column, deltaDeg: Column): Column =
+    atan(-cos(lit(7.5) * daylightH * lit(DegToRad)) / tan(deltaDeg * lit(DegToRad))) * lit(RadToDeg)
+
+  /** Per-day longitude — Duffie eq. (1.5.2) as
+    * `algorithms/longitude/calculation.py:19-38`: lon = (720 − 60·SN −
+    * EoT)/4 + 15·gmtOffset, SN = solar noon in hours, EoT in minutes.
+    */
+  private def lonDay(noonH: Column, eotMin: Column, gmtOffsetHours: Double): Column =
+    (lit(720.0) - lit(60.0) * noonH - eotMin) / lit(4.0) + lit(15.0 * gmtOffsetHours)
+
+  /** Standardized day-grain study input: one row per (site, day) with
+    * every per-day method estimate as a column.
+    *
+    * Both matrices normalize to (site, day, h, v, freq_h) row grain:
+    * `raw` is the cleaned event scan (h = local hour-of-day, freq from
+    * the modal-Δt inference, the q06 contract); `filled` is
+    * [[Filling.filledDayGrid]]'s slot grid (h = slot·24/slots, freq =
+    * the grid pitch). Per-day columns:
+    *
+    *  - `dl_ss`: sunrise-sunset daylight — `detect_sun` scaling
+    *    ((v−lo)/hi on the p99 scale, `daytime.py:41-54`) at
+    *    `threshold`, first/last above-threshold hour with
+    *    `rise_set_rough`'s boundary-null rule
+    *    (`sunrise_sunset.py:11-27`: an argmax at the day's first/last
+    *    sample means the true rise/set fell outside the observed
+    *    window → null, and the day drops from that config's median);
+    *  - `dl_raw`: raw daylight — `find_daytime` scaling ((v−p05)/
+    *    (p95−p05), `daytime.py:11-38`) at `threshold`, above-threshold
+    *    sample count × sampling hours
+    *    (`latitude/hours_daylight.py:6-8`);
+    *  - `noon_com`: energy center of mass (`solar_noon.py:20-40`);
+    *  - `noon_rs`: rise/set average at threshold 0.01
+    *    (`solar_noon.py:40-50`), null if either side is boundary-null.
+    *
+    * Scaled values are compared on the 6-dp HALF_UP grid (the
+    * q55/ClearDay cross-engine contract) so threshold selections are
+    * bit-identical in any engine.
+    */
+  def dayGrain(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      threshold: Double = 0.001,
+      includeFilled: Boolean = true,
+      filledSlotsPerDay: Int = 96
+  ): DataFrame = {
+    val ev = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val raw = ev.select(
+      col(site).cast("long").as("site"),
+      to_date(col(tsCol)).as("day"),
+      TimeAxis.secondsOfDay(col(tsCol)).cast("double").as("sec"),
+      col(valueCol).cast("double").as("v"))
+    val rawFreq = TimeAxis.inferFrequency(ev, Seq(site), tsCol)
+      .select(col(site).cast("long").as("site"), (col("freq_s") / lit(3600.0)).as("freq_h"))
+    val rawRows = joinFreq(raw, rawFreq)
+    val rows =
+      if (!includeFilled) rawRows.withColumn("data_matrix", lit("raw"))
+      else {
+        val filled = Filling.filledDayGrid(ev, site, tsCol, valueCol, filledSlotsPerDay)
+          .select(
+            col("site").cast("long").as("site"), col("day"),
+            (col("slot") * lit((86400 / filledSlotsPerDay).toDouble)).as("sec"),
+            col("filled").as("v"),
+            lit(24.0 / filledSlotsPerDay).as("freq_h"))
+        rawRows.withColumn("data_matrix", lit("raw"))
+          .unionByName(filled.withColumn("data_matrix", lit("filled")))
+      }
+    perDay(rows, threshold)
+  }
+
+  /** Broadcast the one-row-per-site frequency onto the scan. */
+  private def joinFreq(rows: DataFrame, freq: DataFrame): DataFrame =
+    rows.join(broadcast(freq), Seq("site"))
+
+  private def perDay(rows: DataFrame, threshold: Double): DataFrame = {
+    // site×matrix-grain scale parameters: detect_sun's (p99, lo) and
+    // find_daytime's (p05, p95) — one aggregation, broadcast back
+    val scale = rows.groupBy(col("site"), col("data_matrix"))
+      .agg(
+        percentile(col("v"), lit(0.99)).as("hi99"),
+        min(col("v")).as("mn"),
+        percentile(col("v"), lit(0.95)).as("p95"),
+        percentile(col("v"), lit(0.05)).as("p05"))
+      .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
+      .withColumn("bot", greatest(col("p05"), lit(0.0)))
+    val h = col("sec") / lit(3600.0)
+    val j = rows.join(broadcast(scale), Seq("site", "data_matrix"))
+      .withColumn("sc_d", round((col("v") - col("lo99")) / col("hi99"), 6))
+      .withColumn("sc_r", round((col("v") - col("bot")) / (col("p95") - col("bot")), 6))
+    val thr = lit(threshold)
+    val d = j.groupBy(col("site"), col("data_matrix"), col("day"))
+      .agg(
+        min(when(col("sc_d") > thr, h)).as("sr"),
+        max(when(col("sc_d") > thr, h)).as("ss"),
+        min(when(col("sc_d") > 0.01, h)).as("sr01"),
+        max(when(col("sc_d") > 0.01, h)).as("ss01"),
+        min(h).as("h_first"),
+        max(h).as("h_last"),
+        sum(when(col("sc_r") >= thr, 1L).otherwise(0L)).as("n_daytime"),
+        // CoM numerator in SECONDS on the q11 rounded-sum grid (the
+        // seconds×value products land on a fixed decimal grid, so the
+        // rounded sum is exact and order-free; an hours-grain product
+        // would not be grid-aligned and the round could straddle)
+        round(sum(col("sec") * col("v")), 2).as("num_sv"),
+        round(sum(col("v")), 2).as("sum_v"),
+        first(col("freq_h")).as("freq_h"))
+    val bounded = (sr: Column, ss: Column) =>
+      when(sr === col("h_first") || ss === col("h_last"), lit(null)).otherwise(ss - sr)
+    d
+      .withColumn("dl_ss", bounded(col("sr"), col("ss")))
+      .withColumn("dl_raw", col("n_daytime") * col("freq_h"))
+      .withColumn("noon_com", try_divide(col("num_sv") / lit(3600.0), col("sum_v")))
+      .withColumn("noon_rs",
+        when(col("sr01") === col("h_first") || col("ss01") === col("h_last"), lit(null))
+          .otherwise((col("sr01") + col("ss01")) / 2.0))
+      .withColumn("doy", dayofyear(col("day")))
+  }
+
+  /** Attach the clear/cloudy day flags ([[ClearDay.detect]] on the RAW
+    * events — the reference computes `daily_flags` once on the
+    * standardized data, before any per-config slicing).
+    */
+  private def withFlags(
+      spark: SparkSession,
+      day: DataFrame,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      clearSlotsPerDay: Int
+  ): DataFrame = {
+    val flags = ClearDay.detect(spark, df, site, tsCol, valueCol, clearSlotsPerDay)
+      .select(col("site"), col("day").cast("date").as("day"), col("clear"))
+    // day-grain ⋈ day-grain on (site, day): both sides are
+    // sites×days rows — small relative to the scan at any data scale,
+    // co-partitioned by the join keys; no broadcast assumption needed
+    day.join(flags, Seq("site", "day"), "left")
+      .withColumn("clear", coalesce(col("clear"), lit(false)))
+  }
+
+  private case class Cfg(name: String, labels: Seq[String], value: Column, sel: Column)
+
+  /** Aggregate config medians per (site, data_matrix) and unpivot to
+    * one row per config (stack AFTER aggregation — the config axis
+    * never multiplies the day grain).
+    */
+  private def sweep(
+      day: DataFrame,
+      labelCols: Seq[String],
+      configs: Seq[Cfg],
+      estName: String
+  ): DataFrame = {
+    val aggs = configs.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        percentile(when(c.sel, c.value), lit(0.5)).as(s"est_$i"),
+        sum(when(c.sel && c.value.isNotNull, 1L).otherwise(0L)).as(s"n_$i"))
+    }
+    val agged = day.groupBy(col("site"), col("data_matrix"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = configs.zipWithIndex.map { case (c, i) =>
+      c.labels.map(l => s"'$l'").mkString(", ") + s", est_$i, n_$i"
+    }.mkString(", ")
+    agged.select(
+      col("site"), col("data_matrix"),
+      expr(s"stack(${configs.length}, $stackArgs)")
+        .as(labelCols ++ Seq(estName, "n_days")))
+  }
+
+  /** Latitude study (reference `LatitudeStudy.run`,
+    * `latitude_study.py:69-197`): (data matrix) × (daylight method) ×
+    * (declination equation: Cooper 1.6.1a | Spencer 1.6.1b) ×
+    * (day selection) → median per-day latitude inversion.
+    *
+    * Daylight methods: `sunrise-sunset` (boundary-safe rise/set span)
+    * and `raw-daylight` (above-threshold sample count × sampling).
+    * The reference's `optimized_estimates`/`optimized_measurements`
+    * axis rides the sunrise/sunset optimizer —
+    * [[SunriseSunset.estimates]] — and is enabled with
+    * `includeOptimized` (solver-priced, raw matrix only, like the
+    * optimizer itself).
+    *
+    * @return (site, data_matrix, daylight_method, delta_method,
+    *   day_selection, latitude, n_days)
+    */
+  def latitudeStudy(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      threshold: Double = 0.001,
+      includeFilled: Boolean = true,
+      includeOptimized: Boolean = false,
+      filledSlotsPerDay: Int = 96,
+      clearSlotsPerDay: Int = 96
+  ): DataFrame = {
+    val day0 = dayGrain(spark, df, site, tsCol, valueCol, threshold,
+      includeFilled, filledSlotsPerDay)
+    val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
+    val day =
+      if (!includeOptimized) day1.withColumn("dl_opt", lit(null).cast("double"))
+      else {
+        val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
+          .select(col(site).cast("long").as("site"), col("day"),
+            (col("sunset_est") - col("sunrise_est")).as("dl_opt"),
+            lit("raw").as("data_matrix"))
+        day1.join(est, Seq("site", "day", "data_matrix"), "left")
+      }
+    val daylights = Seq(
+      "sunrise-sunset" -> col("dl_ss"),
+      "raw-daylight" -> col("dl_raw")) ++
+      (if (includeOptimized) Seq("optimized" -> col("dl_opt")) else Nil)
+    val deltas = Seq(
+      "cooper" -> Solar.declinationDeg(col("doy")),
+      "spencer" -> Solar.declinationSpencerDeg(col("doy")))
+    val sels = Seq(
+      "all" -> lit(true),
+      "clear" -> col("clear"),
+      "cloudy" -> !col("clear"))
+    val configs = for {
+      (dlName, dl) <- daylights
+      (dName, delta) <- deltas
+      (sName, sel) <- sels
+    } yield Cfg(s"$dlName/$dName/$sName", Seq(dlName, dName, sName), latDay(dl, delta), sel)
+    sweep(day, Seq("daylight_method", "delta_method", "day_selection"), configs, "latitude")
+  }
+
+  /** Longitude study (reference `LongitudeStudy.run`,
+    * `longitude_study.py:70-225`, `calculated` estimator): (data
+    * matrix) × (solar-noon method: energy center of mass |
+    * sunrise/sunset average | optimized) × (equation of time: Duffie
+    * 1.5.3 | Da Rosa/Haghdadi) × (day selection) → median per-day
+    * longitude. The reference's curve-fitting estimators (`fit_l1`/
+    * `fit_l2`/`fit_huber`, `longitude/fitting.py`) refine the same
+    * per-day series the `calculated` path medians; the robust-median
+    * default is the one the estimator API ships.
+    *
+    * @return (site, data_matrix, solar_noon_method, eot_calculation,
+    *   day_selection, longitude, n_days)
+    */
+  def longitudeStudy(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      gmtOffsetHours: Double = 0.0,
+      threshold: Double = 0.001,
+      includeFilled: Boolean = true,
+      includeOptimized: Boolean = false,
+      filledSlotsPerDay: Int = 96,
+      clearSlotsPerDay: Int = 96
+  ): DataFrame = {
+    val day0 = dayGrain(spark, df, site, tsCol, valueCol, threshold,
+      includeFilled, filledSlotsPerDay)
+    val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
+    val day =
+      if (!includeOptimized) day1.withColumn("noon_opt", lit(null).cast("double"))
+      else {
+        val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
+          .select(col(site).cast("long").as("site"), col("day"),
+            ((col("sunrise_est") + col("sunset_est")) / 2.0).as("noon_opt"),
+            lit("raw").as("data_matrix"))
+        day1.join(est, Seq("site", "day", "data_matrix"), "left")
+      }
+    val noons = Seq(
+      "energy_com" -> col("noon_com"),
+      "rise_set_average" -> col("noon_rs")) ++
+      (if (includeOptimized) Seq("optimized" -> col("noon_opt")) else Nil)
+    val eots = Seq(
+      "duffie" -> Solar.equationOfTimeDuffieMin(col("doy")),
+      "da_rosa" -> Solar.equationOfTimeDaRosaMin(col("doy")))
+    val sels = Seq(
+      "all" -> lit(true),
+      "clear" -> col("clear"),
+      "cloudy" -> !col("clear"))
+    val configs = for {
+      (nName, noon) <- noons
+      (eName, eot) <- eots
+      (sName, sel) <- sels
+    } yield Cfg(s"$nName/$eName/$sName", Seq(nName, eName, sName),
+      lonDay(noon, eot, gmtOffsetHours), sel)
+    sweep(day, Seq("solar_noon_method", "eot_calculation", "day_selection"), configs, "longitude")
+  }
+
+  /** Estimate-vs-truth residual for a study table (the reference's
+    * `results["residual"] = true_value − estimate`,
+    * `latitude_study.py:193-195`).
+    *
+    * @param truth (<site>, <trueCol>) — site-grain, broadcast
+    */
+  def withResidual(
+      study: DataFrame,
+      truth: DataFrame,
+      site: String,
+      estCol: String,
+      trueCol: String
+  ): DataFrame =
+    study
+      .join(broadcast(truth.select(col(site).cast("long").as("site"), col(trueCol))), Seq("site"))
+      .withColumn("residual", col(trueCol) - col(estCol))
+}

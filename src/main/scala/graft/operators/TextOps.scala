@@ -249,8 +249,12 @@ object TextOps {
       goodIf: Column,
       buckets: Int = 256
   ): org.apache.spark.sql.DataFrame = {
+    // coalesce the label once: a null goodIf would otherwise count the
+    // token in NEITHER class (when(!null) is null → otherwise 0),
+    // while the SQL oracle's CASE WHEN good THEN .. ELSE .. counts it
+    // as bad — null labels belong to the negative class
     val toks = df
-      .select(col(idCol), goodIf.as("__good"),
+      .select(col(idCol), coalesce(goodIf, lit(false)).as("__good"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("bucket", Dedup.baseHash31(col("tok")) % buckets)

@@ -162,7 +162,12 @@ object VecStream {
                 if (c >= threshold && mid != id)
                   hits += PairHit(math.min(id, mid), math.max(id, mid), c)
               }
-              if (members.length < maxBucket) members = members :+ (id -> v)
+              // re-delivered ids must not be stored twice: a second
+              // copy would make every later neighbor emit the same
+              // (a_id, b_id) pair once per stored copy, breaking the
+              // documented batch-equality contract under duplicates
+              if (members.length < maxBucket && !members.exists(_._1 == id))
+                members = members :+ (id -> v)
             }
             state.update(members)
             if (ttlMs > 0) state.setTimeoutDuration(ttlMs)

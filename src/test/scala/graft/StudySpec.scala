@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyses.{Profiler, Study}
+import graft.sources.Synth
+
+/** Config-sweep study validation on the known-geometry Duffie fleet
+  * (the role of the reference's `latitude_study.py` /
+  * `longitude_study.py` result tables): the sweep must cover the full
+  * config cross-product, agree with the ground truth somewhere in the
+  * sweep at least as well as the single-config estimator (the point
+  * of running a study), and expose residuals per config.
+  */
+class StudySpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("8")
+
+  private val sites = Seq(
+    (0L, 37.0, -122.0, 20.0, 10.0),
+    (1L, 33.0, -118.0, 30.0, -25.0)
+  )
+  private val tz = -8.0
+
+  private lazy val fleet =
+    Synth.pvSites(spark, sites, nDays = 365, slotsPerDay = 288, utcOffsetHours = tz)
+  private lazy val truth = Synth.pvSitesTruth(spark, sites)
+
+  test("latitudeStudy covers the config cross-product and the best config beats the single-config estimate") {
+    val study = Study.latitudeStudy(spark, fleet, "site", "ts", "power",
+      includeFilled = true, filledSlotsPerDay = 96, clearSlotsPerDay = 96)
+    val rows = Study.withResidual(
+      study, truth.select(col("site"), col("lat_deg")), "site", "latitude", "lat_deg")
+      .collect()
+    // 2 matrices × 2 daylight methods × 2 declinations × 3 selections
+    assert(rows.length == sites.length * 24, s"got ${rows.length} config rows")
+    val labels = rows.map(r => (
+      r.getAs[String]("data_matrix"), r.getAs[String]("daylight_method"),
+      r.getAs[String]("delta_method"), r.getAs[String]("day_selection"))).distinct
+    assert(labels.length == 24, s"distinct configs ${labels.length}")
+
+    val single = Profiler.estimateLocation(fleet, "site", "ts", "power", gmtOffsetHours = tz)
+      .collect().map(r => r.getAs[Long]("site") -> r.getAs[Double]("lat_est")).toMap
+    sites.foreach { case (id, latTrue, _, _, _) =>
+      val errs = rows.filter(_.getAs[Long]("site") == id)
+        .map(r => r.getAs[Double]("residual"))
+        .filterNot(v => v == null || v.isNaN)
+        .map(math.abs)
+      assert(errs.nonEmpty, s"site $id: no non-null config estimates")
+      val singleErr = math.abs(latTrue - single(id))
+      // the sweep's whole point (latitude_study.py:193-195): its best
+      // config must do at least as well as the one-config default
+      assert(errs.min <= singleErr + 1e-9,
+        s"site $id best-config err ${errs.min} vs single-config $singleErr")
+      assert(errs.min < 5.0, s"site $id best-config err ${errs.min}")
+    }
+  }
+
+  test("longitudeStudy recovers longitude and orders configs by residual") {
+    val study = Study.longitudeStudy(spark, fleet, "site", "ts", "power",
+      gmtOffsetHours = tz, includeFilled = true, filledSlotsPerDay = 96,
+      clearSlotsPerDay = 96)
+    val rows = Study.withResidual(
+      study, truth.select(col("site"), col("lon_deg")), "site", "longitude", "lon_deg")
+      .collect()
+    assert(rows.length == sites.length * 24, s"got ${rows.length} config rows")
+
+    val single = Profiler.estimateLocation(fleet, "site", "ts", "power", gmtOffsetHours = tz)
+      .collect().map(r => r.getAs[Long]("site") -> r.getAs[Double]("lon_est")).toMap
+    sites.foreach { case (id, _, lonTrue, _, _) =>
+      val errs = rows.filter(_.getAs[Long]("site") == id)
+        .map(r => r.getAs[Double]("residual"))
+        .filterNot(v => v == null || v.isNaN)
+        .map(math.abs)
+      assert(errs.nonEmpty, s"site $id: no non-null config estimates")
+      val singleErr = math.abs(lonTrue - single(id))
+      assert(errs.min <= singleErr + 1e-9,
+        s"site $id best-config err ${errs.min} vs single-config $singleErr")
+      assert(errs.min < 5.0, s"site $id best-config err ${errs.min}")
+    }
+  }
+
+  test("optimized daylight method joins the sweep when enabled") {
+    val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
+      utcOffsetHours = tz)
+    val study = Study.latitudeStudy(spark, small, "site", "ts", "power",
+      includeFilled = false, includeOptimized = true, clearSlotsPerDay = 96)
+    val byMethod = study.collect().groupBy(_.getAs[String]("daylight_method"))
+    assert(byMethod.keySet == Set("sunrise-sunset", "raw-daylight", "optimized"))
+    // the optimized path must actually produce estimates, not nulls
+    val opt = byMethod("optimized").filter(_.getAs[String]("day_selection") == "all")
+    assert(opt.forall(r => !r.isNullAt(r.fieldIndex("latitude"))),
+      "optimized configs produced null latitude")
+  }
+}
