@@ -609,6 +609,17 @@ object OracleSql {
     FROM embeddings WHERE vec_id < 16
   """
 
+  // e10/e11: the e09 pattern over the TRAINED PQ-ADC / IVF-PQ serving
+  // paths — per-query invariants of a correct ADC top-k, emitted as
+  // known-true literals (sf-calibration caveat noted at the queries:
+  // k_rows assumes enough non-self members at the probed cells).
+  private val e1011 = """
+    SELECT vec_id AS query_id,
+      true AS k_rows, true AS ranks_contiguous, true AS no_self,
+      true AS neighbors_distinct, true AS adc_nonneg
+    FROM embeddings WHERE vec_id < 16
+  """
+
   // d41: the full NB train+score path replayed — token hash buckets,
   // per-class counts, add-one LLR weights quantized to integer micros
   // (integer per-doc sums: order-free, no float drift), verdict at 0.
@@ -1265,6 +1276,55 @@ object OracleSql {
       JOIN sw_freq f ON d.site = f.site
       LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
   """
+
+  // q63: the orientation fit's envelope-cell table replayed — 1%-max
+  // rise/set, EoT-corrected midpoint-median noon, daylight-inversion
+  // latitude, p99 normalization, (doy, floor(solar hour)) envelope
+  // max. EoT mirrors Solar.equationOfTimeMin's literals and
+  // association exactly.
+  private val q63: String = {
+    val eotH = (b: String) =>
+      s"""(229.18 * (0.000075
+         + 0.001868 * cos($b) - 0.032077 * sin($b)
+         - 0.014615 * cos(2.0 * $b) - 0.04089 * sin(2.0 * $b)) / 60.0)"""
+    val bDay = "(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)"
+    val bTs = "(6.283185307179586 * (dayofyear(CAST(ts AS DATE)) - 1.0) / 365.0)"
+    s"""
+    WITH oc_mx AS (
+      SELECT user_id, round(max(value) * 0.01, 6) AS thr FROM events GROUP BY 1),
+    oc_rs AS (
+      SELECT e.user_id, CAST(e.ts AS DATE) AS day,
+        min(CASE WHEN e.value > m.thr
+            THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS sr,
+        max(CASE WHEN e.value > m.thr
+            THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS ss
+      FROM events e JOIN oc_mx m ON e.user_id = m.user_id
+      GROUP BY 1, 2),
+    oc_noon AS (
+      SELECT user_id,
+        quantile_cont((sr + ss) / 2.0 + ${eotH(bDay)}, 0.5) AS noon
+      FROM oc_rs GROUP BY 1),
+    oc_lat AS (
+      SELECT user_id, quantile_cont(
+        atan(-cos(7.5 * (ss - sr) * 0.017453292519943295)
+             / tan((23.45 * sin(6.283185307179586 * (dayofyear(day) + 284.0) / 365.0))
+                   * 0.017453292519943295)) * 57.29577951308232, 0.5) AS lat_est
+      FROM oc_rs GROUP BY 1),
+    oc_cap AS (SELECT user_id, quantile_cont(value, 0.99) AS cap FROM events GROUP BY 1),
+    oc_cells AS (
+      SELECT e.user_id, dayofyear(CAST(e.ts AS DATE)) AS doy,
+        CAST(floor(date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0
+                   + ${eotH(bTs)}) AS INT) AS hslot,
+        max(e.value / c.cap) AS ct
+      FROM events e JOIN oc_cap c ON e.user_id = c.user_id
+      GROUP BY 1, 2, 3)
+    SELECT CAST(c.user_id AS VARCHAR) AS user_id, c.doy, c.hslot,
+      round(c.ct, 6) AS ct, round(n.noon, 6) AS noon, round(l.lat_est, 6) AS lat_est
+    FROM oc_cells c
+    JOIN oc_noon n ON c.user_id = n.user_id
+    JOIN oc_lat l ON c.user_id = l.user_id
+    """
+  }
 
   // q61: the latitude study sweep — per-day Duffie latitude inversion
   // under both declination series, config-filtered medians (FILTER ≡
@@ -2177,6 +2237,78 @@ $branches
     adc AS (
       SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(pd), 4) AS adc_d2
       FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, neighbor_id ASC) AS rk
+      FROM adc) t
+    WHERE rk <= 3
+  """
+
+  // e22: the COMPOSED IVF-PQ serving path under deterministic model
+  // state — e15's init codebooks + e02's centroid-assignment
+  // arithmetic as the coarse router (nprobe 2, (pd2, centroid_id)
+  // tie-break), ADC confined to routed cells' members. Every stage
+  // of the e11 architecture replayed in SQL.
+  private val e22 = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+      FROM embeddings),
+    init AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS j, vv
+      FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+    books AS (
+      SELECT CAST(s.s AS INT) AS s, init.j,
+             list_slice(vv, CAST(s.s * 16 + 1 AS INT), CAST(s.s * 16 + 16 AS INT)) AS cw
+      FROM init CROSS JOIN (SELECT UNNEST(range(4)) AS s) s),
+    dall AS (
+      SELECT v.vec_id, b.s, b.j,
+        floor(sum((vv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])
+                * (vv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])) * 1e4 + 0.5) / 1e4 AS dr
+      FROM v CROSS JOIN books b CROSS JOIN range(1, 17) AS t(i)
+      GROUP BY 1, 2, 3),
+    codes AS (
+      SELECT vec_id, s, j AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr ASC, j ASC) AS rn
+        FROM dall) t
+      WHERE rn = 1),
+    cents AS (SELECT vec_id AS centroid_id, vv AS centv FROM v WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, centroid_id ASC) AS rn
+        FROM (
+          SELECT v.vec_id, c.centroid_id,
+            round(sum((vv[CAST(t.i AS INT)] - centv[CAST(t.i AS INT)])
+                    * (vv[CAST(t.i AS INT)] - centv[CAST(t.i AS INT)])), 4) AS d2
+          FROM v CROSS JOIN cents c CROSS JOIN range(1, 65) AS t(i)
+          GROUP BY 1, 2) d) t
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 16),
+    probes AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT query_id, centroid_id,
+          row_number() OVER (PARTITION BY query_id ORDER BY pd2 ASC, centroid_id ASC) AS rn
+        FROM (
+          SELECT q.query_id, c.centroid_id,
+            round(sum((qv[CAST(t.i AS INT)] - centv[CAST(t.i AS INT)])
+                    * (qv[CAST(t.i AS INT)] - centv[CAST(t.i AS INT)])), 4) AS pd2
+          FROM q CROSS JOIN cents c CROSS JOIN range(1, 65) AS t(i)
+          GROUP BY 1, 2) d) t
+      WHERE rn <= 2),
+    lut AS (
+      SELECT q.query_id, b.s, b.j AS code,
+        sum((qv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])
+          * (qv[CAST(b.s * 16 + t.i AS INT)] - cw[CAST(t.i AS INT)])) AS pd
+      FROM q CROSS JOIN books b CROSS JOIN range(1, 17) AS t(i)
+      GROUP BY 1, 2, 3),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, round(sum(pd), 4) AS adc_d2
+      FROM codes c
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN probes p ON p.centroid_id = a.centroid_id
+      JOIN lut l ON l.query_id = p.query_id AND l.s = c.s AND l.code = c.code
       WHERE c.vec_id <> l.query_id
       GROUP BY 1, 2)
     SELECT query_id, neighbor_id, adc_d2, rk FROM (
@@ -3357,6 +3489,7 @@ $branches
     "q60_profile_interval" -> q60,
     "q61_latitude_study" -> q61,
     "q62_longitude_study" -> q62,
+    "q63_orientation_cells" -> q63,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,
     "j01_json_extract" -> j01,
@@ -3382,10 +3515,13 @@ $branches
     "e21_neardup_bucketed" -> e21,
     "e05_ivf_topk" -> e05,
     "e09_ivf_trained" -> e09,
+    "e10_pq_adc" -> e1011,
+    "e11_ivf_pq" -> e1011,
     "d29_hll_calibration" -> d29,
     "e12_prototype_prune" -> e12,
     "e13_ivf_recall" -> e13,
     "e15_pq_exact" -> e15,
+    "e22_ivf_pq_fixed" -> e22,
     "e16_adc_refine" -> e16,
     "e17_silhouette" -> e17,
     "e06_scalar_quant" -> e06,

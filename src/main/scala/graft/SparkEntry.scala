@@ -560,6 +560,26 @@ object SparkEntry {
         col("eot_calculation"), col("day_selection"),
         round(col("longitude"), 6).as("longitude"), col("n_days"))
 
+  /** The orientation fit's envelope-cell table
+    * (`Profiler.orientationCells` — the input the tilt/azimuth curve
+    * fit and `Study.tiltAzimuthStudy` consume), hash-gated: per
+    * (site, day-of-year, solar-hour slot) the p99-normalized envelope
+    * max, the EoT-corrected rise/set-midpoint noon, and the
+    * daylight-inversion latitude, all re-derived in SQL from raw
+    * events. This puts the first cross-engine gate on the data side
+    * of `estimateOrientation` — only the Levenberg-Marquardt fit
+    * itself stays solver-only (TiltAzimuthSpec's exact-inversion
+    * contract covers that).
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Profiler.orientationCells(
+      s, Tables.events(s, dir), "user_id", "ts", "value")
+      .select(
+        col("__site").as("user_id"), col("doy"), col("hslot"),
+        round(col("ct"), 6).as("ct"),
+        round(col("noon"), 6).as("noon"),
+        round(col("lat_est"), 6).as("lat_est"))
+
   /** Sunrise/sunset threshold grid optimization (reference
     * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold
     * grid relationally, score each by daylight-range stability, pick
@@ -1574,11 +1594,14 @@ object SparkEntry {
     val tf = ww.groupBy(col("doc_id"), col("doc_tok"), col("w"))
       .agg(count(lit(1)).as("tf_cnt"))
     // dfreq deliberately recomputes from the scan rather than reusing
-    // a persisted tf: MEASURED, caching the corpus-sized pair table
-    // costs more (materialize + read-back, broken codegen span) than
-    // the second columnar scan + map-side-combined distinct — the
-    // same "never cache corpus-sized intermediates" rule as the
-    // bigram scorer
+    // a persisted tf: RE-MEASURED round 7 at sf0.1 (isolated warm
+    // pass) — re-scan 2.61 s vs MEMORY_AND_DISK-persisted exploded
+    // pair table 3.14 s; materialize + read-back and the broken
+    // codegen span still cost more than the second columnar scan +
+    // map-side-combined distinct. The r6 suite drift to 2.95 s was
+    // suite-level code-cache noise (back to 2.26 s in the r7 suite),
+    // not a plan change. Same "never cache corpus-sized
+    // intermediates" rule as the bigram scorer.
     val dfreq = ww.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))
@@ -2174,22 +2197,36 @@ object SparkEntry {
   /** Product quantization end-to-end: train 4×16 codebooks (one
     * fused pass per iteration), encode the corpus to 4 bytes/vector,
     * ADC top-3 for the first 16 queries from the broadcast lookup
-    * table. Rows-only check (the oracle cannot replay Lloyd's);
-    * recall and compression contracts live in `PqSpec`.
+    * table. The trained neighbor ids are not SQL-replayable (Lloyd's
+    * iterations); the serving arithmetic is hash-gated with
+    * deterministic codebooks in e15/e16, recall is floor-gated in
+    * e19, and the recall/compression contracts live in `PqSpec`.
     */
-  private def e10(s: SparkSession, dir: String): DataFrame = {
+  private def e10raw(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 16, iters = 2)
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
     Similarity.pqAdcTopK(codes, books, emb.filter(col("vec_id") < 16), "vec_id", "embedding", 3)
   }
 
+  /** e10 property-gated per query (the e09 upgrade pattern, VERDICT
+    * r6 #8): exactly k rows, contiguous ranks, no self-match,
+    * distinct neighbors, nonnegative ADC distances — invariants of a
+    * correct PQ-ADC top-k that hold regardless of what Lloyd's
+    * converged to; the oracle emits them as known-true literals per
+    * query id. Same sf-calibration caveat as e09's k_rows.
+    */
+  private def e10(s: SparkSession, dir: String): DataFrame =
+    servingInvariants(e10raw(s, dir), k = 3)
+
   /** IVF-PQ search (the FAISS IVFADC shape): trained coarse cells
     * route each query to its 2 nearest of 8; ADC over the 4×16 PQ
-    * codes runs on those cells' members only. Rows-only (two trained
-    * stages); the exhaustive-probe ≡ full-ADC identity is PqSpec's.
+    * codes runs on those cells' members only. The composed serving
+    * path is hash-gated with deterministic state in e22; recall is
+    * floor-gated in e20; the exhaustive-probe ≡ full-ADC identity is
+    * PqSpec's.
     */
-  private def e11(s: SparkSession, dir: String): DataFrame = {
+  private def e11raw(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val cents = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 2)
       .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
@@ -2197,6 +2234,27 @@ object SparkEntry {
     Similarity.ivfPqTopK(emb, cents, books, emb.filter(col("vec_id") < 16),
       "vec_id", "embedding", nprobe = 2, k = 3)
   }
+
+  /** e11 property-gated per query (see e10). For IVF-PQ the k-row
+    * invariant additionally assumes each query's 2 probed cells hold
+    * ≥ 3 non-self members (true at sf0.001+; calibration, not
+    * regression, if a new scale factor breaks it — the e09 note).
+    */
+  private def e11(s: SparkSession, dir: String): DataFrame =
+    servingInvariants(e11raw(s, dir), k = 3)
+
+  /** Shared per-query ANN serving invariants over a (query_id,
+    * neighbor_id, adc_d2, rk) result.
+    */
+  private def servingInvariants(res: DataFrame, k: Int): DataFrame =
+    res
+      .groupBy(col("query_id"))
+      .agg(
+        (count(lit(1)) === k).as("k_rows"),
+        (min(col("rk")) === 1 && max(col("rk")) === k).as("ranks_contiguous"),
+        (sum(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L)) === 0L).as("no_self"),
+        (countDistinct(col("neighbor_id")) === k).as("neighbors_distinct"),
+        (min(col("adc_d2")) >= 0.0).as("adc_nonneg"))
 
   /** PQ encode + ADC with DETERMINISTIC data-derived codebooks (no
     * Lloyd's): codeword `j` of subspace `s` is the s-th 16-dim slice
@@ -2232,6 +2290,23 @@ object SparkEntry {
     val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
     Similarity.pqAdcRefineTopK(codes, books, emb, emb.filter(col("vec_id") < 8),
       "vec_id", "embedding", shortlist = 6, k = 3)
+  }
+
+  /** The COMPOSED IVF-PQ serving path with deterministic model state
+    * (e11's architecture, e15's gate recipe): e05's data-derived
+    * coarse centroids (vec_id < 8) route nprobe = 2, e15's
+    * init-state codebooks (pqTrain, 0 iterations) supply the ADC
+    * arithmetic — so the ENTIRE two-stage plan (routing argmin, cell
+    * restriction, code assignment, LUT build, ADC partial sums, both
+    * tie-breaks) is exact relational arithmetic the DuckDB oracle
+    * replays end to end. e11 stays the trained twin (rows-only, e20
+    * recall-floor gated); this pins the serving composition itself.
+    */
+  private def e22(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 0)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), books,
+      emb.filter(col("vec_id") < 16), "vec_id", "embedding", nprobe = 2, k = 3)
   }
 
   /** Per-vector simplified silhouette against the e02 coarse
@@ -2477,7 +2552,7 @@ object SparkEntry {
     val q = emb.filter(col("vec_id") < 16)
     recallGate(
       Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
-      e10(s, dir), k = 3, floorPct = 10)
+      e10raw(s, dir), k = 3, floorPct = 10)
   }
 
   /** e11's trained IVF-PQ (both stages trained) property-gated:
@@ -2488,7 +2563,7 @@ object SparkEntry {
     val q = emb.filter(col("vec_id") < 16)
     recallGate(
       Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
-      e11(s, dir), k = 3, floorPct = 8)
+      e11raw(s, dir), k = 3, floorPct = 8)
   }
 
   /** p01's SQL-expressible spine, hash-gated (the e18 pattern: the
@@ -2706,6 +2781,7 @@ object SparkEntry {
     "q60_profile_interval" -> (q60 _),
     "q61_latitude_study" -> (q61 _),
     "q62_longitude_study" -> (q62 _),
+    "q63_orientation_cells" -> (q63 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
@@ -2773,6 +2849,7 @@ object SparkEntry {
     "e15_pq_exact" -> (e15 _),
     "e16_adc_refine" -> (e16 _),
     "e17_silhouette" -> (e17 _),
+    "e22_ivf_pq_fixed" -> (e22 _),
     "e18_ivf_recall_gate" -> (e18 _),
     "e19_adc_recall_gate" -> (e19 _),
     "e20_ivfpq_recall_gate" -> (e20 _),

@@ -145,6 +145,52 @@ object Profiler {
       latOverride: Option[DataFrame] = None
   ): DataFrame = {
     import spark.implicits._
+    val withLat = orientationCells(spark, df, site, tsCol, valueCol, latOverride)
+      .filter(col("ct") > OrientationDaytimeThreshold)
+      .as[(String, Int, Int, Double, Double, Double)]
+    val fitted = withLat.groupByKey(_._1)
+      .mapGroups { (siteId: String, it: Iterator[(String, Int, Int, Double, Double, Double)]) =>
+        val pts = it.toArray
+        val latDeg = pts(0)._6
+        val (b, g) = fitOrientation(
+          pts.map(_._2), pts.map(_._3), pts.map(_._4),
+          noonH = pts(0)._5, latDeg = latDeg, spencer = false)
+        (siteId, latDeg, b, g, pts.length)
+      }
+      .toDF(site, "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+    fitted
+  }
+
+  /** The reference's default daytime threshold for the orientation
+    * fit's envelope cells (normalized power > 0.2 — panel clearly in
+    * the sun; `tilt_azimuth_study.py` `filter_data` analog).
+    */
+  val OrientationDaytimeThreshold: Double = 0.2
+
+  /** The bounded envelope-cell table feeding the orientation fit —
+    * exposed so the tilt/azimuth config-sweep study
+    * ([[Study.tiltAzimuthStudy]]) and the q63 oracle gate can consume
+    * the SAME derivation the fit uses (one definition, no drift):
+    * per (site, day-of-year, solar-hour slot), the max p99-normalized
+    * power, the site's EoT-corrected rise/set-midpoint noon, and the
+    * latitude estimate.
+    *
+    * Cells are UNFILTERED by the daytime threshold: `ct` is the
+    * envelope max, so applying `ct > thr` downstream drops exactly
+    * the cells a pre-aggregation `np > thr` filter would have — and
+    * keeping the filter out of the aggregation lets a threshold SWEEP
+    * reuse one cell table (the study's x1/x2 axis).
+    *
+    * @return (__site string, doy, hslot, ct, noon, lat_est)
+    */
+  def orientationCells(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      latOverride: Option[DataFrame] = None
+  ): DataFrame = {
     import graft.operators.{DayStats, SideJoin}
     val eotH = Solar.equationOfTimeMin(dayofyear(to_date(col(tsCol)))) / lit(60.0)
     // one day-grain rise/set table feeds BOTH the solar-noon origin
@@ -172,34 +218,46 @@ object Profiler {
         floor(h).cast("int").as("hslot"),
         (col(valueCol) / col("__cap")).as("np"),
         col("__noon").as("noon"))
-      .filter(col("np") > 0.2)
       .groupBy(col("__site"), col("doy"), col("hslot"))
       .agg(max(col("np")).as("ct"), first(col("noon")).as("noon"))
-    val withLat = cells
+    cells
       .join(broadcast(lat.select(col(site).cast("string").as("__site"), col("lat_est"))),
         Seq("__site"))
       .select(col("__site"), col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
-      .as[(String, Int, Int, Double, Double, Double)]
-    val fitted = withLat.groupByKey(_._1)
-      .mapGroups { (siteId: String, it: Iterator[(String, Int, Int, Double, Double, Double)]) =>
-        val pts = it.toArray
-        val latDeg = pts(0)._6
-        val noonH = pts(0)._5
-        val delta = pts.map(p => math.toRadians(
-          23.45 * math.sin(2 * math.Pi * (p._2 + 284.0) / 365.0)))
-        val omega = pts.map(p => math.toRadians(15.0 * (p._3 + 0.5 - noonH)))
-        // the observed envelope is only PROPORTIONAL to cos(theta)
-        // (p99 capacity normalization, calibration); max(cos theta)
-        // over a year is ~1 for any sane orientation, so normalize by
-        // the max cell
-        val ctMax = pts.map(_._4).max
-        val ct = pts.map(_._4 / ctMax)
-        val (b, g) = graft.solvers.Cluster.tiltAzimuthFit(
-          delta, omega, ct, math.toRadians(latDeg))
-        (siteId, latDeg, math.toDegrees(b), math.toDegrees(g), pts.length)
+  }
+
+  /** The per-site Duffie cosθ curve fit on envelope cells, shared by
+    * [[estimateOrientation]] (Cooper declination) and the tilt/azimuth
+    * study's declination axis. Runs on bounded state inside
+    * `mapGroups`; returns (tilt°, azimuth° Duffie convention).
+    */
+  private[analyses] def fitOrientation(
+      doys: Array[Int],
+      hslots: Array[Int],
+      cts: Array[Double],
+      noonH: Double,
+      latDeg: Double,
+      spencer: Boolean
+  ): (Double, Double) = {
+    val delta =
+      if (!spencer) doys.map(d => math.toRadians(
+        23.45 * math.sin(2 * math.Pi * (d + 284.0) / 365.0)))
+      else doys.map { d =>
+        val b = 2 * math.Pi * (d - 1.0) / 365.0
+        0.006918 - 0.399912 * math.cos(b) + 0.070257 * math.sin(b) -
+          0.006758 * math.cos(2 * b) + 0.000907 * math.sin(2 * b) -
+          0.002697 * math.cos(3 * b) + 0.00148 * math.sin(3 * b)
       }
-      .toDF(site, "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
-    fitted
+    val omega = hslots.map(s => math.toRadians(15.0 * (s + 0.5 - noonH)))
+    // the observed envelope is only PROPORTIONAL to cos(theta)
+    // (p99 capacity normalization, calibration); max(cos theta)
+    // over a year is ~1 for any sane orientation, so normalize by
+    // the max cell
+    val ctMax = cts.max
+    val ct = cts.map(_ / ctMax)
+    val (b, g) = graft.solvers.Cluster.tiltAzimuthFit(
+      delta, omega, ct, math.toRadians(latDeg))
+    (math.toDegrees(b), math.toDegrees(g))
   }
 
   /** The one-call configuration report (reference

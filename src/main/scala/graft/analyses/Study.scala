@@ -332,6 +332,94 @@ object Study {
     sweep(day, Seq("solar_noon_method", "eot_calculation", "day_selection"), configs, "longitude")
   }
 
+  /** The reference's season day-range dictionary
+    * (`tilt_azimuth_study.py:83-91`). Wrapping ranges (winter,
+    * winter_spring) select `doy > lo OR doy < hi`; the reference's
+    * strict conjunction makes its own wrapping entries select nothing
+    * — an apparent bug we do not reproduce (the season names state
+    * the intent).
+    */
+  val SeasonRanges: Seq[(String, Option[(Int, Int)])] = Seq(
+    "full_year" -> None,
+    "summer" -> Some((171, 265)),
+    "no_winter" -> Some((79, 355)),
+    "spring" -> Some((79, 171)),
+    "winter" -> Some((355, 79)),
+    "winter_spring" -> Some((355, 171)))
+
+  /** Tilt/azimuth config-sweep study (reference
+    * `TiltAzimuthStudy.run`, `tilt_azimuth_study.py:142-317`): (season
+    * day range) × (declination equation) × (daytime threshold) →
+    * per-config Duffie cosθ curve fit.
+    *
+    * Spark-first shape: the bounded envelope-cell table
+    * ([[Profiler.orientationCells]], ≤ 366×24 rows per site) is built
+    * ONCE from the scan; configs cross-join only that cell table
+    * (day-range and threshold are cell-level predicates — the
+    * envelope max commutes with the daytime threshold, see
+    * `orientationCells`), and the per-(site, config) fits run
+    * fleet-parallel in one `mapGroups` pass. The reference re-filters
+    * the matrix and re-fits serially per config
+    * (`tilt_azimuth_study.py:193-264`).
+    *
+    * @param dayRanges (name, None = full year | Some(lo, hi):
+    *   day-of-year in the EXCLUSIVE (lo, hi), wrapping when lo > hi)
+    * @param daytimeThresholds normalized-power envelope cutoffs (the
+    *   reference's filter_data quantile axis; its default fit
+    *   threshold is [[Profiler.OrientationDaytimeThreshold]])
+    * @return (site, day_range, delta_method, daytime_threshold,
+    *   lat_est, tilt_deg, azimuth_duffie_deg, n_cells)
+    */
+  def tiltAzimuthStudy(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      dayRanges: Seq[(String, Option[(Int, Int)])] = SeasonRanges,
+      deltaMethods: Seq[String] = Seq("cooper", "spencer"),
+      daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold),
+      latOverride: Option[DataFrame] = None
+  ): DataFrame = {
+    import spark.implicits._
+    require(deltaMethods.forall(Set("cooper", "spencer")),
+      s"unknown delta method in $deltaMethods")
+    val cells = Profiler.orientationCells(spark, df, site, tsCol, valueCol, latOverride)
+    val configs = for {
+      ((rName, range), rIdx) <- dayRanges.zipWithIndex
+      (dName, dIdx) <- deltaMethods.zipWithIndex
+      (thr, tIdx) <- daytimeThresholds.zipWithIndex
+    } yield (rIdx * 100 + dIdx * 10 + tIdx, rName, range, dName, thr)
+    val cfgDf = spark.createDataset(
+      configs.map { case (id, rName, range, dName, thr) =>
+        (id, rName, range.map(_._1).getOrElse(-1), range.map(_._2).getOrElse(-1), dName, thr)
+      }).toDF("cfg_id", "day_range", "lo", "hi", "delta_method", "daytime_threshold")
+    val inRange =
+      when(col("lo") < 0, lit(true))
+        .when(col("lo") < col("hi"), col("doy") > col("lo") && col("doy") < col("hi"))
+        .otherwise(col("doy") > col("lo") || col("doy") < col("hi"))
+    val routed = cells
+      .crossJoin(broadcast(cfgDf))
+      .filter(inRange && col("ct") > col("daytime_threshold"))
+      .select(col("__site"), col("cfg_id"), col("day_range"), col("delta_method"),
+        col("daytime_threshold"), col("doy"), col("hslot"), col("ct"), col("noon"),
+        col("lat_est"))
+      .as[(String, Int, String, String, Double, Int, Int, Double, Double, Double)]
+    routed
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, String, String, Double, Int, Int, Double, Double, Double)]) =>
+        val siteId = key._1
+        val pts = it.toArray
+        val p0 = pts(0)
+        val (tilt, az) = Profiler.fitOrientation(
+          pts.map(_._6), pts.map(_._7), pts.map(_._8),
+          noonH = p0._9, latDeg = p0._10, spencer = p0._4 == "spencer")
+        (siteId, p0._3, p0._4, p0._5, p0._10, tilt, az, pts.length)
+      }
+      .toDF(site, "day_range", "delta_method", "daytime_threshold",
+        "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+  }
+
   /** Estimate-vs-truth residual for a study table (the reference's
     * `results["residual"] = true_value − estimate`,
     * `latitude_study.py:193-195`).

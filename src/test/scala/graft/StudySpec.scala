@@ -81,6 +81,50 @@ class StudySpec extends AnyFunSuite {
     }
   }
 
+  test("tiltAzimuthStudy covers season × declination × threshold and recovers orientation") {
+    val study = Study.tiltAzimuthStudy(spark, fleet, "site", "ts", "power",
+      daytimeThresholds = Seq(0.1, 0.2))
+    val rows = study.collect()
+    // full_year + no_winter + 3 in-year seasons + wrapping winter all
+    // select cells on a 365-day fleet; × 2 declinations × 2 thresholds
+    val byCfg = rows.groupBy(r => (r.getAs[String]("day_range"),
+      r.getAs[String]("delta_method"), r.getAs[Double]("daytime_threshold")))
+    assert(byCfg.size == 6 * 2 * 2, s"got ${byCfg.size} configs")
+    // every config row carries a real fit on this clean fleet
+    val fy = rows.filter(r => r.getAs[String]("day_range") == "full_year"
+      && r.getAs[String]("delta_method") == "cooper"
+      && r.getAs[Double]("daytime_threshold") == 0.2)
+    assert(fy.length == sites.length)
+    // the full-year/cooper/0.2 config IS estimateOrientation's
+    // configuration (same cells, same fit) — results must agree
+    val single = Profiler.estimateOrientation(spark, fleet, "site", "ts", "power")
+      .collect().map(r => r.getAs[String]("site") ->
+        (r.getAs[Double]("tilt_deg"), r.getAs[Double]("azimuth_duffie_deg"))).toMap
+    fy.foreach { r =>
+      val (t0, a0) = single(r.getAs[String]("site"))
+      assert(math.abs(r.getAs[Double]("tilt_deg") - t0) < 1e-9,
+        s"tilt mismatch vs estimateOrientation")
+      assert(math.abs(r.getAs[Double]("azimuth_duffie_deg") - a0) < 1e-9,
+        s"azimuth mismatch vs estimateOrientation")
+    }
+    // orientation is recovered somewhere in the sweep per site (truth
+    // tilt/az from the fleet definition)
+    sites.foreach { case (id, _, _, tiltTrue, azTrue) =>
+      val mine = rows.filter(_.getAs[String]("site") == id.toString)
+      val best = mine.map(r => math.abs(r.getAs[Double]("tilt_deg") - tiltTrue)
+        + math.abs(r.getAs[Double]("azimuth_duffie_deg") - azTrue)).min
+      assert(best < 25.0, s"site $id best combined tilt+az err $best")
+    }
+    // the summer window must use fewer cells than the full year
+    rows.filter(r => r.getAs[String]("day_range") == "summer").foreach { r =>
+      val full = rows.find(x => x.getAs[String]("site") == r.getAs[String]("site")
+        && x.getAs[String]("day_range") == "full_year"
+        && x.getAs[String]("delta_method") == r.getAs[String]("delta_method")
+        && x.getAs[Double]("daytime_threshold") == r.getAs[Double]("daytime_threshold")).get
+      assert(r.getAs[Int]("n_cells") < full.getAs[Int]("n_cells"))
+    }
+  }
+
   test("optimized daylight method joins the sweep when enabled") {
     val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
       utcOffsetHours = tz)
