@@ -1372,21 +1372,34 @@ object OracleSql {
     val daRosaB = "(6.283185307179586 * (doy - 81.0) / 365.0)"
     val daRosa =
       s"(9.87 * sin(2.0 * $daRosaB) - 7.53 * cos($daRosaB) - 1.5 * sin($daRosaB))"
+    // fully parenthesized: this expression is interpolated into
+    // arithmetic contexts (e.g. `round($expr * 1e6, 0)`) where a bare
+    // trailing `+ 0.0` would re-associate
     def lon(noon: String, eot: String) =
-      s"(720.0 - 60.0 * $noon - $eot) / 4.0 + 0.0"
+      s"((720.0 - 60.0 * $noon - $eot) / 4.0 + 0.0)"
     val variants = Seq(
       ("energy_com", "duffie", lon("noon_com", duffie)),
       ("energy_com", "da_rosa", lon("noon_com", daRosa)),
       ("rise_set_average", "duffie", lon("noon_rs", duffie)),
       ("rise_set_average", "da_rosa", lon("noon_rs", daRosa)))
     val sels = Seq(("all", "TRUE"), ("clear", "clear"), ("cloudy", "NOT clear"))
+    // estimator axis closed forms (fitting.py residuals are linear in
+    // lon): calculated / fit_l1 = median; fit_l2 = mean via EXACT
+    // integer-micro sums so the hash survives any summation order
     val branches = variants.flatMap { case (nName, eName, expr) =>
-      sels.map { case (sName, sPred) =>
-        s"""      SELECT site, 'raw' AS data_matrix, '$nName' AS solar_noon_method,
-          '$eName' AS eot_calculation, '$sName' AS day_selection,
-          round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6) AS longitude,
-          count($expr) FILTER (WHERE $sPred) AS n_days
-        FROM sw_day GROUP BY 1"""
+      sels.flatMap { case (sName, sPred) =>
+        val med = s"round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6)"
+        val mean = s"""round(CAST(sum(CAST(round($expr * 1e6, 0) AS BIGINT))
+            FILTER (WHERE $sPred) AS DOUBLE) / 1e6
+            / (count($expr) FILTER (WHERE $sPred)), 6)"""
+        Seq(("calculated", med), ("fit_l1", med), ("fit_l2", mean)).map { case (est, v) =>
+          s"""      SELECT site, 'raw' AS data_matrix, '$nName' AS solar_noon_method,
+            '$eName' AS eot_calculation, '$sName' AS day_selection,
+            '$est' AS estimator,
+            $v AS longitude,
+            count($expr) FILTER (WHERE $sPred) AS n_days
+          FROM sw_day GROUP BY 1"""
+        }
       }
     }.mkString("\n      UNION ALL\n")
     s"""

@@ -549,15 +549,19 @@ object SparkEntry {
     * `longitude_study.py:70-225` via `analyses/Study.longitudeStudy`),
     * same oracle-expressible slice: raw matrix × (energy_com |
     * rise_set_average) × (duffie | da_rosa EoT) × (all | clear |
-    * cloudy) = 12 config rows per site, hash-gated.
+    * cloudy) × (calculated | fit_l1 | fit_l2 estimators) = 36 config
+    * rows per site, hash-gated — the closed-form estimator axis
+    * included (fit_l2 mean via exact integer micros; fit_huber's IRLS
+    * is the one slice the oracle can't iterate, StudySpec-gated).
     */
   private def q62(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Study.longitudeStudy(
       s, Tables.events(s, dir), "user_id", "ts", "value",
-      includeFilled = false)
+      includeFilled = false,
+      estimators = Seq("calculated", "fit_l1", "fit_l2"))
       .select(
         col("site"), col("data_matrix"), col("solar_noon_method"),
-        col("eot_calculation"), col("day_selection"),
+        col("eot_calculation"), col("day_selection"), col("estimator"),
         round(col("longitude"), 6).as("longitude"), col("n_days"))
 
   /** The orientation fit's envelope-cell table

@@ -275,17 +275,28 @@ object Study {
   }
 
   /** Longitude study (reference `LongitudeStudy.run`,
-    * `longitude_study.py:70-225`, `calculated` estimator): (data
-    * matrix) × (solar-noon method: energy center of mass |
-    * sunrise/sunset average | optimized) × (equation of time: Duffie
-    * 1.5.3 | Da Rosa/Haghdadi) × (day selection) → median per-day
-    * longitude. The reference's curve-fitting estimators (`fit_l1`/
-    * `fit_l2`/`fit_huber`, `longitude/fitting.py`) refine the same
-    * per-day series the `calculated` path medians; the robust-median
-    * default is the one the estimator API ships.
+    * `longitude_study.py:70-225`): (data matrix) × (solar-noon
+    * method: energy center of mass | sunrise/sunset average |
+    * optimized) × (equation of time: Duffie 1.5.3 | Da Rosa/Haghdadi)
+    * × (day selection) × (estimator).
+    *
+    * Estimator axis (`longitude/fitting.py:5-22`): the residual
+    * sn_h(lon) − solarnoon is LINEAR in lon with the same −1/15 h/°
+    * slope every day, so the reference's scalar cvxpy fits have
+    * closed forms over the per-day estimates lon_d = (720 − 60·SN_d −
+    * EoT_d)/4 + 15·gmt — `fit_l2` is their mean, `fit_l1` (and
+    * `calculated`) their median, and `fit_huber` their Huber location
+    * estimate with scale 15°/h·M (cvx.huber's M = 1 on hour-grain
+    * residuals ⇒ 15° in longitude units), computed by IRLS on the
+    * bounded per-site day series inside `mapGroups`. No numerical
+    * solver is needed where the argmin is a one-line aggregate.
+    *
+    * Mean parity: `fit_l2` lifts per-day values to 6-dp integer
+    * micros and derives the mean from the exact integer sum (the q07
+    * contract), so the hash gate survives any summation order.
     *
     * @return (site, data_matrix, solar_noon_method, eot_calculation,
-    *   day_selection, longitude, n_days)
+    *   day_selection, estimator, longitude, n_days)
     */
   def longitudeStudy(
       spark: SparkSession,
@@ -297,9 +308,13 @@ object Study {
       threshold: Double = 0.001,
       includeFilled: Boolean = true,
       includeOptimized: Boolean = false,
+      estimators: Seq[String] = Seq("calculated", "fit_l1", "fit_l2", "fit_huber"),
       filledSlotsPerDay: Int = 96,
       clearSlotsPerDay: Int = 96
   ): DataFrame = {
+    import spark.implicits._
+    require(estimators.forall(Set("calculated", "fit_l1", "fit_l2", "fit_huber")),
+      s"unknown estimator in $estimators")
     val day0 = dayGrain(spark, df, site, tsCol, valueCol, threshold,
       includeFilled, filledSlotsPerDay)
     val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
@@ -323,13 +338,124 @@ object Study {
       "all" -> lit(true),
       "clear" -> col("clear"),
       "cloudy" -> !col("clear"))
-    val configs = for {
+    val combos = for {
       (nName, noon) <- noons
       (eName, eot) <- eots
-      (sName, sel) <- sels
-    } yield Cfg(s"$nName/$eName/$sName", Seq(nName, eName, sName),
-      lonDay(noon, eot, gmtOffsetHours), sel)
-    sweep(day, Seq("solar_noon_method", "eot_calculation", "day_selection"), configs, "longitude")
+    } yield (nName, eName, lonDay(noon, eot, gmtOffsetHours))
+
+    // one day-grain projection carries every (noon × eot) lon series;
+    // the relational estimators aggregate it, the Huber pass iterates
+    // on it per site — both read the SAME frame
+    val lonCols = combos.zipWithIndex.map { case ((_, _, c), i) => c.as(s"lon_$i") }
+    val base = day.select(
+      Seq(col("site"), col("data_matrix"), col("clear")) ++ lonCols: _*)
+
+    val aggEstimators = estimators.filter(_ != "fit_huber")
+    val relational: Option[DataFrame] =
+      if (aggEstimators.isEmpty) None
+      else {
+        val aggs = combos.indices.flatMap { i =>
+          sels.indices.flatMap { j =>
+            val sel = sels(j)._2
+            val x = col(s"lon_$i")
+            Seq(
+              percentile(when(sel, x), lit(0.5)).as(s"med_${i}_$j"),
+              // exact integer-micro sum → order-free mean (q07 rule)
+              sum(when(sel, round(x * 1e6).cast("long"))).as(s"sum_${i}_$j"),
+              sum(when(sel && x.isNotNull, 1L).otherwise(0L)).as(s"n_${i}_$j"))
+          }
+        }
+        val agged = base.groupBy(col("site"), col("data_matrix"))
+          .agg(aggs.head, aggs.tail: _*)
+        val stackArgs = combos.zipWithIndex.flatMap { case ((nName, eName, _), i) =>
+          sels.zipWithIndex.flatMap { case ((sName, _), j) =>
+            aggEstimators.map { est =>
+              val value = est match {
+                case "fit_l2" =>
+                  s"CAST(sum_${i}_$j AS DOUBLE) / 1e6 / n_${i}_$j"
+                case _ => s"med_${i}_$j" // calculated and fit_l1 = median
+              }
+              s"'$nName', '$eName', '$sName', '$est', $value, n_${i}_$j"
+            }
+          }
+        }.mkString(", ")
+        val nCfg = combos.length * sels.length * aggEstimators.length
+        Some(agged.select(
+          col("site"), col("data_matrix"),
+          expr(s"stack($nCfg, $stackArgs)")
+            .as(Seq("solar_noon_method", "eot_calculation", "day_selection",
+              "estimator", "longitude", "n_days"))))
+      }
+
+    val huber: Option[DataFrame] =
+      if (!estimators.contains("fit_huber")) None
+      else {
+        val comboMeta = combos.map { case (n, e, _) => (n, e) }
+        // long format so the per-site state is one fixed-arity tuple
+        // regardless of how many (noon × eot) combos are enabled
+        val longRows = base.select(
+          col("site"), col("data_matrix"), col("clear"),
+          expr(s"stack(${combos.length}, ${combos.indices.map(i => s"$i, lon_$i").mkString(", ")})")
+            .as(Seq("combo", "lon")))
+          .filter(col("lon").isNotNull)
+          .as[(Long, String, Boolean, Int, Double)]
+        val fitted = longRows
+          .groupByKey(r => (r._1, r._2))
+          .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Boolean, Int, Double)]) =>
+            val pts = it.toArray
+            for {
+              i <- comboMeta.indices.iterator
+              (sName, selIdx) <- Iterator(("all", 0), ("clear", 1), ("cloudy", 2))
+            } yield {
+              val vals = pts.iterator
+                .filter(p => p._4 == i && (selIdx == 0 || (selIdx == 1) == p._3))
+                .map(_._5).toArray
+              val est: Option[Double] =
+                if (vals.isEmpty) None else Some(huberLocation(vals, scale = 15.0))
+              (key._1, key._2, comboMeta(i)._1, comboMeta(i)._2, sName, "fit_huber",
+                est, vals.length.toLong)
+            }
+          }
+          .toDF("site", "data_matrix", "solar_noon_method", "eot_calculation",
+            "day_selection", "estimator", "longitude", "n_days")
+        Some(fitted)
+      }
+
+    (relational, huber) match {
+      case (Some(r), Some(h)) => r.unionByName(h)
+      case (Some(r), None) => r
+      case (None, Some(h)) => h
+      case (None, None) =>
+        throw new IllegalArgumentException("estimators must be non-empty")
+    }
+  }
+
+  /** Huber location M-estimate by IRLS (weights min(1, scale/|x−μ|)),
+    * median start, 1e-12 fixed point — the closed-loop equivalent of
+    * the reference's scalar cvxpy huber fit (see [[longitudeStudy]]).
+    */
+  private[analyses] def huberLocation(xs: Array[Double], scale: Double): Double = {
+    val sorted = xs.sorted
+    var mu =
+      if (sorted.length % 2 == 1) sorted(sorted.length / 2)
+      else (sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)) / 2.0
+    var it = 0
+    var moved = true
+    while (it < 100 && moved) {
+      var sw = 0.0
+      var swx = 0.0
+      var k = 0
+      while (k < xs.length) {
+        val d = math.abs(xs(k) - mu)
+        val w = if (d <= scale) 1.0 else scale / d
+        sw += w; swx += w * xs(k); k += 1
+      }
+      val next = if (sw > 0) swx / sw else mu
+      moved = math.abs(next - mu) > 1e-12
+      mu = next
+      it += 1
+    }
+    mu
   }
 
   /** The reference's season day-range dictionary

@@ -64,7 +64,21 @@ class StudySpec extends AnyFunSuite {
     val rows = Study.withResidual(
       study, truth.select(col("site"), col("lon_deg")), "site", "longitude", "lon_deg")
       .collect()
-    assert(rows.length == sites.length * 24, s"got ${rows.length} config rows")
+    // 2 matrices × 2 noons × 2 EoTs × 3 selections × 4 estimators
+    assert(rows.length == sites.length * 96, s"got ${rows.length} config rows")
+    // fit_l1 and calculated share the median argmin (linear residuals)
+    val byKey = rows.groupBy(r => (r.getAs[Long]("site"), r.getAs[String]("data_matrix"),
+      r.getAs[String]("solar_noon_method"), r.getAs[String]("eot_calculation"),
+      r.getAs[String]("day_selection")))
+    byKey.values.foreach { grp =>
+      val byEst = grp.map(r => r.getAs[String]("estimator") ->
+        Option(r.getAs[java.lang.Double]("longitude")).map(_.toDouble)).toMap
+      assert(byEst("fit_l1") == byEst("calculated"), "fit_l1 must equal calculated")
+      // on a clean fleet the Huber estimate sits with the median/mean
+      for (m <- byEst("fit_l1"); h <- byEst("fit_huber")) {
+        assert(math.abs(m - h) < 5.0, s"huber $h far from median $m")
+      }
+    }
 
     val single = Profiler.estimateLocation(fleet, "site", "ts", "power", gmtOffsetHours = tz)
       .collect().map(r => r.getAs[Long]("site") -> r.getAs[Double]("lon_est")).toMap
