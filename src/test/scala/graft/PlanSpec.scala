@@ -95,6 +95,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("study sweeps and report spine stay broadcast-shaped — no cartesian, no scan-side merge join (q61, q62, q63, p07)") {
+    Seq("q61_latitude_study", "q62_longitude_study", "q63_orientation_cells",
+      "p07_report_relational").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n planned a nested-loop join")
+      assert(p.contains("BroadcastHashJoin"), s"$n lost its site-grain broadcasts")
+    }
+  }
+
   test("grid search stays single-scan: no row explosion before aggregation (q38)") {
     // the threshold grid is evaluated as conditional aggregate columns;
     // every Generate (explode) must sit DOWNSTREAM of an aggregate —
