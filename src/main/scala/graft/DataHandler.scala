@@ -74,6 +74,38 @@ class DataHandler(
   def estimateOrientation(latOverride: Option[DataFrame] = None): DataFrame =
     Profiler.estimateOrientation(spark, df, site, tsCol, valueCol, latOverride)
 
+  /** `LatitudeStudy(data_handler).run(...)`
+    * (`latitude_study.py:29-197`): the config cross-product sweep —
+    * see [[graft.analyses.Study.latitudeStudy]] for axes and the
+    * one-scan sweep shape.
+    */
+  def latitudeStudy(
+      includeFilled: Boolean = true,
+      includeOptimized: Boolean = false
+  ): DataFrame =
+    graft.analyses.Study.latitudeStudy(spark, df, site, tsCol, valueCol,
+      includeFilled = includeFilled, includeOptimized = includeOptimized)
+
+  /** `LongitudeStudy(data_handler, gmt_offset).run(...)`
+    * (`longitude_study.py:31-225`), estimator axis included. */
+  def longitudeStudy(
+      gmtOffsetHours: Double = 0.0,
+      includeFilled: Boolean = true,
+      includeOptimized: Boolean = false
+  ): DataFrame =
+    graft.analyses.Study.longitudeStudy(spark, df, site, tsCol, valueCol,
+      gmtOffsetHours = gmtOffsetHours, includeFilled = includeFilled,
+      includeOptimized = includeOptimized)
+
+  /** `TiltAzimuthStudy(data_handler).run(...)`
+    * (`tilt_azimuth_study.py:39-353`): season × declination ×
+    * daytime-threshold sweep over the cosθ fit. */
+  def tiltAzimuthStudy(
+      daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold)
+  ): DataFrame =
+    graft.analyses.Study.tiltAzimuthStudy(spark, df, site, tsCol, valueCol,
+      daytimeThresholds = daytimeThresholds)
+
   /** The FILLED-matrix re-estimate (reference pipeline stage 12,
     * `get_optimized_sunrise_sunset(filled_data_matrix=...)`,
     * `optimized_sunrise_sunset.py:21-27`): run the threshold-tuned

@@ -316,6 +316,63 @@ object EventStream {
     )
   }
 
+  case class SiteDayLocation(
+      site: Long, day: String, dlH: Double, comHour: Double,
+      latDay: Double, lonDay: Double)
+
+  /** Streaming twin of the location profiler (q37 /
+    * `Profiler.estimateLocation`): as days finalize, emit the day's
+    * latitude and longitude estimates — daylight span above
+    * `thresholdFrac` of the EXPANDING site max (the
+    * [[incrementalRiseSet]]/[[incrementalClipStats]] convention:
+    * batch-reproducible with an expanding-max window; the batch
+    * full-series threshold is its limit as history accumulates),
+    * energy-center-of-mass solar noon, then the same Cooper
+    * declination inversion and Spencer equation-of-time correction
+    * the batch profiler applies. The SITE estimate remains a median
+    * over the emitted day rows — an aggregation the monitoring job
+    * runs over the sink, exactly as q51's neighborhood argmax stays a
+    * batch post-filter. A fleet's location dashboard thus refreshes
+    * per micro-batch without ever rescanning history. State per
+    * site: the open day's (hour, value) buffer + the closure
+    * watermark + one running max — O(scans/day), flat in stream
+    * length.
+    */
+  def incrementalLocationDays(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      thresholdFrac: Double = 0.05,
+      gmtOffsetHours: Double = 0.0
+  ): DataFrame = {
+    import spark.implicits._
+    finalizedFoldH[Vector[(Double, Double)], Double, SiteDayLocation](
+      spark, path, checkpoint, outDir,
+      zero = Vector.empty[(Double, Double)],
+      foldEv = (vs, e) => vs :+ ((e.h, e.value)),
+      carry0 = Double.MinValue,
+      onClose = { (siteMax0, site, day, hv) =>
+        val siteMax = math.max(siteMax0, hv.iterator.map(_._2).max)
+        val thr = siteMax * thresholdFrac
+        val lit2 = hv.filter(_._2 > thr)
+        val dl =
+          if (lit2.isEmpty) Double.NaN
+          else lit2.iterator.map(_._1).max - lit2.iterator.map(_._1).min
+        val sv = hv.iterator.map(_._2).sum
+        val com = if (sv == 0.0) Double.NaN else hv.iterator.map(p => p._1 * p._2).sum / sv
+        val doy = java.time.LocalDate.parse(day).getDayOfYear
+        val decl = math.toRadians(23.45 * math.sin(2 * math.Pi * (284.0 + doy) / 365.0))
+        val lat = math.toDegrees(math.atan(-math.cos(math.toRadians(7.5 * dl)) / math.tan(decl)))
+        val b = 2 * math.Pi * (doy - 1.0) / 365.0
+        val eot = 229.18 * (0.000075 + 0.001868 * math.cos(b) - 0.032077 * math.sin(b)
+          - 0.014615 * math.cos(2 * b) - 0.04089 * math.sin(2 * b))
+        val lon = -15.0 * (com - gmtOffsetHours - 12.0 + eot / 60.0)
+        (siteMax, Seq(SiteDayLocation(site, day, dl, com, lat, lon)))
+      }
+    )
+  }
+
   case class SiteDayJump(site: Long, day: String, jumpR: Double)
 
   /** Streaming twin of the capacity-change detector (q51's windowed

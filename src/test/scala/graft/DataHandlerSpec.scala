@@ -90,4 +90,19 @@ class DataHandlerSpec extends AnyFunSuite {
     assert(aug.filter(col("site") =!= 0L && col("is_clear")).count() == 0,
       "unmatched rows must fill false, not null")
   }
+
+  test("round-7 facade methods: the three study sweeps delegate to Study") {
+    import graft.analyses.Study
+    // raw-only latitude study: same rows as the operator called direct
+    val latF = dh.latitudeStudy(includeFilled = false).collect().toSet
+    val latD = Study.latitudeStudy(spark, fleet, "site", "ts", "power",
+      includeFilled = false).collect().toSet
+    assert(latF == latD, "latitudeStudy facade must equal the operator")
+    val lon = dh.longitudeStudy(includeFilled = false)
+    assert(lon.columns.contains("estimator"))
+    assert(lon.select("estimator").distinct().count() == 4)
+    val ta = dh.tiltAzimuthStudy()
+    assert(ta.columns.toSet.contains("day_range"))
+    assert(ta.select("delta_method").distinct().count() == 2)
+  }
 }

@@ -188,6 +188,62 @@ class StreamingSpec extends AnyFunSuite {
     assert(dupes.count() == 0, "a closed day emitted rise/set more than once")
   }
 
+  test("incrementalLocationDays matches the batch lat/lon day estimates against the expanding max") {
+    val src = java.nio.file.Files.createTempDirectory("evloc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evlocckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evlocout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day").as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalLocationDays(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalLocationDays(spark, src, ckpt, outDir)
+
+    // batch twin: the onClose arithmetic replayed relationally — dl
+    // above 0.05 × expanding max, CoM noon, Cooper/Spencer inversion
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.operators.TimeAxis.hourOfDay(col("ts"))
+    val evs2 = all.filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id").as("site"), col("day"), col("value"), h.as("h"))
+    val daily = evs2.groupBy(col("site"), col("day"))
+      .agg(max("value").as("e_dmax"), sum(col("value")).as("sv"),
+        sum(col("h") * col("value")).as("shv"))
+    val w = Window.partitionBy("site").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val withThr = daily.withColumn("thr", max(col("e_dmax")).over(w) * 0.05)
+    val lit2 = evs2.join(withThr, Seq("site", "day"))
+      .filter(col("value") > col("thr"))
+      .groupBy(col("site"), col("day"))
+      .agg((max(col("h")) - min(col("h"))).as("e_dl"))
+    val doy = dayofyear(to_date(col("day")))
+    val decl = radians(lit(23.45) * sin(lit(2 * math.Pi) * (lit(284.0) + doy) / lit(365.0)))
+    val b = lit(2 * math.Pi) * (doy - 1.0) / lit(365.0)
+    val eot = lit(229.18) * (lit(0.000075) + lit(0.001868) * cos(b) - lit(0.032077) * sin(b)
+      - lit(0.014615) * cos(lit(2.0) * b) - lit(0.04089) * sin(lit(2.0) * b))
+    val lastDay = daily.groupBy("site").agg(max("day").as("last_day"))
+    val expect = withThr.join(lit2, Seq("site", "day"), "left")
+      .join(lastDay, "site")
+      .filter(col("day") < col("last_day"))
+      .withColumn("e_com", col("shv") / col("sv"))
+      .withColumn("e_lat", degrees(atan(-cos(radians(lit(7.5) * col("e_dl"))) / tan(decl))))
+      .withColumn("e_lon", lit(-15.0) * (col("e_com") - lit(12.0) + eot / lit(60.0)))
+    assert(out.count() == expect.count(), "closed-day row count mismatch")
+    val joined = out.join(expect, Seq("site", "day"))
+    // NaN (streaming) pairs with null (batch left-join) when a day has
+    // no above-threshold samples or zero energy
+    val latOk = (isnan(col("latDay")) && col("e_lat").isNull) ||
+      abs(col("latDay") - col("e_lat")) < 1e-6
+    val lonOk = (isnan(col("lonDay")) && col("e_lon").isNull) ||
+      abs(col("lonDay") - col("e_lon")) < 1e-6
+    val bad = joined.filter(!(latOk && lonOk))
+    assert(bad.count() == 0, "streaming lat/lon day estimates diverge from the batch twin")
+    val dupes = out.groupBy("site", "day").count().filter(col("count") > 1)
+    assert(dupes.count() == 0, "a closed day emitted location more than once")
+  }
+
   test("incrementalCapacityJumps matches the batch windowed log-ratio on full-frame days") {
     val src = java.nio.file.Files.createTempDirectory("evcap").toString
     val ckpt = java.nio.file.Files.createTempDirectory("evcapckpt").toString
