@@ -1050,47 +1050,52 @@ object OracleSql {
     JOIN clipv ON r.user_id = clipv.user_id
   """
 
-  private val q50 = """
-    WITH slotted AS (
+  // The filled-matrix replay shared by q50 and the filled-axis study
+  // gate (q64): Filling.filledDayGrid at 48 slots — slot aggregation,
+  // p95 capacity, ±7-day median rise/set, grid densify, night-band
+  // zeroing, in-day linear interpolation. Terminal CTE:
+  // fg_filled(user_id, day, slot, raw, filled).
+  private val filledGridCte = """
+    fg_slotted AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
         CAST((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) % 86400) // 1800 AS INT) AS slot,
         avg(value) AS raw
       FROM events GROUP BY 1, 2, 3),
-    cap AS (SELECT user_id, quantile_cont(value, 0.95) AS capacity FROM events GROUP BY 1),
-    rough AS (
+    fg_cap AS (SELECT user_id, quantile_cont(value, 0.95) AS capacity FROM events GROUP BY 1),
+    fg_rough AS (
       SELECT s.user_id, s.day,
         min(CASE WHEN s.raw > c.capacity * 0.005 THEN s.slot END) AS sr_rough,
         max(CASE WHEN s.raw > c.capacity * 0.005 THEN s.slot END) AS ss_rough
-      FROM slotted s JOIN cap c ON s.user_id = c.user_id
+      FROM fg_slotted s JOIN fg_cap c ON s.user_id = c.user_id
       GROUP BY 1, 2),
-    riseset AS (
+    fg_riseset AS (
       SELECT a.user_id, a.day,
         CAST(floor(quantile_cont(b.sr_rough, 0.5)) AS INT) AS sr_s,
         CAST(floor(quantile_cont(b.ss_rough, 0.5)) AS INT) AS ss_s
-      FROM rough a JOIN rough b ON a.user_id = b.user_id
+      FROM fg_rough a JOIN fg_rough b ON a.user_id = b.user_id
         AND abs(date_diff('day', a.day, b.day)) <= 7
       GROUP BY 1, 2),
-    grid AS (
+    fg_grid AS (
       SELECT r.user_id, r.day, r.sr_s, r.ss_s, g.slot
-      FROM riseset r CROSS JOIN (SELECT unnest(range(0, 48)) AS slot) g),
-    base AS (
+      FROM fg_riseset r CROSS JOIN (SELECT unnest(range(0, 48)) AS slot) g),
+    fg_base AS (
       SELECT g.user_id, g.day, g.slot, s.raw,
         CASE WHEN s.raw IS NOT NULL THEN greatest(s.raw, 0.0)
              WHEN g.slot < g.sr_s OR g.slot > g.ss_s THEN 0.0 END AS v
-      FROM grid g LEFT JOIN slotted s
+      FROM fg_grid g LEFT JOIN fg_slotted s
         ON g.user_id = s.user_id AND g.day = s.day AND g.slot = s.slot),
-    w AS (
+    fg_w AS (
       SELECT user_id, day, slot, raw, v,
-        last_value(v IGNORE NULLS) OVER wb AS pv,
-        first_value(v IGNORE NULLS) OVER wa AS nv,
-        last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER wb AS px,
-        first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER wa AS nx
-      FROM base
+        last_value(v IGNORE NULLS) OVER fgwb AS pv,
+        first_value(v IGNORE NULLS) OVER fgwa AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER fgwb AS px,
+        first_value(CASE WHEN v IS NOT NULL THEN slot END IGNORE NULLS) OVER fgwa AS nx
+      FROM fg_base
       WINDOW
-        wb AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        wa AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
-    filled AS (
-      SELECT user_id, day, raw,
+        fgwb AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        fgwa AS (PARTITION BY user_id, day ORDER BY slot ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    fg_filled AS (
+      SELECT user_id, day, slot, raw,
         coalesce(CASE
           WHEN v IS NOT NULL THEN v
           WHEN pv IS NULL THEN nv
@@ -1098,12 +1103,16 @@ object OracleSql {
           WHEN nx = px THEN pv
           ELSE pv + (CAST(slot - px AS DOUBLE) / CAST(nx - px AS DOUBLE)) * (nv - pv)
         END, 0.0) AS filled
-      FROM w)
+      FROM fg_w)
+  """
+
+  private val q50 = s"""
+    WITH $filledGridCte
     SELECT user_id, CAST(day AS VARCHAR) AS day,
       CAST(floor(sum(CAST(round(filled * 1e6) AS BIGINT)) / 2) AS BIGINT) AS energy_micro,
       CAST(sum(CASE WHEN raw IS NULL AND filled <> 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_interp,
       CAST(sum(CASE WHEN filled = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
-    FROM filled GROUP BY 1, 2
+    FROM fg_filled GROUP BY 1, 2
   """
 
   private val q51 = """
@@ -1326,10 +1335,90 @@ object OracleSql {
     """
   }
 
-  // q61: the latitude study sweep — per-day Duffie latitude inversion
-  // under both declination series, config-filtered medians (FILTER ≡
-  // Spark's percentile-over-when, both skip nulls ≡ nanmedian).
-  private val q61: String = {
+  // p02: the full dilation operator replayed — threshold rise/set,
+  // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
+  // rules (x ≤ first sample → 0; x ≥ last → total; else the
+  // piecewise-quadratic partial integral) evaluated at all nBins+1
+  // boundaries via the union-window bracket idiom (samples sort
+  // before a boundary at the same position — the bisect's rightmost
+  // ts ≤ x rule), then the per-bin density quotient, 6 dp.
+  private val p02 = """
+    WITH dmx AS (SELECT user_id, max(value) AS m FROM events GROUP BY 1),
+    dpts AS (
+      SELECT e.user_id AS site, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
+        date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
+        CAST(e.value AS DOUBLE) AS v, m.m * 0.01 AS thr
+      FROM events e JOIN dmx m ON e.user_id = m.user_id
+      WHERE e.ts IS NOT NULL AND e.value IS NOT NULL),
+    drs AS (
+      SELECT site, day,
+        min(CASE WHEN v > thr THEN h END) AS rise,
+        max(CASE WHEN v > thr THEN h END) AS set_h,
+        count(CASE WHEN v > thr THEN 1 END) AS n_lit
+      FROM dpts GROUP BY 1, 2),
+    dok AS (
+      SELECT site, day, rise, set_h, (set_h - rise) / 100.0 AS dg
+      FROM drs WHERE n_lit >= 2 AND set_h > rise),
+    dseg AS (
+      SELECT p.site, p.day, p.h, p.v
+      FROM dpts p JOIN dok o ON p.site = o.site AND p.day = o.day
+      WHERE p.h >= o.rise AND p.h <= o.set_h),
+    dinc AS (
+      SELECT site, day, h, v,
+        row_number() OVER dw AS rn,
+        CASE WHEN lag(h) OVER dw IS NULL THEN 0.0
+             ELSE (v + lag(v) OVER dw) / 2.0 * (h - lag(h) OVER dw) END AS inc
+      FROM dseg
+      WINDOW dw AS (PARTITION BY site, day ORDER BY h, v)),
+    dcum AS (
+      SELECT site, day, h, v, rn,
+        sum(inc) OVER (PARTITION BY site, day ORDER BY rn
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM dinc),
+    dbound AS (
+      SELECT o.site, o.day, CAST(g.b AS INT) AS b, o.dg,
+        o.rise + g.b * o.dg AS x
+      FROM dok o CROSS JOIN (SELECT unnest(range(0, 101)) AS b) g),
+    duni AS (
+      SELECT site, day, h AS pos, 1 AS is_sample, rn, v, cum,
+        CAST(NULL AS INT) AS b, CAST(NULL AS DOUBLE) AS dg
+      FROM dcum
+      UNION ALL
+      SELECT site, day, x AS pos, 0 AS is_sample, CAST(NULL AS BIGINT) AS rn,
+        CAST(NULL AS DOUBLE) AS v, CAST(NULL AS DOUBLE) AS cum, b, dg
+      FROM dbound),
+    dbr AS (
+      SELECT site, day, pos, is_sample, b, dg,
+        last_value(CASE WHEN is_sample = 1 THEN pos END IGNORE NULLS) OVER wu AS t_lo,
+        last_value(CASE WHEN is_sample = 1 THEN v END IGNORE NULLS) OVER wu AS v_lo,
+        last_value(CASE WHEN is_sample = 1 THEN cum END IGNORE NULLS) OVER wu AS c_lo,
+        first_value(CASE WHEN is_sample = 1 THEN pos END IGNORE NULLS) OVER wa AS t_hi,
+        first_value(CASE WHEN is_sample = 1 THEN v END IGNORE NULLS) OVER wa AS v_hi
+      FROM duni
+      WINDOW
+        wu AS (PARTITION BY site, day ORDER BY pos, is_sample DESC, rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wa AS (PARTITION BY site, day ORDER BY pos, is_sample DESC, rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    dvals AS (
+      SELECT site, day, b, dg,
+        CASE WHEN t_lo IS NULL THEN 0.0
+             WHEN t_hi IS NULL THEN c_lo
+             ELSE c_lo + (v_lo + (v_lo + (pos - t_lo) / (t_hi - t_lo) * (v_hi - v_lo)))
+                  / 2.0 * (pos - t_lo)
+        END AS cumx
+      FROM dbr WHERE is_sample = 0)
+    SELECT site, day, b AS dil_slot,
+      round((lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg, 6) AS dil_value
+    FROM dvals
+    QUALIFY b < 100
+  """
+
+  // The latitude sweep's 12 config branches (shared by q61 raw and
+  // q64 filled): per-day Duffie latitude inversion under both
+  // declination series, config-filtered medians (FILTER ≡ Spark's
+  // percentile-over-when, both skip nulls ≡ nanmedian).
+  private def latStudyBranches(table: String, matrix: String): String = {
     val cooper =
       "(23.45 * sin(6.283185307179586 * (doy + 284.0) / 365.0))"
     val spencerB = "(6.283185307179586 * (doy - 1.0) / 365.0)"
@@ -1346,20 +1435,59 @@ object OracleSql {
       ("raw-daylight", "cooper", lat("dl_raw", cooper)),
       ("raw-daylight", "spencer", lat("dl_raw", spencer)))
     val sels = Seq(("all", "TRUE"), ("clear", "clear"), ("cloudy", "NOT clear"))
-    val branches = variants.flatMap { case (dlName, dName, expr) =>
+    variants.flatMap { case (dlName, dName, expr) =>
       sels.map { case (sName, sPred) =>
-        s"""      SELECT site, 'raw' AS data_matrix, '$dlName' AS daylight_method,
+        s"""      SELECT site, '$matrix' AS data_matrix, '$dlName' AS daylight_method,
           '$dName' AS delta_method, '$sName' AS day_selection,
           round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6) AS latitude,
           count($expr) FILTER (WHERE $sPred) AS n_days
-        FROM sw_day GROUP BY 1"""
+        FROM $table GROUP BY 1"""
       }
     }.mkString("\n      UNION ALL\n")
-    s"""
-    WITH $studyDayCte
-    $branches
-    """
   }
+
+  private val q61: String = s"""
+    WITH $studyDayCte
+    ${latStudyBranches("sw_day", "raw")}
+    """
+
+  // q64: the latitude study's FILLED-matrix slice — the q50 filled
+  // grid replay feeds the same scaling/day-grain/inversion machinery
+  // as q61, with the grid pitch (0.5 h) as the sampling frequency.
+  // Gates the study's data_matrix axis end to end.
+  private val q64: String = s"""
+    WITH $clearFlagsCte,
+    $filledGridCte,
+    f_rows AS (
+      SELECT user_id AS site, day, slot * 1800.0 AS sec, filled AS v
+      FROM fg_filled),
+    f_scale AS (
+      SELECT site, quantile_cont(v, 0.99) AS hi99,
+        greatest(min(v), -0.005 * quantile_cont(v, 0.99)) AS lo99,
+        quantile_cont(v, 0.95) AS p95,
+        greatest(quantile_cont(v, 0.05), 0) AS bot
+      FROM f_rows GROUP BY 1),
+    f_base AS (
+      SELECT r.site, r.day, r.sec / 3600.0 AS h,
+        round((r.v - s.lo99) / s.hi99, 6) AS sc_d,
+        round((r.v - s.bot) / (s.p95 - s.bot), 6) AS sc_r
+      FROM f_rows r JOIN f_scale s ON r.site = s.site),
+    f_dd AS (
+      SELECT site, day,
+        min(CASE WHEN sc_d > 0.001 THEN h END) AS sr,
+        max(CASE WHEN sc_d > 0.001 THEN h END) AS ss,
+        min(h) AS h_first, max(h) AS h_last,
+        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime
+      FROM f_base GROUP BY 1, 2),
+    f_day AS (
+      SELECT d.site, d.day, dayofyear(d.day) AS doy,
+        CASE WHEN d.sr = d.h_first OR d.ss = d.h_last THEN NULL
+             ELSE d.ss - d.sr END AS dl_ss,
+        d.n_daytime * 0.5 AS dl_raw,
+        coalesce(c.clear, false) AS clear
+      FROM f_dd d LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
+    ${latStudyBranches("f_day", "filled")}
+    """
 
   // q62: the longitude study sweep — Duffie eq. 1.5.2 per day under
   // both equation-of-time series and both solar-noon methods.
@@ -3503,6 +3631,8 @@ $branches
     "q61_latitude_study" -> q61,
     "q62_longitude_study" -> q62,
     "q63_orientation_cells" -> q63,
+    "q64_latitude_study_filled" -> q64,
+    "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,
     "j01_json_extract" -> j01,

@@ -564,6 +564,24 @@ object SparkEntry {
         col("eot_calculation"), col("day_selection"), col("estimator"),
         round(col("longitude"), 6).as("longitude"), col("n_days"))
 
+  /** The latitude study's FILLED-matrix slice (the data_matrix axis
+    * of `Study.latitudeStudy`), hash-gated end to end: the oracle
+    * replays the ENTIRE filled grid (q50's slot aggregation, ±7-day
+    * median rise/set, densify, night-band zeroing, in-day linear
+    * interpolation — a shared CTE, one definition) and then the same
+    * scaling / day-grain / Duffie-inversion machinery q61 gates on
+    * raw events, with the grid pitch as the sampling frequency.
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.latitudeStudy(
+      s, Tables.events(s, dir), "user_id", "ts", "value",
+      includeFilled = true, filledSlotsPerDay = 48)
+      .filter(col("data_matrix") === "filled")
+      .select(
+        col("site"), col("data_matrix"), col("daylight_method"),
+        col("delta_method"), col("day_selection"),
+        round(col("latitude"), 6).as("latitude"), col("n_days"))
+
   /** The orientation fit's envelope-cell table
     * (`Profiler.orientationCells` — the input the tilt/azimuth curve
     * fit and `Study.tiltAzimuthStudy` consume), hash-gated: per
@@ -2655,14 +2673,22 @@ object SparkEntry {
     ).toDF()
 
   /** Energy-preserving dilation onto a 100-bin rise→set grid
-    * (SURVEY §2.7 dilate; rows-only — mapGroups op).
+    * (SURVEY §2.7 dilate) — HASH-GATED since round 7: the oracle
+    * replays the whole operator (threshold rise/set, trapezoid
+    * cumulative integral over the (h, v)-sorted day samples, the
+    * piecewise-quadratic cumulative interpolation at every bin
+    * boundary, and the per-bin density quotient) with the q50
+    * union-window interpolation idiom. Values rounded to 6 dp for
+    * the cross-engine hash; q52/q56 keep the geometry/round-trip
+    * contracts on the unrounded operator.
     */
   private def p02(s: SparkSession, dir: String): DataFrame =
     Dilation.dilate(
       s,
       Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
       "site", "ts", "value", nBins = 100, thresholdFrac = 0.01
-    )
+    ).select(col("site"), col("day"), col("dil_slot"),
+      round(col("dil_value"), 6).as("dil_value"))
 
   /** Smooth periodic quantiles + clear-sky DP on the dilated grain
     * (SURVEY §3.3; rows-only — solver path).
@@ -2786,6 +2812,7 @@ object SparkEntry {
     "q61_latitude_study" -> (q61 _),
     "q62_longitude_study" -> (q62 _),
     "q63_orientation_cells" -> (q63 _),
+    "q64_latitude_study_filled" -> (q64 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

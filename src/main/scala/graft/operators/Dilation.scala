@@ -69,7 +69,12 @@ object Dilation {
       .groupByKey(r => (r._1, r._2))
       .flatMapGroups { (key: (Long, String), it: Iterator[(Long, String, Double, Double, Double)]) =>
         val (siteId, day) = key
-        val pts = it.toArray.sortBy(_._3)
+        // (h, v) sort, not h alone: two samples sharing a timestamp
+        // otherwise keep their ARRIVAL order, and the trapezoid
+        // cumulative depends on which of them borders the next
+        // segment — arrival order is partition-dependent, so the
+        // output would be nondeterministic (and ungateable)
+        val pts = it.toArray.sortBy(p => (p._3, p._4))
         val thr = pts.head._5 * thresholdFrac
         val lit = pts.filter(p => p._4 > thr)
         if (lit.length < 2) Iterator.empty

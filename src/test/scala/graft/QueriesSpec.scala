@@ -23,7 +23,9 @@ class QueriesSpec extends AnyFunSuite {
     // same way (per-query serving invariants; their raw trained
     // outputs stay under the e19/e20 recall floors, and the serving
     // arithmetic is hash-gated with deterministic state in e15/e22).
-    val rowsOnly = Set("p01_fleet_pipeline", "p02_dilation", "p03_quantile_clearsky",
+    // Round-7: p02 gained a full-operator oracle (the union-window
+    // cumulative-interpolation replay) and left this set too.
+    val rowsOnly = Set("p01_fleet_pipeline", "p03_quantile_clearsky",
       "p04_pca_shade", "p05_pvpro_post",
       // DEFLATE is not reproducible in a SQL engine (DeflateSpec
       // carries the value contracts)
