@@ -1269,15 +1269,16 @@ object OracleSql {
         max(CASE WHEN sc_d > 0.01 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
         sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime,
-        round(sum(sec * v), 2) AS num_sv,
-        round(sum(v), 2) AS sum_v
+        sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
+        sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
       FROM sw_base GROUP BY 1, 2),
     sw_day AS (
       SELECT d.site, d.day, dayofyear(d.day) AS doy,
         CASE WHEN d.sr = d.h_first OR d.ss = d.h_last THEN NULL
              ELSE d.ss - d.sr END AS dl_ss,
         d.n_daytime * f.freq_h AS dl_raw,
-        CASE WHEN d.sum_v <> 0 THEN (d.num_sv / 3600.0) / d.sum_v END AS noon_com,
+        CASE WHEN d.sum_c <> 0
+             THEN (d.num_c / 100.0 / 3600.0) / (d.sum_c / 1000000.0) END AS noon_com,
         CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
              ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs,
         coalesce(c.clear, false) AS clear
@@ -1455,9 +1456,13 @@ object OracleSql {
   // grid replay feeds the same scaling/day-grain/inversion machinery
   // as q61, with the grid pitch (0.5 h) as the sampling frequency.
   // Gates the study's data_matrix axis end to end.
-  private val q64: String = s"""
-    WITH $clearFlagsCte,
-    $filledGridCte,
+  // The filled matrix at study day grain (shared by q64 and q65):
+  // the q50 grid replay re-expressed on the same scaling / boundary /
+  // CoM rules as the raw studyDayCte, with the grid pitch (0.5 h) as
+  // the sampling frequency. Terminal CTE: f_day(site, day, doy,
+  // dl_ss, dl_raw, noon_com, noon_rs, clear). Assumes fg_filled and
+  // cd_flags precede it in the WITH chain.
+  private val filledDayCte = """
     f_rows AS (
       SELECT user_id AS site, day, slot * 1800.0 AS sec, filled AS v
       FROM fg_filled),
@@ -1468,7 +1473,7 @@ object OracleSql {
         greatest(quantile_cont(v, 0.05), 0) AS bot
       FROM f_rows GROUP BY 1),
     f_base AS (
-      SELECT r.site, r.day, r.sec / 3600.0 AS h,
+      SELECT r.site, r.day, r.sec, r.sec / 3600.0 AS h, r.v,
         round((r.v - s.lo99) / s.hi99, 6) AS sc_d,
         round((r.v - s.bot) / (s.p95 - s.bot), 6) AS sc_r
       FROM f_rows r JOIN f_scale s ON r.site = s.site),
@@ -1476,22 +1481,37 @@ object OracleSql {
       SELECT site, day,
         min(CASE WHEN sc_d > 0.001 THEN h END) AS sr,
         max(CASE WHEN sc_d > 0.001 THEN h END) AS ss,
+        min(CASE WHEN sc_d > 0.01 THEN h END) AS sr01,
+        max(CASE WHEN sc_d > 0.01 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
-        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime
+        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime,
+        sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
+        sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
       FROM f_base GROUP BY 1, 2),
     f_day AS (
       SELECT d.site, d.day, dayofyear(d.day) AS doy,
         CASE WHEN d.sr = d.h_first OR d.ss = d.h_last THEN NULL
              ELSE d.ss - d.sr END AS dl_ss,
         d.n_daytime * 0.5 AS dl_raw,
+        CASE WHEN d.sum_c <> 0
+             THEN (d.num_c / 100.0 / 3600.0) / (d.sum_c / 1000000.0) END AS noon_com,
+        CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
+             ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs,
         coalesce(c.clear, false) AS clear
       FROM f_dd d LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
+  """
+
+  private val q64: String = s"""
+    WITH $clearFlagsCte,
+    $filledGridCte,
+    $filledDayCte
     ${latStudyBranches("f_day", "filled")}
     """
 
-  // q62: the longitude study sweep — Duffie eq. 1.5.2 per day under
-  // both equation-of-time series and both solar-noon methods.
-  private val q62: String = {
+  // The longitude sweep's 36 config branches (shared by q62 raw and
+  // q65 filled) — Duffie eq. 1.5.2 per day under both equation-of-time
+  // series and both solar-noon methods.
+  private def lonStudyBranches(table: String, matrix: String): String = {
     val duffieB = "(6.283185307179586 * (doy - 1.0) / 365.0)"
     val duffie =
       s"""(229.1831180523293 * (0.000075
@@ -1514,27 +1534,39 @@ object OracleSql {
     // estimator axis closed forms (fitting.py residuals are linear in
     // lon): calculated / fit_l1 = median; fit_l2 = mean via EXACT
     // integer-micro sums so the hash survives any summation order
-    val branches = variants.flatMap { case (nName, eName, expr) =>
+    variants.flatMap { case (nName, eName, expr) =>
       sels.flatMap { case (sName, sPred) =>
         val med = s"round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6)"
         val mean = s"""round(CAST(sum(CAST(round($expr * 1e6, 0) AS BIGINT))
             FILTER (WHERE $sPred) AS DOUBLE) / 1e6
             / (count($expr) FILTER (WHERE $sPred)), 6)"""
         Seq(("calculated", med), ("fit_l1", med), ("fit_l2", mean)).map { case (est, v) =>
-          s"""      SELECT site, 'raw' AS data_matrix, '$nName' AS solar_noon_method,
+          s"""      SELECT site, '$matrix' AS data_matrix, '$nName' AS solar_noon_method,
             '$eName' AS eot_calculation, '$sName' AS day_selection,
             '$est' AS estimator,
             $v AS longitude,
             count($expr) FILTER (WHERE $sPred) AS n_days
-          FROM sw_day GROUP BY 1"""
+          FROM $table GROUP BY 1"""
         }
       }
     }.mkString("\n      UNION ALL\n")
-    s"""
-    WITH $studyDayCte
-    $branches
-    """
   }
+
+  private val q62: String = s"""
+    WITH $studyDayCte
+    ${lonStudyBranches("sw_day", "raw")}
+    """
+
+  // q65: the longitude study's FILLED-matrix slice — the shared
+  // filled-grid/day-grain replay (q50 → f_day) under the q62 config
+  // branches, gating the study's data_matrix axis end to end
+  // including the CoM / rise-set solar-noon columns on the grid.
+  private val q65: String = s"""
+    WITH $clearFlagsCte,
+    $filledGridCte,
+    $filledDayCte
+    ${lonStudyBranches("f_day", "filled")}
+    """
 
   /** q55: the sunrise/sunset optimizer's threshold-grid stage.
     * Generated over the same `np.logspace(-5, -1, 21)` grid the Spark
@@ -3632,6 +3664,7 @@ $branches
     "q62_longitude_study" -> q62,
     "q63_orientation_cells" -> q63,
     "q64_latitude_study_filled" -> q64,
+    "q65_longitude_study_filled" -> q65,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

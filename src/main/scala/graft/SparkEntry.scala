@@ -582,6 +582,23 @@ object SparkEntry {
         col("delta_method"), col("day_selection"),
         round(col("latitude"), 6).as("latitude"), col("n_days"))
 
+  /** The longitude study's FILLED-matrix slice (the data_matrix axis
+    * of `Study.longitudeStudy`), hash-gated the same way as q64: the
+    * shared filled-grid oracle replay feeds the q62 config branches,
+    * so the center-of-mass and rise/set solar-noon columns are gated
+    * on the grid too.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.longitudeStudy(
+      s, Tables.events(s, dir), "user_id", "ts", "value",
+      includeFilled = true, filledSlotsPerDay = 48,
+      estimators = Seq("calculated", "fit_l1", "fit_l2"))
+      .filter(col("data_matrix") === "filled")
+      .select(
+        col("site"), col("data_matrix"), col("solar_noon_method"),
+        col("eot_calculation"), col("day_selection"), col("estimator"),
+        round(col("longitude"), 6).as("longitude"), col("n_days"))
+
   /** The orientation fit's envelope-cell table
     * (`Profiler.orientationCells` — the input the tilt/azimuth curve
     * fit and `Study.tiltAzimuthStudy` consume), hash-gated: per
@@ -2813,6 +2830,7 @@ object SparkEntry {
     "q62_longitude_study" -> (q62 _),
     "q63_orientation_cells" -> (q63 _),
     "q64_latitude_study_filled" -> (q64 _),
+    "q65_longitude_study_filled" -> (q65 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

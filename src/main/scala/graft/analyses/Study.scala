@@ -146,19 +146,23 @@ object Study {
         min(h).as("h_first"),
         max(h).as("h_last"),
         sum(when(col("sc_r") >= thr, 1L).otherwise(0L)).as("n_daytime"),
-        // CoM numerator in SECONDS on the q11 rounded-sum grid (the
-        // seconds×value products land on a fixed decimal grid, so the
-        // rounded sum is exact and order-free; an hours-grain product
-        // would not be grid-aligned and the round could straddle)
-        round(sum(col("sec") * col("v")), 2).as("num_sv"),
-        round(sum(col("v")), 2).as("sum_v"),
+        // CoM numerator in SECONDS with each product lifted to an
+        // exact integer hundredth before summing (the q07 integer-
+        // micros contract): a float sum over interpolated values is
+        // order-dependent, and a trailing round can't repair a
+        // magnitude-1e9 sum — integer sums are exact and order-free
+        // in ANY engine. v is quantized to the 6-dp publication grid
+        // first so the per-product doubles are engine-identical.
+        sum(round(col("sec") * round(col("v"), 6) * lit(100.0), 0).cast("long")).as("num_c"),
+        sum(round(round(col("v"), 6) * lit(1e6), 0).cast("long")).as("sum_c"),
         first(col("freq_h")).as("freq_h"))
     val bounded = (sr: Column, ss: Column) =>
       when(sr === col("h_first") || ss === col("h_last"), lit(null)).otherwise(ss - sr)
     d
       .withColumn("dl_ss", bounded(col("sr"), col("ss")))
       .withColumn("dl_raw", col("n_daytime") * col("freq_h"))
-      .withColumn("noon_com", try_divide(col("num_sv") / lit(3600.0), col("sum_v")))
+      .withColumn("noon_com",
+        try_divide(col("num_c") / lit(100.0) / lit(3600.0), col("sum_c") / lit(1e6)))
       .withColumn("noon_rs",
         when(col("sr01") === col("h_first") || col("ss01") === col("h_last"), lit(null))
           .otherwise((col("sr01") + col("ss01")) / 2.0))
