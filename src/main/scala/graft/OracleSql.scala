@@ -1287,28 +1287,33 @@ object OracleSql {
       LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
   """
 
-  // q63: the orientation fit's envelope-cell table replayed — 1%-max
-  // rise/set, EoT-corrected midpoint-median noon, daylight-inversion
-  // latitude, p99 normalization, (doy, floor(solar hour)) envelope
-  // max. EoT mirrors Solar.equationOfTimeMin's literals and
-  // association exactly.
-  private val q63: String = {
+  // The orientation fit's envelope-cell table replayed (shared by
+  // q63 on raw events and q66 on the filled grid) — 1%-max rise/set,
+  // EoT-corrected midpoint-median noon, daylight-inversion latitude,
+  // p99 normalization, (doy, floor(solar hour)) envelope max. EoT
+  // mirrors Solar.equationOfTimeMin's literals and association
+  // exactly. `ev` is the event-grain source (user_id, ts, value);
+  // `prelude` is an optional CTE chain it depends on (trailing comma
+  // handled here).
+  private def orientationCellsSql(ev: String, prelude: String): String = {
     val eotH = (b: String) =>
       s"""(229.18 * (0.000075
          + 0.001868 * cos($b) - 0.032077 * sin($b)
          - 0.014615 * cos(2.0 * $b) - 0.04089 * sin(2.0 * $b)) / 60.0)"""
     val bDay = "(6.283185307179586 * (dayofyear(day) - 1.0) / 365.0)"
     val bTs = "(6.283185307179586 * (dayofyear(CAST(ts AS DATE)) - 1.0) / 365.0)"
+    val pre = if (prelude.isEmpty) "" else s"$prelude,"
     s"""
-    WITH oc_mx AS (
-      SELECT user_id, round(max(value) * 0.01, 6) AS thr FROM events GROUP BY 1),
+    WITH $pre
+    oc_mx AS (
+      SELECT user_id, round(max(value) * 0.01, 6) AS thr FROM $ev GROUP BY 1),
     oc_rs AS (
       SELECT e.user_id, CAST(e.ts AS DATE) AS day,
         min(CASE WHEN e.value > m.thr
             THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS sr,
         max(CASE WHEN e.value > m.thr
             THEN date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 END) AS ss
-      FROM events e JOIN oc_mx m ON e.user_id = m.user_id
+      FROM $ev e JOIN oc_mx m ON e.user_id = m.user_id
       GROUP BY 1, 2),
     oc_noon AS (
       SELECT user_id,
@@ -1320,13 +1325,13 @@ object OracleSql {
              / tan((23.45 * sin(6.283185307179586 * (dayofyear(day) + 284.0) / 365.0))
                    * 0.017453292519943295)) * 57.29577951308232, 0.5) AS lat_est
       FROM oc_rs GROUP BY 1),
-    oc_cap AS (SELECT user_id, quantile_cont(value, 0.99) AS cap FROM events GROUP BY 1),
+    oc_cap AS (SELECT user_id, quantile_cont(value, 0.99) AS cap FROM $ev GROUP BY 1),
     oc_cells AS (
       SELECT e.user_id, dayofyear(CAST(e.ts AS DATE)) AS doy,
         CAST(floor(date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0
                    + ${eotH(bTs)}) AS INT) AS hslot,
         max(e.value / c.cap) AS ct
-      FROM events e JOIN oc_cap c ON e.user_id = c.user_id
+      FROM $ev e JOIN oc_cap c ON e.user_id = c.user_id
       GROUP BY 1, 2, 3)
     SELECT CAST(c.user_id AS VARCHAR) AS user_id, c.doy, c.hslot,
       round(c.ct, 6) AS ct, round(n.noon, 6) AS noon, round(l.lat_est, 6) AS lat_est
@@ -1335,6 +1340,21 @@ object OracleSql {
     JOIN oc_lat l ON c.user_id = l.user_id
     """
   }
+
+  private val q63: String = orientationCellsSql("events", "")
+
+  // q66: the same envelope-cell derivation on the FILLED matrix (the
+  // reference study's actual input — `tilt_azimuth_study.py:97` reads
+  // `data_handler.filled_data_matrix`): the shared q50 grid replay
+  // re-expressed at event grain (ts = local midnight + slot·30 min)
+  // feeding the unchanged cell SQL.
+  private val q66: String = orientationCellsSql(
+    "fg_ev",
+    s"""$filledGridCte,
+    fg_ev AS (
+      SELECT user_id, CAST(day AS TIMESTAMP) + slot * INTERVAL 30 MINUTE AS ts,
+        filled AS value
+      FROM fg_filled)""")
 
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
@@ -3665,6 +3685,7 @@ $branches
     "q63_orientation_cells" -> q63,
     "q64_latitude_study_filled" -> q64,
     "q65_longitude_study_filled" -> q65,
+    "q66_orientation_cells_filled" -> q66,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

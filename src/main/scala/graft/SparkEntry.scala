@@ -575,8 +575,7 @@ object SparkEntry {
   private def q64(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Study.latitudeStudy(
       s, Tables.events(s, dir), "user_id", "ts", "value",
-      includeFilled = true, filledSlotsPerDay = 48)
-      .filter(col("data_matrix") === "filled")
+      includeFilled = true, filledSlotsPerDay = 48, includeRaw = false)
       .select(
         col("site"), col("data_matrix"), col("daylight_method"),
         col("delta_method"), col("day_selection"),
@@ -591,9 +590,8 @@ object SparkEntry {
   private def q65(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Study.longitudeStudy(
       s, Tables.events(s, dir), "user_id", "ts", "value",
-      includeFilled = true, filledSlotsPerDay = 48,
+      includeFilled = true, filledSlotsPerDay = 48, includeRaw = false,
       estimators = Seq("calculated", "fit_l1", "fit_l2"))
-      .filter(col("data_matrix") === "filled")
       .select(
         col("site"), col("data_matrix"), col("solar_noon_method"),
         col("eot_calculation"), col("day_selection"), col("estimator"),
@@ -613,6 +611,25 @@ object SparkEntry {
   private def q63(s: SparkSession, dir: String): DataFrame =
     graft.analyses.Profiler.orientationCells(
       s, Tables.events(s, dir), "user_id", "ts", "value")
+      .select(
+        col("__site").as("user_id"), col("doy"), col("hslot"),
+        round(col("ct"), 6).as("ct"),
+        round(col("noon"), 6).as("noon"),
+        round(col("lat_est"), 6).as("lat_est"))
+
+  /** The envelope-cell table on the FILLED matrix — the reference
+    * study's actual input (`tilt_azimuth_study.py:97` reads
+    * `data_handler.filled_data_matrix`) — hash-gated: the shared q50
+    * grid replay re-expressed at event grain feeds the same cell SQL
+    * q63 gates on raw events. Gates `Study.tiltAzimuthStudy`'s
+    * `useFilled` input path end to end.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Profiler.orientationCells(
+      s,
+      graft.analyses.Study.filledAsEvents(
+        Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 48),
+      "user_id", "ts", "value")
       .select(
         col("__site").as("user_id"), col("doy"), col("hslot"),
         round(col("ct"), 6).as("ct"),
@@ -2831,6 +2848,7 @@ object SparkEntry {
     "q63_orientation_cells" -> (q63 _),
     "q64_latitude_study_filled" -> (q64 _),
     "q65_longitude_study_filled" -> (q65 _),
+    "q66_orientation_cells_filled" -> (q66 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

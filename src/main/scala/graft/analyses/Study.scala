@@ -91,29 +91,48 @@ object Study {
       valueCol: String,
       threshold: Double = 0.001,
       includeFilled: Boolean = true,
-      filledSlotsPerDay: Int = 96
+      filledSlotsPerDay: Int = 96,
+      includeRaw: Boolean = true
   ): DataFrame = {
+    require(includeRaw || includeFilled, "at least one data matrix must be enabled")
     val ev = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
-    val raw = ev.select(
-      col(site).cast("long").as("site"),
-      to_date(col(tsCol)).as("day"),
-      TimeAxis.secondsOfDay(col(tsCol)).cast("double").as("sec"),
-      col(valueCol).cast("double").as("v"))
-    val rawFreq = TimeAxis.inferFrequency(ev, Seq(site), tsCol)
-      .select(col(site).cast("long").as("site"), (col("freq_s") / lit(3600.0)).as("freq_h"))
-    val rawRows = joinFreq(raw, rawFreq)
-    val rows =
-      if (!includeFilled) rawRows.withColumn("data_matrix", lit("raw"))
+    // each matrix is priced only when requested: the raw path carries
+    // a per-site modal-Δt window over the full scan that a
+    // filled-only sweep (the q64/q65 gates) should never pay
+    val rawRows: Option[DataFrame] =
+      if (!includeRaw) None
       else {
-        val filled = Filling.filledDayGrid(ev, site, tsCol, valueCol, filledSlotsPerDay)
+        val raw = ev.select(
+          col(site).cast("long").as("site"),
+          to_date(col(tsCol)).as("day"),
+          TimeAxis.secondsOfDay(col(tsCol)).cast("double").as("sec"),
+          col(valueCol).cast("double").as("v"))
+        val rawFreq = TimeAxis.inferFrequency(ev, Seq(site), tsCol)
+          .select(col(site).cast("long").as("site"), (col("freq_s") / lit(3600.0)).as("freq_h"))
+        Some(joinFreq(raw, rawFreq).withColumn("data_matrix", lit("raw")))
+      }
+    val filledRows: Option[DataFrame] =
+      if (!includeFilled) None
+      else Some(
+        // the day-grain pass consumes these rows twice (scale
+        // percentiles + the main aggregation); measured at sf0.1,
+        // re-executing the pipeline TAIL twice (~1.1 s — its slotted
+        // and rise/set stages are already persisted inside
+        // filledDayGrid) beats materializing a matrix-sized cache of
+        // the grid here (~2 s build for ~0.1 s of re-read saved)
+        Filling.filledDayGrid(ev, site, tsCol, valueCol, filledSlotsPerDay)
           .select(
             col("site").cast("long").as("site"), col("day"),
             (col("slot") * lit((86400 / filledSlotsPerDay).toDouble)).as("sec"),
             col("filled").as("v"),
             lit(24.0 / filledSlotsPerDay).as("freq_h"))
-        rawRows.withColumn("data_matrix", lit("raw"))
-          .unionByName(filled.withColumn("data_matrix", lit("filled")))
-      }
+          .withColumn("data_matrix", lit("filled")))
+    val rows = (rawRows, filledRows) match {
+      case (Some(r), Some(f)) => r.unionByName(f)
+      case (Some(r), None) => r
+      case (None, Some(f)) => f
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
     perDay(rows, threshold)
   }
 
@@ -245,10 +264,11 @@ object Study {
       includeFilled: Boolean = true,
       includeOptimized: Boolean = false,
       filledSlotsPerDay: Int = 96,
-      clearSlotsPerDay: Int = 96
+      clearSlotsPerDay: Int = 96,
+      includeRaw: Boolean = true
   ): DataFrame = {
     val day0 = dayGrain(spark, df, site, tsCol, valueCol, threshold,
-      includeFilled, filledSlotsPerDay)
+      includeFilled, filledSlotsPerDay, includeRaw)
     val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
     val day =
       if (!includeOptimized) day1.withColumn("dl_opt", lit(null).cast("double"))
@@ -314,13 +334,14 @@ object Study {
       includeOptimized: Boolean = false,
       estimators: Seq[String] = Seq("calculated", "fit_l1", "fit_l2", "fit_huber"),
       filledSlotsPerDay: Int = 96,
-      clearSlotsPerDay: Int = 96
+      clearSlotsPerDay: Int = 96,
+      includeRaw: Boolean = true
   ): DataFrame = {
     import spark.implicits._
     require(estimators.forall(Set("calculated", "fit_l1", "fit_l2", "fit_huber")),
       s"unknown estimator in $estimators")
     val day0 = dayGrain(spark, df, site, tsCol, valueCol, threshold,
-      includeFilled, filledSlotsPerDay)
+      includeFilled, filledSlotsPerDay, includeRaw)
     val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
     val day =
       if (!includeOptimized) day1.withColumn("noon_opt", lit(null).cast("double"))
@@ -509,12 +530,20 @@ object Study {
       dayRanges: Seq[(String, Option[(Int, Int)])] = SeasonRanges,
       deltaMethods: Seq[String] = Seq("cooper", "spencer"),
       daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold),
-      latOverride: Option[DataFrame] = None
+      latOverride: Option[DataFrame] = None,
+      useFilled: Boolean = false,
+      filledSlotsPerDay: Int = 96
   ): DataFrame = {
     import spark.implicits._
     require(deltaMethods.forall(Set("cooper", "spencer")),
       s"unknown delta method in $deltaMethods")
-    val cells = Profiler.orientationCells(spark, df, site, tsCol, valueCol, latOverride)
+    // the reference study reads data_handler.filled_data_matrix
+    // (tilt_azimuth_study.py:97) — `useFilled` routes the envelope
+    // cells through the SAME filled grid the rest of the engine
+    // publishes (q50), re-expressed at event grain so one cell
+    // derivation serves both matrices
+    val in = if (!useFilled) df else filledAsEvents(df, site, tsCol, valueCol, filledSlotsPerDay)
+    val cells = Profiler.orientationCells(spark, in, site, tsCol, valueCol, latOverride)
     val configs = for {
       ((rName, range), rIdx) <- dayRanges.zipWithIndex
       (dName, dIdx) <- deltaMethods.zipWithIndex
@@ -548,6 +577,26 @@ object Study {
       }
       .toDF(site, "day_range", "delta_method", "daytime_threshold",
         "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+  }
+
+  /** The filled day grid re-expressed at (site, ts, value) event
+    * grain — ts = local midnight + slot·pitch — so any event-grain
+    * operator (the orientation cell builder, rise/set detection) can
+    * run on the filled matrix unchanged.
+    */
+  def filledAsEvents(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      slotsPerDay: Int
+  ): DataFrame = {
+    val pitchS = 86400 / slotsPerDay
+    Filling.filledDayGrid(df, site, tsCol, valueCol, slotsPerDay)
+      .select(
+        col("site").as(site),
+        expr(s"timestampadd(SECOND, slot * $pitchS, CAST(day AS TIMESTAMP))").as(tsCol),
+        col("filled").as(valueCol))
   }
 
   /** Estimate-vs-truth residual for a study table (the reference's

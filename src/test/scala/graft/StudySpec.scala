@@ -139,6 +139,25 @@ class StudySpec extends AnyFunSuite {
     }
   }
 
+  test("tiltAzimuthStudy on the filled matrix recovers orientation too") {
+    // the reference study's actual input (tilt_azimuth_study.py:97 is
+    // the filled_data_matrix) — the filled-grid event twin must feed
+    // the same fit and still recover the fleet's known geometry
+    val study = Study.tiltAzimuthStudy(spark, fleet, "site", "ts", "power",
+      dayRanges = Seq("full_year" -> None),
+      deltaMethods = Seq("cooper"),
+      useFilled = true, filledSlotsPerDay = 96)
+    val rows = study.collect()
+    assert(rows.length == sites.length)
+    sites.foreach { case (id, _, _, tiltTrue, azTrue) =>
+      val r = rows.find(_.getAs[String]("site") == id.toString).get
+      assert(math.abs(r.getAs[Double]("tilt_deg") - tiltTrue) < 12.0,
+        s"site $id filled-matrix tilt ${r.getAs[Double]("tilt_deg")} vs $tiltTrue")
+      assert(math.abs(r.getAs[Double]("azimuth_duffie_deg") - azTrue) < 15.0,
+        s"site $id filled-matrix azimuth ${r.getAs[Double]("azimuth_duffie_deg")} vs $azTrue")
+    }
+  }
+
   test("optimized daylight method joins the sweep when enabled") {
     val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
       utcOffsetHours = tz)
