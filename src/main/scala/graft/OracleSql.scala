@@ -1356,6 +1356,62 @@ object OracleSql {
         filled AS value
       FROM fg_filled)""")
 
+  // q67: day-quality DBSCAN replayed from scratch — eps-geometry on
+  // the (density, normalized daily max) day points, core flags
+  // (neighbor count ≥ minPts, self included), core components by
+  // RECURSIVE min-label closure over core-core edges, and the
+  // operator's stated deterministic border rule (min adjacent core
+  // cluster). DBSCAN's core clusters are exactly these components,
+  // so the hash checks dbscan2d's structure without depending on its
+  // visit order.
+  private val q67 = """
+    WITH RECURSIVE
+    dbq_ev AS (
+      SELECT user_id, ts, CAST(value AS DOUBLE) AS v FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND NOT isnan(value)),
+    dbq_cap AS (SELECT user_id, quantile_cont(v, 0.95) AS capacity FROM dbq_ev GROUP BY 1),
+    dbq_day AS (
+      SELECT e.user_id AS site, CAST(e.ts AS DATE) AS day,
+        avg(CASE WHEN e.v > c.capacity * 0.02 THEN 1.0 ELSE 0.0 END) AS x,
+        max(e.v) AS daily_max
+      FROM dbq_ev e JOIN dbq_cap c ON e.user_id = c.user_id
+      GROUP BY 1, 2),
+    dbq_sc AS (SELECT site, greatest(max(daily_max), 1e-9) AS m FROM dbq_day GROUP BY 1),
+    dbq_p AS (
+      SELECT d.site, CAST(d.day AS VARCHAR) AS day, d.x, d.daily_max / s.m AS y
+      FROM dbq_day d JOIN dbq_sc s ON d.site = s.site),
+    dbq_e AS (
+      SELECT a.site, a.day AS da, b.day AS db
+      FROM dbq_p a JOIN dbq_p b ON a.site = b.site
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.06 * 0.06),
+    dbq_core AS (
+      SELECT site, da AS day FROM dbq_e GROUP BY 1, 2 HAVING count(*) >= 3),
+    dbq_ce AS (
+      SELECT e.site, e.da, e.db FROM dbq_e e
+      JOIN dbq_core c1 ON e.site = c1.site AND e.da = c1.day
+      JOIN dbq_core c2 ON e.site = c2.site AND e.db = c2.day),
+    dbq_cc AS (
+      SELECT site, day AS node, day AS lbl FROM dbq_core
+      UNION
+      SELECT ce.site, ce.db AS node, cc.lbl
+      FROM dbq_cc cc JOIN dbq_ce ce ON cc.site = ce.site AND cc.node = ce.da),
+    dbq_canon AS (SELECT site, node AS day, min(lbl) AS clbl FROM dbq_cc GROUP BY 1, 2),
+    dbq_border AS (
+      SELECT e.site, e.da AS day, min(c.clbl) AS clbl
+      FROM dbq_e e
+      JOIN dbq_canon c ON e.site = c.site AND e.db = c.day
+      WHERE e.da <> e.db
+        AND NOT EXISTS (SELECT 1 FROM dbq_core k WHERE k.site = e.site AND k.day = e.da)
+      GROUP BY 1, 2)
+    SELECT CAST(p.site AS VARCHAR) AS user_id, p.day,
+      (k.day IS NOT NULL) AS is_core,
+      CASE WHEN k.day IS NOT NULL THEN cn.clbl ELSE b.clbl END AS cluster_day
+    FROM dbq_p p
+    LEFT JOIN dbq_core k ON p.site = k.site AND p.day = k.day
+    LEFT JOIN dbq_canon cn ON p.site = cn.site AND p.day = cn.day
+    LEFT JOIN dbq_border b ON p.site = b.site AND p.day = b.day
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3686,6 +3742,7 @@ $branches
     "q64_latitude_study_filled" -> q64,
     "q65_longitude_study_filled" -> q65,
     "q66_orientation_cells_filled" -> q66,
+    "q67_dbscan_quality" -> q67,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

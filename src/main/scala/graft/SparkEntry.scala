@@ -636,6 +636,21 @@ object SparkEntry {
         round(col("noon"), 6).as("noon"),
         round(col("lat_est"), 6).as("lat_est"))
 
+  /** Day-quality DBSCAN clustering (reference
+    * `data_handler.py:1172-1199`, the pipeline's `cluster` stage),
+    * HASH-GATED via canonical labels: the oracle recomputes the
+    * eps-geometry, core flags, and the core components by recursive
+    * min-label closure, then applies the same deterministic border
+    * rule — so `Cluster.dbscan2d`'s cluster STRUCTURE (which days
+    * are core, which cores clump together, where borders attach) is
+    * cross-engine verified, with only classic DBSCAN's unspecified
+    * border tie replaced by a stated rule.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.QualityClusters.dbscanDayClusters(
+      s, Tables.events(s, dir), "user_id", "ts", "value")
+      .select(col("site").as("user_id"), col("day"), col("is_core"), col("cluster_day"))
+
   /** Sunrise/sunset threshold grid optimization (reference
     * `sunrise_sunset_estimation.py:184-335`): evaluate a threshold
     * grid relationally, score each by daylight-range stability, pick
@@ -2849,6 +2864,7 @@ object SparkEntry {
     "q64_latitude_study_filled" -> (q64 _),
     "q65_longitude_study_filled" -> (q65 _),
     "q66_orientation_cells_filled" -> (q66 _),
+    "q67_dbscan_quality" -> (q67 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
