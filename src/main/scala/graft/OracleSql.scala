@@ -1412,6 +1412,48 @@ object OracleSql {
     LEFT JOIN dbq_border b ON p.site = b.site AND p.day = b.day
   """
 
+  // q68: the 2-state clear-sky Viterbi DP replayed — min-sum forward
+  // recursion (state 0 cloudy: emit 1.0, transition-from-clear 0.5;
+  // state 1 clear: emit |r−1|/0.25 with NaN→10, transition-from-cloudy
+  // 2.0) carried forward by a RECURSIVE CTE one slot at a time (the
+  // DP's sequential accumulation pins the float order on both
+  // engines), then the backtrack as a second recursive walk over the
+  // stored argmin pointers. Inputs are exact literal rationals.
+  private val q68 = """
+    WITH RECURSIVE
+    vd_src AS (
+      SELECT sid, i,
+        CASE WHEN i % 17 = 3 THEN NULL
+             WHEN i >= 20 AND i <= 39
+               THEN 1.0 + CAST((i * sid * 7) % 11 - 5 AS DOUBLE) / 100.0
+             ELSE CAST((i * sid * 37 + i * 13) % 97 AS DOUBLE) / 48.0 END AS r
+      FROM (SELECT unnest(range(1, 5)) AS sid) s
+      CROSS JOIN (SELECT unnest(range(0, 60)) AS i) g),
+    vd_em AS (
+      SELECT sid, i,
+        CAST(1.0 AS DOUBLE) AS ec0,
+        CAST(CASE WHEN r IS NULL THEN 10.0 ELSE abs(r - 1.0) / 0.25 END AS DOUBLE) AS ec1
+      FROM vd_src),
+    vd_fwd AS (
+      SELECT sid, i, ec0 AS c0, ec1 AS c1, 0 AS b0, 1 AS b1
+      FROM vd_em WHERE i = 0
+      UNION ALL
+      SELECT e.sid, e.i,
+        CASE WHEN f.c0 <= f.c1 + 0.5 THEN f.c0 ELSE f.c1 + 0.5 END + e.ec0 AS c0,
+        CASE WHEN f.c1 <= f.c0 + 2.0 THEN f.c1 ELSE f.c0 + 2.0 END + e.ec1 AS c1,
+        CASE WHEN f.c0 <= f.c1 + 0.5 THEN 0 ELSE 1 END AS b0,
+        CASE WHEN f.c1 <= f.c0 + 2.0 THEN 1 ELSE 0 END AS b1
+      FROM vd_fwd f JOIN vd_em e ON e.sid = f.sid AND e.i = f.i + 1),
+    vd_bwd AS (
+      SELECT sid, i, CASE WHEN c1 <= c0 THEN 1 ELSE 0 END AS st
+      FROM vd_fwd WHERE i = 59
+      UNION ALL
+      SELECT b.sid, b.i - 1, CASE WHEN b.st = 1 THEN f.b1 ELSE f.b0 END AS st
+      FROM vd_bwd b JOIN vd_fwd f ON f.sid = b.sid AND f.i = b.i
+      WHERE b.i > 0)
+    SELECT sid AS series_id, i, (st = 1) AS clear FROM vd_bwd
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3743,6 +3785,7 @@ $branches
     "q65_longitude_study_filled" -> q65,
     "q66_orientation_cells_filled" -> q66,
     "q67_dbscan_quality" -> q67,
+    "q68_clearsky_dp" -> q68,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

@@ -636,6 +636,38 @@ object SparkEntry {
         round(col("noon"), 6).as("noon"),
         round(col("lat_est"), 6).as("lat_est"))
 
+  /** The 2-state clear-sky Viterbi DP (`Kernels.viterbi2`, SURVEY
+    * §2.7 — reference clear-sky DP), HASH-GATED on deterministic
+    * literal series (the e15/e22 fixed-state idiom for trained/solver
+    * paths): exact-rational inputs with NaN gaps, the REAL operator
+    * in `mapGroups`, and an oracle that replays the min-sum forward
+    * recursion and the backtrack with DuckDB RECURSIVE CTEs. The
+    * arithmetic is order-pinned by the DP itself (sequential
+    * accumulation), so the costs are bit-identical cross-engine.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // a near-1 block in [20, 39] (clear-favored emissions) inside
+    // noisy cloud-favored surroundings, plus NaN gaps — the path must
+    // enter AND leave the clear state so the gate exercises both
+    // transitions and the backtrack, not a constant answer
+    val rows = for (sid <- 1 to 4; i <- 0 until 60) yield {
+      val r =
+        if (i % 17 == 3) Double.NaN
+        else if (i >= 20 && i <= 39) 1.0 + ((i * sid * 7) % 11 - 5) / 100.0
+        else ((i * sid * 37 + i * 13) % 97) / 48.0
+      (sid.toLong, i.toLong, r)
+    }
+    s.createDataset(rows)
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        val clear = graft.solvers.Kernels.viterbi2(pts.map(_._3))
+        pts.indices.iterator.map(k => (sid, pts(k)._2, clear(k)))
+      }
+      .toDF("series_id", "i", "clear")
+  }
+
   /** Day-quality DBSCAN clustering (reference
     * `data_handler.py:1172-1199`, the pipeline's `cluster` stage),
     * HASH-GATED via canonical labels: the oracle recomputes the
@@ -2865,6 +2897,7 @@ object SparkEntry {
     "q65_longitude_study_filled" -> (q65 _),
     "q66_orientation_cells_filled" -> (q66 _),
     "q67_dbscan_quality" -> (q67 _),
+    "q68_clearsky_dp" -> (q68 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
