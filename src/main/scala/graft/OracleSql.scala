@@ -1454,6 +1454,40 @@ object OracleSql {
     SELECT sid AS series_id, i, (st = 1) AS clear FROM vd_bwd
   """
 
+  // q69: tz-database DST repair replayed with DuckDB's ICU timezone
+  // support. Nonexistent wall times: the zone round trip does not
+  // reproduce them (both engines shift forward through the gap).
+  // Ambiguous wall times: ICU resolves to the LATER offset, so the
+  // repeated hour is where the offset steps up from the PREVIOUS
+  // hour (the JVM operator, resolving to the earlier offset, probes
+  // the NEXT hour instead — the flagged set is identical). Dropped
+  // rows null their instants, so the engines' differing ambiguous
+  // resolutions never reach a gated value.
+  private val q69 = """
+    WITH dst_grid AS (
+      SELECT d || ' ' || lpad(CAST(h AS VARCHAR), 2, '0') || ':'
+               || lpad(CAST(m * 15 AS VARCHAR), 2, '0') || ':00' AS wall
+      FROM (SELECT unnest(['2020-03-08', '2020-11-01']) AS d) dd
+      CROSS JOIN (SELECT unnest(range(0, 5)) AS h) hh
+      CROSS JOIN (SELECT unnest(range(0, 4)) AS m) mm),
+    dst_c AS (SELECT wall, CAST(wall AS TIMESTAMP) AS ts FROM dst_grid),
+    dst_o AS (
+      SELECT wall, ts,
+        epoch(timezone('America/Los_Angeles', ts)) - epoch(ts) AS off,
+        epoch(timezone('America/Los_Angeles', ts - INTERVAL 1 HOUR))
+          - epoch(ts - INTERVAL 1 HOUR) AS off_prev,
+        timezone('America/Los_Angeles', timezone('America/Los_Angeles', ts)) AS rt,
+        CAST(epoch(timezone('America/Los_Angeles', ts)) AS BIGINT) AS utc_s
+      FROM dst_c)
+    SELECT wall,
+      (epoch(rt) <> epoch(ts)) OR (off - off_prev = 3600.0) AS dst_dropped,
+      CASE WHEN (epoch(rt) <> epoch(ts)) OR (off - off_prev = 3600.0)
+           THEN NULL ELSE utc_s END AS ts_utc_s,
+      CASE WHEN (epoch(rt) <> epoch(ts)) OR (off - off_prev = 3600.0)
+           THEN NULL ELSE utc_s - 28800 END AS ts_fixed_s
+    FROM dst_o
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3786,6 +3820,7 @@ $branches
     "q66_orientation_cells_filled" -> q66,
     "q67_dbscan_quality" -> q67,
     "q68_clearsky_dp" -> q68,
+    "q69_dst_repair" -> q69,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

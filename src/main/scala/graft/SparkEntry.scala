@@ -636,6 +636,29 @@ object SparkEntry {
         round(col("noon"), 6).as("noon"),
         round(col("lat_est"), 6).as("lat_est"))
 
+  /** The tz-database DST repair (`TimeAxis.fixDst`, SURVEY §2.3 DST
+    * repair — the real-zone path that was spec-only while we believed
+    * DuckDB had no tz database; it ships ICU), HASH-GATED on a
+    * minute grid spanning both 2020 America/Los_Angeles transitions.
+    * The engines resolve AMBIGUOUS wall times differently (JVM picks
+    * the earlier offset, ICU the later), so each probes the repeated
+    * hour from its own side — next hour here, previous hour in the
+    * oracle — and the flagged SET is identical; dropped rows are
+    * nulled, so the disagreement never reaches a gated value.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val walls = for {
+      d <- Seq("2020-03-08", "2020-11-01")
+      k <- 0 until 20
+    } yield f"$d ${k / 4}%02d:${(k % 4) * 15}%02d:00"
+    val df = walls.toDF("wall").select(col("wall"), to_timestamp(col("wall")).as("ts"))
+    TimeAxis.fixDst(df, "ts", "America/Los_Angeles", fixedOffsetHours = -8)
+      .select(col("wall"), col("dst_dropped"),
+        unix_timestamp(col("ts_utc")).as("ts_utc_s"),
+        unix_timestamp(col("ts_fixed")).as("ts_fixed_s"))
+  }
+
   /** The 2-state clear-sky Viterbi DP (`Kernels.viterbi2`, SURVEY
     * §2.7 — reference clear-sky DP), HASH-GATED on deterministic
     * literal series (the e15/e22 fixed-state idiom for trained/solver
@@ -2898,6 +2921,7 @@ object SparkEntry {
     "q66_orientation_cells_filled" -> (q66 _),
     "q67_dbscan_quality" -> (q67 _),
     "q68_clearsky_dp" -> (q68 _),
+    "q69_dst_repair" -> (q69 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
