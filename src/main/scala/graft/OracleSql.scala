@@ -1488,6 +1488,16 @@ object OracleSql {
     FROM dst_o
   """
 
+  // q70: sort+dedup timestamps — the union-with-doubled-twin input
+  // makes every stamp collide; keep-first by the value tie-break is
+  // then exactly min per (site, ts), stated directly (independent
+  // relational equivalence rather than a window replay).
+  private val q70 = """
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      round(least(value, value * 2.0), 6) AS value
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3821,6 +3831,7 @@ $branches
     "q67_dbscan_quality" -> q67,
     "q68_clearsky_dp" -> q68,
     "q69_dst_repair" -> q69,
+    "q70_sort_dedup" -> q70,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

@@ -659,6 +659,24 @@ object SparkEntry {
         unix_timestamp(col("ts_fixed")).as("ts_fixed_s"))
   }
 
+  /** Sort + dedup timestamps (`TimeAxis.sortDedup`, SURVEY §2.3 —
+    * reference `time_axis_manipulation.py:59-61`), HASH-GATED: the
+    * events table has no duplicate stamps, so the gate unions the
+    * scan with a doubled-value twin to manufacture a collision on
+    * EVERY timestamp; keep-first by the `value` tie-break is then
+    * relationally min-per-(site, ts), which the oracle states
+    * directly — an independent equivalence, not a window replay.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("value"))
+    val dup = ev.unionByName(ev.withColumn("value", col("value") * 2.0))
+    TimeAxis.sortDedup(dup, Seq("user_id"), "ts", tieBreak = "value")
+      .select(col("user_id"), col("ts").cast("long").as("ts_s"),
+        round(col("value"), 6).as("value"))
+  }
+
   /** The 2-state clear-sky Viterbi DP (`Kernels.viterbi2`, SURVEY
     * §2.7 — reference clear-sky DP), HASH-GATED on deterministic
     * literal series (the e15/e22 fixed-state idiom for trained/solver
@@ -2922,6 +2940,7 @@ object SparkEntry {
     "q67_dbscan_quality" -> (q67 _),
     "q68_clearsky_dp" -> (q68 _),
     "q69_dst_repair" -> (q69 _),
+    "q70_sort_dedup" -> (q70 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
