@@ -1498,6 +1498,47 @@ object OracleSql {
     FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
   """
 
+  // q71: the ground-truth harness replayed — plane-normal → (tilt,
+  // az) conversion (skyward z-flip, the >90 azimuth fold), the
+  // (−180, 180] azimuth error wrap, and the haversine distance, all
+  // on the same literal fixtures. Single-pass trig at 6 dp.
+  private val q71 = """
+    WITH gt_n(site, nx, ny, nz) AS (VALUES
+      (1, 0.0, 0.0, 1.0), (2, 1.0, 0.0, 1.0), (3, 0.5, -0.5, -0.7),
+      (4, 1.0, -1.0, 0.2), (5, -1.0, 0.3, 0.5)),
+    gt_t AS (
+      SELECT site,
+        CAST(37.3 AS DOUBLE) AS lat_true, CAST(-121.9 AS DOUBLE) AS lon_true,
+        degrees(atan2(sqrt(xs * xs + ys * ys), zup)) AS tilt_true,
+        CASE WHEN 90.0 - degrees(atan2(ys, xs)) < -90.0
+               THEN 90.0 - degrees(atan2(ys, xs)) + 180.0
+             WHEN 90.0 - degrees(atan2(ys, xs)) > 90.0
+               THEN 180.0 - (90.0 - degrees(atan2(ys, xs)))
+             ELSE 90.0 - degrees(atan2(ys, xs)) END AS az_true
+      FROM (
+        SELECT site, abs(nz) AS zup,
+          CASE WHEN nz < 0 THEN -nx ELSE nx END AS xs,
+          CASE WHEN nz < 0 THEN -ny ELSE ny END AS ys
+        FROM gt_n) f),
+    gt_e(site, lat_est, lon_est, tilt_est, az_est) AS (VALUES
+      (1, 37.1, -122.2, 2.0, 10.0), (2, 36.8, -121.5, 44.0, 89.0),
+      (3, 38.0, -120.9, 51.0, 171.0), (4, 37.4, -122.0, 80.0, -171.0),
+      (5, 36.9, -121.7, 62.0, -44.0))
+    SELECT CAST(e.site AS BIGINT) AS site,
+      round(t.tilt_true, 6) AS tilt_true,
+      round(t.az_true, 6) AS az_true,
+      round(e.lat_est - t.lat_true, 6) AS lat_err,
+      round(e.lon_est - t.lon_true, 6) AS lon_err,
+      round(e.tilt_est - t.tilt_true, 6) AS tilt_err,
+      round((e.az_est - t.az_true)
+            - round((e.az_est - t.az_true) / 360.0, 0) * 360.0, 6) AS az_err,
+      round(2.0 * 6371.0 * asin(sqrt(
+        pow(sin(radians(e.lat_est - t.lat_true) / 2.0), 2)
+        + cos(radians(t.lat_true)) * cos(radians(e.lat_est))
+          * pow(sin(radians(e.lon_est - t.lon_true) / 2.0), 2))), 6) AS dist_km
+    FROM gt_e e JOIN gt_t t ON e.site = t.site
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3832,6 +3873,7 @@ $branches
     "q68_clearsky_dp" -> q68,
     "q69_dst_repair" -> q69,
     "q70_sort_dedup" -> q70,
+    "q71_ground_truth_harness" -> q71,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

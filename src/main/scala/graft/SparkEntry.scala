@@ -677,6 +677,46 @@ object SparkEntry {
         round(col("value"), 6).as("value"))
   }
 
+  /** The ground-truth comparison harness (`Profiler.compareToTruth`
+    * composed with `Profiler.tiltAzimuthFromNormal` — the reference's
+    * KML pipeline shape: surveyed plane normals → (tilt, az) truth →
+    * estimate-vs-truth errors), HASH-GATED on literal fixtures
+    * covering the normal's z-flip and both azimuth folds plus the
+    * error wrap to (−180, 180]. Single-pass trig under 6-dp output
+    * rounding — no iteration to amplify last-ulp engine differences.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val normals = Seq(
+      (1L, 0.0, 0.0, 1.0),    // flat roof
+      (2L, 1.0, 0.0, 1.0),    // east-ish pitch
+      (3L, 0.5, -0.5, -0.7),  // z<0: skyward flip
+      (4L, 1.0, -1.0, 0.2),   // steep, azRaw > 90 fold
+      (5L, -1.0, 0.3, 0.5)    // west-leaning normal
+    ).toDF("site", "nx", "ny", "nz")
+    val truth = normals
+      .withColumn("ta", graft.analyses.Profiler.tiltAzimuthFromNormal(col("nx"), col("ny"), col("nz")))
+      .select(col("site"),
+        lit(37.3).as("lat_deg"), lit(-121.9).as("lon_deg"),
+        col("ta.tilt_deg").as("tilt_deg"), col("ta.az_deg").as("az_deg"))
+    val est = Seq(
+      (1L, 37.1, -122.2, 2.0, 10.0),
+      (2L, 36.8, -121.5, 44.0, 89.0),
+      (3L, 38.0, -120.9, 51.0, 171.0),  // az_true −45 → raw err 216 → wraps to −144
+      (4L, 37.4, -122.0, 80.0, -171.0), // az_true 45 → raw err −216 → wraps to 144
+      (5L, 36.9, -121.7, 62.0, -44.0)
+    ).toDF("site", "lat_est", "lon_est", "tilt_deg", "azimuth_duffie_deg")
+    graft.analyses.Profiler.compareToTruth(est, truth, "site")
+      .select(col("site"),
+        round(col("tilt_true"), 6).as("tilt_true"),
+        round(col("az_true"), 6).as("az_true"),
+        round(col("lat_err"), 6).as("lat_err"),
+        round(col("lon_err"), 6).as("lon_err"),
+        round(col("tilt_err"), 6).as("tilt_err"),
+        round(col("az_err"), 6).as("az_err"),
+        round(col("dist_km"), 6).as("dist_km"))
+  }
+
   /** The 2-state clear-sky Viterbi DP (`Kernels.viterbi2`, SURVEY
     * §2.7 — reference clear-sky DP), HASH-GATED on deterministic
     * literal series (the e15/e22 fixed-state idiom for trained/solver
@@ -2941,6 +2981,7 @@ object SparkEntry {
     "q68_clearsky_dp" -> (q68 _),
     "q69_dst_repair" -> (q69 _),
     "q70_sort_dedup" -> (q70 _),
+    "q71_ground_truth_harness" -> (q71 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
