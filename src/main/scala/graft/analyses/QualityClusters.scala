@@ -46,9 +46,15 @@ object QualityClusters {
       minPts: Int = 3
   ): DataFrame = {
     import spark.implicits._
-    val day = Pipeline.dayStats(
+    val day0 = Pipeline.dayStats(
         df.filter(!isnan(col(valueCol))), site, tsCol, valueCol)
       .select(col("site"), col("day"), col("density"), col("daily_max"))
+    // the day frame feeds the site-grain scale aggregate AND the main
+    // point projection; without a persist each consumer re-executes
+    // the whole dayStats subtree (2 parquet scans apiece — PlanSpec
+    // pins the total at ≤ 2). Day grain is tiny at any raw-data scale.
+    val dayRdd = day0.rdd.setName("dbscan day features").persist()
+    val day = spark.createDataFrame(dayRdd, day0.schema)
     // the pipeline's mScale guard: max over finite daily maxes, 1e-9 floor
     val scale = day.groupBy(col("site"))
       .agg(greatest(max(col("daily_max")), lit(1e-9)).as("m_scale"))

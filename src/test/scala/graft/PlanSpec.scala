@@ -105,6 +105,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("filled-matrix studies stay bounded: one parquet scan, no cartesian, canonical clustering single-scan (q64, q65, q67)") {
+    // the filled-only sweeps must not re-touch the raw parquet beyond
+    // the grid build + the clear-day detector — every other
+    // consumption rides filledDayGrid's persisted internals
+    Seq("q64_latitude_study_filled", "q65_longitude_study_filled").foreach { n =>
+      val p = planOf(n)
+      assert(!p.contains("CartesianProduct"), s"$n planned a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$n planned a nested-loop join")
+      val scans = "Scan parquet".r.findAllIn(p).size
+      assert(scans <= 2, s"$n reads the raw parquet $scans times — internal caches lost")
+    }
+    val p67 = planOf("q67_dbscan_quality")
+    assert(!p67.contains("CartesianProduct"), "q67 planned a cartesian product")
+    val scans67 = "Scan parquet".r.findAllIn(p67).size
+    assert(scans67 <= 2, s"q67 reads the raw parquet $scans67 times")
+  }
+
   test("grid search stays single-scan: no row explosion before aggregation (q38)") {
     // the threshold grid is evaluated as conditional aggregate columns;
     // every Generate (explode) must sit DOWNSTREAM of an aggregate —
