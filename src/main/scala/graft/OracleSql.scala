@@ -1356,6 +1356,38 @@ object OracleSql {
         filled AS value
       FROM fg_filled)""")
 
+  // d43: the PII redaction true-positive path replayed — identical
+  // injected identifiers, the operator's exact patterns (shared
+  // Java-regex/RE2 dialect subset incl. \b), counts via
+  // regexp_extract_all before masking, global replacements in the
+  // operator's order (email -> IP -> phone), md5 of the redacted
+  // text.
+  private val d43: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3}[-. ]?[0-9]{2,4}\\b"
+    s"""
+    WITH pm_in AS (
+      SELECT doc_id,
+        text || ' contact user' || doc_id || '@example.com via '
+             || '10.' || (doc_id % 200) || '.0.1 tel 1-555-123-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             || CASE WHEN doc_id % 3 = 0 THEN ' cc admin@host.org' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' peer 192.168.1.9' ELSE '' END AS text
+      FROM documents)
+    SELECT doc_id,
+      len(regexp_extract_all(text, '$email')) AS n_email,
+      len(regexp_extract_all(text, '$ip')) AS n_ipv4,
+      len(regexp_extract_all(text, '$phone')) AS n_phone,
+      md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(text, '$email', '<EMAIL>', 'g'),
+              '$ip', '<IP>', 'g'),
+            '$phone', '<PHONE>', 'g')) AS redacted_md5
+    FROM pm_in
+    """
+  }
+
   // q67: day-quality DBSCAN replayed from scratch — eps-geometry on
   // the (density, normalized daily max) day points, core flags
   // (neighbor count ≥ minPts, self included), core components by
@@ -3869,6 +3901,7 @@ $branches
     "q64_latitude_study_filled" -> q64,
     "q65_longitude_study_filled" -> q65,
     "q66_orientation_cells_filled" -> q66,
+    "d43_pii_mask" -> d43,
     "q67_dbscan_quality" -> q67,
     "q68_clearsky_dp" -> q68,
     "q69_dst_repair" -> q69,

@@ -2221,6 +2221,37 @@ object SparkEntry {
       fpOf = TextOps.prefixFingerprint(_, 40))
   }
 
+  /** The PII redaction TRUE-POSITIVE path (d32 certifies the
+    * true-negative path on the PII-free corpus; its doc deferred the
+    * hit contracts to OperatorSpec — this gate closes that debt
+    * cross-engine). Deterministic identifiers derived from doc_id are
+    * INJECTED by the same concat expression on both engines (the q70
+    * manufactured-input idiom), then counted and redacted by the real
+    * `TextOps.piiCounts`/`redactPii`; the oracle replays the
+    * identical patterns in RE2 (they are written in the shared
+    * Java-regex/RE2 dialect subset for exactly this reason). The full
+    * redacted text is compared via md5.
+    */
+  private def d43(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val injected = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com via "),
+        lit("10."), pmod(col("doc_id"), lit(200)), lit(".0.1 tel 1-555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        // every 3rd doc gets a second email, every 7th an extra IP —
+        // so the count columns are not constants
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" cc admin@host.org")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit(" peer 192.168.1.9")).otherwise(lit(""))
+      ).as("text"))
+    injected
+      .select(col("doc_id"), TextOps.piiCounts(col("text")).as("p"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"))
+      .select(col("doc_id"), col("p.n_email").as("n_email"),
+        col("p.n_ipv4").as("n_ipv4"), col("p.n_phone").as("n_phone"),
+        col("redacted_md5"))
+  }
+
   private def d37(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("v"))
@@ -3025,6 +3056,7 @@ object SparkEntry {
     "d40_component_histogram" -> (d40 _),
     "d41_nb_quality" -> (d41 _),
     "d42_canonical_select" -> (d42 _),
+    "d43_pii_mask" -> (d43 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

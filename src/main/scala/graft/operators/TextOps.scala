@@ -275,4 +275,5 @@ object TextOps {
       .agg(count(lit(1)).as("n_toks"), sum(col("w_micro")).as("score_micro"))
       .withColumn("quality", col("score_micro") > 0)
   }
+
 }
