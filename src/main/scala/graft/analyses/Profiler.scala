@@ -194,7 +194,11 @@ object Profiler {
     import graft.operators.{DayStats, SideJoin}
     val eotH = Solar.equationOfTimeMin(dayofyear(to_date(col(tsCol)))) / lit(60.0)
     // one day-grain rise/set table feeds BOTH the solar-noon origin
-    // (EoT-corrected midpoint median) and the default latitude
+    // (EoT-corrected midpoint median) and the default latitude.
+    // MEASURED (round 7, sf0.1 filled-matrix path): an .rdd persist
+    // here, despite removing a duplicate scan-grain aggregation,
+    // DOUBLED q66 (3.8 → 8.3 s) — the Row-encoder boundary costs more
+    // than the re-executed aggregation it saves. Left unpersisted.
     val rs = DayStats.riseSetRough(df, site, tsCol, valueCol, 0.01)
       .withColumn("__eot_h",
         Solar.equationOfTimeMin(dayofyear(col("day"))) / lit(60.0))
