@@ -106,6 +106,28 @@ object ProfStudy {
       graft.analyses.Study.latitudeStudy(spark, ev, "user_id", "ts", "value",
         includeFilled = true, filledSlotsPerDay = 48, includeRaw = false).count()
     }
+    // exchange-reuse experiment: a repartition on the filled rows
+    // gives both perDay consumers one shared Exchange to reuse
+    locally {
+      val f0 = graft.operators.Filling.filledDayGrid(ev, "user_id", "ts", "value", 48)
+        .select(col("site").cast("long").as("site"), col("day"),
+          (col("slot") * lit(1800.0)).as("sec"), col("filled").as("v"),
+          lit(0.5).as("freq_h"))
+        .withColumn("data_matrix", lit("filled"))
+        .repartition(col("site"))
+      val scale = f0.groupBy(col("site"), col("data_matrix"))
+        .agg(percentile(col("v"), lit(0.99)).as("hi99"),
+          min(col("v")).as("mn"),
+          percentile(col("v"), lit(0.95)).as("p95"),
+          percentile(col("v"), lit(0.05)).as("p05"))
+      val j = f0.join(broadcast(scale), Seq("site", "data_matrix"))
+        .withColumn("sc_d", round((col("v") - col("mn")) / col("hi99"), 6))
+      time("  repartition+reuse dayagg") {
+        j.groupBy(col("site"), col("data_matrix"), col("day"))
+          .agg(min(when(col("sc_d") > 0.001, col("sec"))).as("x"))
+          .count()
+      }
+    }
     spark.stop()
   }
 }

@@ -115,18 +115,20 @@ object Study {
       if (!includeFilled) None
       else Some(
         // the day-grain pass consumes these rows twice (scale
-        // percentiles + the main aggregation); measured at sf0.1,
-        // re-executing the pipeline TAIL twice (~1.1 s — its slotted
-        // and rise/set stages are already persisted inside
-        // filledDayGrid) beats materializing a matrix-sized cache of
-        // the grid here (~2 s build for ~0.1 s of re-read saved)
+        // percentiles + the main aggregation). A site-keyed
+        // repartition here gives both consumers ONE shared Exchange —
+        // Spark's exchange reuse materializes the grid pipeline once
+        // in shuffle files. Measured at sf0.1: beats both re-running
+        // the pipeline tail twice and an .rdd/df persist (the shuffle
+        // write is columnar; the Row-encoder cache boundary is not).
         Filling.filledDayGrid(ev, site, tsCol, valueCol, filledSlotsPerDay)
           .select(
             col("site").cast("long").as("site"), col("day"),
             (col("slot") * lit((86400 / filledSlotsPerDay).toDouble)).as("sec"),
             col("filled").as("v"),
             lit(24.0 / filledSlotsPerDay).as("freq_h"))
-          .withColumn("data_matrix", lit("filled")))
+          .withColumn("data_matrix", lit("filled"))
+          .repartition(col("site")))
     val rows = (rawRows, filledRows) match {
       case (Some(r), Some(f)) => r.unionByName(f)
       case (Some(r), None) => r
