@@ -594,11 +594,16 @@ object Study {
       slotsPerDay: Int
   ): DataFrame = {
     val pitchS = 86400 / slotsPerDay
+    // site-keyed repartition: consumers of this frame (the orientation
+    // cell builder aggregates it 3-4 times) share one Exchange via
+    // Spark's exchange reuse instead of re-running the grid pipeline
+    // tail per consumer (the q64/q65 measured win, same shape)
     Filling.filledDayGrid(df, site, tsCol, valueCol, slotsPerDay)
       .select(
         col("site").as(site),
         expr(s"timestampadd(SECOND, slot * $pitchS, CAST(day AS TIMESTAMP))").as(tsCol),
         col("filled").as(valueCol))
+      .repartition(col(site))
   }
 
   /** Estimate-vs-truth residual for a study table (the reference's
