@@ -109,6 +109,12 @@ object Study {
           col(valueCol).cast("double").as("v"))
         val rawFreq = TimeAxis.inferFrequency(ev, Seq(site), tsCol)
           .select(col(site).cast("long").as("site"), (col("freq_s") / lit(3600.0)).as("freq_h"))
+        // NO repartition here, unlike the filled branch: perDay does
+        // consume these rows twice, but re-scanning parquet (pushdown,
+        // columnar) is cheaper than an extra full shuffle — measured
+        // at sf0.1 (q61 2.41 → 2.73 s with the shuffle). The filled
+        // branch differs because its second execution re-runs a whole
+        // derived pipeline, not a scan.
         Some(joinFreq(raw, rawFreq).withColumn("data_matrix", lit("raw")))
       }
     val filledRows: Option[DataFrame] =
