@@ -101,10 +101,22 @@ class DataHandler(
     * (`tilt_azimuth_study.py:39-353`): season × declination ×
     * daytime-threshold sweep over the cosθ fit. */
   def tiltAzimuthStudy(
-      daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold)
+      daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold),
+      useFilled: Boolean = false,
+      filledSlotsPerDay: Int = 96
   ): DataFrame =
     graft.analyses.Study.tiltAzimuthStudy(spark, df, site, tsCol, valueCol,
-      daytimeThresholds = daytimeThresholds)
+      daytimeThresholds = daytimeThresholds,
+      useFilled = useFilled, filledSlotsPerDay = filledSlotsPerDay)
+
+  /** The day-quality DBSCAN clustering (`data_handler.py:1172-1199`,
+    * the pipeline's `cluster` stage) as a queryable per-day table
+    * with canonical order-free labels — see
+    * [[graft.analyses.QualityClusters.dbscanDayClusters]].
+    */
+  def detectQualityClusters(eps: Double = 0.06, minPts: Int = 3): DataFrame =
+    graft.analyses.QualityClusters.dbscanDayClusters(
+      spark, df, site, tsCol, valueCol, eps, minPts)
 
   /** The FILLED-matrix re-estimate (reference pipeline stage 12,
     * `get_optimized_sunrise_sunset(filled_data_matrix=...)`,

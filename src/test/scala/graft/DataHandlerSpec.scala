@@ -105,4 +105,13 @@ class DataHandlerSpec extends AnyFunSuite {
     assert(ta.columns.toSet.contains("day_range"))
     assert(ta.select("delta_method").distinct().count() == 2)
   }
+
+  test("quality-cluster facade emits one canonical-labeled row per observed day") {
+    val qc = dh.detectQualityClusters().collect()
+    val days = fleet.selectExpr("site", "CAST(ts AS DATE)").distinct().count()
+    assert(qc.length == days, s"${qc.length} rows vs $days site-days")
+    // the clean synthetic fleet is dense: most days must land in a cluster
+    val clustered = qc.count(_.getAs[String]("cluster_day") != null)
+    assert(clustered > qc.length / 2, s"only $clustered/${qc.length} clustered")
+  }
 }
