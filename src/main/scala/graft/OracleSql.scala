@@ -1042,8 +1042,8 @@ object OracleSql {
       FROM dmetrics GROUP BY 1)
     SELECT r.user_id, r.n_days, cap.capacity,
       round(CAST(r.n_good AS DOUBLE) / r.n_days, 6) AS quality_score,
-      round(CAST(r.sum_dm AS DOUBLE) / 1e6 / r.n_days, 6) AS mean_density,
-      round(CAST(r.sum_edu AS DOUBLE) / 1e4 / r.n_days, 4) AS mean_energy,
+      CAST((2 * r.sum_dm + r.n_days) // (2 * r.n_days) AS DOUBLE) / 1e6 AS mean_density,
+      CAST((2 * r.sum_edu + r.n_days) // (2 * r.n_days) AS DOUBLE) / 1e4 AS mean_energy,
       clipv.inverter_clipping
     FROM srpt r
     JOIN cap ON r.user_id = cap.user_id

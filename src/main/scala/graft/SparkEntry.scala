@@ -482,6 +482,15 @@ object SparkEntry {
   /** Monte-Carlo running statistics (reference
     * `loss_factor_analysis.py:106-196`): deterministic pseudo-samples
     * by key hash; median / 2.5% / 97.5% across sample means.
+    *
+    * sf-calibration note (round-7 sf0.1 audit): Spark's `percentile`
+    * and DuckDB's `quantile_cont` interpolate with differently
+    * ASSOCIATED formulas (lo + f·(hi−lo) vs lo·(1−f) + hi·f), so the
+    * interpolated double can differ in the last ulp and straddle the
+    * 6-dp rounding grid — observed 4/1500 rows at sf0.1 (maxabs
+    * exactly 1e-6, i.e. one grid unit), 0 at the sf0.01 gate. A
+    * future 1-ulp q35 failure at a new scale factor is this, not a
+    * regression.
     */
   private def q35(s: SparkSession, dir: String): DataFrame = {
     val samples = Tables.events(s, dir)
@@ -1085,6 +1094,9 @@ object SparkEntry {
     * the two per-day clip stats behind inverter-clipping detection,
     * computed fleet-wide in one relational plan (`DayStats.clipStats`
     * — scan aggregated at (site, day) grain, side tables broadcast).
+    * Same percentile-interpolation sf-calibration caveat as q35
+    * (observed 1/40083 rows off by exactly 1e-6 at sf0.1; 0 at the
+    * sf0.01 gate).
     */
   private def q48(s: SparkSession, dir: String): DataFrame =
     DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
@@ -2848,8 +2860,14 @@ object SparkEntry {
       .select(
         col("user_id"), col("n_days"), col("capacity"),
         round(col("n_good").cast("double") / col("n_days"), 6).as("quality_score"),
-        round(col("sum_dm").cast("double") / 1e6 / col("n_days"), 6).as("mean_density"),
-        round(col("sum_edu").cast("double") / 1e4 / col("n_days"), 4).as("mean_energy"),
+        // round-half-up in PURE integer arithmetic, then scale: the
+        // double form round(sum/1e6/n, 6) double-rounds (the quotient
+        // double is not exactly on the decimal grid) and straddled at
+        // sf0.1 — (2s+n) div (2n) is exact at any scale factor
+        (expr("(2 * sum_dm + n_days) div (2 * n_days)").cast("double") / 1e6)
+          .as("mean_density"),
+        (expr("(2 * sum_edu + n_days) div (2 * n_days)").cast("double") / 1e4)
+          .as("mean_energy"),
         col("inverter_clipping")
       )
   }
