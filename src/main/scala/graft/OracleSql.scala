@@ -1571,6 +1571,400 @@ object OracleSql {
     FROM gt_e e JOIN gt_t t ON e.site = t.site
   """
 
+  // q72: the τ-pinball IRLS of the quantile fits replayed — the
+  // RECURSIVE CTE carries β across all 30 iterations: pinball
+  // weights g/max(|r|, 1e-6) (unit weights on the init step), the
+  // 1e-9-ridged weighted normal equations assembled by list lambdas
+  // over the valid points, and a 3×3 Cramer solve. The summation
+  // order intentionally differs from the Scala Cholesky path — the
+  // IRLS fixed point is a contraction, so both engines agree far
+  // inside the 6-dp gate rounding.
+  private val q72 = """
+    WITH RECURSIVE
+    qf_src AS (
+      SELECT sid, i,
+        CASE WHEN i % 19 = 7 THEN NULL
+             ELSE 6.0 + 2.0 * sid
+                  + CAST((i * 31 + sid * 17) % 23 - 11 AS DOUBLE) / 4.0 END AS y,
+        cos(2.0 * pi() * 1 * CAST(i AS DOUBLE) / 48.0) AS x1,
+        sin(2.0 * pi() * 1 * CAST(i AS DOUBLE) / 48.0) AS x2
+      FROM (SELECT unnest(range(1, 4)) AS sid) s
+      CROSS JOIN (SELECT unnest(range(0, 48)) AS i) g),
+    qf_d AS (
+      SELECT sid,
+        list(y ORDER BY i) FILTER (WHERE y IS NOT NULL) AS yv,
+        list(x1 ORDER BY i) FILTER (WHERE y IS NOT NULL) AS c1,
+        list(x2 ORDER BY i) FILTER (WHERE y IS NOT NULL) AS s1,
+        CAST(count(y) AS BIGINT) AS m
+      FROM qf_src GROUP BY sid),
+    qf_it AS (
+      SELECT sid, -1 AS it, CAST(NULL AS DOUBLE[]) AS w,
+        CAST(0 AS DOUBLE) AS s00, CAST(0 AS DOUBLE) AS s01,
+        CAST(0 AS DOUBLE) AS s02, CAST(0 AS DOUBLE) AS s11,
+        CAST(0 AS DOUBLE) AS s12, CAST(0 AS DOUBLE) AS s22,
+        CAST(0 AS DOUBLE) AS t0, CAST(0 AS DOUBLE) AS t1,
+        CAST(0 AS DOUBLE) AS t2, CAST(0 AS DOUBLE) AS det,
+        CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+        CAST(0 AS DOUBLE) AS b2
+      FROM qf_d
+      UNION ALL
+      SELECT q.sid, q.it + 1,
+        CASE WHEN q.it = -1
+             THEN list_transform(range(1, d.m + 1), j -> CAST(1.0 AS DOUBLE))
+             ELSE list_transform(range(1, d.m + 1), j ->
+               (CASE WHEN d.yv[j] - (q.b0 + q.b1 * d.c1[j] + q.b2 * d.s1[j]) < 0
+                     THEN 0.30000000000000004 ELSE 0.7 END)
+               / greatest(abs(d.yv[j] - (q.b0 + q.b1 * d.c1[j] + q.b2 * d.s1[j])),
+                          0.000001)) END AS nw,
+        list_sum(nw) + 0.000000001 AS n00,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.c1[j])) AS n01,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.s1[j])) AS n02,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.c1[j] * d.c1[j]))
+          + 0.000000001 AS n11,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.c1[j] * d.s1[j])) AS n12,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.s1[j] * d.s1[j]))
+          + 0.000000001 AS n22,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.yv[j])) AS m0,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.c1[j] * d.yv[j])) AS m1,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.s1[j] * d.yv[j])) AS m2,
+        n00 * (n11 * n22 - n12 * n12) - n01 * (n01 * n22 - n12 * n02)
+          + n02 * (n01 * n12 - n11 * n02) AS ndet,
+        (m0 * (n11 * n22 - n12 * n12) - n01 * (m1 * n22 - n12 * m2)
+          + n02 * (m1 * n12 - n11 * m2)) / ndet AS nb0,
+        (n00 * (m1 * n22 - m2 * n12) - m0 * (n01 * n22 - n12 * n02)
+          + n02 * (n01 * m2 - m1 * n02)) / ndet AS nb1,
+        (n00 * (n11 * m2 - n12 * m1) - n01 * (n01 * m2 - m1 * n02)
+          + m0 * (n01 * n12 - n11 * n02)) / ndet AS nb2
+      FROM qf_it q JOIN qf_d d USING (sid)
+      WHERE q.it < 30)
+    SELECT f.sid AS series_id, f.i,
+      round(b.b0 + b.b1 * f.x1 + b.b2 * f.x2, 6) AS fit
+    FROM qf_src f JOIN qf_it b ON b.sid = f.sid AND b.it = 30
+  """
+
+  // q73: the deflated power-iteration eigensolver replayed — seed
+  // v = 1 + diag, every matvec / normalize step in the operator's own
+  // left-to-right summation order, the 1e-18 squared-step convergence
+  // exit, and the rank-one deflation (a − (λ·v_i)·v_j, the exact
+  // Scala association) carried across components by one RECURSIVE
+  // CTE. The Gram matrix is exact-integer in both engines, so every
+  // float op replays bit-identically. (The Gram entries are CAST to
+  // DOUBLE: the VALUES literals infer DECIMAL, and a DECIMAL seed
+  // type would silently round every iterate to the seed's scale. No
+  // inline -- comments here: oracle SQL is whitespace-flattened.)
+  private val q73 = """
+    WITH RECURSIVE
+    pe_b(b1, b2, b3, b4) AS (VALUES
+      (4.0, 1.0, 0.0, 2.0), (1.0, 3.0, 1.0, 0.0), (0.0, 2.0, 5.0, 1.0),
+      (2.0, 0.0, 1.0, 3.0), (1.0, 1.0, 0.0, 4.0)),
+    pe_g AS (
+      SELECT
+        CAST(sum(b1 * b1) AS DOUBLE) AS g11, CAST(sum(b1 * b2) AS DOUBLE) AS g12,
+        CAST(sum(b1 * b3) AS DOUBLE) AS g13, CAST(sum(b1 * b4) AS DOUBLE) AS g14,
+        CAST(sum(b2 * b1) AS DOUBLE) AS g21, CAST(sum(b2 * b2) AS DOUBLE) AS g22,
+        CAST(sum(b2 * b3) AS DOUBLE) AS g23, CAST(sum(b2 * b4) AS DOUBLE) AS g24,
+        CAST(sum(b3 * b1) AS DOUBLE) AS g31, CAST(sum(b3 * b2) AS DOUBLE) AS g32,
+        CAST(sum(b3 * b3) AS DOUBLE) AS g33, CAST(sum(b3 * b4) AS DOUBLE) AS g34,
+        CAST(sum(b4 * b1) AS DOUBLE) AS g41, CAST(sum(b4 * b2) AS DOUBLE) AS g42,
+        CAST(sum(b4 * b3) AS DOUBLE) AS g43, CAST(sum(b4 * b4) AS DOUBLE) AS g44
+      FROM pe_b),
+    pe_it AS (
+      SELECT 1 AS comp, 0 AS it, FALSE AS conv,
+        g11 AS a11, g12 AS a12, g13 AS a13, g14 AS a14,
+        g21 AS a21, g22 AS a22, g23 AS a23, g24 AS a24,
+        g31 AS a31, g32 AS a32, g33 AS a33, g34 AS a34,
+        g41 AS a41, g42 AS a42, g43 AS a43, g44 AS a44,
+        1.0 + g11 AS v1, 1.0 + g22 AS v2, 1.0 + g33 AS v3, 1.0 + g44 AS v4,
+        CAST(0 AS DOUBLE) AS lam
+      FROM pe_g
+      UNION ALL
+      SELECT
+        CASE WHEN z.madv THEN z.comp + 1 ELSE z.comp END,
+        CASE WHEN z.madv THEN 0 ELSE z.it + 1 END,
+        CASE WHEN z.madv THEN FALSE ELSE z.pdiff < 1e-18 END,
+        CASE WHEN z.madv THEN z.da11 ELSE z.a11 END,
+        CASE WHEN z.madv THEN z.da12 ELSE z.a12 END,
+        CASE WHEN z.madv THEN z.da13 ELSE z.a13 END,
+        CASE WHEN z.madv THEN z.da14 ELSE z.a14 END,
+        CASE WHEN z.madv THEN z.da21 ELSE z.a21 END,
+        CASE WHEN z.madv THEN z.da22 ELSE z.a22 END,
+        CASE WHEN z.madv THEN z.da23 ELSE z.a23 END,
+        CASE WHEN z.madv THEN z.da24 ELSE z.a24 END,
+        CASE WHEN z.madv THEN z.da31 ELSE z.a31 END,
+        CASE WHEN z.madv THEN z.da32 ELSE z.a32 END,
+        CASE WHEN z.madv THEN z.da33 ELSE z.a33 END,
+        CASE WHEN z.madv THEN z.da34 ELSE z.a34 END,
+        CASE WHEN z.madv THEN z.da41 ELSE z.a41 END,
+        CASE WHEN z.madv THEN z.da42 ELSE z.a42 END,
+        CASE WHEN z.madv THEN z.da43 ELSE z.a43 END,
+        CASE WHEN z.madv THEN z.da44 ELSE z.a44 END,
+        CASE WHEN z.madv THEN 1.0 + z.da11 ELSE z.pv1 END,
+        CASE WHEN z.madv THEN 1.0 + z.da22 ELSE z.pv2 END,
+        CASE WHEN z.madv THEN 1.0 + z.da33 ELSE z.pv3 END,
+        CASE WHEN z.madv THEN 1.0 + z.da44 ELSE z.pv4 END,
+        CASE WHEN z.madv THEN CAST(0 AS DOUBLE) ELSE z.pnrm END
+      FROM (
+        SELECT q.*,
+          (q.conv OR q.it = 200) AS madv,
+          q.a11 * q.v1 + q.a12 * q.v2 + q.a13 * q.v3 + q.a14 * q.v4 AS pw1,
+          q.a21 * q.v1 + q.a22 * q.v2 + q.a23 * q.v3 + q.a24 * q.v4 AS pw2,
+          q.a31 * q.v1 + q.a32 * q.v2 + q.a33 * q.v3 + q.a34 * q.v4 AS pw3,
+          q.a41 * q.v1 + q.a42 * q.v2 + q.a43 * q.v3 + q.a44 * q.v4 AS pw4,
+          sqrt(((pw1 * pw1 + pw2 * pw2) + pw3 * pw3) + pw4 * pw4) AS pnrm,
+          pw1 / pnrm AS pv1, pw2 / pnrm AS pv2,
+          pw3 / pnrm AS pv3, pw4 / pnrm AS pv4,
+          (((pv1 - q.v1) * (pv1 - q.v1) + (pv2 - q.v2) * (pv2 - q.v2))
+            + (pv3 - q.v3) * (pv3 - q.v3)) + (pv4 - q.v4) * (pv4 - q.v4) AS pdiff,
+          q.a11 - q.lam * q.v1 * q.v1 AS da11, q.a12 - q.lam * q.v1 * q.v2 AS da12,
+          q.a13 - q.lam * q.v1 * q.v3 AS da13, q.a14 - q.lam * q.v1 * q.v4 AS da14,
+          q.a21 - q.lam * q.v2 * q.v1 AS da21, q.a22 - q.lam * q.v2 * q.v2 AS da22,
+          q.a23 - q.lam * q.v2 * q.v3 AS da23, q.a24 - q.lam * q.v2 * q.v4 AS da24,
+          q.a31 - q.lam * q.v3 * q.v1 AS da31, q.a32 - q.lam * q.v3 * q.v2 AS da32,
+          q.a33 - q.lam * q.v3 * q.v3 AS da33, q.a34 - q.lam * q.v3 * q.v4 AS da34,
+          q.a41 - q.lam * q.v4 * q.v1 AS da41, q.a42 - q.lam * q.v4 * q.v2 AS da42,
+          q.a43 - q.lam * q.v4 * q.v3 AS da43, q.a44 - q.lam * q.v4 * q.v4 AS da44
+        FROM pe_it q WHERE q.comp <= 2) z)
+    SELECT CAST(f.comp AS BIGINT) AS comp, CAST(x.idx AS BIGINT) AS idx,
+      round(CASE x.idx WHEN 1 THEN f.v1 WHEN 2 THEN f.v2
+                       WHEN 3 THEN f.v3 ELSE f.v4 END, 6) AS v,
+      round(f.lam, 6) AS lambda
+    FROM pe_it f CROSS JOIN (SELECT unnest(range(1, 5)) AS idx) x
+    WHERE f.conv AND f.comp <= 2
+  """
+
+  // q74: the MC sampler's randomness stream replayed — DuckDB
+  // reimplements java.util.Random: the XOR seed scramble, the 48-bit
+  // LCG step as HUGEINT modular arithmetic, next(bits) as integer
+  // division by 2^(48-bits), nextDouble as (hi<<27 + lo) / 2^53 (an
+  // exact power-of-two scale), and nextInt's modulo branch with the
+  // 32-bit-overflow rejection test — then drives the partial
+  // Fisher-Yates as a phase state machine with the holdout array
+  // carried as a list. Every value is integer or exact-dyadic, so
+  // the stream is bit-identical cross-engine.
+  private val q74 = """
+    WITH RECURSIVE
+    mc_seed(sd) AS (VALUES (CAST(42 AS BIGINT)), (CAST(20240815 AS BIGINT))),
+    mc_st AS (
+      SELECT sd,
+        xor(sd, 25214903917) & 281474976710655 AS s48,
+        0 AS samp, 0 AS phase, 0 AS fy_i,
+        CAST(0 AS BIGINT) AS hi,
+        CAST(0 AS DOUBLE) AS tau, CAST(0 AS DOUBLE) AS stf,
+        list_transform(range(0, 24), x -> x) AS ixs,
+        FALSE AS emit
+      FROM mc_seed
+      UNION ALL
+      SELECT z.sd, z.ns,
+        CASE WHEN z.phase = 5 THEN z.samp + 1 ELSE z.samp END,
+        CASE z.phase WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4
+          WHEN 4 THEN (CASE WHEN z.rej THEN 4 WHEN z.fy_i + 1 = 6 THEN 5 ELSE 4 END)
+          ELSE 0 END,
+        CASE WHEN z.phase = 3 OR z.phase = 5 THEN 0
+             WHEN z.phase = 4 AND NOT z.rej THEN z.fy_i + 1
+             ELSE z.fy_i END,
+        CASE WHEN z.phase = 0 OR z.phase = 2 THEN z.n26 ELSE z.hi END,
+        CASE WHEN z.phase = 1
+             THEN 0.85 + 0.10 * (CAST(z.hi * 134217728 + z.n27 AS DOUBLE) / 9007199254740992.0)
+             ELSE z.tau END,
+        CASE WHEN z.phase = 3
+             THEN 0.1 + 0.9 * (CAST(z.hi * 134217728 + z.n27 AS DOUBLE) / 9007199254740992.0)
+             ELSE z.stf END,
+        CASE WHEN z.phase = 5 THEN list_transform(range(0, 24), x -> x)
+             WHEN z.phase = 4 AND NOT z.rej THEN
+               list_transform(range(1, 25), p ->
+                 CASE WHEN p = z.fy_i + 1 THEN z.ixs[z.fy_i + 1 + z.v]
+                      WHEN p = z.fy_i + 1 + z.v THEN z.ixs[z.fy_i + 1]
+                      ELSE z.ixs[p] END)
+             ELSE z.ixs END,
+        (z.phase = 4 AND NOT z.rej AND z.fy_i + 1 = 6)
+      FROM (
+        SELECT q.*,
+          CASE WHEN q.phase = 5 THEN q.s48
+               ELSE CAST((CAST(q.s48 AS HUGEINT) * 25214903917 + 11) % 281474976710656 AS BIGINT)
+          END AS ns,
+          ns // 131072 AS r31, ns // 4194304 AS n26, ns // 2097152 AS n27,
+          24 - q.fy_i AS bound,
+          CASE WHEN (bound & (bound - 1)) = 0 THEN (bound * r31) // 2147483648
+               ELSE r31 % bound END AS v,
+          CASE WHEN (bound & (bound - 1)) = 0 THEN FALSE
+               ELSE (r31 - (r31 % bound) + bound - 1) >= 2147483648 END AS rej
+        FROM mc_st q WHERE q.samp < 5) z)
+    SELECT sd AS seed, CAST(samp AS BIGINT) AS sample,
+      round(tau, 6) AS tau, round(stf, 6) AS stiffness,
+      array_to_string(list_sort(ixs[7:24]), ',') AS keep_csv
+    FROM mc_st WHERE emit
+  """
+
+  // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
+  // factor recursion carries (l0, l1, l2, prev l2) per column with
+  // the 1e-12 sqrt guard and both correction terms in the operator's
+  // own subtraction order; forward substitution carries (y_i, y_i-1)
+  // plus the l-values it needs; back substitution walks the stored
+  // factor and forward rows downward. All inputs are dyadic
+  // rationals and every recurrence is sequential, so the float order
+  // is pinned on both engines.
+  private val q77 = """
+    WITH RECURSIVE
+    bc_src AS (
+      SELECT j,
+        (60.0 + CAST((j * 7) % 5 AS DOUBLE)) / 8.0 AS d0,
+        (-16.0 + CAST((j * 3) % 4 AS DOUBLE)) / 8.0 AS d1,
+        (4.0 + CAST((j * 5) % 3 AS DOUBLE)) / 8.0 AS d2,
+        (CAST((j * 11) % 13 - 6 AS DOUBLE)) / 4.0 AS bv
+      FROM (SELECT unnest(range(0, 12)) AS j) g),
+    bc_l AS (
+      SELECT s.j, sqrt(greatest(s.d0, 0.000000000001)) AS l0,
+        s.d1 / sqrt(greatest(s.d0, 0.000000000001)) AS l1,
+        s.d2 / sqrt(greatest(s.d0, 0.000000000001)) AS l2,
+        CAST(0 AS DOUBLE) AS pl2
+      FROM bc_src s WHERE s.j = 0
+      UNION ALL
+      SELECT z.nj, z.nd,
+        CASE WHEN z.nj + 1 < 12 THEN (z.nd1 - z.l2 * z.l1) / z.nd ELSE CAST(0 AS DOUBLE) END,
+        CASE WHEN z.nj + 2 < 12 THEN z.nd2 / z.nd ELSE CAST(0 AS DOUBLE) END,
+        z.l2
+      FROM (
+        SELECT q.*, s.j AS nj, s.d1 AS nd1, s.d2 AS nd2,
+          sqrt(greatest(
+            CASE WHEN s.j >= 2 THEN (s.d0 - q.l1 * q.l1) - q.pl2 * q.pl2
+                 ELSE s.d0 - q.l1 * q.l1 END,
+            0.000000000001)) AS nd
+        FROM bc_l q JOIN bc_src s ON s.j = q.j + 1
+        WHERE q.j < 11) z),
+    bc_y AS (
+      SELECT l.j AS i, s.bv / l.l0 AS yi, CAST(0 AS DOUBLE) AS yim1,
+        l.l1 AS cl1, l.l2 AS cl2, CAST(0 AS DOUBLE) AS cl2m1
+      FROM bc_l l JOIN bc_src s ON s.j = l.j WHERE l.j = 0
+      UNION ALL
+      SELECT q.i + 1,
+        ((s.bv - q.cl1 * q.yi) - q.cl2m1 * q.yim1) / l.l0 AS nyi,
+        q.yi, l.l1, l.l2, q.cl2
+      FROM bc_y q
+      JOIN bc_src s ON s.j = q.i + 1
+      JOIN bc_l l ON l.j = q.i + 1
+      WHERE q.i < 11),
+    bc_x AS (
+      SELECT y.i, y.yi / l.l0 AS xi, CAST(0 AS DOUBLE) AS xip1
+      FROM bc_y y JOIN bc_l l ON l.j = y.i WHERE y.i = 11
+      UNION ALL
+      SELECT q.i - 1,
+        ((y.yi - l.l1 * q.xi) - l.l2 * q.xip1) / l.l0 AS nxi,
+        q.xi
+      FROM bc_x q
+      JOIN bc_y y ON y.i = q.i - 1
+      JOIN bc_l l ON l.j = q.i - 1
+      WHERE q.i > 0)
+    SELECT CAST(i AS BIGINT) AS i, round(xi, 6) AS x FROM bc_x
+  """
+
+  // q75: PVPro's alternating decomposition replayed — 5 unrolled
+  // rounds (the d25 BPE loop-unroll idiom), each: the zero-mean
+  // Fourier LS fit as a 2×2 Cramer solve on the 1e-9-ridged normal
+  // equations, then the monotone non-increasing PAVA step via its
+  // minimax identity (trend_i = min_{a≤i} max_{b≥i} mean(z[a..b]) —
+  // pool-free, so no recursion needed; interval means come from
+  // prefix-sum differences). The alternation is a pair of
+  // projections (a contraction), so the engines' differing float
+  // paths agree far inside the 6-dp rounding.
+  private val q75 = {
+    val head = """
+    WITH
+    pv_src AS (
+      SELECT i, 12.0 - 0.4 * i + CAST((i * 37) % 11 - 5 AS DOUBLE) / 3.0 AS y
+      FROM (SELECT unnest(range(0, 20)) AS i) g),
+    pv_des AS (
+      SELECT i, y,
+        cos(2.0 * pi() * 1 * CAST(i AS DOUBLE) / 10.0) AS c,
+        sin(2.0 * pi() * 1 * CAST(i AS DOUBLE) / 10.0) AS s
+      FROM pv_src),
+    pv_g AS (
+      SELECT sum(c * c) + 0.000000001 AS s11, sum(c * s) AS s12,
+             sum(s * s) + 0.000000001 AS s22
+      FROM pv_des),
+    pv_t0 AS (SELECT i, CAST(0 AS DOUBLE) AS tr FROM pv_src)"""
+    def round(r: Int): String = {
+      val p = r - 1
+      s"""
+    pv_b$r AS (
+      SELECT (z.r1 * g.s22 - g.s12 * z.r2) / (g.s11 * g.s22 - g.s12 * g.s12) AS b1,
+             (g.s11 * z.r2 - g.s12 * z.r1) / (g.s11 * g.s22 - g.s12 * g.s12) AS b2
+      FROM (SELECT sum(d.c * (d.y - t.tr)) AS r1, sum(d.s * (d.y - t.tr)) AS r2
+            FROM pv_des d JOIN pv_t$p t USING (i)) z, pv_g g),
+    pv_se$r AS (
+      SELECT d.i, b.b1 * d.c + b.b2 * d.s AS se FROM pv_des d CROSS JOIN pv_b$r b),
+    pv_cz$r AS (
+      SELECT d.i, d.y - se.se AS z,
+             sum(d.y - se.se) OVER (ORDER BY d.i) AS cz
+      FROM pv_des d JOIN pv_se$r se ON d.i = se.i),
+    pv_iv$r AS (
+      SELECT a.i AS a, b.i AS b, (b.cz - a.cz + a.z) / (b.i - a.i + 1) AS av
+      FROM pv_cz$r a JOIN pv_cz$r b ON a.i <= b.i),
+    pv_mx$r AS (
+      SELECT p.i, v.a, max(v.av) AS mx
+      FROM pv_iv$r v JOIN pv_src p ON v.a <= p.i AND v.b >= p.i
+      GROUP BY p.i, v.a),
+    pv_t$r AS (SELECT i, min(mx) AS tr FROM pv_mx$r GROUP BY i)"""
+    }
+    (head +: (1 to 5).map(round)).mkString(",") + """
+    SELECT d.i, round(t.tr, 6) AS trend, round(se.se, 6) AS seasonal
+    FROM pv_src d JOIN pv_t5 t ON d.i = t.i JOIN pv_se5 se ON d.i = se.i
+  """
+  }
+
+  // q76: the soiling-envelope pinball IRLS replayed at harmonics=0
+  // (design [1, t]) — log transform, the exact 1.0-τ double
+  // (0.09999999999999998, not the decimal 0.1), per-step 2x2 Cramer
+  // on the 1e-9-ridged normal equations, and the max-|Δβ| ≤ 1e-10
+  // early exit, carried by a RECURSIVE CTE. Contraction fixed point
+  // → engine float-path differences vanish at 6 dp.
+  private val q76 = """
+    WITH RECURSIVE
+    sr_src AS (
+      SELECT i,
+        ln(greatest((200.0 - 2.0 * i + CAST((i * 53) % 17 - 8 AS DOUBLE)) / 10.0,
+                    0.000000001)) AS ly,
+        CAST(i AS DOUBLE) AS t
+      FROM (SELECT unnest(range(0, 24)) AS i) g),
+    sr_d AS (
+      SELECT list(ly ORDER BY i) AS yv, list(t ORDER BY i) AS tv,
+             CAST(count(*) AS BIGINT) AS m
+      FROM sr_src),
+    sr_it AS (
+      SELECT -1 AS it, CAST(NULL AS DOUBLE[]) AS w,
+        CAST(0 AS DOUBLE) AS s00, CAST(0 AS DOUBLE) AS s01,
+        CAST(0 AS DOUBLE) AS s11, CAST(0 AS DOUBLE) AS r0,
+        CAST(0 AS DOUBLE) AS r1, CAST(0 AS DOUBLE) AS det,
+        CAST(0 AS DOUBLE) AS b0, CAST(0 AS DOUBLE) AS b1,
+        FALSE AS conv
+      FROM sr_d
+      UNION ALL
+      SELECT q.it + 1,
+        CASE WHEN q.it = -1
+             THEN list_transform(range(1, d.m + 1), j -> CAST(1.0 AS DOUBLE))
+             ELSE list_transform(range(1, d.m + 1), j ->
+               (CASE WHEN d.yv[j] - (q.b0 + q.b1 * d.tv[j]) < 0
+                     THEN 0.09999999999999998 ELSE 0.9 END)
+               / greatest(abs(d.yv[j] - (q.b0 + q.b1 * d.tv[j])), 0.000001)) END AS nw,
+        list_sum(nw) + 0.000000001 AS n00,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.tv[j])) AS n01,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.tv[j] * d.tv[j]))
+          + 0.000000001 AS n11,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.yv[j])) AS m0,
+        list_sum(list_transform(range(1, d.m + 1), j -> nw[j] * d.tv[j] * d.yv[j])) AS m1,
+        n00 * n11 - n01 * n01 AS ndet,
+        (m0 * n11 - n01 * m1) / ndet AS nb0,
+        (n00 * m1 - n01 * m0) / ndet AS nb1,
+        q.it >= 0 AND greatest(abs(nb0 - q.b0), abs(nb1 - q.b1)) <= 0.0000000001 AS nconv
+      FROM sr_it q JOIN sr_d d ON TRUE
+      WHERE NOT q.conv AND q.it < 40)
+    SELECT coef, round(v, 6) AS value FROM (
+      SELECT CAST(0 AS BIGINT) AS coef, b0 AS v FROM sr_it WHERE conv OR it = 40
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), b1 FROM sr_it WHERE conv OR it = 40
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), b1 FROM sr_it WHERE conv OR it = 40)
+  """
+
   // p02: the full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
@@ -3907,6 +4301,12 @@ $branches
     "q69_dst_repair" -> q69,
     "q70_sort_dedup" -> q70,
     "q71_ground_truth_harness" -> q71,
+    "q72_quantile_irls" -> q72,
+    "q73_power_iteration" -> q73,
+    "q74_mc_draw_stream" -> q74,
+    "q75_pvpro_decompose" -> q75,
+    "q76_soiling_irls" -> q76,
+    "q77_banded_cholesky" -> q77,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

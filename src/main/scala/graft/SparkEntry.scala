@@ -726,6 +726,189 @@ object SparkEntry {
         round(col("dist_km"), 6).as("dist_km"))
   }
 
+  /** The τ-pinball IRLS behind the smooth-periodic-quantile fits
+    * (`Kernels.quantileFourierFit` — the solver class p03 runs via
+    * `quantileFourierFitMultiTaus`; reference
+    * `algorithms/quantile_estimation.py:62-94`), HASH-GATED on
+    * literal series: exact-rational inputs with NaN gaps, the REAL
+    * solver in `flatMapGroups`, and an oracle that replays every IRLS
+    * step — pinball weights g/max(|r|, 1e-6), the 1e-9-ridged normal
+    * equations, a 3×3 Cramer solve — with a DuckDB RECURSIVE CTE
+    * carrying β across the 30 iterations. The oracle's float
+    * summation order differs from the Scala Cholesky path by design:
+    * the gate pins the SEMANTICS at the IRLS fixed point, where both
+    * engines agree far inside the 6-dp rounding.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = for (sid <- 1 to 3; i <- 0 until 48) yield {
+      val y =
+        if (i % 19 == 7) Double.NaN
+        else 6.0 + 2.0 * sid + ((i * 31 + sid * 17) % 23 - 11) / 4.0
+      (sid.toLong, i.toLong, y)
+    }
+    s.createDataset(rows)
+      .groupByKey(_._1)
+      .flatMapGroups { (sid: Long, it: Iterator[(Long, Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._2)
+        val fit = graft.solvers.Kernels.quantileFourierFit(
+          pts.map(_._3), pts.map(_._2.toDouble), tau = 0.7,
+          harmonics = 1, period = 48.0, iters = 30)
+        pts.indices.iterator.map(k => (sid, pts(k)._2, fit(k)))
+      }
+      .toDF("series_id", "i", "fit")
+      .withColumn("fit", round(col("fit"), 6))
+  }
+
+  /** The deflated power-iteration eigensolver behind the fleet-PCA
+    * shade decomposition (`Kernels.topEigen`, SURVEY §2.8 Shade SD —
+    * p04's eigen stage; q53 gates the Gram build, q57 the projection
+    * arithmetic, and this gates the solver BETWEEN them), HASH-GATED
+    * on a literal integer Gram matrix: the REAL operator in
+    * `flatMapGroups`, and an oracle that replays the deterministic
+    * `1 + diag` start, every matvec/normalize step (the operator's
+    * exact left-to-right summation order), the 1e-18 convergence
+    * exit, and the rank-one deflation between components with a
+    * DuckDB RECURSIVE CTE. Integer Gram entries are exact in both
+    * engines, so the whole replay is bit-reproducible.
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bRows = Seq(
+      Seq(4.0, 1.0, 0.0, 2.0), Seq(1.0, 3.0, 1.0, 0.0),
+      Seq(0.0, 2.0, 5.0, 1.0), Seq(2.0, 0.0, 1.0, 3.0),
+      Seq(1.0, 1.0, 0.0, 4.0))
+    s.createDataset(Seq(1))
+      .groupByKey(identity)
+      .flatMapGroups { (_: Int, _: Iterator[Int]) =>
+        val g = Array.tabulate(4, 4)((i, j) => bRows.map(r => r(i) * r(j)).sum)
+        graft.solvers.Kernels.topEigen(g, k = 2).iterator.zipWithIndex.flatMap {
+          case ((lambda, v), c) =>
+            v.iterator.zipWithIndex.map { case (vi, idx) =>
+              ((c + 1).toLong, (idx + 1).toLong, vi, lambda)
+            }
+        }
+      }
+      .toDF("comp", "idx", "v", "lambda")
+      .withColumn("v", round(col("v"), 6))
+      .withColumn("lambda", round(col("lambda"), 6))
+  }
+
+  /** The seeded MC degradation sampler's ENTIRE randomness contract
+    * (`Kernels.mcDraw` / `mcDrawStream` — the draws p01's
+    * `mcDegradationRate` consumes; reference
+    * `degradation/degradation.py` MC resampling), HASH-GATED: the
+    * oracle replays java.util.Random itself — the 48-bit LCG seed
+    * scramble, `next(bits)` high-bit extraction (HUGEINT modular
+    * arithmetic), the two-call `nextDouble` composition, `nextInt`'s
+    * modulo + overflow-rejection branch — plus the partial
+    * Fisher–Yates holdout swap-by-swap, as a SQL state machine in a
+    * RECURSIVE CTE. Everything is integer/exact-dyadic, so the draw
+    * stream is bit-identical cross-engine.
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.createDataset(Seq(42L, 20240815L))
+      .groupByKey(identity)
+      .flatMapGroups { (seed: Long, _: Iterator[Long]) =>
+        graft.solvers.Kernels.mcDrawStream(seed, n = 24, fractionHold = 0.25, k = 5)
+          .iterator.map { case (samp, tau, stf, keep) =>
+            (seed, samp.toLong, tau, stf, keep.mkString(","))
+          }
+      }
+      .toDF("seed", "sample", "tau", "stiffness", "keep_csv")
+      .withColumn("tau", round(col("tau"), 6))
+      .withColumn("stiffness", round(col("stiffness"), 6))
+  }
+
+  /** The banded Cholesky solver (`Linalg.solveBandedSpd` — the
+    * workhorse under the `l2_l1d1_l2d2p365` / `tl1_l2d2p365` solver
+    * class: every tvSeasonalFit / quantile IRLS iteration solves one
+    * of these; reference `_osd_signal_decompositions.py` banded
+    * systems), HASH-GATED bit-exactly on a literal pentadiagonal SPD
+    * system (hw = 2, all inputs dyadic rationals): the oracle replays
+    * the banded factorization column-by-column (the 1e-12 sqrt
+    * guard, both correction terms in the operator's own subtraction
+    * order), then the forward and back substitution sweeps, as three
+    * chained RECURSIVE CTEs. Sequential recurrences pin the float
+    * order, so the replay is bit-identical cross-engine.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.createDataset(Seq(1))
+      .groupByKey(identity)
+      .flatMapGroups { (_: Int, _: Iterator[Int]) =>
+        val n = 12
+        val band = Array(
+          Array.tabulate(n)(j => (60.0 + (j * 7) % 5) / 8.0),
+          Array.tabulate(n)(j => (-16.0 + (j * 3) % 4) / 8.0),
+          Array.tabulate(n)(j => (4.0 + (j * 5) % 3) / 8.0))
+        val b = Array.tabulate(n)(j => ((j * 11) % 13 - 6) / 4.0)
+        val x = graft.solvers.Linalg.solveBandedSpd(band, b)
+        x.iterator.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      }
+      .toDF("i", "x")
+      .withColumn("x", round(col("x"), 6))
+  }
+
+  /** PVPro's alternating trend/seasonal decomposition
+    * (`Kernels.pvproDecompose` — p05's solver core; reference
+    * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
+    * series at `harmonics = 1`: the REAL operator in
+    * `flatMapGroups`, and an oracle that replays all 5 alternation
+    * rounds — the zero-mean Fourier LS fit (2×2 Cramer on the ridged
+    * normal equations) and the monotone non-increasing PAVA step via
+    * its minimax identity (the q59 idiom: trend_i = min_{a≤i}
+    * max_{b≥i} mean(z[a..b]), no pooling loop needed). The
+    * alternation is a pair of projections, so the engines' differing
+    * float paths agree far inside the 6-dp rounding.
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = for (i <- 0 until 20) yield
+      (i.toLong, 12.0 - 0.4 * i + ((i * 37) % 11 - 5) / 3.0)
+    s.createDataset(rows)
+      .groupByKey(_ => 1)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._1)
+        val (trend, seasonal) = graft.solvers.Kernels.pvproDecompose(
+          pts.map(_._2), pts.map(_._1.toDouble), harmonics = 1,
+          period = 10.0, rounds = 5)
+        pts.indices.iterator.map(k => (pts(k)._1, trend(k), seasonal(k)))
+      }
+      .toDF("i", "trend", "seasonal")
+      .withColumn("trend", round(col("trend"), 6))
+      .withColumn("seasonal", round(col("seasonal"), 6))
+  }
+
+  /** The soiling/degradation envelope IRLS (`Kernels.soilingRateFit`
+    * → the same `soilingRateIrls` p01's pipeline and the MC sampler's
+    * refits solve; reference `degradation.py` τ=0.9 envelope),
+    * HASH-GATED on a literal energy series at `harmonics = 0` (design
+    * degrades to `[1, t]`; the code path — log transform, pinball
+    * weights, ridge WLS, the max-|Δβ| fixed-point exit — is identical
+    * at every harmonic count). The oracle replays each IRLS step with
+    * a 2×2 Cramer solve in a RECURSIVE CTE including the 1e-10 early
+    * exit; the fit is a contraction fixed point, so the engines'
+    * differing float paths agree far inside the 6-dp rounding.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = for (i <- 0 until 24) yield
+      (i.toLong, (200.0 - 2.0 * i + ((i * 53) % 17 - 8)) / 10.0)
+    s.createDataset(rows)
+      .groupByKey(_ => 1)
+      .flatMapGroups { (_: Int, it: Iterator[(Long, Double)]) =>
+        val pts = it.toArray.sortBy(_._1)
+        val (rate, _, beta) = graft.solvers.Kernels.soilingRateFit(
+          pts.map(_._2), pts.map(_._1.toDouble), tau = 0.9,
+          harmonics = 0, irlsTol = 1e-10)
+        Iterator((0L, beta(0)), (1L, beta(1)), (2L, rate))
+      }
+      .toDF("coef", "value")
+      .withColumn("value", round(col("value"), 6))
+  }
+
   /** The 2-state clear-sky Viterbi DP (`Kernels.viterbi2`, SURVEY
     * §2.7 — reference clear-sky DP), HASH-GATED on deterministic
     * literal series (the e15/e22 fixed-state idiom for trained/solver
@@ -3031,6 +3214,12 @@ object SparkEntry {
     "q69_dst_repair" -> (q69 _),
     "q70_sort_dedup" -> (q70 _),
     "q71_ground_truth_harness" -> (q71 _),
+    "q72_quantile_irls" -> (q72 _),
+    "q73_power_iteration" -> (q73 _),
+    "q74_mc_draw_stream" -> (q74 _),
+    "q75_pvpro_decompose" -> (q75 _),
+    "q76_soiling_irls" -> (q76 _),
+    "q77_banded_cholesky" -> (q77 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

@@ -704,6 +704,28 @@ object Kernels {
     * fixed point, `irlsTol = 0` reproduces the legacy fixed 40
     * iterations bit-for-bit.
     */
+  /** [[soilingRateIrls]] from raw energies — the cross-engine gate
+    * face (q76): builds the log series and the `[1, t, Fourier]`
+    * design exactly as [[soilingSeparation]] does, cold-starts
+    * (beta0 = null → unweighted init solve), and returns the fitted
+    * envelope coefficients. `harmonics = 0` degrades the design to
+    * `[1, t]`, which is what the SQL oracle replays (2×2 Cramer per
+    * IRLS step); the code path — pinball weights, ridge WLS,
+    * fixed-point exit — is identical at every harmonic count.
+    */
+  def soilingRateFit(
+      energy: Array[Double],
+      t: Array[Double],
+      tau: Double,
+      period: Double = YearPeriod,
+      harmonics: Int = 2,
+      irlsTol: Double = 0.0
+  ): (Double, Int, Array[Double]) = {
+    val logE = energy.map(v => math.log(math.max(v, 1e-9)))
+    val rows = soilingDesign(t, period, harmonics)
+    soilingRateIrls(logE, rows, tau, beta0 = null, irlsTol = irlsTol)
+  }
+
   private def soilingRateIrls(
       logE: Array[Double],
       rows: Array[Array[Double]],
@@ -814,6 +836,42 @@ object Kernels {
     *
     * @return ((p50, p025, p975) in %/yr, samples drawn, converged)
     */
+  /** One MC resample draw — the exact (τ, stiffness, holdout)
+    * randomness contract of [[mcDegradationRate]], factored out so the
+    * stream itself is cross-engine gateable (q74): two `nextDouble`
+    * calls then a partial Fisher–Yates whose swap indices come from
+    * `nextInt(n − i)`. Returns the kept (sorted) day indices.
+    */
+  def mcDraw(rng: scala.util.Random, n: Int, nHold: Int): (Double, Double, Array[Int]) = {
+    val tau = 0.85 + 0.10 * rng.nextDouble()
+    val stiffness = 0.1 + 0.9 * rng.nextDouble()
+    // random holdout without replacement: partial Fisher–Yates
+    val ixs = Array.tabulate(n)(identity)
+    var i = 0
+    while (i < nHold) {
+      val j = i + rng.nextInt(n - i)
+      val tmp = ixs(i); ixs(i) = ixs(j); ixs(j) = tmp
+      i += 1
+    }
+    (tau, stiffness, ixs.drop(nHold).sorted)
+  }
+
+  /** The first `k` draws of [[mcDegradationRate]]'s seeded sampler,
+    * as data: the q74 gate face. The oracle replays java.util.Random's
+    * 48-bit LCG (seed scramble, `next(bits)` high-bit extraction, the
+    * two-call `nextDouble` composition, and `nextInt`'s modulo +
+    * rejection branch) in SQL integer arithmetic, so the entire
+    * randomness stream feeding the MC sampler is cross-engine pinned.
+    */
+  def mcDrawStream(seed: Long, n: Int, fractionHold: Double, k: Int): Seq[(Int, Double, Double, Array[Int])] = {
+    val rng = new scala.util.Random(seed)
+    val nHold = (n * fractionHold).toInt
+    (0 until k).map { s =>
+      val (tau, stiffness, keep) = mcDraw(rng, n, nHold)
+      (s, tau, stiffness, keep)
+    }
+  }
+
   def mcDegradationRate(
       energy: Array[Double],
       t: Array[Double],
@@ -858,19 +916,9 @@ object Kernels {
     var counter = 0
     var smallNow = false
     var smallWindow = false
+    val nHold = (n * fractionHold).toInt
     while (!(smallNow && smallWindow) && counter < maxSamples) {
-      val tau = 0.85 + 0.10 * rng.nextDouble()
-      val stiffness = 0.1 + 0.9 * rng.nextDouble()
-      // random holdout without replacement: partial Fisher–Yates
-      val ixs = Array.tabulate(n)(identity)
-      val nHold = (n * fractionHold).toInt
-      var i = 0
-      while (i < nHold) {
-        val j = i + rng.nextInt(n - i)
-        val tmp = ixs(i); ixs(i) = ixs(j); ixs(j) = tmp
-        i += 1
-      }
-      val keep = ixs.drop(nHold).sorted
+      val (tau, stiffness, keep) = mcDraw(rng, n, nHold)
       // stiffness is drawn to keep the seeded sequence aligned with the
       // reference's sampler, but the recorded statistic is the joint
       // envelope's trend coefficient alone — the TV soiling stage (the

@@ -268,6 +268,47 @@ class SolverSpec extends AnyFunSuite {
     }
   }
 
+  test("mcDraw contract: mcDegradationRate's stream is reproducible and well-formed") {
+    val n = 24
+    val nHold = 6
+    // same seed → identical stream; the MC sampler's whole randomness
+    // contract is this sequence (q74 gates it cross-engine)
+    val a = Kernels.mcDrawStream(42L, n, 0.25, 5)
+    val b = Kernels.mcDrawStream(42L, n, 0.25, 5)
+    assert(a.zip(b).forall { case (x, y) =>
+      x._1 == y._1 && x._2 == y._2 && x._3 == y._3 && x._4.sameElements(y._4)
+    })
+    a.foreach { case (_, tau, stf, keep) =>
+      assert(tau >= 0.85 && tau < 0.95)
+      assert(stf >= 0.1 && stf < 1.0)
+      assert(keep.length == n - nHold)
+      assert(keep.distinct.length == keep.length)
+      assert(keep.sameElements(keep.sorted))
+      assert(keep.forall(i => i >= 0 && i < n))
+    }
+    // a different seed diverges
+    val c = Kernels.mcDrawStream(43L, n, 0.25, 5)
+    assert(!a.zip(c).forall { case (x, y) => x._2 == y._2 })
+    // the extracted draw is exactly what the sampler consumes: a fresh
+    // rng replayed draw-by-draw reproduces the stream
+    val rng = new scala.util.Random(42L)
+    val manual = (0 until 5).map(_ => Kernels.mcDraw(rng, n, nHold))
+    assert(a.map(_._2) == manual.map(_._1) && a.map(_._3) == manual.map(_._2))
+    assert(a.zip(manual).forall { case (x, m) => x._4.sameElements(m._3) })
+  }
+
+  test("soilingRateFit recovers a known log-linear decay at harmonics = 0") {
+    val n = 120
+    val t = Array.tabulate(n)(_.toDouble)
+    // energy = exp(a + b t) with b = -2e-4/day; τ=0.9 envelope of a
+    // noiseless series is the series itself
+    val y = t.map(tv => math.exp(2.0 - 2e-4 * tv))
+    val (rate, iters, beta) = Kernels.soilingRateFit(y, t, tau = 0.9, harmonics = 0, irlsTol = 1e-10)
+    assert(math.abs(beta(0) - 2.0) < 1e-3, s"intercept ${beta(0)}")
+    assert(math.abs(rate - (-2e-4)) < 1e-5, s"rate $rate")
+    assert(iters <= 40)
+  }
+
   test("shapleyAttribution is exact: attributions sum to v(all) - v(none)") {
     val baseline = Array(100.0, 110.0, 120.0)
     val factors = Array(
