@@ -1652,6 +1652,10 @@ object OracleSql {
   // DOUBLE: the VALUES literals infer DECIMAL, and a DECIMAL seed
   // type would silently round every iterate to the seed's scale. No
   // inline -- comments here: oracle SQL is whitespace-flattened.)
+  // FIXTURE CONTRACT: full-rank Gram, well-separated eigenvalues —
+  // this replay emits only CONVERGED components (WHERE f.conv) and
+  // has no rank-exhaustion (nrm < 1e-300) branch; see the q73
+  // Spark-side doc before editing the B matrix.
   private val q73 = """
     WITH RECURSIVE
     pe_b(b1, b2, b3, b4) AS (VALUES

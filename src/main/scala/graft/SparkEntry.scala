@@ -771,6 +771,14 @@ object SparkEntry {
     * exit, and the rank-one deflation between components with a
     * DuckDB RECURSIVE CTE. Integer Gram entries are exact in both
     * engines, so the whole replay is bit-reproducible.
+    *
+    * FIXTURE CONTRACT (edit both engines together): the Gram must
+    * stay full-rank with well-separated leading eigenvalues
+    * (53.9 / 26.8 / 9.1 / 4.2 here). The oracle emits only CONVERGED
+    * components and does not replay the operator's iteration-cap or
+    * nrm < 1e-300 exhaustion paths — a near-degenerate or rank-
+    * deficient fixture would break the gate for reasons unrelated to
+    * the arithmetic it pins (the d29/e09 calibration-note pattern).
     */
   private def q73(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

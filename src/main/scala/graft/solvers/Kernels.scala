@@ -691,19 +691,6 @@ object Kernels {
     }
   }
 
-  /** Shared IRLS body behind [[soilingSeparation]] (tol = 0 → the
-    * legacy fixed 40/10 iteration counts, bit-identical) and the MC
-    * sampler's warm-started refits (beta0 + tol > 0 → converge-and-exit;
-    * the solution is the same fixed point, reached in a handful of
-    * iterations instead of 40 when started from the full-data fit).
-    */
-  /** The joint τ-pinball IRLS of [[soilingSeparation]] alone: fits the
-    * `[1, t, Fourier]` envelope and returns (trend coefficient,
-    * iterations, beta). `beta0` warm-starts the reweighting (skipping
-    * the unweighted init solve); `irlsTol > 0` exits on the coefficient
-    * fixed point, `irlsTol = 0` reproduces the legacy fixed 40
-    * iterations bit-for-bit.
-    */
   /** [[soilingRateIrls]] from raw energies — the cross-engine gate
     * face (q76): builds the log series and the `[1, t, Fourier]`
     * design exactly as [[soilingSeparation]] does, cold-starts
@@ -726,6 +713,16 @@ object Kernels {
     soilingRateIrls(logE, rows, tau, beta0 = null, irlsTol = irlsTol)
   }
 
+  /** The joint τ-pinball IRLS of [[soilingSeparation]] alone — the
+    * shared body behind it and the MC sampler's refits: fits the
+    * `[1, t, Fourier]` envelope and returns (trend coefficient,
+    * iterations, beta). `beta0` warm-starts the reweighting (skipping
+    * the unweighted init solve — the solution is the same fixed
+    * point, reached in a handful of iterations instead of 40 when
+    * started from the full-data fit); `irlsTol > 0` exits on the
+    * coefficient fixed point, `irlsTol = 0` reproduces the legacy
+    * fixed 40 iterations bit-for-bit.
+    */
   private def soilingRateIrls(
       logE: Array[Double],
       rows: Array[Array[Double]],

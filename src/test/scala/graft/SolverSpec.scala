@@ -306,7 +306,9 @@ class SolverSpec extends AnyFunSuite {
     val (rate, iters, beta) = Kernels.soilingRateFit(y, t, tau = 0.9, harmonics = 0, irlsTol = 1e-10)
     assert(math.abs(beta(0) - 2.0) < 1e-3, s"intercept ${beta(0)}")
     assert(math.abs(rate - (-2e-4)) < 1e-5, s"rate $rate")
-    assert(iters <= 40)
+    // strict: the 1e-10 fixed-point exit must fire BEFORE the 40-cap
+    // (iters == 40 would mean the early exit is broken)
+    assert(iters < 40, s"early exit never fired (iters=$iters)")
   }
 
   test("shapleyAttribution is exact: attributions sum to v(all) - v(none)") {
