@@ -421,6 +421,86 @@ object EventStream {
     )
   }
 
+  case class SiteReportRow(
+      site: Long, as_of: String, n_days: Long, capacity: Double,
+      quality_score: Double, mean_density: Double, mean_energy: Double,
+      inverter_clipping: Boolean)
+
+  /** Streaming twin of the relational fleet report (p07, reference
+    * `DataHandler.report` restricted to its SQL-expressible columns):
+    * the per-site report row is RE-EMITTED every time one of the
+    * site's days closes, so the latest row per site IS the current
+    * fleet dashboard — refreshed per micro-batch without rescanning
+    * history.
+    *
+    * Split of labor (the `analyses.Refit` philosophy): the two
+    * quantities that need the full value distribution — the p95
+    * capacity and the q49 inverter-clipping verdict — are INJECTED
+    * from the last full rebuild (`siteStatic`: site → (raw capacity,
+    * clipping verdict)); the stream maintains the additive columns
+    * exactly. Per closed day the same arithmetic as the batch report:
+    * day energy and usable density rounded to the fixed decimal grid,
+    * lifted to integer micro-units, summed as longs (order-free), and
+    * the site means derived from those integers by the exact
+    * round-half-up quotient `(2s + n) div (2n)` — so the snapshot
+    * equals the batch report on every closed day at any history
+    * length. The day-grain float sums themselves fold in arrival
+    * order vs the batch shuffle order (the usual 2-dp-absorbed
+    * straddle class, same caveat as the batch gate's percentile
+    * note).
+    *
+    * Sites absent from `siteStatic` (first seen after the rebuild)
+    * are withheld until the next rebuild provides their capacity —
+    * a report row with an uncalibrated threshold would be wrong, not
+    * just late. State per site: open-day partials + four carry longs.
+    */
+  def incrementalSiteReport(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      siteStatic: Map[Long, (Double, Boolean)]
+  ): DataFrame = {
+    import spark.implicits._
+    def rnd(x: Double, scale: Int): Double =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // batch p07 thresholds on round(raw_capacity * 0.02, 6)
+    val thr: Map[Long, Double] =
+      siteStatic.map { case (s, (cap, _)) => s -> rnd(cap * 0.02, 6) }
+    // D = (n_slots, sum_v, n_above); C = (n_days, n_good, sum_dm, sum_edu)
+    finalizedFoldH[(Long, Double, Long), (Long, Long, Long, Long), SiteReportRow](
+      spark, path, checkpoint, outDir,
+      zero = (0L, 0.0, 0L),
+      foldEv = { (d, e) =>
+        val above = thr.get(e.user_id).exists(t => e.value > t)
+        (d._1 + 1, d._2 + e.value, d._3 + (if (above) 1L else 0L))
+      },
+      carry0 = (0L, 0L, 0L, 0L),
+      onClose = { (c, site, day, d) =>
+        siteStatic.get(site) match {
+          case None => (c, Seq.empty) // uncalibrated site: withhold
+          case Some((cap, clip)) =>
+            val (nSlots, sumV, nAbove) = d
+            val sumVr = rnd(sumV, 2)
+            val energyDu = BigDecimal(rnd(sumVr * 24.0 / nSlots, 4) * 1e4)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val densityMicro = BigDecimal(rnd(nAbove.toDouble / nSlots, 6) * 1e6)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val good = nSlots >= 10L && (sumV / nSlots) > 0.0
+            val c2 = (c._1 + 1L, c._2 + (if (good) 1L else 0L),
+              c._3 + densityMicro, c._4 + energyDu)
+            val (nDays, nGood, sumDm, sumEdu) = c2
+            (c2, Seq(SiteReportRow(
+              site, day, nDays, rnd(cap, 6),
+              rnd(nGood.toDouble / nDays, 6),
+              ((2 * sumDm + nDays) / (2 * nDays)).toDouble / 1e6,
+              ((2 * sumEdu + nDays) / (2 * nDays)).toDouble / 1e4,
+              clip)))
+        }
+      }
+    )
+  }
+
   /** Incremental per-site DayStats via `mapGroupsWithState` (SURVEY
     * §2.11: the stateful face — per-site state survives across
     * micro-batches and across restarts through the checkpoint).

@@ -345,4 +345,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(bad == 0, "incremental state diverged from batch totals")
     assert(got.count() == expect.count())
   }
+
+  test("incrementalSiteReport snapshot equals the relational fleet report over closed days") {
+    import graft.operators.DayStats
+    val src = java.nio.file.Files.createTempDirectory("evrep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evrepckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evrepout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+
+    // static side: raw p95 capacity from the "last full rebuild",
+    // plus an arbitrary deterministic clipping verdict (a passthrough
+    // column for the twin)
+    val ev = all.filter(col("ts").isNotNull && col("value").isNotNull)
+    val capMap: Map[Long, Double] = DayStats.capacity(ev, "user_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val static = capMap.map { case (s, c) => s -> (c, s % 3 == 0) }
+
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalSiteReport(spark, src, ckpt, outDir, static)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out2 = EventStream.incrementalSiteReport(spark, src, ckpt, outDir, static)
+
+    // latest emitted row per site = the current dashboard snapshot
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("site").orderBy(col("as_of").desc)
+    val latest = out2.withColumn("rk", row_number().over(w)).filter(col("rk") === 1).drop("rk")
+
+    // independent RELATIONAL formulation (the batch p07 arithmetic)
+    // restricted to each site's closed days (day < the site's max day)
+    val cap = DayStats.capacity(ev, "user_id", "value")
+      .withColumn("thr", round(col("capacity") * 0.02, 6))
+    val lastDay = ev.groupBy("user_id")
+      .agg(max(to_date(col("ts")).cast("string")).as("last_day"))
+    val dayG = ev.join(broadcast(cap), Seq("user_id"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .join(lastDay, Seq("user_id")).filter(col("day") < col("last_day"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        round(sum(col("value")), 2).as("sum_v"),
+        count(lit(1)).as("n_slots"),
+        sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"),
+        avg(col("value")).as("avg_v"),
+        first(col("capacity")).as("capacity"))
+      .withColumn("energy_du",
+        round(round(col("sum_v") * 24.0 / col("n_slots"), 4) * 1e4).cast("long"))
+      .withColumn("density_micro",
+        round(round(col("n_above").cast("double") / col("n_slots"), 6) * 1e6).cast("long"))
+      .withColumn("good_day", col("n_slots") >= 10L && col("avg_v") > 0.0)
+    val expect = dayG.groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("e_n_days"),
+        round(first(col("capacity")), 6).as("e_capacity"),
+        sum(when(col("good_day"), 1L).otherwise(0L)).as("n_good"),
+        sum(col("density_micro")).as("sum_dm"),
+        sum(col("energy_du")).as("sum_edu"))
+      .select(
+        col("user_id").as("site"), col("e_n_days"), col("e_capacity"),
+        round(col("n_good").cast("double") / col("e_n_days"), 6).as("e_quality"),
+        (expr("(2 * sum_dm + e_n_days) div (2 * e_n_days)").cast("double") / 1e6)
+          .as("e_density"),
+        (expr("(2 * sum_edu + e_n_days) div (2 * e_n_days)").cast("double") / 1e4)
+          .as("e_energy"))
+
+    val j = latest.join(expect, Seq("site"))
+    assert(latest.count() == expect.count(), "snapshot site count diverged from batch")
+    val bad = j.filter(
+      col("n_days") =!= col("e_n_days") ||
+      col("capacity") =!= col("e_capacity") ||
+      abs(col("quality_score") - col("e_quality")) > 1e-9 ||
+      abs(col("mean_density") - col("e_density")) > 1e-9 ||
+      abs(col("mean_energy") - col("e_energy")) > 1e-9)
+    assert(bad.count() == 0, "streaming report snapshot diverged from the relational report")
+    // clipping verdict is a faithful passthrough of the injected rebuild column
+    val badClip = latest.filter(col("inverter_clipping") =!= (col("site") % 3 === 0))
+    assert(badClip.count() == 0, "clipping verdict passthrough diverged")
+
+    // late replay of an already-closed day must not re-emit or shift the report
+    val lateDay = days(1)
+    all.filter(col("day") === lateDay).drop("day").write.mode("append").parquet(src)
+    val out3 = EventStream.incrementalSiteReport(spark, src, ckpt, outDir, static)
+    assert(out3.count() == out2.count(), "late replay changed the report ticker length")
+
+    // a site missing from the rebuild static table is withheld, not misreported
+    val someSite = capMap.keys.head
+    val src2 = java.nio.file.Files.createTempDirectory("evrep2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("evrep2ckpt").toString
+    val outDir2 = java.nio.file.Files.createTempDirectory("evrep2out").toString
+    all.drop("day").write.mode("append").parquet(src2)
+    val outHeld = EventStream.incrementalSiteReport(
+      spark, src2, ckpt2, outDir2, static - someSite)
+    assert(outHeld.filter(col("site") === someSite).count() == 0,
+      "uncalibrated site leaked into the report")
+    assert(outHeld.count() > 0)
+  }
 }
