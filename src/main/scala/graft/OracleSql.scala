@@ -1799,6 +1799,24 @@ object OracleSql {
     FROM mc_st WHERE emit
   """
 
+  // q78: the generic as-of join cross-checked against DuckDB's
+  // NATIVE ASOF JOIN — the oracle's range algorithm vs the Spark
+  // union-window carry. Right exact (user, ts) ties collapse to the
+  // max 6-dp value on both sides (round is monotone, so round-then-
+  // max equals max-then-round); floor(epoch()) mirrors Spark's
+  // flooring timestamp->long cast.
+  private val q78 = """
+    WITH ao_clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    ao_p AS (
+      SELECT user_id, ts, round(max(value), 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+      CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, p.purchase_value
+    FROM ao_clicks c ASOF LEFT JOIN ao_p p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+  """
+
   // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
   // factor recursion carries (l0, l1, l2, prev l2) per column with
   // the 1e-12 sqrt guard and both correction terms in the operator's
@@ -4311,6 +4329,7 @@ $branches
     "q75_pvpro_decompose" -> q75,
     "q76_soiling_irls" -> q76,
     "q77_banded_cholesky" -> q77,
+    "q78_asof_join" -> q78,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

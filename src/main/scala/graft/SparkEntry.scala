@@ -859,6 +859,31 @@ object SparkEntry {
       .withColumn("x", round(col("x"), 6))
   }
 
+  /** Generic as-of join ([[graft.operators.AsOf]]) hash-gated against
+    * DuckDB's native ASOF JOIN: each click event attaches the latest
+    * at-or-before purchase value of the same user. The Spark plan is
+    * the one-shuffle union-window form (AsOfSpec pins no-nested-loop);
+    * the oracle is the engine-native range variant — two genuinely
+    * different algorithms agreeing on every row. Right-side exact
+    * (user, ts) ties collapse to the max payload on both sides
+    * (round6 then max — round is monotone, so the orders commute).
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        round(col("value"), 6).as("purchase_value"))
+    graft.operators.AsOf.join(
+        clicks, purchases, Seq("user_id"), "ts", "pts", Seq("purchase_value"))
+      .select(col("event_id"), col("user_id"),
+        // floor on both engines: Spark ts->long floors, DuckDB
+        // epoch() rounds — the oracle uses floor(epoch()) to match
+        col("ts").cast("long").as("ts_s"),
+        col("purchase_value"))
+  }
+
   /** PVPro's alternating trend/seasonal decomposition
     * (`Kernels.pvproDecompose` — p05's solver core; reference
     * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
@@ -3228,6 +3253,7 @@ object SparkEntry {
     "q75_pvpro_decompose" -> (q75 _),
     "q76_soiling_irls" -> (q76 _),
     "q77_banded_cholesky" -> (q77 _),
+    "q78_asof_join" -> (q78 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
