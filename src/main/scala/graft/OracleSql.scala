@@ -1817,6 +1817,22 @@ object OracleSql {
       ON c.user_id = p.user_id AND c.ts >= p.ts
   """
 
+  // q79: the point-in-interval band join vs the naive inequality
+  // join DuckDB executes directly — Spark's bucketed equi-join +
+  // post-filter must emit exactly the same (click, purchase) pairs.
+  private val q79 = """
+    WITH ij_clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    ij_p AS (
+      SELECT user_id, ts AS p_start, ts + INTERVAL 2 DAY AS p_end,
+        event_id AS purchase_id, round(value, 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, p.purchase_id, c.user_id,
+      CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, p.purchase_value
+    FROM ij_clicks c JOIN ij_p p
+      ON c.user_id = p.user_id AND c.ts >= p.p_start AND c.ts < p.p_end
+  """
+
   // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
   // factor recursion carries (l0, l1, l2, prev l2) per column with
   // the 1e-12 sqrt guard and both correction terms in the operator's
@@ -4330,6 +4346,7 @@ $branches
     "q76_soiling_irls" -> q76,
     "q77_banded_cholesky" -> q77,
     "q78_asof_join" -> q78,
+    "q79_interval_join" -> q79,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

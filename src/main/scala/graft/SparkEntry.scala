@@ -884,6 +884,30 @@ object SparkEntry {
         col("purchase_value"))
   }
 
+  /** Point-in-interval band join ([[graft.operators.IntervalJoin]])
+    * hash-gated against DuckDB's plain inequality join: every click
+    * inside the 2-day window opened by each purchase of the same
+    * user, one row per (click, purchase) pair. The Spark plan is the
+    * bucketed equi-join + band post-filter (IntervalJoinSpec pins
+    * no-nested-loop and bucket-width invariance); the oracle runs the
+    * naive range predicate — different algorithms, same rows.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 2 DAYS")).as("p_end"),
+        col("event_id").as("purchase_id"),
+        round(col("value"), 6).as("purchase_value"))
+    graft.operators.IntervalJoin.pointInInterval(
+        clicks, windows, Seq("user_id"), "ts", "p_start", "p_end",
+        Seq("purchase_id", "purchase_value"), bucketSeconds = 86400.0)
+      .select(col("event_id"), col("purchase_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"), col("purchase_value"))
+  }
+
   /** PVPro's alternating trend/seasonal decomposition
     * (`Kernels.pvproDecompose` — p05's solver core; reference
     * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
@@ -3254,6 +3278,7 @@ object SparkEntry {
     "q76_soiling_irls" -> (q76 _),
     "q77_banded_cholesky" -> (q77 _),
     "q78_asof_join" -> (q78 _),
+    "q79_interval_join" -> (q79 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
