@@ -255,9 +255,11 @@ object Study {
     * and `raw-daylight` (above-threshold sample count × sampling).
     * The reference's `optimized_estimates`/`optimized_measurements`
     * axis rides the sunrise/sunset optimizer —
-    * [[SunriseSunset.estimates]] — and is enabled with
-    * `includeOptimized` (solver-priced, raw matrix only, like the
-    * optimizer itself).
+    * [[SunriseSunset.estimates]], which emits both the smoothed curve
+    * estimates and the raw threshold-crossing measurements — and is
+    * enabled with `includeOptimized` (solver-priced: one optimizer
+    * grid per enabled matrix, raw AND filled, as in the reference's
+    * `get_optimized_sunrise_sunset(fdm, rdm)`).
     *
     * @return (site, data_matrix, daylight_method, delta_method,
     *   day_selection, latitude, n_days)
@@ -279,18 +281,31 @@ object Study {
       includeFilled, filledSlotsPerDay, includeRaw)
     val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
     val day =
-      if (!includeOptimized) day1.withColumn("dl_opt", lit(null).cast("double"))
+      if (!includeOptimized)
+        day1.withColumn("dl_opt_est", lit(null).cast("double"))
+          .withColumn("dl_opt_meas", lit(null).cast("double"))
       else {
-        val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
-          .select(col(site).cast("long").as("site"), col("day"),
-            (col("sunset_est") - col("sunrise_est")).as("dl_opt"),
-            lit("raw").as("data_matrix"))
+        // the reference runs the threshold optimizer on BOTH matrices
+        // (`get_optimized_sunrise_sunset(fdm, rdm)`,
+        // latitude_study.py:133-144) and sweeps both of its outputs:
+        // the smoothed curve ESTIMATES and the raw threshold-crossing
+        // MEASUREMENTS at the selected threshold. NaN days (no
+        // crossing / failed fit) null out so they leave the medians
+        // instead of poisoning them (NaN sorts above every double).
+        val est = optimizedDaylightSides(spark, df, site, tsCol, valueCol,
+          includeRaw, includeFilled, filledSlotsPerDay) { e =>
+          e.select(col("site"), col("day"), col("data_matrix"),
+            nanToNull(col("sunset_est") - col("sunrise_est")).as("dl_opt_est"),
+            nanToNull(col("sunset_rough") - col("sunrise_rough")).as("dl_opt_meas"))
+        }
         day1.join(est, Seq("site", "day", "data_matrix"), "left")
       }
     val daylights = Seq(
       "sunrise-sunset" -> col("dl_ss"),
       "raw-daylight" -> col("dl_raw")) ++
-      (if (includeOptimized) Seq("optimized" -> col("dl_opt")) else Nil)
+      (if (includeOptimized) Seq(
+        "optimized-estimates" -> col("dl_opt_est"),
+        "optimized-measurements" -> col("dl_opt_meas")) else Nil)
     val deltas = Seq(
       "cooper" -> Solar.declinationDeg(col("doy")),
       "spencer" -> Solar.declinationSpencerDeg(col("doy")))
@@ -352,18 +367,26 @@ object Study {
       includeFilled, filledSlotsPerDay, includeRaw)
     val day1 = withFlags(spark, day0, df, site, tsCol, valueCol, clearSlotsPerDay)
     val day =
-      if (!includeOptimized) day1.withColumn("noon_opt", lit(null).cast("double"))
+      if (!includeOptimized)
+        day1.withColumn("noon_opt_est", lit(null).cast("double"))
+          .withColumn("noon_opt_meas", lit(null).cast("double"))
       else {
-        val est = SunriseSunset.estimates(spark, df, site, tsCol, valueCol)
-          .select(col(site).cast("long").as("site"), col("day"),
-            ((col("sunrise_est") + col("sunset_est")) / 2.0).as("noon_opt"),
-            lit("raw").as("data_matrix"))
+        // both matrices × both optimizer outputs, as in the reference
+        // longitude study's solar-noon axis (see [[latitudeStudy]])
+        val est = optimizedDaylightSides(spark, df, site, tsCol, valueCol,
+          includeRaw, includeFilled, filledSlotsPerDay) { e =>
+          e.select(col("site"), col("day"), col("data_matrix"),
+            nanToNull((col("sunrise_est") + col("sunset_est")) / 2.0).as("noon_opt_est"),
+            nanToNull((col("sunrise_rough") + col("sunset_rough")) / 2.0).as("noon_opt_meas"))
+        }
         day1.join(est, Seq("site", "day", "data_matrix"), "left")
       }
     val noons = Seq(
       "energy_com" -> col("noon_com"),
       "rise_set_average" -> col("noon_rs")) ++
-      (if (includeOptimized) Seq("optimized" -> col("noon_opt")) else Nil)
+      (if (includeOptimized) Seq(
+        "optimized-estimates" -> col("noon_opt_est"),
+        "optimized-measurements" -> col("noon_opt_meas")) else Nil)
     val eots = Seq(
       "duffie" -> Solar.equationOfTimeDuffieMin(col("doy")),
       "da_rosa" -> Solar.equationOfTimeDaRosaMin(col("doy")))
@@ -585,6 +608,41 @@ object Study {
       }
       .toDF(site, "day_range", "delta_method", "daytime_threshold",
         "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+  }
+
+  /** NaN → null so failed-fit / no-crossing days drop out of medians
+    * instead of poisoning them (NaN sorts above every double). */
+  private def nanToNull(c: Column): Column = when(!isnan(c), c)
+
+  /** The per-(site, day) sunrise/sunset optimizer outputs for every
+    * enabled data matrix (the reference runs
+    * `get_optimized_sunrise_sunset(fdm, rdm)` on BOTH matrices —
+    * `latitude_study.py:133-144`), labeled and projected for the
+    * study join. Solver-priced: one optimizer grid per matrix.
+    */
+  private def optimizedDaylightSides(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      includeRaw: Boolean,
+      includeFilled: Boolean,
+      filledSlotsPerDay: Int
+  )(project: DataFrame => DataFrame): DataFrame = {
+    val sides = Seq(
+      (includeRaw, "raw", () => df),
+      (includeFilled, "filled",
+        () => filledAsEvents(df, site, tsCol, valueCol, filledSlotsPerDay)))
+      .collect { case (true, label, mk) =>
+        project(
+          SunriseSunset.estimates(spark, mk(), site, tsCol, valueCol)
+            .select(col(site).cast("long").as("site"), col("day"),
+              col("sunrise_est"), col("sunset_est"),
+              col("sunrise_rough"), col("sunset_rough"))
+            .withColumn("data_matrix", lit(label)))
+      }
+    sides.reduce(_ unionByName _)
   }
 
   /** The filled day grid re-expressed at (site, ts, value) event

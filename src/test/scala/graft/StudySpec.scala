@@ -158,16 +158,51 @@ class StudySpec extends AnyFunSuite {
     }
   }
 
-  test("optimized daylight method joins the sweep when enabled") {
+  test("optimized daylight methods join the sweep on both matrices when enabled") {
     val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
       utcOffsetHours = tz)
     val study = Study.latitudeStudy(spark, small, "site", "ts", "power",
-      includeFilled = false, includeOptimized = true, clearSlotsPerDay = 96)
-    val byMethod = study.collect().groupBy(_.getAs[String]("daylight_method"))
-    assert(byMethod.keySet == Set("sunrise-sunset", "raw-daylight", "optimized"))
-    // the optimized path must actually produce estimates, not nulls
-    val opt = byMethod("optimized").filter(_.getAs[String]("day_selection") == "all")
-    assert(opt.forall(r => !r.isNullAt(r.fieldIndex("latitude"))),
-      "optimized configs produced null latitude")
+      includeFilled = true, includeOptimized = true, clearSlotsPerDay = 96,
+      filledSlotsPerDay = 96)
+    val rows = study.collect()
+    val byMethod = rows.groupBy(_.getAs[String]("daylight_method"))
+    assert(byMethod.keySet == Set(
+      "sunrise-sunset", "raw-daylight",
+      "optimized-estimates", "optimized-measurements"),
+      s"got ${byMethod.keySet}")
+    // both optimizer outputs must exist on BOTH matrices (the
+    // reference runs get_optimized_sunrise_sunset(fdm, rdm)) and
+    // actually produce estimates, not nulls
+    for (m <- Seq("optimized-estimates", "optimized-measurements")) {
+      val all = byMethod(m).filter(_.getAs[String]("day_selection") == "all")
+      assert(all.map(_.getAs[String]("data_matrix")).toSet == Set("raw", "filled"),
+        s"$m missing a data matrix")
+      assert(all.forall(r => !r.isNullAt(r.fieldIndex("latitude"))),
+        s"$m configs produced null latitude")
+    }
+    // on clean synthetic data the fitted-curve and raw-measurement
+    // daylights both invert to ~the true latitude
+    val latTrue = sites.take(1).head._2
+    for (r <- byMethod("optimized-estimates")
+           if r.getAs[String]("day_selection") == "all") {
+      assert(math.abs(r.getAs[Double]("latitude") - latTrue) < 8.0,
+        s"optimized-estimates latitude ${r.getAs[Double]("latitude")} vs $latTrue")
+    }
+  }
+
+  test("longitude study's optimized solar-noon axis spans both matrices and variants") {
+    val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
+      utcOffsetHours = tz)
+    val study = Study.longitudeStudy(spark, small, "site", "ts", "power",
+      gmtOffsetHours = tz, includeFilled = true, includeOptimized = true,
+      estimators = Seq("calculated"), clearSlotsPerDay = 96, filledSlotsPerDay = 96)
+    val rows = study.collect().filter(_.getAs[String]("day_selection") == "all")
+    val byNoon = rows.groupBy(_.getAs[String]("solar_noon_method"))
+    assert(Set("optimized-estimates", "optimized-measurements").subsetOf(byNoon.keySet),
+      s"got ${byNoon.keySet}")
+    for (m <- Seq("optimized-estimates", "optimized-measurements")) {
+      assert(byNoon(m).map(_.getAs[String]("data_matrix")).toSet == Set("raw", "filled"),
+        s"$m missing a data matrix")
+    }
   }
 }
