@@ -1833,6 +1833,40 @@ object OracleSql {
       ON c.user_id = p.user_id AND c.ts >= p.p_start AND c.ts < p.p_end
   """
 
+  // q80: the Huber location IRLS (the longitude study's fit_huber
+  // estimator) replayed with the q72 idiom — μ carried through every
+  // iteration, the weighted sums as ORDERED list_reduce folds so the
+  // float accumulation order matches the operator's left-to-right
+  // loop, the exact 1e-12 fixed-point exit. Seed lists CAST to
+  // DOUBLE[] (the DECIMAL-inference trap). The final row per series
+  // (max it) is the value the operator returns.
+  private val q80 = """
+    WITH RECURSIVE
+    hub_src AS (
+      SELECT 1 AS sid, [1.0,2.5,-3.25,40.0,2.0,1.75,-0.5,100.0,3.0,2.25,1.5]::DOUBLE[] AS xs
+      UNION ALL SELECT 2, [10.0,12.0,11.5,9.75,10.25,10.5,11.0]::DOUBLE[]
+      UNION ALL SELECT 3, [-5.0,120.0,-4.5,-130.0,-5.25,-4.75,-5.5,200.0,-6.0]::DOUBLE[]),
+    hub_it AS (
+      SELECT sid, 0 AS it, list_sort(xs)[(len(xs)+1)//2] AS mu, true AS moved FROM hub_src
+      UNION ALL
+      SELECT h.sid, h.it + 1,
+        CASE WHEN n_sw > 0 THEN n_swx / n_sw ELSE h.mu END,
+        abs(CASE WHEN n_sw > 0 THEN n_swx / n_sw ELSE h.mu END - h.mu) > 0.000000000001
+      FROM hub_it h JOIN hub_src s ON s.sid = h.sid,
+      LATERAL (SELECT
+        list_reduce(list_transform(s.xs, x ->
+          CASE WHEN abs(x - h.mu) <= 15.0 THEN 1.0 ELSE 15.0 / abs(x - h.mu) END),
+          (a, b) -> a + b) AS n_sw,
+        list_reduce(list_transform(s.xs, x ->
+          (CASE WHEN abs(x - h.mu) <= 15.0 THEN 1.0 ELSE 15.0 / abs(x - h.mu) END) * x),
+          (a, b) -> a + b) AS n_swx) z
+      WHERE h.moved AND h.it < 100)
+    SELECT CAST(sid AS BIGINT) AS series_id, round(mu, 6) AS huber
+    FROM (SELECT sid, mu, row_number() OVER (PARTITION BY sid ORDER BY it DESC) AS rk
+          FROM hub_it) t
+    WHERE rk = 1
+  """
+
   // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
   // factor recursion carries (l0, l1, l2, prev l2) per column with
   // the 1e-12 sqrt guard and both correction terms in the operator's
@@ -4347,6 +4381,7 @@ $branches
     "q77_banded_cholesky" -> q77,
     "q78_asof_join" -> q78,
     "q79_interval_join" -> q79,
+    "q80_huber_irls" -> q80,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

@@ -908,6 +908,33 @@ object SparkEntry {
         col("ts").cast("long").as("ts_s"), col("purchase_value"))
   }
 
+  /** The longitude study's Huber location estimator
+    * (`Study.huberLocation` — the closed-loop equivalent of the
+    * reference's scalar cvxpy huber fit, `longitude/fitting.py`),
+    * HASH-GATED on literal series with the q72 IRLS-replay idiom: the
+    * oracle carries μ through every iteration in a RECURSIVE CTE —
+    * median start, weights min(1, scale/|x−μ|), the weighted sums as
+    * ORDERED list_reduce folds (the operator accumulates left to
+    * right), the 1e-12 fixed-point exit — so the study's last
+    * spec-only estimator axis is cross-engine gated. Each iterate is
+    * a contraction (weighted mean), so cross-engine float diffs stay
+    * at ulp scale — five orders inside the 6-dp hash grid.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val series: Map[Int, Array[Double]] = Map(
+      1 -> Array(1.0, 2.5, -3.25, 40.0, 2.0, 1.75, -0.5, 100.0, 3.0, 2.25, 1.5),
+      2 -> Array(10.0, 12.0, 11.5, 9.75, 10.25, 10.5, 11.0),
+      3 -> Array(-5.0, 120.0, -4.5, -130.0, -5.25, -4.75, -5.5, 200.0, -6.0))
+    s.createDataset(series.keys.toSeq)
+      .groupByKey(identity)
+      .flatMapGroups { (sid: Int, _: Iterator[Int]) =>
+        Iterator((sid.toLong, graft.analyses.Study.huberLocation(series(sid), 15.0)))
+      }
+      .toDF("series_id", "huber")
+      .withColumn("huber", round(col("huber"), 6))
+  }
+
   /** PVPro's alternating trend/seasonal decomposition
     * (`Kernels.pvproDecompose` — p05's solver core; reference
     * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
@@ -3279,6 +3306,7 @@ object SparkEntry {
     "q77_banded_cholesky" -> (q77 _),
     "q78_asof_join" -> (q78 _),
     "q79_interval_join" -> (q79 _),
+    "q80_huber_irls" -> (q80 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

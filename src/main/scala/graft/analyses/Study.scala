@@ -490,7 +490,7 @@ object Study {
     * median start, 1e-12 fixed point — the closed-loop equivalent of
     * the reference's scalar cvxpy huber fit (see [[longitudeStudy]]).
     */
-  private[analyses] def huberLocation(xs: Array[Double], scale: Double): Double = {
+  private[graft] def huberLocation(xs: Array[Double], scale: Double): Double = {
     val sorted = xs.sorted
     var mu =
       if (sorted.length % 2 == 1) sorted(sorted.length / 2)
