@@ -1867,6 +1867,107 @@ object OracleSql {
     WHERE rk = 1
   """
 
+  // q81: the seasonal daytime-threshold kernel (pinball IRLS where
+  // every iteration solves a pentadiagonal SPD system) — the q72 and
+  // q77 idioms COMPOSED. Three chained banded solves (w = 1 seed,
+  // then two reweighted iterations), each replayed as the q77
+  // factor/forward/back recursions reading that iteration's band CTE;
+  // the weight CTEs replay the exact pinball g/max(|r|, 1e-6)
+  // arithmetic off the previous solution. The D₂ᵀD₂ band constants
+  // (1/5/6, −2/−4, 1) are emitted per row in the literal source.
+  // MATERIALIZED snapshots after every recursion are load-bearing:
+  // DuckDB inlines CTE references, so a recursion that joins another
+  // recursion's result re-evaluates it PER STEP — across three
+  // chained solves the re-evaluation tree is exponential (the first
+  // attempt ran >60 s; with snapshots the whole gate is ~0.15 s).
+  private def q81BandedSolve(k: Int, bandTbl: String): String = {
+    val p = s"sq$k"
+    s"""
+    ${p}_l AS (
+      SELECT s.j, sqrt(greatest(s.d0, 0.000000000001)) AS l0,
+        s.d1 / sqrt(greatest(s.d0, 0.000000000001)) AS l1,
+        s.d2 / sqrt(greatest(s.d0, 0.000000000001)) AS l2,
+        CAST(0 AS DOUBLE) AS pl2
+      FROM $bandTbl s WHERE s.j = 0
+      UNION ALL
+      SELECT z.nj, z.nd,
+        CASE WHEN z.nj + 1 < 10 THEN (z.nd1 - z.l2 * z.l1) / z.nd ELSE CAST(0 AS DOUBLE) END,
+        CASE WHEN z.nj + 2 < 10 THEN z.nd2 / z.nd ELSE CAST(0 AS DOUBLE) END,
+        z.l2
+      FROM (
+        SELECT q.*, s.j AS nj, s.d1 AS nd1, s.d2 AS nd2,
+          sqrt(greatest(
+            CASE WHEN s.j >= 2 THEN (s.d0 - q.l1 * q.l1) - q.pl2 * q.pl2
+                 ELSE s.d0 - q.l1 * q.l1 END,
+            0.000000000001)) AS nd
+        FROM ${p}_l q JOIN $bandTbl s ON s.j = q.j + 1
+        WHERE q.j < 9) z),
+    ${p}_lm AS MATERIALIZED (SELECT * FROM ${p}_l),
+    ${p}_y AS (
+      SELECT l.j AS i, s.bv / l.l0 AS yi, CAST(0 AS DOUBLE) AS yim1,
+        l.l1 AS cl1, l.l2 AS cl2, CAST(0 AS DOUBLE) AS cl2m1
+      FROM ${p}_lm l JOIN $bandTbl s ON s.j = l.j WHERE l.j = 0
+      UNION ALL
+      SELECT q.i + 1,
+        ((s.bv - q.cl1 * q.yi) - q.cl2m1 * q.yim1) / l.l0 AS nyi,
+        q.yi, l.l1, l.l2, q.cl2
+      FROM ${p}_y q
+      JOIN $bandTbl s ON s.j = q.i + 1
+      JOIN ${p}_lm l ON l.j = q.i + 1
+      WHERE q.i < 9),
+    ${p}_ym AS MATERIALIZED (SELECT * FROM ${p}_y),
+    ${p}_x AS (
+      SELECT y.i, y.yi / l.l0 AS xi, CAST(0 AS DOUBLE) AS xip1
+      FROM ${p}_ym y JOIN ${p}_lm l ON l.j = y.i WHERE y.i = 9
+      UNION ALL
+      SELECT q.i - 1,
+        ((y.yi - l.l1 * q.xi) - l.l2 * q.xip1) / l.l0 AS nxi,
+        q.xi
+      FROM ${p}_x q
+      JOIN ${p}_ym y ON y.i = q.i - 1
+      JOIN ${p}_lm l ON l.j = q.i - 1
+      WHERE q.i > 0),
+    ${p}_xm AS MATERIALIZED (SELECT * FROM ${p}_x)"""
+  }
+
+  private def q81Weights(k: Int): String =
+    s"""
+    sq${k}_w AS MATERIALIZED (
+      SELECT s.j,
+        (CASE WHEN (s.y - x.xi) < 0 THEN 0.25 ELSE 0.75 END)
+          / greatest(abs(s.y - x.xi), 0.000001) AS w
+      FROM sq_src s JOIN sq${k - 1}_xm x ON x.i = s.j),
+    sq${k}_band AS MATERIALIZED (
+      SELECT s.j, w.w + 1000000.0 * s.d0c AS d0, 1000000.0 * s.o1 AS d1,
+        1000000.0 * s.o2 AS d2, w.w * s.y AS bv
+      FROM sq_src s JOIN sq${k}_w w ON w.j = s.j)"""
+
+  private val q81: String = {
+    val ys = Seq(2.0, 2.5, 3.25, 4.0, 4.5, 12.0, 4.25, 3.5, 2.75, 2.25)
+    val n = ys.length
+    val rows = ys.zipWithIndex.map { case (y, j) =>
+      val d0c = (if (j <= n - 3) 1 else 0) + (if (j >= 1 && j <= n - 2) 4 else 0) +
+        (if (j >= 2) 1 else 0)
+      val o1 = (if (j >= n - 1) 0 else (if (j <= n - 3) -2 else 0) + (if (j >= 1) -2 else 0))
+      val o2 = if (j <= n - 3) 1 else 0
+      s"($j, CAST($y AS DOUBLE), CAST($d0c AS DOUBLE), CAST($o1 AS DOUBLE), CAST($o2 AS DOUBLE))"
+    }.mkString(", ")
+    s"""
+    WITH RECURSIVE
+    sq_src(j, y, d0c, o1, o2) AS (VALUES $rows),
+    sq0_band AS MATERIALIZED (
+      SELECT j, 1.0 + 1000000.0 * d0c AS d0, 1000000.0 * o1 AS d1,
+        1000000.0 * o2 AS d2, y AS bv
+      FROM sq_src),
+    ${q81BandedSolve(0, "sq0_band")},
+    ${q81Weights(1)},
+    ${q81BandedSolve(1, "sq1_band")},
+    ${q81Weights(2)},
+    ${q81BandedSolve(2, "sq2_band")}
+    SELECT CAST(i AS BIGINT) AS i, round(xi, 6) AS x FROM sq2_xm
+  """
+  }
+
   // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
   // factor recursion carries (l0, l1, l2, prev l2) per column with
   // the 1e-12 sqrt guard and both correction terms in the operator's
@@ -4382,6 +4483,7 @@ $branches
     "q78_asof_join" -> q78,
     "q79_interval_join" -> q79,
     "q80_huber_irls" -> q80,
+    "q81_seasonal_threshold" -> q81,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

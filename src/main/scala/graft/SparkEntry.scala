@@ -935,6 +935,32 @@ object SparkEntry {
       .withColumn("huber", round(col("huber"), 6))
   }
 
+  /** The tilt/azimuth study's seasonal daytime-threshold kernel
+    * (`Kernels.seasonalQuantileTrend` — the reference's
+    * `find_daytime_threshold_quantile_seasonality`,
+    * `daytime_threshold_quantile.py:23-39`), HASH-GATED on a literal
+    * series at iters = 2: the REAL operator in `flatMapGroups`, and
+    * an oracle that composes the q72 and q77 idioms — per IRLS
+    * iteration a weight CTE (the exact pinball g/max(|r|, 1e-6)
+    * arithmetic off the previous solution) feeds a banded-Cholesky
+    * replay (factor / forward / back as three recursive CTEs in the
+    * operator's own float order), three solves chained end to end.
+    * Dyadic inputs; every recurrence sequential → bit-identical
+    * cross-engine.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.createDataset(Seq(1))
+      .groupByKey(identity)
+      .flatMapGroups { (_: Int, _: Iterator[Int]) =>
+        val y = Array(2.0, 2.5, 3.25, 4.0, 4.5, 12.0, 4.25, 3.5, 2.75, 2.25)
+        val x = graft.solvers.Kernels.seasonalQuantileTrend(y, p1 = 0.75, iters = 2)
+        x.iterator.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      }
+      .toDF("i", "x")
+      .withColumn("x", round(col("x"), 6))
+  }
+
   /** PVPro's alternating trend/seasonal decomposition
     * (`Kernels.pvproDecompose` — p05's solver core; reference
     * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
@@ -3307,6 +3333,7 @@ object SparkEntry {
     "q78_asof_join" -> (q78 _),
     "q79_interval_join" -> (q79 _),
     "q80_huber_irls" -> (q80 _),
+    "q81_seasonal_threshold" -> (q81 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

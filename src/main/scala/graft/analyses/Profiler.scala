@@ -183,6 +183,67 @@ object Profiler {
     *
     * @return (__site string, doy, hslot, ct, noon, lat_est)
     */
+  /** Per-day seasonal daytime thresholds for the tilt/azimuth study's
+    * (x1, x2) quantile axis (reference `tilt_azimuth_study.py:193-198`
+    * + `daytime_threshold_quantile.py`): for each config, y = the
+    * per-day x2-quantile of the site's values, threshold =
+    * [[graft.solvers.Kernels.seasonalQuantileTrend]](y, x1) — the
+    * smooth seasonal component of the pinball + D²-penalty
+    * decomposition — normalized by the site's p99 capacity so it
+    * compares against [[orientationCells]]' normalized envelope.
+    *
+    * Plan shape: ONE day-grain aggregation computes every distinct
+    * x2 quantile as a column; the per-site fits run in `mapGroups`
+    * over the bounded day series (≤366 × nConfigs values of state);
+    * output is day-grain tiny at any scan scale. Spans ≤ 366 days
+    * (doy-keyed, like the study's season windows).
+    *
+    * @return (__site, doy, cfg_id, x1, x2, thr_norm)
+    */
+  def seasonalDaytimeThresholds(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      configs: Seq[(Double, Double)]
+  ): DataFrame = {
+    import spark.implicits._
+    require(configs.nonEmpty, "at least one (x1, x2) config is required")
+    val p2s = configs.map(_._2).distinct
+    val qAggs = p2s.zipWithIndex.map { case (p2, i) =>
+      percentile(col(valueCol), lit(p2)).as(s"__q_$i")
+    }
+    val ev = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val day = ev
+      .groupBy(col(site).cast("string").as("__site"), to_date(col(tsCol)).as("__day"))
+      .agg(qAggs.head, qAggs.tail: _*)
+    val cap = ev.groupBy(col(site).cast("string").as("__site"))
+      .agg(percentile(col(valueCol), lit(0.99)).as("__cap"))
+    val joined = day.join(broadcast(cap), Seq("__site"))
+      .select(col("__site"), col("__day").cast("string").as("__day"), col("__cap"),
+        array(p2s.indices.map(i => col(s"__q_$i")): _*).as("__qs"))
+      .as[(String, String, Double, Seq[Double])]
+    val cfgArr = configs.toArray
+    val p2Idx = cfgArr.map { case (_, p2) => p2s.indexOf(p2) }
+    joined
+      .groupByKey(_._1)
+      .flatMapGroups { (siteId: String, it: Iterator[(String, String, Double, Seq[Double])]) =>
+        val rows = it.toArray.sortBy(_._2)
+        val capV = rows(0)._3
+        val doys = rows.map(r => java.time.LocalDate.parse(r._2).getDayOfYear)
+        cfgArr.indices.iterator.flatMap { c =>
+          val (x1, x2) = cfgArr(c)
+          val y = rows.map(_._4(p2Idx(c)))
+          val thr = graft.solvers.Kernels.seasonalQuantileTrend(y, x1)
+          rows.indices.iterator.map { i =>
+            (siteId, doys(i), c, x1, x2, thr(i) / capV)
+          }
+        }
+      }
+      .toDF("__site", "doy", "cfg_id", "x1", "x2", "thr_norm")
+  }
+
   def orientationCells(
       spark: org.apache.spark.sql.SparkSession,
       df: DataFrame,

@@ -563,7 +563,12 @@ object Study {
       daytimeThresholds: Seq[Double] = Seq(Profiler.OrientationDaytimeThreshold),
       latOverride: Option[DataFrame] = None,
       useFilled: Boolean = false,
-      filledSlotsPerDay: Int = 96
+      filledSlotsPerDay: Int = 96,
+      // the reference's (threshold_x1 × threshold_x2) axis
+      // (`tilt_azimuth_study.py:193-198`): when non-empty, the fixed
+      // daytimeThresholds axis is REPLACED by per-day seasonal
+      // thresholds — the reference's daytime_threshold=None branch
+      thresholdQuantiles: Seq[(Double, Double)] = Nil
   ): DataFrame = {
     import spark.implicits._
     require(deltaMethods.forall(Set("cooper", "spencer")),
@@ -575,6 +580,9 @@ object Study {
     // derivation serves both matrices
     val in = if (!useFilled) df else filledAsEvents(df, site, tsCol, valueCol, filledSlotsPerDay)
     val cells = Profiler.orientationCells(spark, in, site, tsCol, valueCol, latOverride)
+    if (thresholdQuantiles.nonEmpty)
+      return tiltAzimuthStudySeasonal(spark, in, cells, site, tsCol, valueCol,
+        dayRanges, deltaMethods, thresholdQuantiles)
     val configs = for {
       ((rName, range), rIdx) <- dayRanges.zipWithIndex
       (dName, dIdx) <- deltaMethods.zipWithIndex
@@ -607,6 +615,66 @@ object Study {
         (siteId, p0._3, p0._4, p0._5, p0._10, tilt, az, pts.length)
       }
       .toDF(site, "day_range", "delta_method", "daytime_threshold",
+        "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
+  }
+
+  /** The seasonal-threshold variant of [[tiltAzimuthStudy]] — the
+    * reference's daytime_threshold=None branch: each (x1, x2) config
+    * filters the envelope cells by the per-day seasonal threshold
+    * from [[Profiler.seasonalDaytimeThresholds]] instead of a fixed
+    * cut. A cell passes iff its max normalized entry clears that
+    * day's threshold — equivalent to the reference's entry-grain
+    * boolean mask restricted to the envelope entries our design fits
+    * on. One day-grain join multiplies the cells by the quantile
+    * configs; no extra scan pass.
+    *
+    * @return (<site>, day_range, delta_method, x1, x2, lat_est,
+    *   tilt_deg, azimuth_duffie_deg, n_cells)
+    */
+  private def tiltAzimuthStudySeasonal(
+      spark: SparkSession,
+      in: DataFrame,
+      cells: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      dayRanges: Seq[(String, Option[(Int, Int)])],
+      deltaMethods: Seq[String],
+      thresholdQuantiles: Seq[(Double, Double)]
+  ): DataFrame = {
+    import spark.implicits._
+    val thr = Profiler.seasonalDaytimeThresholds(
+      spark, in, site, tsCol, valueCol, thresholdQuantiles)
+    val rdCfg = for {
+      ((rName, range), rIdx) <- dayRanges.zipWithIndex
+      (dName, dIdx) <- deltaMethods.zipWithIndex
+    } yield (rIdx * 10 + dIdx, rName,
+      range.map(_._1).getOrElse(-1), range.map(_._2).getOrElse(-1), dName)
+    val rdDf = spark.createDataset(rdCfg)
+      .toDF("rd_id", "day_range", "lo", "hi", "delta_method")
+    val inRange =
+      when(col("lo") < 0, lit(true))
+        .when(col("lo") < col("hi"), col("doy") > col("lo") && col("doy") < col("hi"))
+        .otherwise(col("doy") > col("lo") || col("doy") < col("hi"))
+    val routed = cells
+      .join(thr, Seq("__site", "doy"))
+      .crossJoin(broadcast(rdDf))
+      .filter(inRange && col("ct") > col("thr_norm"))
+      .select(col("__site"), (col("rd_id") * 100 + col("cfg_id")).as("cfg"),
+        col("day_range"), col("delta_method"), col("x1"), col("x2"),
+        col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
+      .as[(String, Int, String, String, Double, Double, Int, Int, Double, Double, Double)]
+    routed
+      .groupByKey(r => (r._1, r._2))
+      .mapGroups { (key: (String, Int), it: Iterator[(String, Int, String, String, Double, Double, Int, Int, Double, Double, Double)]) =>
+        val pts = it.toArray
+        val p0 = pts(0)
+        val (tilt, az) = Profiler.fitOrientation(
+          pts.map(_._7), pts.map(_._8), pts.map(_._9),
+          noonH = p0._10, latDeg = p0._11, spencer = p0._4 == "spencer")
+        (key._1, p0._3, p0._4, p0._5, p0._6, p0._11, tilt, az, pts.length)
+      }
+      .toDF(site, "day_range", "delta_method", "x1", "x2",
         "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_cells")
   }
 

@@ -92,6 +92,70 @@ object Kernels {
   ): Array[Double] =
     quantileFourierFitMultiTaus(y, t, Seq(tau), bases, iters).head
 
+  /** Seasonal daytime-threshold fit (reference
+    * `algorithms/tilt_azimuth/daytime_threshold_quantile.py:23-39`,
+    * `find_daytime_threshold_quantile_seasonality`): given the study's
+    * per-day quantile series `y` (their `np.quantile(matrix, p2,
+    * axis=0)`), solve
+    *
+    *   minimize Σ ρ_p1(y − x) + m·‖D₂x‖²
+    *
+    * and return the smooth seasonal component `x` — the per-day
+    * daytime threshold the tilt/azimuth study filters the matrix
+    * against when no fixed threshold is given. Pinball IRLS (the
+    * [[quantileFourierFit]] weights g/max(|r|, 1e-6)) where every
+    * iteration solves the PENTADIAGONAL SPD system
+    * (W + m·D₂ᵀD₂)x = Wy via [[Linalg.solveBandedSpd]] (the
+    * q77-gated kernel) — O(n) per iteration instead of the
+    * reference's dense cvxpy/MOSEK solve. Non-periodic branch only:
+    * the reference adds the 365-wrap equality constraint for spans
+    * longer than a year; fit such spans per year (the study's season
+    * day-ranges already cut shorter windows).
+    */
+  def seasonalQuantileTrend(
+      y: Array[Double],
+      p1: Double,
+      m: Double = 1e6,
+      iters: Int = 30
+  ): Array[Double] = {
+    val n = y.length
+    require(n >= 3, s"seasonal trend needs >= 3 days, got $n")
+    // D₂ᵀD₂ bands for the (n−2)×n second-difference rows [1, −2, 1]
+    val d0 = Array.tabulate(n) { j =>
+      (if (j <= n - 3) 1.0 else 0.0) +
+        (if (j >= 1 && j <= n - 2) 4.0 else 0.0) +
+        (if (j >= 2) 1.0 else 0.0)
+    }
+    val off1 = Array.tabulate(n) { j =>
+      if (j >= n - 1) 0.0
+      else (if (j <= n - 3) -2.0 else 0.0) + (if (j >= 1) -2.0 else 0.0)
+    }
+    val off2 = Array.tabulate(n)(j => if (j <= n - 3) 1.0 else 0.0)
+    def solve(w: Array[Double]): Array[Double] = {
+      val band = Array(
+        Array.tabulate(n)(j => w(j) + m * d0(j)),
+        Array.tabulate(n)(j => m * off1(j)),
+        Array.tabulate(n)(j => m * off2(j)))
+      val b = Array.tabulate(n)(j => w(j) * y(j))
+      Linalg.solveBandedSpd(band, b)
+    }
+    val w = Array.fill(n)(1.0)
+    var x = solve(w)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        val r = y(i) - x(i)
+        val g = if (r < 0) 1.0 - p1 else p1
+        w(i) = g / math.max(math.abs(r), 1e-6)
+        i += 1
+      }
+      x = solve(w)
+      it += 1
+    }
+    x
+  }
+
   /** [[quantileFourierFitMulti]] for several quantile levels at once:
     * the trig design rows are built ONCE and shared across every τ's
     * IRLS (the row build is ~⅓ of the fit cost when fitting 3

@@ -325,4 +325,34 @@ class SolverSpec extends AnyFunSuite {
     assert(math.abs(attr.sum - (vAll - vNone)) < 1e-9)
     assert(attr.forall(_ <= 0.0)) // all factors are losses here
   }
+
+  test("seasonalQuantileTrend tracks the smooth seasonal component through spiky outliers") {
+    val n = 180
+    // seasonal baseline + sparse large positive spikes (the cloudy-day
+    // quantile excursions the pinball loss must shrug off)
+    val base = Array.tabulate(n)(d => 10.0 + 4.0 * math.sin(2 * math.Pi * d / 365.0))
+    val y = base.zipWithIndex.map { case (b, d) => if (d % 17 == 0) b + 30.0 else b }
+    val x = Kernels.seasonalQuantileTrend(y, p1 = 0.5)
+    // the heavy D² penalty + median pinball recover the smooth curve:
+    // spikes (6% of days, +30) must not drag the trend materially
+    val err = base.indices.map(i => math.abs(x(i) - base(i))).max
+    assert(err < 1.5, s"max deviation from the seasonal base: $err")
+    // the trend is smooth at the penalty scale: second differences tiny
+    val d2max = (2 until n).map(i => math.abs(x(i) - 2 * x(i - 1) + x(i - 2))).max
+    assert(d2max < 1e-2, s"second differences not smoothed: $d2max")
+  }
+
+  test("seasonalQuantileTrend pinball asymmetry: high p1 hugs the upper envelope") {
+    val n = 120
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(n)(d => 5.0 + 2.0 * math.cos(2 * math.Pi * d / 365.0))
+    val y = base.map(b => b - rnd.nextDouble() * 3.0) // one-sided noise below
+    val hi = Kernels.seasonalQuantileTrend(y, p1 = 0.9)
+    val lo = Kernels.seasonalQuantileTrend(y, p1 = 0.1)
+    val fracBelowHi = y.indices.count(i => y(i) <= hi(i)).toDouble / n
+    val fracBelowLo = y.indices.count(i => y(i) <= lo(i)).toDouble / n
+    assert(fracBelowHi > fracBelowLo + 0.3,
+      s"quantile ordering violated: $fracBelowLo vs $fracBelowHi")
+    assert(hi.indices.forall(i => hi(i) >= lo(i) - 1e-6), "hi trend crossed below lo trend")
+  }
 }

@@ -190,6 +190,29 @@ class StudySpec extends AnyFunSuite {
     }
   }
 
+  test("tiltAzimuthStudy's seasonal (x1, x2) threshold axis recovers orientation") {
+    val study = Study.tiltAzimuthStudy(spark, fleet, "site", "ts", "power",
+      dayRanges = Seq(("full_year", None)),
+      deltaMethods = Seq("cooper"),
+      thresholdQuantiles = Seq((0.9, 0.9), (0.5, 0.8)))
+    val rows = study.collect()
+    // config cross-product: 2 sites × 1 range × 1 delta × 2 (x1,x2)
+    assert(rows.length == sites.length * 2, s"got ${rows.length} rows")
+    val cfgs = rows.map(r => (r.getAs[Double]("x1"), r.getAs[Double]("x2"))).distinct
+    assert(cfgs.toSet == Set((0.9, 0.9), (0.5, 0.8)), s"got ${cfgs.mkString(",")}")
+    // the seasonal-threshold filter must still leave enough envelope
+    // cells to recover the geometry on the clean fleet
+    sites.foreach { case (id, _, _, tiltTrue, azTrue) =>
+      val best = rows.filter(_.getAs[String]("site") == id.toString)
+        .minBy(r => math.abs(r.getAs[Double]("tilt_deg") - tiltTrue))
+      assert(math.abs(best.getAs[Double]("tilt_deg") - tiltTrue) < 12.0,
+        s"site $id tilt ${best.getAs[Double]("tilt_deg")} vs $tiltTrue")
+      assert(math.abs(best.getAs[Double]("azimuth_duffie_deg") - azTrue) < 20.0,
+        s"site $id azimuth ${best.getAs[Double]("azimuth_duffie_deg")} vs $azTrue")
+      assert(best.getAs[Int]("n_cells") > 50, "seasonal filter left too few cells")
+    }
+  }
+
   test("longitude study's optimized solar-noon axis spans both matrices and variants") {
     val small = Synth.pvSites(spark, sites.take(1), nDays = 120, slotsPerDay = 288,
       utcOffsetHours = tz)
