@@ -185,5 +185,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // naive point-in-interval band joins become the IntervalJoin plan
+    e.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
   }
 }

@@ -1,0 +1,147 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampType}
+
+/** Optimizer rule: rewrite a naive point-in-interval band join
+  *
+  *   `p JOIN i ON [keys =] AND p.ts >= i.start AND p.ts < i.end`
+  *
+  * — which Catalyst can only execute as a (per-key) nested loop —
+  * into the bucketed plan of [[graft.operators.IntervalJoin]]: the
+  * interval side explodes to the grid buckets it covers, the join
+  * becomes an equi-join on (keys, bucket), and the ORIGINAL condition
+  * re-applies as a filter. Complements [[RangeJoinRule]] (the
+  * fixed-width symmetric `abs(l − r) <= d` shape); here the width
+  * varies per interval, so the interval side explodes instead of the
+  * probe side.
+  *
+  * Correctness: `p >= s ⇒ bucket(p) >= bucket(s)` and
+  * `p < e ⇒ bucket(p) <= bucket(e)` (cast-to-double and floor are
+  * monotone), so the bucket equi-join is a superset of the band
+  * matches and the re-applied original condition restores exactness.
+  * Inverted/empty/null intervals are pre-filtered (`s < e`), matching
+  * the band's own emptiness; a matched pair shares exactly one
+  * bucket — the point's — so no dedup is needed.
+  *
+  * Scope: INNER joins whose condition splits into one lower bound
+  * (`p >= s` or `p > s`), one upper bound (`p < e` or `p <= e`) on
+  * the SAME point expression, with the point referencing one child
+  * only and both bounds the other, plus optionally plain two-sided
+  * equality conjuncts (which join alongside the bucket). Any other
+  * conjunct → no rewrite. Bucket width (same axis units; seconds for
+  * timestamps) comes from `spark.graft.intervalJoin.bucket`
+  * (default 86400) — size it near the typical interval width.
+  */
+object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BucketConfKey = "spark.graft.intervalJoin.bucket"
+
+  private def sideOf(e: Expression, left: LogicalPlan, right: LogicalPlan): Option[Boolean] =
+    if (e.references.subsetOf(left.outputSet)) Some(true)
+    else if (e.references.subsetOf(right.outputSet)) Some(false)
+    else None
+
+  private def axisType(e: Expression): Boolean =
+    e.dataType.isInstanceOf[NumericType] || e.dataType == TimestampType
+
+  /** (point, bound) if `c` lower-bounds some expression. */
+  private def lowerOf(c: Expression): Seq[(Expression, Expression)] = c match {
+    case GreaterThanOrEqual(p, s) => Seq((p, s))
+    case GreaterThan(p, s) => Seq((p, s))
+    case LessThanOrEqual(s, p) => Seq((p, s))
+    case LessThan(s, p) => Seq((p, s))
+    case _ => Nil
+  }
+
+  /** (point, bound) if `c` upper-bounds some expression. */
+  private def upperOf(c: Expression): Seq[(Expression, Expression)] = c match {
+    case LessThan(p, e) => Seq((p, e))
+    case LessThanOrEqual(p, e) => Seq((p, e))
+    case GreaterThan(e, p) => Seq((p, e))
+    case GreaterThanOrEqual(e, p) => Seq((p, e))
+    case _ => Nil
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      tryRewrite(left, right, cond, hint).getOrElse(j)
+  }
+
+  private def tryRewrite(
+      left: LogicalPlan,
+      right: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint
+  ): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    if (conjuncts.length < 2) return None
+    val d = try {
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(BucketConfKey, "86400").toDouble
+    } catch { case _: NumberFormatException => return None }
+    if (!(d > 0.0)) return None
+
+    // find a (lower, upper) conjunct pair on the same point expression
+    // with consistent sides; everything else must be two-sided equality
+    val idx = conjuncts.indices
+    val pairs = for {
+      li <- idx; ui <- idx if li != ui
+      (p1, s) <- lowerOf(conjuncts(li))
+      (p2, e) <- upperOf(conjuncts(ui))
+      if p1.semanticEquals(p2) && axisType(p1) && axisType(s) && axisType(e)
+      pSide <- sideOf(p1, left, right)
+      sSide <- sideOf(s, left, right)
+      eSide <- sideOf(e, left, right)
+      if sSide == eSide && sSide != pSide
+    } yield (li, ui, p1, s, e, pSide)
+    val (li, ui, p, s, e, pointOnLeft) = pairs.headOption.getOrElse(return None)
+
+    val rest = idx.filterNot(i => i == li || i == ui).map(conjuncts)
+    val equis = rest.map {
+      case eq @ EqualTo(a, b) =>
+        (sideOf(a, left, right), sideOf(b, left, right)) match {
+          case (Some(x), Some(y)) if x != y => eq
+          case _ => return None
+        }
+      case _ => return None
+    }
+
+    def bucketOf(ex: Expression): Expression =
+      Cast(Floor(Divide(Cast(ex, DoubleType), Literal(d))), LongType)
+
+    val (pointChild, intervalChild) =
+      if (pointOnLeft) (left, right) else (right, left)
+    val pb = Alias(bucketOf(p), "__ij_pb")()
+    val pointB = Project(pointChild.output :+ pb, pointChild)
+    val bs = Alias(bucketOf(s), "__ij_bs")()
+    val be = Alias(bucketOf(e), "__ij_be")()
+    // s <= e pre-filter: inverted/null intervals match nothing in the
+    // band, and it keeps Sequence ascending (it would otherwise
+    // DESCEND for stop < start and manufacture wrong candidates).
+    // NOT strict: an s == e interval still matches p == s when BOTH
+    // bounds are inclusive — the re-applied original condition sorts
+    // out strict-bound emptiness.
+    val intervalB = Project(intervalChild.output ++ Seq(bs, be),
+      Filter(LessThanOrEqual(s, e), intervalChild))
+    val candAttr = AttributeReference("__ij_cand", LongType, nullable = true)()
+    // Sequence is TimeZoneAwareExpression: without an explicit zone it
+    // stays unresolved even on LONG bounds, and a post-resolution rule
+    // must emit resolved nodes
+    val seq = new Sequence(bs.toAttribute, be.toAttribute, Some(Literal(1L)))
+      .withTimeZone(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val gen = Generate(
+      Explode(seq),
+      unrequiredChildIndex = Nil, outer = false, qualifier = None,
+      generatorOutput = Seq(candAttr), child = intervalB)
+    val newCond = (EqualTo(pb.toAttribute, candAttr) +: equis)
+      .reduce[Expression](And(_, _))
+    val joined =
+      if (pointOnLeft) Join(pointB, gen, Inner, Some(newCond), hint)
+      else Join(gen, pointB, Inner, Some(newCond), hint)
+    Some(Project(left.output ++ right.output, Filter(cond, joined)))
+  }
+}
