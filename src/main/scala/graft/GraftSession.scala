@@ -30,6 +30,12 @@ object GraftSession {
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
+    // the engine's Catalyst rewrites, active by default (the cluster
+    // deploy path is spark.sql.extensions=graft.functions.GraftExtensions;
+    // local sessions get the same rules here): naive abs-range and
+    // point-in-interval joins become bucketed equi-joins
+    spark.experimental.extraOptimizations =
+      Seq(graft.plans.RangeJoinRule, graft.plans.IntervalJoinRule)
     spark
   }
 }

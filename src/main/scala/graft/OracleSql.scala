@@ -1968,6 +1968,23 @@ object OracleSql {
   """
   }
 
+  // q82: q79's band-join family written with no equi key at all —
+  // the shape Catalyst can only nested-loop and IntervalJoinRule
+  // rewrites by default. Same naive inequality join on the DuckDB
+  // side; thinned interval side keeps the cross-product gate-sized.
+  private val q82 = """
+    WITH ir_clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    ir_p AS (
+      SELECT ts AS p_start, ts + INTERVAL 6 HOUR AS p_end,
+        event_id AS purchase_id, round(value, 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' AND event_id % 40 = 0)
+    SELECT c.event_id, p.purchase_id, c.user_id,
+      CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, p.purchase_value
+    FROM ir_clicks c JOIN ir_p p
+      ON c.ts >= p.p_start AND c.ts < p.p_end
+  """
+
   // q77: the banded Cholesky (hw = 2) replayed bit-exactly — the
   // factor recursion carries (l0, l1, l2, prev l2) per column with
   // the 1e-12 sqrt guard and both correction terms in the operator's
@@ -4484,6 +4501,7 @@ $branches
     "q79_interval_join" -> q79,
     "q80_huber_irls" -> q80,
     "q81_seasonal_threshold" -> q81,
+    "q82_interval_rule" -> q82,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

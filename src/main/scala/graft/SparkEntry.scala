@@ -961,6 +961,34 @@ object SparkEntry {
       .withColumn("x", round(col("x"), 6))
   }
 
+  /** A band join written NAIVELY — a plain inequality-only join
+    * condition, no operator call, no equi key — exercising
+    * [[graft.plans.IntervalJoinRule]]'s default scope end to end:
+    * without the rule Catalyst plans this as a nested loop; the
+    * session-default rule must rewrite it to the bucketed plan
+    * (PlanSpec pins the explode + no-nested-loop on this exact query)
+    * and the rows must still hash-match DuckDB's own inequality join.
+    * This keeps the Catalyst rewrite itself under the continuous
+    * correctness gate, not just under its unit spec. The interval
+    * side is thinned (every 40th purchase) so the cross-user match
+    * set stays gate-sized.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val windows = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 40 === 0)
+      .select(col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 6 HOURS")).as("p_end"),
+        col("event_id").as("purchase_id"),
+        round(col("value"), 6).as("purchase_value"))
+    clicks
+      .join(windows, col("ts") >= col("p_start") && col("ts") < col("p_end"))
+      .select(col("event_id"), col("purchase_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"), col("purchase_value"))
+  }
+
   /** PVPro's alternating trend/seasonal decomposition
     * (`Kernels.pvproDecompose` — p05's solver core; reference
     * `pvpro_post_processing.py:270-441`), HASH-GATED on a literal
@@ -3334,6 +3362,7 @@ object SparkEntry {
     "q79_interval_join" -> (q79 _),
     "q80_huber_irls" -> (q80 _),
     "q81_seasonal_threshold" -> (q81 _),
+    "q82_interval_rule" -> (q82 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

@@ -30,15 +30,24 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType, TimestampT
   * Scope: INNER joins whose condition splits into one lower bound
   * (`p >= s` or `p > s`), one upper bound (`p < e` or `p <= e`) on
   * the SAME point expression, with the point referencing one child
-  * only and both bounds the other, plus optionally plain two-sided
-  * equality conjuncts (which join alongside the bucket). Any other
-  * conjunct → no rewrite. Bucket width (same axis units; seconds for
-  * timestamps) comes from `spark.graft.intervalJoin.bucket`
-  * (default 86400) — size it near the typical interval width.
+  * only and both bounds the other. By DEFAULT only pure-band
+  * conditions rewrite — those are the nested-loop disasters. When
+  * equality conjuncts are ALSO present, Spark already plans a hash
+  * join on them with the band as a residual, which usually beats the
+  * explode (measured: rewriting q56's pushed-down sun-up band filter
+  * turned a broadcast join into an exploded shuffle); set
+  * `spark.graft.intervalJoin.rewriteEquiJoins=true` to opt in when
+  * per-key groups are large enough that the residual goes quadratic
+  * (the equalities then join alongside the bucket). Any non-equality
+  * extra conjunct → no rewrite. Bucket width (same axis units;
+  * seconds for timestamps) comes from
+  * `spark.graft.intervalJoin.bucket` (default 86400) — size it near
+  * the typical interval width.
   */
 object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
   val BucketConfKey = "spark.graft.intervalJoin.bucket"
+  val RewriteEquiConfKey = "spark.graft.intervalJoin.rewriteEquiJoins"
 
   private def sideOf(e: Expression, left: LogicalPlan, right: LogicalPlan): Option[Boolean] =
     if (e.references.subsetOf(left.outputSet)) Some(true)
@@ -101,6 +110,9 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val (li, ui, p, s, e, pointOnLeft) = pairs.headOption.getOrElse(return None)
 
     val rest = idx.filterNot(i => i == li || i == ui).map(conjuncts)
+    if (rest.nonEmpty &&
+        !org.apache.spark.sql.internal.SQLConf.get
+          .getConfString(RewriteEquiConfKey, "false").toBoolean) return None
     val equis = rest.map {
       case eq @ EqualTo(a, b) =>
         (sideOf(a, left, right), sideOf(b, left, right)) match {

@@ -56,7 +56,16 @@ object RangeJoinRule extends Rule[LogicalPlan] {
               // children swap sides, so the side-specific JoinHint must
               // swap with them (a broadcast hint on the original left
               // must still broadcast that child in the new join)
-              rewrite(right, left, y, x, dd, cond, JoinHint(hint.rightHint, hint.leftHint)) match {
+              // children swap, so the bucket EXPRESSIONS must follow
+              // their own sides: x references the original right child
+              // (the new left), y the original left (the new right).
+              // Passing (y, x) here crossed them — each side's bucket
+              // was computed from the OTHER side's column, leaving the
+              // plan unresolved. Latent since the rule landed (the
+              // spec only wrote abs(left − right)); exposed the day
+              // the rule became session-default and met an
+              // abs(right − left) join in the wild.
+              rewrite(right, left, x, y, dd, cond, JoinHint(hint.rightHint, hint.leftHint)) match {
                 // preserve original column order (left before right)
                 case p => Project(j.output, p)
               }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -8,6 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * `keys = AND p >= s AND p < e` join must come back as a bucketed
   * equi-join — same rows, no nested-loop physical plan — for either
   * join orientation, any bucket width, and hostile intervals.
+  *
+  * GraftSession registers the rules by default, so each case collects
+  * its NAIVE baseline with the optimizer rules disabled and restores
+  * the session default afterwards (the session is shared across
+  * suites via getOrCreate).
   */
 class IntervalJoinRuleSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("4")
@@ -18,32 +23,49 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
   private lazy val ivs = ((0L until 150L).map { i =>
     (i, i % 7, (i * 17 % 500).toDouble, (i * 17 % 500).toDouble + (i % 40).toDouble)
   } ++ Seq(
-    (900L, 3L, 100.0, 100.0), // empty [s, s)
+    (900L, 3L, 100.0, 100.0), // empty [s, s) for strict upper bounds
     (901L, 3L, 200.0, 150.0)  // inverted
   )).toDF("iid", "k", "s", "e")
+
+  private def pairs(df: DataFrame): Array[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+  private def naivePairs(df: => DataFrame): Array[(Long, Long)] = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Nil
+    try pairs(df) finally spark.experimental.extraOptimizations = saved
+  }
+
+  /** Run `body` with ONLY IntervalJoinRule active and a bucket width
+    * set; `equiOptIn` also enables the equi+band rewrite scope. */
+  private def withRule[T](bucket: String, equiOptIn: Boolean = false)(body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
+    spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, bucket)
+    if (equiOptIn)
+      spark.conf.set(graft.plans.IntervalJoinRule.RewriteEquiConfKey, "true")
+    try body finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+      spark.conf.unset(graft.plans.IntervalJoinRule.RewriteEquiConfKey)
+    }
+  }
 
   private def q() = pts.join(ivs,
       pts("k") === ivs("k") && col("pt") >= col("s") && col("pt") < col("e"))
     .select(col("pid"), col("iid"))
 
   test("naive band join rewrites to a bucketed equi-join with identical rows") {
-    val naive = q().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = naivePairs(q())
     assert(naive.nonEmpty)
-    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
-    try {
-      for (bucket <- Seq("5", "40", "1000")) {
-        spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, bucket)
-        val opt = q()
-        val got = opt.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-        val plan = opt.queryExecution.executedPlan.toString
-        assert(!plan.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$plan")
-        assert(!plan.contains("CartesianProduct"), s"still cartesian:\n$plan")
-        assert(got.sameElements(naive),
-          s"bucket $bucket row mismatch: got ${got.length}, naive ${naive.length}")
-      }
-    } finally {
-      spark.experimental.extraOptimizations = Nil
-      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+    for (bucket <- Seq("5", "40", "1000")) withRule(bucket, equiOptIn = true) {
+      val opt = q()
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"still cartesian:\n$plan")
+      val got = pairs(opt)
+      assert(got.sameElements(naive),
+        s"bucket $bucket row mismatch: got ${got.length}, naive ${naive.length}")
     }
   }
 
@@ -51,17 +73,11 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     def q2() = ivs.join(pts,
         ivs("k") === pts("k") && col("pt") >= col("s") && col("pt") < col("e"))
       .select(col("iid"), col("pid"))
-    val naive = q2().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
-    try {
-      spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, "25")
+    val naive = naivePairs(q2())
+    withRule("25", equiOptIn = true) {
       val opt = q2()
-      val got = opt.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       assert(!opt.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
-      assert(got.sameElements(naive))
-    } finally {
-      spark.experimental.extraOptimizations = Nil
-      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+      assert(pairs(opt).sameElements(naive))
     }
   }
 
@@ -70,18 +86,12 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     val b = (0L until 50L).map(i => (i, (i * 4).toDouble, (i * 4 + 6).toDouble)).toDF("iid", "s", "e")
     def q3() = a.join(b, col("pt") >= col("s") && col("pt") < col("e"))
       .select(col("pid"), col("iid"))
-    val naive = q3().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
-    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
-    try {
-      spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, "10")
+    val naive = naivePairs(q3())
+    withRule("10") {
       val opt = q3()
-      val got = opt.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
       val plan = opt.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$plan")
-      assert(got.sameElements(naive))
-    } finally {
-      spark.experimental.extraOptimizations = Nil
-      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+      assert(pairs(opt).sameElements(naive))
     }
   }
 
@@ -90,28 +100,30 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     val b = Seq((10L, 100.0, 100.0), (11L, 90.0, 110.0)).toDF("iid", "s", "e")
     def q4() = a.join(b, col("pt") >= col("s") && col("pt") <= col("e"))
       .select(col("pid"), col("iid"))
-    val naive = q4().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val naive = naivePairs(q4())
     assert(naive.length == 2, "p == s == e must match a closed interval")
-    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
-    try {
-      spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, "7")
-      val got = q4().collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    withRule("7") {
+      val got = pairs(q4())
       assert(got.sameElements(naive), s"degenerate interval dropped: ${got.length}")
-    } finally {
-      spark.experimental.extraOptimizations = Nil
-      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+    }
+  }
+
+  test("equi+band joins are NOT rewritten by default — hash join with residual wins there") {
+    withRule("40") {
+      val opt = q()
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), s"default scope must leave equi+band joins alone:\n$plan")
     }
   }
 
   test("rule leaves non-matching joins untouched") {
-    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
-    try {
+    withRule("86400") {
       val a = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
       val b = Seq((1L, 1.0), (3L, 3.0)).toDF("k2", "w")
       assert(a.join(b, col("k") === col("k2")).collect().length == 1)
       // one-sided band (lower bound only) must not rewrite, just run
       val c = Seq((1L, 5.0)).toDF("iid", "s")
       assert(a.join(c, col("v") >= col("s")).collect().length == 2)
-    } finally spark.experimental.extraOptimizations = Nil
+    }
   }
 }

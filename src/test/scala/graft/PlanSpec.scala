@@ -341,4 +341,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "sunupMask lost its broadcast")
     assert(!p.contains("SortMergeJoin"), "sunupMask shuffled the scan")
   }
+
+  test("the naive band join gate rides IntervalJoinRule, not a nested loop (q82)") {
+    val p = planOf("q82_interval_rule")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "IntervalJoinRule did not rewrite the naive band join")
+    assert(!p.contains("CartesianProduct"), p)
+    // the rewrite's signature: the interval side explodes to buckets
+    assert(p.contains("Generate") && p.contains("explode("),
+      "expected the bucket explode")
+  }
 }
