@@ -87,6 +87,41 @@ class AsOfSpec extends AnyFunSuite {
     assert(plan.contains("Window"), "expected the ordered window carry")
   }
 
+  test("randomized cross-check vs a brute-force reference (300 left × 200 right, ties and gaps)") {
+    val rnd = new scala.util.Random(42)
+    val lRows = (0 until 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong))
+    val rRows = (0 until 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, rnd.nextInt(1000).toDouble))
+    val l = lRows.toDF("k", "t", "lid")
+    val r = rRows.toDF("k", "rt", "v")
+    // brute force: per (k, t) — max right ts <= t; ties collapse to max v
+    val rBest = rRows.groupBy(x => (x._1, x._2)).map { case (kt, g) => (kt._1, kt._2, g.map(_._3).max) }.toSeq
+    def expect(dir: String): Map[Long, Option[Double]] = lRows.map { case (k, t, lid) =>
+      val cands =
+        if (dir == "backward") rBest.filter(x => x._1 == k && x._2 <= t)
+        else rBest.filter(x => x._1 == k && x._2 >= t)
+      val best =
+        if (cands.isEmpty) None
+        else if (dir == "backward") Some(cands.maxBy(_._2)._3)
+        else Some(cands.minBy(_._2)._3)
+      lid -> best
+    }.toMap
+    for (dir <- Seq("backward", "forward")) {
+      val got = AsOf.join(l, r, Seq("k"), "t", "rt", Seq("v"), direction = dir)
+        .select("lid", "v").as[(Long, Option[Double])].collect().toMap
+      val exp = expect(dir)
+      assert(got.size == 300, s"$dir lost left rows")
+      val bad = exp.collect { case (lid, e) if got(lid) != e => (lid, e, got(lid)) }
+      assert(bad.isEmpty, s"$dir diverged from brute force: ${bad.take(5)}")
+    }
+  }
+
+  test("empty right frame keeps every left row with null payload") {
+    val r = rightDf.filter(col("k") === -1L)
+    val out = AsOf.join(leftDf, r, Seq("k"), "t", "rt", Seq("v"))
+      .select("tag", "v").as[(String, Option[Double])].collect().toMap
+    assert(out.size == 5 && out.values.forall(_.isEmpty))
+  }
+
   test("payload name collision with a left column is rejected loudly") {
     val r = rightDf.withColumnRenamed("v", "tag")
     val e = intercept[IllegalArgumentException] {

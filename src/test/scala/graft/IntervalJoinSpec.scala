@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.IntervalJoin
@@ -48,6 +49,36 @@ class IntervalJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("randomized cross-check vs a brute-force reference (400 points × 150 intervals)") {
+    val rnd = new scala.util.Random(7)
+    val pRows = (0 until 400).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(200).toDouble, i.toLong))
+    val iRows = (0 until 150).map { i =>
+      val s = rnd.nextInt(220).toDouble - 10.0
+      (rnd.nextInt(4).toLong, s, s + rnd.nextInt(30).toDouble - 5.0, i.toLong) // some inverted/empty
+    }
+    val p = pRows.toDF("k", "t", "pid2")
+    val iv = iRows.toDF("k", "s", "e", "iid2")
+    val expect = (for {
+      (pk, pt, pid) <- pRows
+      (ik, s, e, iid) <- iRows
+      if pk == ik && pt >= s && pt < e
+    } yield (pid, iid)).sorted
+    for (bucket <- Seq(3.0, 17.0, 500.0)) {
+      val got = IntervalJoin.pointInInterval(
+          p, iv, Seq("k"), "t", "s", "e", Seq("iid2"), bucketSeconds = bucket)
+        .select("pid2", "iid2").as[(Long, Long)].collect().sorted
+      assert(got.sameElements(expect),
+        s"bucket $bucket diverged: got ${got.length}, expect ${expect.length}")
+    }
+  }
+
+  test("empty interval frame yields an empty join, not an error") {
+    val none = ivs.filter(col("k") === -1L)
+    val out = IntervalJoin.pointInInterval(
+      pts, none, Seq("k"), "t", "s", "e", Seq("iv"), bucketSeconds = 7.0)
+    assert(out.count() == 0)
   }
 
   test("column collisions are rejected loudly") {
