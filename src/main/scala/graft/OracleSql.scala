@@ -1968,6 +1968,21 @@ object OracleSql {
   """
   }
 
+  // q83: the as-of join's FORWARD direction — the same native ASOF
+  // JOIN algorithm with the inequality reversed (earliest right row
+  // at-or-after each left row). Right exact ties collapse like q78.
+  private val q83 = """
+    WITH af_clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    af_p AS (
+      SELECT user_id, ts, round(max(value), 6) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+    SELECT c.event_id, c.user_id,
+      CAST(floor(epoch(c.ts)) AS BIGINT) AS ts_s, p.purchase_value
+    FROM af_clicks c ASOF LEFT JOIN af_p p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+  """
+
   // q82: q79's band-join family written with no equi key at all —
   // the shape Catalyst can only nested-loop and IntervalJoinRule
   // rewrites by default. Same naive inequality join on the DuckDB
@@ -4502,6 +4517,7 @@ $branches
     "q80_huber_irls" -> q80,
     "q81_seasonal_threshold" -> q81,
     "q82_interval_rule" -> q82,
+    "q83_asof_forward" -> q83,
     "p02_dilation" -> p02,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,

@@ -961,6 +961,29 @@ object SparkEntry {
       .withColumn("x", round(col("x"), 6))
   }
 
+  /** q78's FORWARD direction — each click attaches the EARLIEST
+    * at-or-after purchase value of the same user — hash-gated against
+    * DuckDB's native ASOF JOIN with the inequality reversed
+    * (`c.ts <= p.ts`). Together with q78 both directions of
+    * [[graft.operators.AsOf]] are cross-ALGORITHM gated (the Spark
+    * plan negates the ordering axis so ONE window form serves both;
+    * the oracle runs a genuinely different range algorithm each way).
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        round(col("value"), 6).as("purchase_value"))
+    graft.operators.AsOf.join(
+        clicks, purchases, Seq("user_id"), "ts", "pts", Seq("purchase_value"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        col("purchase_value"))
+  }
+
   /** A band join written NAIVELY — a plain inequality-only join
     * condition, no operator call, no equi key — exercising
     * [[graft.plans.IntervalJoinRule]]'s default scope end to end:
@@ -3363,6 +3386,7 @@ object SparkEntry {
     "q80_huber_irls" -> (q80 _),
     "q81_seasonal_threshold" -> (q81 _),
     "q82_interval_rule" -> (q82 _),
+    "q83_asof_forward" -> (q83 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
