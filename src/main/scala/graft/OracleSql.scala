@@ -1059,7 +1059,7 @@ object OracleSql {
     fg_slotted AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
         CAST((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) % 86400) // 1800 AS INT) AS slot,
-        avg(value) AS raw
+        CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(value) AS raw
       FROM events GROUP BY 1, 2, 3),
     fg_cap AS (SELECT user_id, quantile_cont(value, 0.95) AS capacity FROM events GROUP BY 1),
     fg_rough AS (
@@ -2170,15 +2170,18 @@ object OracleSql {
       SELECT CAST(2 AS BIGINT), b1 FROM sr_it WHERE conv OR it = 40)
   """
 
-  // p02: the full dilation operator replayed — threshold rise/set,
+  // The full dilation operator replayed — threshold rise/set,
   // (h, v)-ordered trapezoid cumulative, interpCum's clamp/bracket
   // rules (x ≤ first sample → 0; x ≥ last → total; else the
   // piecewise-quadratic partial integral) evaluated at all nBins+1
   // boundaries via the union-window bracket idiom (samples sort
   // before a boundary at the same position — the bisect's rightmost
   // ts ≤ x rule), then the per-bin density quotient, 6 dp.
-  private val p02 = """
-    WITH dmx AS (SELECT user_id, max(value) AS m FROM events GROUP BY 1),
+  // Parameterized on the grid size: p02 gates at 100 bins, the
+  // p03/p04 composition gates reuse it at 40 (their pipelines dilate
+  // at nBins = 40). Terminal CTE: dil(site, day, dil_slot, dil_value).
+  private def dilationCte(nBins: Int): String = s"""
+    dmx AS (SELECT user_id, max(value) AS m FROM events GROUP BY 1),
     dpts AS (
       SELECT e.user_id AS site, CAST(CAST(e.ts AS DATE) AS VARCHAR) AS day,
         date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
@@ -2192,7 +2195,7 @@ object OracleSql {
         count(CASE WHEN v > thr THEN 1 END) AS n_lit
       FROM dpts GROUP BY 1, 2),
     dok AS (
-      SELECT site, day, rise, set_h, (set_h - rise) / 100.0 AS dg
+      SELECT site, day, rise, set_h, (set_h - rise) / $nBins.0 AS dg
       FROM drs WHERE n_lit >= 2 AND set_h > rise),
     dseg AS (
       SELECT p.site, p.day, p.h, p.v
@@ -2213,7 +2216,7 @@ object OracleSql {
     dbound AS (
       SELECT o.site, o.day, CAST(g.b AS INT) AS b, o.dg,
         o.rise + g.b * o.dg AS x
-      FROM dok o CROSS JOIN (SELECT unnest(range(0, 101)) AS b) g),
+      FROM dok o CROSS JOIN (SELECT unnest(range(0, ${nBins + 1})) AS b) g),
     duni AS (
       SELECT site, day, h AS pos, 1 AS is_sample, rn, v, cum,
         CAST(NULL AS INT) AS b, CAST(NULL AS DOUBLE) AS dg
@@ -2242,11 +2245,243 @@ object OracleSql {
              ELSE c_lo + (v_lo + (v_lo + (pos - t_lo) / (t_hi - t_lo) * (v_hi - v_lo)))
                   / 2.0 * (pos - t_lo)
         END AS cumx
-      FROM dbr WHERE is_sample = 0)
-    SELECT site, day, b AS dil_slot,
-      round((lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg, 6) AS dil_value
-    FROM dvals
-    QUALIFY b < 100
+      FROM dbr WHERE is_sample = 0),
+    dil AS (
+      SELECT site, day, b AS dil_slot,
+        round((lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg, 6) AS dil_value
+      FROM dvals
+      QUALIFY b < $nBins)
+  """
+
+  private val p02 = s"""
+    WITH ${dilationCte(100)}
+    SELECT site, day, dil_slot, dil_value FROM dil
+  """
+
+  // q84/q85: the sensor-identification CV replayed END TO END — the
+  // synthesized sensor channels (exact rational arithmetic, no libm),
+  // the day-grain integer-micro moment sums, the clear/cloudy day
+  // filters (the q54 clear-day replay), ntile TimeSeriesSplit folds,
+  // the cumulative-window train-side OLS, and the pooled test-fold
+  // residual algebra — every double op in SparkId.identify's own
+  // association order. Terminal CTE: si_res(site, sensor, filter,
+  // n_days, n_obs, corr, cv_rmse, cv_mbe).
+  private def sensorIdCte(nSplits: Int): String = s"""
+    si_rows AS (
+      SELECT user_id AS site, CAST(ts AS DATE) AS day,
+        CAST(value AS DOUBLE) AS y,
+        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+        date_diff('second', date_trunc('day', ts), ts) / 3600.0 AS h,
+        CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL),
+    si_sx AS (
+      SELECT site, day, y, is_err,
+        greatest(0.0, 12.0 - abs(h - 12.0)) * 75.0 AS s_tri,
+        h * 40.0 AS s_lin,
+        CAST(es * 2654435761 % 1000 - 500 AS DOUBLE) / 5.0 AS s_hash
+      FROM si_rows),
+    si_day AS (
+      SELECT site, day,
+        CAST(count(*) AS BIGINT) AS n,
+        sum(CAST(round(y * 1e6) AS BIGINT)) AS sy,
+        sum(CAST(round(y * y * 1e4) AS BIGINT)) AS syy,
+        max(is_err) AS err,
+        sum(CAST(round(s_tri * 1e6) AS BIGINT)) AS sx_0,
+        sum(CAST(round(s_tri * s_tri * 1e4) AS BIGINT)) AS sxx_0,
+        sum(CAST(round(s_tri * y * 1e4) AS BIGINT)) AS sxy_0,
+        sum(CAST(round(s_lin * 1e6) AS BIGINT)) AS sx_1,
+        sum(CAST(round(s_lin * s_lin * 1e4) AS BIGINT)) AS sxx_1,
+        sum(CAST(round(s_lin * y * 1e4) AS BIGINT)) AS sxy_1,
+        sum(CAST(round(s_hash * 1e6) AS BIGINT)) AS sx_2,
+        sum(CAST(round(s_hash * s_hash * 1e4) AS BIGINT)) AS sxx_2,
+        sum(CAST(round(s_hash * y * 1e4) AS BIGINT)) AS sxy_2
+      FROM si_sx GROUP BY 1, 2),
+    si_long AS (
+      SELECT site, day, n, sy, syy, err, 's_tri' AS sensor, sx_0 AS sx, sxx_0 AS sxx, sxy_0 AS sxy FROM si_day
+      UNION ALL
+      SELECT site, day, n, sy, syy, err, 's_lin', sx_1, sxx_1, sxy_1 FROM si_day
+      UNION ALL
+      SELECT site, day, n, sy, syy, err, 's_hash', sx_2, sxx_2, sxy_2 FROM si_day),
+    si_filt AS (
+      SELECT l.*, f.filter
+      FROM si_long l
+      LEFT JOIN cd_flags c ON l.site = c.site AND l.day = c.day
+      CROSS JOIN (SELECT unnest(['no_errors', 'clear', 'cloudy']) AS filter) f
+      WHERE (f.filter = 'no_errors' AND l.err = 0)
+         OR (f.filter = 'clear' AND coalesce(c.clear, false))
+         OR (f.filter = 'cloudy' AND NOT coalesce(c.clear, false))),
+    si_fold AS (
+      SELECT site, sensor, filter, fold,
+        CAST(count(*) AS BIGINT) AS f_days,
+        sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        sum(sxy) AS sxy, sum(sxx) AS sxx, sum(syy) AS syy
+      FROM (
+        SELECT *, ntile(${nSplits + 1}) OVER
+          (PARTITION BY site, sensor, filter ORDER BY day) AS fold
+        FROM si_filt)
+      GROUP BY 1, 2, 3, 4),
+    si_cum AS (
+      SELECT site, sensor, filter, fold, f_days, n, sx, sy, sxy, sxx, syy,
+        sum(n) OVER w AS tn,
+        CAST(sum(sx) OVER w AS DOUBLE) / 1e6 AS tsx,
+        CAST(sum(sy) OVER w AS DOUBLE) / 1e6 AS tsy,
+        CAST(sum(sxy) OVER w AS DOUBLE) / 1e4 AS tsxy,
+        CAST(sum(sxx) OVER w AS DOUBLE) / 1e4 AS tsxx
+      FROM si_fold
+      WINDOW w AS (PARTITION BY site, sensor, filter ORDER BY fold
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    si_ab AS (
+      SELECT *,
+        (tn * tsxy - tsx * tsy) / nullif(tn * tsxx - tsx * tsx, 0.0) AS b
+      FROM si_cum),
+    si_sc AS (
+      SELECT *,
+        (tsy - b * tsx) / nullif(CAST(tn AS DOUBLE), 0.0) AS a
+      FROM si_ab),
+    si_rs AS (
+      SELECT site, sensor, filter, fold, f_days, n, sx, sy, sxy, sxx, syy,
+        CASE WHEN fold = 1 THEN NULL ELSE
+          CAST(round((CAST(syy AS DOUBLE) / 1e4 + n * a * a + b * b * (CAST(sxx AS DOUBLE) / 1e4)
+            - 2.0 * a * (CAST(sy AS DOUBLE) / 1e6)
+            - 2.0 * b * (CAST(sxy AS DOUBLE) / 1e4)
+            + 2.0 * a * b * (CAST(sx AS DOUBLE) / 1e6)) * 1e4) AS BIGINT)
+        END AS rss,
+        CASE WHEN fold = 1 THEN NULL ELSE
+          CAST(round((CAST(sy AS DOUBLE) / 1e6 - n * a - b * (CAST(sx AS DOUBLE) / 1e6)) * 1e6) AS BIGINT)
+        END AS sres
+      FROM si_sc),
+    si_res AS (
+      SELECT site, sensor, filter,
+        CAST(sum(f_days) AS BIGINT) AS n_days,
+        CAST(sum(n) AS BIGINT) AS n_obs,
+        CASE WHEN (sum(n) * (CAST(sum(sxx) AS DOUBLE) / 1e4)
+                    - (CAST(sum(sx) AS DOUBLE) / 1e6) * (CAST(sum(sx) AS DOUBLE) / 1e6)) > 0.0
+               AND (sum(n) * (CAST(sum(syy) AS DOUBLE) / 1e4)
+                    - (CAST(sum(sy) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6)) > 0.0
+          THEN round(
+            (sum(n) * (CAST(sum(sxy) AS DOUBLE) / 1e4)
+              - (CAST(sum(sx) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6))
+            / sqrt((sum(n) * (CAST(sum(sxx) AS DOUBLE) / 1e4)
+                    - (CAST(sum(sx) AS DOUBLE) / 1e6) * (CAST(sum(sx) AS DOUBLE) / 1e6))
+                 * (sum(n) * (CAST(sum(syy) AS DOUBLE) / 1e4)
+                    - (CAST(sum(sy) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6))), 6)
+        END AS corr,
+        CASE WHEN sum(rss) IS NULL THEN NULL ELSE
+          round(sqrt(greatest(
+            (CAST(sum(rss) AS DOUBLE) / 1e4)
+              / nullif(CAST(sum(CASE WHEN rss IS NOT NULL THEN n END) AS DOUBLE), 0.0),
+            0.0)), 6)
+        END AS cv_rmse,
+        round((CAST(sum(sres) AS DOUBLE) / 1e6)
+          / nullif(CAST(sum(CASE WHEN sres IS NOT NULL THEN n END) AS DOUBLE), 0.0), 6) AS cv_mbe
+      FROM si_rs GROUP BY 1, 2, 3)
+  """
+
+  private val q84 = s"""
+    WITH $clearFlagsCte,
+    ${sensorIdCte(6)}
+    SELECT site, sensor, filter, n_days, n_obs, corr, cv_rmse, cv_mbe FROM si_res
+  """
+
+  private val q85 = s"""
+    WITH $clearFlagsCte,
+    ${sensorIdCte(6)},
+    si_best AS (
+      SELECT site, filter, sensor
+      FROM si_res
+      QUALIFY row_number() OVER
+        (PARTITION BY site, filter ORDER BY cv_rmse ASC NULLS LAST, sensor ASC) = 1),
+    si_piv AS (
+      SELECT site,
+        max(CASE WHEN filter = 'no_errors' THEN sensor END) AS choice_no_errors,
+        max(CASE WHEN filter = 'clear' THEN sensor END) AS choice_clear,
+        max(CASE WHEN filter = 'cloudy' THEN sensor END) AS choice_cloudy
+      FROM si_best GROUP BY 1)
+    SELECT site,
+      CASE WHEN consistent THEN coalesce(choice_no_errors, choice_clear, choice_cloudy) END AS chosen_sensor,
+      consistent, choice_no_errors, choice_clear, choice_cloudy
+    FROM (
+      SELECT *,
+        coalesce(len(list_distinct(list_filter(
+          [choice_no_errors, choice_clear, choice_cloudy], x -> x IS NOT NULL))) = 1, false) AS consistent
+      FROM si_piv) t
+  """
+
+  // q86: the full-fidelity loss-factor SD invariant gate — day counts
+  // relational, the component constraints and the exact Shapley
+  // efficiency identity stated as known-true literals (LossFactorSpec
+  // carries the synthetic-recovery contracts).
+  private val q86 = """
+    SELECT user_id AS site,
+      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      true AS soil_nonpos, true AS cap_zero, true AS deg_linear,
+      true AS resid_masked, true AS shapley_exact, true AS all_finite
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+  """
+
+  // p01: the composed fleet pipeline, invariant-gated (the d29/e09
+  // known-true-literal idiom). The relational columns (n_days,
+  // capacity — the q17 definitions) are computed by both engines; the
+  // solver-stage outputs are gated through invariants that are TRUE BY
+  // CONSTRUCTION of a correct composition (fractions in [0,1], counts
+  // bounded by the day count, Shapley factors finite, MC percentiles
+  // ordered, sample count inside the 20..500 stabilization window) plus
+  // the per-stage error channel pinned EMPTY — any stage that throws,
+  // any NaN/Inf escape, or any bound violation breaks the hash. The
+  // solver cores themselves carry bit-exact fixed-literal gates
+  // (q72–q77, q80, q81) and golden-fixture specs.
+  private val p01 = """
+    SELECT user_id AS site,
+      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      round(quantile_cont(value, 0.95), 6) AS capacity,
+      '' AS errors,
+      true AS quality_in01, true AS clear_in01, true AS clearsky_bounded,
+      true AS clusters_bounded, true AS capchanges_bounded,
+      true AS shifts_bounded, true AS losses_finite,
+      true AS mc_ordered, true AS mc_bounded
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
+  """
+
+  // p03: quantile + clear-sky composition — the dilated input grain is
+  // replayed EXACTLY (the p02 operator oracle at this pipeline's 40-bin
+  // grid), so the hash certifies the composition fed the solver the
+  // right 111k-row table; the per-row IRLS quantile outputs are gated
+  // finite (a diverged fit, NaN ratio, or missing row breaks the hash).
+  private val p03 = s"""
+    WITH ${dilationCte(40)}
+    SELECT site, day, dil_slot, dil_value, true AS qs_finite FROM dil
+  """
+
+  // p04: fleet-PCA shade composition — slot counts replayed from the
+  // 40-bin dilation grain; the eigen/projection outputs gated through
+  // construction-true invariants (shaded fraction in [0,1],
+  // shade_frac >= 0 per projectRows' clamp, longest run bounded by the
+  // slot count and consistent with the fraction).
+  private val p04 = s"""
+    WITH ${dilationCte(40)}
+    SELECT site, CAST(count(DISTINCT dil_slot) AS BIGINT) AS n_slots,
+      true AS frac_in01, true AS frac_nonneg,
+      true AS run_bounded, true AS run_consistent
+    FROM dil GROUP BY 1
+  """
+
+  // p05: PVPro post-processing composition — day count and the exact
+  // integer-micro value sum replayed relationally; the decomposition
+  // gated through PAVA's defining property (monotone non-increasing
+  // trend ⇒ nonnegative drop), amplitude nonnegativity, and finiteness.
+  private val p05 = """
+    SELECT user_id AS site,
+      CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micro,
+      true AS drop_nonneg, true AS amp_nonneg, true AS decomp_finite
+    FROM events
+    WHERE ts IS NOT NULL AND value IS NOT NULL
+    GROUP BY 1
   """
 
   // The latitude sweep's 12 config branches (shared by q61 raw and
@@ -4518,7 +4753,14 @@ $branches
     "q81_seasonal_threshold" -> q81,
     "q82_interval_rule" -> q82,
     "q83_asof_forward" -> q83,
+    "q84_sensor_identify" -> q84,
+    "q85_sensor_choice" -> q85,
+    "q86_loss_factor" -> q86,
+    "p01_fleet_pipeline" -> p01,
     "p02_dilation" -> p02,
+    "p03_quantile_clearsky" -> p03,
+    "p04_pca_shade" -> p04,
+    "p05_pvpro_post" -> p05,
     "p06_fleet_relational" -> p06,
     "p07_report_relational" -> p07,
     "j01_json_extract" -> j01,

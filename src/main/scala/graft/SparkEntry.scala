@@ -984,6 +984,117 @@ object SparkEntry {
         col("purchase_value"))
   }
 
+  /** The events table with three deterministic synthesized sensor
+    * candidates (the testdata carries one value column; the sensor-ID
+    * gates need independent regressors both engines can replay
+    * exactly): a triangular-daylight irradiance proxy, a linear hour
+    * ramp, and a modular-hash noise channel — all exact rational
+    * arithmetic, no libm.
+    */
+  private def sensorFleet(s: SparkSession, dir: String): DataFrame = {
+    val h = TimeAxis.hourOfDay(col("ts"))
+    Tables.events(s, dir)
+      .withColumn("s_tri", greatest(lit(0.0), lit(12.0) - abs(h - lit(12.0))) * lit(75.0))
+      .withColumn("s_lin", h * lit(40.0))
+      .withColumn("s_hash",
+        ((unix_timestamp(col("ts")) * lit(2654435761L)) % lit(1000L) - lit(500L))
+          .cast("double") / lit(5.0))
+  }
+
+  /** Sensor identification CV scores ([[graft.analyses.SensorId]],
+    * reference `sensor_identification.py:49-124`): per (site, sensor,
+    * filter) correlation + time-series-CV RMSE/MBE over the three
+    * synthesized candidates, with clear/cloudy day filters from
+    * [[graft.analyses.ClearDay]]. The whole computation is sufficient-
+    * statistics algebra (one day-grain aggregation + ntile folds +
+    * cumulative-window train stats), so the oracle replays the ENTIRE
+    * cross-validation — folds, per-fold OLS, pooled residuals — in
+    * SQL.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val fleet = sensorFleet(s, dir)
+    val flags = graft.analyses.ClearDay.detect(
+      s, Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 96)
+    graft.analyses.SensorId.identify(
+      fleet, "user_id", "ts", "value", Seq("s_tri", "s_lin", "s_hash"),
+      dayFlags = Some(flags),
+      errorDayPredicate = col("event_type") === "error",
+      nSplits = 6)
+  }
+
+  /** The sensor-ID verdict ([[graft.analyses.SensorId.choose]]): the
+    * per-filter argmin-RMSE sensor, cross-filter consistency, and the
+    * chosen sensor — the reference's `chosen_sensor` /
+    * `consistent_answer` surface as one relational row per site.
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val fleet = sensorFleet(s, dir)
+    val flags = graft.analyses.ClearDay.detect(
+      s, Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 96)
+    graft.analyses.SensorId.choose(
+      graft.analyses.SensorId.identify(
+        fleet, "user_id", "ts", "value", Seq("s_tri", "s_lin", "s_hash"),
+        dayFlags = Some(flags),
+        errorDayPredicate = col("event_type") === "error",
+        nSplits = 6))
+  }
+
+  /** Full-fidelity loss-factor SD ([[graft.solvers.LossFactor]],
+    * reference `loss_factor_analysis.py:447-552, 620-656`) run
+    * fleet-wide on the daily-energy series and gated through its
+    * construction-true invariants (the d29/e09 idiom): soiling
+    * nonpositive, capacity change identically zero without labels,
+    * linear degradation exactly curvature-free through the origin,
+    * outage days residual-free, the exact Shapley efficiency identity
+    * (Σ attributions ≡ total − baseline — the reference's own assert),
+    * and finiteness of every component and loss channel. Day counts
+    * replay relationally. The solver carries `LossFactorSpec`
+    * (dictionary structure, synthetic recovery of degradation /
+    * soiling depth / capacity step, all three degradation types).
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clean = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val daily = clean
+      .groupBy(col("user_id").as("site"), to_date(col("ts")).as("day"))
+      .agg((sum(col("value")) * 24.0 / count(lit(1))).as("energy"))
+    daily
+      .select(col("site"), col("day").cast("string").as("day"), col("energy"))
+      .as[(Long, String, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (siteId, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        val n = rows.length
+        val energy = rows.map(_._3)
+        val use = energy.map(_ > 0.0)
+        val logE = energy.map(e => math.log(math.max(e, 1e-9)))
+        val d = graft.solvers.LossFactor.decompose(
+          logE, use, capacityLabels = null, harmonics = 2, rounds = 12)
+        val rep = graft.solvers.LossFactor.estimateLosses(energy, use, d)
+        def fin(v: Double) = !v.isNaN && !v.isInfinite
+        val soilNonpos = d.soiling.forall(_ <= 0.0)
+        val capZero = d.capacityChange.forall(_ == 0.0)
+        val degLinear = d.degradation(0) == 0.0 &&
+          (2 until n).forall(i => math.abs(
+            d.degradation(i) - 2 * d.degradation(i - 1) + d.degradation(i - 2)) < 1e-9)
+        val residMasked = (0 until n).forall(i => use(i) || d.residual(i) == 0.0)
+        val shapSum = rep.degradationLoss + rep.soilingLoss + rep.capacityChangeLoss +
+          rep.weatherLoss + rep.outageLoss
+        val shapExact = math.abs(shapSum - rep.totalEnergyLoss) <=
+          1e-6 * math.max(1.0, math.abs(rep.totalEnergyLoss))
+        val allFinite =
+          Seq(d.seasonal, d.capacityChange, d.soiling, d.degradation, d.residual)
+            .forall(_.forall(fin)) &&
+            Seq(rep.totalEnergyLoss, rep.degradationLoss, rep.soilingLoss,
+              rep.capacityChangeLoss, rep.weatherLoss, rep.outageLoss).forall(fin)
+        (siteId, n.toLong, soilNonpos, capZero, degLinear, residMasked,
+          shapExact, allFinite)
+      }
+      .toDF("site", "n_days", "soil_nonpos", "cap_zero", "deg_linear",
+        "resid_masked", "shapley_exact", "all_finite")
+  }
+
   /** A band join written NAIVELY — a plain inequality-only join
     * condition, no operator call, no equi key — exercising
     * [[graft.plans.IntervalJoinRule]]'s default scope end to end:
@@ -3216,9 +3327,20 @@ object SparkEntry {
       )
   }
 
+  /** Finite-and-not-NaN guard for solver-output doubles (NaN fails
+    * both comparisons; ±Inf fails the abs bound).
+    */
+  private def finite(c: Column): Column =
+    !isnan(c) && abs(c) < lit(Double.MaxValue)
+
   /** Full fleet pipeline (SURVEY §3.1 run_pipeline analog): DayStats +
-    * per-site solver stages via mapGroups. Rows-only check — the
-    * solver stages are not SQL-expressible.
+    * per-site solver stages via mapGroups. HASH-GATED since round 8
+    * (the d29/e09 known-true-literal idiom): relational columns
+    * (n_days, capacity — the q17 definitions) replayed by the oracle;
+    * solver stages gated through construction-true invariants plus the
+    * per-stage error channel pinned empty — a throwing stage, a
+    * NaN/Inf escape, or a bound violation breaks the hash. The solver
+    * cores carry their own bit-exact gates (q72–q77, q80, q81).
     */
   private def p01(s: SparkSession, dir: String): DataFrame =
     Pipeline.run(
@@ -3226,6 +3348,26 @@ object SparkEntry {
       Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
       "site", "ts", "value"
     ).toDF()
+      .select(
+        col("site"),
+        col("nDays").cast("long").as("n_days"),
+        round(col("capacity"), 6).as("capacity"),
+        col("errors"),
+        col("qualityScore").between(0.0, 1.0).as("quality_in01"),
+        col("clearFrac").between(0.0, 1.0).as("clear_in01"),
+        col("clearSkyDays").between(0, col("nDays")).as("clearsky_bounded"),
+        (col("qualityClusters").between(0, col("nDays")) &&
+          col("abnormalDays").between(0, col("nDays"))).as("clusters_bounded"),
+        col("capacityChanges").between(0, col("nDays")).as("capchanges_bounded"),
+        col("timeShiftDays").between(0, col("nDays")).as("shifts_bounded"),
+        (finite(col("lossDegradation")) && finite(col("lossSoiling")) &&
+          finite(col("lossWeather")) && finite(col("lossOutage"))).as("losses_finite"),
+        (col("mcSamples") === 0 ||
+          (col("degrRateP025") <= col("degrRateP50") &&
+            col("degrRateP50") <= col("degrRateP975"))).as("mc_ordered"),
+        (col("mcSamples").between(0, 500) &&
+          (!col("mcConverged") || col("mcSamples") >= 20)).as("mc_bounded")
+      )
 
   /** Energy-preserving dilation onto a 100-bin rise→set grid
     * (SURVEY §2.7 dilate) — HASH-GATED since round 7: the oracle
@@ -3246,7 +3388,11 @@ object SparkEntry {
       round(col("dil_value"), 6).as("dil_value"))
 
   /** Smooth periodic quantiles + clear-sky DP on the dilated grain
-    * (SURVEY §3.3; rows-only — solver path).
+    * (SURVEY §3.3). HASH-GATED since round 8: the dilated input grain
+    * is replayed exactly by the oracle (the p02 operator replay at
+    * this pipeline's 40-bin grid) and the per-row IRLS quantiles are
+    * gated finite — a missing/shifted row or a diverged fit breaks
+    * the hash. The IRLS core itself is bit-gated by q72/q81.
     */
   private def p03(s: SparkSession, dir: String): DataFrame = {
     val dil = Dilation.dilate(
@@ -3255,11 +3401,21 @@ object SparkEntry {
       "site", "ts", "value", nBins = 40, thresholdFrac = 0.01
     )
     graft.analyses.Quantiles.estimateAndDetect(s, dil, nBins = 40)
+      .select(
+        col("site"), col("day"), col("dil_slot"),
+        round(col("dil_value"), 6).as("dil_value"),
+        (finite(col("q_lo")) && finite(col("q_mid")) && finite(col("q_hi")))
+          .as("qs_finite"))
   }
 
-  /** Fleet-PCA shade decomposition (SURVEY §2.8 Shade SD; rows-only —
-    * Gram/eigen path): per-site shade summary against the fleet's own
-    * PCA clear-sky basis.
+  /** Fleet-PCA shade decomposition (SURVEY §2.8 Shade SD): per-site
+    * shade summary against the fleet's own PCA clear-sky basis.
+    * HASH-GATED since round 8: slot counts replayed from the 40-bin
+    * dilation grain; the eigen/projection outputs gated through
+    * construction-true invariants (fraction in [0,1], projectRows'
+    * nonneg clamp, run length bounded by and consistent with the
+    * fraction). The projection arithmetic itself is bit-gated by q57
+    * (fixed-basis) and q73 (power iteration).
     */
   private def p04(s: SparkSession, dir: String): DataFrame = {
     val dil = Dilation.dilate(
@@ -3267,35 +3423,66 @@ object SparkEntry {
       Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
       "site", "ts", "value", nBins = 40, thresholdFrac = 0.01
     )
-    graft.analyses.Shade.siteSummary(graft.analyses.Shade.pcaShade(s, dil, nBins = 40, k = 2))
+    val shade = graft.analyses.Shade.pcaShade(s, dil, nBins = 40, k = 2)
+    val slots = shade.groupBy(col("site")).agg(
+      count(lit(1)).cast("long").as("n_slots"),
+      sum(when(col("shade_frac") < 0.0, 1).otherwise(0)).as("__n_neg"))
+    graft.analyses.Shade.siteSummary(shade)
+      .join(slots, Seq("site"))
+      .select(
+        col("site"), col("n_slots"),
+        col("shaded_frac").between(0.0, 1.0).as("frac_in01"),
+        (col("__n_neg") === 0).as("frac_nonneg"),
+        col("longest_shade_run").between(0, col("n_slots")).as("run_bounded"),
+        ((col("shaded_frac") > 0.0) === (col("longest_shade_run") > 0))
+          .as("run_consistent"))
   }
 
-  /** PVPro-style post-processing (SURVEY §2.8 last row; rows-only —
-    * PAVA path): per-site daily-energy series decomposed into a
-    * monotone non-increasing degradation trend + seasonal Fourier;
-    * reports trend drop and seasonal amplitude.
+  /** PVPro-style post-processing (SURVEY §2.8 last row) at FULL
+    * reference fidelity since round 8: the 5-component log-space
+    * decomposition (`Kernels.pvproDecompose5` — L2 noise, sparse L1
+    * outliers, constant, periodic seasonal, monotone degradation; the
+    * reference's `pvpro_post_processing.py:270-441`) over each site's
+    * daily-energy series at a weekly period (the gate data spans one
+    * month; the span-aware period rule of `Pipeline.run`). HASH-GATED:
+    * day count and the exact integer-micro value sum replayed
+    * relationally; the decomposition gated through its
+    * construction-true properties (monotone x5 ⇒ nonnegative drop,
+    * amplitude nonnegativity, all five series finite). The solver
+    * carries `Pvpro5Spec` (all four degradation models) and the
+    * alternating-fit core q75.
     */
   private def p05(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val daily = Tables.events(s, dir)
+    val clean = Tables.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+    val daily = clean
       .groupBy(col("user_id").as("site"), to_date(col("ts")).as("day"))
-      .agg((sum(col("value")) * 24.0 / count(lit(1))).as("energy"))
+      .agg(
+        (sum(col("value")) * 24.0 / count(lit(1))).as("energy"),
+        sum(round(col("value") * 1e6).cast("long")).as("v_micro"))
     val firstDay = daily.groupBy(col("site")).agg(min(col("day")).as("first_day"))
     daily
       .join(broadcast(firstDay), Seq("site"))
-      .select(col("site"), datediff(col("day"), col("first_day")).cast("double").as("t"), col("energy"))
-      .as[(Long, Double, Double)]
+      .select(col("site"), datediff(col("day"), col("first_day")).cast("double").as("t"),
+        col("energy"), col("v_micro"))
+      .as[(Long, Double, Double, Long)]
       .groupByKey(_._1)
       .mapGroups { (siteId, it) =>
         val rows = it.toArray.sortBy(_._2)
-        val t = rows.map(_._2)
-        val y = rows.map(_._3)
-        val (trend, seasonal) = graft.solvers.Kernels.pvproDecompose(y, t)
-        val drop = if (trend.nonEmpty) trend.head - trend.last else 0.0
-        val amp = if (seasonal.nonEmpty) seasonal.max - seasonal.min else 0.0
-        (siteId, rows.length.toLong, drop, amp)
+        val n = rows.length
+        val y = rows.map(r => math.log(math.max(r._3, 1e-9)))
+        val p = math.min(7, math.max(2, n))
+        val (x1, x2, x3, x4, x5) =
+          graft.solvers.Kernels.pvproDecompose5(y, p, model = "monotonic")
+        val drop = if (n > 0) x5.head - x5.last else 0.0
+        val amp = if (n > 0) x4.max - x4.min else 0.0
+        val ok = Seq(x1, x2, x3, x4, x5).forall(
+          _.forall(v => !v.isNaN && math.abs(v) < Double.MaxValue))
+        (siteId, n.toLong, rows.map(_._4).sum,
+          drop >= 0.0, amp >= 0.0, ok)
       }
-      .toDF("site", "n_days", "trend_drop", "seasonal_amp")
+      .toDF("site", "n_days", "value_micro", "drop_nonneg", "amp_nonneg", "decomp_finite")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3387,6 +3574,9 @@ object SparkEntry {
     "q81_seasonal_threshold" -> (q81 _),
     "q82_interval_rule" -> (q82 _),
     "q83_asof_forward" -> (q83 _),
+    "q84_sensor_identify" -> (q84 _),
+    "q85_sensor_choice" -> (q85 _),
+    "q86_loss_factor" -> (q86 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),

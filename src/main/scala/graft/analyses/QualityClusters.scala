@@ -46,15 +46,36 @@ object QualityClusters {
       minPts: Int = 3
   ): DataFrame = {
     import spark.implicits._
+    // the day frame feeds the site-grain scale aggregate AND the main
+    // point projection; without sharing, each consumer re-executes the
+    // whole dayStats subtree (2 parquet scans apiece — PlanSpec pins
+    // the total at ≤ 2). A site-keyed repartition does NOT dedupe here
+    // (column pruning diverges the two branches' projections, so the
+    // Exchanges never canonicalize equal — measured 8 scans), and a
+    // bare .persist() leaked a cached RDD per call for the session's
+    // lifetime (the facade invites repeated calls). So: persist, run
+    // the whole derivation, eagerly localCheckpoint the OUTPUT (both
+    // tables are day-grain tiny), and release the input in the
+    // finally — the pcaShade idiom (Shade.scala).
     val day0 = Pipeline.dayStats(
         df.filter(!isnan(col(valueCol))), site, tsCol, valueCol)
       .select(col("site"), col("day"), col("density"), col("daily_max"))
-    // the day frame feeds the site-grain scale aggregate AND the main
-    // point projection; without a persist each consumer re-executes
-    // the whole dayStats subtree (2 parquet scans apiece — PlanSpec
-    // pins the total at ≤ 2). Day grain is tiny at any raw-data scale.
     val dayRdd = day0.rdd.setName("dbscan day features").persist()
     val day = spark.createDataFrame(dayRdd, day0.schema)
+    try {
+      dbscanOn(spark, day, eps, minPts).localCheckpoint(true)
+    } finally {
+      dayRdd.unpersist(blocking = false)
+    }
+  }
+
+  private def dbscanOn(
+      spark: SparkSession,
+      day: org.apache.spark.sql.DataFrame,
+      eps: Double,
+      minPts: Int
+  ): DataFrame = {
+    import spark.implicits._
     // the pipeline's mScale guard: max over finite daily maxes, 1e-9 floor
     val scale = day.groupBy(col("site"))
       .agg(greatest(max(col("daily_max")), lit(1e-9)).as("m_scale"))

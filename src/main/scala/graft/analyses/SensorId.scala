@@ -1,0 +1,215 @@
+package graft.analyses
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Sensor identification — which candidate irradiance sensor best
+  * predicts a system's power output (reference
+  * `sensor_identification.py:49-124`): assume a linear model
+  * power ≈ a + b·sensor, score each sensor by time-series
+  * cross-validated RMSE under three day filters (no_errors / clear /
+  * cloudy — clear days probe plane-of-array mismatch, cloudy days
+  * probe distance-from-array), choose the per-filter argmin, and
+  * flag when the filters disagree.
+  *
+  * Spark-first design — the reference refits sklearn models per
+  * (sensor × filter × split); here the ENTIRE k-fold CV is algebra
+  * over sufficient statistics, so the raw scan is touched exactly
+  * once at any fleet size:
+  *
+  *  1. ONE day-grain aggregation computes per-(site, day, sensor)
+  *     moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — per-row products are
+  *     lifted to exact integer micros first (the q07 idiom), so the
+  *     sums are order-free in any engine. Sensors unpivot AFTER the
+  *     aggregate (the q38 explode-after-aggregate rule): the row-grain
+  *     scan never explodes.
+  *  2. Day flags (clear/cloudy) join at day grain; the reference's
+  *     `TimeSeriesSplit(n_splits=k)` becomes `ntile(k+1)` over each
+  *     (site, filter)'s day order.
+  *  3. Train-side stats for test fold f are a cumulative-sum window
+  *     over folds < f; the OLS normal equations, the test-fold
+  *     residual sum of squares
+  *     (Σy² + n·a² + b²Σx² − 2aΣy − 2bΣxy + 2abΣx) and the mean bias
+  *     (Σy − n·a − b·Σx)/n all evaluate from the same moments — no
+  *     second data pass, no model object, no driver loop.
+  *
+  * Everything is relational, so the composition is DuckDB-replayable
+  * end to end (q84/q85 hash gates).
+  */
+object SensorId {
+
+  /** Per-(site, sensor, filter) CV scores.
+    *
+    * @param sensorCols candidate sensor columns of `df` (each numeric,
+    *   same row grain as the power column)
+    * @param dayFlags optional (site, day, clear) day flags —
+    *   [[ClearDay.detect]] output — enabling the clear/cloudy filters;
+    *   without it only `no_errors` is scored
+    * @param errorDayPredicate row predicate marking ERROR rows; a day
+    *   containing any is excluded from the `no_errors` filter
+    *   (the reference's daily no-error flag)
+    * @param nSplits TimeSeriesSplit count k (k+1 ntile blocks; folds
+    *   2..k+1 are test folds)
+    * @return (site, sensor, filter, n_days, n_obs, corr, cv_rmse,
+    *   cv_mbe) — corr on the full filtered set, cv_* pooled over the
+    *   test folds, 6 dp
+    */
+  def identify(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      powerCol: String,
+      sensorCols: Seq[String],
+      dayFlags: Option[DataFrame] = None,
+      errorDayPredicate: Column = lit(false),
+      nSplits: Int = 20
+  ): DataFrame = {
+    require(sensorCols.nonEmpty, "need at least one candidate sensor column")
+    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
+    // exact integer moment lifts: x,y to micros (1e6); the quadratic
+    // products to 1e4 (bounds the long at ~1e13 for 1e4-magnitude
+    // inputs over 1e5-row days)
+    def li(c: Column, s: Double): Column = round(c * lit(s), 0).cast("long")
+    val y = col(powerCol).cast("double")
+    val perDayAggs = Seq(
+      count(y).cast("long").as("n"),
+      sum(li(y, 1e6)).as("sy"),
+      sum(li(y * y, 1e4)).as("syy"),
+      max(when(errorDayPredicate, 1).otherwise(0)).as("err")
+    ) ++ sensorCols.zipWithIndex.flatMap { case (sc, i) =>
+      val x = col(sc).cast("double")
+      Seq(
+        sum(li(x, 1e6)).as(s"sx_$i"),
+        sum(li(x * x, 1e4)).as(s"sxx_$i"),
+        sum(li(x * y, 1e4)).as(s"sxy_$i"))
+    }
+    val dayStats = df
+      .filter(col(tsCol).isNotNull && y.isNotNull &&
+        sensorCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
+      .agg(perDayAggs.head, perDayAggs.tail: _*)
+    // unpivot sensors at DAY grain (the scan never explodes)
+    val stackExpr = sensorCols.zipWithIndex
+      .map { case (sc, i) => s"'$sc', sx_$i, sxx_$i, sxy_$i" }
+      .mkString(s"stack(${sensorCols.length}, ", ", ", ") AS (sensor, sx, sxx, sxy)")
+    val long0 = dayStats.select(
+      col("site"), col("day"), col("n"), col("sy"), col("syy"), col("err"),
+      expr(stackExpr))
+    // day filters: no_errors always; clear/cloudy when flags provided
+    val longF = dayFlags match {
+      case None =>
+        long0.filter(col("err") === 0).withColumn("filter", lit("no_errors"))
+      case Some(flags) =>
+        val fl = flags.select(
+          col("site"), col("day").cast("date").as("day"),
+          col("clear").cast("boolean").as("clear"))
+        val j = long0.join(fl, Seq("site", "day"), "left")
+          .withColumn("clear", coalesce(col("clear"), lit(false)))
+        j.withColumn("filter",
+            explode(array(lit("no_errors"), lit("clear"), lit("cloudy"))))
+          .filter(
+            (col("filter") === "no_errors" && col("err") === 0) ||
+              (col("filter") === "clear" && col("clear")) ||
+              (col("filter") === "cloudy" && !col("clear")))
+    }
+    // TimeSeriesSplit: k+1 ordered blocks of the filtered day axis
+    val wDay = Window.partitionBy(col("site"), col("sensor"), col("filter"))
+      .orderBy(col("day"))
+    val folds = longF
+      .withColumn("fold", ntile(nSplits + 1).over(wDay))
+      .groupBy(col("site"), col("sensor"), col("filter"), col("fold"))
+      .agg(
+        count(lit(1)).as("f_days"),
+        sum(col("n")).as("n"), sum(col("sx")).as("sx"), sum(col("sy")).as("sy"),
+        sum(col("sxy")).as("sxy"), sum(col("sxx")).as("sxx"), sum(col("syy")).as("syy"))
+    val wCum = Window.partitionBy(col("site"), col("sensor"), col("filter"))
+      .orderBy(col("fold")).rowsBetween(Window.unboundedPreceding, -1)
+    def d6(c: Column): Column = c.cast("double") / 1e6
+    def d4(c: Column): Column = c.cast("double") / 1e4
+    val wAll = Window.partitionBy(col("site"), col("sensor"), col("filter"))
+    val scored = folds
+      .withColumn("tn", sum(col("n")).over(wCum))
+      .withColumn("tsx", d6(sum(col("sx")).over(wCum)))
+      .withColumn("tsy", d6(sum(col("sy")).over(wCum)))
+      .withColumn("tsxy", d4(sum(col("sxy")).over(wCum)))
+      .withColumn("tsxx", d4(sum(col("sxx")).over(wCum)))
+      // train OLS with intercept: b = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+      // a = (Σy − bΣx)/n; a degenerate train split (constant sensor)
+      // yields null, which poisons that fold's rmse to null — the
+      // reference appends inf residuals there, same verdict
+      .withColumn("b", try_divide(
+        col("tn") * col("tsxy") - col("tsx") * col("tsy"),
+        col("tn") * col("tsxx") - col("tsx") * col("tsx")))
+      .withColumn("a", try_divide(col("tsy") - col("b") * col("tsx"), col("tn")))
+      // test-fold residual moments from the fold's own sums — lifted
+      // back to exact integers (1e-4 absolute quantization on RSS)
+      // so the cross-fold pooling below is order-free in any engine
+      .withColumn("rss",
+        when(col("fold") === 1, lit(null)).otherwise(
+          round((d4(col("syy")) + col("n") * col("a") * col("a") +
+            col("b") * col("b") * d4(col("sxx")) -
+            lit(2.0) * col("a") * d6(col("sy")) -
+            lit(2.0) * col("b") * d4(col("sxy")) +
+            lit(2.0) * col("a") * col("b") * d6(col("sx"))) * lit(1e4), 0).cast("long")))
+      .withColumn("sres",
+        when(col("fold") === 1, lit(null)).otherwise(
+          round((d6(col("sy")) - col("n") * col("a") - col("b") * d6(col("sx"))) * lit(1e6), 0)
+            .cast("long")))
+    scored
+      .groupBy(col("site"), col("sensor"), col("filter"))
+      .agg(
+        sum(col("f_days")).as("n_days"),
+        sum(col("n")).as("n_obs"),
+        // full-set Pearson corr from the same exact moments; explicit
+        // positive-variance guard — a degenerate (constant) series
+        // must yield null, never sqrt of a quantization-negative
+        {
+          val varx = sum(col("n")) * d4(sum(col("sxx"))) -
+            d6(sum(col("sx"))) * d6(sum(col("sx")))
+          val vary = sum(col("n")) * d4(sum(col("syy"))) -
+            d6(sum(col("sy"))) * d6(sum(col("sy")))
+          val cov = sum(col("n")) * d4(sum(col("sxy"))) -
+            d6(sum(col("sx"))) * d6(sum(col("sy")))
+          when(varx > 0.0 && vary > 0.0, round(cov / sqrt(varx * vary), 6)).as("corr")
+        },
+        // explicit null-when-no-test-folds: greatest() would otherwise
+        // coerce a null quotient to 0.0 (Spark's greatest skips nulls)
+        when(sum(col("rss")).isNull, lit(null)).otherwise(
+          round(sqrt(greatest(
+            try_divide(d4(sum(col("rss"))), sum(when(col("rss").isNotNull, col("n")))),
+            lit(0.0))), 6)).as("cv_rmse"),
+        round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))), 6)
+          .as("cv_mbe"))
+  }
+
+  /** Per-site verdict over an [[identify]] results table: the
+    * per-filter argmin-RMSE sensor (ties → lexicographic sensor name,
+    * nulls last), whether all filters agree, and the chosen sensor
+    * when they do (the reference returns a per-filter dict otherwise;
+    * here the per-filter picks are columns and `chosen_sensor` is
+    * null on disagreement).
+    */
+  def choose(results: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("site"), col("filter"))
+      .orderBy(col("cv_rmse").asc_nulls_last, col("sensor").asc)
+    val best = results
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("site"))
+      .pivot("filter", Seq("no_errors", "clear", "cloudy"))
+      .agg(first(col("sensor")))
+      .withColumnRenamed("no_errors", "choice_no_errors")
+      .withColumnRenamed("clear", "choice_clear")
+      .withColumnRenamed("cloudy", "choice_cloudy")
+    val filters = Seq("choice_no_errors", "choice_clear", "choice_cloudy")
+    val present = filters.map(f => when(col(f).isNotNull, col(f)))
+    best
+      .withColumn("consistent",
+        coalesce(size(array_distinct(array_compact(array(present: _*)))) === 1, lit(false)))
+      .withColumn("chosen_sensor",
+        when(col("consistent"), coalesce(filters.map(col): _*)))
+      .select(col("site"), col("chosen_sensor"), col("consistent"),
+        col("choice_no_errors"), col("choice_clear"), col("choice_cloudy"))
+  }
+}

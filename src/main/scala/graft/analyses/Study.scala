@@ -583,11 +583,15 @@ object Study {
     if (thresholdQuantiles.nonEmpty)
       return tiltAzimuthStudySeasonal(spark, in, cells, site, tsCol, valueCol,
         dayRanges, deltaMethods, thresholdQuantiles)
+    // collision-free pack over the full cross-product (a decimal pack
+    // like rIdx*100 + dIdx*10 + tIdx silently merges two configs into
+    // one group once any axis reaches 10 entries — wrong fits, no error)
     val configs = for {
       ((rName, range), rIdx) <- dayRanges.zipWithIndex
       (dName, dIdx) <- deltaMethods.zipWithIndex
       (thr, tIdx) <- daytimeThresholds.zipWithIndex
-    } yield (rIdx * 100 + dIdx * 10 + tIdx, rName, range, dName, thr)
+    } yield ((rIdx * deltaMethods.length + dIdx) * daytimeThresholds.length + tIdx,
+      rName, range, dName, thr)
     val cfgDf = spark.createDataset(
       configs.map { case (id, rName, range, dName, thr) =>
         (id, rName, range.map(_._1).getOrElse(-1), range.map(_._2).getOrElse(-1), dName, thr)
@@ -645,10 +649,12 @@ object Study {
     import spark.implicits._
     val thr = Profiler.seasonalDaytimeThresholds(
       spark, in, site, tsCol, valueCol, thresholdQuantiles)
+    // collision-free pack (see tiltAzimuthStudy: decimal packs merge
+    // configs once an axis reaches its radix)
     val rdCfg = for {
       ((rName, range), rIdx) <- dayRanges.zipWithIndex
       (dName, dIdx) <- deltaMethods.zipWithIndex
-    } yield (rIdx * 10 + dIdx, rName,
+    } yield (rIdx * deltaMethods.length + dIdx, rName,
       range.map(_._1).getOrElse(-1), range.map(_._2).getOrElse(-1), dName)
     val rdDf = spark.createDataset(rdCfg)
       .toDF("rd_id", "day_range", "lo", "hi", "delta_method")
@@ -660,7 +666,8 @@ object Study {
       .join(thr, Seq("__site", "doy"))
       .crossJoin(broadcast(rdDf))
       .filter(inRange && col("ct") > col("thr_norm"))
-      .select(col("__site"), (col("rd_id") * 100 + col("cfg_id")).as("cfg"),
+      .select(col("__site"),
+        (col("rd_id") * lit(thresholdQuantiles.length) + col("cfg_id")).as("cfg"),
         col("day_range"), col("delta_method"), col("x1"), col("x2"),
         col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
       .as[(String, Int, String, String, Double, Double, Int, Int, Double, Double, Double)]

@@ -113,6 +113,11 @@ object GraftFunctions {
       buildLshBandSigs,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_barrier",
+      buildBarrier,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
@@ -134,6 +139,9 @@ object GraftFunctions {
       Cast(exprs(1), org.apache.spark.sql.types.IntegerType),
       Cast(exprs(2), org.apache.spark.sql.types.IntegerType),
       Cast(exprs(3), org.apache.spark.sql.types.IntegerType))
+
+  def buildBarrier(exprs: Seq[Expression]): Expression =
+    graft.plans.PredicateBarrier(Cast(exprs(0), org.apache.spark.sql.types.BooleanType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -182,6 +190,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[LshBandSigs].getName, "graft_lsh_band_sigs"),
         (exprs: Seq[Expression]) => GraftFunctions.buildLshBandSigs(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_barrier"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.plans.PredicateBarrier].getName, "graft_barrier"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildBarrier(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

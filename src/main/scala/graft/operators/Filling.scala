@@ -107,7 +107,16 @@ object Filling {
         // non-UTC session's local day through slot 0
         (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int").as("slot")
       )
-      .agg(avg(col(valueCol)).as("raw"))
+      // exact integer-micro mean, NOT avg(double): the float avg's
+      // partial-aggregation order varies run to run, and downstream
+      // study gates threshold the 6-dp-rounded scaled value — an ulp
+      // flip at a rounding boundary moves a day's sunrise/sunset slot
+      // (observed as the q64 hash flake). Integer sum is order-free;
+      // the division order (/1e6 then /n) is pinned to match the
+      // DuckDB oracle expression exactly.
+      .agg(
+        (sum(round(col(valueCol) * 1e6).cast("long")).cast("double") / 1e6 /
+          count(col(valueCol))).as("raw"))
     val slottedRdd = slotted0.rdd
       .setName("filledDayGrid slotted matrix")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -27,6 +27,18 @@ import org.apache.spark.sql.DataFrame
   */
 object IntervalJoin {
 
+  /** @param maxBucketsPerInterval hard ceiling on the per-interval
+    *   explode (default 65536 buckets; `<= 0` disables the guard). An
+    *   open-ended-sentinel interval (`end = 9999-12-31` at a 1-day
+    *   bucket ≈ 3M buckets) would otherwise materialize a
+    *   multi-million-element array PER ROW and OOM the executor.
+    *   Intervals wider than the cap instead take a naive fallback
+    *   branch: an equi-join on the keys with the band as a residual
+    *   filter — wrapped in `graft_barrier` so the session-default
+    *   [[graft.plans.IntervalJoinRule]] cannot re-explode the
+    *   deliberate fallback. Wide intervals are the rare pathology;
+    *   with AQE an empty wide slice collapses the branch at runtime.
+    */
   def pointInInterval(
       points: DataFrame,
       intervals: DataFrame,
@@ -35,33 +47,52 @@ object IntervalJoin {
       startCol: String,
       endCol: String,
       payload: Seq[String],
-      bucketSeconds: Double
+      bucketSeconds: Double,
+      maxBucketsPerInterval: Long = 65536L
   ): DataFrame = {
     require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
     require(keys.nonEmpty, "interval join needs at least one equi key")
+    graft.functions.GraftFunctions.ensure(points.sparkSession)
     val rightCols = (Seq(startCol, endCol) ++ payload).distinct
     val collisions = rightCols.filter(points.columns.contains)
     require(collisions.isEmpty,
       s"interval columns ${collisions.mkString(",")} collide with point columns — alias them first")
 
+    val valid = col(startCol).isNotNull && col(endCol).isNotNull &&
+      col(endCol).cast("double") > col(startCol).cast("double")
+    val span =
+      floor(col(endCol).cast("double") / bucketSeconds).cast("long") -
+        floor(col(startCol).cast("double") / bucketSeconds).cast("long")
+    val band =
+      col(pointTs).cast("double") >= col(startCol).cast("double") &&
+        col(pointTs).cast("double") < col(endCol).cast("double")
+    val outCols = points.columns.toSeq.map(col) ++ rightCols.map(col)
+
     // double epoch keeps sub-second precision (a long cast would
     // floor); timestamps and numerics both ride the same axis
-    val p = points
-      .filter(col(pointTs).isNotNull)
-      .withColumn("__b",
-        floor(col(pointTs).cast("double") / bucketSeconds).cast("long"))
+    val p0 = points.filter(col(pointTs).isNotNull)
+    val p = p0.withColumn("__b",
+      floor(col(pointTs).cast("double") / bucketSeconds).cast("long"))
+    val capped = maxBucketsPerInterval > 0
     val iv = intervals
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
-        col(endCol).cast("double") > col(startCol).cast("double"))
+      .filter(if (capped) valid && span <= maxBucketsPerInterval else valid)
       .withColumn("__b", explode(sequence(
         floor(col(startCol).cast("double") / bucketSeconds).cast("long"),
         // end is exclusive but its bucket can still hold points < end
         floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
       .select(keys.map(col) ++ (col("__b") +: rightCols.map(col)): _*)
 
-    p.join(iv, keys :+ "__b")
-      .filter(col(pointTs).cast("double") >= col(startCol).cast("double") &&
-        col(pointTs).cast("double") < col(endCol).cast("double"))
-      .select(points.columns.toSeq.map(col) ++ rightCols.map(col): _*)
+    val narrow = p.join(iv, keys :+ "__b")
+      .filter(band)
+      .select(outCols: _*)
+    if (!capped) return narrow
+
+    val wideIv = intervals
+      .filter(valid && span > maxBucketsPerInterval)
+      .select(keys.map(col) ++ rightCols.map(col): _*)
+    val wide = p0.join(broadcast(wideIv), keys)
+      .filter(call_function("graft_barrier", band))
+      .select(outCols: _*)
+    narrow.unionByName(wide)
   }
 }

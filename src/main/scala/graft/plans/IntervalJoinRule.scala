@@ -49,6 +49,20 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   val BucketConfKey = "spark.graft.intervalJoin.bucket"
   val RewriteEquiConfKey = "spark.graft.intervalJoin.rewriteEquiJoins"
 
+  /** Hard ceiling on how many grid buckets a single interval may
+    * explode to (default 65536; `<= 0` disables the cap). Intervals
+    * wider than the cap — open-ended sentinels like `9999-12-31`
+    * would otherwise materialize ~3M-element arrays PER ROW and OOM —
+    * route through a naive-join fallback branch instead: a second
+    * Union child whose join keeps the original band (wrapped in
+    * [[PredicateBarrier]] so the rule is convergent) and broadcasts
+    * the wide-interval side. Wide intervals are few by construction
+    * (they are the pathology, not the workload), and with AQE the
+    * empty-broadcast case collapses the fallback branch without ever
+    * scanning the point side.
+    */
+  val MaxBucketsConfKey = "spark.graft.intervalJoin.maxBucketsPerInterval"
+
   private def sideOf(e: Expression, left: LogicalPlan, right: LogicalPlan): Option[Boolean] =
     if (e.references.subsetOf(left.outputSet)) Some(true)
     else if (e.references.subsetOf(right.outputSet)) Some(false)
@@ -86,8 +100,21 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       cond: Expression,
       hint: JoinHint
   ): Option[LogicalPlan] = {
+    // Idempotency under FIXED-POINT batches (the GraftExtensions
+    // deploy path runs this rule alongside PushPredicateThroughJoin,
+    // which folds our re-applied band filter back into the join
+    // condition): a child already carrying the rule's synthetic
+    // attributes IS our own output mid-optimization — rewriting it
+    // again would stack a new Generate every iteration up to
+    // maxIterations. The final Project strips `__ij_*`, so finished
+    // rewrites compose fine with outer joins.
+    if ((left.output.iterator ++ right.output.iterator)
+        .exists(_.name.startsWith("__ij_"))) return None
     val conjuncts = splitConjunctivePredicates(cond)
     if (conjuncts.length < 2) return None
+    // a barrier conjunct marks our own naive-fallback branch (and the
+    // operator's) — never rewrite it
+    if (conjuncts.exists(_.exists(_.isInstanceOf[PredicateBarrier]))) return None
     val d = try {
       org.apache.spark.sql.internal.SQLConf.get
         .getConfString(BucketConfKey, "86400").toDouble
@@ -125,6 +152,11 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     def bucketOf(ex: Expression): Expression =
       Cast(Floor(Divide(Cast(ex, DoubleType), Literal(d))), LongType)
 
+    val maxBuckets = try {
+      org.apache.spark.sql.internal.SQLConf.get
+        .getConfString(MaxBucketsConfKey, "65536").toLong
+    } catch { case _: NumberFormatException => return None }
+
     val (pointChild, intervalChild) =
       if (pointOnLeft) (left, right) else (right, left)
     val pb = Alias(bucketOf(p), "__ij_pb")()
@@ -137,8 +169,16 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // NOT strict: an s == e interval still matches p == s when BOTH
     // bounds are inclusive — the re-applied original condition sorts
     // out strict-bound emptiness.
+    val validIv = LessThanOrEqual(s, e)
+    // explode-cap split: narrow intervals take the bucketed plan, wide
+    // ones (span > cap buckets) the naive fallback below
+    val narrowIvFilter =
+      if (maxBuckets > 0)
+        And(validIv, LessThanOrEqual(
+          Subtract(bucketOf(e), bucketOf(s)), Literal(maxBuckets)))
+      else validIv
     val intervalB = Project(intervalChild.output ++ Seq(bs, be),
-      Filter(LessThanOrEqual(s, e), intervalChild))
+      Filter(narrowIvFilter, intervalChild))
     val candAttr = AttributeReference("__ij_cand", LongType, nullable = true)()
     // Sequence is TimeZoneAwareExpression: without an explicit zone it
     // stays unresolved even on LONG bounds, and a post-resolution rule
@@ -154,6 +194,34 @@ object IntervalJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     val joined =
       if (pointOnLeft) Join(pointB, gen, Inner, Some(newCond), hint)
       else Join(gen, pointB, Inner, Some(newCond), hint)
-    Some(Project(left.output ++ right.output, Filter(cond, joined)))
+    val narrow = Project(left.output ++ right.output, Filter(cond, joined))
+    if (maxBuckets <= 0) return Some(narrow)
+
+    // Naive fallback for intervals wider than the cap: the original
+    // join, restricted to the wide slice, band bounds behind a
+    // PredicateBarrier (the matcher — this rule on the NEXT fixed-point
+    // iteration — sees two opaque conjuncts and bails, so the rewrite
+    // converges; equality conjuncts stay bare so Spark still hash-joins
+    // on them with the band as residual). The wide side carries a
+    // broadcast hint: wide intervals are the rare pathology, and an
+    // empty broadcast lets AQE collapse the branch without scanning the
+    // point side at all.
+    val wideIvFilter = And(validIv,
+      GreaterThan(Subtract(bucketOf(e), bucketOf(s)), Literal(maxBuckets)))
+    val wideIv = Filter(wideIvFilter, intervalChild)
+    val barrierCond = (equis ++ Seq(
+      PredicateBarrier(conjuncts(li)), PredicateBarrier(conjuncts(ui))))
+      .reduce[Expression](And(_, _))
+    val bHint = Some(HintInfo(strategy = Some(BROADCAST)))
+    val wide =
+      if (pointOnLeft)
+        Project(left.output ++ right.output,
+          Join(left, wideIv, Inner, Some(barrierCond),
+            JoinHint(hint.leftHint, hint.rightHint.orElse(bHint))))
+      else
+        Project(left.output ++ right.output,
+          Join(wideIv, right, Inner, Some(barrierCond),
+            JoinHint(hint.leftHint.orElse(bHint), hint.rightHint)))
+    Some(Union(Seq(narrow, wide)))
   }
 }

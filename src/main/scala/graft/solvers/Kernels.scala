@@ -1295,4 +1295,272 @@ object Kernels {
     else if (v.length % 2 == 1) v(v.length / 2)
     else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
   }
+
+  /** PVPro post-processing at FULL reference fidelity — the 5-component
+    * log-space decomposition of `pvpro_post_processing.py:270-441`:
+    *
+    *   y = x1 + x2 + x3 + x4 + x5   (on the known mask)
+    *
+    *   minimize (1/T)‖x1‖² + λ2‖x2‖₁ + λ4‖D²x4‖² [+ λ5·pen(x5)]
+    *   s.t. x3 constant; x4 exactly p-periodic with Σ(first period)=0;
+    *        x5(0) = 0 and, per model:
+    *          linear            D²x5 = 0
+    *          monotonic         D¹x5 ≤ 0 (≥ 0 when !decreasing)
+    *          smooth_monotonic  mono + λ5‖D²x5‖²
+    *          piecewise_linear  mono + λ5‖D²x5‖₁
+    *
+    * Solved house-style (no cvxpy): the (x1, x2) split is CLOSED-FORM
+    * given the other blocks — min (1/T)x1² + λ2|z − x1| over x1 is the
+    * Huber shrink x1 = sign(z)·min(|z|, T·λ2/2), x2 = z − x1 — so the
+    * effective data loss is Huber and each outer round is one IRLS
+    * reweighting plus three exact block solves:
+    *
+    *  - x4: the periodic component has p free values u (x4ᵢ = u[i mod p]);
+    *    the data term and the FULL non-circular Σ(D²x4)² penalty are
+    *    assembled exactly as a p×p SPD system (each D² row touches
+    *    3 period slots) and solved dense; the zero-sum constraint is
+    *    enforced for free by shifting mean(u) into x3 (the penalty is
+    *    shift-invariant, the data term shift-absorbs into the constant).
+    *  - x5: linear → 1-D weighted slope through 0; monotonic → weighted
+    *    PAVA; smooth/pwl → pentadiagonal banded solve (data diag +
+    *    λ5·D²ᵀD², L1 curvature via IRLS reweight for pwl) with the
+    *    monotone constraint as an asymmetric quadratic penalty on
+    *    violating first differences (the soiling-sawtooth idiom),
+    *    re-solved until no violation above tolerance; x5(0)=0 by
+    *    shifting x5(0) into x3.
+    *  - x3: weighted mean of y − x4 − x5.
+    *
+    * Unknown (masked/NaN) entries carry zero data weight; their x4/x5
+    * values come from the structural penalties alone, mirroring the
+    * reference's `known` mask semantics.
+    *
+    * @param y       log-space series (caller scales/logs, as the
+    *                reference's `ln_df` does)
+    * @param period  exact period in SAMPLES (the reference's integer p)
+    * @param model   "linear" | "monotonic" | "smooth_monotonic" |
+    *                "piecewise_linear"
+    * @param decreasing monotone direction (reference: false for
+    *                "series" labels, true otherwise)
+    * @return (x1, x2, x3, x4, x5)
+    */
+  def pvproDecompose5(
+      y: Array[Double],
+      period: Int,
+      model: String = "smooth_monotonic",
+      lambda2: Double = 0.001,
+      lambda4: Double = 1e-1,
+      lambda5: Double = 1e-1,
+      known0: Array[Boolean] = null,
+      decreasing: Boolean = true,
+      rounds: Int = 40
+  ): (Array[Double], Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val T = y.length
+    require(Set("linear", "monotonic", "smooth_monotonic", "piecewise_linear")(model),
+      s"unknown model '$model'")
+    require(period >= 2 && period <= T, s"period $period out of range for T=$T")
+    val known = Array.tabulate(T)(i =>
+      (known0 == null || known0(i)) && !y(i).isNaN)
+    val p = period
+    val huberK = T * lambda2 / 2.0
+    var c = { // init constant at the known mean
+      var s = 0.0; var n = 0
+      var i = 0
+      while (i < T) { if (known(i)) { s += y(i); n += 1 }; i += 1 }
+      if (n > 0) s / n else 0.0
+    }
+    val u = new Array[Double](p) // periodic free values
+    var x5 = new Array[Double](T)
+    val w = Array.fill(T)(1.0 / T) // Huber IRLS weights (quadratic zone)
+
+    // exact Σ_{i=0}^{T-3} (x4[i+2] − 2x4[i+1] + x4[i])² over the
+    // periodic parameterization, assembled once: row i touches slots
+    // (i%p, (i+1)%p, (i+2)%p) with coefficients (1, −2, 1)
+    val pen4 = new Array[Double](p * p)
+    locally {
+      var i = 0
+      while (i <= T - 3) {
+        val s0 = i % p; val s1 = (i + 1) % p; val s2 = (i + 2) % p
+        val idx = Array(s0, s1, s2)
+        val cf = Array(1.0, -2.0, 1.0)
+        var a = 0
+        while (a < 3) {
+          var b = 0
+          while (b < 3) {
+            pen4(idx(a) * p + idx(b)) += cf(a) * cf(b)
+            b += 1
+          }
+          a += 1
+        }
+        i += 1
+      }
+    }
+
+    def solveX4(resid: Array[Double]): Unit = {
+      val ata = new Array[Double](p * p)
+      System.arraycopy(pen4, 0, ata, 0, p * p)
+      var k = 0
+      while (k < p * p) { ata(k) *= lambda4; k += 1 }
+      val atb = new Array[Double](p)
+      var i = 0
+      while (i < T) {
+        if (known(i)) {
+          val s = i % p
+          ata(s * p + s) += w(i)
+          atb(s) += w(i) * resid(i)
+        }
+        i += 1
+      }
+      var d = 0
+      while (d < p) { ata(d * p + d) += 1e-12; d += 1 }
+      val sol = Linalg.solveSpd(ata, atb, p)
+      // zero-sum: shift the mean into the constant (penalty and data
+      // fit are both shift-exchangeable with x3)
+      val mu = sol.sum / p
+      var j = 0
+      while (j < p) { u(j) = sol(j) - mu; j += 1 }
+      c += mu
+    }
+
+    def solveX5(resid: Array[Double]): Array[Double] = model match {
+      case "linear" =>
+        var num = 0.0; var den = 0.0
+        var i = 0
+        while (i < T) {
+          if (known(i)) { num += w(i) * resid(i) * i; den += w(i) * i.toDouble * i }
+          i += 1
+        }
+        val m = if (den > 0) num / den else 0.0
+        Array.tabulate(T)(i => m * i)
+      case "monotonic" =>
+        val wts = Array.tabulate(T)(i => if (known(i)) w(i) else 1e-12)
+        // PAVA pools values regardless of weight, so an unknown row's
+        // NaN residual must be zeroed, not just down-weighted
+        val clean = Array.tabulate(T)(i => if (known(i)) resid(i) else 0.0)
+        val fit =
+          if (decreasing) isotonicDecreasing(clean, wts)
+          else isotonicDecreasing(clean.map(-_), wts).map(-_)
+        val sh = fit(0)
+        c += sh
+        fit.map(_ - sh)
+      case _ => // smooth_monotonic | piecewise_linear
+        val l1Curv = model == "piecewise_linear"
+        var x = x5.clone()
+        var it = 0
+        // asymmetric quadratic penalty on violating first differences
+        // grows until the monotone constraint holds to tolerance
+        var kappa = math.max(lambda5, 1.0) * 10.0
+        // annealed IRLS-L1 floor for the pwl curvature weight: a hard
+        // 1e-6 floor from a straight start makes "no kinks" a fixed
+        // point (the reweight is then a ~1e6·λ5 ridge on every row)
+        var crvEps = 1e-1
+        while (it < 12) {
+          // band(0) = diag, band(1) = sub1, band(2) = sub2 (SPD,
+          // half-bandwidth 2: data + λ5 D2ᵀ(W2)D2 + κ D1ᵀ(V)D1)
+          val diag = new Array[Double](T)
+          val sub1 = new Array[Double](T)
+          val sub2 = new Array[Double](T)
+          val rhs = new Array[Double](T)
+          var i = 0
+          while (i < T) {
+            if (known(i)) { diag(i) += w(i); rhs(i) += w(i) * resid(i) }
+            i += 1
+          }
+          // curvature rows j: (x[j] − 2x[j+1] + x[j+2]), weight λ5 (L2)
+          // or λ5/max(|d2|,1e-6) (IRLS L1)
+          var j = 0
+          while (j <= T - 3) {
+            val wj =
+              if (!l1Curv) lambda5
+              else {
+                val d2 = x(j) - 2.0 * x(j + 1) + x(j + 2)
+                lambda5 / math.max(math.abs(d2), crvEps)
+              }
+            // solveBandedSpd stores band(r)(i) = A(i, i+r): the
+            // off-diagonal entry for rows (i, i+r) lives at the
+            // SMALLER index
+            diag(j) += wj; diag(j + 1) += 4.0 * wj; diag(j + 2) += wj
+            sub1(j) += -2.0 * wj; sub1(j + 1) += -2.0 * wj
+            sub2(j) += wj
+            j += 1
+          }
+          // monotone rows: d = x[j+1] − x[j]; penalize d > 0 when
+          // decreasing (d < 0 when increasing) on currently-violating
+          // rows
+          j = 0
+          while (j <= T - 2) {
+            val d = x(j + 1) - x(j)
+            val viol = if (decreasing) d > 1e-12 else d < -1e-12
+            if (viol) {
+              diag(j) += kappa; diag(j + 1) += kappa
+              sub1(j) += -kappa
+            }
+            j += 1
+          }
+          var d0 = 0
+          while (d0 < T) { diag(d0) += 1e-12; d0 += 1 }
+          x = Linalg.solveBandedSpd(Array(diag, sub1, sub2), rhs)
+          // converged when no violation above tolerance
+          var worst = 0.0
+          j = 0
+          while (j <= T - 2) {
+            val d = x(j + 1) - x(j)
+            val v = if (decreasing) d else -d
+            if (v > worst) worst = v
+            j += 1
+          }
+          crvEps = math.max(crvEps * 0.3, 1e-6)
+          if (worst < 1e-7 && crvEps <= 1e-5) it = 12 else { kappa *= 8.0; it += 1 }
+        }
+        // exact feasibility: project onto the monotone cone (weighted
+        // PAVA keeps the fit near the penalized solution)
+        val wts = Array.tabulate(T)(i => if (known(i)) math.max(w(i), 1e-12) else 1e-12)
+        val mono =
+          if (decreasing) isotonicDecreasing(x, wts)
+          else isotonicDecreasing(x.map(-_), wts).map(-_)
+        val sh = mono(0)
+        c += sh
+        mono.map(_ - sh)
+    }
+
+    var r = 0
+    while (r < rounds) {
+      // x4 on y − c − x5
+      solveX4(Array.tabulate(T)(i => y(i) - c - x5(i)))
+      // x5 on y − c − x4
+      x5 = solveX5(Array.tabulate(T)(i => y(i) - c - u(i % p)))
+      // x3 on y − x4 − x5
+      var sw = 0.0; var swr = 0.0
+      var i = 0
+      while (i < T) {
+        if (known(i)) { sw += w(i); swr += w(i) * (y(i) - u(i % p) - x5(i)) }
+        i += 1
+      }
+      if (sw > 0) c = swr / sw
+      // Huber IRLS reweight from the residual split
+      i = 0
+      while (i < T) {
+        if (known(i)) {
+          val z = y(i) - c - u(i % p) - x5(i)
+          w(i) = if (math.abs(z) <= huberK) 1.0 / T else lambda2 / (2.0 * math.max(math.abs(z), 1e-12))
+        }
+        i += 1
+      }
+      r += 1
+    }
+
+    val x3 = Array.fill(T)(c)
+    val x4 = Array.tabulate(T)(i => u(i % p))
+    val x1 = new Array[Double](T)
+    val x2 = new Array[Double](T)
+    var i = 0
+    while (i < T) {
+      if (known(i)) {
+        val z = y(i) - c - x4(i) - x5(i)
+        x1(i) = math.signum(z) * math.min(math.abs(z), huberK)
+        x2(i) = z - x1(i)
+      }
+      i += 1
+    }
+    (x1, x2, x3, x4, x5)
+  }
 }

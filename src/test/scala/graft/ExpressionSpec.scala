@@ -127,6 +127,23 @@ class ExpressionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT graft_lsh_band_sigs(NULL, 3, 8, 4) IS NULL AS ok").as[Boolean].head())
   }
 
+  test("graft_barrier is a transparent boolean identity (values, nulls, codegen)") {
+    GraftFunctions.register(spark)
+    // identity on true/false/null — the wrapper must change NOTHING
+    // about evaluation; its whole job is to be opaque to optimizer
+    // pattern matchers (IntervalJoinRule's convergence guard)
+    val out = spark.sql(
+      """SELECT graft_barrier(x > 1) AS b, (x > 1) AS p
+         FROM VALUES (0), (2), (NULL) AS t(x)""")
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getBoolean(0),
+        if (r.isNullAt(1)) null else r.getBoolean(1)))
+    out.foreach { case (b, p) => assert(b == p, s"barrier($p) read back $b") }
+    // survives whole-stage codegen over a frame
+    val n = spark.range(5000)
+      .filter(expr("graft_barrier(id % 3 = 0)")).count()
+    assert(n == 1667)
+  }
+
   test("rollingMinhashSig signatures survive whole-stage codegen over a large frame") {
     GraftFunctions.register(spark)
     // same signature from the codegen'd scan twice (determinism) and

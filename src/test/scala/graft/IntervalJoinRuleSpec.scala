@@ -90,8 +90,83 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     withRule("10") {
       val opt = q3()
       val plan = opt.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$plan")
+      // the main path must be the bucketed equi-join; the ONLY nested
+      // loop allowed is the explode-cap fallback branch, recognizable
+      // by its barriered band condition (and empty on this data)
+      assert(plan.contains("Generate"), s"lost the bucket explode:\n$plan")
+      val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(plan).toSeq
+      assert(bnlj.forall(_.contains("graft_barrier")),
+        s"a non-fallback nested loop appeared:\n$plan")
       assert(pairs(opt).sameElements(naive))
+    }
+  }
+
+  test("intervals wider than the explode cap take the guarded naive fallback, rows intact") {
+    val a = (0L until 200L).map(i => (i, i.toDouble)).toDF("pid", "pt")
+    // one sane interval + one open-ended sentinel that would explode
+    // to ~2^58 buckets at width 10 without the cap
+    val b = Seq(
+      (1L, 20.0, 55.0),
+      (2L, 0.0, 9.0e18)
+    ).toDF("iid", "s", "e")
+    def q5() = a.join(b, col("pt") >= col("s") && col("pt") < col("e"))
+      .select(col("pid"), col("iid"))
+    val naive = naivePairs(q5())
+    assert(naive.count(_._2 == 2L) == 200, "sentinel interval must match every point")
+    withRule("10") {
+      // default cap (65536) — the sentinel would OOM without the split
+      val opt = q5()
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(plan.contains("Union"), s"expected the narrow/wide split:\n$plan")
+      assert(plan.contains("graft_barrier"), s"fallback band must be barriered:\n$plan")
+      assert(pairs(opt).sameElements(naive))
+    }
+  }
+
+  test("explode cap <= 0 disables the guard: single-plan rewrite, no union branch") {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = Seq(graft.plans.IntervalJoinRule)
+    spark.conf.set(graft.plans.IntervalJoinRule.BucketConfKey, "10")
+    spark.conf.set(graft.plans.IntervalJoinRule.MaxBucketsConfKey, "0")
+    try {
+      val a = (0L until 50L).map(i => (i, i.toDouble)).toDF("pid", "pt")
+      val b = Seq((1L, 5.0, 25.0)).toDF("iid", "s", "e")
+      val opt = a.join(b, col("pt") >= col("s") && col("pt") < col("e"))
+        .select(col("pid"), col("iid"))
+      val plan = opt.queryExecution.executedPlan.toString
+      assert(!plan.contains("Union"), s"cap disabled must keep the single plan:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"still nested-loop:\n$plan")
+      assert(opt.collect().length == 20)
+    } finally {
+      spark.experimental.extraOptimizations = saved
+      spark.conf.unset(graft.plans.IntervalJoinRule.BucketConfKey)
+      spark.conf.unset(graft.plans.IntervalJoinRule.MaxBucketsConfKey)
+    }
+  }
+
+  test("fixed-point batch with predicate pushdown converges — one Generate, no stacking") {
+    // the GraftExtensions deploy path runs the rule inside Spark's
+    // fixed-point operator-optimization batch alongside
+    // PushPredicateThroughJoin, which folds the rewrite's re-applied
+    // band filter back into the join condition. Without the __ij_
+    // guard the rule re-matched its own output every iteration,
+    // stacking ~100 nested explodes. Reproduce that batch shape
+    // directly with a RuleExecutor.
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.catalyst.rules.RuleExecutor
+    object FP extends RuleExecutor[LogicalPlan] {
+      override val batches = Batch("fp", FixedPoint(100),
+        org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,
+        graft.plans.IntervalJoinRule) :: Nil
+    }
+    withRule("40", equiOptIn = true) {
+      val analyzed = q().queryExecution.analyzed
+      val out = FP.execute(analyzed)
+      val gens = out.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.length == 1,
+        s"rule is not idempotent under fixed-point: ${gens.length} stacked Generates\n$out")
     }
   }
 

@@ -344,8 +344,15 @@ class PlanSpec extends AnyFunSuite {
 
   test("the naive band join gate rides IntervalJoinRule, not a nested loop (q82)") {
     val p = planOf("q82_interval_rule")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "IntervalJoinRule did not rewrite the naive band join")
+    // the only nested loop allowed is the explode-cap fallback branch
+    // (barriered band; empty at gate data) — the MAIN path must be the
+    // bucketed rewrite. planOf is the FORMATTED explain, where a
+    // node's condition sits in the details section, so pin the count
+    // and require the barrier marker to exist iff the fallback does.
+    val bnlj = "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 1, s"q82 planned $bnlj nested loops — rewrite lost:\n$p")
+    assert(bnlj == 0 || p.contains("graft_barrier"),
+      s"q82's nested loop is not the barriered fallback branch:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     // the rewrite's signature: the interval side explodes to buckets
     assert(p.contains("Generate") && p.contains("explode("),

@@ -25,11 +25,12 @@ class QueriesSpec extends AnyFunSuite {
     // arithmetic is hash-gated with deterministic state in e15/e22).
     // Round-7: p02 gained a full-operator oracle (the union-window
     // cumulative-interpolation replay) and left this set too.
-    val rowsOnly = Set("p01_fleet_pipeline", "p03_quantile_clearsky",
-      "p04_pca_shade", "p05_pvpro_post",
-      // DEFLATE is not reproducible in a SQL engine (DeflateSpec
-      // carries the value contracts)
-      "d20_compress_ratio")
+    // Round-8: p01/p03/p04/p05 gained invariant gates (relational
+    // columns + construction-true literals, the d29/e09 idiom) and
+    // left as well — DEFLATE is the one remaining rows-only query
+    // (not reproducible in a SQL engine; DeflateSpec carries the
+    // value contracts).
+    val rowsOnly = Set("d20_compress_ratio")
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
     // the list must stay honest in the other direction too: a query

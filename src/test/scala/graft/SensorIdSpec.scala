@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyses.SensorId
+
+/** Sensor identification facade: the true irradiance sensor must win
+  * the CV under every filter, scores must be deterministic algebra,
+  * and the disagreement path must flag inconsistency.
+  */
+class SensorIdSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  /** 3 sites × 60 days × 24 h; power = 2 + 3·irr + deterministic
+    * pseudo-noise; s_good = irr, s_noisy = irr + big scrambled noise,
+    * s_bad = pure hash noise.
+    */
+  private lazy val fleet: DataFrame = {
+    val rows = for {
+      site <- 0 until 3
+      d <- 0 until 60
+      h <- 0 until 24
+    } yield {
+      val irr = math.max(0.0, 12.0 - math.abs(h - 12.0)) * 80.0
+      val e = (site * 100000 + d * 100 + h).toLong
+      def hn(salt: Long): Double = (((e * 2654435761L + salt) % 1000) - 500) / 500.0
+      val power = 2.0 + 3.0 * irr + hn(7) * 5.0
+      (site.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00").toInstant
+        .plusSeconds(d * 86400L), power, irr, irr + hn(13) * 400.0, hn(29) * 700.0)
+    }
+    rows.toDF("site", "ts", "power", "s_good", "s_noisy", "s_bad")
+  }
+
+  test("true sensor wins every filter; scores ordered; corr near 1") {
+    val flags = fleet.select(col("site"), to_date(col("ts")).as("day"))
+      .distinct()
+      // deterministic alternating clear/cloudy days
+      .withColumn("clear", dayofmonth(col("day")) % 2 === 0)
+    val res = SensorId.identify(fleet, "site", "ts", "power",
+      Seq("s_good", "s_noisy", "s_bad"), dayFlags = Some(flags), nSplits = 5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getString(1), r.getString(2)),
+        (r.getDouble(5), r.getDouble(6))))
+      .toMap
+    for (site <- 0L until 3L; f <- Seq("no_errors", "clear", "cloudy")) {
+      val (cG, rG) = res((site, "s_good", f))
+      val (_, rN) = res((site, "s_noisy", f))
+      val (_, rB) = res((site, "s_bad", f))
+      assert(cG > 0.99, s"site $site $f: corr(good) = $cG")
+      assert(rG < rN && rN < rB, s"site $site $f: rmse order broke ($rG, $rN, $rB)")
+    }
+    val chosen = SensorId.choose(
+      SensorId.identify(fleet, "site", "ts", "power",
+        Seq("s_good", "s_noisy", "s_bad"), dayFlags = Some(flags), nSplits = 5))
+      .collect()
+    assert(chosen.length == 3)
+    chosen.foreach { r =>
+      assert(r.getString(1) == "s_good" && r.getBoolean(2),
+        s"site ${r.getLong(0)} chose ${r.getString(1)} consistent=${r.getBoolean(2)}")
+    }
+  }
+
+  test("filter disagreement flags inconsistent and nulls the choice") {
+    // s_a fits clear days perfectly but is garbage on cloudy days;
+    // s_b is a uniform mediocre fit — the filters must disagree
+    val rows = for {
+      d <- 0 until 40
+      h <- 0 until 24
+    } yield {
+      val clearDay = d % 2 == 0
+      val irr = math.max(0.0, 12.0 - math.abs(h - 12.0)) * 50.0
+      val e = (d * 100 + h).toLong
+      def hn(salt: Long): Double = (((e * 2654435761L + salt) % 1000) - 500) / 500.0
+      val power = 10.0 + 2.0 * irr + hn(3) * 2.0
+      val sA = if (clearDay) irr + hn(5) * 1.0 else hn(11) * 600.0
+      val sB = irr + hn(17) * 120.0
+      (1L, java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:00:00").toInstant
+        .plusSeconds(d * 86400L), power, sA, sB)
+    }
+    val df = rows.toDF("site", "ts", "power", "s_a", "s_b")
+    val flags = df.select(col("site"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("clear", (datediff(col("day"), lit("2024-03-01")) % 2) === 0)
+    val out = SensorId.choose(SensorId.identify(df, "site", "ts", "power",
+      Seq("s_a", "s_b"), dayFlags = Some(flags), nSplits = 4)).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(4) == "s_a", "clear filter should prefer the clear-sky sensor")
+    assert(r.getString(5) == "s_b", "cloudy filter should prefer the uniform sensor")
+    assert(!r.getBoolean(2) && r.isNullAt(1), "disagreement must null the chosen sensor")
+  }
+
+  test("error days drop from no_errors only; no flags → no_errors only") {
+    val base = fleet.withColumn("etype",
+      when(to_date(col("ts")) === lit("2024-01-03"), lit("error")).otherwise(lit("ok")))
+    val res = SensorId.identify(base, "site", "ts", "power", Seq("s_good"),
+      errorDayPredicate = col("etype") === "error", nSplits = 5)
+    val byFilter = res.groupBy(col("filter")).agg(max(col("n_days")).as("nd")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byFilter.keySet == Set("no_errors"))
+    assert(byFilter("no_errors") == 59, s"error day not excluded: ${byFilter("no_errors")}")
+  }
+}
