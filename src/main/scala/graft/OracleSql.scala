@@ -2408,6 +2408,137 @@ object OracleSql {
       FROM si_piv) t
   """
 
+  // q87: pvproDecompose5 replayed bit-for-bit on the fixed 12-sample /
+  // period-4 / monotonic / 2-round instance. Every stage mirrors the
+  // Scala operation order: the 4×4 periodic normal matrix (λ4·pen
+  // constants, then per-slot weight adds in ascending-i order, then
+  // the 1e-12 ridge), solveSpd's dense Cholesky expression by
+  // expression, the zero-sum mean shift, the weighted non-increasing
+  // PAVA via the q59 minimax identity with range means as ORDERED
+  // list folds, the weighted-mean constant (masked terms add exact
+  // 0.0 — the float identity of Scala's skip), and the Huber IRLS
+  // reweight. All float literals in e-notation (decimal literals
+  // would infer DECIMAL and silently change the arithmetic). Index 8
+  // (1-based) is the masked entry; its y slot holds 0 and every
+  // consumer guards it, as the Scala known-mask does.
+  private def pvpro5RoundCtes(r: Int): String = {
+    val slotMembers = Seq(Seq(1, 5, 9), Seq(2, 6, 10), Seq(3, 7, 11), Seq(4, 12))
+    val penDiag = Seq("13e0", "17e0", "17e0", "13e0")
+    def diag(s0: Int): String =
+      s"${penDiag(s0)} * 5e-2" +
+        slotMembers(s0).map(i => s" + w[$i]").mkString + " + 1e-12"
+    def atb(s0: Int): String =
+      slotMembers(s0).map(i => s"w[$i] * (y[$i] - c - x5[$i])").mkString(" + ")
+    val n = r + 1
+    s"""
+    pv_${r}a AS MATERIALIZED (
+      SELECT y, w, x5,
+        ${diag(0)} AS a00, -10e0 * 5e-2 AS a10, ${diag(1)} AS a11,
+        5e0 * 5e-2 AS a20, -12e0 * 5e-2 AS a21, ${diag(2)} AS a22,
+        -8e0 * 5e-2 AS a30, 5e0 * 5e-2 AS a31, -10e0 * 5e-2 AS a32,
+        ${diag(3)} AS a33,
+        ${atb(0)} AS t0, ${atb(1)} AS t1, ${atb(2)} AS t2, ${atb(3)} AS t3,
+        sqrt(greatest(a00, 1e-12)) AS l00,
+        a10 / l00 AS l10,
+        sqrt(greatest(a11 - l10 * l10, 1e-12)) AS l11,
+        a20 / l00 AS l20,
+        (a21 - l20 * l10) / l11 AS l21,
+        sqrt(greatest(a22 - l20 * l20 - l21 * l21, 1e-12)) AS l22,
+        a30 / l00 AS l30,
+        (a31 - l30 * l10) / l11 AS l31,
+        (a32 - l30 * l20 - l31 * l21) / l22 AS l32,
+        sqrt(greatest(a33 - l30 * l30 - l31 * l31 - l32 * l32, 1e-12)) AS l33,
+        t0 / l00 AS fy0,
+        (t1 - l10 * fy0) / l11 AS fy1,
+        (t2 - l20 * fy0 - l21 * fy1) / l22 AS fy2,
+        (t3 - l30 * fy0 - l31 * fy1 - l32 * fy2) / l33 AS fy3,
+        fy3 / l33 AS bx3,
+        (fy2 - l32 * bx3) / l22 AS bx2,
+        (fy1 - l21 * bx2 - l31 * bx3) / l11 AS bx1,
+        (fy0 - l10 * bx1 - l20 * bx2 - l30 * bx3) / l00 AS bx0,
+        (((bx0 + bx1) + bx2) + bx3) / 4e0 AS mu,
+        [bx0 - mu, bx1 - mu, bx2 - mu, bx3 - mu] AS u2,
+        c + mu AS c2
+      FROM pv_st$r),
+    pv_${r}rows AS MATERIALIZED (
+      SELECT g.i,
+        CASE WHEN g.i = 8 THEN 0e0
+          ELSE a.y[g.i] - a.c2 - a.u2[((g.i - 1) % 4) + 1] END AS v,
+        CASE WHEN g.i = 8 THEN 1e-12 ELSE a.w[g.i] END AS wt
+      FROM pv_${r}a a CROSS JOIN (SELECT unnest(range(1, 13)) AS i) g),
+    pv_${r}l AS MATERIALIZED (
+      SELECT list(wt * v ORDER BY i) AS wv, list(wt ORDER BY i) AS wl
+      FROM pv_${r}rows),
+    pv_${r}m AS MATERIALIZED (
+      SELECT ga.a, gb.b,
+        list_reduce(list_slice(l.wv, ga.a, gb.b), (p, q) -> p + q)
+          / list_reduce(list_slice(l.wl, ga.a, gb.b), (p, q) -> p + q) AS m
+      FROM (SELECT unnest(range(1, 13)) AS a) ga
+      JOIN (SELECT unnest(range(1, 13)) AS b) gb ON gb.b >= ga.a
+      CROSS JOIN pv_${r}l l),
+    pv_${r}mx AS MATERIALIZED (
+      SELECT gi.i, m.a, max(m.m) AS mx
+      FROM pv_${r}m m JOIN (SELECT unnest(range(1, 13)) AS i) gi
+        ON m.a <= gi.i AND m.b >= gi.i
+      GROUP BY 1, 2),
+    pv_${r}fit AS MATERIALIZED (
+      SELECT i, min(mx) AS fit FROM pv_${r}mx GROUP BY 1),
+    pv_${r}b AS MATERIALIZED (
+      SELECT a.y, a.w, a.u2 AS u, a.c2 + f1.f1 AS cb,
+        (SELECT list(f.fit - f1.f1 ORDER BY f.i) FROM pv_${r}fit f) AS x5b
+      FROM pv_${r}a a
+      CROSS JOIN (SELECT fit AS f1 FROM pv_${r}fit WHERE i = 1) f1),
+    pv_${r}c AS MATERIALIZED (
+      SELECT y, w, u, x5b,
+        list_reduce(list_transform(range(1, 13), i ->
+          CASE WHEN i = 8 THEN 0e0
+            ELSE w[i] * (y[i] - u[((i - 1) % 4) + 1] - x5b[i]) END),
+          (p, q) -> p + q)
+        / list_reduce(list_transform(range(1, 13), i ->
+          CASE WHEN i = 8 THEN 0e0 ELSE w[i] END), (p, q) -> p + q) AS cc
+      FROM pv_${r}b),
+    pv_st$n AS MATERIALIZED (
+      SELECT y, u, x5b AS x5, cc AS c,
+        list_transform(range(1, 13), i ->
+          CASE WHEN i = 8 THEN w[i]
+            WHEN abs(y[i] - cc - u[((i - 1) % 4) + 1] - x5b[i])
+                 <= CAST(12 AS DOUBLE) * 1e-2 / 2e0
+              THEN 1e0 / CAST(12 AS DOUBLE)
+            ELSE 1e-2 / (2e0 * greatest(
+              abs(y[i] - cc - u[((i - 1) % 4) + 1] - x5b[i]), 1e-12))
+          END) AS w
+      FROM pv_${r}c)"""
+  }
+
+  private val q87 = s"""
+    WITH pv_y AS (
+      SELECT [4.5e0, 4.2e0, 3.9e0, 4.1e0, 4.42e0, 4.12e0,
+              3.8e0, 0e0, 4.3e0, 4e0, 3.66e0, 3.86e0] AS y),
+    pv_st1 AS MATERIALIZED (
+      SELECT y,
+        list_transform(range(1, 13), i -> 1e0 / CAST(12 AS DOUBLE)) AS w,
+        list_reduce(list_transform(range(1, 13), i ->
+          CASE WHEN i = 8 THEN 0e0 ELSE y[i] END), (p, q) -> p + q) / 11e0 AS c,
+        [0e0, 0e0, 0e0, 0e0] AS u,
+        list_transform(range(1, 13), i -> 0e0) AS x5
+      FROM pv_y),
+    ${pvpro5RoundCtes(1)},
+    ${pvpro5RoundCtes(2)},
+    pv_out AS (
+      SELECT g.i AS gi,
+        CASE WHEN g.i = 8 THEN 0e0
+          ELSE st.y[g.i] - st.c - st.u[((g.i - 1) % 4) + 1] - st.x5[g.i] END AS z,
+        CASE WHEN g.i = 8 THEN 0e0
+          WHEN z >= 0e0 THEN least(z, CAST(12 AS DOUBLE) * 1e-2 / 2e0)
+          ELSE greatest(z, -(CAST(12 AS DOUBLE) * 1e-2 / 2e0)) END AS x1v,
+        st.c AS cv, st.u[((g.i - 1) % 4) + 1] AS x4v, st.x5[g.i] AS x5v
+      FROM pv_st3 st CROSS JOIN (SELECT unnest(range(1, 13)) AS i) g)
+    SELECT CAST(gi - 1 AS BIGINT) AS i,
+      round(x1v, 6) AS x1, round(z - x1v, 6) AS x2, round(cv, 6) AS x3,
+      round(x4v, 6) AS x4, round(x5v, 6) AS x5
+    FROM pv_out
+  """
+
   // q86: the full-fidelity loss-factor SD invariant gate — day counts
   // relational, the component constraints and the exact Shapley
   // efficiency identity stated as known-true literals (LossFactorSpec
@@ -4756,6 +4887,7 @@ $branches
     "q84_sensor_identify" -> q84,
     "q85_sensor_choice" -> q85,
     "q86_loss_factor" -> q86,
+    "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,
     "p02_dilation" -> p02,
     "p03_quantile_clearsky" -> p03,

@@ -1095,6 +1095,35 @@ object SparkEntry {
         "resid_masked", "shapley_exact", "all_finite")
   }
 
+  /** Fixed-literal bit gate for [[graft.solvers.Kernels.pvproDecompose5]]
+    * (the q75/q77 idiom, extended to the FULL 5-component model): a
+    * 12-sample instance at period 4, monotonic model, one masked
+    * entry, TWO alternation rounds. The oracle replays every step —
+    * the 4×4 periodic normal-matrix assembly (λ4·pen + per-slot
+    * weights in Scala's accumulation order), the dense Cholesky in
+    * `solveSpd`'s exact operation order, the zero-sum mean shift, the
+    * weighted non-increasing PAVA via the q59 minimax identity (range
+    * means as ordered list folds), the weighted-mean constant, the
+    * Huber IRLS reweight, and the closed-form (x1, x2) split — as
+    * generated chained MATERIALIZED CTEs.
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.createDataset(Seq(1))
+      .groupByKey(identity)
+      .flatMapGroups { (_: Int, _: Iterator[Int]) =>
+        val y = Array(4.50, 4.20, 3.90, 4.10, 4.42, 4.12,
+          3.80, Double.NaN, 4.30, 4.00, 3.66, 3.86)
+        val (x1, x2, x3, x4, x5) = graft.solvers.Kernels.pvproDecompose5(
+          y, 4, model = "monotonic", lambda2 = 0.01, lambda4 = 0.05, rounds = 2)
+        (0 until 12).iterator.map(i => (i.toLong, x1(i), x2(i), x3(i), x4(i), x5(i)))
+      }
+      .toDF("i", "x1", "x2", "x3", "x4", "x5")
+      .select(col("i"), round(col("x1"), 6).as("x1"), round(col("x2"), 6).as("x2"),
+        round(col("x3"), 6).as("x3"), round(col("x4"), 6).as("x4"),
+        round(col("x5"), 6).as("x5"))
+  }
+
   /** A band join written NAIVELY — a plain inequality-only join
     * condition, no operator call, no equi key — exercising
     * [[graft.plans.IntervalJoinRule]]'s default scope end to end:
@@ -3577,6 +3606,7 @@ object SparkEntry {
     "q84_sensor_identify" -> (q84 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
+    "q87_pvpro5_replay" -> (q87 _),
     "p06_fleet_relational" -> (p06 _),
     "p07_report_relational" -> (p07 _),
     "j01_json_extract" -> (j01 _),
