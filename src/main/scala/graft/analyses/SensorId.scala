@@ -55,21 +55,25 @@ object SensorId {
     *   cv_mbe) — corr on the full filtered set, cv_* pooled over the
     *   test folds, 6 dp
     */
-  def identify(
+  /** The day-grain sufficient-statistic table the CV runs on — one row
+    * per (site, day, sensor) with exact integer-micro moments (x, y at
+    * 1e6; the quadratic products at 1e4, bounding the long at ~1e13
+    * for 1e4-magnitude inputs over 1e5-row days). Public (and consumed
+    * by [[identify]]) so the STREAMING twin
+    * ([[graft.streaming.EventStream.incrementalSensorMoments]]) can be
+    * compared against the exact batch grain.
+    *
+    * @return (site, day, n, sy, syy, err, sensor, sx, sxx, sxy)
+    */
+  def dayMoments(
       df: DataFrame,
       site: String,
       tsCol: String,
       powerCol: String,
       sensorCols: Seq[String],
-      dayFlags: Option[DataFrame] = None,
-      errorDayPredicate: Column = lit(false),
-      nSplits: Int = 20
+      errorDayPredicate: Column = lit(false)
   ): DataFrame = {
     require(sensorCols.nonEmpty, "need at least one candidate sensor column")
-    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
-    // exact integer moment lifts: x,y to micros (1e6); the quadratic
-    // products to 1e4 (bounds the long at ~1e13 for 1e4-magnitude
-    // inputs over 1e5-row days)
     def li(c: Column, s: Double): Column = round(c * lit(s), 0).cast("long")
     val y = col(powerCol).cast("double")
     val perDayAggs = Seq(
@@ -93,9 +97,23 @@ object SensorId {
     val stackExpr = sensorCols.zipWithIndex
       .map { case (sc, i) => s"'$sc', sx_$i, sxx_$i, sxy_$i" }
       .mkString(s"stack(${sensorCols.length}, ", ", ", ") AS (sensor, sx, sxx, sxy)")
-    val long0 = dayStats.select(
+    dayStats.select(
       col("site"), col("day"), col("n"), col("sy"), col("syy"), col("err"),
       expr(stackExpr))
+  }
+
+  def identify(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      powerCol: String,
+      sensorCols: Seq[String],
+      dayFlags: Option[DataFrame] = None,
+      errorDayPredicate: Column = lit(false),
+      nSplits: Int = 20
+  ): DataFrame = {
+    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
+    val long0 = dayMoments(df, site, tsCol, powerCol, sensorCols, errorDayPredicate)
     // day filters: no_errors always; clear/cloudy when flags provided
     val longF = dayFlags match {
       case None =>

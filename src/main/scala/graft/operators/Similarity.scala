@@ -278,6 +278,45 @@ object Similarity {
       .select(col("centroid_id"), col("centroid").cast("array<double>"))
   }
 
+  /** The billion-vector training route: fit centroids on a bounded
+    * DETERMINISTIC sample, leaving assignment (the cheap, shuffle-free
+    * part) to run over the full corpus as usual. [[kmeansFit]] holds
+    * only k×dim doubles on the driver at any corpus size, but each
+    * Lloyd's iteration is a full-corpus pass — past the envelope where
+    * `iters × corpus-scan` dominates, sample-train is the standard
+    * answer (Lloyd's estimates MEANS, which a uniform sample estimates
+    * at O(1/√m) error; the same auto-route pattern as `deltaDedup`'s
+    * measured 2e7-key broadcast bound). The sample is a hash threshold
+    * on the id — engine-reproducible, no RNG state, uniform across
+    * shards even when ids encode provenance.
+    *
+    * @param maxTrainRows training-scan budget; corpora at or under it
+    *   train exactly like [[kmeansFit]] (the sample filter is skipped,
+    *   not just saturated, so small-corpus plans are unchanged)
+    */
+  def kmeansFitSampled(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5,
+      maxTrainRows: Long = 1000000L
+  ): DataFrame = {
+    require(maxTrainRows >= k,
+      s"maxTrainRows=$maxTrainRows cannot seed k=$k centroids")
+    val n = vectors.count()
+    if (n <= maxTrainRows) kmeansFit(vectors, idCol, vecCol, k, iters)
+    else {
+      // per-mille hash bucket ⇒ the kept fraction is deterministic and
+      // the sample stays ≥ maxTrainRows in expectation without a
+      // second pass; ceil keeps tiny fractions from rounding to zero
+      val keepMille = math.min(1000L, (maxTrainRows * 1000L) / n + 1L)
+      val sampled = vectors.filter(
+        pmod(xxhash64(col(idCol).cast("string")), lit(1000L)) < lit(keepMille))
+      kmeansFit(sampled, idCol, vecCol, k, iters)
+    }
+  }
+
   /** SemDeDup-style semantic deduplication: cluster every vector to
     * its nearest centroid, then inside each cluster drop any vector
     * whose cosine to a SMALLER-id member reaches `threshold` —

@@ -68,6 +68,9 @@ object EventStream {
     * [[finalizedFold]] so there is ONE closure core.
     */
   case class EvH(day: String, user_id: Long, value: Double, h: Double)
+
+  /** [[EvH]] plus the event type — the error-channel-aware twins. */
+  case class EvT(day: String, user_id: Long, value: Double, h: Double, etype: String)
   case class SiteAgg(site: Long, nDays: Int, nObs: Long, totalV: Double, maxV: Double)
   case class SiteDay(site: Long, day: String, nObs: Long, sumV: Double, maxV: Double)
 
@@ -109,10 +112,7 @@ object EventStream {
       carry0: C,
       onClose: (C, Long, String, D) => (C, Seq[O])
   )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     import spark.implicits._
-    implicit val stateEnc: org.apache.spark.sql.Encoder[(Map[String, D], String, C)] =
-      org.apache.spark.sql.Encoders.kryo[(Map[String, D], String, C)]
     val evs = readEvents(spark, path)
       // null ts/value guard: the Ev decode is non-nullable, and a single
       // poisoned file would otherwise kill the query on every restart
@@ -120,15 +120,65 @@ object EventStream {
       .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"),
         graft.operators.TimeAxis.hourOfDay(col("ts")).as("h"))
       .as[EvH]
+    finalizedFoldCore[EvH, D, C, O](spark, evs, _.user_id, _.day,
+      checkpoint, outDir, zero, foldEv, carry0, onClose)
+  }
+
+  /** [[finalizedFoldH]] over TYPED events ([[EvT]]: value + hour +
+    * event type) — the twins that need the error channel (sensor-ID
+    * moments) ride the same closure core through this face.
+    */
+  def finalizedFoldT[D, C, O](
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      zero: D,
+      foldEv: (D, EvT) => D,
+      carry0: C,
+      onClose: (C, Long, String, D) => (C, Seq[O])
+  )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame = {
+    import spark.implicits._
+    val evs = readEvents(spark, path)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull && col("value").isNotNull)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id"), col("value"),
+        graft.operators.TimeAxis.hourOfDay(col("ts")).as("h"),
+        coalesce(col("event_type"), lit("")).as("etype"))
+      .as[EvT]
+    finalizedFoldCore[EvT, D, C, O](spark, evs, _.user_id, _.day,
+      checkpoint, outDir, zero, foldEv, carry0, onClose)
+  }
+
+  /** THE closure core, generic over the event row shape: every
+    * finalization twin folds through here, so the per-site closed-day
+    * watermark / open-day state / carry semantics have exactly one
+    * definition.
+    */
+  private def finalizedFoldCore[E, D, C, O](
+      spark: SparkSession,
+      evs: org.apache.spark.sql.Dataset[E],
+      siteOf: E => Long,
+      dayOf: E => String,
+      checkpoint: String,
+      outDir: String,
+      zero: D,
+      foldEv: (D, E) => D,
+      carry0: C,
+      onClose: (C, Long, String, D) => (C, Seq[O])
+  )(implicit outEnc: org.apache.spark.sql.Encoder[O]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val stateEnc: org.apache.spark.sql.Encoder[(Map[String, D], String, C)] =
+      org.apache.spark.sql.Encoders.kryo[(Map[String, D], String, C)]
     val out = evs
-      .groupByKey(_.user_id)
+      .groupByKey(siteOf)(org.apache.spark.sql.Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (site: Long, it: Iterator[EvH], state: GroupState[(Map[String, D], String, C)]) =>
+        (site: Long, it: Iterator[E], state: GroupState[(Map[String, D], String, C)]) =>
           val (open0, closedMax, c0) =
             state.getOption.getOrElse((Map.empty[String, D], "", carry0))
           val m = it.foldLeft(open0) { (acc, e) =>
-            if (e.day <= closedMax) acc // late row for a finalized day: drop
-            else acc.updated(e.day, foldEv(acc.getOrElse(e.day, zero), e))
+            val d = dayOf(e)
+            if (d <= closedMax) acc // late row for a finalized day: drop
+            else acc.updated(d, foldEv(acc.getOrElse(d, zero), e))
           }
           if (m.isEmpty) Iterator.empty
           else {
@@ -148,6 +198,53 @@ object EventStream {
           }
       }
     StreamSink.runAppend(spark, out.toDF(), checkpoint, outDir, Trigger.AvailableNow())
+  }
+
+  case class SensorMomentRow(
+      site: Long, day: String, n: Long, sy: Long, syy: Long, err: Int,
+      sensor: String, sx: Long, sxx: Long, sxy: Long)
+
+  /** Streaming twin of [[graft.analyses.SensorId.dayMoments]] for the
+    * two hour-derived sensor channels (the triangular daylight proxy
+    * and the linear hour ramp — the q84 synthesis): per (site, day,
+    * sensor) integer-micro moment rows, emitted once at day close.
+    * The CV itself ([[graft.analyses.SensorId.identify]]'s fold /
+    * train-window algebra) is a cheap day-grain batch over these
+    * finalized rows — the expensive raw-scan reduction is what streams.
+    * Per-row lifts use the same HALF_UP decimal rounding as the batch
+    * `round(x·1e6)` columns, and integer sums are order-free, so a
+    * closed day's row is BIT-equal to the batch grain.
+    */
+  def incrementalSensorMoments(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String
+  ): DataFrame = {
+    import spark.implicits._
+    def li(x: Double, s: Double): Long =
+      BigDecimal(x * s).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    // per-day state: (n, sy, syy, err, sxT, sxxT, sxyT, sxL, sxxL, sxyL)
+    type D = (Long, Long, Long, Int, Long, Long, Long, Long, Long, Long)
+    finalizedFoldT[D, Unit, SensorMomentRow](
+      spark, path, checkpoint, outDir,
+      zero = (0L, 0L, 0L, 0, 0L, 0L, 0L, 0L, 0L, 0L),
+      foldEv = { (d, e) =>
+        val y = e.value
+        val sTri = math.max(0.0, 12.0 - math.abs(e.h - 12.0)) * 75.0
+        val sLin = e.h * 40.0
+        (d._1 + 1, d._2 + li(y, 1e6), d._3 + li(y * y, 1e4),
+          math.max(d._4, if (e.etype == "error") 1 else 0),
+          d._5 + li(sTri, 1e6), d._6 + li(sTri * sTri, 1e4), d._7 + li(sTri * y, 1e4),
+          d._8 + li(sLin, 1e6), d._9 + li(sLin * sLin, 1e4), d._10 + li(sLin * y, 1e4))
+      },
+      carry0 = (),
+      onClose = { (_, site, day, d) =>
+        ((), Seq(
+          SensorMomentRow(site, day, d._1, d._2, d._3, d._4, "s_tri", d._5, d._6, d._7),
+          SensorMomentRow(site, day, d._1, d._2, d._3, d._4, "s_lin", d._8, d._9, d._10)))
+      }
+    )
   }
 
   /** Streaming DAY FINALIZATION — the streaming twin of the batch

@@ -46,6 +46,40 @@ class KmeansSpec extends AnyFunSuite {
     assert(maxDelta < 1e-9, s"centroids drift $maxDelta across partitionings")
   }
 
+  test("sampled training route: small corpora train exactly; capped corpora stay near the full objective") {
+    // at or under the budget the filter is skipped entirely — plans
+    // and centroids are IDENTICAL to kmeansFit
+    val full = Similarity.kmeansFit(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val same = Similarity.kmeansFitSampled(emb, "vec_id", "embedding", k = 8, iters = 3,
+      maxTrainRows = 1000000L)
+    val drift = full.join(same.withColumnRenamed("centroid", "c2"), Seq("centroid_id"))
+      .select(expr(
+        "aggregate(zip_with(centroid, c2, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().max
+    assert(drift == 0.0, s"under-budget route must be the exact full fit (drift $drift)")
+    // over the budget: train on the hash sample, score on the FULL
+    // corpus — objective must stay within a modest factor of full
+    // training (Lloyd's estimates means; a uniform sample suffices)
+    val cap = emb.count() / 3
+    val sampled = Similarity.kmeansFitSampled(emb, "vec_id", "embedding", k = 8, iters = 3,
+      maxTrainRows = cap)
+    assert(sampled.count() == 8)
+    val objFull = objective(full)
+    val objSampled = objective(sampled)
+    assert(objSampled < objFull * 1.5,
+      s"sample-trained objective $objSampled vs full $objFull")
+    // deterministic: same call twice → identical centroids
+    val again = Similarity.kmeansFitSampled(emb, "vec_id", "embedding", k = 8, iters = 3,
+      maxTrainRows = cap)
+    val drift2 = sampled.join(again.withColumnRenamed("centroid", "c2"), Seq("centroid_id"))
+      .select(expr(
+        "aggregate(zip_with(centroid, c2, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().max
+    assert(drift2 == 0.0, s"hash sample must be deterministic (drift $drift2)")
+  }
+
   test("hash-ordered init survives id-correlated clusters (smallest-id seeds would not)") {
     import spark.implicits._
     // ids encode the cluster (the common shard-by-source layout): ids

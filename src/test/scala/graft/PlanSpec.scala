@@ -122,6 +122,30 @@ class PlanSpec extends AnyFunSuite {
     assert(scans67 <= 2, s"q67 reads the raw parquet $scans67 times")
   }
 
+  test("sensor-ID CV never explodes the scan: sensors unpivot above the day aggregate (q84)") {
+    // the whole cross-validation is sufficient-statistics algebra: the
+    // only Generates allowed are DOWNSTREAM of the day-grain aggregate
+    // (the stack unpivot and the filter explode) — a Generate feeding
+    // an aggregate from below would mean the raw scan multiplied
+    val plan = SparkEntry.queries("q84_sensor_identify")(spark, dir).queryExecution.sparkPlan
+    val gens = plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.nonEmpty, "expected the post-aggregate unpivot/filter Generates")
+    gens.foreach { g =>
+      val hasAggBelow = g.find {
+        case _: org.apache.spark.sql.execution.aggregate.HashAggregateExec => true
+        case _: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => true
+        case _ => false
+      }.isDefined
+      assert(hasAggBelow, "q84 exploded the raw scan before aggregating")
+    }
+    val p = planOf("q84_sensor_identify")
+    assert(!p.contains("CartesianProduct"), "q84 planned a cartesian product")
+    // formatted explain lists each node in the tree AND the details —
+    // count the details headers only
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).size
+    assert(scans <= 2, s"q84 reads the raw parquet $scans times (sensor scan + clear-day scan)")
+  }
+
   test("grid search stays single-scan: no row explosion before aggregation (q38)") {
     // the threshold grid is evaluated as conditional aggregate columns;
     // every Generate (explode) must sit DOWNSTREAM of an aggregate —

@@ -444,4 +444,48 @@ class StreamingSpec extends AnyFunSuite {
       "uncalibrated site leaked into the report")
     assert(outHeld.count() > 0)
   }
+
+  test("incrementalSensorMoments closed-day rows are bit-equal to SensorId.dayMoments across a restart") {
+    import org.apache.spark.sql.DataFrame
+    val src = java.nio.file.Files.createTempDirectory("evsens").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("evsensckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("evsensout").toString
+    val all = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+      .withColumn("day", to_date(col("ts")).cast("string"))
+      .cache()
+    val days = all.select("day").distinct().orderBy("day")
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val splitDay = days(days.length / 2)
+    all.filter(col("day") <= splitDay).drop("day").write.mode("append").parquet(src)
+    EventStream.incrementalSensorMoments(spark, src, ckpt, outDir)
+    all.filter(col("day") > splitDay).drop("day").write.mode("append").parquet(src)
+    val out = EventStream.incrementalSensorMoments(spark, src, ckpt, outDir)
+
+    // batch grain over the SAME hour-derived sensors, closed days only
+    val h = graft.operators.TimeAxis.hourOfDay(col("ts"))
+    val fleet = all
+      .withColumn("s_tri", greatest(lit(0.0), lit(12.0) - abs(h - lit(12.0))) * lit(75.0))
+      .withColumn("s_lin", h * lit(40.0))
+    val batch: DataFrame = graft.analyses.SensorId.dayMoments(
+        fleet, "user_id", "ts", "value", Seq("s_tri", "s_lin"),
+        errorDayPredicate = col("event_type") === "error")
+      .withColumn("day", col("day").cast("string"))
+    val lastDay = batch.groupBy("site").agg(max("day").as("last_day"))
+    val expect = batch.join(lastDay, "site").filter(col("day") < col("last_day"))
+      .drop("last_day")
+    assert(out.count() == expect.count(),
+      s"closed-day row count: stream ${out.count()} vs batch ${expect.count()}")
+    // integer moments must match EXACTLY (bit-equal lifts + order-free sums)
+    val keys = Seq("site", "day", "sensor")
+    val joined = out.join(expect.withColumnsRenamed(
+      Map("n" -> "e_n", "sy" -> "e_sy", "syy" -> "e_syy", "err" -> "e_err",
+        "sx" -> "e_sx", "sxx" -> "e_sxx", "sxy" -> "e_sxy")), keys)
+    assert(joined.count() == out.count(), "stream emitted a (site, day, sensor) batch lacks")
+    val bad = joined.filter(
+      col("n") =!= col("e_n") || col("sy") =!= col("e_sy") || col("syy") =!= col("e_syy") ||
+        col("err") =!= col("e_err") || col("sx") =!= col("e_sx") ||
+        col("sxx") =!= col("e_sxx") || col("sxy") =!= col("e_sxy"))
+    assert(bad.count() == 0, "streaming moments diverged from the batch grain")
+  }
 }
