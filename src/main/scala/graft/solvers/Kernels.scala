@@ -1357,10 +1357,22 @@ object Kernels {
     val T = y.length
     require(Set("linear", "monotonic", "smooth_monotonic", "piecewise_linear")(model),
       s"unknown model '$model'")
-    require(period >= 2 && period <= T, s"period $period out of range for T=$T")
+    require(period >= 2, s"period must be >= 2, got $period")
+    // degenerate-input contract (DegenerateInputSpec): an empty or
+    // one-sample site maps to the trivial decomposition, never a throw
+    if (T == 0)
+      return (Array.empty, Array.empty, Array.empty, Array.empty, Array.empty)
+    if (T == 1) {
+      val known1 = (known0 == null || known0(0)) && !y(0).isNaN
+      val c1 = if (known1) y(0) else 0.0
+      return (Array(0.0), Array(0.0), Array(c1), Array(0.0), Array(0.0))
+    }
     val known = Array.tabulate(T)(i =>
       (known0 == null || known0(i)) && !y(i).isNaN)
-    val p = period
+    // a period longer than the series cannot be identified — clamp to
+    // the series length (every slot then has one observation and the
+    // D² penalty alone shapes the profile)
+    val p = math.min(period, T)
     val huberK = T * lambda2 / 2.0
     var c = { // init constant at the known mean
       var s = 0.0; var n = 0

@@ -392,7 +392,7 @@ object LossFactor {
       fitDeg()
       // deg(0) = 0: fold the offset into the level (linear/fixed forms
       // are already exact; nonlinear needs the shift)
-      if (deg(0) != 0.0) {
+      if (T > 0 && deg(0) != 0.0) {
         val sh = deg(0)
         lev += sh
         var i = 0

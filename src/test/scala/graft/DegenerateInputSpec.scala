@@ -117,6 +117,40 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(r.site == 7L && r.nDays == 1)
   }
 
+  test("round-8 solvers: empty / one-sample / short series return without throwing") {
+    // pvproDecompose5: empty, single sample, series shorter than the period
+    val e5 = Kernels.pvproDecompose5(Array.empty[Double], period = 7)
+    assert(e5._1.isEmpty && e5._5.isEmpty)
+    val one5 = Kernels.pvproDecompose5(Array(4.2), period = 7)
+    assert(one5._3(0) == 4.2 && one5._5(0) == 0.0)
+    val short5 = Kernels.pvproDecompose5(Array(4.0, 4.1, 3.9), period = 7)
+    assert(short5._3.length == 3 && short5._4.forall(v => !v.isNaN))
+    // LossFactor: empty and one-day series; estimateLosses on empty
+    val de = graft.solvers.LossFactor.decompose(Array.empty[Double], rounds = 3)
+    assert(de.seasonal.isEmpty && de.residual.isEmpty)
+    val repE = graft.solvers.LossFactor.estimateLosses(
+      Array.empty[Double], Array.empty[Boolean], de)
+    assert(repE.totalEnergyLoss == 0.0 && repE.degradationRatePctYr.isNaN)
+    val d1 = graft.solvers.LossFactor.decompose(Array(6.5), rounds = 3)
+    assert(d1.degradation(0) == 0.0 && !d1.seasonal(0).isNaN)
+    // SensorId: empty frame and a one-day site produce sane outputs
+    val noRows = Seq.empty[(Long, Timestamp, Double, Double)]
+      .toDF("site", "ts", "power", "s1")
+    assert(graft.analyses.SensorId.identify(
+      noRows, "site", "ts", "power", Seq("s1"), nSplits = 3).count() == 0)
+    val oneDay = Seq(
+      (1L, ts("2024-06-01 10:00:00"), 5.0, 2.0),
+      (1L, ts("2024-06-01 12:00:00"), 7.0, 3.0)
+    ).toDF("site", "ts", "power", "s1")
+    val res1 = graft.analyses.SensorId.identify(
+      oneDay, "site", "ts", "power", Seq("s1"), nSplits = 3).collect()
+    assert(res1.length == 1 && res1(0).isNullAt(6),
+      "a one-day site has no test folds, so cv_rmse must be null")
+    assert(graft.analyses.SensorId.choose(
+      graft.analyses.SensorId.identify(
+        oneDay, "site", "ts", "power", Seq("s1"), nSplits = 3)).count() == 1)
+  }
+
   test("fleet pipeline over an empty frame yields an empty report") {
     assert(Pipeline.run(spark, emptySeries, "site", "ts", "value").count() == 0)
   }
