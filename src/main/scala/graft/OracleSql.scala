@@ -2408,6 +2408,38 @@ object OracleSql {
       FROM si_piv) t
   """
 
+  // d44: line-level boilerplate removal replayed end to end — the
+  // manufactured 4-line documents (chr(10) everywhere: the SQL text is
+  // whitespace-flattened, so a literal newline inside a string would
+  // be destroyed), per-line md5 digests, per-doc DISTINCT digest
+  // explode, the >= minDocs frequency cut, and the in-row
+  // filter-and-reassemble via list lambdas.
+  private val d44 = """
+    WITH ld AS (
+      SELECT doc_id,
+        'header ' || source || chr(10) || substr(text, 1, 80) || chr(10) ||
+        substr(text, 81, 80) || chr(10) || 'footer ' || lang AS text
+      FROM documents),
+    lh AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(string_split(text, chr(10)), l -> md5(l)))) AS h
+      FROM ld),
+    fq AS (SELECT h FROM lh GROUP BY h HAVING count(*) >= 5),
+    farr AS (SELECT list(h) AS boiler FROM fq),
+    cl AS (
+      SELECT d.doc_id,
+        string_split(d.text, chr(10)) AS ls,
+        list_filter(string_split(d.text, chr(10)),
+          l -> NOT list_contains(f.boiler, md5(l))) AS kept
+      FROM ld d CROSS JOIN farr f)
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+      md5(array_to_string(kept, chr(10))) AS clean_md5,
+      CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len
+    FROM cl
+  """
+
   // q87: pvproDecompose5 replayed bit-for-bit on the fixed 12-sample /
   // period-4 / monotonic / 2-round instance. Every stage mirrors the
   // Scala operation order: the 4×4 periodic normal matrix (λ4·pen
@@ -4867,6 +4899,7 @@ $branches
     "q65_longitude_study_filled" -> q65,
     "q66_orientation_cells_filled" -> q66,
     "d43_pii_mask" -> d43,
+    "d44_line_boilerplate" -> d44,
     "q67_dbscan_quality" -> q67,
     "q68_clearsky_dp" -> q68,
     "q69_dst_repair" -> q69,

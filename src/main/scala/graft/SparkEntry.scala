@@ -2728,6 +2728,30 @@ object SparkEntry {
     * Java-regex/RE2 dialect subset for exactly this reason). The full
     * redacted text is compared via md5.
     */
+  /** Line-level boilerplate removal ([[graft.operators.Dedup.lineBoilerplate]],
+    * the CCNet/Dolma crawl-cleaning idiom). The synthetic corpus has
+    * no newlines, so the gate MANUFACTURES 4-line documents (the d43
+    * manufactured-input idiom): a per-source header, two content
+    * slices, a per-language footer — headers (~25 docs each) and
+    * footers (~bigger groups) cross the min-docs threshold, content
+    * lines stay. The oracle replays the line split / per-line md5 /
+    * distinct-doc frequency / in-row filter / reassembly with list
+    * lambdas; the cleaned text compares via md5.
+    */
+  private def d44(s: SparkSession, dir: String): DataFrame = {
+    val nl = "\n"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(lit("header "), col("source"), lit(nl),
+          substring(col("text"), 1, 80), lit(nl),
+          substring(col("text"), 81, 80), lit(nl),
+          lit("footer "), col("lang")).as("text"))
+    Dedup.lineBoilerplate(docs, "doc_id", "text", minDocs = 5)
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"),
+        length(col("clean_text")).cast("long").as("clean_len"))
+  }
+
   private def d43(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val injected = docs.select(col("doc_id"),
@@ -3651,6 +3675,7 @@ object SparkEntry {
     "d41_nb_quality" -> (d41 _),
     "d42_canonical_select" -> (d42 _),
     "d43_pii_mask" -> (d43 _),
+    "d44_line_boilerplate" -> (d44 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -607,6 +607,77 @@ object Dedup {
     */
   val DeltaExactBroadcastMaxKeys: Long = 20_000_000L
 
+  /** CCNet/Dolma-style LINE-LEVEL boilerplate removal: a line (text
+    * segment between `delimiter`s) that appears in at least `minDocs`
+    * DISTINCT documents is boilerplate (headers, footers, navigation,
+    * legal banners — the lines that repeat across a crawl) and is
+    * stripped from every document; within-document repeats count once.
+    *
+    * 100 TB posture — the document text NEVER shuffles: line keys are
+    * md5 digests computed IN-ROW (`transform` over the in-row split),
+    * only 32-byte hashes enter the frequency aggregation, and the
+    * boilerplate set comes back to the scan as a broadcast. Two
+    * membership tiers (the `deltaDedup` auto-route pattern):
+    *
+    *  - EXACT (≤ `maxExactLines` boilerplate lines): the distinct
+    *    boilerplate digests broadcast as one in-row array; per-line
+    *    membership is `array_contains` — exact, no false drops.
+    *  - BLOOM (beyond the envelope): a bloom filter of the digests
+    *    broadcasts instead (~10 bits/line vs ~40 bytes exact). NO
+    *    false negatives — every true boilerplate line is still
+    *    removed — but a unique line is dropped at the bloom FPR
+    *    (~1% at 10 bits / 6 probes), the same approximation class as
+    *    the LSH/simhash tiers. The route is logged.
+    *
+    * @return (idCol, clean_text, n_lines, n_removed)
+    */
+  def lineBoilerplate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long,
+      delimiter: String = "\n",
+      maxExactLines: Long = DeltaExactBroadcastMaxKeys
+  ): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val qdelim = java.util.regex.Pattern.quote(delimiter)
+    def lines(c: Column): Column = split(c, qdelim)
+    // per-doc DISTINCT line digests (in-row), so the frequency count
+    // is a distinct-document count without a countDistinct shuffle
+    val freq = docs
+      .select(explode(array_distinct(transform(lines(col(textCol)), l => md5(l)))).as("h"))
+      .groupBy(col("h")).count()
+      .filter(col("count") >= minDocs)
+      .select(col("h"))
+    val nBoiler = freq.count()
+    val out =
+      if (nBoiler <= maxExactLines) {
+        val freqArr = freq.agg(collect_list(col("h")).as("__boiler"))
+        docs
+          .crossJoin(broadcast(freqArr))
+          .withColumn("__lines", lines(col(textCol)))
+          .withColumn("__keep",
+            filter(col("__lines"), l => !array_contains(col("__boiler"), md5(l))))
+      } else {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lineBoilerplate: $nBoiler boilerplate lines > $maxExactLines exact-broadcast " +
+            "envelope; routing through the bloom tier (no false negatives; unique lines " +
+            "drop at the bloom FPR)")
+        val bloom = graft.functions.Bloom.build(
+          freq, xxhash64(col("h")), math.max(nBoiler, 1L) * 10L, 6)
+        docs
+          .withColumn("__lines", lines(col(textCol)))
+          .withColumn("__keep",
+            filter(col("__lines"),
+              l => !graft.functions.Bloom.containsCol(bloom, xxhash64(md5(l)))))
+      }
+    out.select(
+      col(idCol),
+      array_join(col("__keep"), delimiter).as("clean_text"),
+      size(col("__lines")).cast("long").as("n_lines"),
+      (size(col("__lines")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
   def deltaDedup(
       corpus: DataFrame,
       delta: DataFrame,
