@@ -125,6 +125,51 @@ object DocStream {
     runAppend(spark, out.toDF(), checkpoint, outDir, ttlMs)
   }
 
+  case class BoilerLine(h: String, n_docs: Long)
+
+  /** Streaming twin of [[graft.operators.Dedup.lineBoilerplate]]'s
+    * FREQUENCY side: an append-only BOILERPLATE LEDGER. Each arriving
+    * document contributes its in-row DISTINCT line digests (the exact
+    * expression the batch operator aggregates); per-digest state is
+    * the running distinct-document count, and a digest emits ONE
+    * ledger row the moment its count crosses `minDocs`. The ledger's
+    * digest set after any prefix of the stream equals the batch
+    * operator's boilerplate set over that prefix exactly
+    * (`DocStreamSpec` pins it across a checkpointed restart), so
+    * cleaning new documents against the current ledger is the batch
+    * membership step with the set maintained incrementally instead of
+    * recomputed. Assumes at-most-once document ingest (a replayed
+    * doc_id would double-count — the same append-only assumption as
+    * the other twins); state is one long per distinct line digest.
+    */
+  def incrementalLineBoilerplate(
+      spark: SparkSession,
+      path: String,
+      checkpoint: String,
+      outDir: String,
+      minDocs: Long,
+      delimiter: String = "\n"
+  ): DataFrame = {
+    import spark.implicits._
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val qd = java.util.regex.Pattern.quote(delimiter)
+    val digests = readDocs(spark, path)
+      .select(explode(array_distinct(
+        transform(split(col("text"), qd), l => md5(l)))).as("h"))
+      .as[String]
+    val out = digests
+      .groupByKey(identity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (h: String, it: Iterator[String], state: GroupState[Long]) =>
+          val prev = state.getOption.getOrElse(0L)
+          val now = prev + it.size
+          state.update(now)
+          if (prev < minDocs && now >= minDocs) Iterator.single(BoilerLine(h, now))
+          else Iterator.empty
+      }
+    runAppend(spark, out.toDF(), checkpoint, outDir, 0L)
+  }
+
   case class CandPair(a_id: Long, b_id: Long, band: Int)
 
   /** Incremental LSH near-dup candidates: per-doc band signatures

@@ -279,4 +279,42 @@ class DocStreamSpec extends AnyFunSuite {
     assert(ranks.filter(col("mx") =!= col("n") || col("nd") =!= col("n")).count() == 0,
       "arrival ranks not dense per source")
   }
+
+  test("incremental boilerplate ledger equals the batch frequency set across a restart") {
+    val src = java.nio.file.Files.createTempDirectory("blsrc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("blckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("blout").toString
+    // manufactured multi-line docs (the d44 construction)
+    val lined = docs
+      .select(col("doc_id"),
+        concat(lit("header "), col("source"), lit("\n"),
+          substring(col("text"), 1, 80), lit("\n"),
+          lit("footer "), col("lang")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .cache()
+    lined.filter(col("doc_id") % 2 === 0).write.mode("append").parquet(src)
+    DocStream.incrementalLineBoilerplate(spark, src, ckpt, outDir, minDocs = 5)
+    lined.filter(col("doc_id") % 2 === 1).write.mode("append").parquet(src)
+    val out = DocStream.incrementalLineBoilerplate(spark, src, ckpt, outDir, minDocs = 5)
+
+    // batch frequency set over the full corpus
+    val batch = lined
+      .select(explode(array_distinct(transform(
+        split(col("text"), java.util.regex.Pattern.quote("\n")), l => md5(l)))).as("h"))
+      .groupBy(col("h")).count()
+      .filter(col("count") >= 5)
+    assert(batch.count() > 0, "the construction must produce boilerplate")
+    val streamSet = out.select("h").distinct()
+    assert(streamSet.count() == out.count(), "a digest crossed the threshold twice")
+    assert(streamSet.except(batch.select("h")).count() == 0 &&
+      batch.select("h").except(streamSet).count() == 0,
+      "ledger diverged from the batch frequency set")
+    // and the batch operator cleans to the same result as cleaning
+    // against the ledger set (membership equality implies it; spot-check
+    // one doc anyway)
+    val cleaned = Dedup.lineBoilerplate(
+      lined.select("doc_id", "text"), "doc_id", "text", minDocs = 5)
+    assert(cleaned.filter(col("n_removed") < 2).count() == 0,
+      "every doc carries at least header+footer boilerplate")
+  }
 }
