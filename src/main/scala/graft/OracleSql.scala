@@ -2440,6 +2440,28 @@ object OracleSql {
     FROM cl
   """
 
+  // d45: intra-document line dedup — first-occurrence keep via the
+  // indexed list lambda (DuckDB's index is 1-based; the slice of
+  // everything before i is list_slice(ls, 1, i-1)).
+  private val d45 = """
+    WITH ld AS (
+      SELECT doc_id,
+        substr(text, 1, 40) || chr(10) || substr(text, 41, 60) || chr(10) ||
+        substr(text, 1, 40) || chr(10) || 'tail ' || lang AS text
+      FROM documents),
+    cl AS (
+      SELECT doc_id,
+        string_split(text, chr(10)) AS ls,
+        list_filter(string_split(text, chr(10)),
+          (l, i) -> NOT list_contains(list_slice(string_split(text, chr(10)), 1, i - 1), l)) AS kept
+      FROM ld)
+    SELECT doc_id,
+      CAST(len(ls) AS BIGINT) AS n_lines,
+      CAST(len(ls) - len(kept) AS BIGINT) AS n_removed,
+      md5(array_to_string(kept, chr(10))) AS clean_md5
+    FROM cl
+  """
+
   // q87: pvproDecompose5 replayed bit-for-bit on the fixed 12-sample /
   // period-4 / monotonic / 2-round instance. Every stage mirrors the
   // Scala operation order: the 4×4 periodic normal matrix (λ4·pen
@@ -4900,6 +4922,7 @@ $branches
     "q66_orientation_cells_filled" -> q66,
     "d43_pii_mask" -> d43,
     "d44_line_boilerplate" -> d44,
+    "d45_intradoc_lines" -> d45,
     "q67_dbscan_quality" -> q67,
     "q68_clearsky_dp" -> q68,
     "q69_dst_repair" -> q69,

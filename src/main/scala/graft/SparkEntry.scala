@@ -2752,6 +2752,26 @@ object SparkEntry {
         length(col("clean_text")).cast("long").as("clean_len"))
   }
 
+  /** Intra-document line dedup ([[graft.operators.Dedup.dedupLinesWithinDoc]],
+    * the Dolma within-doc variant): manufactured documents with an
+    * internal repeat (the first line appears twice) — the repeat must
+    * drop, everything else survives in order. Pure in-row lambda both
+    * engines (Spark 0-based filter index + slice; DuckDB 1-based
+    * list_filter index + list_slice).
+    */
+  private def d45(s: SparkSession, dir: String): DataFrame = {
+    val nl = "\n"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40), lit(nl),
+          substring(col("text"), 41, 60), lit(nl),
+          substring(col("text"), 1, 40), lit(nl),
+          lit("tail "), col("lang")).as("text"))
+    Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_removed"),
+        md5(col("clean_text")).as("clean_md5"))
+  }
+
   private def d43(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val injected = docs.select(col("doc_id"),
@@ -3676,6 +3696,7 @@ object SparkEntry {
     "d42_canonical_select" -> (d42 _),
     "d43_pii_mask" -> (d43 _),
     "d44_line_boilerplate" -> (d44 _),
+    "d45_intradoc_lines" -> (d45 _),
     "t07_length_batches" -> (t07 _),
     "d25_bpe_merges" -> (d25 _),
     "d26_bpe_encode" -> (d26 _),

@@ -607,6 +607,37 @@ object Dedup {
     */
   val DeltaExactBroadcastMaxKeys: Long = 20_000_000L
 
+  /** INTRA-document line/paragraph dedup (the Dolma within-doc
+    * variant of [[lineBoilerplate]]): keep each line's FIRST
+    * occurrence inside its own document, drop later repeats —
+    * generated pages repeat nav blocks and templated paragraphs many
+    * times within one page. Pure in-row expression (quadratic in the
+    * per-doc line count, which is bounded; nothing shuffles at all —
+    * zero exchanges in the plan).
+    *
+    * @return (idCol, clean_text, n_lines, n_removed)
+    */
+  def dedupLinesWithinDoc(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      delimiter: String = "\n"
+  ): DataFrame = {
+    val qdelim = java.util.regex.Pattern.quote(delimiter)
+    docs
+      .withColumn("__lines", split(col(textCol), qdelim))
+      // keep index i iff the line does not appear among indices < i
+      // (Spark's filter index is 0-based; slice is 1-based and takes
+      // the first i elements = everything before position i)
+      .withColumn("__keep",
+        filter(col("__lines"), (l, i) => !exists(slice(col("__lines"), lit(1), i), p => p === l)))
+      .select(
+        col(idCol),
+        array_join(col("__keep"), delimiter).as("clean_text"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__keep"))).cast("long").as("n_removed"))
+  }
+
   /** CCNet/Dolma-style LINE-LEVEL boilerplate removal: a line (text
     * segment between `delimiter`s) that appears in at least `minDocs`
     * DISTINCT documents is boilerplate (headers, footers, navigation,

@@ -98,4 +98,19 @@ class LineBoilerplateSpec extends AnyFunSuite {
     assert(out(0).getString(1) == "" && out(0).getLong(3) == 1)
     assert(out(2).getString(1) == "x" && out(2).getLong(3) == 0)
   }
+
+  test("intra-doc dedup keeps first occurrences in order; zero shuffles in the plan") {
+    val df = Seq(
+      (1L, "nav\nbody a\nnav\nbody b\nnav"),
+      (2L, "x\nx\nx"),
+      (3L, "unique only")
+    ).toDF("id", "text")
+    val out = Dedup.dedupLinesWithinDoc(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getString(1) == "nav\nbody a\nbody b" && out(0).getLong(3) == 2)
+    assert(out(1).getString(1) == "x" && out(1).getLong(3) == 2)
+    assert(out(2).getString(1) == "unique only" && out(2).getLong(3) == 0)
+    val plan = Dedup.dedupLinesWithinDoc(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"intra-doc dedup must be shuffle-free:\n$plan")
+  }
 }
