@@ -97,9 +97,13 @@ object Bench {
         .ofPattern("yyyyMMdd_HHmmss")
         .withZone(java.time.ZoneOffset.UTC)
         .format(java.time.Instant.now())
-      val hist = java.nio.file.Paths.get(s"bench/history/run_$stamp.json")
+      // CREATE_NEW + a nano suffix: two runs landing in the same
+      // wall-clock second must not silently truncate each other
+      val hist = java.nio.file.Paths.get(
+        s"bench/history/run_${stamp}_${System.nanoTime() % 1000000L}.json")
       java.nio.file.Files.createDirectories(hist.getParent)
-      java.nio.file.Files.writeString(hist, line + "\n")
+      java.nio.file.Files.writeString(hist, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist bench run artifacts: ${e.getMessage}")
     }

@@ -1060,7 +1060,7 @@ object OracleSql {
       SELECT user_id, CAST(ts AS DATE) AS day,
         CAST((date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) % 86400) // 1800 AS INT) AS slot,
         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 / count(value) AS raw
-      FROM events GROUP BY 1, 2, 3),
+      FROM events WHERE value IS NOT NULL AND NOT isnan(value) GROUP BY 1, 2, 3),
     fg_cap AS (SELECT user_id, quantile_cont(value, 0.95) AS capacity FROM events GROUP BY 1),
     fg_rough AS (
       SELECT s.user_id, s.day,
@@ -2367,14 +2367,22 @@ object OracleSql {
                  * (sum(n) * (CAST(sum(syy) AS DOUBLE) / 1e4)
                     - (CAST(sum(sy) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6))), 6)
         END AS corr,
-        CASE WHEN sum(rss) IS NULL THEN NULL ELSE
+        CASE WHEN sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END) = 0
+               OR sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END)
+                  <> sum(CASE WHEN rss IS NOT NULL THEN 1 ELSE 0 END)
+          THEN NULL ELSE
           round(sqrt(greatest(
             (CAST(sum(rss) AS DOUBLE) / 1e4)
               / nullif(CAST(sum(CASE WHEN rss IS NOT NULL THEN n END) AS DOUBLE), 0.0),
             0.0)), 6)
         END AS cv_rmse,
-        round((CAST(sum(sres) AS DOUBLE) / 1e6)
-          / nullif(CAST(sum(CASE WHEN sres IS NOT NULL THEN n END) AS DOUBLE), 0.0), 6) AS cv_mbe
+        CASE WHEN sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END) = 0
+               OR sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END)
+                  <> sum(CASE WHEN sres IS NOT NULL THEN 1 ELSE 0 END)
+          THEN NULL ELSE
+          round((CAST(sum(sres) AS DOUBLE) / 1e6)
+            / nullif(CAST(sum(CASE WHEN sres IS NOT NULL THEN n END) AS DOUBLE), 0.0), 6)
+        END AS cv_mbe
       FROM si_rs GROUP BY 1, 2, 3)
   """
 

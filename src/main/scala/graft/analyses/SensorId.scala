@@ -88,6 +88,10 @@ object SensorId {
         sum(li(x * x, 1e4)).as(s"sxx_$i"),
         sum(li(x * y, 1e4)).as(s"sxy_$i"))
     }
+    // a row with ANY null candidate drops for ALL sensors — the
+    // reference's own semantics (`sensor_identification.py:42-44`:
+    // compare_mask = alltrue over every extra matrix's non-NaN mask),
+    // which also keeps the shared (n, Σy, Σy²) moments one aggregation
     val dayStats = df
       .filter(col(tsCol).isNotNull && y.isNotNull &&
         sensorCols.map(c => col(c).isNotNull).reduce(_ && _))
@@ -145,7 +149,6 @@ object SensorId {
       .orderBy(col("fold")).rowsBetween(Window.unboundedPreceding, -1)
     def d6(c: Column): Column = c.cast("double") / 1e6
     def d4(c: Column): Column = c.cast("double") / 1e4
-    val wAll = Window.partitionBy(col("site"), col("sensor"), col("filter"))
     val scored = folds
       .withColumn("tn", sum(col("n")).over(wCum))
       .withColumn("tsx", d6(sum(col("sx")).over(wCum)))
@@ -191,14 +194,28 @@ object SensorId {
             d6(sum(col("sx"))) * d6(sum(col("sy")))
           when(varx > 0.0 && vary > 0.0, round(cov / sqrt(varx * vary), 6)).as("corr")
         },
-        // explicit null-when-no-test-folds: greatest() would otherwise
-        // coerce a null quotient to 0.0 (Spark's greatest skips nulls)
-        when(sum(col("rss")).isNull, lit(null)).otherwise(
-          round(sqrt(greatest(
-            try_divide(d4(sum(col("rss"))), sum(when(col("rss").isNotNull, col("n")))),
-            lit(0.0))), 6)).as("cv_rmse"),
-        round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))), 6)
-          .as("cv_mbe"))
+        // a sensor with NO test folds, or with ANY degenerate
+        // (constant-series) train fold, is DISQUALIFIED for this
+        // filter: the reference appends inf residuals on a failed fit
+        // (`sensor_identification.py:100-103`), making its CV RMSE
+        // infinite — a null score (sorted last by [[choose]]) is the
+        // cross-engine analog. Silently pooling only the healthy folds
+        // would let a partially-dead sensor win the argmin.
+        {
+          val nTest = sum(when(col("fold") > 1, 1L).otherwise(0L))
+          val nGood = sum(when(col("rss").isNotNull, 1L).otherwise(0L))
+          when(nTest === 0 || nTest =!= nGood, lit(null)).otherwise(
+            round(sqrt(greatest(
+              try_divide(d4(sum(col("rss"))), sum(when(col("rss").isNotNull, col("n")))),
+              lit(0.0))), 6)).as("cv_rmse")
+        },
+        {
+          val nTest = sum(when(col("fold") > 1, 1L).otherwise(0L))
+          val nGood = sum(when(col("sres").isNotNull, 1L).otherwise(0L))
+          when(nTest === 0 || nTest =!= nGood, lit(null)).otherwise(
+            round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))), 6))
+            .as("cv_mbe")
+        })
   }
 
   /** Per-site verdict over an [[identify]] results table: the

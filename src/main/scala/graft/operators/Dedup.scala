@@ -675,11 +675,16 @@ object Dedup {
     def lines(c: Column): Column = split(c, qdelim)
     // per-doc DISTINCT line digests (in-row), so the frequency count
     // is a distinct-document count without a countDistinct shuffle
+    // eager localCheckpoint: the route decision needs a count() and the
+    // chosen tier re-reads the set — without materialization the
+    // full-corpus digest aggregation would execute twice (the q67
+    // persist-sharing lesson); the boilerplate set itself is tiny
     val freq = docs
       .select(explode(array_distinct(transform(lines(col(textCol)), l => md5(l)))).as("h"))
       .groupBy(col("h")).count()
       .filter(col("count") >= minDocs)
       .select(col("h"))
+      .localCheckpoint(true)
     val nBoiler = freq.count()
     val out =
       if (nBoiler <= maxExactLines) {

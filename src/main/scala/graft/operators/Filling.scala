@@ -98,7 +98,14 @@ object Filling {
     // (5 full scans observed). Persist as RDDs (ContextCleaner frees
     // them when the result plan is collected and dropped): `slotted`
     // is matrix-sized → MEMORY_AND_DISK; `rough` is day-grain-tiny.
-    val slotted0 = df
+    // NaN readings are MISSING data (the reference's pervasive-NaN
+    // convention) — they must not enter the slot mean. This mattered
+    // less under avg(double), which visibly poisoned the slot to NaN;
+    // the integer-micro lift below would instead cast round(NaN) to 0
+    // and silently deflate the mean (and the DuckDB replay would error
+    // on the cast), so the filter is now explicit.
+    val clean = df.filter(col(valueCol).isNotNull && !isnan(col(valueCol)))
+    val slotted0 = clean
       .groupBy(
         col(site).as("site"),
         to_date(col(tsCol)).as("day"),

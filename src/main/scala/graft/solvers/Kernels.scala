@@ -1521,7 +1521,11 @@ object Kernels {
             j += 1
           }
           crvEps = math.max(crvEps * 0.3, 1e-6)
-          if (worst < 1e-7 && crvEps <= 1e-5) it = 12 else { kappa *= 8.0; it += 1 }
+          // the anneal gate applies only to the pwl L1 reweight —
+          // holding smooth_monotonic to it would re-solve an
+          // already-monotone system 7 extra times per outer round
+          if (worst < 1e-7 && (!l1Curv || crvEps <= 1e-5)) it = 12
+          else { kappa *= 8.0; it += 1 }
         }
         // exact feasibility: project onto the monotone cone (weighted
         // PAVA keeps the fit near the penalized solution)

@@ -102,4 +102,26 @@ class SensorIdSpec extends AnyFunSuite {
     assert(byFilter.keySet == Set("no_errors"))
     assert(byFilter("no_errors") == 59, s"error day not excluded: ${byFilter("no_errors")}")
   }
+
+  test("a degenerate (constant) train fold disqualifies the sensor — null score, loses the choice") {
+    // s_dead is EXACTLY constant for the first 20 days (integer value,
+    // so the integer-micro moments make the train determinant exactly
+    // zero) and varies afterwards; pooling only its healthy folds
+    // would hand it a finite — and unfairly small — cv_rmse
+    val rows = for { d <- 0 until 30; h <- 0 until 4 } yield {
+      val irr = 10.0 + h * 3.0 + d % 5
+      val dead = if (d < 20) 2.0 else irr * 0.5
+      (1L, java.sql.Timestamp.valueOf(f"2024-05-01 ${8 + h}%02d:00:00").toInstant
+        .plusSeconds(d * 86400L), 1.0 + 2.0 * irr, irr, dead)
+    }
+    val df = rows.toDF("site", "ts", "power", "s_live", "s_dead")
+    val res = SensorId.identify(df, "site", "ts", "power",
+      Seq("s_live", "s_dead"), nSplits = 4)
+      .collect().map(r => r.getString(1) -> (if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(res("s_dead").isEmpty, "degenerate folds must null the score, not shrink the pool")
+    assert(res("s_live").isDefined)
+    val chosen = SensorId.choose(SensorId.identify(df, "site", "ts", "power",
+      Seq("s_live", "s_dead"), nSplits = 4)).collect()(0)
+    assert(chosen.getString(1) == "s_live", s"chose ${chosen.getString(1)}")
+  }
 }
