@@ -1257,18 +1257,18 @@ object OracleSql {
       SELECT e.site, CAST(e.ts AS DATE) AS day,
         CAST(date_diff('second', date_trunc('day', e.ts), e.ts) AS DOUBLE) AS sec,
         date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
-        round((e.v - s.lo99) / s.hi99, 6) AS sc_d,
-        round((e.v - s.bot) / (s.p95 - s.bot), 6) AS sc_r,
+        CAST(round((e.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) AS sc_d,
+        CAST(round((e.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) AS sc_r,
         e.v
       FROM sw_ev e JOIN sw_scale s ON e.site = s.site),
     sw_dd AS (
       SELECT site, day,
-        min(CASE WHEN sc_d > 0.001 THEN h END) AS sr,
-        max(CASE WHEN sc_d > 0.001 THEN h END) AS ss,
-        min(CASE WHEN sc_d > 0.01 THEN h END) AS sr01,
-        max(CASE WHEN sc_d > 0.01 THEN h END) AS ss01,
+        min(CASE WHEN sc_d > 1000 THEN h END) AS sr,
+        max(CASE WHEN sc_d > 1000 THEN h END) AS ss,
+        min(CASE WHEN sc_d > 10000 THEN h END) AS sr01,
+        max(CASE WHEN sc_d > 10000 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
-        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime,
+        sum(CASE WHEN sc_r >= 1000 THEN 1 ELSE 0 END) AS n_daytime,
         sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
         sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
       FROM sw_base GROUP BY 1, 2),
@@ -2718,13 +2718,14 @@ object OracleSql {
   // grid replay feeds the same scaling/day-grain/inversion machinery
   // as q61, with the grid pitch (0.5 h) as the sampling frequency.
   // Gates the study's data_matrix axis end to end.
-  // The filled matrix at study day grain (shared by q64 and q65):
-  // the q50 grid replay re-expressed on the same scaling / boundary /
-  // CoM rules as the raw studyDayCte, with the grid pitch (0.5 h) as
-  // the sampling frequency. Terminal CTE: f_day(site, day, doy,
-  // dl_ss, dl_raw, noon_com, noon_rs, clear). Assumes fg_filled and
-  // cd_flags precede it in the WITH chain.
-  private val filledDayCte = """
+  // The filled matrix at study day grain (shared by q64 and q65, and
+  // by the q88/q89 stage gates): the q50 grid replay re-expressed on
+  // the same scaling / boundary / CoM rules as the raw studyDayCte,
+  // with the grid pitch (0.5 h) as the sampling frequency. Terminal
+  // CTE: f_day0(site, day, doy, sr, ss, dl_ss, dl_raw, noon_com,
+  // noon_rs) — flag-free so the stage gates don't price the clear-day
+  // chain. Assumes fg_filled precedes it in the WITH chain.
+  private val filledDayCoreCte = """
     f_rows AS (
       SELECT user_id AS site, day, slot * 1800.0 AS sec, filled AS v
       FROM fg_filled),
@@ -2736,31 +2737,39 @@ object OracleSql {
       FROM f_rows GROUP BY 1),
     f_base AS (
       SELECT r.site, r.day, r.sec, r.sec / 3600.0 AS h, r.v,
-        round((r.v - s.lo99) / s.hi99, 6) AS sc_d,
-        round((r.v - s.bot) / (s.p95 - s.bot), 6) AS sc_r
+        CAST(round((r.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) AS sc_d,
+        CAST(round((r.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) AS sc_r
       FROM f_rows r JOIN f_scale s ON r.site = s.site),
     f_dd AS (
       SELECT site, day,
-        min(CASE WHEN sc_d > 0.001 THEN h END) AS sr,
-        max(CASE WHEN sc_d > 0.001 THEN h END) AS ss,
-        min(CASE WHEN sc_d > 0.01 THEN h END) AS sr01,
-        max(CASE WHEN sc_d > 0.01 THEN h END) AS ss01,
+        min(CASE WHEN sc_d > 1000 THEN h END) AS sr,
+        max(CASE WHEN sc_d > 1000 THEN h END) AS ss,
+        min(CASE WHEN sc_d > 10000 THEN h END) AS sr01,
+        max(CASE WHEN sc_d > 10000 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
-        sum(CASE WHEN sc_r >= 0.001 THEN 1 ELSE 0 END) AS n_daytime,
+        sum(CASE WHEN sc_r >= 1000 THEN 1 ELSE 0 END) AS n_daytime,
         sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
         sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
       FROM f_base GROUP BY 1, 2),
-    f_day AS (
-      SELECT d.site, d.day, dayofyear(d.day) AS doy,
+    f_day0 AS (
+      SELECT d.site, d.day, dayofyear(d.day) AS doy, d.sr, d.ss,
         CASE WHEN d.sr = d.h_first OR d.ss = d.h_last THEN NULL
              ELSE d.ss - d.sr END AS dl_ss,
         d.n_daytime * 0.5 AS dl_raw,
         CASE WHEN d.sum_c <> 0
              THEN (d.num_c / 100.0 / 3600.0) / (d.sum_c / 1000000.0) END AS noon_com,
         CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
-             ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs,
-        coalesce(c.clear, false) AS clear
-      FROM f_dd d LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
+             ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs
+      FROM f_dd d)
+  """
+
+  // filledDayCoreCte + the clear-flag join (assumes cd_flags precedes
+  // it in the WITH chain). Terminal CTE: f_day.
+  private val filledDayCte = s"""
+    $filledDayCoreCte,
+    f_day AS (
+      SELECT d.*, coalesce(c.clear, false) AS clear
+      FROM f_day0 d LEFT JOIN cd_flags c ON d.site = c.site AND d.day = c.day)
   """
 
   private val q64: String = s"""
@@ -2768,6 +2777,32 @@ object OracleSql {
     $filledGridCte,
     $filledDayCte
     ${latStudyBranches("f_day", "filled")}
+    """
+
+  // q88/q89: STAGE GATES of the q64 chain (the flake-diagnosability
+  // split — a driver q64 failure should name its stage). Stage 1 is
+  // q50's fg_filled grid; q88 gates stage 2 (the filled-branch
+  // detect_sun / find_daytime scale percentiles); q89 gates stage 3
+  // (the flag-free day grain: integer-micro threshold crossings,
+  // boundary-null daylight, CoM / rise-set noon); q64 itself remains
+  // stage 4 (flags + config medians).
+  private val q88: String = s"""
+    WITH $filledGridCte,
+    $filledDayCoreCte
+    SELECT site, 'filled' AS data_matrix,
+      round(hi99, 6) AS hi99, round(lo99, 6) AS lo99,
+      round(p95, 6) AS p95, round(bot, 6) AS bot
+    FROM f_scale
+    """
+
+  private val q89: String = s"""
+    WITH $filledGridCte,
+    $filledDayCoreCte
+    SELECT site, CAST(day AS VARCHAR) AS day, doy,
+      round(sr, 6) AS sr, round(ss, 6) AS ss,
+      round(dl_ss, 6) AS dl_ss, round(dl_raw, 6) AS dl_raw,
+      round(noon_com, 6) AS noon_com, round(noon_rs, 6) AS noon_rs
+    FROM f_day0
     """
 
   // The longitude sweep's 36 config branches (shared by q62 raw and
@@ -4927,6 +4962,8 @@ $branches
     "q63_orientation_cells" -> q63,
     "q64_latitude_study_filled" -> q64,
     "q65_longitude_study_filled" -> q65,
+    "q88_latstudy_filled_scale" -> q88,
+    "q89_latstudy_filled_daygrain" -> q89,
     "q66_orientation_cells_filled" -> q66,
     "d43_pii_mask" -> d43,
     "d44_line_boilerplate" -> d44,

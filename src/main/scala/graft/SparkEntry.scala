@@ -590,6 +590,36 @@ object SparkEntry {
         col("delta_method"), col("day_selection"),
         round(col("latitude"), 6).as("latitude"), col("n_days"))
 
+  /** Stage gate 2 of the q64 chain (diagnosability split — stage 1 is
+    * q50's filled grid): the filled-branch detect_sun / find_daytime
+    * scale percentiles, one row per site.
+    */
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.scaleParams(
+      graft.analyses.Study.studyRows(
+        s, Tables.events(s, dir), "user_id", "ts", "value",
+        includeFilled = true, filledSlotsPerDay = 48, includeRaw = false))
+      .select(
+        col("site"), col("data_matrix"),
+        round(col("hi99"), 6).as("hi99"), round(col("lo99"), 6).as("lo99"),
+        round(col("p95"), 6).as("p95"), round(col("bot"), 6).as("bot"))
+
+  /** Stage gate 3 of the q64 chain: the flag-free filled day grain —
+    * integer-micro threshold crossings (sr/ss), boundary-null
+    * daylight, CoM and rise/set noon — one row per (site, day). A
+    * driver q64 failure with q88+q89 green localizes to the flag join
+    * or the config medians.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.Study.dayGrain(
+      s, Tables.events(s, dir), "user_id", "ts", "value",
+      includeFilled = true, filledSlotsPerDay = 48, includeRaw = false)
+      .select(
+        col("site"), col("day").cast("string").as("day"), col("doy"),
+        round(col("sr"), 6).as("sr"), round(col("ss"), 6).as("ss"),
+        round(col("dl_ss"), 6).as("dl_ss"), round(col("dl_raw"), 6).as("dl_raw"),
+        round(col("noon_com"), 6).as("noon_com"), round(col("noon_rs"), 6).as("noon_rs"))
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -3629,6 +3659,8 @@ object SparkEntry {
     "q63_orientation_cells" -> (q63 _),
     "q64_latitude_study_filled" -> (q64 _),
     "q65_longitude_study_filled" -> (q65 _),
+    "q88_latstudy_filled_scale" -> (q88 _),
+    "q89_latstudy_filled_daygrain" -> (q89 _),
     "q66_orientation_cells_filled" -> (q66 _),
     "q67_dbscan_quality" -> (q67 _),
     "q68_clearsky_dp" -> (q68 _),

@@ -2,8 +2,32 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Diagnosability sidecar (the q64 incident: two rounds of
+  * driver-environment-only hash failures that no builder/judge re-run
+  * could reproduce): every run also leaves a canonical per-query hash
+  * table — and, for a watchlist of flake-suspect queries, the full
+  * canonical row dump — under `bench/verify_snapshots/<sf>/` INSIDE
+  * the repo. The driver's own run therefore persists exactly what its
+  * Spark side produced, so the next round can diff a failing
+  * environment against a passing one row by row instead of guessing.
+  */
 object Verify {
+
+  /** Flake-suspect queries whose full canonical rows are dumped. */
+  private val Watchlist = Set(
+    "q61_latitude_study",
+    "q64_latitude_study_filled",
+    "q65_longitude_study_filled",
+    "q88_latstudy_filled_scale",
+    "q89_latstudy_filled_daygrain")
+
+  /** Exact canonical cell text: shortest-roundtrip for doubles
+    * (Java's Double.toString), so two environments producing the same
+    * bits produce the same line. */
+  private def fmt(v: Any): String = if (v == null) "NULL" else v.toString
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -20,11 +44,50 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val snapDir = Paths.get("bench", "verify_snapshots",
+      Paths.get(sfDir).getFileName.toString)
+    val hashes = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // canonical hash from the parquet just written (columns sorted
+        // by name, cells exact-text, rows sorted — the driver-compare
+        // canonicalization), kept cheap by hashing the small dump
+        // files rather than re-running the query
+        try {
+          val back = spark.read.parquet(s"$outDir/$name")
+          val cols = back.columns.sorted
+          val rows = back.select(cols.map(org.apache.spark.sql.functions.col(_)): _*).collect()
+          val lines = rows.map { r =>
+            (0 until r.length).map(i => fmt(r.get(i))).mkString("\t")
+          }.sorted
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+          lines.foreach(l => digest.update((l + "\n").getBytes("UTF-8")))
+          val hex = digest.digest().map("%02x".format(_)).mkString
+          hashes += s"$name\t${lines.length}\t$hex"
+          if (Watchlist(name)) {
+            Files.createDirectories(snapDir)
+            Files.writeString(snapDir.resolve(s"$name.tsv"),
+              cols.mkString("\t") + "\n" + lines.mkString("\n") + "\n")
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name snapshot failed: ${e.getMessage}")
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
+    // full-run hash table only (a filtered dev run must not clobber
+    // the previous full table)
+    if (only.isEmpty) {
+      try {
+        Files.createDirectories(snapDir)
+        Files.writeString(snapDir.resolve("HASHES.tsv"),
+          s"# graft verify snapshot sfDir=$sfDir cpus=$cpus java=${System.getProperty("java.version")} at=${java.time.Instant.now()}\n" +
+            hashes.sorted.mkString("\n") + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] hash table write failed: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

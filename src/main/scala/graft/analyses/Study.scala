@@ -93,6 +93,24 @@ object Study {
       includeFilled: Boolean = true,
       filledSlotsPerDay: Int = 96,
       includeRaw: Boolean = true
+  ): DataFrame =
+    perDay(
+      studyRows(spark, df, site, tsCol, valueCol, includeFilled, filledSlotsPerDay, includeRaw),
+      threshold)
+
+  /** The standardized (site, data_matrix, day, sec, v, freq_h) row
+    * grain both studies aggregate — public so the q64-chain stage
+    * gates (scale percentiles, day grain) can address it directly.
+    */
+  def studyRows(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      includeFilled: Boolean = true,
+      filledSlotsPerDay: Int = 96,
+      includeRaw: Boolean = true
   ): DataFrame = {
     require(includeRaw || includeFilled, "at least one data matrix must be enabled")
     val ev = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
@@ -135,14 +153,30 @@ object Study {
             lit(24.0 / filledSlotsPerDay).as("freq_h"))
           .withColumn("data_matrix", lit("filled"))
           .repartition(col("site")))
-    val rows = (rawRows, filledRows) match {
+    (rawRows, filledRows) match {
       case (Some(r), Some(f)) => r.unionByName(f)
       case (Some(r), None) => r
       case (None, Some(f)) => f
       case (None, None) => throw new IllegalStateException("unreachable")
     }
-    perDay(rows, threshold)
   }
+
+  /** The site×matrix-grain scale parameters both daytime detections
+    * use — detect_sun's (hi99, lo99) and find_daytime's (p95, bot) —
+    * public as a stage gate of the study chain (the q64-flake
+    * diagnosability split: a driver failure should name its stage).
+    */
+  def scaleParams(rows: DataFrame): DataFrame =
+    rows.groupBy(col("site"), col("data_matrix"))
+      .agg(
+        percentile(col("v"), lit(0.99)).as("hi99"),
+        min(col("v")).as("mn"),
+        percentile(col("v"), lit(0.95)).as("p95"),
+        percentile(col("v"), lit(0.05)).as("p05"))
+      .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
+      .withColumn("bot", greatest(col("p05"), lit(0.0)))
+      .select(col("site"), col("data_matrix"), col("hi99"), col("lo99"),
+        col("p95"), col("bot"))
 
   /** Broadcast the one-row-per-site frequency onto the scan. */
   private def joinFreq(rows: DataFrame, freq: DataFrame): DataFrame =
@@ -151,25 +185,28 @@ object Study {
   private def perDay(rows: DataFrame, threshold: Double): DataFrame = {
     // site×matrix-grain scale parameters: detect_sun's (p99, lo) and
     // find_daytime's (p05, p95) — one aggregation, broadcast back
-    val scale = rows.groupBy(col("site"), col("data_matrix"))
-      .agg(
-        percentile(col("v"), lit(0.99)).as("hi99"),
-        min(col("v")).as("mn"),
-        percentile(col("v"), lit(0.95)).as("p95"),
-        percentile(col("v"), lit(0.05)).as("p05"))
-      .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
-      .withColumn("bot", greatest(col("p05"), lit(0.0)))
+    val scale = scaleParams(rows)
     val h = col("sec") / lit(3600.0)
+    // Threshold selections compare EXACT INTEGER MICROS, not a
+    // 6-dp-rounded double: round(q·1e6) as a long is the same two IEEE
+    // ops in any engine (one divide, one multiply) followed by an
+    // integer round, whereas a 6-dp decimal round leaves a double
+    // sitting at a comparison boundary where the engines' decimal
+    // algorithms (Java BigDecimal setScale vs C libm scaling) can
+    // disagree by one ulp — the q64 flake class. The threshold itself
+    // is lifted to the same grid (0.001 → 1000).
     val j = rows.join(broadcast(scale), Seq("site", "data_matrix"))
-      .withColumn("sc_d", round((col("v") - col("lo99")) / col("hi99"), 6))
-      .withColumn("sc_r", round((col("v") - col("bot")) / (col("p95") - col("bot")), 6))
-    val thr = lit(threshold)
+      .withColumn("sc_d",
+        round((col("v") - col("lo99")) / col("hi99") * lit(1e6), 0).cast("long"))
+      .withColumn("sc_r",
+        round((col("v") - col("bot")) / (col("p95") - col("bot")) * lit(1e6), 0).cast("long"))
+    val thr = lit(math.round(threshold * 1e6))
     val d = j.groupBy(col("site"), col("data_matrix"), col("day"))
       .agg(
         min(when(col("sc_d") > thr, h)).as("sr"),
         max(when(col("sc_d") > thr, h)).as("ss"),
-        min(when(col("sc_d") > 0.01, h)).as("sr01"),
-        max(when(col("sc_d") > 0.01, h)).as("ss01"),
+        min(when(col("sc_d") > lit(10000L), h)).as("sr01"),
+        max(when(col("sc_d") > lit(10000L), h)).as("ss01"),
         min(h).as("h_first"),
         max(h).as("h_last"),
         sum(when(col("sc_r") >= thr, 1L).otherwise(0L)).as("n_daytime"),
