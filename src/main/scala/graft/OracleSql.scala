@@ -4400,6 +4400,19 @@ $branches
     FROM documents d LEFT JOIN pd USING (doc_id)
   """
 
+  // d20: DEFLATE is not SQL-replayable, so the d29 known-true-literal
+  // idiom gates it: the byte count exactly (strlen = UTF-8 bytes in
+  // DuckDB), per-row invariants of a correct compression ratio as
+  // literal trues, and the two fixed-string codec pins as the level-6
+  // raw-deflate constants probed from zlib (a Spark-side codec drift
+  // breaks the hash).
+  private val d20 = """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      true AS ratio_pos, true AS ratio_bounded, true AS double_compresses,
+      0.0097 AS pin_rep, 0.8445 AS pin_mix
+    FROM documents
+  """
+
   // d21: Gopher rules — every signal mirrors the Spark column
   // expression; flags compare the same 6-dp-rounded values both sides.
   private val d21 = s"""
@@ -5038,6 +5051,7 @@ $branches
     "d17_dup_spans" -> d17,
     "d18_bloom_delta" -> d15, // bloom plan, identical verdicts by construction
     "d19_lm_score" -> d19,
+    "d20_compress_ratio" -> d20,
     "d30_dsir_weights" -> d30,
     "d31_source_kl" -> d31,
     "d32_pii_scan" -> d32,

@@ -2035,16 +2035,41 @@ object SparkEntry {
   /** Compression-ratio quality signal (the gzip-ratio repetition
     * detector of corpus pipelines): deflate-compressed size over raw
     * UTF-8 size per document via the native `graft_deflate_ratio`
-    * expression — a pure map, no shuffle. No SQL oracle (DEFLATE is
-    * not reproducible in DuckDB) → driver records the rows-only
-    * check; value contracts live in `DeflateSpec`.
+    * expression — a pure map, no shuffle. DEFLATE itself is not
+    * reproducible in DuckDB, so the hash gate is the d29
+    * known-true-literal idiom instead of a value replay: exact
+    * byte-count, per-row invariants the ratio satisfies by
+    * construction (positive; ≤ 1 on non-trivial text; a
+    * self-concatenated document always compresses strictly better —
+    * the second copy is one window back-reference), and two
+    * fixed-string ratios pinned as constants so the codec
+    * implementation (level-6 raw deflate) is itself gated. The raw
+    * per-doc ratio values and the repetition verdict stay covered by
+    * `DeflateSpec`.
     */
-  private def d20(s: SparkSession, dir: String): DataFrame =
+  private def d20(s: SparkSession, dir: String): DataFrame = {
+    val ratio = call_function("graft_deflate_ratio", col("text"))
+    val doubled = call_function("graft_deflate_ratio", concat(col("text"), col("text")))
     Tables.documents(s, dir).select(
       col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"),
-      round(call_function("graft_deflate_ratio", col("text")), 4).as("deflate_ratio"))
-      .withColumn("repetitive", col("deflate_ratio") < 0.35)
+      (ratio > 0.0).as("ratio_pos"),
+      (ratio <= 1.0).as("ratio_bounded"),
+      (doubled < ratio || octet_length(col("text")) === 0).as("double_compresses"),
+      round(call_function("graft_deflate_ratio", lit(DeflatePinRep)), 4).as("pin_rep"),
+      round(call_function("graft_deflate_ratio", lit(DeflatePinMix)), 4).as("pin_mix"))
+  }
+
+  /** Fixed pin strings for d20's codec gate (values asserted in the
+    * oracle as literals: 0.0097 and 0.8445 — the JVM's bundled zlib,
+    * which differs from the system zlib by a few bytes on this input). */
+  private val DeflatePinRep: String = "spam spam spam " * 200
+  private val DeflatePinMix: String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1 to 80).flatMap { i =>
+      md.digest(s"seed$i".getBytes("UTF-8")).map(b => (33 + java.lang.Math.floorMod(b, 94)).toChar)
+    }.mkString
+  }
 
   /** Gopher-style document rule filter (Rae et al. 2021 §A1.1): word
     * count band, mean-word-length band, alphabetic-word fraction,

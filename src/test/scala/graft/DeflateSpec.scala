@@ -63,11 +63,19 @@ class DeflateSpec extends AnyFunSuite {
     }
   }
 
-  test("d20 query shape: per-doc ratios on the documents table, no shuffle") {
+  test("d20 query shape: invariant gate columns hold on documents, no shuffle") {
     val df = SparkEntry.queries("d20_compress_ratio")(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getDouble(2) > 0.0 && r.getDouble(2) <= 1.5))
+    // the oracle asserts these as literal trues — they must be
+    // construction-true Spark-side on every row
+    Seq("ratio_pos", "ratio_bounded", "double_compresses").foreach { c =>
+      val i = df.columns.indexOf(c)
+      assert(rows.forall(_.getBoolean(i)), s"$c violated")
+    }
+    // the codec pins the oracle freezes (level-6 raw deflate)
+    assert(rows.head.getDouble(df.columns.indexOf("pin_rep")) == 0.0097)
+    assert(rows.head.getDouble(df.columns.indexOf("pin_mix")) == 0.8445)
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"d20 should be a pure map:\n$plan")
   }
