@@ -5068,6 +5068,7 @@ $branches
     "e18_ivf_recall_gate" -> annRecallGate,
     "e19_adc_recall_gate" -> annRecallGate,
     "e20_ivfpq_recall_gate" -> annRecallGate,
+    "e23_sharded_recall_gate" -> annRecallGate,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

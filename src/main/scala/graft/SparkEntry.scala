@@ -3365,6 +3365,26 @@ object SparkEntry {
       e10raw(s, dir), k = 3, floorPct = 10)
   }
 
+  /** The SHARDED two-level index build (`kmeansFitSharded`: coarse
+    * 4-shard k-means, per-shard fine codebooks of 2, all training
+    * budget-bounded) served through the flat IVF path — the
+    * billion-vector build shape, property-gated with the e18 recall
+    * floor: fleet recall@3 ≥ 25% vs the exact cosine top-3 (observed
+    * 50%/52% at the two gated sfs — `ProbeE23`; chance ≈ 0.9%),
+    * exactly k rows, no self-matches.
+    */
+  private def e23(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 16)
+    val cents = Similarity.kmeansFitSharded(
+      emb, "vec_id", "embedding", kCoarse = 4, kFine = 2, iters = 3)
+      .select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val approx = Similarity.ivfTopK(emb, cents, q, "vec_id", "embedding", nprobe = 2, k = 3)
+    recallGate(
+      Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
+      approx, k = 3, floorPct = 25)
+  }
+
   /** e11's trained IVF-PQ (both stages trained) property-gated:
     * fleet recall@3 ≥ 8% (observed ~17%; chance ≈ 0.9%).
     */
@@ -3780,6 +3800,7 @@ object SparkEntry {
     "e17_silhouette" -> (e17 _),
     "e22_ivf_pq_fixed" -> (e22 _),
     "e18_ivf_recall_gate" -> (e18 _),
+    "e23_sharded_recall_gate" -> (e23 _),
     "e19_adc_recall_gate" -> (e19 _),
     "e20_ivfpq_recall_gate" -> (e20 _),
     "e21_neardup_bucketed" -> (e21 _),

@@ -317,6 +317,104 @@ object Similarity {
     }
   }
 
+  /** The billion-vector SHARDED index build (FAISS-style two-level
+    * IVF training): a coarse k-means — itself budget-routed through
+    * [[kmeansFitSampled]] — partitions the corpus into `kCoarse`
+    * shards; each shard then trains its OWN `kFine` centroids on only
+    * its members, fleet-parallel in one `mapGroups` pass over a
+    * bounded per-shard training sample. No Lloyd's run ever holds
+    * more than one shard's sample, the fine level fans out across
+    * executors (one shuffle on shard id), and driver state is only
+    * the coarse seeds plus the returned (kCoarse·kFine)×dim codebook
+    * table — the deployment answer for a 100 TB vector corpus: train
+    * per shard, union the codebooks.
+    *
+    * Determinism: the shard-local sample is the shard's
+    * `maxTrainRowsPerShard` smallest members by (md5(id), id) — a
+    * bounded-heap selection, independent of shuffle arrival order —
+    * and Lloyd's folds float sums in that fixed (md5, id) order with
+    * [[centroidBestExpr]]'s selection rule (4-dp-rounded squared L2,
+    * ties to the smaller index). Fine cells that lose every member
+    * keep their previous centroid; shards with fewer members than
+    * `kFine` emit fewer cells.
+    *
+    * @return (centroid_id = shard_id·kFine + fine_id, centroid,
+    *   shard_id) — feed the first two columns to [[ivfTopK]] as a
+    *   flat centroid table, or probe hierarchically by shard when
+    *   kCoarse·kFine outgrows a broadcast.
+    */
+  def kmeansFitSharded(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      kCoarse: Int,
+      kFine: Int,
+      iters: Int = 5,
+      maxTrainRows: Long = 1000000L,
+      maxTrainRowsPerShard: Int = 100000
+  ): DataFrame = {
+    import vectors.sparkSession.implicits._
+    require(kCoarse > 0 && kFine > 0 && maxTrainRowsPerShard >= kFine,
+      s"bad sharded-kmeans shape: kCoarse=$kCoarse kFine=$kFine cap=$maxTrainRowsPerShard")
+    val coarse = kmeansFitSampled(vectors, idCol, vecCol, kCoarse, iters, maxTrainRows)
+      .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
+    val members = assignToCentroids(vectors, coarse, idCol, vecCol)
+      .select(col(idCol), col("centroid_id").as("shard_id"))
+      .join(vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv")), Seq(idCol))
+      .select(col("shard_id"), md5(col(idCol).cast("string")).as("h"),
+        col(idCol).cast("string").as("id"), col("vv"))
+      .as[(Long, String, String, Seq[Double])]
+    members.groupByKey(_._1)
+      .flatMapGroups { (shard: Long, it: Iterator[(Long, String, String, Seq[Double])]) =>
+        // bounded deterministic sample: a max-heap keeps the cap
+        // smallest (md5, id) members in O(cap) memory however skewed
+        // the shard is
+        val heap = new scala.collection.mutable.PriorityQueue[(String, String, Array[Double])]()(
+          Ordering.by((t: (String, String, Array[Double])) => (t._1, t._2)))
+        it.foreach { case (_, h, id, vv) =>
+          heap.enqueue((h, id, vv.toArray))
+          if (heap.size > maxTrainRowsPerShard) heap.dequeue()
+        }
+        val sample = heap.dequeueAll.reverse.toArray // ascending (md5, id)
+        val kk = math.min(kFine, sample.length)
+        if (kk == 0) Iterator.empty
+        else {
+          val dim = sample(0)._3.length
+          var cents: Array[Array[Double]] = sample.take(kk).map(_._3.clone())
+          var itn = 0
+          while (itn < iters) {
+            val sums = Array.fill(kk)(new Array[Double](dim))
+            val cnts = new Array[Long](kk)
+            sample.foreach { case (_, _, v) =>
+              var best = 0
+              var bd = Double.MaxValue
+              var c = 0
+              while (c < kk) {
+                var d2 = 0.0
+                var i = 0
+                while (i < dim) { val d = v(i) - cents(c)(i); d2 += d * d; i += 1 }
+                // mirror centroidBestExpr: 4-dp round, strict < keeps
+                // the smaller index on ties
+                val r = math.rint(d2 * 1e4) / 1e4
+                if (r < bd) { bd = r; best = c }
+                c += 1
+              }
+              var i = 0
+              while (i < dim) { sums(best)(i) += v(i); i += 1 }
+              cnts(best) += 1
+            }
+            cents = cents.zipWithIndex.map { case (old, c) =>
+              if (cnts(c) == 0) old else sums(c).map(_ / cnts(c))
+            }
+            itn += 1
+          }
+          (0 until kk).iterator.map(f => (shard * kFine + f, cents(f).toSeq, shard))
+        }
+      }
+      .toDF("centroid_id", "centroid", "shard_id")
+      .select(col("centroid_id"), col("centroid").cast("array<double>"), col("shard_id"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster every vector to
     * its nearest centroid, then inside each cluster drop any vector
     * whose cosine to a SMALLER-id member reaches `threshold` —

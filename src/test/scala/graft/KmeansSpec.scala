@@ -101,6 +101,46 @@ class KmeansSpec extends AnyFunSuite {
       s"centroids ${cents.map(_.mkString("(", ",", ")")).mkString(" ")}")
   }
 
+  test("sharded two-level build: codebook shape, determinism, and per-shard locality") {
+    import spark.implicits._
+    // four well-separated clusters with id-correlated layout (the
+    // shard-by-source case the md5 init exists for)
+    val pts = (0 until 4).flatMap { c =>
+      val (cx, cy) = (10.0 * (c % 2), 10.0 * (c / 2))
+      Seq.tabulate(50)(i => ((c * 50 + i).toLong, Seq(cx + 0.1 * (i % 7), cy + 0.1 * (i % 5))))
+    }.toDF("vec_id", "embedding")
+    val book = Similarity.kmeansFitSharded(pts, "vec_id", "embedding",
+      kCoarse = 4, kFine = 2, iters = 4)
+    val rows = book.collect()
+    assert(rows.length <= 8 && rows.length >= 4, s"${rows.length} cells")
+    // flat id encodes (shard, fine)
+    rows.foreach { r =>
+      val (cid, shard) = (r.getLong(0), r.getLong(2))
+      assert(cid / 2 == shard, s"centroid_id $cid not in shard $shard's range")
+    }
+    // every fine centroid sits inside ONE true cluster's neighborhood
+    // (per-shard training must not average across shards)
+    rows.foreach { r =>
+      val c = r.getSeq[Double](1)
+      val nearest = Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0), (10.0, 10.0))
+        .map { case (x, y) => math.hypot(c(0) - x, c(1) - y) }.min
+      assert(nearest < 2.0, s"fine centroid ${c.mkString(",")} between clusters")
+    }
+    // deterministic: the same call twice is bit-identical
+    val again = Similarity.kmeansFitSharded(pts, "vec_id", "embedding",
+      kCoarse = 4, kFine = 2, iters = 4)
+    val drift = book.join(again.withColumnRenamed("centroid", "c2"), Seq("centroid_id"))
+      .select(expr(
+        "aggregate(zip_with(centroid, c2, (a, b) -> abs(a - b)), 0D, (m, x) -> greatest(m, x))"))
+      .as[Double](org.apache.spark.sql.Encoders.scalaDouble)
+      .collect().max
+    assert(drift == 0.0, s"sharded build must be deterministic (drift $drift)")
+    // the per-shard cap bounds task memory without changing the shape
+    val capped = Similarity.kmeansFitSharded(pts, "vec_id", "embedding",
+      kCoarse = 4, kFine = 2, iters = 4, maxTrainRowsPerShard = 20)
+    assert(capped.count() == rows.length)
+  }
+
   test("simplified silhouette: tight member ≈ 1, boundary point 0, wrong-side point < 0") {
     import spark.implicits._
     // two centroids on the x axis at 0 and 10 (2-dim vectors)
