@@ -2677,6 +2677,118 @@ object OracleSql {
     GROUP BY 1
   """
 
+  // q90: the day-grain Huber sensor-ID face replayed END TO END on
+  // the fixed literal fleet (the q80 idiom, but with a FIXED iteration
+  // count the IRLS unrolls into plain chained CTEs — no recursion):
+  // day moments with the exact integer lifts, ntile folds, per-fold
+  // OLS init + the ε·σ cut, three day-weighted refits, pooled test
+  // residuals, and the total-moment Pearson corr. Validated standalone
+  // in DuckDB against the operator dump before wiring (6/6 values
+  // bit-equal at 6 dp).
+  private def q90Iteration(prev: String, out: String): String = s"""
+    $out AS (
+      SELECT t.sensor, t.tf, z2.a, z2.b,
+        1.35 * sqrt(greatest(z3.swin / z3.ntot, 1e-12)) AS cut
+      FROM (SELECT DISTINCT sensor, tf FROM hs_tr) t
+      JOIN $prev p ON p.sensor = t.sensor AND p.tf = t.tf,
+      LATERAL (
+        SELECT sum(w * n) AS wn, sum(w * sx) AS wsx, sum(w * sy) AS wsy,
+               sum(w * sxx) AS wsxx, sum(w * sxy) AS wsxy,
+               sum(w * n) * sum(w * sxx) - sum(w * sx) * sum(w * sx) AS den
+        FROM (
+          SELECT m.n, m.sx, m.sy, m.sxx, m.sxy,
+            CASE WHEN rms <= p.cut THEN 1.0 ELSE p.cut / rms END AS w
+          FROM hs_m m,
+          LATERAL (SELECT sqrt(greatest(m.syy + m.n*p.a*p.a + p.b*p.b*m.sxx
+                    - 2.0*p.a*m.sy - 2.0*p.b*m.sxy + 2.0*p.a*p.b*m.sx, 0.0) / m.n) AS rms) r
+          WHERE m.sensor = t.sensor AND m.fold < t.tf)
+      ) z,
+      LATERAL (SELECT
+        CASE WHEN z.den > 0 THEN (z.wn * z.wsxy - z.wsx * z.wsy) / z.den ELSE p.b END AS b,
+        CASE WHEN z.den > 0
+             THEN (z.wsy - (z.wn * z.wsxy - z.wsx * z.wsy) / z.den * z.wsx) / z.wn
+             ELSE p.a END AS a) z2,
+      LATERAL (
+        SELECT sum(m.n * least(sqrt(greatest(m.syy + m.n*z2.a*z2.a + z2.b*z2.b*m.sxx
+                 - 2.0*z2.a*m.sy - 2.0*z2.b*m.sxy + 2.0*z2.a*z2.b*m.sx, 0.0) / m.n), p.cut)
+                 * least(sqrt(greatest(m.syy + m.n*z2.a*z2.a + z2.b*z2.b*m.sxx
+                 - 2.0*z2.a*m.sy - 2.0*z2.b*m.sxy + 2.0*z2.a*z2.b*m.sx, 0.0) / m.n), p.cut)) AS swin,
+               sum(m.n) AS ntot
+        FROM hs_m m WHERE m.sensor = t.sensor AND m.fold < t.tf) z3)
+  """
+
+  private val q90: String = s"""
+    WITH hs_src AS (
+      SELECT CAST(d AS INT) AS d, CAST(h AS INT) AS h,
+        (d + h) * 0.25 AS x1,
+        2.0 * ((d + h) * 0.25) + 1.0 + CASE WHEN d = 2 THEN 20.0 ELSE 0.0 END AS y,
+        ((d * h) % 5) * 0.5 AS x2
+      FROM range(1, 13) t(d), range(0, 4) u(h)),
+    hs_day0 AS (
+      SELECT d, count(*) AS n,
+        sum(CAST(round(y * 1e6, 0) AS BIGINT)) AS syl,
+        sum(CAST(round(y * y * 1e4, 0) AS BIGINT)) AS syyl,
+        sum(CAST(round(x1 * 1e6, 0) AS BIGINT)) AS sx1l,
+        sum(CAST(round(x1 * x1 * 1e4, 0) AS BIGINT)) AS sxx1l,
+        sum(CAST(round(x1 * y * 1e4, 0) AS BIGINT)) AS sxy1l,
+        sum(CAST(round(x2 * 1e6, 0) AS BIGINT)) AS sx2l,
+        sum(CAST(round(x2 * x2 * 1e4, 0) AS BIGINT)) AS sxx2l,
+        sum(CAST(round(x2 * y * 1e4, 0) AS BIGINT)) AS sxy2l
+      FROM hs_src GROUP BY 1),
+    hs_long AS (
+      SELECT d, CASE WHEN d <= 4 THEN 1 WHEN d <= 8 THEN 2 ELSE 3 END AS fold,
+        sensor, n, syl, syyl, sxl, sxxl, sxyl
+      FROM (
+        SELECT d, n, syl, syyl, 's1' AS sensor, sx1l AS sxl, sxx1l AS sxxl, sxy1l AS sxyl FROM hs_day0
+        UNION ALL
+        SELECT d, n, syl, syyl, 's2', sx2l, sxx2l, sxy2l FROM hs_day0)),
+    hs_m AS (
+      SELECT d, fold, sensor, n,
+        sxl / 1e6 AS sx, syl / 1e6 AS sy,
+        sxxl / 1e4 AS sxx, sxyl / 1e4 AS sxy, syyl / 1e4 AS syy
+      FROM hs_long),
+    hs_tr AS (
+      SELECT sensor, tf, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+        sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
+      FROM hs_m, (VALUES (2), (3)) f(tf)
+      WHERE fold < tf GROUP BY 1, 2),
+    hs_it0 AS (
+      SELECT sensor, tf,
+        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
+      FROM hs_tr),
+    hs_sig AS (
+      SELECT i.sensor, i.tf, i.a, i.b,
+        1.35 * sqrt(greatest(sum(greatest(m.syy + m.n*i.a*i.a + i.b*i.b*m.sxx
+          - 2.0*i.a*m.sy - 2.0*i.b*m.sxy + 2.0*i.a*i.b*m.sx, 0.0)) / sum(m.n), 1e-12)) AS cut
+      FROM hs_it0 i JOIN hs_m m ON m.sensor = i.sensor AND m.fold < i.tf
+      GROUP BY 1, 2, 3, 4),
+    ${q90Iteration("hs_sig", "hs_i1")},
+    ${q90Iteration("hs_i1", "hs_i2")},
+    ${q90Iteration("hs_i2", "hs_i3")},
+    hs_test AS (
+      SELECT i.sensor,
+        sum(greatest(m.syy + m.n*i.a*i.a + i.b*i.b*m.sxx
+          - 2.0*i.a*m.sy - 2.0*i.b*m.sxy + 2.0*i.a*i.b*m.sx, 0.0)) AS rss,
+        sum(m.sy - m.n * i.a - i.b * m.sx) AS res,
+        sum(m.n) AS n
+      FROM hs_i3 i JOIN hs_m m ON m.sensor = i.sensor AND m.fold = i.tf
+      GROUP BY 1),
+    hs_tot AS (
+      SELECT sensor, sum(n) AS tn,
+        sum(sxl) AS tsx, sum(syl) AS tsy, sum(sxxl) AS tsxx,
+        sum(sxyl) AS tsxy, sum(syyl) AS tsyy
+      FROM hs_long GROUP BY 1)
+    SELECT CAST(1 AS BIGINT) AS site, t.sensor, 'no_errors' AS filter,
+      CAST(12 AS BIGINT) AS n_days, CAST(tot.tn AS BIGINT) AS n_obs,
+      round((tot.tn * (tot.tsxy / 1e4) - (tot.tsx / 1e6) * (tot.tsy / 1e6))
+        / sqrt((tot.tn * (tot.tsxx / 1e4) - (tot.tsx / 1e6) * (tot.tsx / 1e6))
+             * (tot.tn * (tot.tsyy / 1e4) - (tot.tsy / 1e6) * (tot.tsy / 1e6))), 6) AS corr,
+      round(sqrt(greatest(t.rss / t.n, 0.0)), 6) AS cv_rmse,
+      round(t.res / t.n, 6) AS cv_mbe
+    FROM hs_test t JOIN hs_tot tot ON tot.sensor = t.sensor
+  """
+
   // The latitude sweep's 12 config branches (shared by q61 raw and
   // q64 filled): per-day Duffie latitude inversion under both
   // declination series, config-filtered medians (FILTER ≡ Spark's
@@ -5000,6 +5112,7 @@ $branches
     "q83_asof_forward" -> q83,
     "q84_sensor_identify" -> q84,
     "q85_sensor_choice" -> q85,
+    "q90_sensor_huber" -> q90,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

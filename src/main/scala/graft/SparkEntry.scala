@@ -1069,6 +1069,34 @@ object SparkEntry {
         nSplits = 6))
   }
 
+  /** The Huber sensor-ID face (`SensorId.identifyHuber` — the
+    * reference's `model="huber"` option,
+    * `sensor_identification.py:60-61`, robustified at the day grain)
+    * HASH-GATED on a fixed literal fleet (the q80 idiom): 12 days ×
+    * 4 obs of dyadic values, sensor s1 the true linear driver with
+    * two level-shifted outlier days, s2 a weak modular channel. The
+    * oracle replays the ENTIRE face — day moments with the integer
+    * lifts, ntile folds, per-fold OLS init + σ, three unrolled
+    * day-weighted IRLS refits, pooled test residuals — in plain
+    * chained CTEs (a fixed iteration count needs no recursion).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = for { d <- 1 to 12; h <- 0 to 3 } yield {
+      val x1 = (d + h) * 0.25
+      // one gross outlier day confined to fold 1 (train-only) so the
+      // robust downweighting is what the clean test folds score
+      val y = 2.0 * x1 + 1.0 + (if (d == 2) 20.0 else 0.0)
+      val x2 = ((d * h) % 5) * 0.5
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-$d%02d 0$h:00:00"), y, x1, x2)
+    }
+    val df = s.createDataset(rows).toDF("site", "ts", "power", "s1", "s2")
+    graft.analyses.SensorId.identifyHuber(
+      df, "site", "ts", "power", Seq("s1", "s2"), nSplits = 2, iters = 3)
+      .select(col("site"), col("sensor"), col("filter"), col("n_days"),
+        col("n_obs"), col("corr"), col("cv_rmse"), col("cv_mbe"))
+  }
+
   /** Full-fidelity loss-factor SD ([[graft.solvers.LossFactor]],
     * reference `loss_factor_analysis.py:447-552, 620-656`) run
     * fleet-wide on the daily-energy series and gated through its
@@ -3725,6 +3753,7 @@ object SparkEntry {
     "q82_interval_rule" -> (q82 _),
     "q83_asof_forward" -> (q83 _),
     "q84_sensor_identify" -> (q84 _),
+    "q90_sensor_huber" -> (q90 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),

@@ -106,20 +106,21 @@ object SensorId {
       expr(stackExpr))
   }
 
-  def identify(
+  /** [[dayMoments]] expanded by the day-filter axis (no_errors always;
+    * clear/cloudy when day flags are provided) — the shared input
+    * grain of both CV faces ([[identify]] and [[identifyHuber]]).
+    */
+  private def filteredMoments(
       df: DataFrame,
       site: String,
       tsCol: String,
       powerCol: String,
       sensorCols: Seq[String],
-      dayFlags: Option[DataFrame] = None,
-      errorDayPredicate: Column = lit(false),
-      nSplits: Int = 20
+      dayFlags: Option[DataFrame],
+      errorDayPredicate: Column
   ): DataFrame = {
-    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
     val long0 = dayMoments(df, site, tsCol, powerCol, sensorCols, errorDayPredicate)
-    // day filters: no_errors always; clear/cloudy when flags provided
-    val longF = dayFlags match {
+    dayFlags match {
       case None =>
         long0.filter(col("err") === 0).withColumn("filter", lit("no_errors"))
       case Some(flags) =>
@@ -135,6 +136,21 @@ object SensorId {
               (col("filter") === "clear" && col("clear")) ||
               (col("filter") === "cloudy" && !col("clear")))
     }
+  }
+
+  def identify(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      powerCol: String,
+      sensorCols: Seq[String],
+      dayFlags: Option[DataFrame] = None,
+      errorDayPredicate: Column = lit(false),
+      nSplits: Int = 20
+  ): DataFrame = {
+    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
+    val longF = filteredMoments(df, site, tsCol, powerCol, sensorCols,
+      dayFlags, errorDayPredicate)
     // TimeSeriesSplit: k+1 ordered blocks of the filtered day axis
     val wDay = Window.partitionBy(col("site"), col("sensor"), col("filter"))
       .orderBy(col("day"))
@@ -216,6 +232,181 @@ object SensorId {
             round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))), 6))
             .as("cv_mbe")
         })
+  }
+
+  /** The reference's `model="huber"` option
+    * (`sensor_identification.py:60-61`: sklearn HuberRegressor,
+    * ε = 1.35) at fleet scale. sklearn's row-level Huber has no
+    * one-pass sufficient statistic (each row's loss branch depends on
+    * its own residual), so this face robustifies at the DAY grain —
+    * the natural anomaly unit for sensor selection: an IRLS where
+    * each day's weight is min(1, ε·σ / rms_d), rms_d its RMS residual
+    * derived EXACTLY from the day's moment block, and each iteration
+    * refits weighted OLS over the weighted moment sums. σ starts at
+    * the train split's OLS RMSE and re-estimates each iteration from
+    * WINSORIZED residuals — Huber's Proposal-2 shape, the joint-scale
+    * behavior sklearn's HuberRegressor has; a fixed contaminated
+    * scale would cap the downweighting. State
+    * per (site, sensor, filter) task is the day-moment rows —
+    * day-count-bounded like every other solver stage; the raw scan is
+    * still touched exactly once ([[dayMoments]]).
+    *
+    * Same CV protocol, disqualification semantics (a degenerate train
+    * split nulls the whole score — the reference's inf residuals),
+    * and output schema as [[identify]].
+    */
+  def identifyHuber(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      powerCol: String,
+      sensorCols: Seq[String],
+      dayFlags: Option[DataFrame] = None,
+      errorDayPredicate: Column = lit(false),
+      nSplits: Int = 20,
+      epsilon: Double = 1.35,
+      iters: Int = 30
+  ): DataFrame = {
+    require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val longF = filteredMoments(df, site, tsCol, powerCol, sensorCols,
+      dayFlags, errorDayPredicate)
+      .select(col("site").cast("long"), col("sensor"), col("filter"),
+        col("day").cast("string"), col("n"), col("sx"), col("sy"),
+        col("sxx"), col("sxy"), col("syy"))
+      .as[(Long, String, String, String, Long, Long, Long, Long, Long, Long)]
+    longF
+      .groupByKey(r => (r._1, r._2, r._3))
+      .mapGroups { (key: (Long, String, String),
+                    it: Iterator[(Long, String, String, String, Long, Long, Long, Long, Long, Long)]) =>
+        val days = it.toArray.sortBy(_._4)
+        val m = days.map(d => DayMoment(d._5, d._6 / 1e6, d._7 / 1e6,
+          d._8 / 1e4, d._9 / 1e4, d._10 / 1e4))
+        // ntile(nSplits+1) over the day order — identical block sizes
+        // to the relational face's folds (SQL ntile: the first nD mod k
+        // buckets take the ceiling size)
+        val k = nSplits + 1
+        val nD = m.length
+        val q = nD / k
+        val r = nD % k
+        val bounds = (0 to k).map(f => f * q + math.min(f, r))
+        var pooledRss = 0.0
+        var pooledRes = 0.0
+        var pooledN = 0L
+        var nTest = 0
+        var nGood = 0
+        var f = 2
+        while (f <= k) {
+          val train = m.slice(bounds(0), bounds(f - 1))
+          val test = m.slice(bounds(f - 1), bounds(f))
+          if (test.nonEmpty) {
+            nTest += 1
+            huberFitMoments(train, epsilon, iters).foreach { case (a, b) =>
+              nGood += 1
+              test.foreach { d =>
+                pooledRss += math.max(rssDay(d, a, b), 0.0)
+                pooledRes += d.sy - d.n * a - b * d.sx
+                pooledN += d.n
+              }
+            }
+          }
+          f += 1
+        }
+        // totals accumulate the EXACT integer moments (order-free) and
+        // divide once — the form a SQL replay reproduces bit-for-bit
+        var tn = 0L; var tsx = 0L; var tsy = 0L; var tsxx = 0L; var tsxy = 0L; var tsyy = 0L
+        days.foreach { d =>
+          tn += d._5; tsx += d._6; tsy += d._7; tsxx += d._8; tsxy += d._9; tsyy += d._10
+        }
+        val varx = tn * (tsxx / 1e4) - (tsx / 1e6) * (tsx / 1e6)
+        val vary = tn * (tsyy / 1e4) - (tsy / 1e6) * (tsy / 1e6)
+        val cov = tn * (tsxy / 1e4) - (tsx / 1e6) * (tsy / 1e6)
+        val corr =
+          if (varx > 0.0 && vary > 0.0) Some(rd6(cov / math.sqrt(varx * vary))) else None
+        val ok = nTest > 0 && nTest == nGood && pooledN > 0
+        (key._1, key._2, key._3, days.length.toLong, tn, corr,
+          if (ok) Some(rd6(math.sqrt(math.max(pooledRss / pooledN, 0.0)))) else None,
+          if (ok) Some(rd6(pooledRes / pooledN)) else None)
+      }
+      .toDF("site", "sensor", "filter", "n_days", "n_obs", "corr", "cv_rmse", "cv_mbe")
+  }
+
+  private case class DayMoment(n: Long, sx: Double, sy: Double,
+      sxx: Double, sxy: Double, syy: Double)
+
+  private def rd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** A day's residual sum of squares at (a, b), exactly from its
+    * moment block: Σ(y − a − bx)² = Σy² + n·a² + b²Σx² − 2aΣy − 2bΣxy
+    * + 2abΣx.
+    */
+  private def rssDay(d: DayMoment, a: Double, b: Double): Double =
+    d.syy + d.n * a * a + b * b * d.sxx -
+      2.0 * a * d.sy - 2.0 * b * d.sxy + 2.0 * a * b * d.sx
+
+  /** Day-grain Huber IRLS over moment blocks (see [[identifyHuber]]):
+    * OLS init sets (a, b) and σ; each iteration weights every day
+    * min(1, ε·σ/rms_d), refits weighted OLS on the weighted sums, and
+    * re-estimates σ from the weighted residuals at the new fit —
+    * folding days in the fixed day order. Returns None on a
+    * degenerate split (zero sensor variance), matching the relational
+    * face's disqualification.
+    */
+  private[graft] def huberFitMoments(
+      train: Array[DayMoment],
+      epsilon: Double,
+      iters: Int
+  ): Option[(Double, Double)] = {
+    if (train.isEmpty) return None
+    var n = 0.0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0; var syy = 0.0
+    train.foreach { d =>
+      n += d.n; sx += d.sx; sy += d.sy; sxx += d.sxx; sxy += d.sxy; syy += d.syy
+    }
+    val den0 = n * sxx - sx * sx
+    if (!(den0 > 0.0)) return None
+    var b = (n * sxy - sx * sy) / den0
+    var a = (sy - b * sx) / n
+    var rss0 = 0.0
+    train.foreach(d => rss0 += math.max(rssDay(d, a, b), 0.0))
+    // the scale RE-ESTIMATES each iteration from WINSORIZED residuals
+    // (Huber's Proposal-2 shape): a fixed OLS scale is inflated by the
+    // very outliers the loss exists to resist, and an unwinsorized
+    // update lets a gross day keep the scale inflated through its own
+    // w·rss term — truncating each day's rms at the cut removes both,
+    // so a single gross train day is recovered EXACTLY (spec pins it)
+    var cut = epsilon * math.sqrt(math.max(rss0 / n, 1e-12))
+    var itn = 0
+    while (itn < iters) {
+      var wn = 0.0; var wsx = 0.0; var wsy = 0.0; var wsxx = 0.0; var wsxy = 0.0
+      var i = 0
+      while (i < train.length) {
+        val d = train(i)
+        val rms = math.sqrt(math.max(rssDay(d, a, b), 0.0) / d.n)
+        val wi = if (rms <= cut) 1.0 else cut / rms
+        wn += wi * d.n; wsx += wi * d.sx; wsy += wi * d.sy
+        wsxx += wi * d.sxx; wsxy += wi * d.sxy
+        i += 1
+      }
+      val den = wn * wsxx - wsx * wsx
+      if (den > 0.0) {
+        b = (wn * wsxy - wsx * wsy) / den
+        a = (wsy - b * wsx) / wn
+      }
+      var swin = 0.0
+      i = 0
+      while (i < train.length) {
+        val d = train(i)
+        val rms = math.sqrt(math.max(rssDay(d, a, b), 0.0) / d.n)
+        val t = math.min(rms, cut)
+        swin += d.n * t * t
+        i += 1
+      }
+      cut = epsilon * math.sqrt(math.max(swin / n, 1e-12))
+      itn += 1
+    }
+    Some((a, b))
   }
 
   /** Per-site verdict over an [[identify]] results table: the

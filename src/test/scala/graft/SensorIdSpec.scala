@@ -63,6 +63,48 @@ class SensorIdSpec extends AnyFunSuite {
     }
   }
 
+  test("huber face: outlier train days are downweighted — robust fit beats OLS on clean test folds") {
+    // y = 2x + 1 exactly, except one gross level-shifted day early in
+    // the series (train-side for every test fold). The least-squares
+    // face absorbs it into the fit and mispredicts every clean test
+    // day; the Huber face's winsorized-scale IRLS downweights that day
+    // to irrelevance and recovers the true line EXACTLY.
+    val rows = for { d <- 1 to 40; h <- 0 until 8 } yield {
+      val x = (d % 13) * 0.5 + h * 0.25
+      val y = 2.0 * x + 1.0 + (if (d == 2) 20.0 else 0.0)
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 0$h:15:00").toInstant
+        .plusSeconds((d - 1) * 86400L), y, x)
+    }
+    val df = rows.toDF("site", "ts", "power", "sx")
+    val ols = SensorId.identify(df, "site", "ts", "power", Seq("sx"), nSplits = 4)
+      .collect().head.getDouble(6)
+    val hub = SensorId.identifyHuber(df, "site", "ts", "power", Seq("sx"), nSplits = 4)
+      .collect().head.getDouble(6)
+    assert(hub < ols / 3.0, s"huber cv_rmse $hub should beat OLS $ols decisively")
+    assert(hub < 0.01, s"huber cv_rmse $hub should recover the exact line")
+    // same output contract as the relational face
+    val cols = SensorId.identifyHuber(df, "site", "ts", "power", Seq("sx"), nSplits = 4).columns
+    assert(cols.toSeq == Seq("site", "sensor", "filter", "n_days", "n_obs", "corr", "cv_rmse", "cv_mbe"))
+    // determinism across partitionings (in-task day-ordered folds)
+    val again = SensorId.identifyHuber(df.repartition(7), "site", "ts", "power", Seq("sx"), nSplits = 4)
+      .collect().head.getDouble(6)
+    assert(again == hub, s"huber face must be partition-independent ($again vs $hub)")
+  }
+
+  test("huber face: degenerate train split disqualifies (null score), like the relational face") {
+    val rows = for { d <- 1 to 12; h <- 0 until 4 } yield {
+      // sensor constant over the first half of the axis: every train
+      // split for early test folds has zero variance
+      val x = if (d <= 8) 1.0 else d * 0.5
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 0$h:15:00").toInstant
+        .plusSeconds((d - 1) * 86400L), d + h * 0.5, x)
+    }
+    val df = rows.toDF("site", "ts", "power", "sx")
+    val r = SensorId.identifyHuber(df, "site", "ts", "power", Seq("sx"), nSplits = 2)
+      .collect().head
+    assert(r.isNullAt(6) && r.isNullAt(7), s"degenerate split must null the scores: $r")
+  }
+
   test("filter disagreement flags inconsistent and nulls the choice") {
     // s_a fits clear days perfectly but is garbage on cloudy days;
     // s_b is a uniform mediocre fit — the filters must disagree
