@@ -97,13 +97,24 @@ object Pipeline {
     *   months, weekly below that — short fixtures can't identify an
     *   annual harmonic, multi-year sites alias under a weekly one.
     */
+  /** @param faultInjector chaos-testing seam (the reference's per-site
+    *   error-channel contract, `sdt_dask/dask_tool/runner.py:54-60`):
+    *   invoked as (siteId, stageName) at every solver-stage entry
+    *   inside the executor task; a throw is routed into that site's
+    *   `errors` column exactly like a real stage fault. Every solver
+    *   stage is deliberately total on real data (probed: empty /
+    *   all-NaN / ±Inf / 1-day inputs all degrade gracefully), so this
+    *   seam is how the channel itself stays tested end to end. Must
+    *   be serializable; the default is a no-op.
+    */
   def run(
       spark: SparkSession,
       df: DataFrame,
       site: String,
       tsCol: String,
       valueCol: String,
-      period: Option[Double] = None
+      period: Option[Double] = None,
+      faultInjector: (Long, String) => Unit = (_, _) => ()
   ): Dataset[SiteReport] = {
     import spark.implicits._
     val stats = dayStats(df, site, tsCol, valueCol)
@@ -149,7 +160,8 @@ object Pipeline {
             val buf = scala.collection.mutable.ArrayBuffer.empty[
               (Long, Double, Double, Double, Double, Double, Long, Double)]
             while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
-            analyzeSite(siteId, buf.toArray, period) // already day-ordered by the sort
+            // already day-ordered by the sort
+            analyzeSite(siteId, buf.toArray, period, faultInjector(siteId, _))
           }
         }
       }
@@ -160,7 +172,8 @@ object Pipeline {
   def analyzeSite(
       siteId: Long,
       days: Array[(Long, Double, Double, Double, Double, Double, Long, Double)],
-      period: Option[Double] = None
+      period: Option[Double] = None,
+      faultInjector: String => Unit = _ => ()
   ): SiteReport = {
     val n = days.length
     val t = days.map(_._2)
@@ -179,7 +192,7 @@ object Pipeline {
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def stage[A](name: String, default: A)(f: => A): A =
-      try f
+      try { faultInjector(name); f }
       catch { case e: Throwable => errs += s"$name: ${e.getMessage}"; default }
 
     // data quality: density fit (tl1_l2d2p365 analog) + flags
