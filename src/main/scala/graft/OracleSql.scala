@@ -1248,10 +1248,10 @@ object OracleSql {
         FROM sw_fc) t
       WHERE rn = 1),
     sw_scale AS (
-      SELECT site, quantile_cont(v, 0.99) AS hi99,
-        greatest(min(v), -0.005 * quantile_cont(v, 0.99)) AS lo99,
-        quantile_cont(v, 0.95) AS p95,
-        greatest(quantile_cont(v, 0.05), 0) AS bot
+      SELECT site, round(quantile_cont(v, 0.99), 6) AS hi99,
+        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)), 6) AS lo99,
+        round(quantile_cont(v, 0.95), 6) AS p95,
+        round(greatest(quantile_cont(v, 0.05), 0), 6) AS bot
       FROM sw_ev GROUP BY 1),
     sw_base AS (
       SELECT e.site, CAST(e.ts AS DATE) AS day,
@@ -2842,10 +2842,10 @@ object OracleSql {
       SELECT user_id AS site, day, slot * 1800.0 AS sec, filled AS v
       FROM fg_filled),
     f_scale AS (
-      SELECT site, quantile_cont(v, 0.99) AS hi99,
-        greatest(min(v), -0.005 * quantile_cont(v, 0.99)) AS lo99,
-        quantile_cont(v, 0.95) AS p95,
-        greatest(quantile_cont(v, 0.05), 0) AS bot
+      SELECT site, round(quantile_cont(v, 0.99), 6) AS hi99,
+        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)), 6) AS lo99,
+        round(quantile_cont(v, 0.95), 6) AS p95,
+        round(greatest(quantile_cont(v, 0.05), 0), 6) AS bot
       FROM f_rows GROUP BY 1),
     f_base AS (
       SELECT r.site, r.day, r.sec, r.sec / 3600.0 AS h, r.v,

@@ -165,6 +165,15 @@ object Study {
     * use — detect_sun's (hi99, lo99) and find_daytime's (p95, bot) —
     * public as a stage gate of the study chain (the q64-flake
     * diagnosability split: a driver failure should name its stage).
+    *
+    * Published on the 6-dp grid: a percentile is an INTERPOLATED
+    * value, and two engines (or two versions of one engine) may order
+    * the interpolation's IEEE ops differently — `lo + frac·(hi−lo)`
+    * vs `lo·(1−frac) + hi·frac` differ in the last ulp. Downstream
+    * threshold selections divide by these params, so an unrounded ulp
+    * is a cross-engine flake channel; quantizing here confines the
+    * risk to an exact 6-dp boundary (and q88 gates the quantized
+    * values directly, so a residual divergence names this stage).
     */
   def scaleParams(rows: DataFrame): DataFrame =
     rows.groupBy(col("site"), col("data_matrix"))
@@ -175,8 +184,9 @@ object Study {
         percentile(col("v"), lit(0.05)).as("p05"))
       .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
       .withColumn("bot", greatest(col("p05"), lit(0.0)))
-      .select(col("site"), col("data_matrix"), col("hi99"), col("lo99"),
-        col("p95"), col("bot"))
+      .select(col("site"), col("data_matrix"),
+        round(col("hi99"), 6).as("hi99"), round(col("lo99"), 6).as("lo99"),
+        round(col("p95"), 6).as("p95"), round(col("bot"), 6).as("bot"))
 
   /** Broadcast the one-row-per-site frequency onto the scan. */
   private def joinFreq(rows: DataFrame, freq: DataFrame): DataFrame =

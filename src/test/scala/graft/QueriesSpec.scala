@@ -27,10 +27,10 @@ class QueriesSpec extends AnyFunSuite {
     // cumulative-interpolation replay) and left this set too.
     // Round-8: p01/p03/p04/p05 gained invariant gates (relational
     // columns + construction-true literals, the d29/e09 idiom) and
-    // left as well — DEFLATE is the one remaining rows-only query
-    // (not reproducible in a SQL engine; DeflateSpec carries the
-    // value contracts).
-    val rowsOnly = Set("d20_compress_ratio")
+    // left as well. Round-9: d20 gained the codec-pin floor gate
+    // (byte counts + ratio invariants + fixed-string deflate pins),
+    // emptying the set — EVERY query now has an oracle.
+    val rowsOnly = Set.empty[String]
     val missing = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet).diff(rowsOnly)
     assert(missing.isEmpty, s"queries without oracle: $missing")
     // the list must stay honest in the other direction too: a query
