@@ -5182,6 +5182,7 @@ $branches
     "e19_adc_recall_gate" -> annRecallGate,
     "e20_ivfpq_recall_gate" -> annRecallGate,
     "e23_sharded_recall_gate" -> annRecallGate,
+    "e24_hier_serve_gate" -> annRecallGate,
     "d25_bpe_merges" -> d25,
     "d26_bpe_encode" -> d26,
     "e14_matryoshka_recall" -> e14,

@@ -3413,6 +3413,26 @@ object SparkEntry {
       approx, k = 3, floorPct = 25)
   }
 
+  /** The HIERARCHICAL serving path over the sharded codebook
+    * (`ivfTopKSharded`: coarse shard probe → fine cell probe within
+    * the probed shards → exact cosine on members), property-gated
+    * with the same recall-floor idiom as e23: 2 of 4 shards probed,
+    * fleet recall@3 ≥ 20% (observed 50%/52% at the gated sfs — on
+    * these near-uniform embeddings the 2-shard probe loses nothing vs
+    * the flat scan, `ProbeE23`; chance ≈ 0.9%).
+    */
+  private def e24(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 16)
+    val book = Similarity.kmeansFitSharded(
+      emb, "vec_id", "embedding", kCoarse = 4, kFine = 2, iters = 3)
+    val approx = Similarity.ivfTopKSharded(emb, book, q, "vec_id", "embedding",
+      nprobeShards = 2, nprobe = 2, k = 3)
+    recallGate(
+      Similarity.cosineTopK(q, emb, "vec_id", "embedding", 3),
+      approx, k = 3, floorPct = 20)
+  }
+
   /** e11's trained IVF-PQ (both stages trained) property-gated:
     * fleet recall@3 ≥ 8% (observed ~17%; chance ≈ 0.9%).
     */
@@ -3830,6 +3850,7 @@ object SparkEntry {
     "e22_ivf_pq_fixed" -> (e22 _),
     "e18_ivf_recall_gate" -> (e18 _),
     "e23_sharded_recall_gate" -> (e23 _),
+    "e24_hier_serve_gate" -> (e24 _),
     "e19_adc_recall_gate" -> (e19 _),
     "e20_ivfpq_recall_gate" -> (e20 _),
     "e21_neardup_bucketed" -> (e21 _),

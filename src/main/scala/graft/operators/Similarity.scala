@@ -415,6 +415,76 @@ object Similarity {
       .select(col("centroid_id"), col("centroid").cast("array<double>"), col("shard_id"))
   }
 
+  /** Hierarchical serving over the SHARDED codebook
+    * ([[kmeansFitSharded]]'s output): probe the nearest
+    * `nprobeShards` coarse shards per query (shard representative =
+    * the mean of its fine centroids), then the `nprobe` nearest fine
+    * cells WITHIN the probed shards, and run exact cosine only
+    * against those cells' members. Same output contract as
+    * [[ivfTopK]]; the difference is the probe set is chosen in two
+    * levels, so the per-query centroid work is
+    * kCoarse + nprobeShards·kFine instead of kCoarse·kFine — the
+    * serving shape once a flat codebook outgrows its broadcast scan.
+    * With `nprobeShards` = kCoarse the candidate cell set equals the
+    * flat scan's, so the result is IDENTICAL to [[ivfTopK]] at the
+    * same `nprobe` (spec-pinned equivalence).
+    */
+  def ivfTopKSharded(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nprobeShards: Int,
+      nprobe: Int,
+      k: Int
+  ): DataFrame = {
+    val fine = centroids.select(col("centroid_id"), col("centroid").cast("array<double>"), col("shard_id"))
+    // shard representatives: elementwise mean of the shard's fine
+    // centroids (codebook-sized arithmetic — never touches the corpus)
+    val reps = fine
+      .select(col("shard_id"), posexplode(col("centroid")).as(Seq("pos", "v")))
+      .groupBy(col("shard_id"), col("pos"))
+      .agg(avg(col("v")).as("v"))
+      .groupBy(col("shard_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("shard_id"), expr("transform(pv, x -> x.v)").as("rep"))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    // level 1: nearest shards per query
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("sd2").asc, col("shard_id").asc)
+    val shardProbes = q
+      .crossJoin(broadcast(reps))
+      .withColumn("sd2", round(dist2(col("qv"), col("rep")), 4))
+      .withColumn("__rn", row_number().over(wS))
+      .filter(col("__rn") <= nprobeShards)
+      .select(col("query_id"), col("qv"), col("qn"), col("shard_id"))
+    // level 2: nearest fine cells within the probed shards
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("pd2").asc, col("centroid_id").asc)
+    val cellProbes = shardProbes
+      .join(broadcast(fine.select(col("shard_id"), col("centroid_id"), col("centroid"))), Seq("shard_id"))
+      .withColumn("pd2", round(dist2(col("qv"), col("centroid")), 4))
+      .withColumn("__rn", row_number().over(wC))
+      .filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("qn"), col("centroid_id"))
+    // exact cosine against the probed cells' members only
+    val assign = assignToCentroids(vectors,
+      fine.select(col("centroid_id").as(idCol), col("centroid").as(vecCol)), idCol, vecCol)
+    val members = vectors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+      .join(assign.select(col(idCol).as("neighbor_id"), col("centroid_id")), Seq("neighbor_id"))
+      .withColumn("cn", norm(col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    cellProbes
+      .join(members, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 5))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk"))
+  }
+
   /** SemDeDup-style semantic deduplication: cluster every vector to
     * its nearest centroid, then inside each cluster drop any vector
     * whose cosine to a SMALLER-id member reaches `threshold` —

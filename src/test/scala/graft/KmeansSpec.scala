@@ -141,6 +141,37 @@ class KmeansSpec extends AnyFunSuite {
     assert(capped.count() == rows.length)
   }
 
+  test("hierarchical serving: all-shards probe is identical to the flat scan; partial probe finds local neighbors") {
+    import spark.implicits._
+    // +0.5 offset keeps every vector off the origin (a zero-norm
+    // vector has no cosine — ANSI division by zero)
+    val pts = (0 until 4).flatMap { c =>
+      val (cx, cy) = (10.0 * (c % 2) + 0.5, 10.0 * (c / 2) + 0.5)
+      Seq.tabulate(50)(i => ((c * 50 + i).toLong, Seq(cx + 0.1 * (i % 7), cy + 0.1 * (i % 5))))
+    }.toDF("vec_id", "embedding")
+    val book = Similarity.kmeansFitSharded(pts, "vec_id", "embedding",
+      kCoarse = 4, kFine = 2, iters = 4)
+    val flatCents = book.select(col("centroid_id").as("vec_id"), col("centroid").as("embedding"))
+    val q = pts.filter(col("vec_id") % 50 === 0) // one query per true cluster
+    // with every shard probed, the two-level candidate cell set equals
+    // the flat scan's — results must be row-identical
+    val flat = Similarity.ivfTopK(pts, flatCents, q, "vec_id", "embedding", nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val hier = Similarity.ivfTopKSharded(pts, book, q, "vec_id", "embedding",
+      nprobeShards = 4, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(hier == flat, s"all-shards hierarchical probe must equal the flat scan\nflat $flat\nhier $hier")
+    // with ONE shard probed, each query must still find same-cluster
+    // neighbors (its own shard) — the locality the coarse level buys
+    val local = Similarity.ivfTopKSharded(pts, book, q, "vec_id", "embedding",
+      nprobeShards = 1, nprobe = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(local.nonEmpty)
+    local.foreach { case (qid, nid) =>
+      assert(qid / 50 == nid / 50, s"query $qid got cross-cluster neighbor $nid under 1-shard probe")
+    }
+  }
+
   test("simplified silhouette: tight member ≈ 1, boundary point 0, wrong-side point < 0") {
     import spark.implicits._
     // two centroids on the x axis at 0 and 10 (2-dim vectors)
