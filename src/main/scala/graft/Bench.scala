@@ -60,11 +60,14 @@ object Bench {
           catch { case scala.util.control.NonFatal(_) => -1.0 }
         }
       System.gc()
+      // ANY failed warm pass fails the query outright: silently
+      // medianing the survivors would hide exactly the intermittent
+      // regressions this redesign exists to expose (and a 2-survivor
+      // "median" would actually be the max)
       val ok = warms.filter(_ >= 0)
-      val med =
-        if (ok.isEmpty) -1.0
-        else ok.sorted.apply(ok.length / 2)
-      name -> (cold, med, if (ok.isEmpty) -1.0 else ok.min, if (ok.isEmpty) -1.0 else ok.max)
+      val allOk = ok.length == warms.length
+      val med = if (!allOk) -1.0 else ok.sorted.apply(ok.length / 2)
+      name -> (cold, med, if (!allOk) -1.0 else ok.min, if (!allOk) -1.0 else ok.max)
     }
     val qs = results.map { case (k, (_, w, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")

@@ -23,10 +23,19 @@ object Verify {
     "q88_latstudy_filled_scale",
     "q89_latstudy_filled_daygrain")
 
-  /** Exact canonical cell text: shortest-roundtrip for doubles
-    * (Java's Double.toString), so two environments producing the same
-    * bits produce the same line. */
-  private def fmt(v: Any): String = if (v == null) "NULL" else v.toString
+  /** Exact canonical cell text. Doubles/floats use `toHexString`
+    * (the hexadecimal floating-point literal, e.g. 0x1.5bf0a8p3): the
+    * algorithm is fixed by the Java spec, so two JDK MAJORS render the
+    * same bits identically — `Double.toString` is only
+    * shortest-roundtrip from JDK 19 (JDK-4511638), and a JDK-17 vs
+    * JDK-21 pair would otherwise manufacture exactly the
+    * environment-only diff this sidecar exists to rule out. */
+  private def fmt(v: Any): String = v match {
+    case null => "NULL"
+    case d: java.lang.Double => java.lang.Double.toHexString(d)
+    case f: java.lang.Float => java.lang.Float.toHexString(f)
+    case other => other.toString
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -83,8 +92,10 @@ object Verify {
     if (only.isEmpty) {
       try {
         Files.createDirectories(snapDir)
+        // no timestamp: identical results must leave an identical file,
+        // so `git status` alone answers "did anything change"
         Files.writeString(snapDir.resolve("HASHES.tsv"),
-          s"# graft verify snapshot sfDir=$sfDir cpus=$cpus java=${System.getProperty("java.version")} at=${java.time.Instant.now()}\n" +
+          s"# graft verify snapshot sfDir=$sfDir cpus=$cpus java=${System.getProperty("java.version")}\n" +
             hashes.sorted.mkString("\n") + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] hash table write failed: ${e.getMessage}")

@@ -270,16 +270,21 @@ object SensorId {
     require(nSplits >= 2, s"nSplits must be >= 2, got $nSplits")
     val spark = df.sparkSession
     import spark.implicits._
-    val longF = filteredMoments(df, site, tsCol, powerCol, sensorCols,
+    val longF0 = filteredMoments(df, site, tsCol, powerCol, sensorCols,
       dayFlags, errorDayPredicate)
-      .select(col("site").cast("long"), col("sensor"), col("filter"),
+    // site keys round-trip through their STRING form so any site type
+    // works (identify preserves the input type; a long cast here would
+    // null out string ids and crash the tuple encoder)
+    val siteType = longF0.schema("site").dataType
+    val longF = longF0
+      .select(col("site").cast("string"), col("sensor"), col("filter"),
         col("day").cast("string"), col("n"), col("sx"), col("sy"),
         col("sxx"), col("sxy"), col("syy"))
-      .as[(Long, String, String, String, Long, Long, Long, Long, Long, Long)]
+      .as[(String, String, String, String, Long, Long, Long, Long, Long, Long)]
     longF
       .groupByKey(r => (r._1, r._2, r._3))
-      .mapGroups { (key: (Long, String, String),
-                    it: Iterator[(Long, String, String, String, Long, Long, Long, Long, Long, Long)]) =>
+      .mapGroups { (key: (String, String, String),
+                    it: Iterator[(String, String, String, String, Long, Long, Long, Long, Long, Long)]) =>
         val days = it.toArray.sortBy(_._4)
         val m = days.map(d => DayMoment(d._5, d._6 / 1e6, d._7 / 1e6,
           d._8 / 1e4, d._9 / 1e4, d._10 / 1e4))
@@ -330,6 +335,7 @@ object SensorId {
           if (ok) Some(rd6(pooledRes / pooledN)) else None)
       }
       .toDF("site", "sensor", "filter", "n_days", "n_obs", "corr", "cv_rmse", "cv_mbe")
+      .withColumn("site", col("site").cast(siteType))
   }
 
   private case class DayMoment(n: Long, sx: Double, sy: Double,

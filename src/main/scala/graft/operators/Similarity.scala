@@ -441,11 +441,18 @@ object Similarity {
   ): DataFrame = {
     val fine = centroids.select(col("centroid_id"), col("centroid").cast("array<double>"), col("shard_id"))
     // shard representatives: elementwise mean of the shard's fine
-    // centroids (codebook-sized arithmetic — never touches the corpus)
+    // centroids (codebook-sized arithmetic — never touches the
+    // corpus). The mean is an exact integer-micro sum / count, NOT a
+    // float avg: partial-aggregation merge order is shuffle-dependent
+    // for kFine > 2, and an ulp on a rep value at the sd2 rounding
+    // boundary would flip which shards rank inside nprobeShards
+    // between runs — the selection-only quantization is free, the
+    // order-freedom is not.
     val reps = fine
       .select(col("shard_id"), posexplode(col("centroid")).as(Seq("pos", "v")))
       .groupBy(col("shard_id"), col("pos"))
-      .agg(avg(col("v")).as("v"))
+      .agg((sum(round(col("v") * 1e6, 0).cast("long")).cast("double") / 1e6 /
+        count(col("v"))).as("v"))
       .groupBy(col("shard_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("v")))).as("pv"))
       .select(col("shard_id"), expr("transform(pv, x -> x.v)").as("rep"))
