@@ -2266,7 +2266,12 @@ object OracleSql {
   // residual algebra — every double op in SparkId.identify's own
   // association order. Terminal CTE: si_res(site, sensor, filter,
   // n_days, n_obs, corr, cv_rmse, cv_mbe).
-  private def sensorIdCte(nSplits: Int): String = s"""
+  // The day-grain sensor-ID input shared by the OLS CV replay (q84/
+  // q85) and the Huber-face fleet replay (q91): synthesized sensors,
+  // integer-micro day moments, the unpivot, and the day-filter axis.
+  // Terminal CTE: si_filt(site, day, n, sy, syy, err, sensor, sx,
+  // sxx, sxy, filter).
+  private val sensorIdBaseCte: String = s"""
     si_rows AS (
       SELECT user_id AS site, CAST(ts AS DATE) AS day,
         CAST(value AS DOUBLE) AS y,
@@ -2310,7 +2315,11 @@ object OracleSql {
       CROSS JOIN (SELECT unnest(['no_errors', 'clear', 'cloudy']) AS filter) f
       WHERE (f.filter = 'no_errors' AND l.err = 0)
          OR (f.filter = 'clear' AND coalesce(c.clear, false))
-         OR (f.filter = 'cloudy' AND NOT coalesce(c.clear, false))),
+         OR (f.filter = 'cloudy' AND NOT coalesce(c.clear, false)))
+  """
+
+  private def sensorIdCte(nSplits: Int): String = s"""
+    $sensorIdBaseCte,
     si_fold AS (
       SELECT site, sensor, filter, fold,
         CAST(count(*) AS BIGINT) AS f_days,
@@ -2788,6 +2797,136 @@ object OracleSql {
       round(t.res / t.n, 6) AS cv_mbe
     FROM hs_test t JOIN hs_tot tot ON tot.sensor = t.sensor
   """
+
+  // q91: the Huber face on the REAL fleet — the q84 composition
+  // (synthesized sensors → integer-micro day moments → day filters →
+  // ntile folds) with the q90 IRLS replayed per (site, sensor,
+  // filter, test-fold). Every train/test aggregate is an ORDERED
+  // list_reduce over day-sorted struct arrays (the q80 idiom): both
+  // engines fold the identical doubles in the identical order, so the
+  // gate is bit-deterministic by construction, not by luck.
+  private def q91Osum(list: String, expr: String): String =
+    s"CASE WHEN len($list) = 0 THEN 0.0 ELSE list_reduce(list_transform($list, d -> $expr), (acc, x) -> acc + x) END"
+
+  private def q91Rss(a: String, b: String): String =
+    s"(d.syy + d.n*$a*$a + $b*$b*d.sxx - 2.0*$a*d.sy - 2.0*$b*d.sxy + 2.0*$a*$b*d.sx)"
+
+  private def q91W(a: String, b: String, cut: String): String = {
+    val rms = s"sqrt(greatest(${q91Rss(a, b)}, 0.0) / d.n)"
+    s"(CASE WHEN $rms <= $cut THEN 1.0 ELSE $cut / $rms END)"
+  }
+
+  private def q91Iter(prev: String, out: String): String = {
+    val w = q91W("p.a", "p.b", "p.cut")
+    val swinT = s"least(sqrt(greatest(${q91Rss("za.a", "zb.b")}, 0.0) / d.n), p.cut)"
+    s"""
+    $out AS (
+      SELECT p.site, p.sensor, p.filter, p.tf, p.tr, p.te, p.n, p.den0,
+        zb.b, za.a,
+        1.35 * sqrt(greatest(zs.swin / p.n, 1e-12)) AS cut
+      FROM $prev p,
+      LATERAL (SELECT
+        ${q91Osum("p.tr", s"$w * d.n")} AS wn,
+        ${q91Osum("p.tr", s"$w * d.sx")} AS wsx,
+        ${q91Osum("p.tr", s"$w * d.sy")} AS wsy,
+        ${q91Osum("p.tr", s"$w * d.sxx")} AS wsxx,
+        ${q91Osum("p.tr", s"$w * d.sxy")} AS wsxy) z,
+      LATERAL (SELECT z.wn * z.wsxx - z.wsx * z.wsx AS den) zd,
+      LATERAL (SELECT CASE WHEN zd.den > 0 THEN (z.wn * z.wsxy - z.wsx * z.wsy) / zd.den
+                           ELSE p.b END AS b) zb,
+      LATERAL (SELECT CASE WHEN zd.den > 0 THEN (z.wsy - zb.b * z.wsx) / z.wn
+                           ELSE p.a END AS a) za,
+      LATERAL (SELECT ${q91Osum("p.tr", s"d.n * $swinT * $swinT")} AS swin) zs)
+    """
+  }
+
+  private val q91: String = {
+    val rss0 = q91Osum("h.tr", s"greatest(${q91Rss("h.a", "h.b")}, 0.0)")
+    s"""
+    WITH $clearFlagsCte,
+    $sensorIdBaseCte,
+    si_hfold AS (
+      SELECT *, ntile(3) OVER (PARTITION BY site, sensor, filter ORDER BY day) AS fold
+      FROM si_filt),
+    si_htot AS (
+      SELECT site, sensor, filter,
+        CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS tn,
+        sum(sx) AS tsx, sum(sy) AS tsy, sum(sxx) AS tsxx,
+        sum(sxy) AS tsxy, sum(syy) AS tsyy
+      FROM si_hfold GROUP BY 1, 2, 3),
+    si_harr AS (
+      SELECT site, sensor, filter,
+        list(struct_pack(
+          fold := fold, n := CAST(n AS DOUBLE),
+          sx := CAST(sx AS DOUBLE) / 1e6, sy := CAST(sy AS DOUBLE) / 1e6,
+          sxx := CAST(sxx AS DOUBLE) / 1e4, sxy := CAST(sxy AS DOUBLE) / 1e4,
+          syy := CAST(syy AS DOUBLE) / 1e4) ORDER BY day) AS ds
+      FROM si_hfold GROUP BY 1, 2, 3),
+    si_htf AS (
+      SELECT site, sensor, filter, tf,
+        list_filter(ds, d -> d.fold < tf) AS tr,
+        list_filter(ds, d -> d.fold = tf) AS te
+      FROM si_harr, (VALUES (2), (3)) f(tf)),
+    si_h0 AS (
+      SELECT site, sensor, filter, tf, tr, te,
+        ${q91Osum("tr", "d.n")} AS n,
+        ${q91Osum("tr", "d.sx")} AS sx, ${q91Osum("tr", "d.sy")} AS sy,
+        ${q91Osum("tr", "d.sxx")} AS sxx, ${q91Osum("tr", "d.sxy")} AS sxy
+      FROM si_htf),
+    si_h1 AS (SELECT *, n * sxx - sx * sx AS den0 FROM si_h0),
+    si_h2 AS (
+      SELECT *, CASE WHEN den0 > 0 THEN (n * sxy - sx * sy) / den0 END AS b
+      FROM si_h1),
+    si_h3 AS (
+      SELECT *, CASE WHEN den0 > 0 THEN (sy - b * sx) / n END AS a
+      FROM si_h2),
+    si_h4 AS (
+      SELECT h.site, h.sensor, h.filter, h.tf, h.tr, h.te, h.n, h.den0, h.b, h.a,
+        CASE WHEN h.den0 > 0
+             THEN 1.35 * sqrt(greatest(($rss0) / h.n, 1e-12)) END AS cut
+      FROM si_h3 h),
+    ${q91Iter("si_h4", "si_i1")},
+    ${q91Iter("si_i1", "si_i2")},
+    ${q91Iter("si_i2", "si_i3")},
+    si_pool AS (
+      SELECT site, sensor, filter,
+        CAST(sum(CASE WHEN len(te) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        CAST(sum(CASE WHEN len(te) > 0 AND den0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        flatten(list(CASE WHEN len(te) > 0 AND den0 > 0
+          THEN list_transform(te, d -> greatest(${q91Rss("i.a", "i.b")}, 0.0))
+          ELSE [] END ORDER BY tf)) AS rl,
+        flatten(list(CASE WHEN len(te) > 0 AND den0 > 0
+          THEN list_transform(te, d -> d.sy - d.n * i.a - i.b * d.sx)
+          ELSE [] END ORDER BY tf)) AS sl,
+        flatten(list(CASE WHEN len(te) > 0 AND den0 > 0
+          THEN list_transform(te, d -> d.n)
+          ELSE [] END ORDER BY tf)) AS nl
+      FROM si_i3 i GROUP BY 1, 2, 3),
+    si_hp AS (
+      SELECT site, sensor, filter, n_test, n_good,
+        ${q91Osum("rl", "d")} AS pr, ${q91Osum("sl", "d")} AS ps,
+        ${q91Osum("nl", "d")} AS pn
+      FROM si_pool)
+    SELECT t.site, t.sensor, t.filter, t.n_days, t.n_obs,
+      CASE WHEN varx > 0.0 AND vary > 0.0
+           THEN round(cov / sqrt(varx * vary), 6) END AS corr,
+      CASE WHEN p.n_test > 0 AND p.n_test = p.n_good AND p.pn > 0
+           THEN round(sqrt(greatest(p.pr / p.pn, 0.0)), 6) END AS cv_rmse,
+      CASE WHEN p.n_test > 0 AND p.n_test = p.n_good AND p.pn > 0
+           THEN round(p.ps / p.pn, 6) END AS cv_mbe
+    FROM si_hp p
+    JOIN (
+      SELECT site, sensor, filter, n_days, tn AS n_obs,
+        tn * (CAST(tsxx AS DOUBLE) / 1e4)
+          - (CAST(tsx AS DOUBLE) / 1e6) * (CAST(tsx AS DOUBLE) / 1e6) AS varx,
+        tn * (CAST(tsyy AS DOUBLE) / 1e4)
+          - (CAST(tsy AS DOUBLE) / 1e6) * (CAST(tsy AS DOUBLE) / 1e6) AS vary,
+        tn * (CAST(tsxy AS DOUBLE) / 1e4)
+          - (CAST(tsx AS DOUBLE) / 1e6) * (CAST(tsy AS DOUBLE) / 1e6) AS cov
+      FROM si_htot) t
+    ON t.site = p.site AND t.sensor = p.sensor AND t.filter = p.filter
+  """
+  }
 
   // The latitude sweep's 12 config branches (shared by q61 raw and
   // q64 filled): per-day Duffie latitude inversion under both
@@ -5113,6 +5252,7 @@ $branches
     "q84_sensor_identify" -> q84,
     "q85_sensor_choice" -> q85,
     "q90_sensor_huber" -> q90,
+    "q91_sensor_huber_fleet" -> q91,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

@@ -1097,6 +1097,25 @@ object SparkEntry {
         col("n_obs"), col("corr"), col("cv_rmse"), col("cv_mbe"))
   }
 
+  /** The Huber sensor-ID face on the REAL fleet (q90 gates the
+    * algorithm on a fixed literal; this gates the COMPOSITION —
+    * moments from raw events, clear/cloudy flags, ntile folds, and
+    * the day-weighted IRLS — end to end on the events table). Three
+    * unrolled iterations; every train/test fold in the oracle is an
+    * ordered `list_reduce` over day-sorted arrays, the q80 idiom, so
+    * both engines fold the identical doubles in the identical order.
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val fleet = sensorFleet(s, dir)
+    val flags = graft.analyses.ClearDay.detect(
+      s, Tables.events(s, dir), "user_id", "ts", "value", slotsPerDay = 96)
+    graft.analyses.SensorId.identifyHuber(
+      fleet, "user_id", "ts", "value", Seq("s_tri", "s_lin", "s_hash"),
+      dayFlags = Some(flags),
+      errorDayPredicate = col("event_type") === "error",
+      nSplits = 2, iters = 3)
+  }
+
   /** Full-fidelity loss-factor SD ([[graft.solvers.LossFactor]],
     * reference `loss_factor_analysis.py:447-552, 620-656`) run
     * fleet-wide on the daily-energy series and gated through its
@@ -3779,6 +3798,7 @@ object SparkEntry {
     "q83_asof_forward" -> (q83 _),
     "q84_sensor_identify" -> (q84 _),
     "q90_sensor_huber" -> (q90 _),
+    "q91_sensor_huber_fleet" -> (q91 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),
