@@ -170,6 +170,18 @@ class KmeansSpec extends AnyFunSuite {
     local.foreach { case (qid, nid) =>
       assert(qid / 50 == nid / 50, s"query $qid got cross-cluster neighbor $nid under 1-shard probe")
     }
+    // partition independence at kFine = 3: the shard representatives
+    // are integer-micro means, so the serving result must not depend
+    // on the codebook frame's partitioning (a float avg's merge order
+    // would make 3-value sums shuffle-dependent)
+    val book3 = Similarity.kmeansFitSharded(pts, "vec_id", "embedding",
+      kCoarse = 4, kFine = 3, iters = 4)
+    def serve(b: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKSharded(pts, b, q, "vec_id", "embedding",
+        nprobeShards = 2, nprobe = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(serve(book3) == serve(book3.repartition(7)),
+      "kFine=3 serving must be partition-independent (order-free rep means)")
   }
 
   test("simplified silhouette: tight member ≈ 1, boundary point 0, wrong-side point < 0") {
