@@ -5,10 +5,12 @@
 # Repeat mode (determinism check — the q64 incident showed one green
 # run is NOT evidence of determinism):
 #   tools/run_gate.sh --repeat N [query ...]
-# runs the correctness dump N times at sf0.01 (alternating 16/32 CPUs
-# to vary partial-aggregation order), checks every run against the
-# oracle, and reports any query that is not PASS-stable across all
-# runs. With no query args it repeats the full suite.
+# runs the correctness dump N times at sf0.01, ROTATING the CPU count
+# through 4/16/32 to vary partial-aggregation order (4 is the
+# DRIVER'S default — SPARK_GRAFT_CPUS unset — so the rotation covers
+# the exact config the round gate runs under), checks every run
+# against the oracle, and reports any query that is not PASS-stable
+# across all runs. With no query args it repeats the full suite.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -17,8 +19,9 @@ if [[ "${1:-}" == "--repeat" ]]; then
   shift 2
   QUERIES=("$@")
   declare -A FAILCOUNT
+  CPU_ROTATION=(4 16 32)
   for ((i = 1; i <= N; i++)); do
-    CPUS=$(( i % 2 == 0 ? 32 : 16 ))
+    CPUS=${CPU_ROTATION[$(( (i - 1) % 3 ))]}
     OUT="/tmp/gate_repeat_$i"
     echo "== repeat $i/$N (CPUS=$CPUS) =="
     SPARK_GRAFT_CPUS=$CPUS sbt -batch \
