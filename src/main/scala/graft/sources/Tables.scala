@@ -141,4 +141,24 @@ object Tables {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
   }
+
+  /** ORC sink/source pair — the second columnar format large archives
+    * arrive in (Hive-era data lakes are predominantly ORC). Spark's
+    * native vectorized ORC reader gives the same pushdown/pruning
+    * contract as parquet (`PushedFilters` reach the stripe level), so
+    * the engine is format-agnostic at the scan: anything readable
+    * through [[table]] can round-trip through ORC with identical
+    * downstream plans. Snappy, the cross-ecosystem default codec.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("compression", "snappy").orc(path)
+
+  /** ORC reader with the same session-setup side effects as [[table]]
+    * (native-function registration) so ORC-sourced frames feed every
+    * operator identically.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.orc(path)
+  }
 }
