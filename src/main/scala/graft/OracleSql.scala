@@ -1248,17 +1248,20 @@ object OracleSql {
         FROM sw_fc) t
       WHERE rn = 1),
     sw_scale AS (
-      SELECT site, round(quantile_cont(v, 0.99), 6) AS hi99,
-        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)), 6) AS lo99,
-        round(quantile_cont(v, 0.95), 6) AS p95,
-        round(greatest(quantile_cont(v, 0.05), 0), 6) AS bot
+      SELECT site, round(quantile_cont(v, 0.99) * 1000000.0) / 1000000.0 AS hi99,
+        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)) * 1000000.0)
+          / 1000000.0 AS lo99,
+        round(quantile_cont(v, 0.95) * 1000000.0) / 1000000.0 AS p95,
+        round(greatest(quantile_cont(v, 0.05), 0) * 1000000.0) / 1000000.0 AS bot
       FROM sw_ev GROUP BY 1),
     sw_base AS (
       SELECT e.site, CAST(e.ts AS DATE) AS day,
         CAST(date_diff('second', date_trunc('day', e.ts), e.ts) AS DOUBLE) AS sec,
         date_diff('second', date_trunc('day', e.ts), e.ts) / 3600.0 AS h,
-        CAST(round((e.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) AS sc_d,
-        CAST(round((e.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) AS sc_r,
+        CASE WHEN s.hi99 <> 0
+          THEN CAST(round((e.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) END AS sc_d,
+        CASE WHEN s.p95 <> s.bot
+          THEN CAST(round((e.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) END AS sc_r,
         e.v
       FROM sw_ev e JOIN sw_scale s ON e.site = s.site),
     sw_dd AS (
@@ -1269,8 +1272,8 @@ object OracleSql {
         max(CASE WHEN sc_d > 10000 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
         sum(CASE WHEN sc_r >= 1000 THEN 1 ELSE 0 END) AS n_daytime,
-        sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
-        sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
+        sum(CAST(sec AS BIGINT) * CAST(round(v * 1000000.0) AS BIGINT)) AS num_c,
+        sum(CAST(round(v * 1000000.0) AS BIGINT)) AS sum_c
       FROM sw_base GROUP BY 1, 2),
     sw_day AS (
       SELECT d.site, d.day, dayofyear(d.day) AS doy,
@@ -1278,7 +1281,7 @@ object OracleSql {
              ELSE d.ss - d.sr END AS dl_ss,
         d.n_daytime * f.freq_h AS dl_raw,
         CASE WHEN d.sum_c <> 0
-             THEN (d.num_c / 100.0 / 3600.0) / (d.sum_c / 1000000.0) END AS noon_com,
+             THEN (d.num_c / 3600.0) / d.sum_c END AS noon_com,
         CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
              ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs,
         coalesce(c.clear, false) AS clear
@@ -2932,6 +2935,14 @@ object OracleSql {
   // q64 filled): per-day Duffie latitude inversion under both
   // declination series, config-filtered medians (FILTER ≡ Spark's
   // percentile-over-when, both skip nulls ≡ nanmedian).
+  // The per-day estimate is lifted to 6-dp INTEGER MICROS before the
+  // median: the inversion runs through libm transcendentals whose last
+  // ulp differs across engine builds, and an even day count makes
+  // quantile_cont interpolate the midpoint of two such doubles. On
+  // sub-2^52 BIGINTs the midpoint (a+b)/2 is IEEE-exact under every
+  // interpolation formula, so median-of-micros / 1e6 is bit-determined
+  // by the inputs alone — no trailing decimal round, hence no half-way
+  // rounding boundary (the round-9 driver-only q64 hash flake channel).
   private def latStudyBranches(table: String, matrix: String): String = {
     val cooper =
       "(23.45 * sin(6.283185307179586 * (doy + 284.0) / 365.0))"
@@ -2953,7 +2964,8 @@ object OracleSql {
       sels.map { case (sName, sPred) =>
         s"""      SELECT site, '$matrix' AS data_matrix, '$dlName' AS daylight_method,
           '$dName' AS delta_method, '$sName' AS day_selection,
-          round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6) AS latitude,
+          quantile_cont(CAST(round(($expr) * 1000000.0, 0) AS BIGINT), 0.5)
+            FILTER (WHERE $sPred) / 1000000.0 AS latitude,
           count($expr) FILTER (WHERE $sPred) AS n_days
         FROM $table GROUP BY 1"""
       }
@@ -2981,15 +2993,18 @@ object OracleSql {
       SELECT user_id AS site, day, slot * 1800.0 AS sec, filled AS v
       FROM fg_filled),
     f_scale AS (
-      SELECT site, round(quantile_cont(v, 0.99), 6) AS hi99,
-        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)), 6) AS lo99,
-        round(quantile_cont(v, 0.95), 6) AS p95,
-        round(greatest(quantile_cont(v, 0.05), 0), 6) AS bot
+      SELECT site, round(quantile_cont(v, 0.99) * 1000000.0) / 1000000.0 AS hi99,
+        round(greatest(min(v), -0.005 * quantile_cont(v, 0.99)) * 1000000.0)
+          / 1000000.0 AS lo99,
+        round(quantile_cont(v, 0.95) * 1000000.0) / 1000000.0 AS p95,
+        round(greatest(quantile_cont(v, 0.05), 0) * 1000000.0) / 1000000.0 AS bot
       FROM f_rows GROUP BY 1),
     f_base AS (
       SELECT r.site, r.day, r.sec, r.sec / 3600.0 AS h, r.v,
-        CAST(round((r.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) AS sc_d,
-        CAST(round((r.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) AS sc_r
+        CASE WHEN s.hi99 <> 0
+          THEN CAST(round((r.v - s.lo99) / s.hi99 * 1000000.0, 0) AS BIGINT) END AS sc_d,
+        CASE WHEN s.p95 <> s.bot
+          THEN CAST(round((r.v - s.bot) / (s.p95 - s.bot) * 1000000.0, 0) AS BIGINT) END AS sc_r
       FROM f_rows r JOIN f_scale s ON r.site = s.site),
     f_dd AS (
       SELECT site, day,
@@ -2999,8 +3014,8 @@ object OracleSql {
         max(CASE WHEN sc_d > 10000 THEN h END) AS ss01,
         min(h) AS h_first, max(h) AS h_last,
         sum(CASE WHEN sc_r >= 1000 THEN 1 ELSE 0 END) AS n_daytime,
-        sum(CAST(round(sec * round(v, 6) * 100.0, 0) AS BIGINT)) AS num_c,
-        sum(CAST(round(round(v, 6) * 1000000.0, 0) AS BIGINT)) AS sum_c
+        sum(CAST(sec AS BIGINT) * CAST(round(v * 1000000.0) AS BIGINT)) AS num_c,
+        sum(CAST(round(v * 1000000.0) AS BIGINT)) AS sum_c
       FROM f_base GROUP BY 1, 2),
     f_day0 AS (
       SELECT d.site, d.day, dayofyear(d.day) AS doy, d.sr, d.ss,
@@ -3008,7 +3023,7 @@ object OracleSql {
              ELSE d.ss - d.sr END AS dl_ss,
         d.n_daytime * 0.5 AS dl_raw,
         CASE WHEN d.sum_c <> 0
-             THEN (d.num_c / 100.0 / 3600.0) / (d.sum_c / 1000000.0) END AS noon_com,
+             THEN (d.num_c / 3600.0) / d.sum_c END AS noon_com,
         CASE WHEN d.sr01 = d.h_first OR d.ss01 = d.h_last THEN NULL
              ELSE (d.sr01 + d.ss01) / 2.0 END AS noon_rs
       FROM f_dd d)
@@ -3040,19 +3055,22 @@ object OracleSql {
   private val q88: String = s"""
     WITH $filledGridCte,
     $filledDayCoreCte
-    SELECT site, 'filled' AS data_matrix,
-      round(hi99, 6) AS hi99, round(lo99, 6) AS lo99,
-      round(p95, 6) AS p95, round(bot, 6) AS bot
+    SELECT site, 'filled' AS data_matrix, hi99, lo99, p95, bot
     FROM f_scale
     """
 
+  // publications via the scale-0 product quantizer, not round(x, 6)
+  // (engine-portable — see sw_scale)
   private val q89: String = s"""
     WITH $filledGridCte,
     $filledDayCoreCte
     SELECT site, CAST(day AS VARCHAR) AS day, doy,
-      round(sr, 6) AS sr, round(ss, 6) AS ss,
-      round(dl_ss, 6) AS dl_ss, round(dl_raw, 6) AS dl_raw,
-      round(noon_com, 6) AS noon_com, round(noon_rs, 6) AS noon_rs
+      round(sr * 1000000.0) / 1000000.0 AS sr,
+      round(ss * 1000000.0) / 1000000.0 AS ss,
+      round(dl_ss * 1000000.0) / 1000000.0 AS dl_ss,
+      round(dl_raw * 1000000.0) / 1000000.0 AS dl_raw,
+      round(noon_com * 1000000.0) / 1000000.0 AS noon_com,
+      round(noon_rs * 1000000.0) / 1000000.0 AS noon_rs
     FROM f_day0
     """
 
@@ -3080,14 +3098,18 @@ object OracleSql {
       ("rise_set_average", "da_rosa", lon("noon_rs", daRosa)))
     val sels = Seq(("all", "TRUE"), ("clear", "clear"), ("cloudy", "NOT clear"))
     // estimator axis closed forms (fitting.py residuals are linear in
-    // lon): calculated / fit_l1 = median; fit_l2 = mean via EXACT
-    // integer-micro sums so the hash survives any summation order
+    // lon): calculated / fit_l1 = median over 6-dp INTEGER MICROS
+    // (even-count midpoints of sub-2^52 BIGINTs are IEEE-exact — see
+    // latStudyBranches); fit_l2 = mean via EXACT integer-micro sums.
+    // No trailing decimal round on either: the published double is
+    // bit-determined by the integer aggregates and two IEEE divisions.
     variants.flatMap { case (nName, eName, expr) =>
       sels.flatMap { case (sName, sPred) =>
-        val med = s"round(quantile_cont($expr, 0.5) FILTER (WHERE $sPred), 6)"
-        val mean = s"""round(CAST(sum(CAST(round($expr * 1e6, 0) AS BIGINT))
+        val med = s"""(quantile_cont(CAST(round(($expr) * 1e6, 0) AS BIGINT), 0.5)
+            FILTER (WHERE $sPred) / 1e6)"""
+        val mean = s"""(CAST(sum(CAST(round(($expr) * 1e6, 0) AS BIGINT))
             FILTER (WHERE $sPred) AS DOUBLE) / 1e6
-            / (count($expr) FILTER (WHERE $sPred)), 6)"""
+            / (count($expr) FILTER (WHERE $sPred)))"""
         Seq(("calculated", med), ("fit_l1", med), ("fit_l2", mean)).map { case (est, v) =>
           s"""      SELECT site, '$matrix' AS data_matrix, '$nName' AS solar_noon_method,
             '$eName' AS eot_calculation, '$sName' AS day_selection,

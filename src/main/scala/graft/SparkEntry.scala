@@ -552,7 +552,9 @@ object SparkEntry {
       .select(
         col("site"), col("data_matrix"), col("daylight_method"),
         col("delta_method"), col("day_selection"),
-        round(col("latitude"), 6).as("latitude"), col("n_days"))
+        // bit-determined by construction (integer-micro median / 1e6);
+        // a trailing decimal round would reintroduce a half-way boundary
+        col("latitude"), col("n_days"))
 
   /** Longitude config-sweep study (reference
     * `longitude_study.py:70-225` via `analyses/Study.longitudeStudy`),
@@ -571,7 +573,9 @@ object SparkEntry {
       .select(
         col("site"), col("data_matrix"), col("solar_noon_method"),
         col("eot_calculation"), col("day_selection"), col("estimator"),
-        round(col("longitude"), 6).as("longitude"), col("n_days"))
+        // bit-determined by construction (integer-micro median/mean);
+        // a trailing decimal round would reintroduce a half-way boundary
+        col("longitude"), col("n_days"))
 
   /** The latitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.latitudeStudy`), hash-gated end to end: the oracle
@@ -588,7 +592,8 @@ object SparkEntry {
       .select(
         col("site"), col("data_matrix"), col("daylight_method"),
         col("delta_method"), col("day_selection"),
-        round(col("latitude"), 6).as("latitude"), col("n_days"))
+        // bit-determined by construction — see q61
+        col("latitude"), col("n_days"))
 
   /** Stage gate 2 of the q64 chain (diagnosability split — stage 1 is
     * q50's filled grid): the filled-branch detect_sun / find_daytime
@@ -599,10 +604,10 @@ object SparkEntry {
       graft.analyses.Study.studyRows(
         s, Tables.events(s, dir), "user_id", "ts", "value",
         includeFilled = true, filledSlotsPerDay = 48, includeRaw = false))
+      // scaleParams already publishes on the engine-portable micro grid
       .select(
         col("site"), col("data_matrix"),
-        round(col("hi99"), 6).as("hi99"), round(col("lo99"), 6).as("lo99"),
-        round(col("p95"), 6).as("p95"), round(col("bot"), 6).as("bot"))
+        col("hi99"), col("lo99"), col("p95"), col("bot"))
 
   /** Stage gate 3 of the q64 chain: the flag-free filled day grain —
     * integer-micro threshold crossings (sr/ss), boundary-null
@@ -615,10 +620,11 @@ object SparkEntry {
       s, Tables.events(s, dir), "user_id", "ts", "value",
       includeFilled = true, filledSlotsPerDay = 48, includeRaw = false)
       .select(
-        col("site"), col("day").cast("string").as("day"), col("doy"),
-        round(col("sr"), 6).as("sr"), round(col("ss"), 6).as("ss"),
-        round(col("dl_ss"), 6).as("dl_ss"), round(col("dl_raw"), 6).as("dl_raw"),
-        round(col("noon_com"), 6).as("noon_com"), round(col("noon_rs"), 6).as("noon_rs"))
+        Seq(col("site"), col("day").cast("string").as("day"), col("doy")) ++
+          // scale-0 product quantizer, not round(x, 6) — engine-portable
+          // (see Study.scaleParams scaladoc)
+          Seq("sr", "ss", "dl_ss", "dl_raw", "noon_com", "noon_rs")
+            .map(c => (round(col(c) * lit(1e6)) / lit(1e6)).as(c)): _*)
 
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
@@ -634,7 +640,8 @@ object SparkEntry {
       .select(
         col("site"), col("data_matrix"), col("solar_noon_method"),
         col("eot_calculation"), col("day_selection"), col("estimator"),
-        round(col("longitude"), 6).as("longitude"), col("n_days"))
+        // bit-determined by construction — see q62
+        col("longitude"), col("n_days"))
 
   /** The orientation fit's envelope-cell table
     * (`Profiler.orientationCells` — the input the tilt/azimuth curve

@@ -174,6 +174,17 @@ object Study {
     * is a cross-engine flake channel; quantizing here confines the
     * risk to an exact 6-dp boundary (and q88 gates the quantized
     * values directly, so a residual divergence names this stage).
+    *
+    * The quantizer is `round(x·1e6)/1e6`, NOT `round(x, 6)`: a scale-0
+    * round of an explicitly computed product is engine-portable (both
+    * engines see the identical correctly-rounded double, and for
+    * |x·1e6| < 2^52 every half is exactly representable, so shortest-
+    * repr and binary rounding agree), whereas a decimal-scale round
+    * diverges between a string-based implementation (JVM BigDecimal
+    * rounds the shortest decimal repr) and a scaled-product one
+    * (C `round(x·1e6)/1e6`) whenever x's shortest repr terminates in a
+    * 7th-decimal 5 — which the filled grid's dyadic interpolated
+    * values hit systematically (the round-9 q64 driver-flake class).
     */
   def scaleParams(rows: DataFrame): DataFrame =
     rows.groupBy(col("site"), col("data_matrix"))
@@ -185,8 +196,10 @@ object Study {
       .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
       .withColumn("bot", greatest(col("p05"), lit(0.0)))
       .select(col("site"), col("data_matrix"),
-        round(col("hi99"), 6).as("hi99"), round(col("lo99"), 6).as("lo99"),
-        round(col("p95"), 6).as("p95"), round(col("bot"), 6).as("bot"))
+        (round(col("hi99") * lit(1e6)) / lit(1e6)).as("hi99"),
+        (round(col("lo99") * lit(1e6)) / lit(1e6)).as("lo99"),
+        (round(col("p95") * lit(1e6)) / lit(1e6)).as("p95"),
+        (round(col("bot") * lit(1e6)) / lit(1e6)).as("bot"))
 
   /** Broadcast the one-row-per-site frequency onto the scan. */
   private def joinFreq(rows: DataFrame, freq: DataFrame): DataFrame =
@@ -205,11 +218,19 @@ object Study {
     // algorithms (Java BigDecimal setScale vs C libm scaling) can
     // disagree by one ulp — the q64 flake class. The threshold itself
     // is lifted to the same grid (0.001 → 1000).
+    // Degenerate-scale guard: a near-zero-signal site can round hi99
+    // to exactly 0 (or p95 to bot), turning the division into ±Inf —
+    // which Spark would CAST to Long.MaxValue while DuckDB's CAST
+    // raises, converting a value divergence into an oracle-side error.
+    // Nullify instead (identically in the oracle CTEs): every sc_d/sc_r
+    // comparison is then null → the day contributes no crossings.
     val j = rows.join(broadcast(scale), Seq("site", "data_matrix"))
       .withColumn("sc_d",
-        round((col("v") - col("lo99")) / col("hi99") * lit(1e6), 0).cast("long"))
+        when(col("hi99") =!= 0.0,
+          round((col("v") - col("lo99")) / col("hi99") * lit(1e6), 0).cast("long")))
       .withColumn("sc_r",
-        round((col("v") - col("bot")) / (col("p95") - col("bot")) * lit(1e6), 0).cast("long"))
+        when(col("p95") =!= col("bot"),
+          round((col("v") - col("bot")) / (col("p95") - col("bot")) * lit(1e6), 0).cast("long")))
     val thr = lit(math.round(threshold * 1e6))
     val d = j.groupBy(col("site"), col("data_matrix"), col("day"))
       .agg(
@@ -220,15 +241,16 @@ object Study {
         min(h).as("h_first"),
         max(h).as("h_last"),
         sum(when(col("sc_r") >= thr, 1L).otherwise(0L)).as("n_daytime"),
-        // CoM numerator in SECONDS with each product lifted to an
-        // exact integer hundredth before summing (the q07 integer-
-        // micros contract): a float sum over interpolated values is
-        // order-dependent, and a trailing round can't repair a
-        // magnitude-1e9 sum — integer sums are exact and order-free
-        // in ANY engine. v is quantized to the 6-dp publication grid
-        // first so the per-product doubles are engine-identical.
-        sum(round(col("sec") * round(col("v"), 6) * lit(100.0), 0).cast("long")).as("num_c"),
-        sum(round(round(col("v"), 6) * lit(1e6), 0).cast("long")).as("sum_c"),
+        // CoM sums as EXACT INTEGERS end to end: v lifted to 6-dp
+        // micros via a scale-0 round of the explicit product (engine-
+        // portable — see [[scaleParams]]; `round(v, 6)` is NOT, and was
+        // the round-9 q64 flake's root cause), then multiplied by the
+        // integer second-of-day. Integer sums are exact and order-free
+        // in ANY engine; num_c ≤ 86400·vmax·1e6·rows/day stays far
+        // inside int64 even at minute grain over a year.
+        sum(col("sec").cast("long") *
+          round(col("v") * lit(1e6)).cast("long")).as("num_c"),
+        sum(round(col("v") * lit(1e6)).cast("long")).as("sum_c"),
         first(col("freq_h")).as("freq_h"))
     val bounded = (sr: Column, ss: Column) =>
       when(sr === col("h_first") || ss === col("h_last"), lit(null)).otherwise(ss - sr)
@@ -236,7 +258,7 @@ object Study {
       .withColumn("dl_ss", bounded(col("sr"), col("ss")))
       .withColumn("dl_raw", col("n_daytime") * col("freq_h"))
       .withColumn("noon_com",
-        try_divide(col("num_c") / lit(100.0) / lit(3600.0), col("sum_c") / lit(1e6)))
+        try_divide(col("num_c") / lit(3600.0), col("sum_c")))
       .withColumn("noon_rs",
         when(col("sr01") === col("h_first") || col("ss01") === col("h_last"), lit(null))
           .otherwise((col("sr01") + col("ss01")) / 2.0))
@@ -270,6 +292,14 @@ object Study {
   /** Aggregate config medians per (site, data_matrix) and unpivot to
     * one row per config (stack AFTER aggregation — the config axis
     * never multiplies the day grain).
+    *
+    * The per-day estimate is lifted to 6-dp INTEGER MICROS before the
+    * median: the inversion runs through libm transcendentals whose
+    * last ulp is build-sensitive, and an even day count interpolates
+    * the midpoint of two such doubles. On sub-2^52 integers the
+    * midpoint (a+b)/2 is IEEE-exact under every interpolation formula,
+    * so median-of-micros / 1e6 is bit-determined by the inputs alone —
+    * no trailing decimal round, hence no half-way rounding boundary.
     */
   private def sweep(
       day: DataFrame,
@@ -279,7 +309,8 @@ object Study {
   ): DataFrame = {
     val aggs = configs.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        percentile(when(c.sel, c.value), lit(0.5)).as(s"est_$i"),
+        (percentile(when(c.sel, round(c.value * lit(1e6)).cast("long")),
+          lit(0.5)) / lit(1e6)).as(s"est_$i"),
         sum(when(c.sel && c.value.isNotNull, 1L).otherwise(0L)).as(s"n_$i"))
     }
     val agged = day.groupBy(col("site"), col("data_matrix"))
@@ -462,7 +493,11 @@ object Study {
             val sel = sels(j)._2
             val x = col(s"lon_$i")
             Seq(
-              percentile(when(sel, x), lit(0.5)).as(s"med_${i}_$j"),
+              // median over 6-dp integer micros: an even-count midpoint
+              // of two sub-2^52 longs is IEEE-exact, so the estimate is
+              // bit-determined regardless of libm ulp (see [[sweep]])
+              percentile(when(sel, round(x * 1e6).cast("long")), lit(0.5))
+                .as(s"med_${i}_$j"),
               // exact integer-micro sum → order-free mean (q07 rule)
               sum(when(sel, round(x * 1e6).cast("long"))).as(s"sum_${i}_$j"),
               sum(when(sel && x.isNotNull, 1L).otherwise(0L)).as(s"n_${i}_$j"))
@@ -476,7 +511,8 @@ object Study {
               val value = est match {
                 case "fit_l2" =>
                   s"CAST(sum_${i}_$j AS DOUBLE) / 1e6 / n_${i}_$j"
-                case _ => s"med_${i}_$j" // calculated and fit_l1 = median
+                // calculated and fit_l1 = median (integer micros → °)
+                case _ => s"med_${i}_$j / 1e6"
               }
               s"'$nName', '$eName', '$sName', '$est', $value, n_${i}_$j"
             }

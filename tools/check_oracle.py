@@ -5,6 +5,7 @@ against the same sf dir, and compare (columns sorted by name, rows
 sorted by all columns, exact value equality with float tolerance
 reporting)."""
 import json
+import os
 import sys
 
 import duckdb
@@ -18,6 +19,53 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def _fmt(v) -> str:
+    """Canonical cell text matching Verify.fmt: doubles as hex-float
+    (bit-exact, JDK/libc-independent), None as NULL. Special values
+    spelled the way Java's Double.toHexString spells them."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        # normalize python's '0x1.0000000000000p+0' to Java
+        # Double.toHexString's '0x1.0p0' (trailing-zero-trimmed
+        # mantissa, unsigned positive exponent) so spark-side and
+        # oracle-side snapshot rows diff textually
+        h = float.hex(v)
+        mant, exp = h.split("p")
+        if "." in mant:
+            head, frac = mant.split(".")
+            frac = frac.rstrip("0") or "0"
+            mant = head + "." + frac
+        else:
+            mant = mant + ".0"
+        exp = exp.lstrip("+")
+        return mant + "p" + exp
+    return str(v)
+
+
+def dump_oracle_rows(sf_dir: str, name: str, df: pd.DataFrame) -> None:
+    """On FAIL, persist the DuckDB-side rows in the same canonical
+    format as Verify's spark-side snapshots, so a gate disagreement
+    leaves BOTH engines' rows in the repo and the diff is one `diff`
+    command (the q64 forensics pattern, mirrored oracle-side)."""
+    snap_dir = os.path.join("bench", "verify_snapshots",
+                            os.path.basename(sf_dir.rstrip("/")))
+    os.makedirs(snap_dir, exist_ok=True)
+    c = canon(df)
+    lines = sorted("\t".join(_fmt(v) for v in row)
+                   for row in c.itertuples(index=False, name=None))
+    with open(os.path.join(snap_dir, f"{name}.oracle.tsv"), "w") as f:
+        f.write(f"# duckdb={duckdb.__version__}\n")
+        f.write("\t".join(c.columns) + "\n")
+        f.write("\n".join(lines) + "\n")
 
 
 def main(sf_dir: str, out_dir: str) -> int:
@@ -48,6 +96,10 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         if len(g) != len(x):
             print(f"FAIL {name}: rows spark={len(g)} duck={len(x)}")
+            try:
+                dump_oracle_rows(sf_dir, name, exp)
+            except Exception as e:
+                print(f"  (oracle-row dump failed: {e})")
             n_fail += 1
             continue
         bad = []
@@ -72,6 +124,10 @@ def main(sf_dir: str, out_dir: str) -> int:
                 bad.append(f"{c}: compare error {e}")
         if bad:
             print(f"FAIL {name}: ({len(g)} rows) " + "; ".join(bad[:4]))
+            try:
+                dump_oracle_rows(sf_dir, name, exp)
+            except Exception as e:
+                print(f"  (oracle-row dump failed: {e})")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
