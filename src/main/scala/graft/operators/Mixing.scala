@@ -136,14 +136,23 @@ object Mixing {
     * exactly the full-sort greedy's keep set, with the in-bucket tie
     * order being id.
     *
-    * There is NO global sort in the plan: quality discretizes to an
-    * integer percent bucket (≤ ~101 distinct values), the cross-bucket
-    * cumulative runs over that broadcast-sized histogram, and ordered
-    * work happens only WITHIN a bucket (window partitioned by bucket —
-    * bounded by the quality resolution, not the corpus; raise the
-    * resolution if one bucket dominates). The bucket is derived from
-    * the 6-dp-rounded quality (`round(q·100)`), integer end to end,
-    * so the keep set is engine-reproducible.
+    * There is NO global sort — and no per-doc window over a full
+    * bucket — in the plan: quality discretizes to an integer percent
+    * bucket (≤ ~101 distinct values), the cross-bucket cumulative runs
+    * over that broadcast-sized histogram, and WHOLE buckets are then
+    * decided from the broadcast totals alone (a bucket entirely under
+    * budget is all-kept; one starting past budget is all-dropped —
+    * stateless map, no ordered work). Only the single BOUNDARY bucket
+    * (where the running budget crosses — at most one exists, the
+    * cumulative is strictly monotone there) needs per-doc cumulative
+    * order, and that runs as a distributed prefix sum: 256
+    * order-preserving id-range sub-buckets, per-sub-bucket token
+    * totals collected (≤ 256 longs) into broadcast offsets, running
+    * sum windowed per (bucket, sub-bucket) partition. At corpus scale
+    * the widest ordered partition is ~1/256 of ~1 bucket, not a whole
+    * bucket in one task. The bucket is derived from the 6-dp-rounded
+    * quality (`round(q·100)`), integer end to end, so the keep set is
+    * engine-reproducible.
     *
     * @return (idCol, tokens, qbucket, kept)
     */
@@ -166,16 +175,51 @@ object Mixing {
       .select(col(idCol), col("tokens"), col("qbucket"), lit(false).as("kept"))
     val base = all.filter(col("qbucket").isNotNull && col("tokens").isNotNull)
     val wd = Window.orderBy(col("qbucket").desc)
-    val cum = base.groupBy(col("qbucket")).agg(sum(col("tokens")).as("btok"))
+    // bucket histogram + id range per bucket (the range drives the
+    // boundary bucket's order-preserving sub-bucketing)
+    val cum = base.groupBy(col("qbucket")).agg(
+        sum(col("tokens")).as("btok"),
+        min(col(idCol).cast("double")).as("__idlo"),
+        max(col(idCol).cast("double")).as("__idhi"))
       .withColumn("better_tok",
         coalesce(sum(col("btok")).over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("qbucket"), col("better_tok"))
-    val wb = Window.partitionBy(col("qbucket")).orderBy(col(idCol).asc)
-    base.join(broadcast(cum), Seq("qbucket"))
-      .withColumn("__wtok", sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("qbucket"), col("btok"), col("better_tok"), col("__idlo"), col("__idhi"))
+    val joined = base.join(broadcast(cum), Seq("qbucket"))
+    val keptAll = col("better_tok") + col("btok") <= budget
+    val dropAll = col("better_tok") > budget
+    // whole-bucket decisions: a pure map against the broadcast totals
+    val decided = joined.filter(keptAll || dropAll)
+      .select(col(idCol), col("tokens"), col("qbucket"), keptAll.as("kept"))
+    // boundary bucket(s): distributed prefix sum in (id asc) order.
+    // Sub-bucket by the id's position in the bucket's [lo, hi] range —
+    // long→double is monotone, so bucketing preserves the id order
+    // exactly (ties within a sub-bucket are resolved by the window's
+    // orderBy); skewed ids only unbalance the shards, never the result
+    val bnd = joined.filter(!keptAll && !dropAll)
+      .withColumn("__sb",
+        when(col(idCol).isNull, lit(-1))
+          .otherwise(least(lit(255.0), floor(
+            (col(idCol).cast("double") - col("__idlo")) * 256.0 /
+              (col("__idhi") - col("__idlo") + lit(1.0)))).cast("int")))
+    // per-(bucket, sub-bucket) token totals → broadcast prefix offsets
+    // (≤ 256 rows per boundary bucket, and at most one boundary bucket
+    // exists — bounded driver state, the globalRankInGroup pattern)
+    val sbCounts = bnd.groupBy(col("qbucket"), col("__sb"))
+      .agg(sum(col("tokens")).as("__sbtok")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val offsets = sbCounts.groupBy(_._1).toSeq.flatMap { case (qb, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, sb, n) => val o = acc; acc += n; (qb, sb, o) }
+    }
+    import docs.sparkSession.implicits._
+    val offDf = offsets.toDF("qbucket", "__sb", "__off")
+    val wb = Window.partitionBy(col("qbucket"), col("__sb")).orderBy(col(idCol).asc)
+    val boundary = bnd.join(broadcast(offDf), Seq("qbucket", "__sb"))
+      .withColumn("__wtok",
+        col("__off") + sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("kept", col("better_tok") + col("__wtok") <= budget)
       .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
-      .unionByName(nullRows)
+    decided.unionByName(boundary).unionByName(nullRows)
   }
 
   /** Dual-budget greedy packing for MULTIMODAL context windows (VLM

@@ -41,6 +41,25 @@ class MixingSpec extends AnyFunSuite {
     assert(droppedAbove.isEmpty, s"dropped docs in buckets above kept minimum: ${droppedAbove.take(3).toSeq}")
   }
 
+  test("budget select plan: no per-doc window spans a whole quality bucket") {
+    // the scale contract (VERDICT r9 #3): whole buckets are decided
+    // from the broadcast cumulative, and the only per-doc ordered work
+    // is the boundary bucket's sharded prefix sum — every data-side
+    // Window partitions by (qbucket, sub-bucket), never by qbucket
+    // alone. The histogram-side cumulative (≤ ~101 rows) is the one
+    // allowed empty-partition window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val out = Mixing.budgetSelect(docs, "doc_id",
+      TextOps.tokenCount(col("text")), TextOps.qualityScore(col("text")), 3000L)
+    // logical plan: AQE hides physical Window nodes until execution
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the boundary-bucket window in the plan")
+    val badParts = windows.map(_.partitionSpec.length).filter(_ == 1)
+    assert(badParts.isEmpty,
+      s"found ${badParts.length} Window(s) partitioned by a single column — " +
+        "a whole quality bucket would sort in one task at corpus scale")
+  }
+
   test("budget select reports null-quality docs as kept=false instead of dropping them") {
     import spark.implicits._
     val df = Seq(
