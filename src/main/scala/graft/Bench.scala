@@ -26,6 +26,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val spark = GraftSession.local()
+    // suite mode: the study-gate family (q50/q64/q65/q66/q88/q89)
+    // shares one persisted filled-grid build per sf instead of six
+    // identical rebuilds (same flag Verify sets; default off so the
+    // engine never pins executor memory behind a caller's back)
+    spark.conf.set("spark.graft.filledGrid.cache", "true")
 
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }

@@ -2692,43 +2692,10 @@ object OracleSql {
   // q90: the day-grain Huber sensor-ID face replayed END TO END on
   // the fixed literal fleet (the q80 idiom, but with a FIXED iteration
   // count the IRLS unrolls into plain chained CTEs — no recursion):
-  // day moments with the exact integer lifts, ntile folds, per-fold
-  // OLS init + the ε·σ cut, three day-weighted refits, pooled test
-  // residuals, and the total-moment Pearson corr. Validated standalone
-  // in DuckDB against the operator dump before wiring (6/6 values
-  // bit-equal at 6 dp).
-  private def q90Iteration(prev: String, out: String): String = s"""
-    $out AS (
-      SELECT t.sensor, t.tf, z2.a, z2.b,
-        1.35 * sqrt(greatest(z3.swin / z3.ntot, 1e-12)) AS cut
-      FROM (SELECT DISTINCT sensor, tf FROM hs_tr) t
-      JOIN $prev p ON p.sensor = t.sensor AND p.tf = t.tf,
-      LATERAL (
-        SELECT sum(w * n) AS wn, sum(w * sx) AS wsx, sum(w * sy) AS wsy,
-               sum(w * sxx) AS wsxx, sum(w * sxy) AS wsxy,
-               sum(w * n) * sum(w * sxx) - sum(w * sx) * sum(w * sx) AS den
-        FROM (
-          SELECT m.n, m.sx, m.sy, m.sxx, m.sxy,
-            CASE WHEN rms <= p.cut THEN 1.0 ELSE p.cut / rms END AS w
-          FROM hs_m m,
-          LATERAL (SELECT sqrt(greatest(m.syy + m.n*p.a*p.a + p.b*p.b*m.sxx
-                    - 2.0*p.a*m.sy - 2.0*p.b*m.sxy + 2.0*p.a*p.b*m.sx, 0.0) / m.n) AS rms) r
-          WHERE m.sensor = t.sensor AND m.fold < t.tf)
-      ) z,
-      LATERAL (SELECT
-        CASE WHEN z.den > 0 THEN (z.wn * z.wsxy - z.wsx * z.wsy) / z.den ELSE p.b END AS b,
-        CASE WHEN z.den > 0
-             THEN (z.wsy - (z.wn * z.wsxy - z.wsx * z.wsy) / z.den * z.wsx) / z.wn
-             ELSE p.a END AS a) z2,
-      LATERAL (
-        SELECT sum(m.n * least(sqrt(greatest(m.syy + m.n*z2.a*z2.a + z2.b*z2.b*m.sxx
-                 - 2.0*z2.a*m.sy - 2.0*z2.b*m.sxy + 2.0*z2.a*z2.b*m.sx, 0.0) / m.n), p.cut)
-                 * least(sqrt(greatest(m.syy + m.n*z2.a*z2.a + z2.b*z2.b*m.sxx
-                 - 2.0*z2.a*m.sy - 2.0*z2.b*m.sxy + 2.0*z2.a*z2.b*m.sx, 0.0) / m.n), p.cut)) AS swin,
-               sum(m.n) AS ntot
-        FROM hs_m m WHERE m.sensor = t.sensor AND m.fold < t.tf) z3)
-  """
-
+  // day moments with the exact integer lifts, literal ntile folds,
+  // then the SAME ordered-fold huberChainSql q91 runs on the real
+  // fleet — per-fold OLS init + the ε·σ cut, three day-weighted
+  // refits, pooled test residuals, total-moment Pearson corr.
   private val q90: String = s"""
     WITH hs_src AS (
       SELECT CAST(d AS INT) AS d, CAST(h AS INT) AS h,
@@ -2754,51 +2721,12 @@ object OracleSql {
         SELECT d, n, syl, syyl, 's1' AS sensor, sx1l AS sxl, sxx1l AS sxxl, sxy1l AS sxyl FROM hs_day0
         UNION ALL
         SELECT d, n, syl, syyl, 's2', sx2l, sxx2l, sxy2l FROM hs_day0)),
-    hs_m AS (
-      SELECT d, fold, sensor, n,
-        sxl / 1e6 AS sx, syl / 1e6 AS sy,
-        sxxl / 1e4 AS sxx, sxyl / 1e4 AS sxy, syyl / 1e4 AS syy
+    si_hfold AS (
+      SELECT CAST(1 AS BIGINT) AS site, sensor, 'no_errors' AS filter,
+        d AS day, fold, n,
+        sxl AS sx, syl AS sy, sxxl AS sxx, sxyl AS sxy, syyl AS syy
       FROM hs_long),
-    hs_tr AS (
-      SELECT sensor, tf, sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
-        sum(sxx) AS sxx, sum(sxy) AS sxy, sum(syy) AS syy
-      FROM hs_m, (VALUES (2), (3)) f(tf)
-      WHERE fold < tf GROUP BY 1, 2),
-    hs_it0 AS (
-      SELECT sensor, tf,
-        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
-        (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a
-      FROM hs_tr),
-    hs_sig AS (
-      SELECT i.sensor, i.tf, i.a, i.b,
-        1.35 * sqrt(greatest(sum(greatest(m.syy + m.n*i.a*i.a + i.b*i.b*m.sxx
-          - 2.0*i.a*m.sy - 2.0*i.b*m.sxy + 2.0*i.a*i.b*m.sx, 0.0)) / sum(m.n), 1e-12)) AS cut
-      FROM hs_it0 i JOIN hs_m m ON m.sensor = i.sensor AND m.fold < i.tf
-      GROUP BY 1, 2, 3, 4),
-    ${q90Iteration("hs_sig", "hs_i1")},
-    ${q90Iteration("hs_i1", "hs_i2")},
-    ${q90Iteration("hs_i2", "hs_i3")},
-    hs_test AS (
-      SELECT i.sensor,
-        sum(greatest(m.syy + m.n*i.a*i.a + i.b*i.b*m.sxx
-          - 2.0*i.a*m.sy - 2.0*i.b*m.sxy + 2.0*i.a*i.b*m.sx, 0.0)) AS rss,
-        sum(m.sy - m.n * i.a - i.b * m.sx) AS res,
-        sum(m.n) AS n
-      FROM hs_i3 i JOIN hs_m m ON m.sensor = i.sensor AND m.fold = i.tf
-      GROUP BY 1),
-    hs_tot AS (
-      SELECT sensor, sum(n) AS tn,
-        sum(sxl) AS tsx, sum(syl) AS tsy, sum(sxxl) AS tsxx,
-        sum(sxyl) AS tsxy, sum(syyl) AS tsyy
-      FROM hs_long GROUP BY 1)
-    SELECT CAST(1 AS BIGINT) AS site, t.sensor, 'no_errors' AS filter,
-      CAST(12 AS BIGINT) AS n_days, CAST(tot.tn AS BIGINT) AS n_obs,
-      round((tot.tn * (tot.tsxy / 1e4) - (tot.tsx / 1e6) * (tot.tsy / 1e6))
-        / sqrt((tot.tn * (tot.tsxx / 1e4) - (tot.tsx / 1e6) * (tot.tsx / 1e6))
-             * (tot.tn * (tot.tsyy / 1e4) - (tot.tsy / 1e6) * (tot.tsy / 1e6))), 6) AS corr,
-      round(sqrt(greatest(t.rss / t.n, 0.0)), 6) AS cv_rmse,
-      round(t.res / t.n, 6) AS cv_mbe
-    FROM hs_test t JOIN hs_tot tot ON tot.sensor = t.sensor
+    $huberChainSql
   """
 
   // q91: the Huber face on the REAL fleet — the q84 composition
@@ -2843,14 +2771,18 @@ object OracleSql {
     """
   }
 
-  private val q91: String = {
+  // The ordered-fold Huber CV chain over a `si_hfold`-shaped relation
+  // (site, sensor, filter, day, fold + INTEGER micro day moments n,
+  // sx, sy, sxx, sxy, syy): day-sorted struct arrays, ordered
+  // list_reduce folds for the OLS init, every IRLS iteration, and the
+  // pooled test stats — both engines fold identical doubles in
+  // identical order, so the gate is bit-deterministic by construction.
+  // Shared by q91 (real fleet) and q90 (fixed literal fleet; its
+  // earlier unordered-SUM replay held only because the 12-day literal
+  // was validated bit-equal — a corpus change could have flipped it).
+  private def huberChainSql: String = {
     val rss0 = q91Osum("h.tr", s"greatest(${q91Rss("h.a", "h.b")}, 0.0)")
     s"""
-    WITH $clearFlagsCte,
-    $sensorIdBaseCte,
-    si_hfold AS (
-      SELECT *, ntile(3) OVER (PARTITION BY site, sensor, filter ORDER BY day) AS fold
-      FROM si_filt),
     si_htot AS (
       SELECT site, sensor, filter,
         CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS tn,
@@ -2930,6 +2862,15 @@ object OracleSql {
     ON t.site = p.site AND t.sensor = p.sensor AND t.filter = p.filter
   """
   }
+
+  private val q91: String = s"""
+    WITH $clearFlagsCte,
+    $sensorIdBaseCte,
+    si_hfold AS (
+      SELECT *, ntile(3) OVER (PARTITION BY site, sensor, filter ORDER BY day) AS fold
+      FROM si_filt),
+    $huberChainSql
+  """
 
   // The latitude sweep's 12 config branches (shared by q61 raw and
   // q64 filled): per-day Duffie latitude inversion under both

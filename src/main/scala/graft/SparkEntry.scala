@@ -2101,8 +2101,11 @@ object SparkEntry {
     * term covers the per-block floor on arbitrarily long docs, 16/n
     * the fixed overhead on short ones; and the self-concatenation
     * ordering (the second copy back-references the first) is only
-    * guaranteed within the 32 KB window, so it is asserted only for
-    * docs under 30000 bytes. The raw per-doc ratio values and the
+    * guaranteed within the 32 KB window AND only when the single-copy
+    * size clears the back-reference cost (a ≤30000-byte match costs
+    * ~120 length-distance codes, so docs already compressing below
+    * ratio 0.02 are exempt — their compressed(2n) can byte-round to
+    * exactly 2·compressed(n)). The raw per-doc ratio values and the
     * repetition verdict stay covered by `DeflateSpec`.
     */
   private def d20(s: SparkSession, dir: String): DataFrame = {
@@ -2114,9 +2117,13 @@ object SparkEntry {
       nBytes.as("n_bytes"),
       (ratio > 0.0).as("ratio_pos"),
       (ratio <= lit(1.001) + lit(16.0) / greatest(nBytes, lit(1L))).as("ratio_bounded"),
-      (doubled < ratio || nBytes === 0 || nBytes > 30000).as("double_compresses"),
-      round(call_function("graft_deflate_ratio", lit(DeflatePinRep)), 4).as("pin_rep"),
-      round(call_function("graft_deflate_ratio", lit(DeflatePinMix)), 4).as("pin_mix"))
+      (doubled < ratio || ratio < 0.02 || nBytes === 0 || nBytes > 30000)
+        .as("double_compresses"),
+      // pins computed ONCE on the driver (same codec object the
+      // expression calls), not as a per-row non-foldable native call
+      // compressing the same fixed strings for every document
+      lit(DeflatePinRepValue).as("pin_rep"),
+      lit(DeflatePinMixValue).as("pin_mix"))
   }
 
   /** Fixed pin strings for d20's codec gate (values asserted in the
@@ -2129,6 +2136,14 @@ object SparkEntry {
       md.digest(s"seed$i".getBytes("UTF-8")).map(b => (33 + java.lang.Math.floorMod(b, 94)).toChar)
     }.mkString
   }
+  private lazy val DeflatePinRepValue: Double = deflatePin(DeflatePinRep)
+  private lazy val DeflatePinMixValue: Double = deflatePin(DeflatePinMix)
+  // java BigDecimal.valueOf = the same shortest-repr HALF_UP rounding
+  // Spark's round(expr, 4) applied when the pin was a per-row call
+  private def deflatePin(s: String): Double =
+    java.math.BigDecimal.valueOf(graft.functions.DeflateRatio.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Gopher-style document rule filter (Rae et al. 2021 §A1.1): word
     * count band, mean-word-length band, alphabetic-word fraction,

@@ -34,6 +34,17 @@ object Verify {
     case null => "NULL"
     case d: java.lang.Double => java.lang.Double.toHexString(d)
     case f: java.lang.Float => java.lang.Float.toHexString(f)
+    // recurse into containers: a double nested in array<double> or a
+    // struct would otherwise fall through to toString (shortest-
+    // roundtrip — JDK ≥ 19 renders differently from JDK 17) and
+    // silently reopen the environment-only hash channel for any
+    // future gated query with a nested schema
+    case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    case a: Array[_] => a.map(fmt).mkString("[", ",", "]")
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i => fmt(r.get(i))).mkString("{", ",", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v2) => fmt(k) + ":" + fmt(v2) }.toSeq.sorted.mkString("<", ",", ">")
     case other => other.toString
   }
 
@@ -50,6 +61,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the study-gate family (q50/q64/q65/q66/q88/q89) shares one
+      // persisted filled-grid build instead of six identical rebuilds
+      .config("spark.graft.filledGrid.cache", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
