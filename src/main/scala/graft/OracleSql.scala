@@ -2872,6 +2872,20 @@ object OracleSql {
     $huberChainSql
   """
 
+  // q92: the heatmap plot table — the q50 filled grid reshaped to the
+  // tidy (site, day, day_index, slot, raw, filled) cell grain, both
+  // matrices on the engine-portable micro grid (scale-0 product round).
+  private val q92: String = s"""
+    WITH $filledGridCte,
+    hm0 AS (SELECT user_id AS site, day, slot, raw, filled FROM fg_filled),
+    hmd AS (SELECT site, min(day) AS d0 FROM hm0 GROUP BY 1)
+    SELECT h.site, CAST(h.day AS VARCHAR) AS day,
+      date_diff('day', m.d0, h.day) AS day_index, h.slot,
+      round(h.raw * 1000000.0) / 1000000.0 AS raw,
+      round(h.filled * 1000000.0) / 1000000.0 AS filled
+    FROM hm0 h JOIN hmd m ON h.site = m.site
+  """
+
   // The latitude sweep's 12 config branches (shared by q61 raw and
   // q64 filled): per-day Duffie latitude inversion under both
   // declination series, config-filtered medians (FILTER ≡ Spark's
@@ -5216,6 +5230,7 @@ $branches
     "q85_sensor_choice" -> q85,
     "q90_sensor_huber" -> q90,
     "q91_sensor_huber_fleet" -> q91,
+    "q92_heatmap_table" -> q92,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

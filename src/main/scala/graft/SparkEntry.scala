@@ -626,6 +626,24 @@ object SparkEntry {
           Seq("sr", "ss", "dl_ss", "dl_raw", "noon_com", "noon_rs")
             .map(c => (round(col(c) * lit(1e6)) / lit(1e6)).as(c)): _*)
 
+  /** The heatmap plot table (`analyses/PlotTables.heatmapTable` — the
+    * tidy form of the reference's `plot_heatmap`,
+    * `data_handler.py:1627-1745`), hash-gated: one row per (site,
+    * day, slot) grid cell with the calendar day index and BOTH
+    * matrices as columns, published on the engine-portable micro grid.
+    * This puts a cross-engine gate on the plot-table face itself —
+    * the other five tables are projections of already-gated operators
+    * (PlotTablesSpec pins their grains).
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.PlotTables.heatmapTable(
+      Tables.events(s, dir), "user_id", "ts", "value", 48)
+      .select(
+        col("site"), col("day").cast("string").as("day"),
+        col("day_index").cast("long").as("day_index"), col("slot"),
+        (round(col("raw") * lit(1e6)) / lit(1e6)).as("raw"),
+        (round(col("filled") * lit(1e6)) / lit(1e6)).as("filled"))
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -3821,6 +3839,7 @@ object SparkEntry {
     "q84_sensor_identify" -> (q84 _),
     "q90_sensor_huber" -> (q90 _),
     "q91_sensor_huber_fleet" -> (q91 _),
+    "q92_heatmap_table" -> (q92 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.analyses.PlotTables
+import graft.sources.Tables
+
+/** The plot-table face (`analyses/PlotTables` — the tidy DataFrames
+  * behind the reference's plot methods): each table's grain, key
+  * completeness, and the invariants its plot relies on. The heatmap
+  * grid itself is cross-engine gated (q92); these pin the projections.
+  */
+class PlotTablesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+
+  private def events = Tables.events(spark, "/root/testdata/sf0.001")
+
+  test("heatmapTable: dense (site, day, slot) grain, calendar day_index, raw ⊂ filled") {
+    val t = PlotTables.heatmapTable(events, "user_id", "ts", "value", 48)
+    val agg = t.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("site"), col("day")).as("sd"),
+      min(col("day_index")).as("mi"),
+      sum(when(col("filled").isNull, 1).otherwise(0)).as("nullsF"),
+      sum(when(col("raw").isNull, 1).otherwise(0)).as("nullsR")
+    ).collect()(0)
+    assert(agg.getLong(0) == agg.getLong(1) * 48, "not exactly slotsPerDay rows per site-day")
+    assert(agg.getInt(2) == 0, "day_index must start at 0")
+    assert(agg.getLong(3) == 0L, "filled matrix must be complete")
+    assert(agg.getLong(4) > 0L, "raw matrix should have off-sample nulls on this grid")
+    // day_index is the CALENDAR offset from the site's first day
+    val bad = t.groupBy(col("site"), col("day"), col("day_index")).count()
+      .join(t.groupBy(col("site")).agg(min(col("day")).as("d0")), Seq("site"))
+      .filter(col("day_index") =!= datediff(col("day"), col("d0")))
+      .count()
+    assert(bad == 0, "day_index disagrees with the calendar offset")
+  }
+
+  test("dailySignalsTable: raveled slice covers exactly the requested day window") {
+    val t = PlotTables.dailySignalsTable(events, "user_id", "ts", "value",
+      startDay = 2, numDays = 3, filled = true, slotsPerDay = 48).cache()
+    try {
+      val perSite = t.groupBy(col("site")).agg(
+        countDistinct(col("day")).as("nd"),
+        min(col("ravel_pos")).as("lo"),
+        max(col("ravel_pos")).as("hi")).collect()
+      assert(perSite.nonEmpty)
+      perSite.foreach { r =>
+        assert(r.getLong(1) <= 3, s"site ${r.get(0)}: more than numDays days")
+        assert(r.getInt(2) >= 0 && r.getInt(3) < 3 * 48,
+          s"site ${r.get(0)}: ravel_pos outside the window")
+      }
+      assert(t.filter(col("value").isNull).count() == 0, "filled view must be complete")
+    } finally t.unpersist()
+  }
+
+  test("densitySignalTable: site-day grain, density in [0,1], good_day never null") {
+    val t = PlotTables.densitySignalTable(events, "user_id", "ts", "value")
+    val n = t.count()
+    assert(n == t.select(col("site"), col("day")).distinct().count(), "grain is not site-day")
+    assert(t.filter(col("density") < 0 || col("density") > 1).count() == 0)
+    assert(t.filter(col("good_day").isNull).count() == 0)
+  }
+
+  test("clippingTable: candidate flag matches the q49 rule on its own columns") {
+    val t = PlotTables.clippingTable(events, "user_id", "ts", "value")
+    val bad = t.filter(
+      col("clip_candidate") =!= (col("clip1") > 0.05 && col("clip2") > 0.1)).count()
+    assert(bad == 0)
+    assert(t.filter(col("clip1") < 0 || col("clip1") > 1).count() == 0,
+      "clip1 is a fraction of the site max")
+  }
+
+  test("dailyMaxCdfTable: cdf is the empirical CDF — monotone in daily_max, spanning [0,1]") {
+    val t = PlotTables.dailyMaxCdfTable(events, "user_id", "ts", "value")
+    val perSite = t.groupBy(col("site")).agg(
+      min(col("cdf")).as("lo"), max(col("cdf")).as("hi")).collect()
+    perSite.foreach { r =>
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 1.0,
+        s"site ${r.get(0)}: cdf span [${r.getDouble(1)}, ${r.getDouble(2)}]")
+    }
+    // monotone: a higher daily_max never has a lower cdf (within site)
+    val viol = t.as("a").join(t.as("b"),
+        col("a.site") === col("b.site") && col("a.daily_max") < col("b.daily_max")
+          && col("a.cdf") > col("b.cdf"))
+      .limit(1).count()
+    assert(viol == 0, "cdf not monotone in daily_max")
+  }
+
+  test("capacityChangeTable: segments are non-decreasing and advance exactly at jumps") {
+    import org.apache.spark.sql.expressions.Window
+    val t = PlotTables.capacityChangeTable(events, "user_id", "ts", "value")
+    val w = Window.partitionBy(col("site")).orderBy(col("day"))
+    val steps = t.withColumn("prev_seg", lag(col("segment"), 1).over(w))
+      .filter(col("prev_seg").isNotNull)
+    val bad = steps.filter(
+      (col("segment") - col("prev_seg")) =!= when(col("is_jump"), 1L).otherwise(0L))
+      .count()
+    assert(bad == 0, "segment must advance by 1 exactly on jump days")
+  }
+}
