@@ -30,15 +30,11 @@ object PipeProbe {
       tm("dayStats")(Pipeline.dayStats(ev(), "site", "ts", "value").count())
       tm("full run")(Pipeline.run(spark, ev(), "site", "ts", "value").toDF().count())
     }
-    // driver-side analyzeSite on the REAL per-site day rows
-    val stats = Pipeline.dayStats(ev(), "site", "ts", "value")
-    val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
-    val rows = stats.join(broadcast(firstDay), Seq("site"))
-      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
-      .select(col("site"), col("day_idx"), col("energy"), col("density"),
-        col("daily_max"), col("com_hour"), col("n_obs"), col("capacity"))
+    // driver-side analyzeSite on the REAL per-site day rows (the
+    // run() assembly, smoothness column included)
+    val rows = Pipeline.dayRows(ev(), "site", "ts", "value")
     import spark.implicits._
-    val collected = rows.as[(Long, Double, Double, Double, Double, Double, Long, Double)]
+    val collected = rows.as[(Long, Double, Double, Double, Double, Double, Long, Double, Double)]
       .collect().groupBy(_._1)
     println(s"[probe] collected ${collected.size} sites")
     val t0 = System.nanoTime()

@@ -8,12 +8,14 @@ object ProfOne {
   def main(args: Array[String]): Unit = {
     val nDays = if (args.nonEmpty) args(0).toInt else 270
     val nSites = if (args.length > 1) args(1).toInt else 32
-    def mkSite(seed: Int): Array[(Long, Double, Double, Double, Double, Double, Long, Double)] =
+    def mkSite(seed: Int): Array[(Long, Double, Double, Double, Double, Double, Long, Double, Double)] =
       Array.tabulate(nDays) { d =>
         val season = 6.0 + 2.0 * math.sin(2 * math.Pi * d / 365.0)
         val noise = math.sin(d * 12.9898 + seed) * 0.8
         (seed.toLong, d.toDouble, math.max(season + noise, 0.1), 0.9 + 0.1 * math.sin(d * 0.7),
-          math.max(season / 6.0 + noise * 0.05, 0.05), 12.0 + 0.2 * math.sin(d * 0.3), 288L, 1.0)
+          math.max(season / 6.0 + noise * 0.05, 0.05), 12.0 + 0.2 * math.sin(d * 0.3), 288L, 1.0,
+          // synthetic intra-day roughness: variable days rough
+          math.abs(noise) * 5.0 + 0.5)
       }
     // warmup
     graft.analyses.Pipeline.analyzeSite(0L, mkSite(0))

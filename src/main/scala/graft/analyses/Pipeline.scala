@@ -87,6 +87,47 @@ object Pipeline {
       )
   }
 
+  /** The solver stages' per-(site, day) input frame: [[dayStats]]
+    * plus the day index and the intra-day smoothness signal
+    * (Σ|2nd difference| of the value in time order — the reference's
+    * `get_clear_day_scores` smoothness channel,
+    * `clear_day_detection.py`). Smoothness is a SEPARATE window
+    * branch joined at day grain so [[dayStats]] itself keeps its
+    * shuffle-light partial-aggregate plan (p06/p07's relational spine
+    * never pays the row-grain window).
+    */
+  private[graft] def dayRows(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val stats = dayStats(df, site, tsCol, valueCol)
+    // first-day via broadcast agg (one small join) instead of a
+    // whole-table window — avoids a full sort-shuffle of DayStats
+    val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
+    val withIdx = SideJoin.back(stats, firstDay, Seq("site"))
+      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
+    val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(site), to_date(col(tsCol))).orderBy(col(tsCol))
+    val smooth = clean
+      .withColumn("__d2",
+        col(valueCol) - lit(2.0) * lag(col(valueCol), 1).over(wd)
+          + lag(col(valueCol), 2).over(wd))
+      .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
+      .agg(sum(abs(col("__d2"))).as("smoothness"))
+    withIdx
+      .join(smooth, Seq("site", "day"), "left")
+      .select(
+        col("site"), col("day_idx"), col("energy"), col("density"),
+        col("daily_max"), col("com_hour"), col("n_obs"), col("capacity"),
+        // a <3-obs day has no 2nd difference: -1 = "no signal" (a sum
+        // of |·| is never negative), excluded from the clear-day rule
+        // and from the fleet smoothness scale in analyzeSite
+        coalesce(col("smoothness"), lit(-1.0)).as("smoothness"))
+  }
+
   /** Run the full per-site analysis fleet-wide.
     *
     * @param period seasonal period (days) for the quality / clear /
@@ -117,17 +158,7 @@ object Pipeline {
       faultInjector: (Long, String) => Unit = (_, _) => ()
   ): Dataset[SiteReport] = {
     import spark.implicits._
-    val stats = dayStats(df, site, tsCol, valueCol)
-    // first-day via broadcast agg (one small join) instead of a
-    // whole-table window — avoids a full sort-shuffle of DayStats
-    val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
-    val withIdx = SideJoin.back(stats, firstDay, Seq("site"))
-      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
-    val rows = withIdx
-      .select(
-        col("site"), col("day_idx"), col("energy"), col("density"),
-        col("daily_max"), col("com_hour"), col("n_obs"), col("capacity")
-      )
+    val rows = dayRows(df, site, tsCol, valueCol)
     // The solver stage is CPU-dense on byte-tiny groups (a few KB of
     // day stats per site carry an IRLS/DP/DBSCAN workload), so AQE
     // would coalesce a Dataset groupByKey down to one or two
@@ -141,7 +172,7 @@ object Pipeline {
     // O(days-of-one-site), not O(sites-per-partition) as a
     // whole-partition toArray.groupBy would be
     val solved = rows
-      .as[(Long, Double, Double, Double, Double, Double, Long, Double)]
+      .as[(Long, Double, Double, Double, Double, Double, Long, Double, Double)]
       .rdd
       .map(r => ((r._1, r._2), r))
       .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
@@ -158,7 +189,7 @@ object Pipeline {
           override def next(): SiteReport = {
             val siteId = rowsIt.head._1
             val buf = scala.collection.mutable.ArrayBuffer.empty[
-              (Long, Double, Double, Double, Double, Double, Long, Double)]
+              (Long, Double, Double, Double, Double, Double, Long, Double, Double)]
             while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
             // already day-ordered by the sort
             analyzeSite(siteId, buf.toArray, period, faultInjector(siteId, _))
@@ -171,7 +202,7 @@ object Pipeline {
   /** Per-site analysis on bounded state; each stage is best-effort. */
   def analyzeSite(
       siteId: Long,
-      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double)],
+      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double, Double)],
       period: Option[Double] = None,
       faultInjector: String => Unit = _ => ()
   ): SiteReport = {
@@ -205,10 +236,32 @@ object Pipeline {
       good.toDouble / math.max(n, 1)
     }
 
-    // clear days: smooth + high-energy days vs seasonal energy fit
+    // clear days — the reference's three-signal `flag_clear_cloudy`
+    // rule (`clear_day_detection.py`): normalized smoothness (1 −
+    // Σ|2nd diff|/fleet max) over its τ=0.9 seasonal fit > 0.9, AND
+    // normalized energy over its τ=0.9 seasonal fit > 0.8 (clamped to
+    // [0,1]), AND density over its τ=0.85 seasonal fit > 0.9. The
+    // earlier 2-signal rule (energy + raw density) read the golden
+    // fixture at 0.28 vs the reference's 0.4922 — the smoothness
+    // channel is what separates bright-but-variable days from clear
+    // ones (GoldenPipelineSpec's report case pins the band).
+    val smoothRaw = days.map(_._9)
     val clearFrac = stage("clear", Double.NaN) {
-      val fit = Kernels.quantileFourierFit(energy, t, tau = 0.9, harmonics = 2, period = seasonPeriod)
-      val clear = energy.indices.count(i => fit(i) > 0 && energy(i) / fit(i) > 0.8 && density(i) > 0.9)
+      val tcMax = smoothRaw.foldLeft(0.0)((a, v) =>
+        if (v.isNaN || v < 0.0) a else math.max(a, v))
+      val tc1 = smoothRaw.map(v =>
+        if (v.isNaN || v < 0.0 || tcMax <= 0.0) 0.0 else 1.0 - v / tcMax)
+      val deMax = energy.foldLeft(0.0)((a, v) => if (v.isNaN) a else math.max(a, v))
+      val de1 = energy.map(v => if (v.isNaN || deMax <= 0.0) 0.0 else v / deMax)
+      val tcFit = Kernels.quantileFourierFit(tc1, t, tau = 0.9, harmonics = 2, period = seasonPeriod)
+      val deFit = Kernels.quantileFourierFit(de1, t, tau = 0.9, harmonics = 2, period = seasonPeriod)
+      val dnFit = Kernels.quantileFourierFit(density, t, tau = 0.85, harmonics = 2, period = seasonPeriod)
+      val clear = t.indices.count { i =>
+        val tcn = if (tcFit(i) > 0) tc1(i) / tcFit(i) else 0.0
+        val den = math.min(math.max(if (deFit(i) > 0) de1(i) / deFit(i) else 0.0, 0.0), 1.0)
+        val dsc = if (dnFit(i) > 0) density(i) / dnFit(i) else 0.0
+        tcn > 0.9 && den > 0.8 && dsc > 0.9
+      }
       clear.toDouble / math.max(n, 1)
     }
 
@@ -340,5 +393,47 @@ object Pipeline {
       mcConverged = mcConverged,
       errors = errs.mkString("; ")
     )
+  }
+
+  /** The reference's one-call `DataHandler.report` summary
+    * (`data_handler.py:718-783`) as a DataFrame keyed the way its
+    * dict is: run the pipeline, attach the per-site sampling rate,
+    * and project the report fields under the reference's names.
+    * `length` is years (num_days/365), `sampling` is minutes
+    * (modal Δt — the q06 contract), booleans mirror the dict's
+    * verdict entries. Day-grain detail behind the scalars lives in
+    * the gated operators (clipping days → q48/q49 and
+    * [[PlotTables.clippingTable]]; capacity segments →
+    * [[PlotTables.capacityChangeTable]]).
+    *
+    * @return (site, length, capacity, sampling, quality_score,
+    *   clearness_score, inverter_clipping, capacity_change,
+    *   time_shift_correction, errors)
+    */
+  def report(
+      spark: SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      period: Option[Double] = None
+  ): DataFrame = {
+    val reports = run(spark, df, site, tsCol, valueCol, period).toDF()
+    val sampling = TimeAxis.inferFrequency(
+        df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull), Seq(site), tsCol)
+      .select(col(site).cast("long").as("site"),
+        (col("freq_s") / lit(60.0)).as("sampling"))
+    reports.join(broadcast(sampling), Seq("site"), "left")
+      .select(
+        col("site"),
+        (col("nDays") / lit(365.0)).as("length"),
+        col("capacity"),
+        col("sampling"),
+        col("qualityScore").as("quality_score"),
+        col("clearFrac").as("clearness_score"),
+        col("clipped").as("inverter_clipping"),
+        (col("capacityChanges") > 0).as("capacity_change"),
+        (col("timeShiftDays") > 0).as("time_shift_correction"),
+        col("errors"))
   }
 }

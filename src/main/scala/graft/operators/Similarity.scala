@@ -796,9 +796,22 @@ object Similarity {
 
   /** Per-query ADC lookup table (query_id, s, code, pd): m·k partial
     * squared distances per query, computed on the driver from the
-    * collected queries (small by the ANN-query contract) — the thing
-    * every ADC consumer broadcasts.
+    * collected queries — the thing every ADC consumer broadcasts.
+    *
+    * DRIVER-STATE CEILING (the kmeansFit contract, stated in code):
+    * the query side collects to the driver and the LUT broadcasts at
+    * `|queries| · m · k` doubles, so serving is bounded by
+    * [[MaxQueryRows]] (default 100k queries ≈ 100k·16·256 ≈ 3.3 GB
+    * LUT at the widest gated shape — the practical broadcast limit).
+    * The corpus side NEVER collects and never reshuffles. Past the
+    * envelope the standard route is CHUNKED serving: partition the
+    * query set and run this per chunk (each chunk's LUT broadcasts
+    * independently; results union) — batch ANN over an unbounded
+    * query table is a join problem, not a broadcast problem, and the
+    * brute-force `topKCosine` path covers it.
     */
+  private[graft] val MaxQueryRows: Long = 100000L
+
   private def adcLut(
       spark: org.apache.spark.sql.SparkSession,
       books: Array[Array[Array[Double]]],
@@ -809,6 +822,11 @@ object Similarity {
     import spark.implicits._
     val m = books.length
     val sub = books(0)(0).length
+    val nQ = queries.count()
+    require(nQ <= MaxQueryRows,
+      s"ADC serving collects the query side: $nQ query rows exceed the " +
+        s"$MaxQueryRows driver-state ceiling — chunk the query set " +
+        "(union of per-chunk serves) or use the distributed brute-force path")
     val qs = queries
       .select(col(idCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("qv"))
       .as[(Long, Seq[Double])].collect()

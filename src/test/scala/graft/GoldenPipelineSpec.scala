@@ -29,6 +29,35 @@ class GoldenPipelineSpec extends AnyFunSuite {
     .withColumn("site", lit(0L))
     .cache()
 
+  test("one-call report matches the reference e2e scalars (data_handler.report parity)") {
+    // the reference's own e2e test (`test_data_handler.py:25-49`)
+    // checks capacity 6.745 / quality 0.9948 / clearness 0.4922 after
+    // ONE run_pipeline call; Pipeline.report is the one-call analog
+    // (reference dict keys, `data_handler.py:718-783`). Capacity is
+    // the same p95 definition → 2 places. Quality/clearness come from
+    // the seasonal-fit detectors, so they must LAND IN BAND around
+    // the golden scalars (the exact-arithmetic versions are asserted
+    // by the per-metric tests below).
+    val rep = graft.analyses.Pipeline.report(
+      spark, ts, "site", "ts", "power").collect()
+    assert(rep.length == 1, s"expected one site row, got ${rep.length}")
+    val r = rep(0)
+    info(s"report row: $r")
+    assert(math.abs(r.getAs[Double]("capacity") - 6.7453649044036865) < 0.005,
+      s"capacity ${r.getAs[Double]("capacity")}")
+    assert(r.getAs[Double]("sampling") == 5.0,
+      s"sampling ${r.getAs[Double]("sampling")} (golden fixture is 5-min data)")
+    assert(math.abs(r.getAs[Double]("length") - 193.0 / 365.0) < 1e-9,
+      s"length ${r.getAs[Double]("length")}")
+    val q = r.getAs[Double]("quality_score")
+    assert(math.abs(q - 0.9948186528497409) < 0.01, s"quality score $q vs golden 0.9948")
+    val c = r.getAs[Double]("clearness_score")
+    assert(math.abs(c - 0.49222797927461137) < 0.02, s"clearness $c vs golden 0.4922")
+    assert(r.getAs[Boolean]("inverter_clipping"), "golden run detects inverter clipping")
+    assert(!r.getAs[Boolean]("time_shift_correction"), "golden run has no time shifts")
+    assert(r.getAs[String]("errors").isEmpty, s"errors: ${r.getAs[String]("errors")}")
+  }
+
   test("capacity estimate matches to 2 places") {
     val cap = ts.agg(percentile(col("power"), lit(0.95))).collect()(0).getDouble(0)
     assert(math.abs(cap - 6.7453649044036865) < 0.005, f"capacity $cap%.4f")

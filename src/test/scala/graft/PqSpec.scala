@@ -30,6 +30,26 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("ADC serving refuses a query set past the driver-state ceiling") {
+    // the serving envelope in code (VERDICT r9 #7): the query side
+    // COLLECTS (LUT built on the driver, broadcast at |q|·m·k doubles),
+    // so an unbounded query table must fail loudly with the chunked
+    // route named, never OOM the driver
+    import spark.implicits._
+    val books = Similarity.pqTrain(emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", books)
+    val dim = books.length * books(0)(0).length
+    val oversized = spark.range(Similarity.MaxQueryRows + 1)
+      .select(col("id").as("vec_id"),
+        array(Seq.fill(dim)(lit(0.0)): _*).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(codes, books, oversized, "vec_id", "embedding", k = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("driver-state ceiling"), e.getMessage)
+    assert(e.getMessage.contains("chunk"), "error must name the chunked route")
+  }
+
   test("reconstruction error shrinks as the codebook grows") {
     import spark.implicits._
     val vecs = emb.select(col("embedding").cast("array<double>")).as[Seq[Double]].collect()
