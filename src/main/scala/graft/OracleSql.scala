@@ -59,8 +59,8 @@ object OracleSql {
       FROM events GROUP BY event_type),
     b2 AS (
       SELECT event_type,
-        round(q1 - 1.5 * (q3 - q1), 6) AS lo,
-        round(q3 + 1.5 * (q3 - q1), 6) AS hi
+        round((q1 - 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0 AS lo,
+        round((q3 + 1.5 * (q3 - q1)) * 1000000.0) / 1000000.0 AS hi
       FROM b)
     SELECT e.event_type,
       CAST(sum(CASE WHEN e.value < b2.lo OR e.value > b2.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
@@ -145,7 +145,7 @@ object OracleSql {
         round(sum(value), 2) AS sum_v
       FROM events GROUP BY 1, 2)
     SELECT user_id, day, num_sv, sum_v,
-      round(num_sv / 3600.0 / nullif(sum_v, 0.0), 6) AS com_hour
+      round(num_sv / 3600.0 / nullif(sum_v, 0.0) * 1000000.0) / 1000000.0 AS com_hour
     FROM d
   """
 
@@ -213,18 +213,19 @@ object OracleSql {
         wb AS (PARTITION BY user_id ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         wa AS (PARTITION BY user_id ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
     SELECT event_id, user_id,
-      round(CASE
+      round((CASE
         WHEN v IS NOT NULL THEN v
         WHEN pv IS NULL THEN nv
         WHEN nv IS NULL THEN pv
         WHEN nx = px THEN pv
         ELSE pv + (CAST(x - px AS DOUBLE) / CAST(nx - px AS DOUBLE)) * (nv - pv)
-      END, 4) AS filled
+      END) * 10000.0) / 10000.0 AS filled
     FROM w
   """
 
   private val q17 = """
-    SELECT user_id, round(quantile_cont(value, 0.95), 6) AS capacity
+    SELECT user_id,
+      round(quantile_cont(value, 0.95) * 1000000.0) / 1000000.0 AS capacity
     FROM events GROUP BY 1
   """
 
@@ -341,7 +342,7 @@ object OracleSql {
         round(sum(value), 2) AS sum_v
       FROM events GROUP BY 1),
     b AS (SELECT user_id,
-            round(num_sv / 3600.0 / nullif(sum_v, 0.0), 6) AS com_hour
+            round(num_sv / 3600.0 / nullif(sum_v, 0.0) * 1000000.0) / 1000000.0 AS com_hour
           FROM a)
     SELECT user_id, com_hour,
       CAST(round(12.0 - com_hour) AS INT) AS tz_offset_h
@@ -363,7 +364,8 @@ object OracleSql {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         sum(seg) OVER (PARTITION BY user_id, day) AS total
       FROM s)
-    SELECT user_id, CAST(day AS VARCHAR) AS day, event_id, round(cum / total, 6) AS cum_frac
+    SELECT user_id, CAST(day AS VARCHAR) AS day, event_id,
+      round(cum / total * 1000000.0) / 1000000.0 AS cum_frac
     FROM c WHERE cum IS NOT NULL AND total > 0
   """
 
@@ -444,8 +446,9 @@ object OracleSql {
             (sy - slope * sx) / nullif(CAST(n AS DOUBLE), 0.0) AS intercept,
             (n * sxy - sx * sy) / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 0.0) AS r
           FROM b)
-    SELECT user_id, n, round(slope, 6) AS slope, round(intercept, 6) AS intercept,
-      round(r * r, 6) AS r2
+    SELECT user_id, n, round(slope * 1000000.0) / 1000000.0 AS slope,
+      round(intercept * 1000000.0) / 1000000.0 AS intercept,
+      round(r * r * 1000000.0) / 1000000.0 AS r2
     FROM c
   """
 
@@ -790,9 +793,9 @@ object OracleSql {
         CAST(sum(shift_h) OVER (PARTITION BY user_id ORDER BY day
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS cum_shift_h
       FROM f)
-    SELECT user_id, CAST(day AS VARCHAR) AS day, round(com_hour, 6) AS com_hour,
-      round(jump, 6) AS jump, cum_shift_h,
-      round(com_hour - cum_shift_h, 6) AS com_repaired
+    SELECT user_id, CAST(day AS VARCHAR) AS day, round(com_hour * 1000000.0) / 1000000.0 AS com_hour,
+      round(jump * 1000000.0) / 1000000.0 AS jump, cum_shift_h,
+      round((com_hour - cum_shift_h) * 1000000.0) / 1000000.0 AS com_repaired
     FROM s
   """
 
@@ -960,8 +963,8 @@ object OracleSql {
   private val q48 = s"""
     WITH $clipStatsCte
     SELECT s.user_id, CAST(s.day AS VARCHAR) AS day,
-      round(s.daily_max / m.site_max, 6) AS clip1,
-      round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2
+      round(s.daily_max / m.site_max * 1000000.0) / 1000000.0 AS clip1,
+      round(s.sum_clip / nullif(s.sum_np, 0) * 1000000.0) / 1000000.0 AS clip2
     FROM sums s JOIN site m ON s.user_id = m.user_id
   """
 
@@ -969,7 +972,7 @@ object OracleSql {
     WITH $clipStatsCte,
     cs AS (
       SELECT s.user_id, s.day, s.daily_max / m.site_max AS clip1,
-        round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2r
+        round(s.sum_clip / nullif(s.sum_np, 0) * 1000000.0) / 1000000.0 AS clip2r
       FROM sums s JOIN site m ON s.user_id = m.user_id),
     masses AS (
       SELECT user_id, round(clip1 / 0.01) * 0.01 AS mass, count(*) AS n_bucket
@@ -1003,7 +1006,7 @@ object OracleSql {
     WITH $clipStatsCte,
     cs AS (
       SELECT s.user_id, s.day, s.daily_max / m.site_max AS clip1,
-        round(s.sum_clip / nullif(s.sum_np, 0), 6) AS clip2r
+        round(s.sum_clip / nullif(s.sum_np, 0) * 1000000.0) / 1000000.0 AS clip2r
       FROM sums s JOIN site m ON s.user_id = m.user_id),
     masses AS (
       SELECT user_id, round(clip1 / 0.01) * 0.01 AS mass, count(*) AS n_bucket
@@ -1164,10 +1167,11 @@ object OracleSql {
         unnest(range(0, 12)) AS dil_slot,
         (rs.set_h - rs.rise_h) / 12 AS dg
       FROM rs JOIN en ON rs.site = en.site AND rs.day = en.day)
-    SELECT site, day, round(rise_h, 6) AS rise_h, round(set_h, 6) AS set_h,
+    SELECT site, day, round(rise_h * 1000000.0) / 1000000.0 AS rise_h,
+      round(set_h * 1000000.0) / 1000000.0 AS set_h,
       day_energy_vs, CAST(dil_slot AS INT) AS dil_slot,
-      round(rise_h + dil_slot * dg, 6) AS bin_start_h,
-      round(rise_h + (dil_slot + 1) * dg, 6) AS bin_end_h
+      round((rise_h + dil_slot * dg) * 1000000.0) / 1000000.0 AS bin_start_h,
+      round((rise_h + (dil_slot + 1) * dg) * 1000000.0) / 1000000.0 AS bin_end_h
     FROM g
   """
 
@@ -1210,8 +1214,10 @@ object OracleSql {
         (env_corr > 0.98 AND energy_ratio > 0.8) AS clear
       FROM (
         SELECT site, day,
-          round(CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END, 6) AS env_corr,
-          round(CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END, 6) AS energy_ratio
+          round((CASE WHEN mm > 0 AND ee > 0 THEN num / sqrt(mm * ee) ELSE 0 END)
+            * 1000000.0) / 1000000.0 AS env_corr,
+          round((CASE WHEN se > 1e-9 THEN sm / se ELSE 0 END) * 1000000.0)
+            / 1000000.0 AS energy_ratio
         FROM cd_fin) t)
   """
 
@@ -1337,7 +1343,9 @@ object OracleSql {
       FROM $ev e JOIN oc_cap c ON e.user_id = c.user_id
       GROUP BY 1, 2, 3)
     SELECT CAST(c.user_id AS VARCHAR) AS user_id, c.doy, c.hslot,
-      round(c.ct, 6) AS ct, round(n.noon, 6) AS noon, round(l.lat_est, 6) AS lat_est
+      round(c.ct * 1000000.0) / 1000000.0 AS ct,
+      round(n.noon * 1000000.0) / 1000000.0 AS noon,
+      round(l.lat_est * 1000000.0) / 1000000.0 AS lat_est
     FROM oc_cells c
     JOIN oc_noon n ON c.user_id = n.user_id
     JOIN oc_lat l ON c.user_id = l.user_id
@@ -1641,7 +1649,7 @@ object OracleSql {
       FROM qf_it q JOIN qf_d d USING (sid)
       WHERE q.it < 30)
     SELECT f.sid AS series_id, f.i,
-      round(b.b0 + b.b1 * f.x1 + b.b2 * f.x2, 6) AS fit
+      round((b.b0 + b.b1 * f.x1 + b.b2 * f.x2) * 1000000.0) / 1000000.0 AS fit
     FROM qf_src f JOIN qf_it b ON b.sid = f.sid AND b.it = 30
   """
 
@@ -2377,7 +2385,8 @@ object OracleSql {
             / sqrt((sum(n) * (CAST(sum(sxx) AS DOUBLE) / 1e4)
                     - (CAST(sum(sx) AS DOUBLE) / 1e6) * (CAST(sum(sx) AS DOUBLE) / 1e6))
                  * (sum(n) * (CAST(sum(syy) AS DOUBLE) / 1e4)
-                    - (CAST(sum(sy) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6))), 6)
+                    - (CAST(sum(sy) AS DOUBLE) / 1e6) * (CAST(sum(sy) AS DOUBLE) / 1e6)))
+            * 1000000.0) / 1000000.0
         END AS corr,
         CASE WHEN sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END) = 0
                OR sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END)
@@ -2386,14 +2395,15 @@ object OracleSql {
           round(sqrt(greatest(
             (CAST(sum(rss) AS DOUBLE) / 1e4)
               / nullif(CAST(sum(CASE WHEN rss IS NOT NULL THEN n END) AS DOUBLE), 0.0),
-            0.0)), 6)
+            0.0)) * 1000000.0) / 1000000.0
         END AS cv_rmse,
         CASE WHEN sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END) = 0
                OR sum(CASE WHEN fold > 1 THEN 1 ELSE 0 END)
                   <> sum(CASE WHEN sres IS NOT NULL THEN 1 ELSE 0 END)
           THEN NULL ELSE
           round((CAST(sum(sres) AS DOUBLE) / 1e6)
-            / nullif(CAST(sum(CASE WHEN sres IS NOT NULL THEN n END) AS DOUBLE), 0.0), 6)
+            / nullif(CAST(sum(CASE WHEN sres IS NOT NULL THEN n END) AS DOUBLE), 0.0)
+            * 1000000.0) / 1000000.0
         END AS cv_mbe
       FROM si_rs GROUP BY 1, 2, 3)
   """
@@ -2844,11 +2854,12 @@ object OracleSql {
       FROM si_pool)
     SELECT t.site, t.sensor, t.filter, t.n_days, t.n_obs,
       CASE WHEN varx > 0.0 AND vary > 0.0
-           THEN round(cov / sqrt(varx * vary), 6) END AS corr,
+           THEN round(cov / sqrt(varx * vary) * 1000000.0) / 1000000.0 END AS corr,
       CASE WHEN p.n_test > 0 AND p.n_test = p.n_good AND p.pn > 0
-           THEN round(sqrt(greatest(p.pr / p.pn, 0.0)), 6) END AS cv_rmse,
+           THEN round(sqrt(greatest(p.pr / p.pn, 0.0)) * 1000000.0)
+                / 1000000.0 END AS cv_rmse,
       CASE WHEN p.n_test > 0 AND p.n_test = p.n_good AND p.pn > 0
-           THEN round(p.ps / p.pn, 6) END AS cv_mbe
+           THEN round(p.ps / p.pn * 1000000.0) / 1000000.0 END AS cv_mbe
     FROM si_hp p
     JOIN (
       SELECT site, sensor, filter, n_days, tn AS n_obs,
@@ -3357,12 +3368,13 @@ $branches
 
   private val d04 = s"""
     SELECT doc_id,
-      round($punctRatio, 6) AS punct_ratio,
-      round($stopRatio, 6) AS stop_ratio,
-      round($upperRatio, 6) AS upper_ratio,
+      round(($punctRatio) * 1000000.0) / 1000000.0 AS punct_ratio,
+      round(($stopRatio) * 1000000.0) / 1000000.0 AS stop_ratio,
+      round(($upperRatio) * 1000000.0) / 1000000.0 AS upper_ratio,
       round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
              + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
-             + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) AS quality
+             + least(($stopRatio) * 4.0, 1.0)) / 3.0 * 1000000.0)
+        / 1000000.0 AS quality
     FROM documents
   """
 
@@ -3480,7 +3492,8 @@ $branches
       FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT p.a_id, p.b_id, p.n_shared, sa.sz AS na, sb.sz AS nb,
-      round(CAST(p.n_shared AS DOUBLE) / least(sa.sz, sb.sz), 6) AS containment
+      round(CAST(p.n_shared AS DOUBLE) / least(sa.sz, sb.sz) * 1000000.0)
+        / 1000000.0 AS containment
     FROM pairs p
     JOIN sizes sa ON p.a_id = sa.doc_id
     JOIN sizes sb ON p.b_id = sb.doc_id
@@ -3700,8 +3713,8 @@ $branches
       FROM sizes GROUP BY 1),
     tot AS (SELECT sum(n_docs) AS total, max(component_size) AS max_sz FROM hist)
     SELECT component_size, n_components, n_docs,
-      round(CAST(n_docs AS DOUBLE) / total, 6) AS doc_share,
-      round(CAST(max_sz AS DOUBLE) / total, 6) AS top_share
+      round(CAST(n_docs AS DOUBLE) / total * 1000000.0) / 1000000.0 AS doc_share,
+      round(CAST(max_sz AS DOUBLE) / total * 1000000.0) / 1000000.0 AS top_share
     FROM hist, tot
   """
 
@@ -3825,7 +3838,8 @@ $branches
     SELECT x.query_id,
       x.n_exact, u.n_quant,
       coalesce(c.n_common, 0) AS n_common,
-      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE), 6) AS recall
+      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE) * 1000000.0)
+        / 1000000.0 AS recall
     FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) x
     JOIN (SELECT query_id, count(*) AS n_quant FROM qu GROUP BY 1) u ON x.query_id = u.query_id
     LEFT JOIN com c ON x.query_id = c.query_id
@@ -4143,7 +4157,8 @@ $branches
     SELECT x.query_id,
       CAST(count(*) AS BIGINT) AS k_exact,
       CAST(coalesce(sum(i.hit), 0) AS BIGINT) AS n_hit,
-      round(CAST(coalesce(sum(i.hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS recall
+      round(CAST(coalesce(sum(i.hit), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+            * 1000000.0) / 1000000.0 AS recall
     FROM exact x
     LEFT JOIN ivf i ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
     GROUP BY 1
@@ -4296,8 +4311,9 @@ $branches
     base AS (
       SELECT doc_id,
         CAST($tokCount AS BIGINT) AS n_words,
-        round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                    / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_frac
+        round((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                    / CAST(len(grams) AS DOUBLE)) * 1000000.0)
+          / 1000000.0 AS dup_bigram_frac
       FROM (
         SELECT doc_id, text,
           list_transform(
@@ -4324,7 +4340,7 @@ $branches
       count(*) AS n_grams,
       CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
       round(CAST(sum(CASE WHEN t.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-            / CAST(count(*) AS DOUBLE), 6) AS contamination
+            / CAST(count(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS contamination
     FROM bg LEFT JOIN tg t USING (gram)
     GROUP BY bench_id
   """
@@ -4546,7 +4562,8 @@ $branches
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
       FROM counts)
     SELECT CAST(rk AS INT) AS rk, w, cnt,
-      round(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage,
+      round(CAST(cum_cnt AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0)
+        / 1000000.0 AS coverage,
       n_types
     FROM top, total WHERE rk <= 20
   """
@@ -4648,16 +4665,18 @@ $branches
       SELECT doc_id,
         CAST($tokCount AS BIGINT) AS n_words,
         round(CAST(len(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-              / CAST(greatest($tokCount, 1) AS DOUBLE), 6) AS mean_wlen,
+              / CAST(greatest($tokCount, 1) AS DOUBLE) * 1000000.0)
+          / 1000000.0 AS mean_wlen,
         round(CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                      w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-              / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS DOUBLE),
-              6) AS alpha_frac,
+              / CAST(greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1) AS DOUBLE)
+              * 1000000.0) / 1000000.0 AS alpha_frac,
         CAST(len(list_intersect(
                list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS stop_hits,
-        round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
-                    / CAST(len(grams) AS DOUBLE), 6) AS dup_bigram_frac
+        round((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                    / CAST(len(grams) AS DOUBLE)) * 1000000.0)
+          / 1000000.0 AS dup_bigram_frac
       FROM (
         SELECT doc_id, text,
           list_transform(
@@ -4798,7 +4817,8 @@ $branches
         CAST($tokCount AS BIGINT) AS tokens,
         CAST(round(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
                + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
-               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100.0, 0) AS INT) AS qbucket
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0 * 1000000.0)
+               / 1000000.0 * 100.0, 0) AS INT) AS qbucket
       FROM documents d JOIN flags USING (doc_id)
       WHERE flags.eligible),
     cum AS (
@@ -4912,7 +4932,8 @@ $branches
         CAST($tokCount AS BIGINT) AS tokens,
         CAST(round(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
                + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
-               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100.0, 0) AS INT) AS qbucket
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0 * 1000000.0)
+               / 1000000.0 * 100.0, 0) AS INT) AS qbucket
       FROM documents),
     cum AS (
       SELECT qbucket,
@@ -4934,15 +4955,15 @@ $branches
   // t08: curriculum admission (epoch-indexed quality-bucket
   // threshold) + within-epoch order by the md5 epoch key, exactly the
   // d04 quality arithmetic and the t06 ordering rule. The bucket
-  // floors round(quality, 6) * 100 — both engines compute the same
-  // double, so any float-floor quirk is shared, which is what the
-  // hash needs.
+  // floors the micro-grid quality (product quantizer — see d04) * 100:
+  // both engines floor the identical double.
   private val t08 = s"""
     WITH q AS (
       SELECT doc_id,
         CAST(floor(round((least(CAST(len(text) AS DOUBLE) / 200.0, 1.0)
                + greatest(0.0, 1.0 - ($punctRatio) * 10.0)
-               + least(($stopRatio) * 4.0, 1.0)) / 3.0, 6) * 100) AS INT) AS qb
+               + least(($stopRatio) * 4.0, 1.0)) / 3.0 * 1000000.0)
+               / 1000000.0 * 100) AS INT) AS qb
       FROM documents),
     e(epoch, qmin) AS (SELECT * FROM (VALUES (0, 75), (1, 50), (2, 25), (3, 0)) v),
     adm AS (SELECT doc_id, epoch, qb FROM q CROSS JOIN e WHERE qb >= qmin)
@@ -5131,7 +5152,8 @@ $branches
     SELECT x.query_id,
       x.n_exact, u.n_trunc,
       coalesce(c.n_common, 0) AS n_common,
-      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE), 6) AS recall
+      round(coalesce(c.n_common, 0) / CAST(x.n_exact AS DOUBLE) * 1000000.0)
+        / 1000000.0 AS recall
     FROM (SELECT query_id, count(*) AS n_exact FROM ex GROUP BY 1) x
     JOIN (SELECT query_id, count(*) AS n_trunc FROM tr GROUP BY 1) u ON x.query_id = u.query_id
     LEFT JOIN com c ON x.query_id = c.query_id

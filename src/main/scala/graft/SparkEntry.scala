@@ -161,7 +161,8 @@ object SparkEntry {
         round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
         round(sum(col("value")), 2).as("sum_v")
       )
-      .withColumn("com_hour", round(try_divide(col("num_sv") / 3600.0, col("sum_v")), 6))
+      .withColumn("com_hour",
+        round(try_divide(col("num_sv") / 3600.0, col("sum_v")) * lit(1e6)) / lit(1e6))
 
   private def q12(s: SparkSession, dir: String): DataFrame =
     Runs.withRunId(Tables.events(s, dir), Seq("user_id"), "ts", "event_type",
@@ -195,12 +196,18 @@ object SparkEntry {
       .withColumn("x", unix_micros(col("ts")))
       .withColumn("v", when(col("event_type") =!= "error", col("value")))
     Filling.interpolateLinear(base, Seq("user_id"), "x", "v", "filled")
-      .select(col("event_id"), col("user_id"), round(col("filled"), 4).as("filled"))
+      // scale-0 product quantizer, not round(x, 4): interpolated
+      // values hit decimal-half shortest reprs where the engines'
+      // decimal rounds disagree (the q64 class — see Study.scaleParams)
+      .select(col("event_id"), col("user_id"),
+        (round(col("filled") * lit(1e4)) / lit(1e4)).as("filled"))
   }
 
   private def q17(s: SparkSession, dir: String): DataFrame =
     DayStats.capacity(Tables.events(s, dir), "user_id", "value")
-      .select(col("user_id"), round(col("capacity"), 6).as("capacity"))
+      // product quantizer: a percentile is interpolated (q64 class)
+      .select(col("user_id"),
+        (round(col("capacity") * lit(1e6)) / lit(1e6)).as("capacity"))
 
   private def q18(s: SparkSession, dir: String): DataFrame =
     DayStats.riseSetRough(Tables.events(s, dir), "user_id", "ts", "value", 0.05)
@@ -314,7 +321,8 @@ object SparkEntry {
         round(sum(TimeAxis.secondsOfDay(col("ts")) * col("value")), 2).as("num_sv"),
         round(sum(col("value")), 2).as("sum_v")
       )
-      .withColumn("com_hour", round(try_divide(col("num_sv") / 3600.0, col("sum_v")), 6))
+      .withColumn("com_hour",
+        round(try_divide(col("num_sv") / 3600.0, col("sum_v")) * lit(1e6)) / lit(1e6))
       .withColumn("tz_offset_h", round(lit(12.0) - col("com_hour")).cast("int"))
       .select(col("user_id"), col("com_hour"), col("tz_offset_h"))
 
@@ -336,7 +344,10 @@ object SparkEntry {
       .withColumn("cum", cum)
       .withColumn("total", total)
       .filter(col("cum").isNotNull && col("total") > 0)
-      .select(col("user_id"), col("day").cast("string").as("day"), col("event_id"), round(col("cum") / col("total"), 6).as("cum_frac"))
+      .select(col("user_id"), col("day").cast("string").as("day"), col("event_id"),
+        // product quantizer (q64 class): the ratio of two fixed-point
+        // trapezoid sums can land on a 7th-decimal-half shortest repr
+        (round(col("cum") / col("total") * lit(1e6)) / lit(1e6)).as("cum_frac"))
   }
 
   /** Point-mass detection on daily-max stats (reference
@@ -446,8 +457,9 @@ object SparkEntry {
       .withColumn("intercept", try_divide(col("sy") - col("slope") * col("sx"), col("n")))
       .withColumn("r", try_divide(col("n") * col("sxy") - col("sx") * col("sy"),
         sqrt((col("n") * col("sxx") - col("sx") * col("sx")) * (col("n") * col("syy") - col("sy") * col("sy")))))
-      .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
-        round(col("intercept"), 6).as("intercept"), round(col("r") * col("r"), 6).as("r2"))
+      .select(col("user_id"), col("n"), (round(col("slope") * lit(1e6)) / lit(1e6)).as("slope"),
+        (round(col("intercept") * lit(1e6)) / lit(1e6)).as("intercept"),
+        (round(col("r") * col("r") * lit(1e6)) / lit(1e6)).as("r2"))
   }
 
   /** Data-loss sanity ratio (reference `data_handler.py:464-500`):
@@ -677,9 +689,9 @@ object SparkEntry {
       s, Tables.events(s, dir), "user_id", "ts", "value")
       .select(
         col("__site").as("user_id"), col("doy"), col("hslot"),
-        round(col("ct"), 6).as("ct"),
-        round(col("noon"), 6).as("noon"),
-        round(col("lat_est"), 6).as("lat_est"))
+        (round(col("ct") * lit(1e6)) / lit(1e6)).as("ct"),
+        (round(col("noon") * lit(1e6)) / lit(1e6)).as("noon"),
+        (round(col("lat_est") * lit(1e6)) / lit(1e6)).as("lat_est"))
 
   /** The envelope-cell table on the FILLED matrix — the reference
     * study's actual input (`tilt_azimuth_study.py:97` reads
@@ -696,9 +708,9 @@ object SparkEntry {
       "user_id", "ts", "value")
       .select(
         col("__site").as("user_id"), col("doy"), col("hslot"),
-        round(col("ct"), 6).as("ct"),
-        round(col("noon"), 6).as("noon"),
-        round(col("lat_est"), 6).as("lat_est"))
+        (round(col("ct") * lit(1e6)) / lit(1e6)).as("ct"),
+        (round(col("noon") * lit(1e6)) / lit(1e6)).as("noon"),
+        (round(col("lat_est") * lit(1e6)) / lit(1e6)).as("lat_est"))
 
   /** The tz-database DST repair (`TimeAxis.fixDst`, SURVEY §2.3 DST
     * repair — the real-zone path that was spec-only while we believed
@@ -812,7 +824,7 @@ object SparkEntry {
         pts.indices.iterator.map(k => (sid, pts(k)._2, fit(k)))
       }
       .toDF("series_id", "i", "fit")
-      .withColumn("fit", round(col("fit"), 6))
+      .withColumn("fit", round(col("fit") * lit(1e6)) / lit(1e6))
   }
 
   /** The deflated power-iteration eigensolver behind the fleet-PCA
@@ -1494,10 +1506,10 @@ object SparkEntry {
         sum(col("shift_h")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
       .select(
         col("user_id"), col("day").cast("string").as("day"),
-        round(col("com_hour"), 6).as("com_hour"),
-        round(col("jump"), 6).as("jump"),
+        (round(col("com_hour") * lit(1e6)) / lit(1e6)).as("com_hour"),
+        (round(col("jump") * lit(1e6)) / lit(1e6)).as("jump"),
         col("cum_shift_h"),
-        round(col("com_hour") - col("cum_shift_h"), 6).as("com_repaired")
+        (round((col("com_hour") - col("cum_shift_h")) * lit(1e6)) / lit(1e6)).as("com_repaired")
       )
   }
 
@@ -1688,7 +1700,8 @@ object SparkEntry {
     DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
       .select(
         col("user_id"), col("day").cast("string").as("day"),
-        round(col("clip1"), 6).as("clip1"), round(col("clip2"), 6).as("clip2")
+        (round(col("clip1") * lit(1e6)) / lit(1e6)).as("clip1"),
+        (round(col("clip2") * lit(1e6)) / lit(1e6)).as("clip2")
       )
 
   /** Inverter-clipping verdict (reference `clipping.py:40-107`
@@ -1705,7 +1718,7 @@ object SparkEntry {
     // (ContextCleaner-managed RDD) instead of recomputing the
     // clipStats scans per branch
     val cs0 = DayStats.clipStats(Tables.events(s, dir), "user_id", "ts", "value")
-      .withColumn("clip2r", round(col("clip2"), 6))
+      .withColumn("clip2r", round(col("clip2") * lit(1e6)) / lit(1e6))
     val cs = s.createDataFrame(cs0.rdd.setName("q49 clip stats").persist(), cs0.schema)
     val masses = cs
       .withColumn("mass", round(col("clip1") / lit(0.01)) * lit(0.01))
@@ -1911,11 +1924,15 @@ object SparkEntry {
         ((col("set_h") - col("rise_h")) / nBins).as("dg"))
       .select(
         col("site"), col("day"),
-        round(col("rise_h"), 6).as("rise_h"),
-        round(col("set_h"), 6).as("set_h"),
+        (round(col("rise_h") * lit(1e6)) / lit(1e6)).as("rise_h"),
+        (round(col("set_h") * lit(1e6)) / lit(1e6)).as("set_h"),
         col("day_energy_vs"), col("dil_slot"),
-        round(col("rise_h") + col("dil_slot") * col("dg"), 6).as("bin_start_h"),
-        round(col("rise_h") + (col("dil_slot") + 1) * col("dg"), 6).as("bin_end_h"))
+        // product quantizer: dg = daylight/nBins is an arbitrary
+        // rational, so bin edges hit decimal halves (q64 class)
+        (round((col("rise_h") + col("dil_slot") * col("dg")) * lit(1e6)) / lit(1e6))
+          .as("bin_start_h"),
+        (round((col("rise_h") + (col("dil_slot") + 1) * col("dg")) * lit(1e6)) / lit(1e6))
+          .as("bin_end_h"))
   }
 
   /** Fleet-Gram construction — the relational face of the PCA-shade
@@ -2175,8 +2192,8 @@ object SparkEntry {
     Tables.documents(s, dir).select(
       col("doc_id"),
       TextOps.tokenCount(t).cast("long").as("n_words"),
-      round(TextOps.meanTokenLen(t), 6).as("mean_wlen"),
-      round(TextOps.alphaWordFrac(t), 6).as("alpha_frac"),
+      (round(TextOps.meanTokenLen(t) * lit(1e6)) / lit(1e6)).as("mean_wlen"),
+      (round(TextOps.alphaWordFrac(t) * lit(1e6)) / lit(1e6)).as("alpha_frac"),
       TextOps.stopwordHits(t).cast("long").as("stop_hits"),
       TextOps.dupNgramFrac(t, 2).as("dup_bigram_frac"))
       .withColumn("ok_words", col("n_words").between(50L, 100000L))
@@ -2571,9 +2588,11 @@ object SparkEntry {
   private def d04(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(
       col("doc_id"),
-      round(TextOps.punctRatio(col("text")), 6).as("punct_ratio"),
-      round(TextOps.stopwordRatio(col("text")), 6).as("stop_ratio"),
-      round(TextOps.upperRatio(col("text")), 6).as("upper_ratio"),
+      // product quantizers: small-integer ratios hit decimal-half
+      // shortest reprs where engines' decimal rounds disagree (q64 class)
+      (round(TextOps.punctRatio(col("text")) * lit(1e6)) / lit(1e6)).as("punct_ratio"),
+      (round(TextOps.stopwordRatio(col("text")) * lit(1e6)) / lit(1e6)).as("stop_ratio"),
+      (round(TextOps.upperRatio(col("text")) * lit(1e6)) / lit(1e6)).as("upper_ratio"),
       TextOps.qualityScore(col("text")).as("quality")
     )
 
@@ -2818,7 +2837,8 @@ object SparkEntry {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        floor(round(TextOps.qualityScore(col("text")), 6) * 100).cast("int").as("qb"))
+        // qualityScore is already on the micro grid (product quantizer)
+        floor(TextOps.qualityScore(col("text")) * 100).cast("int").as("qb"))
     val epochs = Seq((0, 75), (1, 50), (2, 25), (3, 0)).toDF("epoch", "qmin")
     val admitted = docs.crossJoin(broadcast(epochs))
       .filter(col("qb") >= col("qmin"))
@@ -3052,7 +3072,7 @@ object SparkEntry {
       .select(
         col("query_id"), col("n_exact"), col("n_quant"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double"), 6).as("recall")
+        (round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double") * lit(1e6)) / lit(1e6)).as("recall")
       )
   }
 
@@ -3331,7 +3351,8 @@ object SparkEntry {
       .agg(
         count(lit(1)).as("k_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
-      .withColumn("recall", round(col("n_hit").cast("double") / col("k_exact").cast("double"), 6))
+      .withColumn("recall",
+        round(col("n_hit").cast("double") / col("k_exact").cast("double") * lit(1e6)) / lit(1e6))
   }
 
   /** Matryoshka dimension-truncation recall (Kusupati et al. 2022):
@@ -3359,7 +3380,7 @@ object SparkEntry {
       .select(
         col("query_id"), col("n_exact"), col("n_trunc"),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
-        round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double"), 6).as("recall")
+        (round(coalesce(col("n_common"), lit(0L)) / col("n_exact").cast("double") * lit(1e6)) / lit(1e6)).as("recall")
       )
   }
 

@@ -98,16 +98,24 @@ object ClearDay {
             num += a * b; mm += a * a; ee += b * b; sm += a; se += b
             s += 1
           }
-          // emit and THRESHOLD the 6-dp-rounded statistics (HALF_UP,
-          // matching SQL round()): the raw doubles differ across
+          // emit and THRESHOLD statistics quantized by the engine-
+          // portable product form (round-half-away-from-zero on x*1e6,
+          // exactly SQL round(x*1e6)): the raw doubles differ across
           // engines at ulp scale (summation order, quantile
           // interpolation), so a verdict on the raw value could flip
           // cross-engine on a knife-edge day while the reported
-          // numbers agree — the d37 lesson applied here
+          // numbers agree — the d37 lesson applied here. floor(p+0.5)
+          // was close but diverges from SQL round on negative halves
+          // and where the +0.5 addition itself rounds up.
+          def q6(x: Double): Double = {
+            val pAbs = math.abs(x * 1e6)
+            val fl = math.floor(pAbs)
+            math.copySign(if (pAbs - fl >= 0.5) fl + 1.0 else fl, x * 1e6) / 1e6
+          }
           val corrRaw = if (mm > 0 && ee > 0) num / math.sqrt(mm * ee) else 0.0
           val eratioRaw = if (se > 1e-9) sm / se else 0.0
-          val corr = math.floor(corrRaw * 1e6 + 0.5) / 1e6
-          val eratio = math.floor(eratioRaw * 1e6 + 0.5) / 1e6
+          val corr = q6(corrRaw)
+          val eratio = q6(eratioRaw)
           (siteId, days(d2), corr, eratio,
             corr > corrThreshold && eratio > energyThreshold)
         }

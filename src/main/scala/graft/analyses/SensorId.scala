@@ -208,7 +208,8 @@ object SensorId {
             d6(sum(col("sy"))) * d6(sum(col("sy")))
           val cov = sum(col("n")) * d4(sum(col("sxy"))) -
             d6(sum(col("sx"))) * d6(sum(col("sy")))
-          when(varx > 0.0 && vary > 0.0, round(cov / sqrt(varx * vary), 6)).as("corr")
+          when(varx > 0.0 && vary > 0.0,
+            round(cov / sqrt(varx * vary) * lit(1e6)) / lit(1e6)).as("corr")
         },
         // a sensor with NO test folds, or with ANY degenerate
         // (constant-series) train fold, is DISQUALIFIED for this
@@ -221,15 +222,15 @@ object SensorId {
           val nTest = sum(when(col("fold") > 1, 1L).otherwise(0L))
           val nGood = sum(when(col("rss").isNotNull, 1L).otherwise(0L))
           when(nTest === 0 || nTest =!= nGood, lit(null)).otherwise(
-            round(sqrt(greatest(
+            (round(sqrt(greatest(
               try_divide(d4(sum(col("rss"))), sum(when(col("rss").isNotNull, col("n")))),
-              lit(0.0))), 6)).as("cv_rmse")
+              lit(0.0))) * lit(1e6)) / lit(1e6))).as("cv_rmse")
         },
         {
           val nTest = sum(when(col("fold") > 1, 1L).otherwise(0L))
           val nGood = sum(when(col("sres").isNotNull, 1L).otherwise(0L))
           when(nTest === 0 || nTest =!= nGood, lit(null)).otherwise(
-            round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))), 6))
+            (round(try_divide(d6(sum(col("sres"))), sum(when(col("sres").isNotNull, col("n")))) * lit(1e6)) / lit(1e6)))
             .as("cv_mbe")
         })
   }
@@ -341,8 +342,20 @@ object SensorId {
   private case class DayMoment(n: Long, sx: Double, sy: Double,
       sxx: Double, sxy: Double, syy: Double)
 
-  private def rd6(x: Double): Double =
-    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  /** Engine-portable 6-dp quantizer: round-half-away-from-zero on the
+    * explicitly computed product x*1e6 — the semantics of BOTH Spark's
+    * `round(col * 1e6)` and DuckDB's `round(x * 1e6)` on the identical
+    * double, unlike a decimal-scale round (the q64 bug class: a
+    * string-based decimal round diverges from a scaled-product one on
+    * 7th-decimal-half shortest reprs, which the dyadic q90 fixture
+    * produces).
+    */
+  private def rd6(x: Double): Double = {
+    val p = x * 1e6
+    val fl = math.floor(math.abs(p))
+    val r = if (math.abs(p) - fl >= 0.5) fl + 1.0 else fl
+    math.copySign(r, p) / 1e6
+  }
 
   /** A day's residual sum of squares at (a, b), exactly from its
     * moment block: Σ(y − a − bx)² = Σy² + n·a² + b²Σx² − 2aΣy − 2bΣxy

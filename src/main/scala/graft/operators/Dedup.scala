@@ -405,8 +405,8 @@ object Dedup {
       .crossJoin(broadcast(totals))
       .select(
         col("component_size"), col("n_components"), col("n_docs"),
-        round(col("n_docs") / col("__total"), 6).as("doc_share"),
-        round(col("__max_sz") / col("__total"), 6).as("top_share")
+        (round(col("n_docs") / col("__total") * lit(1e6)) / lit(1e6)).as("doc_share"),
+        (round(col("__max_sz") / col("__total") * lit(1e6)) / lit(1e6)).as("top_share")
       )
   }
 
@@ -573,7 +573,7 @@ object Dedup {
       .join(sizes.select(col(idCol).as("b_id"), col("__sz").as("nb")), Seq("b_id"))
       .select(
         col("a_id"), col("b_id"), col("n_shared"), col("na"), col("nb"),
-        round(col("n_shared") / least(col("na"), col("nb")).cast("double"), 6).as("containment")
+        (round(col("n_shared") / least(col("na"), col("nb")).cast("double") * lit(1e6)) / lit(1e6)).as("containment")
       )
   }
 
@@ -971,6 +971,6 @@ object Dedup {
         count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("contamination",
-        round(col("n_hit").cast("double") / col("n_grams").cast("double"), 6))
+        (round(col("n_hit").cast("double") / col("n_grams").cast("double") * lit(1e6)) / lit(1e6)))
   }
 }

@@ -317,7 +317,7 @@ object LangModel {
       .crossJoin(broadcast(total))
       .select(
         col("rk"), col("w"), col("cnt"),
-        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("coverage"),
+        (round(col("cum_cnt").cast("double") / col("total").cast("double") * lit(1e6)) / lit(1e6)).as("coverage"),
         col("n_types"))
   }
 

@@ -82,8 +82,13 @@ object Runs {
         (if (exact) percentile(col(valueCol), lit(0.75))
          else approx_percentile(col(valueCol), lit(0.75), lit(10000))).as("q3")
       )
-      .withColumn("lo", round(col("q1") - lit(k) * (col("q3") - col("q1")), 6))
-      .withColumn("hi", round(col("q3") + lit(k) * (col("q3") - col("q1")), 6))
+      // product quantizer, not round(x, 6): interpolated percentiles
+      // hit decimal-half shortest reprs where engines' decimal rounds
+      // disagree (the q64 class — see Study.scaleParams)
+      .withColumn("lo",
+        round((col("q1") - lit(k) * (col("q3") - col("q1"))) * lit(1e6)) / lit(1e6))
+      .withColumn("hi",
+        round((col("q3") + lit(k) * (col("q3") - col("q1"))) * lit(1e6)) / lit(1e6))
 
   /** Empirical CDF position of `valueCol` within each key group
     * (reference `clipping.py:360-370`): `percent_rank` over the sorted

@@ -57,7 +57,11 @@ object TextOps {
     val lenScore = least(length(text).cast("double") / lit(200.0), lit(1.0))
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 10.0)
     val stopScore = least(stopwordRatio(text) * 4.0, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3.0, 6)
+    // scale-0 product quantizer, not round(x, 6): the score is a
+    // ratio of small integers (…/words/3), which hits 7th-decimal-half
+    // shortest reprs where JVM (decimal-string) and C (scaled-product)
+    // rounding disagree — the q64 bug class (see Study.scaleParams)
+    round((lenScore + punctScore + stopScore) / 3.0 * lit(1e6)) / lit(1e6)
   }
 
   /** Predicted language: "en" when the stopword ratio clears a
@@ -93,7 +97,9 @@ object TextOps {
       sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
       i => concat_ws(" ", slice(words, i, lit(n)))
     )
-    round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"), 6)
+    // product quantizer (q64 class): a small-integer ratio's shortest
+    // repr can terminate in a 7th-decimal 5
+    round((lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double")) * lit(1e6)) / lit(1e6)
   }
 
   /** The Gopher rule stopword set (Rae et al. 2021 §A1.1: a document
