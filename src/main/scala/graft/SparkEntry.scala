@@ -2350,21 +2350,28 @@ object SparkEntry {
     import s.implicits._
     val docs = Tables.documents(s, dir)
     val byFp = Window.partitionBy(col("fp"))
-    val dedup = docs.select(col("doc_id"), TextOps.prefixFingerprint(col("text"), 40).as("fp"))
-      .withColumn("dedup_keep", col("doc_id") === min(col("doc_id")).over(byFp))
-      .select(col("doc_id"), col("dedup_keep"))
-    val rules = d21(s, dir).select(col("doc_id"), col("ok_words"), col("ok_rep"))
+    // Every per-doc signal (dedup fingerprint, the d21 word-count and
+    // repetition rules, token count, quality score) is a deterministic
+    // in-row expression, so the whole verdict table comes off ONE
+    // corpus scan; the only shuffle is the fp window that decides the
+    // near-dup keeper. The text never leaves the scan stage.
+    val sig = docs.select(col("doc_id"),
+      TextOps.prefixFingerprint(col("text"), 40).as("fp"),
+      TextOps.tokenCount(col("text")).cast("long").as("tokens"),
+      TextOps.qualityScore(col("text")).as("quality"),
+      TextOps.dupNgramFrac(col("text"), 2).as("dup_bigram_frac"))
     // The per-doc verdict table feeds three downstream jobs (budget
     // selection, the rank's offset collect, the final join). Persist
     // it NARROW (no text — the token/quality signals are reduced here,
     // scan-side) as an RDD, so the ContextCleaner releases it when the
     // result goes out of scope (the Shade.pcaShade lesson).
-    val flagsRdd = docs.select(col("doc_id"), col("text"))
-      .join(dedup, Seq("doc_id")).join(rules, Seq("doc_id"))
+    val flagsRdd = sig
+      .withColumn("dedup_keep", col("doc_id") === min(col("doc_id")).over(byFp))
+      .withColumn("ok_words", col("tokens").between(50L, 100000L))
+      .withColumn("ok_rep", col("dup_bigram_frac") <= 0.05)
       .withColumn("eligible", col("dedup_keep") && col("ok_words") && col("ok_rep"))
       .select(col("doc_id"), col("dedup_keep"), col("ok_words"), col("ok_rep"), col("eligible"),
-        TextOps.tokenCount(col("text")).cast("long").as("tokens"),
-        TextOps.qualityScore(col("text")).as("quality"))
+        col("tokens"), col("quality"))
       .as[(Long, Boolean, Boolean, Boolean, Boolean, Long, Double)]
       .rdd.setName("c01 per-doc verdicts").persist()
     val flags = s.createDataset(flagsRdd)

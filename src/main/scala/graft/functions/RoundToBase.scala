@@ -118,6 +118,21 @@ object GraftFunctions {
       buildBarrier,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dup_ngram_frac",
+      buildDupNgramFrac,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_stopword_ratio",
+      buildStopwordRatio,
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_alpha_word_frac",
+      buildAlphaWordFrac,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
@@ -142,6 +157,17 @@ object GraftFunctions {
 
   def buildBarrier(exprs: Seq[Expression]): Expression =
     graft.plans.PredicateBarrier(Cast(exprs(0), org.apache.spark.sql.types.BooleanType))
+
+  def buildDupNgramFrac(exprs: Seq[Expression]): Expression =
+    DupNgramFrac(
+      Cast(exprs(0), org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.IntegerType))
+
+  def buildStopwordRatio(exprs: Seq[Expression]): Expression =
+    StopwordRatio(Cast(exprs(0), org.apache.spark.sql.types.StringType))
+
+  def buildAlphaWordFrac(exprs: Seq[Expression]): Expression =
+    AlphaWordFrac(Cast(exprs(0), org.apache.spark.sql.types.StringType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -196,6 +222,24 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.plans.PredicateBarrier].getName, "graft_barrier"),
         (exprs: Seq[Expression]) => GraftFunctions.buildBarrier(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dup_ngram_frac"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DupNgramFrac].getName, "graft_dup_ngram_frac"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildDupNgramFrac(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_stopword_ratio"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[StopwordRatio].getName, "graft_stopword_ratio"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildStopwordRatio(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_alpha_word_frac"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[AlphaWordFrac].getName, "graft_alpha_word_frac"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildAlphaWordFrac(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -163,10 +163,24 @@ object Mixing {
       qualityCol: Column,
       budget: Long
   ): DataFrame = {
-    val all = docs.select(
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val narrow = docs.select(
       col(idCol),
       tokensCol.cast("long").as("tokens"),
       round(qualityCol * 100.0, 0).cast("int").as("qbucket"))
+    // The selection needs three passes over the (id, tokens, qbucket)
+    // projection: the bucket histogram, the boundary bucket's offset
+    // collect, and the verdict emission. The token/quality signals
+    // behind it are full-text scan work, so evaluate them ONCE into a
+    // ~24 B/row RDD persist (GC-released via the ContextCleaner when
+    // the result goes out of scope — the c01 idiom; a DataFrame
+    // .persist would pin the CacheManager until an explicit
+    // unpersist). Before this, every pass re-ran the text signals —
+    // measured 3× the whole operator's cost at sf0.1.
+    val allRdd = narrow.rdd.setName("budgetSelect (id, tokens, qbucket)")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = spark.createDataFrame(allRdd, narrow.schema)
     // a null quality or token count can't be ranked or budgeted:
     // report the doc (kept = false) instead of silently dropping it
     // through the inner bucket join
@@ -174,51 +188,75 @@ object Mixing {
       .filter(col("qbucket").isNull || col("tokens").isNull)
       .select(col(idCol), col("tokens"), col("qbucket"), lit(false).as("kept"))
     val base = all.filter(col("qbucket").isNotNull && col("tokens").isNotNull)
-    val wd = Window.orderBy(col("qbucket").desc)
     // bucket histogram + id range per bucket (the range drives the
-    // boundary bucket's order-preserving sub-bucketing)
-    val cum = base.groupBy(col("qbucket")).agg(
+    // boundary bucket's order-preserving sub-bucketing). ≤ ~101
+    // buckets by construction (integer quality percents) — bounded
+    // driver state, so the cross-bucket cumulative runs here instead
+    // of an empty-partition window
+    val hist = base.groupBy(col("qbucket")).agg(
         sum(col("tokens")).as("btok"),
-        min(col(idCol).cast("double")).as("__idlo"),
-        max(col(idCol).cast("double")).as("__idhi"))
-      .withColumn("better_tok",
-        coalesce(sum(col("btok")).over(wd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("qbucket"), col("btok"), col("better_tok"), col("__idlo"), col("__idhi"))
-    val joined = base.join(broadcast(cum), Seq("qbucket"))
-    val keptAll = col("better_tok") + col("btok") <= budget
-    val dropAll = col("better_tok") > budget
-    // whole-bucket decisions: a pure map against the broadcast totals
-    val decided = joined.filter(keptAll || dropAll)
-      .select(col(idCol), col("tokens"), col("qbucket"), keptAll.as("kept"))
-    // boundary bucket(s): distributed prefix sum in (id asc) order.
+        min(col(idCol).cast("double")).as("idlo"),
+        max(col(idCol).cast("double")).as("idhi"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(-_._1)
+    val cumRows = {
+      var acc = 0L
+      hist.map { case (qb, btok, lo, hi) =>
+        val better = acc; acc += btok
+        (qb, btok, better, lo, hi)
+      }
+    }
+    // whole-bucket decisions from the driver cumulative: a bucket
+    // entirely under budget is all-kept, one starting past budget is
+    // all-dropped; the budget crosses inside at most ONE bucket (the
+    // [better, better+btok) intervals are disjoint)
+    val keptBuckets = cumRows.filter { case (_, bt, better, _, _) => better + bt <= budget }.map(_._1).toSet
+    val boundaryRow = cumRows.find { case (_, bt, better, _, _) => better + bt > budget && better <= budget }
+    val decided = base.filter(boundaryRow match {
+        case Some((qb, _, _, _, _)) => col("qbucket") =!= qb
+        case None => lit(true)
+      })
+      .withColumn("kept",
+        if (keptBuckets.isEmpty) lit(false) else col("qbucket").isin(keptBuckets.toSeq: _*))
+      .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
+    // boundary bucket: distributed prefix sum in (id asc) order.
     // Sub-bucket by the id's position in the bucket's [lo, hi] range —
     // long→double is monotone, so bucketing preserves the id order
     // exactly (ties within a sub-bucket are resolved by the window's
     // orderBy); skewed ids only unbalance the shards, never the result
-    val bnd = joined.filter(!keptAll && !dropAll)
-      .withColumn("__sb",
-        when(col(idCol).isNull, lit(-1))
-          .otherwise(least(lit(255.0), floor(
-            (col(idCol).cast("double") - col("__idlo")) * 256.0 /
-              (col("__idhi") - col("__idlo") + lit(1.0)))).cast("int")))
-    // per-(bucket, sub-bucket) token totals → broadcast prefix offsets
-    // (≤ 256 rows per boundary bucket, and at most one boundary bucket
-    // exists — bounded driver state, the globalRankInGroup pattern)
-    val sbCounts = bnd.groupBy(col("qbucket"), col("__sb"))
-      .agg(sum(col("tokens")).as("__sbtok")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val offsets = sbCounts.groupBy(_._1).toSeq.flatMap { case (qb, rows) =>
-      var acc = 0L
-      rows.sortBy(_._2).map { case (_, sb, n) => val o = acc; acc += n; (qb, sb, o) }
+    val boundary = boundaryRow match {
+      case None =>
+        base.filter(lit(false))
+          .select(col(idCol), col("tokens"), col("qbucket"), lit(false).as("kept"))
+      case Some((qb, _, better, lo, hi)) =>
+        val bnd = base.filter(col("qbucket") === qb)
+          .withColumn("__sb",
+            when(col(idCol).isNull, lit(-1))
+              .otherwise(least(lit(255.0), floor(
+                (col(idCol).cast("double") - lit(lo)) * 256.0 /
+                  (lit(hi) - lit(lo) + lit(1.0)))).cast("int")))
+        // per-sub-bucket token totals → broadcast prefix offsets
+        // (≤ 256 longs — bounded driver state, the globalRankInGroup
+        // pattern)
+        val sbCounts = bnd.groupBy(col("__sb"))
+          .agg(sum(col("tokens")).as("__sbtok")).collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val offsets = {
+          var acc = 0L
+          sbCounts.map { case (sb, n) => val o = acc; acc += n; (sb, o) }
+        }
+        val offDf = offsets.toSeq.toDF("__sb", "__off")
+        // qbucket is a single value here, but it stays in the
+        // partition spec: the plan contract (MixingSpec) is that no
+        // data-side Window ever partitions by qbucket alone
+        val wb = Window.partitionBy(col("qbucket"), col("__sb")).orderBy(col(idCol).asc)
+        bnd.join(broadcast(offDf), Seq("__sb"))
+          .withColumn("__wtok",
+            col("__off") + sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("kept", lit(better) + col("__wtok") <= budget)
+          .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
     }
-    import docs.sparkSession.implicits._
-    val offDf = offsets.toDF("qbucket", "__sb", "__off")
-    val wb = Window.partitionBy(col("qbucket"), col("__sb")).orderBy(col(idCol).asc)
-    val boundary = bnd.join(broadcast(offDf), Seq("qbucket", "__sb"))
-      .withColumn("__wtok",
-        col("__off") + sum(col("tokens")).over(wb.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("kept", col("better_tok") + col("__wtok") <= budget)
-      .select(col(idCol), col("tokens"), col("qbucket"), col("kept"))
     decided.unionByName(boundary).unionByName(nullRows)
   }
 

@@ -39,9 +39,10 @@ object TextOps {
     * the n-gram-free core of a language-ID heuristic.
     */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val stops = filter(toks, t => EnglishStopwords.foldLeft(lit(false))((acc, s) => acc || (t === s)))
-    size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+    // native one-pass expression ([[graft.functions.StopwordRatio]]):
+    // the filter-lambda tree was CodegenFallback (see dupNgramFrac)
+    graft.functions.GraftFunctions.ensure()
+    call_function("graft_stopword_ratio", text)
   }
 
   /** Mean token length. */
@@ -92,14 +93,15 @@ object TextOps {
     * (fraction 0).
     */
   def dupNgramFrac(text: Column, n: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(words, i, lit(n)))
-    )
+    // native one-pass expression ([[graft.functions.DupNgramFrac]]):
+    // the equivalent transform/slice/array_distinct tree is lambda-
+    // based (CodegenFallback) and was the measured CPU floor of the
+    // whole rule-filter path
+    graft.functions.GraftFunctions.ensure()
+    val raw = call_function("graft_dup_ngram_frac", text, lit(n))
     // product quantizer (q64 class): a small-integer ratio's shortest
     // repr can terminate in a 7th-decimal 5
-    round((lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double")) * lit(1e6)) / lit(1e6)
+    round(raw * lit(1e6)) / lit(1e6)
   }
 
   /** The Gopher rule stopword set (Rae et al. 2021 §A1.1: a document
@@ -113,9 +115,10 @@ object TextOps {
     * character" rule). In-row, codegen'd — a pure map at any scale.
     */
   def alphaWordFrac(text: Column): Column = {
-    val toks = split(trim(text), "\\s+")
-    size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
+    // native one-pass expression ([[graft.functions.AlphaWordFrac]]):
+    // the tree ran an rlike PER TOKEN inside a CodegenFallback lambda
+    graft.functions.GraftFunctions.ensure()
+    call_function("graft_alpha_word_frac", text)
   }
 
   /** Number of DISTINCT [[GopherStopwords]] present in the document

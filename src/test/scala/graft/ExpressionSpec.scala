@@ -144,6 +144,62 @@ class ExpressionSpec extends AnyFunSuite {
     assert(n == 1667)
   }
 
+  test("native text signals equal their HOF trees bit-for-bit (corpus + edge strings)") {
+    GraftFunctions.register(spark)
+    import graft.operators.TextOps
+    // the exact expression trees the natives replaced (frozen here as
+    // the reference semantics — lambda HOFs, CodegenFallback)
+    def treeDup(text: org.apache.spark.sql.Column, n: Int) = {
+      val words = split(trim(text), "\\s+")
+      val grams = transform(
+        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(n))))
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double")
+    }
+    def treeStop(text: org.apache.spark.sql.Column) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val stops = filter(toks, t =>
+        TextOps.EnglishStopwords.foldLeft(lit(false))((acc, s) => acc || (t === s)))
+      size(stops).cast("double") / greatest(size(toks), lit(1)).cast("double")
+    }
+    def treeAlpha(text: org.apache.spark.sql.Column) = {
+      val toks = split(trim(text), "\\s+")
+      size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")
+    }
+    // the stopword set is duplicated in the expression layer (it must
+    // not depend on the operator layer) — pin the copies equal
+    assert(graft.functions.TextRatios.Stopwords == TextOps.EnglishStopwords.toSet)
+    val edges = Seq(
+      "", " ", "\t", "\t\tfoo bar", "the the the", "THE The tHe",
+      "a b a b a b", "one", "x", "  leading and trailing  ",
+      "naïve café über", "日本語 テキスト the", "emoji 😀 the end",
+      "punct... only!!! ???", "a  double  space", "tab\tsep\ttokens",
+      "newline\nsep\ntokens", "The of and that have with to be"
+    ).toDF("text")
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01").select(col("text"))
+    Seq(edges, corpus).foreach { df =>
+      val diff = df.select(
+          call_function("graft_dup_ngram_frac", col("text"), lit(2)).as("nd"),
+          treeDup(col("text"), 2).as("td"),
+          call_function("graft_stopword_ratio", col("text")).as("ns"),
+          treeStop(col("text")).as("ts"),
+          call_function("graft_alpha_word_frac", col("text")).as("na"),
+          treeAlpha(col("text")).as("ta"))
+        .filter(col("nd") =!= col("td") || col("ns") =!= col("ts") || col("na") =!= col("ta"))
+        .count()
+      assert(diff == 0, s"native text signal diverged from the HOF tree on $diff rows")
+    }
+    // null text → null through all three
+    val nulls = Seq(Option.empty[String]).toDF("text")
+      .select(
+        call_function("graft_dup_ngram_frac", col("text"), lit(2)),
+        call_function("graft_stopword_ratio", col("text")),
+        call_function("graft_alpha_word_frac", col("text")))
+      .collect()(0)
+    assert((0 until 3).forall(nulls.isNullAt), "null text must stay null")
+  }
+
   test("rollingMinhashSig signatures survive whole-stage codegen over a large frame") {
     GraftFunctions.register(spark)
     // same signature from the codegen'd scan twice (determinism) and
