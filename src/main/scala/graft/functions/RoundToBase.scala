@@ -133,6 +133,11 @@ object GraftFunctions {
       buildAlphaWordFrac,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_rolling_minhash_sig",
+      buildRollingMinhashSig,
+      "built-in"
+    )
   }
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
@@ -168,6 +173,12 @@ object GraftFunctions {
 
   def buildAlphaWordFrac(exprs: Seq[Expression]): Expression =
     AlphaWordFrac(Cast(exprs(0), org.apache.spark.sql.types.StringType))
+
+  def buildRollingMinhashSig(exprs: Seq[Expression]): Expression =
+    RollingMinhashSig(
+      Cast(exprs(0), org.apache.spark.sql.types.StringType),
+      Cast(exprs(1), org.apache.spark.sql.types.IntegerType),
+      Cast(exprs(2), org.apache.spark.sql.types.IntegerType))
 }
 
 /** `SparkSessionExtensions` hook: `.withExtensions(new GraftExtensions)`
@@ -240,6 +251,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[AlphaWordFrac].getName, "graft_alpha_word_frac"),
         (exprs: Seq[Expression]) => GraftFunctions.buildAlphaWordFrac(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_rolling_minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[RollingMinhashSig].getName, "graft_rolling_minhash_sig"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildRollingMinhashSig(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

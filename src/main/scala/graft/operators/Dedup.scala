@@ -500,11 +500,12 @@ object Dedup {
     * below MinHash's own 1/√H sketch error.
     */
   def rollingMinhashSig(text: Column, k: Int, numHashes: Int): Column = {
+    // native one-pass expression
+    // ([[graft.functions.RollingMinhashSig]]): the previous per-index
+    // `aggregate` min-fold was a CodegenFallback lambda running
+    // numHashes × |grams| interpreted steps per document
     graft.functions.GraftFunctions.ensure()
-    val hset = array_distinct(call_function("graft_rolling_hashes", text, lit(k)))
-    array((0 until numHashes).map { j =>
-      aggregate(hset, lit(Long.MaxValue), (acc, h) => least(acc, universalHash(h, lit(j))))
-    }: _*)
+    call_function("graft_rolling_minhash_sig", text, lit(k), lit(numHashes))
   }
 
   /** LSH band structs from a signature array column (same

@@ -211,4 +211,27 @@ class ExpressionSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
     assert(a.flatten.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("native rolling minhash sig equals the aggregate-fold composition bit-for-bit") {
+    GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    // the exact composition the native replaced (frozen as reference
+    // semantics — distinct is a no-op under a min-fold, asserted here)
+    def treeSig(text: org.apache.spark.sql.Column, k: Int, numHashes: Int) = {
+      val hset = array_distinct(call_function("graft_rolling_hashes", text, lit(k)))
+      array((0 until numHashes).map { j =>
+        aggregate(hset, lit(Long.MaxValue), (acc, h) => least(acc, Dedup.universalHash(h, lit(j))))
+      }: _*)
+    }
+    val edges = Seq("", "a", "ab", "abc", "aaaaaaaa", "日本語テキスト", "x y z").toDF("text")
+    val corpus = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").select(col("text"))
+    Seq(edges, corpus).foreach { df =>
+      val diff = df.filter(col("text").isNotNull)
+        .select(
+          Dedup.rollingMinhashSig(col("text"), 3, 64).as("n"),
+          treeSig(col("text"), 3, 64).as("t"))
+        .filter(col("n") =!= col("t")).count()
+      assert(diff == 0, s"native minhash sig diverged on $diff rows")
+    }
+  }
 }
