@@ -28,6 +28,7 @@ object PipeProbe {
       tm("events scan")(ev().count())
       tm("capacity")(graft.operators.DayStats.capacity(ev(), "site", "value").count())
       tm("dayStats")(Pipeline.dayStats(ev(), "site", "ts", "value").count())
+      tm("dayRows (+smoothness)")(Pipeline.dayRows(ev(), "site", "ts", "value").count())
       tm("full run")(Pipeline.run(spark, ev(), "site", "ts", "value").toDF().count())
     }
     // driver-side analyzeSite on the REAL per-site day rows (the

@@ -22,6 +22,8 @@ import graft.operators.{DayStats, Filling, SideJoin}
   * |   `plot_cdf_analysis` (:2154-2214)| [[dailyMaxCdfTable]]     |
   * | `plot_capacity_change_analysis`
   * |   (:2215)                         | [[capacityChangeTable]]  |
+  * | `plot_bundt` (:2467)              | [[bundtTable]]           |
+  * | `plot_polar_transform` (:2543)    | [[polarTransformTable]]  |
   *
   * Every table is a thin projection of an existing gated operator —
   * no new math, no new shuffles beyond what those operators already
@@ -177,5 +179,96 @@ object PlotTables {
           .over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col(site).as("site"), col("day"), col("daily_max"),
         col("ldm").as("log_daily_max"), col("is_jump"), col("segment"))
+  }
+
+  /** `plot_bundt`'s (day-of-year × dilation-slot) matrix in tidy form
+    * (`data_handler.py:2467-2541`, aggregate path): the sundial-
+    * dilated signal, Feb 29 dropped, day-of-year compacted exactly as
+    * the reference compacts it (`doy[doy > 59] -= 1` — applied to
+    * EVERY post-Feb-28 date, leap year or not, quirk preserved), and
+    * the cross-year nanmedian per (doy, slot) cell. One row per
+    * (site, doy ∈ [1, 365], dil_slot) cell with at least one
+    * observation.
+    *
+    * @return (site, doy, dil_slot, med_v, n_years)
+    */
+  def bundtTable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      nBins: Int = 100,
+      thresholdFrac: Double = 0.01
+  ): DataFrame = {
+    val dil = graft.operators.Dilation.dilate(
+      spark, df, site, tsCol, valueCol, nBins, thresholdFrac)
+    dil
+      .withColumn("__d", to_date(col("day")))
+      .filter(!(month(col("__d")) === 2 && dayofmonth(col("__d")) === 29))
+      .withColumn("doy",
+        (dayofyear(col("__d")) - when(dayofyear(col("__d")) > 59, 1).otherwise(0)).cast("int"))
+      .groupBy(col("site"), col("doy"), col("dil_slot"))
+      .agg(
+        percentile(col("dil_value"), lit(0.5)).as("med_v"),
+        countDistinct(year(col("__d"))).as("n_years"))
+  }
+
+  /** `plot_polar_transform`'s azimuth–elevation heat grid
+    * (`data_handler.py:2543-2585`, `polar_transform.py:63-105`): the
+    * signal binned by rounded solar azimuth/elevation with the
+    * reference's `my_round(x, c) = c·round(x/c)` bins, entries below
+    * the horizon dropped, mean power per bin (the reference's default
+    * `agg_func="mean"`). Solar position from the engine's explicit-
+    * literal geometry (Cooper declination + EoT solar time + the
+    * spherical-triangle azimuth) rather than an ephemeris library —
+    * same inputs the studies fit. The reference restricts to
+    * clear-day rows (`boolean_selection`); pass the frame already
+    * filtered to apply that mask.
+    *
+    * @return (site, az_bin, el_bin, mean_v, n)
+    */
+  def polarTransformTable(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      latDeg: Double,
+      lonDeg: Double,
+      tzOffset: Int,
+      elevationRound: Int = 1,
+      azimuthRound: Int = 2
+  ): DataFrame = {
+    import graft.functions.Solar
+    import graft.operators.TimeAxis
+    val DegToRad = 0.017453292519943295
+    val RadToDeg = 57.29577951308232
+    val sinPhi = math.sin(latDeg * DegToRad)
+    val cosPhi = math.cos(latDeg * DegToRad)
+    val tanPhi = math.tan(latDeg * DegToRad)
+    val doy = dayofyear(to_date(col(tsCol)))
+    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+    // local standard time → true solar time: EoT plus the longitude
+    // offset from the zone meridian (15°·tzOffset)
+    val solarH = TimeAxis.hourOfDay(col(tsCol)) +
+      Solar.equationOfTimeMin(doy) / lit(60.0) +
+      lit((lonDeg - 15.0 * tzOffset) / 15.0)
+    val haRad = (lit(15.0) * (solarH - lit(12.0))) * lit(DegToRad)
+    val sinEl = lit(sinPhi) * sin(declRad) + lit(cosPhi) * cos(declRad) * cos(haRad)
+    val elDeg = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(RadToDeg)
+    // azimuth from north, clockwise (the pvlib convention the
+    // reference bins): atan2(sin H, cos H·sinφ − tanδ·cosφ) + 180
+    val azDeg = atan2(sin(haRad), cos(haRad) * lit(sinPhi) - tan(declRad) * lit(cosPhi)) *
+      lit(RadToDeg) + lit(180.0)
+    def roundTo(x: org.apache.spark.sql.Column, c: Int) =
+      (lit(c.toDouble) * round(x / lit(c.toDouble))).cast("int")
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .withColumn("__el", elDeg)
+      .filter(col("__el") >= 0.0)
+      .groupBy(
+        col(site).as("site"),
+        roundTo(azDeg, azimuthRound).as("az_bin"),
+        roundTo(col("__el"), elevationRound).as("el_bin"))
+      .agg(avg(col(valueCol)).as("mean_v"), count(lit(1)).as("n"))
   }
 }

@@ -100,4 +100,46 @@ class PlotTablesSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, "segment must advance by 1 exactly on jump days")
   }
+
+  test("bundtTable: doy compacted into [1, 365], Feb 29 dropped, slot grain bounded") {
+    val t = PlotTables.bundtTable(spark, events, "user_id", "ts", "value", nBins = 40).cache()
+    val agg = t.agg(
+      min(col("doy")).as("lo"), max(col("doy")).as("hi"),
+      min(col("dil_slot")).as("slo"), max(col("dil_slot")).as("shi"),
+      count(lit(1)).as("n"),
+      countDistinct(col("site"), col("doy"), col("dil_slot")).as("k")
+    ).collect()(0)
+    assert(agg.getInt(0) >= 1 && agg.getInt(1) <= 365, "doy must compact into [1, 365]")
+    assert(agg.getInt(2) >= 0 && agg.getInt(3) < 40, "dil_slot outside the bin grid")
+    assert(agg.getLong(4) == agg.getLong(5), "(site, doy, dil_slot) must be the exact grain")
+    // the median is a value the dilated signal can take: bounded by
+    // the site's dilated range
+    val rng = graft.operators.Dilation.dilate(spark, events, "user_id", "ts", "value", 40)
+      .groupBy(col("site")).agg(min(col("dil_value")).as("lo"), max(col("dil_value")).as("hi"))
+    val out = t.join(rng, Seq("site"))
+      .filter(col("med_v") < col("lo") || col("med_v") > col("hi")).count()
+    assert(out == 0, "median escaped the site's dilated value range")
+    t.unpersist()
+  }
+
+  test("polarTransformTable: bins on the rounding grid, horizon filter, mean inside value range") {
+    val t = PlotTables.polarTransformTable(events, "user_id", "ts", "value",
+      latDeg = 37.5, lonDeg = -122.0, tzOffset = -8).cache()
+    val agg = t.agg(
+      sum(when(col("az_bin") % 2 =!= 0, 1).otherwise(0)).as("badAz"),
+      min(col("el_bin")).as("elLo"), max(col("el_bin")).as("elHi"),
+      max(col("az_bin")).as("azHi"), min(col("az_bin")).as("azLo"),
+      count(lit(1)).as("n"),
+      countDistinct(col("site"), col("az_bin"), col("el_bin")).as("k")
+    ).collect()(0)
+    assert(agg.getLong(0) == 0L, "az_bin must sit on the 2° rounding grid")
+    assert(agg.getInt(1) >= 0, "below-horizon rows must be dropped")
+    assert(agg.getInt(2) <= 90, "elevation cannot exceed 90°")
+    assert(agg.getInt(4) >= 0 && agg.getInt(3) <= 360, "azimuth must land in [0°, 360°]")
+    assert(agg.getLong(5) == agg.getLong(6), "(site, az_bin, el_bin) must be the exact grain")
+    val vr = events.agg(min(col("value")).as("lo"), max(col("value")).as("hi")).collect()(0)
+    val out = t.filter(col("mean_v") < vr.getDouble(0) || col("mean_v") > vr.getDouble(1)).count()
+    assert(out == 0, "bin mean escaped the raw value range")
+    t.unpersist()
+  }
 }
