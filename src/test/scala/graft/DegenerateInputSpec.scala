@@ -89,6 +89,30 @@ class DegenerateInputSpec extends AnyFunSuite {
     assert(Dedup.exactDupGroups(shorts, "doc_id", "text").count() == 2)
   }
 
+  test("budget selection on empty, all-null, and single-bucket input") {
+    import graft.operators.Mixing
+    // empty corpus: the driver-side bucket histogram sees zero rows
+    val empty = Seq.empty[(Long, Option[Long], Option[Double])].toDF("doc_id", "tok", "q")
+    assert(Mixing.budgetSelect(empty, "doc_id", col("tok"), col("q"), 100L).count() == 0)
+    // all-null signals: every doc reported, none kept (no bucket, no
+    // boundary — the histogram path must survive an empty collect)
+    val nulls = Seq((1L, Option.empty[Long], Option.empty[Double]),
+      (2L, Option.empty[Long], Option.empty[Double])).toDF("doc_id", "tok", "q")
+    val nr = Mixing.budgetSelect(nulls, "doc_id", col("tok"), col("q"), 100L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(nr == Map(1L -> false, 2L -> false))
+    // one bucket that IS the boundary: the sharded prefix sum alone
+    // decides every verdict
+    val one = (1L to 10L).map(i => (i, Some(30L), Some(0.5))).toDF("doc_id", "tok", "q")
+    val kept = Mixing.budgetSelect(one, "doc_id", col("tok"), col("q"), 100L)
+      .filter(col("kept")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 3L), s"greedy prefix in id order expected, got $kept")
+    // budget larger than the corpus: everything kept, no boundary
+    val all = Mixing.budgetSelect(one, "doc_id", col("tok"), col("q"), 10000L)
+      .filter(col("kept")).count()
+    assert(all == 10)
+  }
+
   test("similarity search with empty query or candidate set is empty") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
     val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
