@@ -516,6 +516,41 @@ object OracleSql {
     WHERE g % 4 = 0
   """
 
+  private val m04 = """
+    SELECT md5(text) AS digest,
+      count(*) AS n_blobs,
+      min(doc_id) AS keeper_id,
+      CAST(min(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes,
+      count(*) >= 2 AS is_dup
+    FROM documents
+    GROUP BY 1
+  """
+
+  // chunk grid mirrors m02's convention (ASCII corpus: byte chunks ==
+  // char chunks); empty docs excluded on both engines
+  private val m05 = """
+    WITH ch AS (
+      SELECT DISTINCT doc_id,
+        md5(substring(text, CAST(g * 64 + 1 AS INT), 64)) AS h
+      FROM documents, UNNEST(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS t(g)
+      WHERE len(text) > 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_ch FROM ch GROUP BY 1),
+    keep AS (SELECT h FROM ch GROUP BY h HAVING count(*) BETWEEN 2 AND 50),
+    capped AS (SELECT ch.doc_id, ch.h FROM ch SEMI JOIN keep ON ch.h = keep.h),
+    pairs AS (
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.a_id, p.b_id, p.shared, sa.n_ch AS na, sb.n_ch AS nb,
+      round(CAST(p.shared AS DOUBLE) / least(sa.n_ch, sb.n_ch) * 1e6) / 1e6 AS containment
+    FROM pairs p
+    JOIN sizes sa ON p.a_id = sa.doc_id
+    JOIN sizes sb ON p.b_id = sb.doc_id
+    WHERE round(CAST(p.shared AS DOUBLE) / least(sa.n_ch, sb.n_ch) * 1e6) / 1e6 >= 0.5
+  """
+
   private val q37 = """
     WITH m AS (SELECT user_id, round(max(value) * 0.05, 6) AS thr FROM events GROUP BY 1),
     d0 AS (
@@ -5266,6 +5301,8 @@ $branches
     "m01_binary_features" -> m01,
     "m02_frame_sample" -> m02,
     "m03_multimodal_pack" -> m03,
+    "m04_blob_exact" -> m04,
+    "m05_chunk_shared" -> m05,
     "d01_dedup_stats" -> d01,
     "d02_exact_dup_groups" -> d02,
     "d03_token_stats" -> d03,

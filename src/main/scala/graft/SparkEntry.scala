@@ -2024,6 +2024,28 @@ object SparkEntry {
       ceil(length(col("text")) / 64.0).cast("long"), 24L,
       nShards = 8)
 
+  /** Exact binary dedup census over the blob column (the media
+    * counterpart of d02): every distinct payload digest with its
+    * group size, min-id keeper, and dup flag. The full census rather
+    * than dup-groups-only, so the gate pins real values even on a
+    * corpus with no byte-exact duplicates. Only digests shuffle.
+    */
+  private def m04(s: SparkSession, dir: String): DataFrame =
+    Multimodal.exactBlobGroups(
+      Multimodal.withBlob(Tables.documents(s, dir), "text"), "doc_id", minGroupSize = 1)
+
+  /** Chunk-level shared-content pairs (storage/CDC dedup applied to
+    * media blobs): blobs sharing ≥ 50% of their fixed-offset 64-byte
+    * chunk digests, via a capped postings join — never a blob cross
+    * join. Empty blobs are excluded on both engines (the single-
+    * empty-chunk edge is m02's concern, not a shared-content signal).
+    */
+  private def m05(s: SparkSession, dir: String): DataFrame =
+    Multimodal.chunkSharedPairs(
+      Multimodal.withBlob(
+        Tables.documents(s, dir).filter(length(col("text")) > 0), "text"),
+      "doc_id", chunkSize = 64, maxDocsPerChunk = 50, minContainment = 0.5)
+
   // ---------------------------------------------------------------- //
   // Training-data pipeline layer: dedup / text / similarity
   // ---------------------------------------------------------------- //
@@ -3877,6 +3899,8 @@ object SparkEntry {
     "m01_binary_features" -> (m01 _),
     "m02_frame_sample" -> (m02 _),
     "m03_multimodal_pack" -> (m03 _),
+    "m04_blob_exact" -> (m04 _),
+    "m05_chunk_shared" -> (m05 _),
     "d01_dedup_stats" -> (d01 _),
     "d02_exact_dup_groups" -> (d02 _),
     "d03_token_stats" -> (d03 _),
