@@ -146,16 +146,26 @@ object Bench {
   private[graft] def pipelineScaleLine(spark: SparkSession): String = {
     try {
       def run(nSites: Int): (Long, Double) = {
+        // materialize the synthetic fleet BEFORE the clock starts:
+        // the reference's 25.99 s is pipeline-on-loaded-data (its CSV
+        // is read before run_pipeline), and dayRows legitimately
+        // makes three passes over its input — against a generated
+        // subtree each pass would re-run 25M rows of trig, measuring
+        // the generator instead of the pipeline
         val df = graft.sources.Synth.pvFleet(spark, nSites, nDays = 1095, slotsPerDay = 1440)
           .select(org.apache.spark.sql.functions.col("site"),
             org.apache.spark.sql.functions.col("ts"),
             org.apache.spark.sql.functions.col("power"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val rows = nSites.toLong * 1095L * 1440L
-        val t0 = System.nanoTime()
-        val n = graft.analyses.Pipeline.run(spark, df, "site", "ts", "power").count()
-        val sec = (System.nanoTime() - t0) / 1e9
-        require(n == nSites, s"pipeline scale run returned $n reports for $nSites sites")
-        (rows, sec)
+        try {
+          df.count()
+          val t0 = System.nanoTime()
+          val n = graft.analyses.Pipeline.run(spark, df, "site", "ts", "power").count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          require(n == nSites, s"pipeline scale run returned $n reports for $nSites sites")
+          (rows, sec)
+        } finally df.unpersist(blocking = false)
       }
       run(1) // warm the plan + JIT once at full row count
       val (r1, s1) = run(1)

@@ -67,6 +67,21 @@ object Pipeline {
     * input. Single aggregation pass + one broadcast join for the
     * per-site capacity.
     */
+  /** The day-grain aggregate list both [[dayStats]] and [[dayRows]]
+    * emit — one definition so the two frames cannot drift.
+    */
+  private def dayAggExprs(tsCol: String, valueCol: String) = {
+    val h = TimeAxis.hourOfDay(col(tsCol))
+    Seq(
+      (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
+      avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"),
+      max(col(valueCol)).as("daily_max"),
+      coalesce(try_divide(sum(h * col(valueCol)), sum(col(valueCol))), lit(Double.NaN)).as("com_hour"),
+      count(col(valueCol)).as("n_obs"),
+      first(col("capacity")).as("capacity")
+    )
+  }
+
   def dayStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     // null rows carry no signal and would (a) bias energy low — the
     // mean-power×24 divides by the ALL-row count — and (b) let an
@@ -74,17 +89,10 @@ object Pipeline {
     // non-nullable decode outside the per-stage catch
     val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
     val cap = DayStats.capacity(clean, site, valueCol)
-    val h = TimeAxis.hourOfDay(col(tsCol))
+    val aggs = dayAggExprs(tsCol, valueCol)
     SideJoin.back(clean, cap, Seq(site))
       .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
-      .agg(
-        (sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"),
-        avg(when(col(valueCol) > col("capacity") * 0.02, 1.0).otherwise(0.0)).as("density"),
-        max(col(valueCol)).as("daily_max"),
-        coalesce(try_divide(sum(h * col(valueCol)), sum(col(valueCol))), lit(Double.NaN)).as("com_hour"),
-        count(col(valueCol)).as("n_obs"),
-        first(col("capacity")).as("capacity")
-      )
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** The solver stages' per-(site, day) input frame: [[dayStats]]
@@ -102,13 +110,27 @@ object Pipeline {
       tsCol: String,
       valueCol: String
   ): DataFrame = {
-    val stats = dayStats(df, site, tsCol, valueCol)
-    // first-day via broadcast agg (one small join) instead of a
-    // whole-table window — avoids a full sort-shuffle of DayStats
-    val firstDay = stats.groupBy(col("site")).agg(min(col("day")).as("first_day"))
-    val withIdx = SideJoin.back(stats, firstDay, Seq("site"))
-      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
     val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val stats = dayStats(df, site, tsCol, valueCol)
+    // first_day via a window over the DAY-GRAIN stats (thousands of
+    // rows), not a separate aggregate joined back: Spark plans trees,
+    // not DAGs, so a firstDay branch re-evaluates the whole dayStats
+    // subtree — one of three redundant source evaluations found while
+    // chasing the round-10 pipeline_scale regression (a DataFrame
+    // count() hides them by pruning the value column; the solver's
+    // .rdd lane pays them). The smoothness window below is the one
+    // extra row-grain pass the signal genuinely needs, and the input
+    // re-scan it implies is the right trade at 100 TB (column-pruned
+    // parquet scans are cheap; materializing the corpus is not) —
+    // callers with EXPENSIVE derived inputs materialize once at their
+    // level, as Bench.pipelineScaleLine does for its synthetic fleet.
+    // (Also probed, worse: fusing smoothness into the day aggregate
+    // via sorted collect_list allocates 25M structs per pass — a GC
+    // storm with 2× run-to-run variance.)
+    val wSite = org.apache.spark.sql.expressions.Window.partitionBy(col("site"))
+    val withIdx = stats
+      .withColumn("first_day", min(col("day")).over(wSite))
+      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
     val wd = org.apache.spark.sql.expressions.Window
       .partitionBy(col(site), to_date(col(tsCol))).orderBy(col(tsCol))
     val smooth = clean
