@@ -63,6 +63,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs.values.forall(c => c >= 0.5 && c <= 1.0))
   }
 
+  test("gate convention guard: corpus text is ASCII (byte chunks == char chunks)") {
+    // the m02/m05 oracles slice DuckDB VARCHARs by CHARACTER while the
+    // Spark side slices the blob by BYTE — equal only while the corpus
+    // is ASCII. If the testdata generator ever emits multi-byte text,
+    // fail HERE with a named cause instead of as a bare hash mismatch.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { dir =>
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(length(col("text")) =!= octet_length(col("text"))).count()
+      assert(nonAscii == 0,
+        s"$dir has $nonAscii non-ASCII documents — m02/m05's byte-vs-char chunk convention breaks")
+    }
+  }
+
   test("boilerplate cap drops a chunk shared by too many blobs before the pair join") {
     // 12 docs all sharing one boilerplate chunk + a unique chunk:
     // with the cap at 10, the shared chunk's postings list is dropped
