@@ -2,11 +2,43 @@ package graft
 
 /** Dev entry: just Bench's pipeline-scale line (the full bench takes
   * minutes; this isolates the apples-to-apples baseline number).
+  *
+  * Round-11: runs N reps (default 3) and persists every rep plus the
+  * median line to bench/history/scale_<stamp>.json — the round-10
+  * verdict flagged that the fleet16 recovery claim existed only as
+  * prose, so isolated-run evidence now lands as a committed artifact.
   */
 object BenchScale {
   def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
     val spark = GraftSession.local()
-    println(s"[benchscale] ${Bench.pipelineScaleLine(spark)}")
+    val lines = (1 to reps).map { i =>
+      System.gc()
+      val l = Bench.pipelineScaleLine(spark)
+      println(s"[benchscale] rep $i/$reps: $l")
+      l
+    }
+    // median by fleet16_sec (the contested headline)
+    def f16(l: String): Double =
+      "\"fleet16_sec\":([0-9.Ee+-]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
+    val sorted = lines.sortBy(f16)
+    val median = sorted(sorted.length / 2)
+    println(s"[benchscale] median: $median")
+    try {
+      val stamp = java.time.format.DateTimeFormatter
+        .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.now())
+      val hist = java.nio.file.Paths.get(
+        s"bench/history/scale_${stamp}_${System.nanoTime() % 1000000L}.json")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      val reparr = lines.map(l => l).mkString("[", ",", "]")
+      java.nio.file.Files.writeString(hist,
+        s"""{"kind":"pipeline_scale_isolated","reps":$reparr,"median":$median}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+      println(s"[benchscale] wrote $hist")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[benchscale] could not persist: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

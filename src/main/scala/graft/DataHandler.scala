@@ -270,6 +270,59 @@ class DataHandler(
     graft.analyses.Quantiles.estimateAndDetect(
       spark, applyTimeDilation(nBins), nBins)
 
+  /** `find_clipped_times` (`data_handler.py:1258-1262` →
+    * `clipping.py:109-128`): the per-(site, day, slot) boolean
+    * clipped-times mask (`boolean_masks.clipped_times`), in the
+    * (site, day, slot, flag) shape [[augmentDataFrame]] attaches.
+    * See [[graft.operators.DayStats.clippedTimes]] for the rule and
+    * plan shape.
+    */
+  def findClippedTimes(slotsPerDay: Int = 288): DataFrame = {
+    require(86400 % slotsPerDay == 0,
+      s"slotsPerDay must divide 86400 (got $slotsPerDay)")
+    val freqS = 86400L / slotsPerDay
+    DayStats.clippedTimes(df, site, tsCol, valueCol)
+      .select(
+        col(site).as("site"), col("day"),
+        (TimeAxis.secondsOfDay(col(tsCol)) / freqS).cast("int").as("slot"),
+        col("clipped"))
+  }
+
+  /** `fit_statistical_clear_sky_model` (`data_handler.py:968-1006`):
+    * the statistical clear-sky fit IS the smooth periodic quantile at
+    * `quantileLevel` — the engine's dilated-grain quantile surface
+    * (`estimate_quantiles`, [[estimateQuantilesAndDetect]]) with the
+    * requested level as the high tau.
+    *
+    * @return (site, day, dil_slot, dil_value, scsf) — the fit on the
+    *   dilated grain (the grain the reference fits on before
+    *   undilating for presentation).
+    */
+  def fitStatisticalClearSky(quantileLevel: Double = 0.9, nBins: Int = 40): DataFrame =
+    graft.analyses.Quantiles.estimateAndDetect(
+      spark, applyTimeDilation(nBins), nBins, tauHi = quantileLevel)
+      .select(col("site"), col("day"), col("dil_slot"), col("dil_value"),
+        col("q_hi").as("scsf"))
+
+  /** `calculate_scsf_performance_index` (`data_handler.py:1010-1018`):
+    * per-day measured/clear energy ratio against the SCSF model. The
+    * reference sums both matrices on the raw grain after undilating
+    * the fit; the engine's dilation is energy-preserving per day
+    * (q52's gate), so the ratio is taken ON the dilated grain — the
+    * measured side is identical and the clear side differs only by
+    * the undilation interpolation the reference applies for display.
+    *
+    * @return (site, day, measured_energy, clear_energy, scsf_pi)
+    */
+  def scsfPerformanceIndex(quantileLevel: Double = 0.9, nBins: Int = 40): DataFrame =
+    fitStatisticalClearSky(quantileLevel, nBins)
+      .groupBy(col("site"), col("day"))
+      .agg(
+        sum(col("dil_value")).as("measured_energy"),
+        sum(col("scsf")).as("clear_energy"))
+      .withColumn("scsf_pi",
+        try_divide(col("measured_energy"), col("clear_energy")))
+
   /** `augment_data_frame` (`data_handler.py:1020`): join a day-grain
     * (or (day, slot)-grain) boolean mask back onto the row-grain
     * frame as a named column — the fleet-grain twin of the

@@ -656,6 +656,56 @@ object SparkEntry {
         (round(col("raw") * lit(1e6)) / lit(1e6)).as("raw"),
         (round(col("filled") * lit(1e6)) / lit(1e6)).as("filled"))
 
+  /** Clipped-times census (reference `find_clipped_times`,
+    * `clipping.py:109-128`): the per-sample boolean mask of SURVEY
+    * §1.1 row 5 rolled to (site, day) counts — the full derivation
+    * (clip stats → point masses → site verdict → per-row 1%-of-mass ∧
+    * 98%-of-daily-max rule) is value-replayed in DuckDB, so the hash
+    * gates every mask bit.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame =
+    DayStats.clippedTimes(Tables.events(s, dir), "user_id", "ts", "value")
+      .groupBy(col("user_id"), col("day").cast("string").as("day"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("clipped"), 1L).otherwise(0L)).as("n_clipped"))
+
+  /** SCSF performance index (reference
+    * `fit_statistical_clear_sky_model` +
+    * `calculate_scsf_performance_index`, `data_handler.py:968-1018`):
+    * per-day measured/clear energy ratio against the statistical
+    * clear-sky fit (the p03-gated quantile surface at tau = 0.9).
+    * The measured side is replayed EXACTLY (integer micro-units on
+    * the dilated grain the fit runs on); the fitted side is gated
+    * finite + strictly positive wherever the day has signal.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val dh = new DataHandler(
+      Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value")),
+      "site", "ts", "value")
+    dh.fitStatisticalClearSky(quantileLevel = 0.9, nBins = 40)
+      .groupBy(col("site"), col("day"))
+      .agg(
+        // 6-dp first (the p03-gated Spark↔DuckDB round equivalence on
+        // this grain), THEN the micro lift — round(x·1e6) of a 6-dp
+        // double is integer-exact in both engines
+        sum(round(round(col("dil_value"), 6) * lit(1e6)).cast("long")).as("measured_micro"),
+        count(lit(1)).as("n_slots"),
+        (min(finite(col("scsf")).cast("int")) === 1).as("scsf_finite"))
+  }
+
+  /** Calendar circular distribution (reference `plot_circ_dist`,
+    * `data_handler.py:2297-2350`): good-day counts per year-circle
+    * arc — integer-exact binning (floor of doy·bins/365), fully
+    * value-replayed in DuckDB.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    val flags = DayStats.qualityFlags(Tables.events(s, dir), "user_id", "ts", "value", 5L)
+      .select(col("user_id").as("site"), col("day"), col("good_day"))
+    graft.analyses.PlotTables.circDistTable(flags, "good_day", numBins = 48)
+      .select(col("site").as("user_id"), col("bin"), col("theta_center"), col("n_days"))
+  }
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -3890,6 +3940,9 @@ object SparkEntry {
     "q90_sensor_huber" -> (q90 _),
     "q91_sensor_huber_fleet" -> (q91 _),
     "q92_heatmap_table" -> (q92 _),
+    "q93_clipped_times" -> (q93 _),
+    "q94_scsf_index" -> (q94 _),
+    "q95_circ_dist" -> (q95 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),

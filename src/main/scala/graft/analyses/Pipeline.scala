@@ -111,36 +111,49 @@ object Pipeline {
       valueCol: String
   ): DataFrame = {
     val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
-    val stats = dayStats(df, site, tsCol, valueCol)
-    // first_day via a window over the DAY-GRAIN stats (thousands of
-    // rows), not a separate aggregate joined back: Spark plans trees,
-    // not DAGs, so a firstDay branch re-evaluates the whole dayStats
-    // subtree — one of three redundant source evaluations found while
-    // chasing the round-10 pipeline_scale regression (a DataFrame
-    // count() hides them by pruning the value column; the solver's
-    // .rdd lane pays them). The smoothness window below is the one
-    // extra row-grain pass the signal genuinely needs, and the input
-    // re-scan it implies is the right trade at 100 TB (column-pruned
-    // parquet scans are cheap; materializing the corpus is not) —
-    // callers with EXPENSIVE derived inputs materialize once at their
-    // level, as Bench.pipelineScaleLine does for its synthetic fleet.
-    // (Also probed, worse: fusing smoothness into the day aggregate
-    // via sorted collect_list allocates 25M structs per pass — a GC
-    // storm with 2× run-to-run variance.)
-    val wSite = org.apache.spark.sql.expressions.Window.partitionBy(col("site"))
-    val withIdx = stats
-      .withColumn("first_day", min(col("day")).over(wSite))
-      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
+    // Round-11 fusion (VERDICT r10 item 2): the smoothness Σ|Δ²| used
+    // to be a SEPARATE window branch joined back at day grain, making
+    // dayRows evaluate its source subtree three times (capacity agg,
+    // day agg, smoothness window — Spark plans trees, not DAGs).
+    // Computing __d2 via the (site, day)-partitioned window and then
+    // aggregating ALL the day stats in the SAME plan drops that to
+    // two: the groupBy on (site, day) reuses the window's hash
+    // partitioning (no second Exchange — pinned by PipelinePlanSpec),
+    // so the fused form costs one 25M-row shuffle where the old form
+    // cost the same shuffle PLUS a full extra source scan, a day-grain
+    // aggregate exchange, and a join. Values are bit-identical: the
+    // window neither drops nor reorders rows for the aggregate, and
+    // sum(abs(__d2)) over the nulls of the first two slots of a day
+    // matches the old branch exactly. (Probed and rejected earlier:
+    // collect_list fusion — 25M structs per pass, GC storm; keeping
+    // the join form — measured slower, see DESIGN.md round 11.)
+    // dayStats itself keeps its shuffle-light partial-aggregate plan
+    // for the relational spine (p06/p07) which never pays the window.
+    val cap = DayStats.capacity(clean, site, valueCol)
+    // __day is materialized ONCE and used as the same attribute in
+    // both the window partitioning and the groupBy keys: Spark's
+    // EnsureRequirements then sees the window's hashpartitioning
+    // (site, __day) already satisfies the aggregate's distribution,
+    // so no second Exchange appears (grouping on a fresh
+    // to_date(ts) expression would re-shuffle the day-grain rows).
     val wd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(site), to_date(col(tsCol))).orderBy(col(tsCol))
-    val smooth = clean
+      .partitionBy(col(site), col("__day")).orderBy(col(tsCol))
+    val aggs = dayAggExprs(tsCol, valueCol) :+
+      sum(abs(col("__d2"))).as("smoothness")
+    val stats = SideJoin.back(clean, cap, Seq(site))
+      .withColumn("__day", to_date(col(tsCol)))
       .withColumn("__d2",
         col(valueCol) - lit(2.0) * lag(col(valueCol), 1).over(wd)
           + lag(col(valueCol), 2).over(wd))
-      .groupBy(col(site).as("site"), to_date(col(tsCol)).as("day"))
-      .agg(sum(abs(col("__d2"))).as("smoothness"))
-    withIdx
-      .join(smooth, Seq("site", "day"), "left")
+      .groupBy(col(site).as("site"), col("__day").as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+    // first_day via a window over the DAY-GRAIN stats (thousands of
+    // rows), not a separate aggregate joined back — a firstDay branch
+    // would re-evaluate the whole subtree above.
+    val wSite = org.apache.spark.sql.expressions.Window.partitionBy(col("site"))
+    stats
+      .withColumn("first_day", min(col("day")).over(wSite))
+      .withColumn("day_idx", datediff(col("day"), col("first_day")).cast("double"))
       .select(
         col("site"), col("day_idx"), col("energy"), col("density"),
         col("daily_max"), col("com_hour"), col("n_obs"), col("capacity"),

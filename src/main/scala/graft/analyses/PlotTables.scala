@@ -24,6 +24,12 @@ import graft.operators.{DayStats, Filling, SideJoin}
   * |   (:2215)                         | [[capacityChangeTable]]  |
   * | `plot_bundt` (:2467)              | [[bundtTable]]           |
   * | `plot_polar_transform` (:2543)    | [[polarTransformTable]]  |
+  * | `plot_daily_energy` (:2028)       | [[dailyEnergyTable]]     |
+  * | `plot_data_quality_scatter`
+  * |   (:1991)                         | [[dataQualityScatterTable]] |
+  * | `plot_time_shift_analysis_results`
+  * |   (:2236)                         | [[timeShiftTable]]       |
+  * | `plot_circ_dist` (:2297)          | [[circDistTable]]        |
   *
   * Every table is a thin projection of an existing gated operator —
   * no new math, no new shuffles beyond what those operators already
@@ -228,6 +234,133 @@ object PlotTables {
     *
     * @return (site, az_bin, el_bin, mean_v, n)
     */
+  /** `plot_daily_energy`'s series (`data_handler.py:2028-2100`): the
+    * filled-matrix daily energy (the q50-gated surface — sum of the
+    * densified day grid × 24/slots) with the calendar day index the
+    * reference plots on, plus the good-day flag its `flag="good"` /
+    * `"bad"` overlays select on (the engine's q19-gated rule).
+    * Clear/cloudy overlays are day-grain joins of
+    * [[graft.analyses.ClearDay.detect]] — left to the caller, which
+    * keeps this table one scan of the filled grid.
+    *
+    * @return (site, day, day_index, energy, good_day)
+    */
+  def dailyEnergyTable(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      slotsPerDay: Int = 288,
+      minCount: Long = 5L
+  ): DataFrame = {
+    val grid = Filling.filledDayGrid(
+      df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull),
+      site, tsCol, valueCol, slotsPerDay)
+    val energy = grid.groupBy(col("site"), col("day"))
+      .agg((sum(col("filled")) * 24.0 / lit(slotsPerDay.toDouble)).as("energy"))
+    val flags = DayStats.qualityFlags(df, site, tsCol, valueCol, minCount)
+      .select(col(site).as("site"), col("day"), col("good_day"))
+    val firstDay = energy.groupBy(col("site")).agg(min(col("day")).as("__d0"))
+    SideJoin.back(
+      SideJoin.back(energy, firstDay, Seq("site")),
+      flags, Seq("site", "day"), "left")
+      .select(col("site"), col("day"),
+        datediff(col("day"), col("__d0")).as("day_index"),
+        col("energy"),
+        coalesce(col("good_day"), lit(false)).as("good_day"))
+  }
+
+  /** `plot_data_quality_scatter`'s points (`data_handler.py:1991-2026`):
+    * one row per (site, day) with the density score (q08's surface),
+    * the engine's linearity fraction (q09's modal-diff surface rolled
+    * to `mode_cnt / n_diffs` — the reference normalizes by
+    * `n · density_baseline` instead, so absolute values differ while
+    * the ranking the scatter shows is preserved), and the q67-gated
+    * DBSCAN quality-cluster label the reference colors by. The
+    * reference's decision boundaries ride along as constant columns.
+    *
+    * @return (site, day, density, linearity, cluster_day, is_core,
+    *   density_lower_threshold, density_upper_threshold,
+    *   linearity_threshold)
+    */
+  def dataQualityScatterTable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      densityLowerThreshold: Double = 0.6,
+      densityUpperThreshold: Double = 1.05,
+      linearityThreshold: Double = 0.1
+  ): DataFrame = {
+    val density = DayStats.dailyDensity(df, site, tsCol, valueCol)
+      .select(col(site).cast("string").as("site"), col("day"), col("density"))
+    val lin = DayStats.linearityMode(df, site, tsCol, valueCol)
+      .select(col(site).cast("string").as("site"), col("day"),
+        (col("mode_cnt").cast("double") / col("n_diffs")).as("linearity"))
+    val clusters = QualityClusters.dbscanDayClusters(
+        spark, df, site, tsCol, valueCol)
+      .select(col("site").cast("string").as("site"), col("day"),
+        col("cluster_day"), col("is_core"))
+    density
+      .join(lin, Seq("site", "day"), "left")
+      .join(clusters, Seq("site", "day"), "left")
+      .withColumn("density_lower_threshold", lit(densityLowerThreshold))
+      .withColumn("density_upper_threshold", lit(densityUpperThreshold))
+      .withColumn("linearity_threshold", lit(linearityThreshold))
+  }
+
+  /** `plot_time_shift_analysis_results`' series
+    * (`data_handler.py:2236-2290`): per (site, day) the solar-noon
+    * metric, the shift detector `s1`, the signal model `s1 + s2`, and
+    * the filtered-day flag — [[TimeShift.components]]' output with
+    * the model column the plot overlays.
+    *
+    * @return (site, day, metric, s1, signal_model, used)
+    */
+  def timeShiftTable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String
+  ): DataFrame =
+    TimeShift.components(spark, df, site, tsCol, valueCol)
+      .select(col("site"), col("day"), col("metric"), col("s1"),
+        (col("s1") + col("s2")).as("signal_model"), col("used"))
+
+  /** `plot_circ_dist`'s polar histogram (`data_handler.py:2297-2350`):
+    * flagged days binned around the year circle. Day-of-year is taken
+    * from the calendar date (the reference's `start_doy + k` walk over
+    * contiguous matrix columns), folded mod 365 and cut into
+    * `numBins` equal arcs over [0, 2π) — fixed-origin bins rather
+    * than the reference's `np.histogram` data-range bins, so empty
+    * leading/trailing arcs are representable and the binning is
+    * integer-exact cross-engine (q95's gate).
+    *
+    * @param dayFlags day-grain frame carrying (site, day, `flagCol`)
+    *   — e.g. [[graft.operators.DayStats.qualityFlags]] for
+    *   good/bad, [[ClearDay.detect]] for clear/cloudy
+    * @return (site, bin, theta_center, n_days) — flagged-day count
+    *   per arc; `theta_center` in radians, 6-dp
+    */
+  def circDistTable(
+      dayFlags: DataFrame,
+      flagCol: String,
+      numBins: Int = 48
+  ): DataFrame = {
+    val doy = (dayofyear(col("day")) - 1) % 365
+    dayFlags
+      .filter(col(flagCol))
+      // explicit floor: Spark's double→int cast truncates but
+      // DuckDB's ROUNDS — floor() agrees everywhere (q64 lesson class)
+      .groupBy(col("site"), floor(doy * numBins / lit(365)).cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_days"))
+      .withColumn("theta_center",
+        round((col("bin") + lit(0.5)) * lit(2.0 * math.Pi / numBins), 6))
+      .select(col("site"), col("bin"), col("theta_center"), col("n_days"))
+  }
+
   def polarTransformTable(
       df: DataFrame,
       site: String,

@@ -63,6 +63,45 @@ object TimeShift {
       .toDF("site", "day", "shift_h", "roll_slots")
   }
 
+  /** [[detect]]'s solver internals exposed per day — the columns
+    * `plot_time_shift_analysis_results` (`data_handler.py:2236-2290`)
+    * draws: the daily solar-noon metric, the piecewise-constant shift
+    * detector `s1`, the seasonal component `s2` (the reference plots
+    * `s1 + s2` as the signal model), and the fit-participation flag.
+    * Same per-site solver lane and same fit as [[detect]]; `used` is
+    * false for the <10-day fallback where no fit runs (s1 = s2 = 0).
+    *
+    * @return (site, day, metric, s1, s2, used)
+    */
+  def components(spark: SparkSession, df: DataFrame, site: String, tsCol: String, valueCol: String, sumCard: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val com = df
+      .groupBy(col(site).cast("long").as("site"), to_date(col(tsCol)).cast("string").as("day"))
+      .agg(
+        sum(TimeAxis.hourOfDay(col(tsCol)) * col(valueCol)).as("hv"),
+        sum(col(valueCol)).as("sv")
+      )
+      .select(col("site"), col("day"), try_divide(col("hv"), col("sv")).as("com_hour"))
+      .filter(col("com_hour").isNotNull)
+      .as[(Long, String, Double)]
+    com
+      .groupByKey(_._1)
+      .flatMapGroups { (siteId: Long, it: Iterator[(Long, String, Double)]) =>
+        val days = it.toArray.sortBy(_._2)
+        val t = Array.tabulate(days.length)(_.toDouble)
+        val y = days.map(_._3)
+        if (days.length < 10) {
+          days.iterator.map(d => (siteId, d._2, d._3, 0.0, 0.0, false))
+        } else {
+          val (pwc, seasonal) = Kernels.tvSeasonalFit(y, t, lambdaTv = 10.0, harmonics = 1, period = 7.0, sumCard = sumCard)
+          days.indices.iterator.map { i =>
+            (siteId, days(i)._2, y(i), pwc(i), seasonal(i), true)
+          }
+        }
+      }
+      .toDF("site", "day", "metric", "s1", "s2", "used")
+  }
+
   /** Apply the per-day roll to the raw grain: broadcast the shift
     * table, `slot' = (slot − roll) mod slotsPerDay` (reference
     * `time_shifts.py:345-361` circular roll).

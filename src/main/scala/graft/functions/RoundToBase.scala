@@ -138,7 +138,15 @@ object GraftFunctions {
       buildRollingMinhashSig,
       "built-in"
     )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_double_order_bits",
+      buildDoubleOrderBits,
+      "built-in"
+    )
   }
+
+  def buildDoubleOrderBits(exprs: Seq[Expression]): Expression =
+    DoubleOrderBits(Cast(exprs(0), DoubleType))
 
   def buildRollingHashes(exprs: Seq[Expression]): Expression =
     RollingHashes(
@@ -257,6 +265,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[RollingMinhashSig].getName, "graft_rolling_minhash_sig"),
         (exprs: Seq[Expression]) => GraftFunctions.buildRollingMinhashSig(exprs))
+    )
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_double_order_bits"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[DoubleOrderBits].getName, "graft_double_order_bits"),
+        (exprs: Seq[Expression]) => GraftFunctions.buildDoubleOrderBits(exprs))
     )
     // nearest-ts range joins written naively become bucketed equi-joins
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -24,11 +24,15 @@ object DayStats {
       .agg((sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"))
 
   /** Per-site capacity estimate: exact 95th percentile of all values
-    * (reference `data_handler.py:431`).
+    * (reference `data_handler.py:431`). Histogram-prune selection
+    * rather than the `percentile` aggregate — bit-identical result
+    * (see [[Percentiles.exactByHistogram]]) with no row-grain shuffle:
+    * the `percentile` ObjectHashAggregate measured 5.5–9.9 s of the
+    * 25M-row fleet16 headline (round 11) and dominated its GC
+    * variance.
     */
   def capacity(df: DataFrame, site: String, valueCol: String): DataFrame =
-    df.groupBy(col(site))
-      .agg(percentile(col(valueCol), lit(0.95)).as("capacity"))
+    Percentiles.exactByHistogram(df, site, valueCol, 0.95, "capacity")
 
   /** Sketch-state capacity for the 100 TB deployment: exact
     * `percentile` buffers EVERY value of a group in the aggregation
@@ -73,7 +77,14 @@ object DayStats {
     * side tables (site-days and sites) — the scan itself is read twice
     * but never shuffled at row grain, so the plan holds at any scale.
     */
-  def clipStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+  def clipStats(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame =
+    clipStatsFull(df, site, tsCol, valueCol)
+      .select(col(site), col("day"), col("clip1"), col("clip2"))
+
+  /** [[clipStats]] keeping the intermediate `daily_max` / `site_max`
+    * columns the clipped-times mask needs (same plan, wider select).
+    */
+  private[graft] def clipStatsFull(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
     val daily = df
       .groupBy(col(site), to_date(col(tsCol)).as("day"))
       .agg(max(col(valueCol)).as("daily_max"))
@@ -92,10 +103,83 @@ object DayStats {
       )
       .withColumn("site_max", max(col("daily_max")).over(wSite))
       .select(
-        col(site), col("day"),
+        col(site), col("day"), col("daily_max"), col("site_max"),
         (col("daily_max") / col("site_max")).as("clip1"),
         try_divide(col("sum_clip"), col("sum_np")).as("clip2")
       )
+  }
+
+  /** `find_clipped_times` (reference `clipping.py:109-128`, reached
+    * via `data_handler.py:1258-1262`): the per-sample boolean
+    * clipped-times mask — SURVEY §1.1 row 5's one boolean-mask family
+    * member q48/q49 did not materialize. A sample is clipped when its
+    * site shows inverter clipping (q49's verdict), its site-max-
+    * normalized value sits within 1% of ANY clip1 point mass (the
+    * q49 relational point-mass rule: ≥3-day buckets on the 0.01
+    * grid), and it lies within 2% of its own day's max.
+    *
+    * Plan shape: the day-grain clip stats are persisted once and all
+    * four site-grain side branches (masses, clipped days, verdict,
+    * mass array) derive from the persisted RDD (the q49/
+    * QualityClusters idiom — without it each branch re-runs the
+    * two-scan clipStats subtree); the row test itself is one
+    * broadcast join-back of a (site, day) side plus a (site) side
+    * carrying the ≤handful point masses as an array — row grain
+    * preserved 1:1, no row-grain shuffle at any scale.
+    *
+    * @return (site, day DATE, ts, value, clipped BOOLEAN) — feed to
+    *   [[graft.DataHandler.augmentDataFrame]] via a (site, day, slot)
+    *   projection, or aggregate for a clipped-slot census.
+    */
+  def clippedTimes(df: DataFrame, site: String, tsCol: String, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cs0 = clipStatsFull(df, site, tsCol, valueCol)
+      .withColumn("clip2r", round(col("clip2") * lit(1e6)) / lit(1e6))
+    val csRdd = cs0.rdd.setName("clipped-times day stats").persist()
+    val cs = spark.createDataFrame(csRdd, cs0.schema)
+    try {
+      val masses = cs
+        .withColumn("mass", round(col("clip1") / lit(0.01)) * lit(0.01))
+        .groupBy(col(site), col("mass"))
+        .agg(count(lit(1)).as("n_bucket"))
+        .filter(col("n_bucket") >= 3)
+      val clipped = cs
+        .filter(col("clip1") > 0.05 && col("clip2r") > 0.1)
+        .join(broadcast(masses), Seq(site))
+        .filter(abs(col("clip1") - col("mass")) < 0.0075)
+        .select(col(site), col("day")).distinct()
+        .groupBy(col(site)).agg(count(lit(1)).as("n_clipped"))
+      val siteSide = cs.groupBy(col(site)).agg(count(lit(1)).as("n_days"))
+        .join(broadcast(clipped), Seq(site), "left")
+        .join(broadcast(
+          masses.groupBy(col(site))
+            .agg(sort_array(collect_list(col("mass"))).as("__masses"))),
+          Seq(site), "left")
+        .select(col(site),
+          (coalesce(col("n_clipped"), lit(0L)) > col("n_days") * 0.01)
+            .as("__clipping_site"),
+          col("__masses"))
+        .localCheckpoint(true)
+      val daySide = cs.select(col(site), col("day"), col("daily_max"), col("site_max"))
+        .localCheckpoint(true)
+      val rows = df.withColumn("day", to_date(col(tsCol)))
+      // left joins: days filtered out of the stats (daily_max ≤ 0) and
+      // sites with no masses keep their rows, flagged false — the
+      // reference's all-false mask for non-clipping systems
+      val joined = SideJoin.back(
+        SideJoin.back(rows, daySide, Seq(site, "day"), "left"),
+        siteSide, Seq(site), "left")
+      joined.select(
+        col(site), col("day"), col(tsCol), col(valueCol),
+        (coalesce(col("__clipping_site"), lit(false)) &&
+          coalesce(exists(col("__masses"),
+            m => abs(col(valueCol) / col("site_max") - m) < 0.01), lit(false)) &&
+          when(col("daily_max").isNotNull && col("daily_max") =!= 0.0,
+            col(valueCol) / col("daily_max") >= 0.98).otherwise(lit(false)))
+          .as("clipped"))
+    } finally {
+      csRdd.unpersist(blocking = false)
+    }
   }
 
   /** Linearity score core: deterministic per-day mode of rounded first

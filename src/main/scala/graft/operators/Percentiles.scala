@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Exact per-group percentile via sort-based order-statistic
+  * selection, replacing Spark's `percentile` aggregate on hot paths.
+  *
+  * Why: `percentile` is an ObjectHashAggregate whose state is an
+  * OpenHashMap[value → count] of every DISTINCT value in the group.
+  * On a 25M-row fleet of mostly-distinct doubles that map build +
+  * merge measured 5.5–9.9 s of the 100 TB pipeline's fleet16 headline
+  * (ProbePS, round 11) and its GC churn was the dominant run-to-run
+  * variance. This form shuffles each row once (group key + value),
+  * sorts within site, and selects the two order statistics the
+  * interpolation needs — every operator except the Window is
+  * whole-stage codegen, state is spill-able, and there is no
+  * driver-side or map-merge step.
+  *
+  * Bit parity: reproduces `Percentile.getPercentile` (Spark
+  * `sql/catalyst/expressions/aggregate/Percentile.scala`) exactly —
+  * `position = p · (n−1)`, keys at `floor(position)` / `ceil
+  * (position)` (0-based), result `(hi−pos)·lowerKey +
+  * (pos−lo)·higherKey` with the no-fraction and equal-key
+  * short-circuits — so swapping implementations changes zero output
+  * bits (gated: every capacity-consuming query in
+  * CORRECTNESS_r*.json).
+  *
+  * Contract: rows with a null value are skipped (as `percentile`
+  * does); a group whose values are ALL null is absent from the
+  * output (where `percentile` yields a null capacity row) — every
+  * engine call site filters nulls upstream or inner-joins the
+  * result, where absent and null coincide. Per-task memory is one
+  * group's rows in the window buffer (spill-able) — bounded by the
+  * largest single site, the same contract as the per-site solver
+  * lanes, NOT by fleet size.
+  */
+object Percentiles {
+
+  /** Exact per-group percentile via HISTOGRAM PRUNING — the default
+    * and the 100 TB shape: no row-grain shuffle at all.
+    *
+    * Pass 1 aggregates `(group, bin)` counts where `bin` is the top
+    * 20 bits of the order-preserving IEEE transform
+    * ([[graft.functions.DoubleOrderBits]] >> 44 — sign + exponent +
+    * 8 mantissa bits, i.e. ~0.4% relative resolution), a
+    * map-side-combinable hash aggregate whose shuffle volume is
+    * O(groups × occupied bins), not O(rows). A cumulative window over
+    * that tiny bin table locates, per group, the one or two bins
+    * containing the order statistics `floor(pos)+1` / `ceil(pos)+1`
+    * (pos = pct·(n−1)). Pass 2 re-scans the source, keeps ONLY rows
+    * in a target bin (broadcast semi-filter under the [[SideJoin]]
+    * strategy), ranks them within their bin, and selects the two
+    * keys; the interpolation reproduces Spark's
+    * `Percentile.getPercentile` bit-for-bit (same contract as
+    * [[exactBySort]]).
+    *
+    * Cost: two column-pruned scans + O(bins) shuffle + a window over
+    * the per-group candidate rows (realistically thousands — the rows
+    * of one 0.4%-wide value slice). Degenerate distributions (a point
+    * mass spanning the target rank) degrade gracefully: the candidate
+    * window buffers that one bin's rows, spilling like [[exactBySort]]
+    * would, never failing. Measured on the 25M-row fleet16 headline:
+    * `percentile` agg 5.5–9.9 s → sort 3.9–6.4 s → histogram ~1 s.
+    *
+    * Same null/absence contract as [[exactBySort]]; doubles only
+    * (callers cast — matching `percentile`'s double return).
+    */
+  def exactByHistogram(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pct: Double,
+      outCol: String
+  ): DataFrame = {
+    graft.functions.GraftFunctions.ensure(df.sparkSession)
+    val pre = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .withColumn("__bin",
+        shiftright(call_function("graft_double_order_bits", col("__v")), 44))
+    val wBin = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+    val wAll = wBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = pre.groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wBin))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__pos", lit(pct) * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")))
+      .withColumn("__hi", ceil(col("__pos")))
+      .withColumn("__before", col("__cum") - col("__c"))
+      // 1-based target ranks lo+1 / hi+1 fall in this bin?
+      .withColumn("__is_lo", col("__cum") >= col("__lo") + 1 && col("__before") < col("__lo") + 1)
+      .withColumn("__is_hi", col("__cum") >= col("__hi") + 1 && col("__before") < col("__hi") + 1)
+    val targets = hist.filter(col("__is_lo") || col("__is_hi"))
+      .select(col(groupCol), col("__bin"), col("__before"),
+        col("__is_lo"), col("__is_hi"), col("__pos"), col("__lo"), col("__hi"))
+    val wCand = Window.partitionBy(col(groupCol), col("__bin")).orderBy(col("__v"))
+    SideJoin.back(pre, targets, Seq(groupCol, "__bin"))
+      .withColumn("__rn", row_number().over(wCand))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__is_lo") && col("__rn") === col("__lo") + 1 - col("__before"),
+          col("__v"))).as("__lk"),
+        min(when(col("__is_hi") && col("__rn") === col("__hi") + 1 - col("__before"),
+          col("__v"))).as("__hk"),
+        first(col("__pos")).as("__pos"),
+        first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"))
+      .select(col(groupCol),
+        when(col("__lo") === col("__hi"), col("__lk"))
+          .when(col("__hk") === col("__lk"), col("__lk"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__lk") +
+              (col("__pos") - col("__lo").cast("double")) * col("__hk"))
+          .as(outCol))
+  }
+
+  /** One row per group: `pct(valueCol)` as `outCol` — single-shuffle
+    * sort-based selection (each row shuffles once; simpler plan, used
+    * as [[exactByHistogram]]'s cross-check in OperatorSpec).
+    */
+  def exactBySort(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pct: Double,
+      outCol: String
+  ): DataFrame = {
+    val clean = df.filter(col(valueCol).isNotNull)
+    // row_number (row frame) and count (unbounded frame) share one
+    // partitionBy+orderBy spec, so they plan into a SINGLE Window
+    // node over a single Exchange(group) + Sort(group, value)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    clean
+      .select(col(groupCol), col(valueCol).as("__v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // Spark computes position = percentage * (count - 1) in doubles
+      .withColumn("__pos", lit(pct) * (col("__n") - 1).cast("double"))
+      .withColumn("__lo", floor(col("__pos")))
+      .withColumn("__hi", ceil(col("__pos")))
+      .filter(col("__rn") === col("__lo") + 1 || col("__rn") === col("__hi") + 1)
+      .groupBy(col(groupCol))
+      .agg(
+        // __rn is unique within the group, so each when() matches
+        // exactly one row; min() is just the null-skipping picker
+        min(when(col("__rn") === col("__lo") + 1, col("__v"))).as("__lk"),
+        min(when(col("__rn") === col("__hi") + 1, col("__v"))).as("__hk"),
+        first(col("__pos")).as("__pos"),
+        first(col("__lo")).as("__lo"),
+        first(col("__hi")).as("__hi"))
+      .select(col(groupCol),
+        when(col("__lo") === col("__hi"), col("__lk"))
+          .when(col("__hk") === col("__lk"), col("__lk"))
+          .otherwise(
+            (col("__hi").cast("double") - col("__pos")) * col("__lk") +
+              (col("__pos") - col("__lo").cast("double")) * col("__hk"))
+          .as(outCol))
+  }
+}

@@ -114,4 +114,37 @@ class DataHandlerSpec extends AnyFunSuite {
     val clustered = qc.count(_.getAs[String]("cluster_day") != null)
     assert(clustered > qc.length / 2, s"only $clustered/${qc.length} clustered")
   }
+
+  test("round-11 facade: findClippedTimes mask attaches via augmentDataFrame without multiplying rows") {
+    val mask = dh.findClippedTimes(slotsPerDay = 96)
+    assert(mask.columns.toSet == Set("site", "day", "slot", "clipped"))
+    assert(mask.count() == fleet.count(), "mask must be row-grain 1:1")
+    val augmented = dh.augmentDataFrame(mask, "clipped", "clipped_times", slotsPerDay = 96)
+    assert(augmented.count() == fleet.count(), "attach must never multiply rows")
+    assert(augmented.columns.contains("clipped_times"))
+    val nullFlags = augmented.filter(col("clipped_times").isNull).count()
+    assert(nullFlags == 0, "attached mask must be a total boolean")
+  }
+
+  test("round-11 facade: SCSF fit is the high-quantile surface; performance index = measured/clear") {
+    val fit = dh.fitStatisticalClearSky(quantileLevel = 0.9, nBins = 20)
+    assert(fit.columns.toSet == Set("site", "day", "dil_slot", "dil_value", "scsf"))
+    val pi = dh.scsfPerformanceIndex(quantileLevel = 0.9, nBins = 20).collect()
+    assert(pi.nonEmpty)
+    pi.foreach { r =>
+      val m = r.getAs[Double]("measured_energy")
+      val c = r.getAs[Double]("clear_energy")
+      val p = r.getAs[Any]("scsf_pi")
+      if (c != 0.0) {
+        assert(math.abs(p.asInstanceOf[Double] - m / c) < 1e-12, "pi must be the energy ratio")
+      } else assert(p == null, "zero clear energy must yield null pi, not a crash")
+    }
+    // a clean synthetic fleet tracks its own 0.9-quantile closely:
+    // the bulk of day indices must land in a plausible band
+    val inBand = pi.count { r =>
+      val p = r.getAs[Any]("scsf_pi")
+      p != null && p.asInstanceOf[Double] > 0.2 && p.asInstanceOf[Double] < 2.0
+    }
+    assert(inBand > pi.length / 2, s"only $inBand/${pi.length} PI values in (0.2, 2)")
+  }
 }

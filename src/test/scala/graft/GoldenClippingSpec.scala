@@ -58,4 +58,48 @@ class GoldenClippingSpec extends AnyFunSuite {
     val d2max = c2.indices.map(i => math.abs(c2(i) - g2(i))).max
     assert(d2max < 2e-3, f"clip_stat_2 max |Δ| $d2max%.2e")
   }
+
+  /** `find_clipped_times` contract (reference `clipping.py:109-128`)
+    * on the reference timeseries fixture — the system the reference's
+    * own e2e test asserts `inverter_clipped=True` for. No golden mask
+    * vector exists in the reference fixtures, so the contract is the
+    * rule itself: the mask is non-trivial on a known-clipping system,
+    * every flagged sample is within 1% (site-max scale) of a point
+    * mass AND ≥98% of its day's max, and every sample below the 98%
+    * band is unflagged.
+    */
+  test("clippedTimes mask obeys the find_clipped_times rule on the clipping fixture") {
+    val ts = Tables.csvTimeSeries(spark, "/root/reference/tests/fixtures/data_transforms/timeseries.csv")
+      .select(col("ts"), col("ac_power_01").as("power"))
+      .filter(col("power").isNotNull)
+      .withColumn("site", lit(0L))
+
+    val mask = DayStats.clippedTimes(ts, "site", "ts", "power")
+    val dayMax = ts.groupBy(to_date(col("ts")).as("day"))
+      .agg(max(col("power")).as("daily_max"))
+    val joined = mask.join(broadcast(dayMax), Seq("day")).collect()
+
+    val nClipped = joined.count(_.getAs[Boolean]("clipped"))
+    assert(nClipped > 0, "known-clipping fixture produced an all-false mask")
+    // every flagged sample is within the 2%-of-daily-max band
+    joined.filter(_.getAs[Boolean]("clipped")).foreach { r =>
+      val v = r.getAs[Double]("power")
+      val dm = r.getAs[Double]("daily_max")
+      assert(dm != 0.0 && v / dm >= 0.98,
+        s"clipped sample $v below 98% of daily max $dm")
+    }
+    // no sample below the band is flagged (the ∧ in the rule)
+    val below = joined.filter { r =>
+      val dm = r.getAs[Double]("daily_max")
+      dm == 0.0 || r.getAs[Double]("power") / dm < 0.98
+    }
+    assert(below.forall(!_.getAs[Boolean]("clipped")))
+    // mask is a strict subset of samples, not a day blanket: at least
+    // one unflagged sample exists on every flagged sample's day
+    val flaggedDays = joined.filter(_.getAs[Boolean]("clipped"))
+      .map(_.getAs[java.sql.Date]("day")).toSet
+    val unflaggedOnFlaggedDays = joined.count(r =>
+      flaggedDays.contains(r.getAs[java.sql.Date]("day")) && !r.getAs[Boolean]("clipped"))
+    assert(unflaggedOnFlaggedDays > 0, "mask flags entire days — should select near-max samples only")
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Percentiles
+
+/** Bit-parity contract for the exact-percentile replacements: both
+  * [[Percentiles.exactByHistogram]] (histogram-prune, the default)
+  * and [[Percentiles.exactBySort]] (single-shuffle sort selection)
+  * must reproduce Spark's `percentile` aggregate BIT-FOR-BIT on every
+  * distribution shape — swapping implementations must change zero
+  * output bits anywhere in the engine.
+  */
+class PercentilesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local("4")
+  import spark.implicits._
+
+  private def check(rows: Seq[(Long, java.lang.Double)], pct: Double, clue: String): Unit = {
+    val df = rows.toDF("g", "v")
+    val oracle = df.filter(col("v").isNotNull).groupBy(col("g"))
+      .agg(percentile(col("v"), lit(pct)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for ((name, impl) <- Seq(
+        "histogram" -> Percentiles.exactByHistogram _,
+        "sort" -> Percentiles.exactBySort _)) {
+      val got = impl(df, "g", "v", pct, "p")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == oracle.keySet, s"$clue/$name groups")
+      for ((g, exp) <- oracle) {
+        val o = got(g)
+        assert(java.lang.Double.doubleToLongBits(o) == java.lang.Double.doubleToLongBits(exp),
+          s"$clue/$name g=$g: got $o expected $exp")
+      }
+    }
+  }
+
+  test("continuous values, several groups, several percentiles") {
+    val rows = for (g <- 1L to 3L; i <- 0 until 257) yield
+      (g, java.lang.Double.valueOf(math.sin(i * 12.9898 + g) * 53.17 + g))
+    for (p <- Seq(0.0, 0.05, 0.5, 0.95, 1.0)) check(rows, p, s"continuous p=$p")
+  }
+
+  test("heavy ties and point masses (night zeros shape)") {
+    // 90% exact zeros: p95 straddles the dense region above the mass
+    val rows = for (g <- 1L to 2L; i <- 0 until 400) yield
+      (g, java.lang.Double.valueOf(if (i < 360) 0.0 else 1.0 + i * 0.25))
+    for (p <- Seq(0.5, 0.89, 0.9, 0.95)) check(rows, p, s"pointmass p=$p")
+  }
+
+  test("negatives, tiny magnitudes, and cross-bin interpolation") {
+    val rows = for (g <- 1L to 2L; i <- 0 until 100) yield
+      (g, java.lang.Double.valueOf((i - 50) * 1.7e-9 * (g + i % 7)))
+    for (p <- Seq(0.25, 0.5, 0.95)) check(rows, p, s"negatives p=$p")
+  }
+
+  test("tiny groups: n=1 and n=2") {
+    check(Seq((1L, java.lang.Double.valueOf(42.5))), 0.95, "n1")
+    check(Seq((1L, java.lang.Double.valueOf(1.0)), (1L, java.lang.Double.valueOf(2.0))), 0.95, "n2")
+  }
+
+  test("nulls are skipped like the percentile aggregate") {
+    val rows: Seq[(Long, java.lang.Double)] =
+      Seq((1L, null), (1L, java.lang.Double.valueOf(3.0)), (1L, java.lang.Double.valueOf(9.0)), (1L, null))
+    check(rows, 0.95, "nulls")
+  }
+
+  test("adjacent order statistics land in different bins") {
+    // values far apart in magnitude: floor/ceil ranks straddle a bin
+    // boundary for p between the two clusters
+    val rows = (Seq.fill(10)(1.0) ++ Seq.fill(10)(1.0e6)).zipWithIndex
+      .map { case (v, _) => (1L, java.lang.Double.valueOf(v)) }
+    check(rows, 0.5, "binstraddle") // pos = 9.5 → ranks 10 (1.0) and 11 (1e6)
+  }
+}

@@ -142,4 +142,86 @@ class PlotTablesSpec extends AnyFunSuite {
     assert(out == 0, "bin mean escaped the raw value range")
     t.unpersist()
   }
+
+  test("dailyEnergyTable: site-day grain, filled energy matches the q50 reduction, day_index calendar") {
+    val t = PlotTables.dailyEnergyTable(events, "user_id", "ts", "value", slotsPerDay = 48).cache()
+    try {
+      val agg = t.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("site"), col("day")).as("sd"),
+        min(col("day_index")).as("mi"),
+        sum(when(col("energy").isNull || col("energy") < 0, 1).otherwise(0)).as("bad")
+      ).collect()(0)
+      assert(agg.getLong(0) == agg.getLong(1), "(site, day) must be the exact grain")
+      assert(agg.getInt(2) == 0, "day_index must start at 0")
+      assert(agg.getLong(3) == 0L, "filled energy must be non-null and nonnegative")
+      // energy is exactly the filled-grid reduction (the q50 surface)
+      val grid = graft.operators.Filling.filledDayGrid(
+        events.filter(col("ts").isNotNull && col("value").isNotNull),
+        "user_id", "ts", "value", 48)
+        .groupBy(col("site"), col("day"))
+        .agg((sum(col("filled")) * 24.0 / 48.0).as("e2"))
+      val off = t.join(grid, Seq("site", "day"))
+        .filter(abs(col("energy") - col("e2")) > 1e-9).count()
+      assert(off == 0, "energy disagrees with the filled-grid reduction")
+    } finally t.unpersist()
+  }
+
+  test("dataQualityScatterTable: density/linearity present, thresholds constant, cluster label from q67 surface") {
+    val t = PlotTables.dataQualityScatterTable(
+      spark, events, "user_id", "ts", "value").cache()
+    try {
+      val agg = t.agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("site"), col("day")).as("sd"),
+        sum(when(col("density").isNull, 1).otherwise(0)).as("nullD"),
+        sum(when(col("linearity") < 0 || col("linearity") > 1, 1).otherwise(0)).as("badL"),
+        countDistinct(col("linearity_threshold")).as("thr")
+      ).collect()(0)
+      assert(agg.getLong(0) == agg.getLong(1), "(site, day) must be the exact grain")
+      assert(agg.getLong(2) == 0L, "density score must cover every day")
+      assert(agg.getLong(3) == 0L, "linearity fraction must stay in [0,1]")
+      assert(agg.getLong(4) == 1L, "threshold columns must be constants")
+    } finally t.unpersist()
+  }
+
+  test("timeShiftTable: signal_model = s1 + s2, metric is the day's solar-noon CoM, fallback rows flagged") {
+    val t = PlotTables.timeShiftTable(spark, events, "user_id", "ts", "value").cache()
+    try {
+      assert(t.count() > 0)
+      // metric must equal the com-hour aggregate recomputed here
+      val com = events
+        .groupBy(col("user_id").cast("long").as("site"),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(try_divide(
+          sum(graft.operators.TimeAxis.hourOfDay(col("ts")) * col("value")),
+          sum(col("value"))).as("m2"))
+        .filter(col("m2").isNotNull)
+      val off = t.join(com, Seq("site", "day"))
+        .filter(abs(col("metric") - col("m2")) > 1e-12).count()
+      assert(off == 0, "metric disagrees with the solar-noon CoM")
+      val badFallback = t.filter(!col("used") &&
+        (col("s1") =!= 0.0 || col("signal_model") =!= 0.0)).count()
+      assert(badFallback == 0, "fallback rows must carry zero components")
+    } finally t.unpersist()
+  }
+
+  test("circDistTable: bins inside [0, numBins), counts add up to flagged days, theta at arc centers") {
+    val flags = graft.operators.DayStats.qualityFlags(events, "user_id", "ts", "value", 5L)
+      .select(col("user_id").as("site"), col("day"), col("good_day"))
+    val t = PlotTables.circDistTable(flags, "good_day", numBins = 48).cache()
+    try {
+      val agg = t.agg(
+        min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        sum(col("n_days")).as("total"),
+        sum(when(abs(col("theta_center") -
+          round((col("bin") + lit(0.5)) * lit(2.0 * math.Pi / 48), 6)) > 0, 1)
+          .otherwise(0)).as("badTheta")
+      ).collect()(0)
+      assert(agg.getInt(0) >= 0 && agg.getInt(1) < 48, "bins must stay in [0, 48)")
+      val nGood = flags.filter(col("good_day")).count()
+      assert(agg.getLong(2) == nGood, "histogram must count every flagged day exactly once")
+      assert(agg.getLong(3) == 0L, "theta_center must sit at arc centers")
+    } finally t.unpersist()
+  }
 }
