@@ -113,22 +113,22 @@ object Pipeline {
     val clean = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
     // Round-11 fusion (VERDICT r10 item 2): the smoothness Σ|Δ²| used
     // to be a SEPARATE window branch joined back at day grain, making
-    // dayRows evaluate its source subtree three times (capacity agg,
-    // day agg, smoothness window — Spark plans trees, not DAGs).
+    // dayRows re-evaluate the raw value subtree three times (capacity
+    // agg, day agg, smoothness window — Spark plans trees, not DAGs).
     // Computing __d2 via the (site, day)-partitioned window and then
-    // aggregating ALL the day stats in the SAME plan drops that to
-    // two: the groupBy on (site, day) reuses the window's hash
-    // partitioning (no second Exchange — pinned by PipelinePlanSpec),
-    // so the fused form costs one 25M-row shuffle where the old form
-    // cost the same shuffle PLUS a full extra source scan, a day-grain
-    // aggregate exchange, and a join. Values are bit-identical: the
-    // window neither drops nor reorders rows for the aggregate, and
-    // sum(abs(__d2)) over the nulls of the first two slots of a day
-    // matches the old branch exactly. (Probed and rejected earlier:
-    // collect_list fusion — 25M structs per pass, GC storm; keeping
-    // the join form — measured slower, see DESIGN.md round 11.)
+    // aggregating ALL the day stats in the SAME plan removes the
+    // extra full scan AND the join: the groupBy on (site, day) reuses
+    // the window's hash partitioning (no Exchange between them —
+    // pinned by PlanSpec's dayRows test). Values are bit-identical:
+    // the window neither drops nor reorders rows for the aggregate,
+    // and sum(abs(__d2)) over the nulls of the first two slots of a
+    // day matches the old branch exactly. (Probed and rejected
+    // earlier: collect_list fusion — 25M structs per pass, GC storm.)
     // dayStats itself keeps its shuffle-light partial-aggregate plan
     // for the relational spine (p06/p07) which never pays the window.
+    // The capacity side contributes two further COLUMN-PRUNED passes
+    // (the histogram percentile's bin-count + candidate scans) — the
+    // deliberate trade against shuffling every (site, value) row.
     val cap = DayStats.capacity(clean, site, valueCol)
     // __day is materialized ONCE and used as the same attribute in
     // both the window partitioning and the groupBy keys: Spark's

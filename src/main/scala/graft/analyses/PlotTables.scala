@@ -361,6 +361,17 @@ object PlotTables {
       .select(col("site"), col("bin"), col("theta_center"), col("n_days"))
   }
 
+  /** NOTE — geometry deviation vs the reference
+    * (`polar_transform.py:71-90`): elevation here is GEOMETRIC
+    * (Cooper declination + EoT hour angle), while the reference bins
+    * pvlib's SPA APPARENT (refraction-corrected) elevation.
+    * Refraction reaches ~0.5° at the horizon and falls below the 1°
+    * bin grid above ~2° elevation, so near-horizon samples may land
+    * one rounding bin lower than the reference's on identical input;
+    * the rest of the table agrees to the bin grid. Recorded in
+    * COVERAGE.md — callers needing apparent-elevation parity at the
+    * horizon should add a refraction term to their own binning.
+    */
   def polarTransformTable(
       df: DataFrame,
       site: String,

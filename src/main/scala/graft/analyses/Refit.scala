@@ -99,12 +99,16 @@ object Refit {
     * the refreshed branch is an empty frame the solver stage never
     * sees rows for).
     *
-    * The dirty-site list is COLLECTED once (site-cardinality — bytes)
-    * and re-enters the plan as one local frame feeding both the
-    * semi-join and the anti-join: a single consistent snapshot, so a
-    * live source cannot yield one dirty set to the trim and another
-    * to the merge (a site could otherwise vanish from both branches),
-    * and the events scan is not re-aggregated per consumer.
+    * The dirty-site frame is MATERIALIZED once (eager
+    * localCheckpoint — site-cardinality, stays in executor storage)
+    * and feeds both the semi-join and the anti-join: a single
+    * consistent snapshot, so a live source cannot yield one dirty set
+    * to the trim and another to the merge (a site could otherwise
+    * vanish from both branches), and the events scan is not
+    * re-aggregated per consumer. Round 11: this used to collect() the
+    * sites through the driver — equivalent at 10⁴ sites but a driver
+    * hop that a 10⁶-site fleet with a hot ingest day does not need;
+    * the checkpointed frame broadcasts straight from the executors.
     */
   def incremental(
       spark: SparkSession,
@@ -114,13 +118,8 @@ object Refit {
       tsCol: String,
       valueCol: String
   ): DataFrame = {
-    val dirtyRows = dirtySites(events, prevReport, siteCol, tsCol, valueCol)
-      .collect().toSeq
-    val siteField = prevReport.schema("site")
-    val dirtyDf = spark.createDataFrame(
-      new java.util.ArrayList[org.apache.spark.sql.Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(dirtyRows).asJava),
-      org.apache.spark.sql.types.StructType(Seq(siteField)))
+    val dirtyDf = dirtySites(events, prevReport, siteCol, tsCol, valueCol)
+      .localCheckpoint(true)
     val dirtyEvents = events.join(
       broadcast(dirtyDf.select(col("site").as(siteCol))), Seq(siteCol), "left_semi")
     val refreshed = buildReport(spark, dirtyEvents, siteCol, tsCol, valueCol)

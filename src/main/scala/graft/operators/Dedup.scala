@@ -498,6 +498,13 @@ object Dedup {
     * collision-free path would produce except when two distinct
     * shingles collide AND one of them held a row min — noise far
     * below MinHash's own 1/√H sketch error.
+    *
+    * Null contract (intended, pinned in ExpressionSpec): null text →
+    * NULL signature → no LSH bands, so null-text docs drop out of
+    * near-dup candidacy entirely. The pre-native composition instead
+    * returned an all-null ARRAY, which made every null-text doc share
+    * identical band signatures — a pathological all-pairs bucket at
+    * corpus scale; the native behavior is the fix, not a regression.
     */
   def rollingMinhashSig(text: Column, k: Int, numHashes: Int): Column = {
     // native one-pass expression
@@ -511,13 +518,19 @@ object Dedup {
   /** LSH band structs from a signature array column (same
     * `md5(concat_ws(",", mh_j…))` digest as [[lshBandsFromShingles]] —
     * one md5 per BAND per doc, not per shingle).
+    *
+    * A NULL signature (null text — see [[rollingMinhashSig]]'s null
+    * contract) yields a NULL band array, so `explode` drops the doc
+    * from banding. Without the guard, `concat_ws` would skip the null
+    * elements and hash every null-sig doc to the same `md5("")` band
+    * signatures — an all-pairs candidate bucket at corpus scale.
     */
   def bandsFromSig(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
-    array((0 until numHashes / rowsPerBand).map { b =>
+    when(sig.isNotNull, array((0 until numHashes / rowsPerBand).map { b =>
       val mhCols = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(j => element_at(sig, j + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws(",", mhCols: _*)).as("band_sig"))
-    }: _*)
+    }: _*))
 
   /** [[winnowFingerprints]] as ONE scalar column: the per-document
     * fingerprint array `array<struct<fp_pos:int, fp_hash:bigint>>`

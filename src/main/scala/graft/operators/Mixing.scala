@@ -198,7 +198,14 @@ object Mixing {
         min(col(idCol).cast("double")).as("idlo"),
         max(col(idCol).cast("double")).as("idhi"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // a bucket holding ONLY null-id rows aggregates null id bounds
+      // (min/max over casts of null) — fall back to a degenerate
+      // [0, 0] range rather than NPE; every row of such a bucket
+      // takes the __sb = -1 null-id branch below, so the bounds are
+      // never consulted
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) 0.0 else r.getDouble(2),
+        if (r.isNullAt(3)) 0.0 else r.getDouble(3)))
       .sortBy(-_._1)
     val cumRows = {
       var acc = 0L

@@ -234,4 +234,27 @@ class ExpressionSpec extends AnyFunSuite {
       assert(diff == 0, s"native minhash sig diverged on $diff rows")
     }
   }
+
+  test("rolling minhash sig null contract: null text → null sig → no bands") {
+    GraftFunctions.register(spark)
+    import graft.operators.Dedup
+    // INTENDED semantics (changed with the native expression): the
+    // old aggregate-fold composition returned an array of numHashes
+    // NULLS for null text, so every null-text doc shared identical
+    // band signatures — an all-pairs LSH bucket at corpus scale. The
+    // native returns a null ARRAY and null-text docs leave candidacy.
+    val df = Seq(Option("some real text here"), None).toDF("text")
+    val rows = df.select(
+      col("text"),
+      Dedup.rollingMinhashSig(col("text"), 3, 16).as("sig")).collect()
+    val nullRow = rows.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1), "null text must yield a NULL signature, not an array of nulls")
+    assert(!rows.find(!_.isNullAt(0)).get.isNullAt(1))
+    // and therefore no band structs: the band builder on a null sig
+    // stays null, so the explode that feeds bucket joins emits nothing
+    val bands = df.select(explode_outer(
+      Dedup.bandsFromSig(Dedup.rollingMinhashSig(col("text"), 3, 16), 16, 4)).as("b"))
+      .filter(col("b").isNotNull).count()
+    assert(bands == 4, "exactly the non-null doc's 4 bands must survive")
+  }
 }

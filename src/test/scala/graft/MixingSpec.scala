@@ -76,6 +76,23 @@ class MixingSpec extends AnyFunSuite {
     assert(out(1L) && out(3L))
   }
 
+  test("budget select survives a quality bucket containing only null-id rows") {
+    import spark.implicits._
+    // all rows share one quality bucket and every id is null: the
+    // bucket histogram's min/max id bounds aggregate to null (the
+    // round-10 NPE channel); the rows must still be reported through
+    // the __sb = -1 null-id branch, not crash the driver cumulative
+    val df = Seq(
+      (Option.empty[Long], 10L, 0.5),
+      (Option.empty[Long], 20L, 0.5),
+      (Option.empty[Long], 30L, 0.5)
+    ).toDF("doc_id", "tok", "q")
+    val out = Mixing.budgetSelect(df, "doc_id", col("tok"), col("q"), 25L).collect()
+    assert(out.length == 3, "null-id rows must not be dropped")
+    val kept = out.count(_.getBoolean(3))
+    assert(kept >= 1 && kept < 3, s"budget 25 over tokens 10/20/30 kept $kept")
+  }
+
   test("stratified sample: rates follow counts, decision is deterministic and partition-free") {
     val out = Mixing.stratifiedSample(docs, Seq("lang"), "doc_id", 10L).cache()
     // a stratum smaller than target keeps everything (threshold = 1e6)

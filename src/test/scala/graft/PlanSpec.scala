@@ -382,4 +382,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate") && p.contains("explode("),
       "expected the bucket explode")
   }
+
+  test("dayRows fusion: 3 column-pruned scans, smoothness aggregate reuses the window's partitioning") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id").as("site"), col("ts"), col("value"))
+    val rows = graft.analyses.Pipeline.dayRows(df, "site", "ts", "value")
+    val p = rows.queryExecution.executedPlan.toString
+    // one fused window+agg scan, plus the histogram percentile's two
+    // column-pruned passes (bin counts + candidate extraction) — the
+    // round-10 plan instead paid a separate full smoothness scan AND
+    // a day-grain join on top of the capacity side
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 3, s"dayRows planned $scans source scans (expected 3):\n$p")
+    // the day aggregate carrying the smoothness sum must sit DIRECTLY
+    // on the row-grain lag window (same (site, __day) hash
+    // partitioning — no Exchange between them). Walk down from the
+    // partial smoothness aggregate: the next shuffle-or-window node
+    // below it must be the Window, not an Exchange.
+    val lines = p.linesIterator.toVector
+    val aggIdx = lines.indexWhere(_.contains("partial_sum(abs("))
+    assert(aggIdx >= 0, s"fused smoothness partial aggregate not found:\n$p")
+    val below = lines.drop(aggIdx + 1)
+      .find(l => l.contains("Exchange") || l.contains("Window ["))
+    assert(below.exists(_.contains("Window [")),
+      s"smoothness aggregate re-shuffled instead of riding the window partitioning (next node: $below):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"day-grain smoothness join is back:\n$p")
+  }
 }

@@ -70,6 +70,22 @@ def dump_oracle_rows(sf_dir: str, name: str, df: pd.DataFrame) -> None:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Pin the ORACLE side's environment next to the engine-side
+    # snapshot header (Verify records sfDir/cpus/java): the q64
+    # incident cost rounds because an environment-sensitive hash diff
+    # had nothing recording which DuckDB produced the oracle values.
+    print(f"oracle env: duckdb={duckdb.__version__} "
+          f"python={sys.version.split()[0]} pandas={pd.__version__}")
+    try:
+        sf = os.path.basename(os.path.normpath(sf_dir))
+        snap = os.path.join("bench", "verify_snapshots", sf)
+        if os.path.isdir(snap):
+            with open(os.path.join(snap, "ORACLE_ENV.txt"), "w") as f:
+                f.write(f"duckdb={duckdb.__version__}\n"
+                        f"python={sys.version.split()[0]}\n"
+                        f"pandas={pd.__version__}\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line above still records it
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(f"{out_dir}/oracle_sql.json") as f:
