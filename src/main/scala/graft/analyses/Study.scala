@@ -187,12 +187,13 @@ object Study {
     * values hit systematically (the round-9 q64 driver-flake class).
     */
   def scaleParams(rows: DataFrame): DataFrame =
-    rows.groupBy(col("site"), col("data_matrix"))
-      .agg(
-        percentile(col("v"), lit(0.99)).as("hi99"),
-        min(col("v")).as("mn"),
-        percentile(col("v"), lit(0.95)).as("p95"),
-        percentile(col("v"), lit(0.05)).as("p05"))
+    // histogram-selection percentiles (round 11): all four levels
+    // (min rides as the 0.0 level) share two column-pruned passes —
+    // bit-identical to the percentile aggregate (PercentilesSpec), so
+    // the q88 gate and every downstream threshold see the same values
+    graft.operators.Percentiles.exactByHistogram(
+        rows, Seq("site", "data_matrix"), "v",
+        Seq(0.99 -> "hi99", 0.0 -> "mn", 0.95 -> "p95", 0.05 -> "p05"))
       .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))
       .withColumn("bot", greatest(col("p05"), lit(0.0)))
       .select(col("site"), col("data_matrix"),

@@ -64,8 +64,11 @@ object SunriseSunset {
       searchPts: Int = 21
   ): DataFrame = {
     val ths = thresholdGrid(searchPts)
-    val scale = df.groupBy(col(site))
-      .agg(percentile(col(valueCol), lit(0.99)).as("__hi"), min(col(valueCol)).as("__mn"))
+    // histogram-selection percentile (round 11): p99 and min (= the
+    // 0.0 level) share the two column-pruned passes — bit-identical
+    // to the percentile aggregate, no per-site distinct-value buffer
+    val scale = graft.operators.Percentiles
+      .exactByHistogram(df, Seq(site), valueCol, Seq(0.99 -> "__hi", 0.0 -> "__mn"))
       .withColumn("__lo", greatest(col("__mn"), lit(-0.005) * col("__hi")))
       .select(col(site), col("__hi"), col("__lo"))
     val h = TimeAxis.hourOfDay(col(tsCol))

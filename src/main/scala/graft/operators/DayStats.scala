@@ -288,10 +288,11 @@ object DayStats {
       extra: Column,
       threshold: Double = 0.01
   ): DataFrame = {
-    val scale = df.groupBy(col(site))
-      .agg(
-        percentile(col(valueCol), lit(0.05)).as("__p05"),
-        percentile(col(valueCol), lit(0.95)).as("__p95"))
+    // histogram-selection percentiles (round 11, bit-identical — see
+    // [[Percentiles.exactByHistogram]]): both levels share two
+    // column-pruned passes, no per-site distinct-value buffer
+    val scale = Percentiles
+      .exactByHistogram(df, Seq(site), valueCol, Seq(0.05 -> "__p05", 0.95 -> "__p95"))
       .withColumn("__lo", greatest(col("__p05"), lit(0.0)))
       .select(col(site), col("__lo"), col("__p95"))
     // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55).

@@ -73,46 +73,81 @@ object Percentiles {
       valueCol: String,
       pct: Double,
       outCol: String
+  ): DataFrame =
+    exactByHistogram(df, Seq(groupCol), valueCol, Seq(pct -> outCol))
+
+  /** Multi-group-column, MULTI-PERCENTILE form: ALL requested levels
+    * share the one bin-histogram pass and the one candidate-extraction
+    * pass — k percentiles cost the same two column-pruned scans as
+    * one (`Study.scaleParams` asks for four levels per (site, matrix);
+    * the aggregate-percentile form it replaces paid the full distinct-
+    * value map once but this form pays nothing extra per level).
+    * `0.0` / `1.0` are exact min/max, so callers that used
+    * `min(col)` alongside a percentile fold it in here.
+    */
+  def exactByHistogram(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pcts: Seq[(Double, String)]
   ): DataFrame = {
+    require(pcts.nonEmpty, "at least one percentile level required")
     graft.functions.GraftFunctions.ensure(df.sparkSession)
+    val g = groupCols.map(col)
     val pre = df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
       .withColumn("__bin",
         shiftright(call_function("graft_double_order_bits", col("__v")), 44))
-    val wBin = Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+    val wBin = Window.partitionBy(g: _*).orderBy(col("__bin"))
     val wAll = wBin.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hist = pre.groupBy(col(groupCol), col("__bin")).agg(count(lit(1)).as("__c"))
+    val idx = pcts.indices
+    var hist = pre.groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wBin))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .withColumn("__pos", lit(pct) * (col("__n") - 1).cast("double"))
-      .withColumn("__lo", floor(col("__pos")))
-      .withColumn("__hi", ceil(col("__pos")))
       .withColumn("__before", col("__cum") - col("__c"))
-      // 1-based target ranks lo+1 / hi+1 fall in this bin?
-      .withColumn("__is_lo", col("__cum") >= col("__lo") + 1 && col("__before") < col("__lo") + 1)
-      .withColumn("__is_hi", col("__cum") >= col("__hi") + 1 && col("__before") < col("__hi") + 1)
-    val targets = hist.filter(col("__is_lo") || col("__is_hi"))
-      .select(col(groupCol), col("__bin"), col("__before"),
-        col("__is_lo"), col("__is_hi"), col("__pos"), col("__lo"), col("__hi"))
-    val wCand = Window.partitionBy(col(groupCol), col("__bin")).orderBy(col("__v"))
-    SideJoin.back(pre, targets, Seq(groupCol, "__bin"))
+    for (i <- idx) {
+      // Spark computes position = percentage * (count - 1) in doubles
+      hist = hist
+        .withColumn(s"__pos$i", lit(pcts(i)._1) * (col("__n") - 1).cast("double"))
+        .withColumn(s"__lo$i", floor(col(s"__pos$i")))
+        .withColumn(s"__hi$i", ceil(col(s"__pos$i")))
+        // 1-based target ranks lo+1 / hi+1 fall in this bin?
+        .withColumn(s"__islo$i",
+          col("__cum") >= col(s"__lo$i") + 1 && col("__before") < col(s"__lo$i") + 1)
+        .withColumn(s"__ishi$i",
+          col("__cum") >= col(s"__hi$i") + 1 && col("__before") < col(s"__hi$i") + 1)
+    }
+    val anyFlag = idx.map(i => col(s"__islo$i") || col(s"__ishi$i")).reduce(_ || _)
+    val targets = hist.filter(anyFlag)
+      .select(g ++ Seq(col("__bin"), col("__before")) ++
+        idx.flatMap(i => Seq(col(s"__islo$i"), col(s"__ishi$i"),
+          col(s"__pos$i"), col(s"__lo$i"), col(s"__hi$i"))): _*)
+    val wCand = Window.partitionBy(g :+ col("__bin"): _*).orderBy(col("__v"))
+    val aggs = idx.flatMap { i =>
+      Seq(
+        // __rn is unique within (group, bin), so each when() matches
+        // exactly one row; min() is just the null-skipping picker
+        min(when(col(s"__islo$i") && col("__rn") === col(s"__lo$i") + 1 - col("__before"),
+          col("__v"))).as(s"__lk$i"),
+        min(when(col(s"__ishi$i") && col("__rn") === col(s"__hi$i") + 1 - col("__before"),
+          col("__v"))).as(s"__hk$i"),
+        first(col(s"__pos$i")).as(s"__p$i"),
+        first(col(s"__lo$i")).as(s"__l$i"),
+        first(col(s"__hi$i")).as(s"__h$i"))
+    }
+    val outs = idx.map { i =>
+      when(col(s"__l$i") === col(s"__h$i"), col(s"__lk$i"))
+        .when(col(s"__hk$i") === col(s"__lk$i"), col(s"__lk$i"))
+        .otherwise(
+          (col(s"__h$i").cast("double") - col(s"__p$i")) * col(s"__lk$i") +
+            (col(s"__p$i") - col(s"__l$i").cast("double")) * col(s"__hk$i"))
+        .as(pcts(i)._2)
+    }
+    SideJoin.back(pre, targets, groupCols :+ "__bin")
       .withColumn("__rn", row_number().over(wCand))
-      .groupBy(col(groupCol))
-      .agg(
-        min(when(col("__is_lo") && col("__rn") === col("__lo") + 1 - col("__before"),
-          col("__v"))).as("__lk"),
-        min(when(col("__is_hi") && col("__rn") === col("__hi") + 1 - col("__before"),
-          col("__v"))).as("__hk"),
-        first(col("__pos")).as("__pos"),
-        first(col("__lo")).as("__lo"),
-        first(col("__hi")).as("__hi"))
-      .select(col(groupCol),
-        when(col("__lo") === col("__hi"), col("__lk"))
-          .when(col("__hk") === col("__lk"), col("__lk"))
-          .otherwise(
-            (col("__hi").cast("double") - col("__pos")) * col("__lk") +
-              (col("__pos") - col("__lo").cast("double")) * col("__hk"))
-          .as(outCol))
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(g ++ outs: _*)
   }
 
   /** One row per group: `pct(valueCol)` as `outCol` — single-shuffle

@@ -63,10 +63,12 @@ object Runs {
     * lo/hi = q1/q3 ∓ k·IQR (reference `utilities.py:12-31`).
     * Exact percentiles by default; bounds rounded to 6 dp so the same
     * predicate evaluates identically in any engine doing the
-    * comparison. `exact = false` swaps in the GK sketch
-    * (`approx_percentile`, rank error ≤ 1e-4) — the deployment-scale
-    * path, since the exact aggregate buffers every group value (the
-    * same unbounded-state hazard `DayStats.capacityApprox` addresses).
+    * comparison. The exact path is [[Percentiles.exactByHistogram]]
+    * (round 11): bit-identical to the `percentile` aggregate with
+    * bounded state and no row-grain shuffle, which retires the
+    * unbounded distinct-value buffer this operator used to carry.
+    * `exact = false` keeps the GK sketch (`approx_percentile`, rank
+    * error ≤ 1e-4) for callers preferring a single-pass plan.
     */
   def iqrBounds(
       df: DataFrame,
@@ -75,13 +77,13 @@ object Runs {
       k: Double,
       exact: Boolean = true
   ): DataFrame =
-    df.groupBy(keys.map(col): _*)
-      .agg(
-        (if (exact) percentile(col(valueCol), lit(0.25))
-         else approx_percentile(col(valueCol), lit(0.25), lit(10000))).as("q1"),
-        (if (exact) percentile(col(valueCol), lit(0.75))
-         else approx_percentile(col(valueCol), lit(0.75), lit(10000))).as("q3")
-      )
+    (if (exact)
+      Percentiles.exactByHistogram(df, keys, valueCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
+    else
+      df.groupBy(keys.map(col): _*)
+        .agg(
+          approx_percentile(col(valueCol), lit(0.25), lit(10000)).as("q1"),
+          approx_percentile(col(valueCol), lit(0.75), lit(10000)).as("q3")))
       // product quantizer, not round(x, 6): interpolated percentiles
       // hit decimal-half shortest reprs where engines' decimal rounds
       // disagree (the q64 class — see Study.scaleParams)

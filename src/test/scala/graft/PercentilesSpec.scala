@@ -22,9 +22,9 @@ class PercentilesSpec extends AnyFunSuite {
     val oracle = df.filter(col("v").isNotNull).groupBy(col("g"))
       .agg(percentile(col("v"), lit(pct)).as("p"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    for ((name, impl) <- Seq(
-        "histogram" -> Percentiles.exactByHistogram _,
-        "sort" -> Percentiles.exactBySort _)) {
+    val hist: (org.apache.spark.sql.DataFrame, String, String, Double, String) => org.apache.spark.sql.DataFrame =
+      Percentiles.exactByHistogram(_, _: String, _, _, _)
+    for ((name, impl) <- Seq("histogram" -> hist, "sort" -> (Percentiles.exactBySort _))) {
       val got = impl(df, "g", "v", pct, "p")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == oracle.keySet, s"$clue/$name groups")
@@ -64,6 +64,41 @@ class PercentilesSpec extends AnyFunSuite {
     val rows: Seq[(Long, java.lang.Double)] =
       Seq((1L, null), (1L, java.lang.Double.valueOf(3.0)), (1L, java.lang.Double.valueOf(9.0)), (1L, null))
     check(rows, 0.95, "nulls")
+  }
+
+  test("multi-percentile form: every level bit-equals the aggregate, min/max ride as 0.0/1.0") {
+    val rows = for (g <- 1L to 2L; i <- 0 until 311) yield
+      (g, java.lang.Double.valueOf(math.cos(i * 7.77 + g) * 19.3 - g * 0.5))
+    val df = rows.toDF("g", "v")
+    val levels = Seq(0.0 -> "mn", 0.05 -> "p05", 0.5 -> "p50", 0.95 -> "p95", 1.0 -> "mx")
+    val got = Percentiles.exactByHistogram(df, Seq("g"), "v", levels)
+      .collect().map(r => r.getLong(0) -> levels.indices.map(i => r.getDouble(i + 1))).toMap
+    val oracle = df.groupBy(col("g"))
+      .agg(levels.map { case (p, n) => percentile(col("v"), lit(p)).as(n) }.head,
+        levels.tail.map { case (p, n) => percentile(col("v"), lit(p)).as(n) }: _*)
+      .collect().map(r => r.getLong(0) -> levels.indices.map(i => r.getDouble(i + 1))).toMap
+    assert(got.keySet == oracle.keySet)
+    for ((g, exp) <- oracle; i <- levels.indices)
+      assert(java.lang.Double.doubleToLongBits(got(g)(i)) == java.lang.Double.doubleToLongBits(exp(i)),
+        s"g=$g level=${levels(i)._2}: got ${got(g)(i)} expected ${exp(i)}")
+    // 0.0 / 1.0 are exact min / max
+    val mm = df.groupBy(col("g")).agg(min(col("v")), max(col("v")))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((g, (mn, mx)) <- mm) {
+      assert(got(g).head == mn, s"p=0.0 must be min for g=$g")
+      assert(got(g).last == mx, s"p=1.0 must be max for g=$g")
+    }
+  }
+
+  test("multi-group-column grouping keys are preserved") {
+    val rows = for (a <- 1L to 2L; b <- Seq("x", "y"); i <- 0 until 40) yield
+      (a, b, java.lang.Double.valueOf(i * 0.3 + a + b.length))
+    val df = rows.toDF("a", "b", "v")
+    val got = Percentiles.exactByHistogram(df, Seq("a", "b"), "v", Seq(0.95 -> "p"))
+    assert(got.columns.toSeq == Seq("a", "b", "p"))
+    assert(got.count() == 4)
+    val oracle = df.groupBy(col("a"), col("b")).agg(percentile(col("v"), lit(0.95)).as("p"))
+    assert(got.join(oracle, Seq("a", "b")).filter(got("p") =!= oracle("p")).count() == 0)
   }
 
   test("adjacent order statistics land in different bins") {
