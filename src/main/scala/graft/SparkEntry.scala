@@ -2854,9 +2854,13 @@ object SparkEntry {
       .filter(length(col("w")) > 0)
     val cms = TextOps.cmsCounters(words, "w", depth = 4, width = 16)
     val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // top-k via orderBy().limit() — a distributed TakeOrdered — then
+    // rank over exactly 20 rows; a row_number window over the full
+    // vocabulary is a single-reducer global sort (the vocabFromCounts
+    // idiom, LangModel.scala:310)
     val top = exact
+      .orderBy(col("cnt").desc, col("w").asc).limit(20)
       .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
-      .filter(col("rk") <= 20)
     top
       .select(col("rk"), col("w"), col("cnt"),
         explode(typedLit((0 until 4).toArray)).as("r"))

@@ -187,11 +187,14 @@ object Study {
     * values hit systematically (the round-9 q64 driver-flake class).
     */
   def scaleParams(rows: DataFrame): DataFrame =
-    // histogram-selection percentiles (round 11): all four levels
-    // (min rides as the 0.0 level) share two column-pruned passes —
-    // bit-identical to the percentile aggregate (PercentilesSpec), so
-    // the q88 gate and every downstream threshold see the same values
-    graft.operators.Percentiles.exactByHistogram(
+    // sort-selection percentiles (round 11): all four levels (min
+    // rides as the 0.0 level) share ONE evaluation of `rows` — the
+    // input is the DERIVED filled/raw matrix pipeline, so the
+    // histogram form's second pass would re-run that whole derivation
+    // (measured +1.5 s on q61). Bit-identical to the percentile
+    // aggregate (PercentilesSpec), so the q88 gate and every
+    // downstream threshold see the same values
+    graft.operators.Percentiles.exactBySort(
         rows, Seq("site", "data_matrix"), "v",
         Seq(0.99 -> "hi99", 0.0 -> "mn", 0.95 -> "p95", 0.05 -> "p05"))
       .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))

@@ -288,11 +288,11 @@ object DayStats {
       extra: Column,
       threshold: Double = 0.01
   ): DataFrame = {
-    // histogram-selection percentiles (round 11, bit-identical — see
-    // [[Percentiles.exactByHistogram]]): both levels share two
-    // column-pruned passes, no per-site distinct-value buffer
+    // sort-selection percentiles (round 11, bit-identical — see
+    // [[Percentiles.exactBySort]]): both levels in one evaluation of
+    // the (possibly derived) input, no per-site distinct-value buffer
     val scale = Percentiles
-      .exactByHistogram(df, Seq(site), valueCol, Seq(0.05 -> "__p05", 0.95 -> "__p95"))
+      .exactBySort(df, Seq(site), valueCol, Seq(0.05 -> "__p05", 0.95 -> "__p95"))
       .withColumn("__lo", greatest(col("__p05"), lit(0.0)))
       .select(col(site), col("__lo"), col("__p95"))
     // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55).

@@ -160,37 +160,70 @@ object Percentiles {
       valueCol: String,
       pct: Double,
       outCol: String
+  ): DataFrame =
+    exactBySort(df, Seq(groupCol), valueCol, Seq(pct -> outCol))
+
+  /** Multi-group-column, multi-level sort form. Choosing between the
+    * two implementations: [[exactByHistogram]] evaluates its input
+    * TWICE (bin histogram + candidate extraction) and shuffles
+    * almost nothing — right when the input is a cheap re-scan
+    * (column-pruned parquet, a persisted fleet). This form evaluates
+    * the input ONCE and shuffles every (group, value) row — right
+    * when the input is a DERIVED pipeline whose re-evaluation is the
+    * dominant cost (the filled-grid study surfaces, round 11: the
+    * histogram form regressed q61 by 1.5 s re-deriving the grid).
+    * Both are bit-identical to the `percentile` aggregate.
+    */
+  def exactBySort(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pcts: Seq[(Double, String)]
   ): DataFrame = {
+    require(pcts.nonEmpty, "at least one percentile level required")
+    val g = groupCols.map(col)
     val clean = df.filter(col(valueCol).isNotNull)
     // row_number (row frame) and count (unbounded frame) share one
     // partitionBy+orderBy spec, so they plan into a SINGLE Window
     // node over a single Exchange(group) + Sort(group, value)
-    val w = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    val w = Window.partitionBy(g: _*).orderBy(col("__v"))
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    clean
-      .select(col(groupCol), col(valueCol).as("__v"))
+    val idx = pcts.indices
+    var x = clean
+      .select(g :+ col(valueCol).cast("double").as("__v"): _*)
       .withColumn("__rn", row_number().over(w))
       .withColumn("__n", count(lit(1)).over(wAll))
+    for (i <- idx) {
       // Spark computes position = percentage * (count - 1) in doubles
-      .withColumn("__pos", lit(pct) * (col("__n") - 1).cast("double"))
-      .withColumn("__lo", floor(col("__pos")))
-      .withColumn("__hi", ceil(col("__pos")))
-      .filter(col("__rn") === col("__lo") + 1 || col("__rn") === col("__hi") + 1)
-      .groupBy(col(groupCol))
-      .agg(
+      x = x
+        .withColumn(s"__pos$i", lit(pcts(i)._1) * (col("__n") - 1).cast("double"))
+        .withColumn(s"__lo$i", floor(col(s"__pos$i")))
+        .withColumn(s"__hi$i", ceil(col(s"__pos$i")))
+    }
+    val hit = idx.map(i =>
+      col("__rn") === col(s"__lo$i") + 1 || col("__rn") === col(s"__hi$i") + 1)
+      .reduce(_ || _)
+    val aggs = idx.flatMap { i =>
+      Seq(
         // __rn is unique within the group, so each when() matches
         // exactly one row; min() is just the null-skipping picker
-        min(when(col("__rn") === col("__lo") + 1, col("__v"))).as("__lk"),
-        min(when(col("__rn") === col("__hi") + 1, col("__v"))).as("__hk"),
-        first(col("__pos")).as("__pos"),
-        first(col("__lo")).as("__lo"),
-        first(col("__hi")).as("__hi"))
-      .select(col(groupCol),
-        when(col("__lo") === col("__hi"), col("__lk"))
-          .when(col("__hk") === col("__lk"), col("__lk"))
-          .otherwise(
-            (col("__hi").cast("double") - col("__pos")) * col("__lk") +
-              (col("__pos") - col("__lo").cast("double")) * col("__hk"))
-          .as(outCol))
+        min(when(col("__rn") === col(s"__lo$i") + 1, col("__v"))).as(s"__lk$i"),
+        min(when(col("__rn") === col(s"__hi$i") + 1, col("__v"))).as(s"__hk$i"),
+        first(col(s"__pos$i")).as(s"__p$i"),
+        first(col(s"__lo$i")).as(s"__l$i"),
+        first(col(s"__hi$i")).as(s"__h$i"))
+    }
+    val outs = idx.map { i =>
+      when(col(s"__l$i") === col(s"__h$i"), col(s"__lk$i"))
+        .when(col(s"__hk$i") === col(s"__lk$i"), col(s"__lk$i"))
+        .otherwise(
+          (col(s"__h$i").cast("double") - col(s"__p$i")) * col(s"__lk$i") +
+            (col(s"__p$i") - col(s"__l$i").cast("double")) * col(s"__hk$i"))
+        .as(pcts(i)._2)
+    }
+    x.filter(hit)
+      .groupBy(g: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(g ++ outs: _*)
   }
 }

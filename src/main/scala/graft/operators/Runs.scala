@@ -63,10 +63,11 @@ object Runs {
     * lo/hi = q1/q3 ∓ k·IQR (reference `utilities.py:12-31`).
     * Exact percentiles by default; bounds rounded to 6 dp so the same
     * predicate evaluates identically in any engine doing the
-    * comparison. The exact path is [[Percentiles.exactByHistogram]]
+    * comparison. The exact path is [[Percentiles.exactBySort]]
     * (round 11): bit-identical to the `percentile` aggregate with
-    * bounded state and no row-grain shuffle, which retires the
-    * unbounded distinct-value buffer this operator used to carry.
+    * bounded spill-able state, one evaluation of the (possibly
+    * derived) input, which retires the unbounded distinct-value
+    * buffer this operator used to carry.
     * `exact = false` keeps the GK sketch (`approx_percentile`, rank
     * error ≤ 1e-4) for callers preferring a single-pass plan.
     */
@@ -78,7 +79,7 @@ object Runs {
       exact: Boolean = true
   ): DataFrame =
     (if (exact)
-      Percentiles.exactByHistogram(df, keys, valueCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
+      Percentiles.exactBySort(df, keys, valueCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
     else
       df.groupBy(keys.map(col): _*)
         .agg(

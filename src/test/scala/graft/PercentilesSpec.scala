@@ -24,7 +24,9 @@ class PercentilesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val hist: (org.apache.spark.sql.DataFrame, String, String, Double, String) => org.apache.spark.sql.DataFrame =
       Percentiles.exactByHistogram(_, _: String, _, _, _)
-    for ((name, impl) <- Seq("histogram" -> hist, "sort" -> (Percentiles.exactBySort _))) {
+    val srt: (org.apache.spark.sql.DataFrame, String, String, Double, String) => org.apache.spark.sql.DataFrame =
+      Percentiles.exactBySort(_, _: String, _, _, _)
+    for ((name, impl) <- Seq("histogram" -> hist, "sort" -> srt)) {
       val got = impl(df, "g", "v", pct, "p")
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       assert(got.keySet == oracle.keySet, s"$clue/$name groups")
