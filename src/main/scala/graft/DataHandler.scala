@@ -16,8 +16,10 @@ import graft.operators.{DayStats, Dilation, Filling, TimeAxis}
   *
   * Differences by design: the facade is FLEET-grain (every method
   * returns per-site relational results, keyed by `site`, instead of
-  * mutating single-site state), and plotting methods are out of scope
-  * for a query engine.
+  * mutating single-site state), and plotting methods return the tidy
+  * DataFrame the reference plot draws (`plot*Table` delegates to
+  * [[graft.analyses.PlotTables]]) rather than a rendered figure — the
+  * engine takes no rendering dependency.
   *
   * @param df       long-form power table
   * @param site     site/system key column
@@ -269,6 +271,78 @@ class DataHandler(
   def estimateQuantilesAndDetect(nBins: Int = 40): DataFrame =
     graft.analyses.Quantiles.estimateAndDetect(
       spark, applyTimeDilation(nBins), nBins)
+
+  // ---- plot-table face -------------------------------------------------
+  // The engine takes no rendering dependency; each reference `plot_*`
+  // method maps to the tidy DataFrame holding exactly what that plot
+  // draws (see [[graft.analyses.PlotTables]] for the method table and
+  // per-table contracts). These delegates complete the facade so a
+  // reference user's `dh.plot_heatmap()` call becomes
+  // `dh.plotHeatmapTable()` piped to their plotting layer.
+
+  /** `plot_heatmap` (`data_handler.py:1627`). */
+  def plotHeatmapTable(slotsPerDay: Int = 48): DataFrame =
+    graft.analyses.PlotTables.heatmapTable(df, site, tsCol, valueCol, slotsPerDay)
+
+  /** `plot_daily_signals` (`data_handler.py:1746`). */
+  def plotDailySignalsTable(startDay: Int = 0, numDays: Int = 5,
+      filled: Boolean = true, slotsPerDay: Int = 48): DataFrame =
+    graft.analyses.PlotTables.dailySignalsTable(
+      df, site, tsCol, valueCol, startDay, numDays, filled, slotsPerDay)
+
+  /** `plot_density_signal` (`data_handler.py:1877`). */
+  def plotDensitySignalTable(minCount: Long = 10L): DataFrame =
+    graft.analyses.PlotTables.densitySignalTable(df, site, tsCol, valueCol, minCount)
+
+  /** `plot_clipping` (`data_handler.py:2102`). */
+  def plotClippingTable(): DataFrame =
+    graft.analyses.PlotTables.clippingTable(df, site, tsCol, valueCol)
+
+  /** `plot_daily_max_cdf` / `plot_daily_max_pdf` / `plot_cdf_analysis`
+    * (`data_handler.py:2154-2214`). */
+  def plotDailyMaxCdfTable(): DataFrame =
+    graft.analyses.PlotTables.dailyMaxCdfTable(df, site, tsCol, valueCol)
+
+  /** `plot_capacity_change_analysis` (`data_handler.py:2215`). */
+  def plotCapacityChangeTable(jumpThreshold: Double = 0.1): DataFrame =
+    graft.analyses.PlotTables.capacityChangeTable(df, site, tsCol, valueCol, jumpThreshold)
+
+  /** `plot_bundt` (`data_handler.py:2467`). */
+  def plotBundtTable(nBins: Int = 100, thresholdFrac: Double = 0.01): DataFrame =
+    graft.analyses.PlotTables.bundtTable(spark, df, site, tsCol, valueCol, nBins, thresholdFrac)
+
+  /** `plot_polar_transform` (`data_handler.py:2543`) — see the
+    * geometry-deviation note on
+    * [[graft.analyses.PlotTables.polarTransformTable]]. */
+  def plotPolarTransformTable(latDeg: Double, lonDeg: Double, tzOffset: Int,
+      elevationRound: Int = 1, azimuthRound: Int = 2): DataFrame =
+    graft.analyses.PlotTables.polarTransformTable(
+      df, site, tsCol, valueCol, latDeg, lonDeg, tzOffset, elevationRound, azimuthRound)
+
+  /** `plot_daily_energy` (`data_handler.py:2028`). */
+  def plotDailyEnergyTable(slotsPerDay: Int = 288, minCount: Long = 5L): DataFrame =
+    graft.analyses.PlotTables.dailyEnergyTable(df, site, tsCol, valueCol, slotsPerDay, minCount)
+
+  /** `plot_data_quality_scatter` (`data_handler.py:1991`). */
+  def plotDataQualityScatterTable(): DataFrame =
+    graft.analyses.PlotTables.dataQualityScatterTable(spark, df, site, tsCol, valueCol)
+
+  /** `plot_time_shift_analysis_results` (`data_handler.py:2236`). */
+  def plotTimeShiftTable(): DataFrame =
+    graft.analyses.PlotTables.timeShiftTable(spark, df, site, tsCol, valueCol)
+
+  /** `plot_circ_dist` (`data_handler.py:2297`): good/bad days from the
+    * q19 rule; pass your own day-grain flags (e.g.
+    * [[detectClearDays]]'s verdict) for the clear/cloudy variants.
+    */
+  def plotCircDistTable(flag: String = "good", numBins: Int = 48,
+      minCount: Long = 5L): DataFrame = {
+    require(flag == "good" || flag == "bad", s"flag must be good|bad (got $flag)")
+    val flags = DayStats.qualityFlags(df, site, tsCol, valueCol, minCount)
+      .select(col(site).as("site"), col("day"),
+        (if (flag == "good") col("good_day") else !col("good_day")).as("__f"))
+    graft.analyses.PlotTables.circDistTable(flags, "__f", numBins)
+  }
 
   /** `find_clipped_times` (`data_handler.py:1258-1262` →
     * `clipping.py:109-128`): the per-(site, day, slot) boolean

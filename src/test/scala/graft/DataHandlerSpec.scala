@@ -115,6 +115,30 @@ class DataHandlerSpec extends AnyFunSuite {
     assert(clustered > qc.length / 2, s"only $clustered/${qc.length} clustered")
   }
 
+  test("round-11 facade: every reference plot method has a DataHandler delegate returning its table") {
+    // each delegate must equal its PlotTables operator (one-line
+    // delegation, no logic in the facade) — spot-check row counts and
+    // a value column on the cheap ones, existence on the rest
+    val he = dh.plotHeatmapTable(slotsPerDay = 24)
+    assert(he.count() ==
+      graft.analyses.PlotTables.heatmapTable(fleet, "site", "ts", "power", 24).count())
+    assert(dh.plotDailySignalsTable(numDays = 2, slotsPerDay = 24).count() > 0)
+    assert(dh.plotDensitySignalTable().columns.contains("density"))
+    assert(dh.plotClippingTable().columns.toSet.intersect(Set("clip1", "clip2")).size == 2)
+    assert(dh.plotDailyMaxCdfTable().count() > 0)
+    assert(dh.plotCapacityChangeTable().count() > 0)
+    assert(dh.plotDailyEnergyTable(slotsPerDay = 24).columns.contains("energy"))
+    assert(dh.plotTimeShiftTable().columns.toSet ==
+      Set("site", "day", "metric", "s1", "signal_model", "used"))
+    val circGood = dh.plotCircDistTable("good", numBins = 12)
+    val circBad = dh.plotCircDistTable("bad", numBins = 12)
+    val nDays = fleet.selectExpr("site", "CAST(ts AS DATE)").distinct().count()
+    val tot = circGood.agg(sum(col("n_days"))).collect()(0).getLong(0) +
+      (if (circBad.isEmpty) 0L else circBad.agg(sum(col("n_days"))).collect()(0).getLong(0))
+    assert(tot == nDays, s"good+bad circ-dist counts $tot must cover all $nDays site-days")
+    intercept[IllegalArgumentException](dh.plotCircDistTable("clear"))
+  }
+
   test("round-11 facade: findClippedTimes mask attaches via augmentDataFrame without multiplying rows") {
     val mask = dh.findClippedTimes(slotsPerDay = 96)
     assert(mask.columns.toSet == Set("site", "day", "slot", "clipped"))
