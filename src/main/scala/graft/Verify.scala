@@ -109,7 +109,8 @@ object Verify {
         // no timestamp: identical results must leave an identical file,
         // so `git status` alone answers "did anything change"
         Files.writeString(snapDir.resolve("HASHES.tsv"),
-          s"# graft verify snapshot sfDir=$sfDir cpus=$cpus java=${System.getProperty("java.version")}\n" +
+          s"# graft verify snapshot sfDir=$sfDir cpus=$cpus java=${System.getProperty("java.version")}" +
+            s" spark=${org.apache.spark.SPARK_VERSION}\n" +
             hashes.sorted.mkString("\n") + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] hash table write failed: ${e.getMessage}")
