@@ -18,12 +18,20 @@ object BenchScale {
       println(s"[benchscale] rep $i/$reps: $l")
       l
     }
-    // median by fleet16_sec (the contested headline)
+    // median by fleet16_sec (the contested headline). Failed reps
+    // carry Bench's -1 error sentinel, which would sort FIRST and —
+    // with 2+ failures out of 3 — get persisted as the "median"
+    // headline: exclude them from the median and surface the failure
+    // count instead, so the evidence artifact can never present a
+    // failure sentinel as a timing.
     def f16(l: String): Double =
       "\"fleet16_sec\":([0-9.Ee+-]+)".r.findFirstMatchIn(l).map(_.group(1).toDouble).getOrElse(-1.0)
-    val sorted = lines.sortBy(f16)
-    val median = sorted(sorted.length / 2)
-    println(s"[benchscale] median: $median")
+    val okLines = lines.filter(f16(_) >= 0)
+    val nFailed = lines.length - okLines.length
+    val median =
+      if (okLines.isEmpty) """{"single_site_rows_per_sec":-1}"""
+      else okLines.sortBy(f16).apply(okLines.length / 2)
+    println(s"[benchscale] median: $median (failed reps: $nFailed)")
     try {
       val stamp = java.time.format.DateTimeFormatter
         .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
@@ -33,7 +41,7 @@ object BenchScale {
       java.nio.file.Files.createDirectories(hist.getParent)
       val reparr = lines.map(l => l).mkString("[", ",", "]")
       java.nio.file.Files.writeString(hist,
-        s"""{"kind":"pipeline_scale_isolated","reps":$reparr,"median":$median}""" + "\n",
+        s"""{"kind":"pipeline_scale_isolated","reps":$reparr,"failed_reps":$nFailed,"median":$median}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE_NEW)
       println(s"[benchscale] wrote $hist")
     } catch { case scala.util.control.NonFatal(e) =>

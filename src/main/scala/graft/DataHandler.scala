@@ -219,7 +219,12 @@ class DataHandler(
     DayStats.clipStats(df, site, tsCol, valueCol)
 
   /** Capacity estimate (p95 of the power column, the reference's
-    * `capacity_estimate` attribute).
+    * `capacity_estimate` attribute). Exact and self-routing
+    * ([[graft.operators.Percentiles.exact]]): arbitrary user frames
+    * are safe here — a derived or non-deterministic frame routes to
+    * the single-evaluation sort form; only deterministic scan-shaped
+    * frames take the two-pass histogram form (which fails loudly,
+    * never silently, if its two passes ever disagree).
     */
   def capacityEstimate(): DataFrame =
     DayStats.capacity(df, site, valueCol)

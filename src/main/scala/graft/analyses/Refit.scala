@@ -109,6 +109,18 @@ object Refit {
     * sites through the driver — equivalent at 10⁴ sites but a driver
     * hop that a 10⁶-site fleet with a hot ingest day does not need;
     * the checkpointed frame broadcasts straight from the executors.
+    *
+    * Reliability trade (vs the driver-collected copy): localCheckpoint
+    * stores the snapshot ONLY in executor block storage — lose an
+    * executor holding a partition and the whole incremental job fails
+    * and must restart, where the collected copy survived executor
+    * churn. Acceptable on a stable service fleet (the job is
+    * idempotent — rerun and it converges); on a PREEMPTIBLE fleet,
+    * swap in reliable checkpointing (`spark.sparkContext
+    * .setCheckpointDir` + `.checkpoint()`) or persist the
+    * site-cardinality frame with replicated storage
+    * (`MEMORY_AND_DISK_2`) — same single-snapshot semantics, survives
+    * single-executor loss.
     */
   def incremental(
       spark: SparkSession,

@@ -187,14 +187,16 @@ object Study {
     * values hit systematically (the round-9 q64 driver-flake class).
     */
   def scaleParams(rows: DataFrame): DataFrame =
-    // sort-selection percentiles (round 11): all four levels (min
-    // rides as the 0.0 level) share ONE evaluation of `rows` — the
-    // input is the DERIVED filled/raw matrix pipeline, so the
-    // histogram form's second pass would re-run that whole derivation
-    // (measured +1.5 s on q61). Bit-identical to the percentile
-    // aggregate (PercentilesSpec), so the q88 gate and every
-    // downstream threshold see the same values
-    graft.operators.Percentiles.exactBySort(
+    // self-routing exact percentiles: all four levels (min rides as
+    // the 0.0 level) in one call — the input is the DERIVED
+    // filled/raw matrix pipeline, which [[Percentiles.exact]] routes
+    // to the single-evaluation sort form (the histogram form's
+    // second pass re-derived the grid: measured +1.5 s on q61, round
+    // 11); when the grid is persisted (`spark.graft.filledGrid
+    // .cache`) the cached leaf routes to histogram instead.
+    // Bit-identical either way (PercentilesSpec), so the q88 gate and
+    // every downstream threshold see the same values
+    graft.operators.Percentiles.exact(
         rows, Seq("site", "data_matrix"), "v",
         Seq(0.99 -> "hi99", 0.0 -> "mn", 0.95 -> "p95", 0.05 -> "p05"))
       .withColumn("lo99", greatest(col("mn"), lit(-0.005) * col("hi99")))

@@ -64,13 +64,13 @@ object SunriseSunset {
       searchPts: Int = 21
   ): DataFrame = {
     val ths = thresholdGrid(searchPts)
-    // sort-selection percentile (round 11): p99 and min (= the 0.0
-    // level) in ONE evaluation of `df` — callers pass derived frames
-    // (the filled grid in the stage-12 re-estimate), so the histogram
-    // form's second pass would re-run the derivation. Bit-identical
-    // to the percentile aggregate, no per-site distinct-value buffer
+    // self-routing exact percentiles: p99 and min (= the 0.0 level)
+    // — callers pass derived frames (the filled grid in the stage-12
+    // re-estimate), which [[Percentiles.exact]] routes to the
+    // single-evaluation sort form; scan-shaped callers get the
+    // histogram route. Bit-identical to the percentile aggregate
     val scale = graft.operators.Percentiles
-      .exactBySort(df, Seq(site), valueCol, Seq(0.99 -> "__hi", 0.0 -> "__mn"))
+      .exact(df, Seq(site), valueCol, Seq(0.99 -> "__hi", 0.0 -> "__mn"))
       .withColumn("__lo", greatest(col("__mn"), lit(-0.005) * col("__hi")))
       .select(col(site), col("__hi"), col("__lo"))
     val h = TimeAxis.hourOfDay(col(tsCol))

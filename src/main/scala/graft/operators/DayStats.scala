@@ -24,15 +24,17 @@ object DayStats {
       .agg((sum(col(valueCol)) * 24.0 / count(lit(1))).as("energy"))
 
   /** Per-site capacity estimate: exact 95th percentile of all values
-    * (reference `data_handler.py:431`). Histogram-prune selection
+    * (reference `data_handler.py:431`). Self-routing exact selection
     * rather than the `percentile` aggregate — bit-identical result
-    * (see [[Percentiles.exactByHistogram]]) with no row-grain shuffle:
-    * the `percentile` ObjectHashAggregate measured 5.5–9.9 s of the
-    * 25M-row fleet16 headline (round 11) and dominated its GC
-    * variance.
+    * (see [[Percentiles.exact]]): a scan-shaped input takes the
+    * histogram-prune route with no row-grain shuffle (the
+    * `percentile` ObjectHashAggregate measured 5.5–9.9 s of the
+    * 25M-row fleet16 headline, round 11, and dominated its GC
+    * variance); a derived or non-deterministic input takes the
+    * single-evaluation sort route automatically.
     */
   def capacity(df: DataFrame, site: String, valueCol: String): DataFrame =
-    Percentiles.exactByHistogram(df, site, valueCol, 0.95, "capacity")
+    Percentiles.exact(df, site, valueCol, 0.95, "capacity")
 
   /** Sketch-state capacity for the 100 TB deployment: exact
     * `percentile` buffers EVERY value of a group in the aggregation
@@ -288,11 +290,12 @@ object DayStats {
       extra: Column,
       threshold: Double = 0.01
   ): DataFrame = {
-    // sort-selection percentiles (round 11, bit-identical — see
-    // [[Percentiles.exactBySort]]): both levels in one evaluation of
-    // the (possibly derived) input, no per-site distinct-value buffer
+    // self-routing exact percentiles (see [[Percentiles.exact]]):
+    // both levels in one pass over the (possibly derived) input, no
+    // per-site distinct-value buffer; a scan-shaped input takes the
+    // near-shuffle-free histogram route automatically
     val scale = Percentiles
-      .exactBySort(df, Seq(site), valueCol, Seq(0.05 -> "__p05", 0.95 -> "__p95"))
+      .exact(df, Seq(site), valueCol, Seq(0.05 -> "__p05", 0.95 -> "__p95"))
       .withColumn("__lo", greatest(col("__p05"), lit(0.0)))
       .select(col(site), col("__lo"), col("__p95"))
     // 6-dp-rounded scaled compare: boundary-stable cross-engine (q55).

@@ -38,6 +38,73 @@ import org.apache.spark.sql.DataFrame
   */
 object Percentiles {
 
+  /** SELF-ROUTING exact per-group percentile — the one API call
+    * sites should use (round 12; the round-11 hand-routing between
+    * the two forms below mis-guessed on the first new consumer it
+    * met). Both routes are bit-identical to Spark's `percentile`
+    * aggregate (PercentilesSpec pins parity on both), so routing is
+    * purely a COST decision, made from the input's optimized plan:
+    *
+    *  - [[exactByHistogram]] evaluates the input TWICE but shuffles
+    *    only O(groups × bins) — wins when a re-scan is cheap: the
+    *    plan is a column-pruned scan, a cached relation, or
+    *    projections/filters/unions over those.
+    *  - [[exactBySort]] evaluates the input ONCE but shuffles every
+    *    (group, value) row — wins when the input is a DERIVED
+    *    subtree (aggregate/window/join/generate/repartition
+    *    anywhere) whose re-evaluation would dominate (measured
+    *    +1.5 s on q61 when the histogram form re-derived the filled
+    *    grid), and is the only safe route for a NON-DETERMINISTIC
+    *    input (the histogram form's two passes must see identical
+    *    rows — it fails loudly if they don't, see the invariant in
+    *    [[exactByHistogram]]).
+    */
+  def exact(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      pct: Double,
+      outCol: String
+  ): DataFrame =
+    exact(df, Seq(groupCol), valueCol, Seq(pct -> outCol))
+
+  /** Multi-group, multi-level self-routing form — see [[exact]]. */
+  def exact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      pcts: Seq[(Double, String)]
+  ): DataFrame =
+    if (preferHistogram(df)) exactByHistogram(df, groupCols, valueCol, pcts)
+    else exactBySort(df, groupCols, valueCol, pcts)
+
+  /** Route decision for [[exact]]: true ⇒ the input's re-scan is
+    * cheap (and deterministic), so the two-pass histogram form's
+    * near-zero shuffle wins. Walks the OPTIMIZED plan — cache
+    * substitution has already run, so a persisted derived pipeline
+    * shows up as an `InMemoryRelation` leaf (cheap re-scan), and
+    * pushed-down filters/prunes are already in scan shape.
+    * Exposed `private[graft]` so PercentilesSpec can pin the routing
+    * table (scan→histogram, window/agg subtree→sort, cached→histogram,
+    * rand()→sort) without timing anything.
+    */
+  private[graft] def preferHistogram(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, Union}
+    def cheapRescan(p: LogicalPlan): Boolean = p match {
+      // nondeterministic expressions anywhere ⇒ the two passes could
+      // disagree ⇒ single-evaluation sort form only
+      case n if !n.deterministic => false
+      case _: LeafNode => true // scan / InMemoryRelation / LocalRelation
+      case n @ (_: Project | _: Filter | _: Union) => n.children.forall(cheapRescan)
+      // aggregate / window / join / generate / sort / limit /
+      // repartition / mapPartitions … ⇒ derived subtree: re-running
+      // it (or re-running its exchange) costs more than one
+      // row-grain sort shuffle
+      case _ => false
+    }
+    cheapRescan(df.queryExecution.optimizedPlan)
+  }
+
   /** Exact per-group percentile via HISTOGRAM PRUNING — the default
     * and the 100 TB shape: no row-grain shuffle at all.
     *
@@ -136,7 +203,20 @@ object Percentiles {
         first(col(s"__hi$i")).as(s"__h$i"))
     }
     val outs = idx.map { i =>
-      when(col(s"__l$i") === col(s"__h$i"), col(s"__lk$i"))
+      // Invariant (two-pass consistency): the histogram pass promised
+      // this group's target ranks live in the flagged bins, so the
+      // candidate pass MUST have yielded both order-statistic keys.
+      // A null key here means the input returned different rows to
+      // the two passes (non-deterministic / concurrently-changing
+      // source) — fail loudly rather than return a silently wrong or
+      // vanishing percentile (the single-pass forms are immune).
+      when(col(s"__lk$i").isNull || col(s"__hk$i").isNull,
+        raise_error(concat(
+          lit("Percentiles.exactByHistogram: order-statistic key missing for level " +
+            pcts(i)._1 + " — input rows changed between the histogram and candidate " +
+            "scans (non-deterministic source?); persist() the input or use exactBySort. group="),
+          concat_ws(",", g.map(_.cast("string")): _*))))
+        .when(col(s"__l$i") === col(s"__h$i"), col(s"__lk$i"))
         .when(col(s"__hk$i") === col(s"__lk$i"), col(s"__lk$i"))
         .otherwise(
           (col(s"__h$i").cast("double") - col(s"__p$i")) * col(s"__lk$i") +

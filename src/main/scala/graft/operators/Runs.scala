@@ -63,13 +63,24 @@ object Runs {
     * lo/hi = q1/q3 ∓ k·IQR (reference `utilities.py:12-31`).
     * Exact percentiles by default; bounds rounded to 6 dp so the same
     * predicate evaluates identically in any engine doing the
-    * comparison. The exact path is [[Percentiles.exactBySort]]
-    * (round 11): bit-identical to the `percentile` aggregate with
-    * bounded spill-able state, one evaluation of the (possibly
-    * derived) input, which retires the unbounded distinct-value
-    * buffer this operator used to carry.
+    * comparison. The exact path is the self-routing
+    * [[Percentiles.exact]] (round 12): bit-identical to the
+    * `percentile` aggregate with bounded spill-able state, which
+    * retires the unbounded distinct-value buffer this operator used
+    * to carry; scan-shaped inputs take the near-shuffle-free
+    * histogram route, derived inputs the single-evaluation sort route.
     * `exact = false` keeps the GK sketch (`approx_percentile`, rank
     * error ≤ 1e-4) for callers preferring a single-pass plan.
+    *
+    * All-null-group contract (round 11 change): with `exact = true`,
+    * a key group whose values are ALL null is ABSENT from the output
+    * — the old `percentile` aggregate emitted it with null q1/q3/lo/hi
+    * (as `exact = false` still does). In-repo call sites filter nulls
+    * upstream or inner-join this result, where absent and null
+    * coincide; an external caller LEFT-joining on these keys sees the
+    * group disappear rather than join null — restore null rows with
+    * `keysDf.join(iqrBounds(...), keys, "left")` from a distinct-keys
+    * frame if that distinction matters.
     */
   def iqrBounds(
       df: DataFrame,
@@ -79,7 +90,7 @@ object Runs {
       exact: Boolean = true
   ): DataFrame =
     (if (exact)
-      Percentiles.exactBySort(df, keys, valueCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
+      Percentiles.exact(df, keys, valueCol, Seq(0.25 -> "q1", 0.75 -> "q3"))
     else
       df.groupBy(keys.map(col): _*)
         .agg(

@@ -103,6 +103,69 @@ class PercentilesSpec extends AnyFunSuite {
     assert(got.join(oracle, Seq("a", "b")).filter(got("p") =!= oracle("p")).count() == 0)
   }
 
+  test("routing: scan-shaped inputs (leaf + project/filter) prefer histogram") {
+    val dir = java.nio.file.Files.createTempDirectory("pctroute").toString
+    val base = (1L to 200L).map(i => (i % 4, i * 0.5)).toDF("g", "v")
+    base.write.mode("overwrite").parquet(dir)
+    val scan = spark.read.parquet(dir)
+    assert(Percentiles.preferHistogram(scan), "parquet scan")
+    assert(Percentiles.preferHistogram(scan.filter(col("v") > 3).select(col("g"), col("v"))),
+      "filter+project over scan")
+    assert(Percentiles.preferHistogram(base), "local relation")
+    assert(Percentiles.preferHistogram(scan.unionByName(scan)), "union of scans")
+  }
+
+  test("routing: derived subtrees (aggregate/window/join/repartition) prefer sort") {
+    val df = (1L to 200L).map(i => (i % 4, i * 0.5)).toDF("g", "v")
+    val agg = df.groupBy(col("g")).agg(sum(col("v")).as("v"))
+    assert(!Percentiles.preferHistogram(agg), "aggregate subtree")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))
+    assert(!Percentiles.preferHistogram(df.withColumn("r", row_number().over(w))), "window subtree")
+    assert(!Percentiles.preferHistogram(df.join(agg.select(col("g")), Seq("g"))), "join subtree")
+    assert(!Percentiles.preferHistogram(df.repartition(8)), "repartition subtree")
+  }
+
+  test("routing: non-deterministic input MUST take the single-evaluation sort route") {
+    // over a real scan: the optimizer cannot fold the rand() away
+    // (over a LocalRelation it may materialize the rows into the
+    // leaf, which is then legitimately safe to re-scan)
+    val dir = java.nio.file.Files.createTempDirectory("pctroutend").toString
+    (1L to 50L).map(i => (i % 2, i * 1.0)).toDF("g", "v").write.mode("overwrite").parquet(dir)
+    val nd = spark.read.parquet(dir).withColumn("v", col("v") + rand(7))
+    assert(!Percentiles.preferHistogram(nd))
+  }
+
+  test("routing: a persisted derived pipeline routes to histogram (cached leaf)") {
+    val df = (1L to 200L).map(i => (i % 4, i * 0.5)).toDF("g", "v")
+    val derived = df.groupBy(col("g"), (col("v") % 10).as("b")).agg(sum(col("v")).as("v"))
+    derived.persist()
+    try {
+      derived.count()
+      assert(Percentiles.preferHistogram(derived), "cache substitution makes re-scan cheap")
+    } finally derived.unpersist(blocking = true)
+  }
+
+  test("self-routing exact: both routes produce the aggregate's bits on the same call") {
+    val rows = for (g <- 1L to 2L; i <- 0 until 123) yield
+      (g, java.lang.Double.valueOf(math.sin(i * 3.3 + g) * 11.1))
+    val df = rows.toDF("g", "v")
+    val oracle = df.groupBy(col("g")).agg(percentile(col("v"), lit(0.95)).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scan-shaped (histogram route) and window-derived (sort route)
+    // inputs of identical content must agree with the aggregate
+    val derived = df.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))))
+      .select(col("g"), col("v"))
+    for ((clue, in) <- Seq("scanshape" -> df, "derived" -> derived)) {
+      val got = Percentiles.exact(in, Seq("g"), "v", Seq(0.95 -> "p"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.keySet == oracle.keySet, clue)
+      for ((g, exp) <- oracle)
+        assert(java.lang.Double.doubleToLongBits(got(g)) == java.lang.Double.doubleToLongBits(exp),
+          s"$clue g=$g")
+    }
+  }
+
   test("adjacent order statistics land in different bins") {
     // values far apart in magnitude: floor/ceil ranks straddle a bin
     // boundary for p between the two clusters
