@@ -22,6 +22,103 @@ import org.apache.spark.sql.SparkSession
   * Prints one JSON line: {"metric":"total","value":N,"unit":"sec",...}.
   */
 object Bench {
+
+  /** Pinned wall-clock of one [[calibrate]] reading on a healthy,
+    * otherwise-idle 32-core close host (median of repeated
+    * measurements, committed round 12). The calibration kernel is
+    * pure seeded CPU work, so on ANY quiet host of this shape the
+    * reading lands near this value; a reading beyond
+    * [[DegradedFactor]]× means the host is CPU-starved and CPU-dense
+    * timings taken next to it are not comparable across rounds.
+    */
+  private[graft] val CalibrationPinnedSec = 0.48
+  private[graft] val DegradedFactor = 1.5
+
+  /** One deterministic CPU-bound unit: a fixed-length dependent
+    * floating-point chain. Deliberately ALLOCATION-FREE — an
+    * array-heavy kernel (the first cut used the cdfPwlFit IRLS)
+    * measures the allocator/GC under 32-thread contention, whose
+    * run-to-run spread (1.9×) would false-positive the degradation
+    * gate; a register-only chain isolates exactly the resource a
+    * noisy co-tenant steals: cycles. Returns a checksum so the JIT
+    * cannot elide the work.
+    */
+  private def calibrationKernel(): Double = {
+    var x = 1.2345
+    var s = 0.0
+    var i = 0
+    while (i < 120000000) {
+      x = x * 0.9999999 + 1e-9
+      s += x * x - math.sqrt(x + 1.0)
+      i += 1
+    }
+    s
+  }
+
+  /** Host-health reading: wall seconds for `availableProcessors`
+    * concurrent calibration kernels (one per core — a quiet host
+    * finishes in ~one kernel's time; a host whose cores are stolen
+    * by a co-tenant inflates proportionally, which is exactly the
+    * failure mode that poisoned the round-10/11 closing artifacts).
+    * One full parallel pass runs UNTIMED first (JIT + pool warm —
+    * the kernel JITs progressively for its first few executions, and
+    * a half-compiled reading would read as phantom degradation), then
+    * the median of three timed passes is the reading.
+    */
+  private[graft] def calibrate(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    def pass(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+      val t0 = System.nanoTime()
+      try {
+        val futs = (1 to cores).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Double] {
+            def call(): Double = calibrationKernel()
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm untimed
+    val readings = (1 to 3).map(_ => pass())
+    readings.sorted.apply(1)
+  }
+
+  /** Run `lane` with calibration readings immediately before and
+    * after. If either reading exceeds DegradedFactor × pinned, the
+    * attempt is discarded and the lane re-runs (up to `maxAttempts`)
+    * after a GC quiesce + short backoff — a transient co-tenant burst
+    * passes, and the artifact records the attempt it took. If every
+    * attempt is degraded, the LAST result ships but self-labels
+    * `"degraded":true` so the close is visibly not official-grade.
+    * Returns the lane JSON extended with its calibration evidence.
+    */
+  private[graft] def calibrated(label: String, maxAttempts: Int = 3)(lane: => String): String = {
+    var attempt = 0
+    var out = ""
+    var calBefore = -1.0
+    var calAfter = -1.0
+    var clean = false
+    while (attempt < maxAttempts && !clean) {
+      attempt += 1
+      if (attempt > 1) { System.gc(); Thread.sleep(5000L) }
+      calBefore = calibrate()
+      out = lane
+      calAfter = calibrate()
+      clean = math.max(calBefore, calAfter) <= DegradedFactor * CalibrationPinnedSec
+      if (!clean)
+        System.err.println(f"[bench] $label attempt $attempt host-degraded " +
+          f"(cal $calBefore%.3f/$calAfter%.3f vs pinned $CalibrationPinnedSec): " +
+          (if (attempt < maxAttempts) "retrying" else "shipping last attempt, flagged"))
+    }
+    val calJson = f"""{"before_sec":$calBefore%.4f,"after_sec":$calAfter%.4f,""" +
+      s""""pinned_sec":$CalibrationPinnedSec,"attempts":$attempt,"degraded":${!clean}}"""
+    // splice the calibration object into the lane's JSON object
+    if (out.startsWith("{")) out.dropRight(1) + s""","calibration":$calJson}"""
+    else out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -32,9 +129,17 @@ object Bench {
     // engine never pins executor memory behind a caller's back)
     spark.conf.set("spark.graft.filledGrid.cache", "true")
 
+    // suite-level host-health reading BEFORE any timing (after plan
+    // warmup below, so the reading isn't charged JIT) and again after
+    // the last lane: if either is degraded the whole artifact
+    // self-labels host_degraded and the close must re-run — two
+    // consecutive rounds shipped official numbers from a CPU-starved
+    // session and the truth had to be reconstructed from history
+    // files (VERDICT r10/r11).
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
+    val calSuiteBefore = calibrate()
 
     // A failed query is reported as -1 (never a plausible-looking
     // elapsed time) and listed under "failed"; fatal Throwables (OOM,
@@ -84,8 +189,14 @@ object Bench {
     val total = results.values.collect { case (_, w, _, _) if w >= 0 => w }.sum
     val coldTotal = results.values.collect { case (c, _, _, _) if c >= 0 => c }.sum
 
-    val streamJson = streamingLine(spark, sfDir)
-    val scaleJson = pipelineScaleLine(spark)
+    val streamJson = calibrated("streaming")(streamingLine(spark, sfDir))
+    val scaleJson = calibrated("pipeline_scale")(pipelineScaleLine(spark))
+    val calSuiteAfter = calibrate()
+    val suiteDegraded =
+      math.max(calSuiteBefore, calSuiteAfter) > DegradedFactor * CalibrationPinnedSec ||
+        streamJson.contains("\"degraded\":true") || scaleJson.contains("\"degraded\":true")
+    val calJson = f"""{"suite_before_sec":$calSuiteBefore%.4f,"suite_after_sec":$calSuiteAfter%.4f,""" +
+      s""""pinned_sec":$CalibrationPinnedSec,"degraded_factor":$DegradedFactor}"""
 
     // Field order matters: the harness archives only the TAIL of this
     // line (observed 2000-char cap in the per-round artifacts, where
@@ -103,7 +214,7 @@ object Bench {
     // {median,min,max} is in "queries_spread". "cold_total" is the
     // un-quiesced first target-sf pass (scan cache cold, GC debt
     // included), so both regimes are visible side by side.
-    val line = s"""{"queries_spread":$spread,"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"gc_quiesced_warm":true,"warm_reps":$WarmReps,"streaming":$streamJson,"pipeline_scale":$scaleJson,"sf":"$sfDir"}"""
+    val line = s"""{"queries_spread":$spread,"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"gc_quiesced_warm":true,"warm_reps":$WarmReps,"streaming":$streamJson,"pipeline_scale":$scaleJson,"calibration":$calJson,"host_degraded":$suiteDegraded,"sf":"$sfDir"}"""
     println(line)
     // Full detail also lands in-repo: the harness tail-truncation
     // loses ~70 of the per-query numbers, so the next round's diff
@@ -143,41 +254,47 @@ object Bench {
     * (100 k rows) fixed job latency dominates and the per-row rate
     * reads ~3× worse than the engine's actual throughput.
     */
+  /** One synthetic-fleet pipeline execution at `nSites` (3 yr @
+    * 1-min each): returns (rows, wall seconds). The fleet is
+    * materialized BEFORE the clock starts: the reference's 25.99 s is
+    * pipeline-on-loaded-data (its CSV is read before run_pipeline),
+    * and dayRows legitimately makes three passes over its input —
+    * against a generated subtree each pass would re-run the trig,
+    * measuring the generator instead of the pipeline.
+    */
+  private[graft] def pipelineScaleRun(spark: SparkSession, nSites: Int): (Long, Double) = {
+    val df = graft.sources.Synth.pvFleet(spark, nSites, nDays = 1095, slotsPerDay = 1440)
+      .select(org.apache.spark.sql.functions.col("site"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("power"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = nSites.toLong * 1095L * 1440L
+    try {
+      df.count()
+      val t0 = System.nanoTime()
+      val n = graft.analyses.Pipeline.run(spark, df, "site", "ts", "power").count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(n == nSites, s"pipeline scale run returned $n reports for $nSites sites")
+      (rows, sec)
+    } finally df.unpersist(blocking = false)
+  }
+
+  /** Median of three gc-quiesced [[pipelineScaleRun]]s — same
+    * methodology as the per-query timings: a single end-of-suite
+    * fleet16 execution read anywhere from 9 to 18 s across same-code
+    * runs (GC debt from the preceding 186 queries charged to one
+    * sample).
+    */
+  private[graft] def pipelineScaleMed3(spark: SparkSession, nSites: Int): (Long, Double) = {
+    val runs = (1 to 3).map { _ => System.gc(); pipelineScaleRun(spark, nSites) }
+    (runs.head._1, runs.map(_._2).sorted.apply(1))
+  }
+
   private[graft] def pipelineScaleLine(spark: SparkSession): String = {
     try {
-      def run(nSites: Int): (Long, Double) = {
-        // materialize the synthetic fleet BEFORE the clock starts:
-        // the reference's 25.99 s is pipeline-on-loaded-data (its CSV
-        // is read before run_pipeline), and dayRows legitimately
-        // makes three passes over its input — against a generated
-        // subtree each pass would re-run 25M rows of trig, measuring
-        // the generator instead of the pipeline
-        val df = graft.sources.Synth.pvFleet(spark, nSites, nDays = 1095, slotsPerDay = 1440)
-          .select(org.apache.spark.sql.functions.col("site"),
-            org.apache.spark.sql.functions.col("ts"),
-            org.apache.spark.sql.functions.col("power"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val rows = nSites.toLong * 1095L * 1440L
-        try {
-          df.count()
-          val t0 = System.nanoTime()
-          val n = graft.analyses.Pipeline.run(spark, df, "site", "ts", "power").count()
-          val sec = (System.nanoTime() - t0) / 1e9
-          require(n == nSites, s"pipeline scale run returned $n reports for $nSites sites")
-          (rows, sec)
-        } finally df.unpersist(blocking = false)
-      }
-      run(1) // warm the plan + JIT once at full row count
-      // median of three gc-quiesced passes, same methodology as the
-      // per-query timings: a single end-of-suite fleet16 execution
-      // read anywhere from 9 to 18 s across same-code runs (GC debt
-      // from the preceding 186 queries charged to one sample)
-      def med3(nSites: Int): (Long, Double) = {
-        val runs = (1 to 3).map { _ => System.gc(); run(nSites) }
-        (runs.head._1, runs.map(_._2).sorted.apply(1))
-      }
-      val (r1, s1) = med3(1)
-      val (r16, s16) = med3(16)
+      pipelineScaleRun(spark, 1) // warm the plan + JIT once at full row count
+      val (r1, s1) = pipelineScaleMed3(spark, 1)
+      val (r16, s16) = pipelineScaleMed3(spark, 16)
       s"""{"single_site_rows":$r1,"single_site_sec":$s1,"single_site_rows_per_sec":${r1 / s1},""" +
         s""""fleet16_rows":$r16,"fleet16_sec":$s16,"fleet16_rows_per_sec":${r16 / s16},"warm_reps":3}"""
     } catch {

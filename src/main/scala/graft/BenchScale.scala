@@ -12,10 +12,16 @@ object BenchScale {
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val spark = GraftSession.local()
+    // each rep carries a host-health calibration reading (see
+    // Bench.calibrate) so the persisted artifact proves on its face
+    // whether the host was quiet when the number was taken
+    val cals = scala.collection.mutable.ArrayBuffer.empty[Double]
     val lines = (1 to reps).map { i =>
       System.gc()
+      val cal = Bench.calibrate()
+      cals += cal
       val l = Bench.pipelineScaleLine(spark)
-      println(s"[benchscale] rep $i/$reps: $l")
+      println(f"[benchscale] rep $i/$reps (cal $cal%.4f s vs pinned ${Bench.CalibrationPinnedSec}): $l")
       l
     }
     // median by fleet16_sec (the contested headline). Failed reps
@@ -40,8 +46,11 @@ object BenchScale {
         s"bench/history/scale_${stamp}_${System.nanoTime() % 1000000L}.json")
       java.nio.file.Files.createDirectories(hist.getParent)
       val reparr = lines.map(l => l).mkString("[", ",", "]")
+      val calarr = cals.map(c => f"$c%.4f").mkString("[", ",", "]")
       java.nio.file.Files.writeString(hist,
-        s"""{"kind":"pipeline_scale_isolated","reps":$reparr,"failed_reps":$nFailed,"median":$median}""" + "\n",
+        s"""{"kind":"pipeline_scale_isolated","reps":$reparr,"failed_reps":$nFailed,""" +
+          s""""calibration_secs":$calarr,"calibration_pinned_sec":${Bench.CalibrationPinnedSec},""" +
+          s""""median":$median}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE_NEW)
       println(s"[benchscale] wrote $hist")
     } catch { case scala.util.control.NonFatal(e) =>

@@ -303,10 +303,20 @@ class DataHandler(
   def plotClippingTable(): DataFrame =
     graft.analyses.PlotTables.clippingTable(df, site, tsCol, valueCol)
 
-  /** `plot_daily_max_cdf` / `plot_daily_max_pdf` / `plot_cdf_analysis`
-    * (`data_handler.py:2154-2214`). */
+  /** `plot_daily_max_cdf`'s curve (`data_handler.py:2169`). */
   def plotDailyMaxCdfTable(): DataFrame =
     graft.analyses.PlotTables.dailyMaxCdfTable(df, site, tsCol, valueCol)
+
+  /** `plot_daily_max_pdf`'s histogram panel (`data_handler.py:2154`,
+    * `clipping.py:226`). */
+  def plotDailyMaxPdfTable(numBins: Int = 100): DataFrame =
+    graft.analyses.PlotTables.dailyMaxPdfTable(df, site, tsCol, valueCol, numBins)
+
+  /** `plot_cdf_analysis` / `plot_daily_max_cdf_and_pdf`'s fitted-CDF,
+    * diff, and point-mass surface (`data_handler.py:2184-2214`,
+    * `clipping.py:131-198`). */
+  def plotCdfAnalysisTable(gridPts: Int = 5000): DataFrame =
+    graft.analyses.PlotTables.cdfAnalysisTable(df, site, tsCol, valueCol, gridPts)
 
   /** `plot_capacity_change_analysis` (`data_handler.py:2215`). */
   def plotCapacityChangeTable(jumpThreshold: Double = 0.1): DataFrame =
@@ -316,8 +326,9 @@ class DataHandler(
   def plotBundtTable(nBins: Int = 100, thresholdFrac: Double = 0.01): DataFrame =
     graft.analyses.PlotTables.bundtTable(spark, df, site, tsCol, valueCol, nBins, thresholdFrac)
 
-  /** `plot_polar_transform` (`data_handler.py:2543`) — see the
-    * geometry-deviation note on
+  /** `plot_polar_transform` (`data_handler.py:2543`) — apparent
+    * (Bennett/SPA refraction-corrected) elevation binning, matching
+    * the reference's pvlib binning; see
     * [[graft.analyses.PlotTables.polarTransformTable]]. */
   def plotPolarTransformTable(latDeg: Double, lonDeg: Double, tzOffset: Int,
       elevationRound: Int = 1, azimuthRound: Int = 2): DataFrame =

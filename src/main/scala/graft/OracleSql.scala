@@ -1102,6 +1102,34 @@ object OracleSql {
     FROM good GROUP BY 1, 2, 3
   """
 
+  // q96: daily-max PDF histogram — the q48 clip1 statistic binned
+  // per site into 100 equal-width bins over [min, max] of the
+  // positive values (numpy plt.hist semantics, last bin inclusive).
+  // The bin expression mirrors the Spark side token-for-token —
+  // ((clip1 − lo) * 100.0) / (hi − lo), floored then clamped — so
+  // both engines run identical IEEE arithmetic; the floor output is
+  // integral, making DuckDB's rounding double→int CAST and Spark's
+  // truncating cast agree. Edges quantized with the product idiom.
+  private val q96 = s"""
+    WITH $clipStatsCte,
+    cs AS (
+      SELECT s.user_id, s.daily_max / m.site_max AS clip1
+      FROM sums s JOIN site m ON s.user_id = m.user_id
+      WHERE s.daily_max / m.site_max > 0),
+    mm AS (SELECT user_id, min(clip1) AS lo, max(clip1) AS hi FROM cs GROUP BY 1),
+    b AS (
+      SELECT c.user_id,
+        CASE WHEN m.hi = m.lo THEN 0
+             ELSE CAST(least(floor((c.clip1 - m.lo) * 100.0 / (m.hi - m.lo)), 99.0) AS INT) END AS bin,
+        m.lo AS lo, m.hi AS hi
+      FROM cs c JOIN mm m ON c.user_id = m.user_id)
+    SELECT user_id, bin,
+      round((lo + bin * (hi - lo) / 100.0) * 1000000.0) / 1000000.0 AS x_lo,
+      round((lo + (bin + 1) * (hi - lo) / 100.0) * 1000000.0) / 1000000.0 AS x_hi,
+      CAST(count(*) AS BIGINT) AS n_days
+    FROM b GROUP BY 1, 2, lo, hi
+  """
+
   // p07: the relational fleet report re-derived end-to-end from raw
   // events — null-cleaned day grain, p95 capacity (q17 contract),
   // good-day quality score (q19/q20 contract), day-grain density/
@@ -5364,6 +5392,7 @@ $branches
     "q93_clipped_times" -> q93,
     "q94_scsf_index" -> q94,
     "q95_circ_dist" -> q95,
+    "q96_daily_max_pdf" -> q96,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

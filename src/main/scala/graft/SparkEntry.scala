@@ -706,6 +706,19 @@ object SparkEntry {
       .select(col("site").as("user_id"), col("bin"), col("theta_center"), col("n_days"))
   }
 
+  /** Daily-max PDF histogram (reference `plot_daily_max_pdf`,
+    * `clipping.py:226-236`: `plt.hist(clip1[clip1 > 0], bins=100)`):
+    * per-site equal-width binning of the positive clip1 statistic —
+    * the binned-PDF projection behind the clipping plots, hash-gated
+    * on (bin index, count, 6-dp edges). The bin expression mirrors
+    * the oracle token-for-token (identical IEEE op order), the q48
+    * contract one derivation further.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    graft.analyses.PlotTables
+      .dailyMaxPdfTable(Tables.events(s, dir), "user_id", "ts", "value")
+      .select(col("site").as("user_id"), col("bin"), col("x_lo"), col("x_hi"), col("n_days"))
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -3947,6 +3960,7 @@ object SparkEntry {
     "q93_clipped_times" -> (q93 _),
     "q94_scsf_index" -> (q94 _),
     "q95_circ_dist" -> (q95 _),
+    "q96_daily_max_pdf" -> (q96 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),

@@ -18,8 +18,11 @@ import graft.operators.{DayStats, Filling, SideJoin}
   * | `plot_daily_signals` (:1746)      | [[dailySignalsTable]]    |
   * | `plot_density_signal` (:1877)     | [[densitySignalTable]]   |
   * | `plot_clipping` (:2102)           | [[clippingTable]]        |
-  * | `plot_daily_max_cdf/pdf`,
-  * |   `plot_cdf_analysis` (:2154-2214)| [[dailyMaxCdfTable]]     |
+  * | `plot_daily_max_cdf` (:2169)      | [[dailyMaxCdfTable]]     |
+  * | `plot_daily_max_pdf` (:2154)      | [[dailyMaxPdfTable]]     |
+  * | `plot_cdf_analysis`,
+  * |   `plot_daily_max_cdf_and_pdf`
+  * |   (:2184-2214)                    | [[cdfAnalysisTable]]     |
   * | `plot_capacity_change_analysis`
   * |   (:2215)                         | [[capacityChangeTable]]  |
   * | `plot_bundt` (:2467)              | [[bundtTable]]           |
@@ -147,6 +150,174 @@ object PlotTables {
     DayStats.dailyMax(df, site, tsCol, valueCol)
       .withColumn("cdf", percent_rank().over(w))
       .select(col(site).as("site"), col("day"), col("daily_max"), col("cdf"))
+  }
+
+  /** `plot_daily_max_pdf`'s histogram panel (`clipping.py:226-236`:
+    * `plt.hist(data[data > 0], bins=100)` of the clip1 statistic =
+    * daily max / site max): per-site equal-width binning of the
+    * POSITIVE clip1 values over [min, max], last bin right-inclusive
+    * (numpy semantics — bin = min(floor((x−lo)·B/(hi−lo)), B−1); at
+    * an exact bin edge this can differ from `np.histogram` by one
+    * ulp-class assignment, which the 6-dp edge columns make visible).
+    * A constant distribution (hi = lo) collapses into bin 0.
+    * Day-grain input ⇒ the whole table is a window + aggregate over
+    * the q48-gated clipStats day rows — no extra scan of the raw
+    * table. Cross-engine hash-gated (q96).
+    *
+    * @return (site, bin, x_lo, x_hi, n_days) — only occupied bins
+    */
+  def dailyMaxPdfTable(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      numBins: Int = 100
+  ): DataFrame = {
+    val w = Window.partitionBy(col(site))
+    val b = numBins.toDouble
+    DayStats.clipStats(df, site, tsCol, valueCol)
+      .filter(col("clip1") > 0.0)
+      .withColumn("__lo", min(col("clip1")).over(w))
+      .withColumn("__hi", max(col("clip1")).over(w))
+      .withColumn("bin",
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor((col("clip1") - col("__lo")) * lit(b) / (col("__hi") - col("__lo"))),
+            lit((numBins - 1).toLong)).cast("int")))
+      .groupBy(col(site).as("site"), col("bin"))
+      .agg(
+        first(col("__lo")).as("__l"), first(col("__hi")).as("__h"),
+        count(lit(1)).as("n_days"))
+      // product quantizer, not round(x, 6) — cross-engine decimal
+      // rounding (the q64 class)
+      .select(col("site"), col("bin"),
+        (round((col("__l") + col("bin") * (col("__h") - col("__l")) / lit(b)) * lit(1e6)) / lit(1e6)).as("x_lo"),
+        (round((col("__l") + (col("bin") + 1) * (col("__h") - col("__l")) / lit(b)) * lit(1e6)) / lit(1e6)).as("x_hi"),
+        col("n_days"))
+  }
+
+  /** `plot_cdf_analysis` / `plot_daily_max_cdf_and_pdf`'s analysis
+    * surface (`clipping.py:131-198` `pointmass_detection` +
+    * `calculate_cdf`): per site, the clip1 empirical CDF resampled
+    * to an even `gridPts`-point x-grid (scipy `interp1d` linear
+    * semantics over `[0] ++ sorted positives ++ [1]`, including its
+    * duplicate-1.0 endpoint quirk), the sparse-second-difference PWL
+    * fit ([[graft.solvers.Kernels.cdfPwlFit]]), its first
+    * difference (the piecewise-constant PDF estimate `plot_pdf`
+    * overlays), the reference's 3-window curvature/slope metric, and
+    * the reduced point-mass flags — the reference's cluster-argmax
+    * reduction replayed verbatim, INCLUDING its index quirk (the
+    * argmax slices `metric` with `point_masses` indices, one
+    * position off; preserved so detected masses match).
+    *
+    * Per-site state is the day-grain clip1 array + the fixed grid —
+    * bounded by days-per-site, the per-site solver-lane contract;
+    * sites solve in parallel via `flatMapGroups`.
+    *
+    * @return (site, i, x, y_emp, y_fit, d1, metric, is_point_mass):
+    *   one row per grid index i; `d1` null at the last point,
+    *   `metric` null at both ends (where the reference doesn't
+    *   define them)
+    */
+  def cdfAnalysisTable(
+      df: DataFrame,
+      site: String,
+      tsCol: String,
+      valueCol: String,
+      gridPts: Int = 5000,
+      lambdaD2: Double = 100.0,
+      threshold: Double = -0.35
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val clip1 = DayStats.clipStats(df, site, tsCol, valueCol)
+      .select(col(site).cast("string").as("s"), col("clip1").cast("double"))
+      .as[(String, Double)]
+    clip1.groupByKey(_._1).flatMapGroups { (siteId, it) =>
+      val res = cdfPointMassAnalysis(it.map(_._2).toArray, gridPts, lambdaD2, threshold)
+      res.iterator.map { case (i, x, ye, yf, d1, m, pm) => (siteId, i, x, ye, yf, d1, m, pm) }
+    }.toDF("site", "i", "x", "y_emp", "y_fit", "d1", "metric", "is_point_mass")
+  }
+
+  /** The per-site math behind [[cdfAnalysisTable]], exposed for the
+    * spec: replicates `clipping.py` `calculate_cdf` (:360-370) +
+    * `pointmass_detection` (:133-198) on one site's clip1 array.
+    */
+  private[graft] def cdfPointMassAnalysis(
+      data: Array[Double],
+      gridPts: Int,
+      lambdaD2: Double,
+      threshold: Double
+  ): Array[(Int, Double, Double, Double, java.lang.Double, java.lang.Double, Boolean)] = {
+    require(gridPts >= 8, s"cdf analysis needs a grid of at least 8 points, got $gridPts")
+    // calculate_cdf: x = [0] ++ sorted positives ++ [1], y = linspace
+    val pos = data.filter(_ > 0.0).sorted
+    val xs = 0.0 +: pos :+ 1.0
+    val m = xs.length
+    val ys = Array.tabulate(m)(j => j.toDouble / (m - 1))
+    // interp1d(kind="linear"): searchsorted-left clipped to [1, m-1]
+    val n = gridPts
+    val xRs = Array.tabulate(n)(i => i.toDouble / (n - 1))
+    val yRs = xRs.map { q =>
+      var j = java.util.Arrays.binarySearch(xs, q)
+      if (j >= 0) { while (j > 0 && xs(j - 1) == q) j -= 1 } // left-most
+      else j = -j - 1
+      val hi = math.min(math.max(j, 1), m - 1)
+      val lo = hi - 1
+      ys(lo) + (ys(hi) - ys(lo)) / (xs(hi) - xs(lo)) * (q - xs(lo))
+    }
+    val fit = graft.solvers.Kernels.cdfPwlFit(yRs, lambdaD2 = lambdaD2)
+    val d1 = Array.tabulate(n - 1)(i => fit(i + 1) - fit(i))
+    val lc = Array.tabulate(n - 2)(i => fit(i + 2) - 2 * fit(i + 1) + fit(i))
+    val rs = d1 // ref_slope = diff1[:-1]; indexed 0..n-3 below
+    // metric = elementwise min of the 1-, 2-, and 3-wide curvature
+    // sums over the local slope (clipping.py:146-170)
+    val metric = Array.tabulate(n - 2) { i =>
+      val a = lc(i) / rs(i)
+      val b = if (i < n - 3) (lc(i) + lc(i + 1)) / rs(i) else lc(n - 3) / rs(n - 3)
+      val c =
+        if (i < n - 4) (lc(i) + lc(i + 1) + lc(i + 2)) / rs(i)
+        else lc(i) / rs(i) // last two: local_curv[-2:]/ref_slope[-2:]
+      math.min(a, math.min(b, c))
+    }
+    val pm = new Array[Boolean](n)
+    var i = 0
+    while (i < n - 2) {
+      pm(i + 1) = metric(i) <= threshold && rs(i) > 3e-4
+      i += 1
+    }
+    // endpoint catch: PDF ends in a point mass at the high value
+    val d1Max = d1.max
+    val last = d1(n - 2)
+    if (last > 1e-3 || math.abs(last - d1Max) <= 1e-8 + 1e-5 * math.abs(d1Max))
+      pm(n - 2) = true
+    // cluster reduce — verbatim replay of clipping.py:179-195,
+    // including the off-by-one metric slice (point_masses index
+    // space used to slice the length-(n−2) metric array)
+    val pmReduce = new Array[Boolean](n)
+    var begin = -1
+    var ix = 0
+    while (ix < n - 1) {
+      if (!pm(ix) && pm(ix + 1)) begin = ix + 1
+      else if (pm(ix) && !pm(ix + 1)) {
+        val end = ix
+        val lo = begin
+        val hi = math.min(end, n - 3)
+        if (lo > hi || lo >= n - 2) pmReduce(begin) = true // empty slice → ValueError branch
+        else {
+          var best = lo; var k = lo + 1
+          while (k <= hi) { if (metric(k) > metric(best)) best = k; k += 1 }
+          pmReduce(begin + (best - lo)) = true
+        }
+      }
+      ix += 1
+    }
+    Array.tabulate(n) { j =>
+      (j, xRs(j), yRs(j), fit(j),
+        if (j < n - 1) java.lang.Double.valueOf(d1(j)) else null,
+        if (j >= 1 && j <= n - 2) java.lang.Double.valueOf(metric(j - 1)) else null,
+        pmReduce(j))
+    }
   }
 
   /** `plot_capacity_change_analysis`: the per-day capacity signal
@@ -361,16 +532,21 @@ object PlotTables {
       .select(col("site"), col("bin"), col("theta_center"), col("n_days"))
   }
 
-  /** NOTE — geometry deviation vs the reference
-    * (`polar_transform.py:71-90`): elevation here is GEOMETRIC
-    * (Cooper declination + EoT hour angle), while the reference bins
-    * pvlib's SPA APPARENT (refraction-corrected) elevation.
-    * Refraction reaches ~0.5° at the horizon and falls below the 1°
-    * bin grid above ~2° elevation, so near-horizon samples may land
-    * one rounding bin lower than the reference's on identical input;
-    * the rest of the table agrees to the bin grid. Recorded in
-    * COVERAGE.md — callers needing apparent-elevation parity at the
-    * horizon should add a refraction term to their own binning.
+  /** `plot_polar_transform`'s (azimuth × elevation) aggregate
+    * (`polar_transform.py:64-103`): solar position from Cooper
+    * declination + EoT hour angle, elevation made APPARENT with the
+    * Bennett/SPA refraction correction
+    * ([[graft.functions.Solar.bennettRefractionDeg]]) to match the
+    * reference's pvlib `apparent_elevation` binning (round 12 — the
+    * engine previously binned geometric elevation, which put
+    * near-horizon samples one bin low; with the correction the
+    * horizon filter and the bin grid now agree with the reference to
+    * the bin grid, the residual being the sub-refraction difference
+    * between the Cooper/EoT position and pvlib's SPA ephemeris).
+    * Samples whose GEOMETRIC elevation is slightly below zero but
+    * whose apparent elevation clears the horizon are included,
+    * exactly as the reference's `apparent_elevation >= 0` cut keeps
+    * them.
     */
   def polarTransformTable(
       df: DataFrame,
@@ -407,7 +583,7 @@ object PlotTables {
     def roundTo(x: org.apache.spark.sql.Column, c: Int) =
       (lit(c.toDouble) * round(x / lit(c.toDouble))).cast("int")
     df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
-      .withColumn("__el", elDeg)
+      .withColumn("__el", Solar.apparentElevationDeg(elDeg))
       .filter(col("__el") >= 0.0)
       .groupBy(
         col(site).as("site"),

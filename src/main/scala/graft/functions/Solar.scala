@@ -83,4 +83,38 @@ object Solar {
     val clamped = greatest(lit(-1.0), least(lit(1.0), x))
     lit(2.0 / 15.0) * acos(clamped) * lit(RadToDeg)
   }
+
+  /** Atmospheric-refraction correction (degrees) for a true
+    * (geometric) elevation `e0Deg`, the Bennett formula as applied
+    * by NREL SPA — the correction behind pvlib's
+    * `apparent_elevation`, which the reference's polar transform bins
+    * (`polar_transform.py:71-90`):
+    * Δe = (P/1010)·(283/(273+T)) · 1.02 / (60·tan(e0 + 10.3/(e0+5.11)))
+    * with P in millibars, T in °C, angles in degrees; applied only
+    * when the sun is above SPA's refraction horizon
+    * (e0 ≥ −(0.26667 + 0.5667)), zero below. Defaults are pvlib's
+    * (sea-level standard atmosphere, 12 °C): correction ≈ 0.48° at
+    * the horizon, ≈ 0.16° at 5° elevation, < 0.1° above ~9°.
+    */
+  def bennettRefractionDeg(
+      e0Deg: Column,
+      pressureMbar: Double = 1013.25,
+      tempC: Double = 12.0
+  ): Column = {
+    val atmosFactor = (pressureMbar / 1010.0) * (283.0 / (273.0 + tempC))
+    when(e0Deg >= lit(-0.8334),
+      lit(atmosFactor) * lit(1.02) /
+        (lit(60.0) * tan((e0Deg + lit(10.3) / (e0Deg + lit(5.11))) * lit(DegToRad))))
+      .otherwise(lit(0.0))
+  }
+
+  /** Apparent (refraction-corrected) elevation in degrees:
+    * `e0 + bennettRefractionDeg(e0)`.
+    */
+  def apparentElevationDeg(
+      e0Deg: Column,
+      pressureMbar: Double = 1013.25,
+      tempC: Double = 12.0
+  ): Column =
+    e0Deg + bennettRefractionDeg(e0Deg, pressureMbar, tempC)
 }

@@ -143,6 +143,130 @@ class PlotTablesSpec extends AnyFunSuite {
     t.unpersist()
   }
 
+  test("dailyMaxPdfTable: bin range, exact (site, bin) grain, counts add to positive days, ordered edges") {
+    val t = PlotTables.dailyMaxPdfTable(events, "user_id", "ts", "value").cache()
+    try {
+      val agg = t.agg(
+        min(col("bin")).as("lo"), max(col("bin")).as("hi"),
+        count(lit(1)).as("n"),
+        countDistinct(col("site"), col("bin")).as("k"),
+        sum(col("n_days")).as("days"),
+        sum(when(col("x_lo") > col("x_hi"), 1).otherwise(0)).as("badEdge")
+      ).collect()(0)
+      assert(agg.getInt(0) >= 0 && agg.getInt(1) <= 99, "bins outside [0, 99]")
+      assert(agg.getLong(2) == agg.getLong(3), "(site, bin) must be the exact grain")
+      assert(agg.getLong(5) == 0L, "x_lo must not exceed x_hi")
+      val posDays = graft.operators.DayStats.clipStats(events, "user_id", "ts", "value")
+        .filter(col("clip1") > 0.0).count()
+      assert(agg.getLong(4) == posDays, "histogram counts must add to positive-clip1 days")
+    } finally t.unpersist()
+  }
+
+  test("cdfAnalysisTable: grid grain, CDF endpoints, monotone empirical CDF, null alignment") {
+    val t = PlotTables.cdfAnalysisTable(events, "user_id", "ts", "value", gridPts = 400).cache()
+    try {
+      val nSites = events.select(col("user_id")).distinct().count()
+      assert(t.count() == nSites * 400, "one row per (site, grid index)")
+      val ends = t.filter(col("i") === 0 || col("i") === 399)
+        .agg(
+          sum(when(col("i") === 0 && (col("x") =!= 0.0 || col("y_emp") =!= 0.0), 1).otherwise(0)),
+          sum(when(col("i") === 399 && col("x") =!= 1.0, 1).otherwise(0)),
+          sum(when(col("i") === 399 && col("d1").isNotNull, 1).otherwise(0)),
+          sum(when((col("i") === 0 || col("i") === 399) && col("metric").isNotNull, 1).otherwise(0))
+        ).collect()(0)
+      for (j <- 0 until 4) assert(ends.getLong(j) == 0L, s"endpoint contract $j violated")
+      // empirical CDF nondecreasing along the grid
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("site")).orderBy(col("i"))
+      val dec = t.withColumn("prev", lag(col("y_emp"), 1).over(w))
+        .filter(col("prev").isNotNull && col("y_emp") < col("prev")).count()
+      assert(dec == 0, "empirical CDF must be nondecreasing")
+    } finally t.unpersist()
+  }
+
+  test("cdfPointMassAnalysis: detects a point mass in a clipped distribution, none in a smooth one") {
+    // 60% of days pinned at ~0.98 (inverter clipping), the rest spread
+    val rng = new scala.util.Random(42)
+    val clipped = Array.tabulate(300) { i =>
+      if (i % 5 < 3) 0.98 + (rng.nextDouble() - 0.5) * 0.004
+      else 0.3 + rng.nextDouble() * 0.5
+    }
+    val res = PlotTables.cdfPointMassAnalysis(clipped, gridPts = 1000, lambdaD2 = 100.0, threshold = -0.35)
+    val masses = res.filter(_._7).map(_._2)
+    assert(masses.nonEmpty, "clipped distribution must yield a point mass")
+    assert(masses.exists(x => x > 0.93 && x < 1.01), s"mass should sit near 0.98, got ${masses.toSeq}")
+    // smooth uniform-ish distribution: no mass away from the top
+    val smooth = Array.tabulate(300)(i => 0.1 + 0.8 * (i / 300.0) + rng.nextDouble() * 0.01)
+    val res2 = PlotTables.cdfPointMassAnalysis(smooth, gridPts = 1000, lambdaD2 = 100.0, threshold = -0.35)
+    val masses2 = res2.filter(_._7).map(_._2).filter(_ < 0.85)
+    assert(masses2.isEmpty, s"smooth distribution flagged interior masses at ${masses2.toSeq}")
+    // scipy duplicate-1.0 endpoint quirk: with values equal to 1.0 in
+    // the data, the resampled CDF tops out at the FIRST 1.0's y
+    val withOnes = Array(0.2, 0.5, 1.0, 1.0, 1.0)
+    val r3 = PlotTables.cdfPointMassAnalysis(withOnes, gridPts = 11, lambdaD2 = 100.0, threshold = -0.35)
+    // xs = [0, 0.2, 0.5, 1, 1, 1, 1]; first 1.0 at index 3 of 6 → y = 0.5
+    assert(math.abs(r3.last._3 - 0.5) < 1e-12,
+      s"duplicate-1.0 quirk: expected y_emp(1.0) = 0.5, got ${r3.last._3}")
+  }
+
+  test("bennett refraction: SPA correction values, zero below the refraction horizon") {
+    import graft.functions.Solar
+    val e0s = Seq(-2.0, -0.9, -0.8334, -0.3, 0.0, 0.5, 2.0, 5.0, 45.0)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(e0s.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("e0", org.apache.spark.sql.types.DoubleType))))
+    val got = df.select(col("e0"), Solar.bennettRefractionDeg(col("e0")).as("r"))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    def expected(e0: Double): Double =
+      if (e0 < -0.8334) 0.0
+      else (1013.25 / 1010.0) * (283.0 / 285.0) * 1.02 /
+        (60.0 * math.tan((e0 + 10.3 / (e0 + 5.11)) * 0.017453292519943295))
+    for (e0 <- e0s)
+      assert(math.abs(got(e0) - expected(e0)) < 1e-12, s"refraction at e0=$e0: ${got(e0)}")
+    // SPA landmarks: ~0.48° at the horizon, < 0.1° above 5°
+    assert(got(0.0) > 0.45 && got(0.0) < 0.52, "horizon refraction magnitude")
+    assert(got(5.0) < 0.2 && got(45.0) < 0.02, "refraction decays aloft")
+    assert(got(-2.0) == 0.0, "below the SPA refraction horizon: no correction")
+  }
+
+  test("polarTransformTable: near-horizon samples bin by APPARENT elevation (reference parity)") {
+    import graft.functions.Solar
+    import graft.operators.TimeAxis
+    // one site, one slightly-negative-geometric-elevation sample and
+    // one low-positive sample, selected by replicating the table's own
+    // geometric-position formula (Cooper + EoT) over a candidate grid
+    val lat = 37.5; val lon = -122.0; val tz = -8
+    val baseEpoch = java.sql.Timestamp.valueOf("2024-03-11 00:00:00").getTime / 1000
+    val grid = spark.range(0, 24 * 60)
+      .select(timestamp_seconds(lit(baseEpoch) + col("id") * 60).as("ts"))
+    val doy = dayofyear(to_date(col("ts")))
+    val decl = Solar.declinationDeg(doy) * lit(0.017453292519943295)
+    val solarH = TimeAxis.hourOfDay(col("ts")) + Solar.equationOfTimeMin(doy) / lit(60.0) +
+      lit((lon - 15.0 * tz) / 15.0)
+    val ha = (lit(15.0) * (solarH - lit(12.0))) * lit(0.017453292519943295)
+    val sinEl = lit(math.sin(lat * 0.017453292519943295)) * sin(decl) +
+      lit(math.cos(lat * 0.017453292519943295)) * cos(decl) * cos(ha)
+    val el = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(57.29577951308232)
+    val cands = grid.withColumn("e0", el)
+      .filter((col("e0") > -0.45 && col("e0") < -0.05) || (col("e0") > 0.05 && col("e0") < 0.45))
+      .collect().map(r => r.getTimestamp(0) -> r.getDouble(1))
+    val neg = cands.filter(_._2 < 0).head
+    val pos = cands.filter(_._2 > 0).head
+    val rows = Seq(("s1", neg._1, 1.0), ("s1", pos._1, 1.0))
+    import spark.implicits._
+    val t = PlotTables.polarTransformTable(rows.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value", latDeg = lat, lonDeg = lon, tzOffset = tz)
+      .collect()
+    // geometric-below-horizon sample: refraction (~0.48° down there)
+    // lifts it above zero → INCLUDED, el_bin 0 (reference keeps
+    // apparent_elevation >= 0); low-positive sample: apparent ≈
+    // e0 + ~0.42..0.48 crosses the 0.5° rounding boundary → el_bin 1
+    // where geometric binning read 0
+    assert(t.length == 2, s"apparent-elevation horizon cut must keep both samples, got ${t.length}")
+    val bins = t.map(r => r.getInt(r.fieldIndex("el_bin"))).sorted.toSeq
+    assert(bins == Seq(0, 1), s"apparent-elevation bins expected (0, 1), got $bins")
+  }
+
   test("dailyEnergyTable: site-day grain, filled energy matches the q50 reduction, day_index calendar") {
     val t = PlotTables.dailyEnergyTable(events, "user_id", "ts", "value", slotsPerDay = 48).cache()
     try {
