@@ -9,12 +9,15 @@ package graft
   * multiply; a super-linear wall-clock stage is a scale bug and
   * becomes the next round's top item.
   *
-  * Each point records a host-health calibration reading
-  * ([[Bench.calibrate]]) so the artifact proves on its face the
-  * curve was measured on a quiet host. One timed pass per point
-  * after a full warm run at 16 sites (the 160-site point costs ~10×
-  * the 16-site one; medians come from the committed BenchScale
-  * artifacts at the headline scale).
+  * Each point is the MEDIAN of three gc-quiesced passes bracketed by
+  * host-health calibration readings ([[Bench.calibrate]]) — the
+  * artifact proves on its face whether the curve was measured on a
+  * quiet host (the first cut of this probe took single passes with
+  * one before-only calibration and shipped a 16-site point 6× its
+  * warm cost: half-JIT'd solver lanes + a co-tenant burst the
+  * calibration never saw). Warmup is THREE full 16-site runs — the
+  * per-site solver lanes need several executions before C2 has the
+  * hot loops (the round-6 code-cache lesson).
   *
   * Run with `SPARK_DRIVER_MEM=24g` — the 252M-row fleet persists
   * MEMORY_AND_DISK and spills past the default 8g heap.
@@ -24,21 +27,35 @@ object BenchScale10x {
   def main(args: Array[String]): Unit = {
     val scales = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(16, 64, 160)
     val spark = GraftSession.local()
-    Bench.pipelineScaleRun(spark, 16) // plan + JIT warm at full row grain
+    (1 to 3).foreach(_ => Bench.pipelineScaleRun(spark, 16)) // plan + JIT warm at full row grain
+    // a degraded point (either calibration reading past the gate)
+    // retries after a backoff — same policy as Bench's lane close; if
+    // every attempt is degraded the LAST ships, honestly flagged
     val points = scales.map { n =>
-      System.gc()
-      val cal = Bench.calibrate()
-      val (rows, sec) = Bench.pipelineScaleRun(spark, n)
-      val rps = rows / sec
-      println(f"[scale10x] sites=$n rows=$rows sec=$sec%.2f rows/s=$rps%.0f cal=$cal%.4f")
-      (n, rows, sec, rps, cal)
+      var attempt = 0
+      var out: (Int, Long, Double, Double, Double, Double, Boolean) = null
+      while (attempt < 3 && (out == null || out._7)) {
+        attempt += 1
+        if (attempt > 1) Thread.sleep(15000L)
+        System.gc()
+        val calB = Bench.calibrate()
+        val (rows, sec) = Bench.pipelineScaleMed3(spark, n)
+        val calA = Bench.calibrate()
+        val rps = rows / sec
+        val degraded = math.max(calB, calA) > Bench.DegradedFactor * Bench.CalibrationPinnedSec
+        println(f"[scale10x] sites=$n attempt=$attempt rows=$rows sec=$sec%.2f rows/s=$rps%.0f " +
+          f"cal=$calB%.4f/$calA%.4f degraded=$degraded")
+        out = (n, rows, sec, rps, calB, calA, degraded)
+      }
+      out
     }
     val base = points.head._4
-    val json = points.map { case (n, rows, sec, rps, cal) =>
+    val json = points.map { case (n, rows, sec, rps, calB, calA, degraded) =>
       f"""{"sites":$n,"rows":$rows,"sec":$sec%.3f,"rows_per_sec":$rps%.0f,""" +
-        f""""rps_vs_base":${rps / base}%.3f,"calibration_sec":$cal%.4f}"""
+        f""""rps_vs_base":${rps / base}%.3f,"cal_before_sec":$calB%.4f,""" +
+        f""""cal_after_sec":$calA%.4f,"degraded":$degraded}"""
     }.mkString("[", ",", "]")
-    val line = s"""{"kind":"pipeline_scale_10x","points":$json,""" +
+    val line = s"""{"kind":"pipeline_scale_10x","reps_per_point":3,"points":$json,""" +
       s""""calibration_pinned_sec":${Bench.CalibrationPinnedSec}}"""
     println(s"[scale10x] $line")
     try {
