@@ -129,17 +129,15 @@ object Bench {
     // engine never pins executor memory behind a caller's back)
     spark.conf.set("spark.graft.filledGrid.cache", "true")
 
-    // suite-level host-health reading BEFORE any timing (after plan
-    // warmup below, so the reading isn't charged JIT) and again after
-    // the last lane: if either is degraded the whole artifact
-    // self-labels host_degraded and the close must re-run — two
+    // Host-health readings bracket every timing window below and the
+    // two headline lanes: any dirty window re-times, and the artifact
+    // self-labels host_degraded if anything stayed dirty — two
     // consecutive rounds shipped official numbers from a CPU-starved
     // session and the truth had to be reconstructed from history
     // files (VERDICT r10/r11).
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case scala.util.control.NonFatal(_) => () }
     }
-    val calSuiteBefore = calibrate()
 
     // A failed query is reported as -1 (never a plausible-looking
     // elapsed time) and listed under "failed"; fatal Throwables (OOM,
@@ -151,7 +149,8 @@ object Bench {
     // machine variance — the per-query spread is persisted alongside
     // the median so the next diff can tell signal from noise).
     val WarmReps = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeQuery(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Double, Double, Double) = {
       val t0 = System.nanoTime()
       val coldOk =
         try { fn(spark, sfDir).count(); true }
@@ -177,7 +176,42 @@ object Bench {
       val ok = warms.filter(_ >= 0)
       val allOk = ok.length == warms.length
       val med = if (!allOk) -1.0 else ok.sorted.apply(ok.length / 2)
-      name -> (cold, med, if (!allOk) -1.0 else ok.min, if (!allOk) -1.0 else ok.max)
+      (cold, med, if (!allOk) -1.0 else ok.min, if (!allOk) -1.0 else ok.max)
+    }
+
+    // WINDOWED calibration (round 12, second iteration): endpoint
+    // readings certified a 25-minute suite from two instants — a
+    // mid-suite co-tenant burst inflated the per-query medians 1.37×
+    // median while both endpoints read clean. The suite now samples
+    // host health every WindowSize queries; the queries inside any
+    // degraded window are RE-TIMED afterwards (up to two more
+    // bracketed attempts each window) so one burst costs only that
+    // window's re-run, not a 35-minute full re-close. host_degraded
+    // stays true only if a window is still dirty after its retries.
+    val WindowSize = 20
+    val queryList = SparkEntry.queries.toSeq
+    val windows = queryList.grouped(WindowSize).toVector
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double, Double, Double)]
+    val windowCal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var dirtyWindows = 0
+    windows.foreach { grp =>
+      var attempt = 0
+      var clean = false
+      while (attempt < 3 && !clean) {
+        attempt += 1
+        if (attempt > 1) { Thread.sleep(5000L); grp.foreach { case (n, _) => retimed += n } }
+        val c0 = calibrate()
+        grp.foreach { case (name, fn) => results(name) = timeQuery(fn) }
+        val c1 = calibrate()
+        windowCal += c0; windowCal += c1
+        clean = math.max(c0, c1) <= DegradedFactor * CalibrationPinnedSec
+        if (!clean)
+          System.err.println(f"[bench] window ${grp.head._1}.. attempt $attempt dirty " +
+            f"(cal $c0%.3f/$c1%.3f): " + (if (attempt < 3) "re-timing" else "shipping, flagged"))
+      }
+      if (!clean) dirtyWindows += 1
     }
     val qs = results.map { case (k, (_, w, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
@@ -191,12 +225,14 @@ object Bench {
 
     val streamJson = calibrated("streaming")(streamingLine(spark, sfDir))
     val scaleJson = calibrated("pipeline_scale")(pipelineScaleLine(spark))
-    val calSuiteAfter = calibrate()
-    val suiteDegraded =
-      math.max(calSuiteBefore, calSuiteAfter) > DegradedFactor * CalibrationPinnedSec ||
-        streamJson.contains("\"degraded\":true") || scaleJson.contains("\"degraded\":true")
-    val calJson = f"""{"suite_before_sec":$calSuiteBefore%.4f,"suite_after_sec":$calSuiteAfter%.4f,""" +
-      s""""pinned_sec":$CalibrationPinnedSec,"degraded_factor":$DegradedFactor}"""
+    val suiteDegraded = dirtyWindows > 0 ||
+      streamJson.contains("\"degraded\":true") || scaleJson.contains("\"degraded\":true")
+    val calJson =
+      s"""{"window_size":$WindowSize,"window_readings":${
+        windowCal.map(c => f"$c%.4f").mkString("[", ",", "]")},""" +
+        s""""dirty_windows":$dirtyWindows,"retimed":${
+          retimed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""pinned_sec":$CalibrationPinnedSec,"degraded_factor":$DegradedFactor}"""
 
     // Field order matters: the harness archives only the TAIL of this
     // line (observed 2000-char cap in the per-round artifacts, where
@@ -213,7 +249,10 @@ object Bench {
     // excluded and single-pass variance folded out; per-query
     // {median,min,max} is in "queries_spread". "cold_total" is the
     // un-quiesced first target-sf pass (scan cache cold, GC debt
-    // included), so both regimes are visible side by side.
+    // included), so both regimes are visible side by side — for
+    // queries listed in calibration.retimed the "cold" pass ran with
+    // a warm scan cache, so cold_total is a lower bound on a dirty
+    // close (the warm medians, the graded numbers, are unaffected).
     val line = s"""{"queries_spread":$spread,"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"gc_quiesced_warm":true,"warm_reps":$WarmReps,"streaming":$streamJson,"pipeline_scale":$scaleJson,"calibration":$calJson,"host_degraded":$suiteDegraded,"sf":"$sfDir"}"""
     println(line)
     // Full detail also lands in-repo: the harness tail-truncation
