@@ -34,6 +34,74 @@ object Bench {
   private[graft] val CalibrationPinnedSec = 0.48
   private[graft] val DegradedFactor = 1.5
 
+  /** Pinned wall-clock of one [[calibrateBandwidth]] reading on the
+    * same healthy close host (median of repeated ProbeCal readings,
+    * committed round 13). Complements the register-only FP kernel:
+    * round 12's official close shipped a 5.5×-inflated fleet lane
+    * with CLEAN FP brackets — the interference stole memory
+    * bandwidth, not cycles, and a dependent-FP chain is by
+    * construction blind to that. The triad streams ~0.8 GB of arrays
+    * (≫ LLC) across all cores, so a co-tenant saturating the memory
+    * bus inflates this reading even when cycles are free.
+    */
+  private[graft] val BwPinnedSec = 0.28
+  /** Bandwidth readings spread more than the FP chain run-to-run
+    * (page placement, prefetcher state), so the gate is looser.
+    */
+  private[graft] val BwDegradedFactor = 1.8
+
+  /** Triad arrays: 3 × 32M doubles = 768 MB, far beyond any LLC, so
+    * every pass streams from DRAM. Allocated once (lazily) so
+    * calibration never times the allocator; initialized with
+    * non-trivial values so the JIT cannot constant-fold the kernel.
+    */
+  private val BwN = 1 << 25
+  private lazy val bwA = new Array[Double](BwN)
+  private lazy val bwB = Array.tabulate(BwN)(i => (i & 1023) * 1e-3 + 0.5)
+  private lazy val bwC = Array.tabulate(BwN)(i => ((i * 7) & 1023) * 1e-3 + 0.25)
+
+  /** One thread's triad slice: a[i] = b[i] + 0.5·c[i], `reps` sweeps.
+    * Returns a checksum so the work cannot be elided.
+    */
+  private def bwKernel(lo: Int, hi: Int, reps: Int): Double = {
+    var s = 0.0
+    var r = 0
+    while (r < reps) {
+      var i = lo
+      while (i < hi) { bwA(i) = bwB(i) + 0.5 * bwC(i); i += 1 }
+      s += bwA(lo + r % (hi - lo))
+      r += 1
+    }
+    s
+  }
+
+  /** Memory-bandwidth health reading: wall seconds for all cores to
+    * stream the shared triad concurrently (each core a disjoint
+    * slice; ~`BwReps` × 1 GB of DRAM traffic per pass). Same
+    * median-of-3-after-warm protocol as [[calibrate]].
+    */
+  private val BwReps = 60
+  private[graft] def calibrateBandwidth(): Double = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val chunk = BwN / cores
+    def pass(): Double = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(cores)
+      val t0 = System.nanoTime()
+      try {
+        val futs = (0 until cores).map { k =>
+          pool.submit(new java.util.concurrent.Callable[Double] {
+            def call(): Double =
+              bwKernel(k * chunk, if (k == cores - 1) BwN else (k + 1) * chunk, BwReps)
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      (System.nanoTime() - t0) / 1e9
+    }
+    pass() // warm untimed (first touch pages the arrays in + JITs)
+    (1 to 3).map(_ => pass()).sorted.apply(1)
+  }
+
   /** One deterministic CPU-bound unit: a fixed-length dependent
     * floating-point chain. Deliberately ALLOCATION-FREE — an
     * array-heavy kernel (the first cut used the cdfPwlFit IRLS)
@@ -85,38 +153,117 @@ object Bench {
     readings.sorted.apply(1)
   }
 
-  /** Run `lane` with calibration readings immediately before and
-    * after. If either reading exceeds DegradedFactor × pinned, the
-    * attempt is discarded and the lane re-runs (up to `maxAttempts`)
-    * after a GC quiesce + short backoff — a transient co-tenant burst
-    * passes, and the artifact records the attempt it took. If every
-    * attempt is degraded, the LAST result ships but self-labels
-    * `"degraded":true` so the close is visibly not official-grade.
-    * Returns the lane JSON extended with its calibration evidence.
+  /** One combined host-health reading (cycles + memory bandwidth).
+    * Both kernels must read clean for a timing window to certify: the
+    * round-12 close proved a cycles-only gate passes bandwidth-stolen
+    * windows (p01 shipped 5.5× inflated behind clean FP brackets).
     */
-  private[graft] def calibrated(label: String, maxAttempts: Int = 3)(lane: => String): String = {
+  private[graft] final case class HealthReading(fp: Double, bw: Double) {
+    def clean: Boolean =
+      fp <= DegradedFactor * CalibrationPinnedSec &&
+        bw <= BwDegradedFactor * BwPinnedSec
+    def render: String = f"fp=$fp%.3f bw=$bw%.3f"
+  }
+  private[graft] def health(): HealthReading =
+    HealthReading(calibrate(), calibrateBandwidth())
+
+  /** Run `lane` with health readings immediately before and after.
+    * If either reading is dirty — or `suspect` finds the lane's own
+    * output implausible against the committed anchors — the attempt
+    * is discarded and the lane re-runs (up to `maxAttempts`) after a
+    * GC quiesce + short backoff; a transient co-tenant burst passes,
+    * and the artifact records the attempt it took. If every attempt
+    * fails, the LAST result ships but self-labels (`"degraded":true`
+    * and/or `"lane_suspect":true`) so the close is visibly not
+    * official-grade. The anchor check exists because round 12 shipped
+    * a fleet lane 5.5× off every control with clean kernel brackets:
+    * the 187-query suite itself (via its last clean close) is the
+    * best co-tenancy probe, so a lane that departs that history flags
+    * REGARDLESS of kernel readings. `probe` is injectable for specs.
+    */
+  private[graft] def calibrated(
+      label: String,
+      maxAttempts: Int = 3,
+      suspect: String => Option[String] = _ => None,
+      backoffMs: Long = 5000L,
+      probe: () => HealthReading = () => health()
+  )(lane: => String): String = {
     var attempt = 0
     var out = ""
-    var calBefore = -1.0
-    var calAfter = -1.0
-    var clean = false
-    while (attempt < maxAttempts && !clean) {
+    var before = HealthReading(-1.0, -1.0)
+    var after = HealthReading(-1.0, -1.0)
+    var degraded = true
+    var suspectReason: Option[String] = None
+    while (attempt < maxAttempts && (degraded || suspectReason.isDefined)) {
       attempt += 1
-      if (attempt > 1) { System.gc(); Thread.sleep(5000L) }
-      calBefore = calibrate()
+      if (attempt > 1) { System.gc(); Thread.sleep(backoffMs) }
+      before = probe()
       out = lane
-      calAfter = calibrate()
-      clean = math.max(calBefore, calAfter) <= DegradedFactor * CalibrationPinnedSec
-      if (!clean)
-        System.err.println(f"[bench] $label attempt $attempt host-degraded " +
-          f"(cal $calBefore%.3f/$calAfter%.3f vs pinned $CalibrationPinnedSec): " +
+      after = probe()
+      degraded = !(before.clean && after.clean)
+      suspectReason = suspect(out)
+      if (degraded || suspectReason.isDefined)
+        System.err.println(s"[bench] $label attempt $attempt " +
+          (if (degraded) s"host-degraded (${before.render} / ${after.render})"
+           else s"lane-suspect (${suspectReason.get})") + ": " +
           (if (attempt < maxAttempts) "retrying" else "shipping last attempt, flagged"))
     }
-    val calJson = f"""{"before_sec":$calBefore%.4f,"after_sec":$calAfter%.4f,""" +
-      s""""pinned_sec":$CalibrationPinnedSec,"attempts":$attempt,"degraded":${!clean}}"""
+    val calJson = f"""{"before_sec":${before.fp}%.4f,"after_sec":${after.fp}%.4f,""" +
+      f""""bw_before_sec":${before.bw}%.4f,"bw_after_sec":${after.bw}%.4f,""" +
+      s""""pinned_sec":$CalibrationPinnedSec,"bw_pinned_sec":$BwPinnedSec,""" +
+      s""""attempts":$attempt,"degraded":$degraded,""" +
+      s""""lane_suspect":${suspectReason.isDefined}""" +
+      suspectReason.map(r => s""","lane_suspect_reason":"$r"""").getOrElse("") + "}"
     // splice the calibration object into the lane's JSON object
     if (out.startsWith("{")) out.dropRight(1) + s""","calibration":$calJson}"""
     else out
+  }
+
+  /** Extract the flat sub-object `"key":{...}` from `json` (values
+    * must be scalars — the anchors file's shape). Empty string if
+    * absent. Deliberately tiny: the anchors file is this engine's own
+    * output, not arbitrary JSON.
+    */
+  private[graft] def extractObject(json: String, key: String): String = {
+    val i = json.indexOf("\"" + key + "\"")
+    if (i < 0) return ""
+    val s = json.indexOf('{', i)
+    val e = if (s < 0) -1 else json.indexOf('}', s)
+    if (s < 0 || e < 0) "" else json.substring(s, e + 1)
+  }
+
+  /** All `"name": number` pairs in a flat JSON object. */
+  private[graft] def parseNumericFields(obj: String): Map[String, Double] =
+    """"([^"]+)"\s*:\s*(-?[0-9][0-9eE+\-.]*)""".r
+      .findAllMatchIn(obj)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .toMap
+
+  /** History-anchored sanity check: per-query ratio of `current` to
+    * the last committed clean close. Returns (suite median ratio,
+    * suspects) where a query is suspect when it runs more than
+    * `ratioGate`× its anchor AND the absolute departure exceeds
+    * `absFloorSec` (sub-second queries can double by scheduler noise
+    * alone — only a departure big enough to matter flags). The caller
+    * decides what a suspect means; a suspect list with a near-1 suite
+    * median is the round-12 signature (selective interference the
+    * kernels can't see), while suite-wide inflation shows up in the
+    * kernels themselves.
+    */
+  private[graft] def anchorSuspects(
+      current: Map[String, Double],
+      anchors: Map[String, Double],
+      ratioGate: Double = 2.0,
+      absFloorSec: Double = 0.5
+  ): (Double, Seq[String]) = {
+    val ratios = anchors.toSeq.flatMap { case (k, a) =>
+      current.get(k).filter(c => c >= 0 && a > 0).map(c => (k, c / a, c - a))
+    }
+    val med =
+      if (ratios.isEmpty) -1.0
+      else ratios.map(_._2).sorted.apply(ratios.length / 2)
+    val sus = ratios.collect { case (k, r, d) if r > ratioGate && d > absFloorSec => k }
+    (med, sus.sorted)
   }
 
   def main(args: Array[String]): Unit = {
@@ -194,6 +341,7 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, (Double, Double, Double, Double)]
     val windowCal = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val windowBw = scala.collection.mutable.ArrayBuffer.empty[Double]
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
     var dirtyWindows = 0
     windows.foreach { grp =>
@@ -202,17 +350,67 @@ object Bench {
       while (attempt < 3 && !clean) {
         attempt += 1
         if (attempt > 1) { Thread.sleep(5000L); grp.foreach { case (n, _) => retimed += n } }
-        val c0 = calibrate()
+        val h0 = health()
         grp.foreach { case (name, fn) => results(name) = timeQuery(fn) }
-        val c1 = calibrate()
-        windowCal += c0; windowCal += c1
-        clean = math.max(c0, c1) <= DegradedFactor * CalibrationPinnedSec
+        val h1 = health()
+        windowCal += h0.fp; windowCal += h1.fp
+        windowBw += h0.bw; windowBw += h1.bw
+        clean = h0.clean && h1.clean
         if (!clean)
-          System.err.println(f"[bench] window ${grp.head._1}.. attempt $attempt dirty " +
-            f"(cal $c0%.3f/$c1%.3f): " + (if (attempt < 3) "re-timing" else "shipping, flagged"))
+          System.err.println(s"[bench] window ${grp.head._1}.. attempt $attempt dirty " +
+            s"(${h0.render} / ${h1.render}): " +
+            (if (attempt < 3) "re-timing" else "shipping, flagged"))
       }
       if (!clean) dirtyWindows += 1
     }
+
+    // History-anchored re-time pass (round 13): the anchors file is
+    // the last committed CLEAN close; any query that still reads >2×
+    // its anchor (and >0.5 s absolute) after the windowed calibration
+    // is re-timed individually behind fresh health brackets — the
+    // suite's own history is a co-tenancy probe the kernels cannot
+    // replace (round 12's poisoned fleet lane passed every kernel
+    // reading). If a suspect survives re-timing while the suite
+    // median sits near 1, the artifact self-labels lane_suspect.
+    val anchorsPath = java.nio.file.Paths.get("bench/anchors.json")
+    val anchorsJson =
+      try {
+        if (java.nio.file.Files.exists(anchorsPath))
+          java.nio.file.Files.readString(anchorsPath)
+        else ""
+      } catch { case scala.util.control.NonFatal(_) => "" }
+    val anchorSfMatch = anchorsJson.contains("\"sf\": \"" + sfDir + "\"") ||
+      anchorsJson.contains("\"sf\":\"" + sfDir + "\"")
+    val queryAnchors =
+      if (anchorSfMatch) parseNumericFields(extractObject(anchorsJson, "queries"))
+      else Map.empty[String, Double]
+    val laneAnchors =
+      if (anchorSfMatch) parseNumericFields(extractObject(anchorsJson, "lanes"))
+      else Map.empty[String, Double]
+    def medians: Map[String, Double] =
+      results.map { case (k, (_, w, _, _)) => k -> w }.toMap
+    val anchorRetimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var (suiteRatio, suspects) = anchorSuspects(medians, queryAnchors)
+    var retimePass = 0
+    while (suspects.nonEmpty && retimePass < 2) {
+      retimePass += 1
+      suspects.foreach { name =>
+        queryList.find(_._1 == name).foreach { case (_, fn) =>
+          System.gc(); Thread.sleep(2000L)
+          val h0 = health()
+          val r = timeQuery(fn)
+          val h1 = health()
+          if (h0.clean && h1.clean) { results(name) = r; anchorRetimed += name }
+          System.err.println(f"[bench] anchor re-time $name pass $retimePass: " +
+            f"${r._2}%.2f s vs anchor ${queryAnchors(name)}%.2f " +
+            s"(${h0.render} / ${h1.render})")
+        }
+      }
+      val rec = anchorSuspects(medians, queryAnchors)
+      suiteRatio = rec._1; suspects = rec._2
+    }
+    val queryLaneSuspect = suspects.nonEmpty && (suiteRatio >= 0 && suiteRatio <= 1.2)
+
     val qs = results.map { case (k, (_, w, _, _)) => "\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, (_, med, mn, mx)) =>
@@ -223,16 +421,48 @@ object Bench {
     val total = results.values.collect { case (_, w, _, _) if w >= 0 => w }.sum
     val coldTotal = results.values.collect { case (c, _, _, _) if c >= 0 => c }.sum
 
-    val streamJson = calibrated("streaming")(streamingLine(spark, sfDir))
-    val scaleJson = calibrated("pipeline_scale")(pipelineScaleLine(spark))
+    // Lane-suspect predicates for the two headline lanes, anchored the
+    // same way: a fleet16/single-site wall or a streaming rate >2× off
+    // the clean close triggers a bracketed lane re-run inside
+    // calibrated(), and survives only as a self-labeled suspect.
+    val scaleSuspect: String => Option[String] = json => {
+      val f = parseNumericFields(json)
+      Seq("fleet16_sec", "single_site_sec").flatMap { k =>
+        for {
+          c <- f.get(k); a <- laneAnchors.get(k)
+          if c >= 0 && a > 0 && c / a > 2.0 && c - a > 0.5
+        } yield f"$k $c%.2f vs anchor $a%.2f"
+      }.headOption
+    }
+    val streamSuspect: String => Option[String] = json =>
+      for {
+        c <- parseNumericFields(json).get("lsh_candidates_docs_per_sec")
+        a <- laneAnchors.get("stream_docs_per_sec")
+        if c >= 0 && a > 0 && c < a / 2.0
+      } yield f"docs/s $c%.0f vs anchor $a%.0f"
+
+    val streamJson = calibrated("streaming", suspect = streamSuspect)(streamingLine(spark, sfDir))
+    val scaleJson = calibrated("pipeline_scale", suspect = scaleSuspect)(pipelineScaleLine(spark))
+    val laneSuspect = queryLaneSuspect ||
+      streamJson.contains("\"lane_suspect\":true") ||
+      scaleJson.contains("\"lane_suspect\":true")
     val suiteDegraded = dirtyWindows > 0 ||
       streamJson.contains("\"degraded\":true") || scaleJson.contains("\"degraded\":true")
+    val anchorsObj =
+      s"""{"sf_match":$anchorSfMatch,""" +
+        f""""suite_median_ratio":$suiteRatio%.4f,""" +
+        s""""suspects":${suspects.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""anchor_retimed":${anchorRetimed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""lane_suspect":$laneSuspect}"""
     val calJson =
       s"""{"window_size":$WindowSize,"window_readings":${
         windowCal.map(c => f"$c%.4f").mkString("[", ",", "]")},""" +
+        s""""window_bw_readings":${
+          windowBw.map(c => f"$c%.4f").mkString("[", ",", "]")},""" +
         s""""dirty_windows":$dirtyWindows,"retimed":${
           retimed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""pinned_sec":$CalibrationPinnedSec,"degraded_factor":$DegradedFactor}"""
+        s""""pinned_sec":$CalibrationPinnedSec,"degraded_factor":$DegradedFactor,""" +
+        s""""bw_pinned_sec":$BwPinnedSec,"bw_degraded_factor":$BwDegradedFactor}"""
 
     // Field order matters: the harness archives only the TAIL of this
     // line (observed 2000-char cap in the per-round artifacts, where
@@ -253,7 +483,7 @@ object Bench {
     // queries listed in calibration.retimed the "cold" pass ran with
     // a warm scan cache, so cold_total is a lower bound on a dirty
     // close (the warm medians, the graded numbers, are unaffected).
-    val line = s"""{"queries_spread":$spread,"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"gc_quiesced_warm":true,"warm_reps":$WarmReps,"streaming":$streamJson,"pipeline_scale":$scaleJson,"calibration":$calJson,"host_degraded":$suiteDegraded,"sf":"$sfDir"}"""
+    val line = s"""{"queries_spread":$spread,"queries":$qs,"metric":"total","value":$total,"unit":"sec","failed":$failed,"cold_total":$coldTotal,"gc_quiesced_warm":true,"warm_reps":$WarmReps,"streaming":$streamJson,"pipeline_scale":$scaleJson,"anchors":$anchorsObj,"calibration":$calJson,"host_degraded":$suiteDegraded,"lane_suspect":$laneSuspect,"sf":"$sfDir"}"""
     println(line)
     // Full detail also lands in-repo: the harness tail-truncation
     // loses ~70 of the per-query numbers, so the next round's diff
@@ -277,6 +507,29 @@ object Bench {
       java.nio.file.Files.createDirectories(hist.getParent)
       java.nio.file.Files.writeString(hist, line + "\n",
         java.nio.file.StandardOpenOption.CREATE_NEW)
+      // Fully-clean closes also emit an anchors CANDIDATE in the
+      // anchors.json format. Promotion (copying it over
+      // bench/anchors.json) stays a deliberate manual act: an
+      // auto-updating anchor would let one subtly-poisoned close
+      // corrupt the baseline every later close is judged against.
+      if (!suiteDegraded && !laneSuspect && failed == "[]") {
+        val sf = parseNumericFields(scaleJson)
+        val st = parseNumericFields(streamJson)
+        val cand = "{\n \"_source\": \"" + hist + "\",\n" +
+          " \"_note\": \"Clean-close anchor candidate; promote by copying over bench/anchors.json.\",\n" +
+          " \"sf\": \"" + sfDir + "\",\n" +
+          " \"lanes\": {\n" +
+          s"""  "single_site_sec": ${sf.getOrElse("single_site_sec", -1.0)},\n""" +
+          s"""  "fleet16_sec": ${sf.getOrElse("fleet16_sec", -1.0)},\n""" +
+          s"""  "stream_docs_per_sec": ${st.getOrElse("lsh_candidates_docs_per_sec", -1.0)}\n""" +
+          " },\n \"queries\": {\n" +
+          results.toSeq.sortBy(_._1).map { case (k, (_, w, _, _)) =>
+            s"""  "$k": $w"""
+          }.mkString("", ",\n", "\n") +
+          " }\n}\n"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("bench/anchors_candidate.json"), cand)
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[bench] could not persist bench run artifacts: ${e.getMessage}")
     }

@@ -10,7 +10,9 @@ package graft
   * becomes the next round's top item.
   *
   * Each point is the MEDIAN of three gc-quiesced passes bracketed by
-  * host-health calibration readings ([[Bench.calibrate]]) — the
+  * combined host-health readings ([[Bench.health]]: FP cycles AND
+  * memory-bandwidth triad — round 12 proved a cycles-only bracket
+  * passes bandwidth-stolen fleet lanes) — the
   * artifact proves on its face whether the curve was measured on a
   * quiet host (the first cut of this probe took single passes with
   * one before-only calibration and shipped a 16-site point 6× its
@@ -33,30 +35,32 @@ object BenchScale10x {
     // every attempt is degraded the LAST ships, honestly flagged
     val points = scales.map { n =>
       var attempt = 0
-      var out: (Int, Long, Double, Double, Double, Double, Boolean) = null
+      var out: (Int, Long, Double, Double, Bench.HealthReading, Bench.HealthReading, Boolean) = null
       while (attempt < 3 && (out == null || out._7)) {
         attempt += 1
         if (attempt > 1) Thread.sleep(15000L)
         System.gc()
-        val calB = Bench.calibrate()
+        val hB = Bench.health()
         val (rows, sec) = Bench.pipelineScaleMed3(spark, n)
-        val calA = Bench.calibrate()
+        val hA = Bench.health()
         val rps = rows / sec
-        val degraded = math.max(calB, calA) > Bench.DegradedFactor * Bench.CalibrationPinnedSec
+        val degraded = !(hB.clean && hA.clean)
         println(f"[scale10x] sites=$n attempt=$attempt rows=$rows sec=$sec%.2f rows/s=$rps%.0f " +
-          f"cal=$calB%.4f/$calA%.4f degraded=$degraded")
-        out = (n, rows, sec, rps, calB, calA, degraded)
+          s"cal=${hB.render} / ${hA.render} degraded=$degraded")
+        out = (n, rows, sec, rps, hB, hA, degraded)
       }
       out
     }
     val base = points.head._4
-    val json = points.map { case (n, rows, sec, rps, calB, calA, degraded) =>
+    val json = points.map { case (n, rows, sec, rps, hB, hA, degraded) =>
       f"""{"sites":$n,"rows":$rows,"sec":$sec%.3f,"rows_per_sec":$rps%.0f,""" +
-        f""""rps_vs_base":${rps / base}%.3f,"cal_before_sec":$calB%.4f,""" +
-        f""""cal_after_sec":$calA%.4f,"degraded":$degraded}"""
+        f""""rps_vs_base":${rps / base}%.3f,"cal_before_sec":${hB.fp}%.4f,""" +
+        f""""cal_after_sec":${hA.fp}%.4f,"bw_before_sec":${hB.bw}%.4f,""" +
+        f""""bw_after_sec":${hA.bw}%.4f,"degraded":$degraded}"""
     }.mkString("[", ",", "]")
     val line = s"""{"kind":"pipeline_scale_10x","reps_per_point":3,"points":$json,""" +
-      s""""calibration_pinned_sec":${Bench.CalibrationPinnedSec}}"""
+      s""""calibration_pinned_sec":${Bench.CalibrationPinnedSec},""" +
+      s""""bw_pinned_sec":${Bench.BwPinnedSec}}"""
     println(s"[scale10x] $line")
     try {
       val stamp = java.time.format.DateTimeFormatter

@@ -223,8 +223,11 @@ class DataHandler(
     * ([[graft.operators.Percentiles.exact]]): arbitrary user frames
     * are safe here — a derived or non-deterministic frame routes to
     * the single-evaluation sort form; only deterministic scan-shaped
-    * frames take the two-pass histogram form (which fails loudly,
-    * never silently, if its two passes ever disagree).
+    * frames take the two-pass histogram form, which cross-checks its
+    * two passes (key presence + flagged-bin populations) and raises
+    * on any detectable disagreement — the one case counts cannot see
+    * is an exact same-count value swap inside a flagged bin (see
+    * [[graft.operators.Percentiles.exactByHistogram]]).
     */
   def capacityEstimate(): DataFrame =
     DayStats.capacity(df, site, valueCol)

@@ -1104,7 +1104,9 @@ object OracleSql {
 
   // q96: daily-max PDF histogram — the q48 clip1 statistic binned
   // per site into 100 equal-width bins over [min, max] of the
-  // positive values (numpy plt.hist semantics, last bin inclusive).
+  // positive values (numpy plt.hist semantics, last bin inclusive;
+  // a zero-width range expands to (lo−0.5, lo+0.5), numpy's
+  // degenerate-case rule — ADVICE r12).
   // The bin expression mirrors the Spark side token-for-token —
   // ((clip1 − lo) * 100.0) / (hi − lo), floored then clamped — so
   // both engines run identical IEEE arithmetic; the floor output is
@@ -1116,11 +1118,15 @@ object OracleSql {
       SELECT s.user_id, s.daily_max / m.site_max AS clip1
       FROM sums s JOIN site m ON s.user_id = m.user_id
       WHERE s.daily_max / m.site_max > 0),
-    mm AS (SELECT user_id, min(clip1) AS lo, max(clip1) AS hi FROM cs GROUP BY 1),
+    mm0 AS (SELECT user_id, min(clip1) AS lo0, max(clip1) AS hi0 FROM cs GROUP BY 1),
+    mm AS (
+      SELECT user_id,
+        CASE WHEN hi0 = lo0 THEN lo0 - 0.5 ELSE lo0 END AS lo,
+        CASE WHEN hi0 = lo0 THEN lo0 + 0.5 ELSE hi0 END AS hi
+      FROM mm0),
     b AS (
       SELECT c.user_id,
-        CASE WHEN m.hi = m.lo THEN 0
-             ELSE CAST(least(floor((c.clip1 - m.lo) * 100.0 / (m.hi - m.lo)), 99.0) AS INT) END AS bin,
+        CAST(least(floor((c.clip1 - m.lo) * 100.0 / (m.hi - m.lo)), 99.0) AS INT) AS bin,
         m.lo AS lo, m.hi AS hi
       FROM cs c JOIN mm m ON c.user_id = m.user_id)
     SELECT user_id, bin,

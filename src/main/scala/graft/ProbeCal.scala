@@ -15,6 +15,12 @@ object ProbeCal {
       r
     }
     println(f"[cal] median: ${rs.sorted.apply(rs.length / 2)}%.4f (pinned ${Bench.CalibrationPinnedSec})")
+    val bs = (1 to n).map { i =>
+      val r = Bench.calibrateBandwidth()
+      println(f"[bw]  reading $i: $r%.4f s")
+      r
+    }
+    println(f"[bw]  median: ${bs.sorted.apply(bs.length / 2)}%.4f (pinned ${Bench.BwPinnedSec})")
     // splice check: lane JSON gains a calibration object
     println("[cal] splice: " + Bench.calibrated("probe", maxAttempts = 1)("""{"a":1}"""))
   }

@@ -159,7 +159,10 @@ object PlotTables {
     * (numpy semantics — bin = min(floor((x−lo)·B/(hi−lo)), B−1); at
     * an exact bin edge this can differ from `np.histogram` by one
     * ulp-class assignment, which the 6-dp edge columns make visible).
-    * A constant distribution (hi = lo) collapses into bin 0.
+    * A constant distribution (hi = lo) follows numpy's degenerate
+    * range expansion — `np.histogram` widens a zero-width range to
+    * (lo − 0.5, lo + 0.5), landing the point mass mid-range (bin 50
+    * of 100, up to the same edge-ulp class as above).
     * Day-grain input ⇒ the whole table is a window + aggregate over
     * the q48-gated clipStats day rows — no extra scan of the raw
     * table. Cross-engine hash-gated (q96).
@@ -177,13 +180,20 @@ object PlotTables {
     val b = numBins.toDouble
     DayStats.clipStats(df, site, tsCol, valueCol)
       .filter(col("clip1") > 0.0)
-      .withColumn("__lo", min(col("clip1")).over(w))
-      .withColumn("__hi", max(col("clip1")).over(w))
+      .withColumn("__lo0", min(col("clip1")).over(w))
+      .withColumn("__hi0", max(col("clip1")).over(w))
+      // numpy degenerate-range expansion: a constant distribution
+      // (hi = lo) histograms over (lo − 0.5, lo + 0.5), not a
+      // zero-width range (ADVICE r12); the generic bin formula then
+      // lands the point mass mid-range on its own
+      .withColumn("__lo",
+        when(col("__hi0") === col("__lo0"), col("__lo0") - lit(0.5)).otherwise(col("__lo0")))
+      .withColumn("__hi",
+        when(col("__hi0") === col("__lo0"), col("__lo0") + lit(0.5)).otherwise(col("__hi0")))
       .withColumn("bin",
-        when(col("__hi") === col("__lo"), lit(0))
-          .otherwise(least(
-            floor((col("clip1") - col("__lo")) * lit(b) / (col("__hi") - col("__lo"))),
-            lit((numBins - 1).toLong)).cast("int")))
+        least(
+          floor((col("clip1") - col("__lo")) * lit(b) / (col("__hi") - col("__lo"))),
+          lit((numBins - 1).toLong)).cast("int"))
       .groupBy(col(site).as("site"), col("bin"))
       .agg(
         first(col("__lo")).as("__l"), first(col("__hi")).as("__h"),

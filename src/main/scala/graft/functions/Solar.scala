@@ -102,7 +102,12 @@ object Solar {
       tempC: Double = 12.0
   ): Column = {
     val atmosFactor = (pressureMbar / 1010.0) * (283.0 / (273.0 + tempC))
-    when(e0Deg >= lit(-0.8334),
+    // SPA's refraction horizon is the sun's angular radius plus the
+    // horizon refraction term, -(0.26667 + 0.5667): spelled as the
+    // same expression pvlib evaluates so the boundary double is
+    // bit-identical (ADVICE r12: a -0.8334 literal left a ~3e-5 deg
+    // band corrected here but not by pvlib)
+    when(e0Deg >= lit(-(0.26667 + 0.5667)),
       lit(atmosFactor) * lit(1.02) /
         (lit(60.0) * tan((e0Deg + lit(10.3) / (e0Deg + lit(5.11))) * lit(DegToRad))))
       .otherwise(lit(0.0))

@@ -151,6 +151,14 @@ object Percentiles {
     * value map once but this form pays nothing extra per level).
     * `0.0` / `1.0` are exact min/max, so callers that used
     * `min(col)` alongside a percentile fold it in here.
+    *
+    * Two-pass consistency: a missing order-statistic key OR a flagged
+    * bin whose pass-2 population differs from pass-1's count raises
+    * (never a silently wrong value). The one undetectable case is an
+    * exact same-count value swap confined to a flagged bin between
+    * the scans — callers with genuinely mutating sources should
+    * persist() the input or use [[exactBySort]] (single evaluation,
+    * immune by construction).
     */
   def exactByHistogram(
       df: DataFrame,
@@ -186,10 +194,21 @@ object Percentiles {
     }
     val anyFlag = idx.map(i => col(s"__islo$i") || col(s"__ishi$i")).reduce(_ || _)
     val targets = hist.filter(anyFlag)
-      .select(g ++ Seq(col("__bin"), col("__before")) ++
+      .select(g ++ Seq(col("__bin"), col("__before"), col("__c")) ++
         idx.flatMap(i => Seq(col(s"__islo$i"), col(s"__ishi$i"),
           col(s"__pos$i"), col(s"__lo$i"), col(s"__hi$i"))): _*)
     val wCand = Window.partitionBy(g :+ col("__bin"): _*).orderBy(col("__v"))
+    // Two-pass consistency cross-check (ADVICE r12): pass 2 recounts
+    // each flagged bin and compares against pass 1's `__c`. Rows
+    // ADDED to a flagged bin between the scans shift within-bin ranks
+    // without nulling an order-statistic key, so the key-missing
+    // guard below alone would return a silently wrong percentile;
+    // a count mismatch catches that class. (An exact same-count value
+    // SWAP inside one bin remains undetectable from counts — the
+    // residual trust assumption is stated on the method doc.) Same
+    // partition+order spec as wCand (unbounded frame), so both plan
+    // into the one Window node over the one Exchange+Sort.
+    val wBinCnt = wCand.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val aggs = idx.flatMap { i =>
       Seq(
         // __rn is unique within (group, bin), so each when() matches
@@ -201,21 +220,27 @@ object Percentiles {
         first(col(s"__pos$i")).as(s"__p$i"),
         first(col(s"__lo$i")).as(s"__l$i"),
         first(col(s"__hi$i")).as(s"__h$i"))
-    }
+    } :+ max(when(col("__cnt2") =!= col("__c"), lit(1)).otherwise(lit(0))).as("__mm")
     val outs = idx.map { i =>
       // Invariant (two-pass consistency): the histogram pass promised
-      // this group's target ranks live in the flagged bins, so the
-      // candidate pass MUST have yielded both order-statistic keys.
-      // A null key here means the input returned different rows to
-      // the two passes (non-deterministic / concurrently-changing
+      // this group's target ranks live in the flagged bins with the
+      // counted populations. A changed bin count (__mm) or a missing
+      // order-statistic key means the input returned different rows
+      // to the two passes (non-deterministic / concurrently-changing
       // source) — fail loudly rather than return a silently wrong or
       // vanishing percentile (the single-pass forms are immune).
-      when(col(s"__lk$i").isNull || col(s"__hk$i").isNull,
+      when(col("__mm") === 1,
         raise_error(concat(
-          lit("Percentiles.exactByHistogram: order-statistic key missing for level " +
-            pcts(i)._1 + " — input rows changed between the histogram and candidate " +
-            "scans (non-deterministic source?); persist() the input or use exactBySort. group="),
+          lit("Percentiles.exactByHistogram: flagged-bin population changed between " +
+            "the histogram and candidate scans (non-deterministic source?); " +
+            "persist() the input or use exactBySort. group="),
           concat_ws(",", g.map(_.cast("string")): _*))))
+        .when(col(s"__lk$i").isNull || col(s"__hk$i").isNull,
+          raise_error(concat(
+            lit("Percentiles.exactByHistogram: order-statistic key missing for level " +
+              pcts(i)._1 + " — input rows changed between the histogram and candidate " +
+              "scans (non-deterministic source?); persist() the input or use exactBySort. group="),
+            concat_ws(",", g.map(_.cast("string")): _*))))
         .when(col(s"__l$i") === col(s"__h$i"), col(s"__lk$i"))
         .when(col(s"__hk$i") === col(s"__lk$i"), col(s"__lk$i"))
         .otherwise(
@@ -225,6 +250,7 @@ object Percentiles {
     }
     SideJoin.back(pre, targets, groupCols :+ "__bin")
       .withColumn("__rn", row_number().over(wCand))
+      .withColumn("__cnt2", count(lit(1)).over(wBinCnt))
       .groupBy(g: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(g ++ outs: _*)

@@ -153,9 +153,14 @@ class PercentilesSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // scan-shaped (histogram route) and window-derived (sort route)
     // inputs of identical content must agree with the aggregate
+    // rk stays in the projection: selecting only (g, v) would let
+    // column pruning delete the unused Window from the optimized plan,
+    // silently turning this input scan-shaped and losing the
+    // sort-route coverage (ADVICE r12)
     val derived = df.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window.partitionBy(col("g")).orderBy(col("v"))))
-      .select(col("g"), col("v"))
+    assert(Percentiles.preferHistogram(df), "scan-shaped input must take the histogram route")
+    assert(!Percentiles.preferHistogram(derived), "window-derived input must take the sort route")
     for ((clue, in) <- Seq("scanshape" -> df, "derived" -> derived)) {
       val got = Percentiles.exact(in, Seq("g"), "v", Seq(0.95 -> "p"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap

@@ -162,6 +162,24 @@ class PlotTablesSpec extends AnyFunSuite {
     } finally t.unpersist()
   }
 
+  test("dailyMaxPdfTable: constant distribution follows numpy's degenerate range expansion") {
+    // every day's max is identical ⇒ clip1 ≡ 1.0 ⇒ hi == lo; numpy
+    // widens a zero-width range to (lo−0.5, lo+0.5) and the point
+    // mass lands mid-range (bin 50), NOT in bin 0 (ADVICE r12)
+    import spark.implicits._
+    val rows = for (d <- 1 to 12; h <- 8 to 16) yield
+      (7L, java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00"),
+        if (h == 12) 5.0 else 2.0)
+    val df = rows.toDF("user_id", "ts", "value")
+    val t = PlotTables.dailyMaxPdfTable(df, "user_id", "ts", "value").collect()
+    assert(t.length == 1, "a point mass occupies exactly one bin")
+    val r = t(0)
+    assert(r.getAs[Int]("bin") == 50, s"expected mid-range bin 50, got ${r.getAs[Int]("bin")}")
+    assert(math.abs(r.getAs[Double]("x_lo") - 1.0) < 1e-9, "bin-50 left edge = lo")
+    assert(math.abs(r.getAs[Double]("x_hi") - 1.01) < 1e-9, "bin width = 1/100 of the widened range")
+    assert(r.getAs[Long]("n_days") == 12L)
+  }
+
   test("cdfAnalysisTable: grid grain, CDF endpoints, monotone empirical CDF, null alignment") {
     val t = PlotTables.cdfAnalysisTable(events, "user_id", "ts", "value", gridPts = 400).cache()
     try {
@@ -210,7 +228,10 @@ class PlotTablesSpec extends AnyFunSuite {
 
   test("bennett refraction: SPA correction values, zero below the refraction horizon") {
     import graft.functions.Solar
-    val e0s = Seq(-2.0, -0.9, -0.8334, -0.3, 0.0, 0.5, 2.0, 5.0, 45.0)
+    // -0.8334 sits INSIDE the ~3e-5 deg band between the rounded
+    // -0.8334 and pvlib's exact -(0.26667+0.5667) = -0.83337 horizon:
+    // pvlib applies no correction there, so neither must we (ADVICE r12)
+    val e0s = Seq(-2.0, -0.9, -0.8334, -0.83337, -0.3, 0.0, 0.5, 2.0, 5.0, 45.0)
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(e0s.map(org.apache.spark.sql.Row(_))),
       org.apache.spark.sql.types.StructType(Seq(
@@ -218,7 +239,7 @@ class PlotTablesSpec extends AnyFunSuite {
     val got = df.select(col("e0"), Solar.bennettRefractionDeg(col("e0")).as("r"))
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     def expected(e0: Double): Double =
-      if (e0 < -0.8334) 0.0
+      if (e0 < -(0.26667 + 0.5667)) 0.0
       else (1013.25 / 1010.0) * (283.0 / 285.0) * 1.02 /
         (60.0 * math.tan((e0 + 10.3 / (e0 + 5.11)) * 0.017453292519943295))
     for (e0 <- e0s)
