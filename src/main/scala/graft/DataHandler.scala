@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 import graft.analyses.{Pipeline, Profiler, SiteReport}
@@ -329,14 +329,17 @@ class DataHandler(
   def plotBundtTable(nBins: Int = 100, thresholdFrac: Double = 0.01): DataFrame =
     graft.analyses.PlotTables.bundtTable(spark, df, site, tsCol, valueCol, nBins, thresholdFrac)
 
-  /** `plot_polar_transform` (`data_handler.py:2543`) — apparent
-    * (Bennett/SPA refraction-corrected) elevation binning, matching
-    * the reference's pvlib binning; see
+  /** `plot_polar_transform` (`data_handler.py:2543`) — SPA-parity
+    * positions (the Sandia/pvlib ephemeris, round 13) with apparent
+    * (Bennett-refraction-corrected) elevation binning, matching the
+    * reference's pvlib binding end to end; see
     * [[graft.analyses.PlotTables.polarTransformTable]]. */
   def plotPolarTransformTable(latDeg: Double, lonDeg: Double, tzOffset: Int,
-      elevationRound: Int = 1, azimuthRound: Int = 2): DataFrame =
+      elevationRound: Int = 1, azimuthRound: Int = 2,
+      positionAlgo: String = "ephemeris"): DataFrame =
     graft.analyses.PlotTables.polarTransformTable(
-      df, site, tsCol, valueCol, latDeg, lonDeg, tzOffset, elevationRound, azimuthRound)
+      df, site, tsCol, valueCol, latDeg, lonDeg, tzOffset, elevationRound, azimuthRound,
+      positionAlgo)
 
   /** `plot_daily_energy` (`data_handler.py:2028`). */
   def plotDailyEnergyTable(slotsPerDay: Int = 288, minCount: Long = 5L): DataFrame =
@@ -397,24 +400,44 @@ class DataHandler(
       .select(col("site"), col("day"), col("dil_slot"), col("dil_value"),
         col("q_hi").as("scsf"))
 
-  /** `calculate_scsf_performance_index` (`data_handler.py:1010-1018`):
-    * per-day measured/clear energy ratio against the SCSF model. The
-    * reference sums both matrices on the raw grain after undilating
-    * the fit; the engine's dilation is energy-preserving per day
-    * (q52's gate), so the ratio is taken ON the dilated grain — the
-    * measured side is identical and the clear side differs only by
-    * the undilation interpolation the reference applies for display.
+  /** `calculate_scsf_performance_index` (`data_handler.py:1010-1018`,
+    * displayed undilated via the `data_handler.py:2376-2465` path):
+    * per-day measured/clear energy ratio against the SCSF model,
+    * reported on the reference's ORIGINAL measurement grid — both the
+    * measured signal and the fit are mapped back from the dilated
+    * grain through the q56-gated [[graft.operators.Dilation.undilate]]
+    * (same rise/set table the dilation used), then summed per day.
+    * Round 13: composing undilate removed the engine's last
+    * documented grain deviation on this surface; the per-day RATIO is
+    * unchanged from the dilated form (undilation is the same
+    * energy-preserving piecewise-constant integral on both columns,
+    * so the per-day scale factor cancels — pinned by
+    * DataHandlerSpec), but the energy columns now carry the
+    * reference's display grain.
     *
+    * @param outSlots slots per day of the output grid (288 = the
+    *   reference's 5-minute default)
     * @return (site, day, measured_energy, clear_energy, scsf_pi)
     */
-  def scsfPerformanceIndex(quantileLevel: Double = 0.9, nBins: Int = 40): DataFrame =
-    fitStatisticalClearSky(quantileLevel, nBins)
-      .groupBy(col("site"), col("day"))
-      .agg(
-        sum(col("dil_value")).as("measured_energy"),
-        sum(col("scsf")).as("clear_energy"))
+  def scsfPerformanceIndex(
+      quantileLevel: Double = 0.9,
+      nBins: Int = 40,
+      outSlots: Int = 288
+  ): DataFrame = {
+    val fit = fitStatisticalClearSky(quantileLevel, nBins)
+    val rs = graft.operators.Dilation.riseSetTable(df, site, tsCol, valueCol)
+    def undilated(valueCol: Column, as: String): DataFrame =
+      graft.operators.Dilation.undilate(
+        spark,
+        fit.select(col("site"), col("day"), col("dil_slot"), valueCol.as("dil_value")),
+        rs, outSlots)
+        .groupBy(col("site"), col("day"))
+        .agg(sum(col("value")).as(as))
+    undilated(col("dil_value"), "measured_energy")
+      .join(undilated(col("scsf"), "clear_energy"), Seq("site", "day"))
       .withColumn("scsf_pi",
         try_divide(col("measured_energy"), col("clear_energy")))
+  }
 
   /** `augment_data_frame` (`data_handler.py:1020`): join a day-grain
     * (or (day, slot)-grain) boolean mask back onto the row-grain

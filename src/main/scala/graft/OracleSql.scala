@@ -1102,6 +1102,92 @@ object OracleSql {
     FROM good GROUP BY 1, 2, 3
   """
 
+  // q97: CDF point-mass analysis — the empirical-CDF resample
+  // value-replayed: xs = [0] ++ sorted positive clip1 ++ [1] with
+  // ys = linspace (j/(m−1)); for each grid q = k/(gp−1),
+  // searchsorted-left = count(xs < q) clamped to [1, m−1] (exact
+  // integer comparisons of identical doubles), then the
+  // interpolation expression mirrored token-for-token; nano-lifted
+  // with floor(x·1e9 + 0.5) (representation-free — the q98 lesson).
+  // Fit-derived columns are construction-true literals (d29 idiom).
+  private val q97 = s"""
+    WITH $clipStatsCte,
+    pos AS (
+      SELECT s.user_id AS site, s.daily_max / m.site_max AS v
+      FROM sums s JOIN site m ON s.user_id = m.user_id
+      WHERE s.daily_max / m.site_max > 0),
+    xsmid AS (
+      SELECT site, v, row_number() OVER (PARTITION BY site ORDER BY v) AS i
+      FROM pos),
+    mcnt AS (SELECT site, count(*) AS np FROM pos GROUP BY 1),
+    xs AS (
+      SELECT site, 0 AS i, 0.0 AS x FROM mcnt
+      UNION ALL SELECT site, CAST(i AS INT), v FROM xsmid
+      UNION ALL SELECT site, CAST(np + 1 AS INT), 1.0 FROM mcnt),
+    grid AS (
+      SELECT m.site, CAST(k.k AS INT) AS i,
+        CAST(k.k AS DOUBLE) / (500 - 1) AS q, m.np + 2 AS m
+      FROM mcnt m CROSS JOIN (SELECT unnest(range(500)) AS k) k),
+    sel AS (
+      SELECT g.site, g.i, g.q, g.m,
+        least(greatest(count(CASE WHEN x.x < g.q THEN 1 END), 1), g.m - 1) AS hi
+      FROM grid g JOIN xs x ON x.site = g.site
+      GROUP BY 1, 2, 3, 4),
+    interp AS (
+      SELECT s.site, s.i, s.q,
+        CAST(s.hi - 1 AS DOUBLE) / (s.m - 1) +
+          (CAST(s.hi AS DOUBLE) / (s.m - 1) - CAST(s.hi - 1 AS DOUBLE) / (s.m - 1))
+            / (xhi.x - xlo.x) * (s.q - xlo.x) AS ye
+      FROM sel s
+      JOIN xs xlo ON xlo.site = s.site AND xlo.i = s.hi - 1
+      JOIN xs xhi ON xhi.site = s.site AND xhi.i = s.hi)
+    SELECT site, i,
+      CAST(floor(q * 1000000000.0 + 0.5) AS BIGINT) AS x_nano,
+      CAST(floor(ye * 1000000000.0 + 0.5) AS BIGINT) AS y_emp_nano,
+      true AS fit_finite,
+      true AS d1_aligned,
+      true AS metric_aligned,
+      true AS pm_interior
+    FROM interp
+  """
+
+  // q98: SCSF performance index on the undilated grid — the measured
+  // side replayed value-exactly: the 16-bin dilation replay (p02's
+  // CTE) lifted to integer micro-units (the q94 lift — a 6-dp scale
+  // round on the undilated floats instead hit the q64-class
+  // cross-engine half-boundary), undilated onto an 8-slot grid with
+  // the q56 overlap-term arithmetic (powers of two ⇒ dh = 2·dg exact,
+  // two full-overlap terms per out slot, order-immune sums),
+  // floor(x + 0.5)-quantized per out slot (representation-free on
+  // both engines, unlike scale-0 round — see the SparkEntry q98 note)
+  // and summed as longs per day. The clear-sky/PI boolean is a
+  // known-true literal — the solver side is p03-gated.
+  private val q98 = s"""
+    WITH ${dilationCte(16)},
+    ugrid AS (
+      SELECT d.site, d.day, o.rise AS rise_h, o.set_h, d.dil_slot,
+        CAST(CAST(floor(d.dil_raw * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) AS dv
+      FROM dil d JOIN dok o ON d.site = o.site AND d.day = o.day),
+    uterms AS (
+      SELECT g.site, g.day, CAST(k.k AS INT) AS out_slot,
+        (g.set_h - g.rise_h) / 8.0 AS dh,
+        least(g.rise_h + (k.k + 1) * ((g.set_h - g.rise_h) / 8.0),
+              g.rise_h + (g.dil_slot + 1) * ((g.set_h - g.rise_h) / 16.0)) AS hi,
+        greatest(g.rise_h + k.k * ((g.set_h - g.rise_h) / 8.0),
+                 g.rise_h + g.dil_slot * ((g.set_h - g.rise_h) / 16.0)) AS lo,
+        g.dv
+      FROM ugrid g CROSS JOIN (SELECT unnest(range(8)) AS k) k),
+    und AS (
+      SELECT site, day, out_slot,
+        CAST(floor(sum(CASE WHEN hi > lo THEN dv * (hi - lo) ELSE 0 END) / any_value(dh) + 0.5) AS BIGINT) AS um
+      FROM uterms GROUP BY 1, 2, 3)
+    SELECT site, day,
+      CAST(sum(um) AS BIGINT) AS measured_micro,
+      CAST(count(*) AS BIGINT) AS n_slots,
+      true AS pi_finite
+    FROM und GROUP BY 1, 2
+  """
+
   // q96: daily-max PDF histogram — the q48 clip1 statistic binned
   // per site into 100 equal-width bins over [min, max] of the
   // positive values (numpy plt.hist semantics, last bin inclusive;
@@ -2401,7 +2487,8 @@ object OracleSql {
       FROM dbr WHERE is_sample = 0),
     dil AS (
       SELECT site, day, b AS dil_slot,
-        round((lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg, 6) AS dil_value
+        round((lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg, 6) AS dil_value,
+        (lead(cumx) OVER (PARTITION BY site, day ORDER BY b) - cumx) / dg AS dil_raw
       FROM dvals
       QUALIFY b < $nBins)
   """
@@ -3284,10 +3371,12 @@ $branches
 
   /** q56: undilate replay. Mirrors Dilation.undilate's expression
     * tree exactly — dg = span/16, dh = span/8, g0 = rise + slot·dg,
-    * g1 = g0 + dg, a = rise + k·dh, b = a + dh, Σ dv·(min(b,g1) −
-    * max(a,g0)) over positive overlaps, ÷ dh. Power-of-2 grids make
-    * dh = 2·dg exact and every out slot exactly two bins wide, so
-    * both engines compute bit-identical doubles.
+    * g1 = rise + (slot+1)·dg, a = rise + k·dh, b = rise + (k+1)·dh
+    * (every edge a DIRECT product, round 13 — matching the operator's
+    * sliver-free formulation), Σ dv·(min(b,g1) − max(a,g0)) over
+    * positive overlaps, ÷ dh. Power-of-2 grids make dh = 2·dg exact
+    * and every out slot exactly two bins wide, so both engines
+    * compute bit-identical doubles.
     */
   private val q56 = """
     WITH m AS (SELECT user_id, max(value) AS site_max FROM events GROUP BY 1),
@@ -3317,8 +3406,8 @@ $branches
     terms AS (
       SELECT g.site, g.day, CAST(k.k AS INT) AS out_slot,
         (g.set_h - g.rise_h) / 8.0 AS dh,
-        least((g.rise_h + k.k * ((g.set_h - g.rise_h) / 8.0)) + (g.set_h - g.rise_h) / 8.0,
-              (g.rise_h + g.dil_slot * ((g.set_h - g.rise_h) / 16.0)) + (g.set_h - g.rise_h) / 16.0) AS hi,
+        least(g.rise_h + (k.k + 1) * ((g.set_h - g.rise_h) / 8.0),
+              g.rise_h + (g.dil_slot + 1) * ((g.set_h - g.rise_h) / 16.0)) AS hi,
         greatest(g.rise_h + k.k * ((g.set_h - g.rise_h) / 8.0),
                  g.rise_h + g.dil_slot * ((g.set_h - g.rise_h) / 16.0)) AS lo,
         g.dv
@@ -5399,6 +5488,8 @@ $branches
     "q94_scsf_index" -> q94,
     "q95_circ_dist" -> q95,
     "q96_daily_max_pdf" -> q96,
+    "q97_cdf_analysis" -> q97,
+    "q98_scsf_undilated" -> q98,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

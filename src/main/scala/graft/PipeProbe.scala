@@ -35,11 +35,16 @@ object PipeProbe {
     // run() assembly, smoothness column included)
     val rows = Pipeline.dayRows(ev(), "site", "ts", "value")
     import spark.implicits._
-    val collected = rows.as[(Long, Double, Double, Double, Double, Double, Long, Double, Double)]
-      .collect().groupBy(_._1)
+    val collected = rows
+      .select(col("site"), col("day_idx").as("dayIdx"), col("energy"),
+        col("density"), col("daily_max").as("dailyMax"),
+        col("com_hour").as("comHour"), col("n_obs").as("nObs"),
+        col("capacity"), col("smoothness"))
+      .as[graft.analyses.DayRow]
+      .collect().groupBy(_.site)
     println(s"[probe] collected ${collected.size} sites")
     val t0 = System.nanoTime()
-    val reports = collected.map { case (s, ds) => Pipeline.analyzeSite(s, ds.sortBy(_._2)) }
+    val reports = collected.map { case (s, ds) => Pipeline.analyzeSite(s, ds.sortBy(_.dayIdx)) }
     println(f"[probe] driver analyzeSite all sites: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     val nErr = reports.count(_.errors.nonEmpty)
     println(s"[probe] sites with stage errors: $nErr; sample: ${reports.find(_.errors.nonEmpty).map(_.errors).getOrElse("")}")

@@ -8,11 +8,12 @@ object ProfOne {
   def main(args: Array[String]): Unit = {
     val nDays = if (args.nonEmpty) args(0).toInt else 270
     val nSites = if (args.length > 1) args(1).toInt else 32
-    def mkSite(seed: Int): Array[(Long, Double, Double, Double, Double, Double, Long, Double, Double)] =
+    def mkSite(seed: Int): Array[graft.analyses.DayRow] =
       Array.tabulate(nDays) { d =>
         val season = 6.0 + 2.0 * math.sin(2 * math.Pi * d / 365.0)
         val noise = math.sin(d * 12.9898 + seed) * 0.8
-        (seed.toLong, d.toDouble, math.max(season + noise, 0.1), 0.9 + 0.1 * math.sin(d * 0.7),
+        graft.analyses.DayRow(seed.toLong, d.toDouble, math.max(season + noise, 0.1),
+          0.9 + 0.1 * math.sin(d * 0.7),
           math.max(season / 6.0 + noise * 0.05, 0.05), 12.0 + 0.2 * math.sin(d * 0.3), 288L, 1.0,
           // synthetic intra-day roughness: variable days rough
           math.abs(noise) * 5.0 + 0.5)
@@ -27,11 +28,11 @@ object ProfOne {
     // per-kernel breakdown on one site
     import graft.solvers.{Cluster, Kernels}
     val days = mkSite(1)
-    val t = days.map(_._2)
-    val energy = days.map(_._3)
-    val density = days.map(_._4)
-    val dailyMax = days.map(_._5)
-    val comHour = days.map(_._6)
+    val t = days.map(_.dayIdx)
+    val energy = days.map(_.energy)
+    val density = days.map(_.density)
+    val dailyMax = days.map(_.dailyMax)
+    val comHour = days.map(_.comHour)
     def tm(name: String)(f: => Any): Unit = {
       val a = System.nanoTime(); f; val b = System.nanoTime()
       println(f"[prof]   $name%-18s ${(b - a) / 1e6}%.1f ms")

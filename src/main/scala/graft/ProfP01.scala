@@ -31,6 +31,12 @@ object ProfP01 {
         graft.analyses.Pipeline.run(spark, ev, "site", "ts", "value").toDF().count()
       }
     }
+    val ds = graft.analyses.Pipeline.run(spark, ev, "site", "ts", "value")
+    println(ds.queryExecution.executedPlan.toString().take(6000))
+    val rdd = ds.toDF().rdd
+    println(s"[prof-p01] solver-output partitions: ${rdd.getNumPartitions}")
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) => Iterator((i, it.size)) }.collect()
+    println(s"[prof-p01] sites per partition: ${perPart.sortBy(_._1).map(_._2).mkString(",")}")
     spark.stop()
   }
 }

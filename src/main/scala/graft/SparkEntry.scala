@@ -719,6 +719,90 @@ object SparkEntry {
       .dailyMaxPdfTable(Tables.events(s, dir), "user_id", "ts", "value")
       .select(col("site").as("user_id"), col("bin"), col("x_lo"), col("x_hi"), col("n_days"))
 
+  /** CDF point-mass analysis surface (reference `plot_cdf_analysis`,
+    * `clipping.py:131-198` + `calculate_cdf` :360-370) HASH-GATED —
+    * the relationally-expressible core of [[PlotTables.cdfAnalysisTable]]
+    * value-replayed in DuckDB: the even x-grid and the empirical-CDF
+    * resample (scipy `interp1d` linear semantics — searchsorted-left
+    * = count(xs < q) clamped to [1, m−1], then the mirrored
+    * interpolation expression; nano-lifted with the representation-
+    * free floor(x·1e9 + 0.5), the q98 lesson). The solver-fit columns
+    * (cdfPwlFit, its first diff, the 3-window metric, the reduced
+    * point-mass flags) ride along as construction-true invariants
+    * (the d29 known-true-literal idiom): fit finite on every grid
+    * point, d1/metric null-alignment exactly at the ends, point-mass
+    * flags interior-only. The fit math itself is spec-pinned
+    * (PlotTablesSpec + SolverSpec).
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val gp = 500
+    graft.analyses.PlotTables
+      .cdfAnalysisTable(Tables.events(s, dir), "user_id", "ts", "value", gridPts = gp)
+      .select(
+        col("site").cast("long").as("site"),
+        col("i"),
+        floor(col("x") * lit(1e9) + lit(0.5)).cast("long").as("x_nano"),
+        floor(col("y_emp") * lit(1e9) + lit(0.5)).cast("long").as("y_emp_nano"),
+        finite(col("y_fit")).as("fit_finite"),
+        (col("d1").isNull === (col("i") === gp - 1)).as("d1_aligned"),
+        (col("metric").isNull === (col("i") === 0 || col("i") === gp - 1)).as("metric_aligned"),
+        (!col("is_point_mass") || (col("i") >= 1 && col("i") <= gp - 2)).as("pm_interior"))
+  }
+
+  /** SCSF performance index on the UNDILATED grid (reference
+    * `calculate_scsf_performance_index` displayed via the
+    * `data_handler.py:2376-2465` undilation path) — the round-13
+    * parity surface composing [[Dilation.undilate]] (q56) over the
+    * dilation grain (p02). HASH-GATED on the measured side: the real
+    * dilate → round → undilate → per-day energy chain replayed
+    * value-exactly in DuckDB at a 16-bin → 8-slot grid (powers of
+    * two: dh = 2·dg exactly, so every out slot covers exactly two
+    * bins with bit-identical boundary doubles — the q56 contract —
+    * and the two-term sums are order-immune). The dilated input is
+    * lifted to INTEGER micro-units before undilating (the q94 lift;
+    * a 6-dp scale round on the float outputs instead hit the
+    * q64-class cross-engine half-boundary on 75 rows), so the
+    * integral runs on exact integers and only scale-0 rounds — which
+    * agree on identical doubles — touch the result. The clear-sky
+    * side of the REAL [[DataHandler.scsfPerformanceIndex]] surface
+    * rides along as a finiteness/positivity gate (the solver fit
+    * itself is p03-gated).
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value"))
+    val dhh = new DataHandler(ev, "site", "ts", "value")
+    val nBins = 16
+    val outSlots = 8
+    val rs = Dilation.riseSetTable(ev, "site", "ts", "value", 0.01)
+    // floor(raw·1e6 + 0.5), never a scale-6 decimal round: the raw
+    // dilated doubles are bit-identical across engines (the full
+    // trapezoid replay), but Spark's round(x, 6) goes through the
+    // double's shortest decimal representation while DuckDB rounds
+    // the exact value — on this synthetic data many bins sit exactly
+    // on the 6-dp half-boundary and the two disagree (the q64 class)
+    val dil16 = dhh.applyTimeDilation(nBins)
+      .select(col("site"), col("day"), col("dil_slot"),
+        floor(col("dil_value") * lit(1e6) + lit(0.5)).cast("long").cast("double")
+          .as("dil_value"))
+    val und = Dilation.undilate(s, dil16, rs, outSlots)
+    // floor(x + 0.5), NOT round(x): with integer micro inputs the
+    // per-slot density is a half-integer whenever the two covered
+    // bins differ by an odd micro — Spark's scale-0 round goes
+    // through the double's SHORTEST decimal representation
+    // (BigDecimal.valueOf) while DuckDB rounds the exact double, and
+    // they disagree exactly on those .5 boundaries (35 rows at
+    // sf0.01). floor and + are representation-free on both engines.
+    val meas = und
+      .groupBy(col("site"), col("day").cast("string").as("day"))
+      .agg(
+        sum(floor(col("value") + lit(0.5)).cast("long")).as("measured_micro"),
+        count(lit(1)).as("n_slots"))
+    val pi = dhh.scsfPerformanceIndex(quantileLevel = 0.9, nBins = nBins, outSlots = outSlots)
+      .select(col("site"), col("day").cast("string").as("day"),
+        (finite(col("scsf_pi")).cast("int") === 1 && col("scsf_pi") > 0).as("pi_finite"))
+    meas.join(pi, Seq("site", "day"))
+  }
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -3961,6 +4045,8 @@ object SparkEntry {
     "q94_scsf_index" -> (q94 _),
     "q95_circ_dist" -> (q95 _),
     "q96_daily_max_pdf" -> (q96 _),
+    "q97_cdf_analysis" -> (q97 _),
+    "q98_scsf_undilated" -> (q98 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),

@@ -76,6 +76,21 @@ object StreamProbe {
       println(s"[streamprobe]   batch dirs in sink: $batchDirs")
       r
     }
+    // state-store-count sensitivity: each stream shuffle partition
+    // carries a state store whose per-batch open/commit cost is fixed,
+    // so at 5k docs the 32-store default pays machinery, not work
+    for (parts <- Seq(16, 8, 4)) {
+      tm(s"incrementalLshCandidates p=$parts") {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        try {
+          val src = java.nio.file.Files.createTempDirectory("sprobe").toString
+          val ckpt = java.nio.file.Files.createTempDirectory("sprobeckpt").toString
+          val out = java.nio.file.Files.createTempDirectory("sprobeout").toString
+          docs.write.mode("overwrite").parquet(src)
+          graft.streaming.DocStream.incrementalLshCandidates(spark, src, ckpt, out).count()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", "32")
+      }
+    }
     spark.stop()
   }
 }

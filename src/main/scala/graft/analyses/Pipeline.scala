@@ -9,6 +9,15 @@ import graft.solvers.{Cluster, Kernels}
 /** Per-(site, day) fact row — the bounded per-site state handed to the
   * solver stages. O(num_days) doubles per site regardless of raw scan
   * rate, so executor memory is flat in data size (SURVEY §4.1).
+  *
+  * Primitive fields only, by design: the fleet shuffle moves these as
+  * Tungsten UnsafeRows and the typed decode constructs ONE flat
+  * object per row with unboxed constructor arguments. (Round 13 —
+  * the previous lane pulled a generic Tuple9 through an RDD shuffle:
+  * 9 boxed fields + 2 key boxes per day row, ~280M transient objects
+  * at fleet16 grain, and that allocation churn was exactly the
+  * memory-bandwidth sensitivity that made the fleet lane the first
+  * casualty of host co-tenancy in rounds 10–12.)
   */
 case class DayRow(
     site: Long,
@@ -17,7 +26,9 @@ case class DayRow(
     density: Double,
     dailyMax: Double,
     comHour: Double,
-    nObs: Long
+    nObs: Long,
+    capacity: Double,
+    smoothness: Double
 )
 
 /** Fleet result row (reference `sdt_dask/dask_tool/runner.py:44-194`):
@@ -195,21 +206,33 @@ object Pipeline {
     import spark.implicits._
     val rows = dayRows(df, site, tsCol, valueCol)
     // The solver stage is CPU-dense on byte-tiny groups (a few KB of
-    // day stats per site carry an IRLS/DP/DBSCAN workload), so AQE
-    // would coalesce a Dataset groupByKey down to one or two
-    // partitions by byte size. Shuffle through a fixed HashPartitioner
-    // RDD stage instead: partitions == defaultParallelism, which AQE
-    // never re-plans, and each task groups its sites locally.
+    // day stats per site carry an IRLS/DP/DBSCAN workload), so the
+    // relational planner must NOT own its parallelism: a
+    // `repartition(par, site)` here is removed by the optimizer as
+    // redundant against the first_day window's existing
+    // hashpartitioning(site), and AQE then coalesces that byte-tiny
+    // ENSURE_REQUIREMENTS exchange to ONE partition — measured round
+    // 13: 1500 sites solved serially, p01 4.8 s → 33 s. The explicit
+    // RDD boundary with a fixed HashPartitioner is immune to both
+    // rules by construction: partitions == defaultParallelism, which
+    // AQE never re-plans, and each task groups its sites locally.
     val par = spark.sparkContext.defaultParallelism
-    // repartitionAndSortWithinPartitions on (site, day_idx): sites are
+    // repartitionAndSortWithinPartitions on (site, dayIdx): sites are
     // hash-partitioned, rows arrive site-grouped and day-ordered, and
     // the task streams ONE site's days at a time — per-task memory is
     // O(days-of-one-site), not O(sites-per-partition) as a
-    // whole-partition toArray.groupBy would be
+    // whole-partition toArray.groupBy would be. The shuffled value is
+    // the flat primitive-field DayRow (one object + one key pair per
+    // day row at the RDD surface, vs. the generic Tuple9's 12 with
+    // every field boxed — see the case-class note above).
     val solved = rows
-      .as[(Long, Double, Double, Double, Double, Double, Long, Double, Double)]
+      .select(col("site"), col("day_idx").as("dayIdx"), col("energy"),
+        col("density"), col("daily_max").as("dailyMax"),
+        col("com_hour").as("comHour"), col("n_obs").as("nObs"),
+        col("capacity"), col("smoothness"))
+      .as[DayRow]
       .rdd
-      .map(r => ((r._1, r._2), r))
+      .map(r => ((r.site, r.dayIdx), r))
       .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
         override def numPartitions: Int = par
         override def getPartition(key: Any): Int = {
@@ -222,10 +245,9 @@ object Pipeline {
         new Iterator[SiteReport] {
           override def hasNext: Boolean = rowsIt.hasNext
           override def next(): SiteReport = {
-            val siteId = rowsIt.head._1
-            val buf = scala.collection.mutable.ArrayBuffer.empty[
-              (Long, Double, Double, Double, Double, Double, Long, Double, Double)]
-            while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
+            val siteId = rowsIt.head.site
+            val buf = scala.collection.mutable.ArrayBuffer.empty[DayRow]
+            while (rowsIt.hasNext && rowsIt.head.site == siteId) buf += rowsIt.next()
             // already day-ordered by the sort
             analyzeSite(siteId, buf.toArray, period, faultInjector(siteId, _))
           }
@@ -237,12 +259,12 @@ object Pipeline {
   /** Per-site analysis on bounded state; each stage is best-effort. */
   def analyzeSite(
       siteId: Long,
-      days: Array[(Long, Double, Double, Double, Double, Double, Long, Double, Double)],
+      days: Array[DayRow],
       period: Option[Double] = None,
       faultInjector: String => Unit = _ => ()
   ): SiteReport = {
     val n = days.length
-    val t = days.map(_._2)
+    val t = days.map(_.dayIdx)
     // Span-aware seasonal period (see run()): annual once the site
     // spans ≥ 548 days (~18 months — enough to identify the annual
     // harmonic), weekly otherwise. The time-shift stage stays weekly
@@ -250,11 +272,11 @@ object Pipeline {
     // a longer-than-step seasonal basis would smooth away.
     val span = if (n > 1) t.last - t.head else 0.0
     val seasonPeriod = period.getOrElse(if (span >= 548.0) Kernels.YearPeriod else 7.0)
-    val energy = days.map(_._3)
-    val density = days.map(_._4)
-    val dailyMax = days.map(_._5)
-    val comHour = days.map(_._6)
-    val capacity = if (n > 0) days(0)._8 else Double.NaN
+    val energy = days.map(_.energy)
+    val density = days.map(_.density)
+    val dailyMax = days.map(_.dailyMax)
+    val comHour = days.map(_.comHour)
+    val capacity = if (n > 0) days(0).capacity else Double.NaN
     val errs = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def stage[A](name: String, default: A)(f: => A): A =
@@ -280,7 +302,7 @@ object Pipeline {
     // fixture at 0.28 vs the reference's 0.4922 — the smoothness
     // channel is what separates bright-but-variable days from clear
     // ones (GoldenPipelineSpec's report case pins the band).
-    val smoothRaw = days.map(_._9)
+    val smoothRaw = days.map(_.smoothness)
     val clearFrac = stage("clear", Double.NaN) {
       val tcMax = smoothRaw.foldLeft(0.0)((a, v) =>
         if (v.isNaN || v < 0.0) a else math.max(a, v))

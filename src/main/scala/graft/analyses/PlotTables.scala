@@ -558,6 +558,16 @@ object PlotTables {
     * exactly as the reference's `apparent_elevation >= 0` cut keeps
     * them.
     */
+  /** @param positionAlgo `"ephemeris"` (default — the published
+    *   Sandia/pvlib ephemeris, [[graft.functions.Solar.withEphemerisPosition]],
+    *   SPA parity to ~0.01°, matching the reference's pvlib
+    *   `get_solarposition` binding at `polar_transform.py:69-78`) or
+    *   `"cooper"` (the Cooper-declination + Spencer-EoT approximation
+    *   the q46 oracle replays relationally — kept for the
+    *   cross-engine gate and for callers matching the engine's study
+    *   modules, which use Cooper throughout like the reference's own
+    *   `pvsystemprofiler`)
+    */
   def polarTransformTable(
       df: DataFrame,
       site: String,
@@ -567,32 +577,46 @@ object PlotTables {
       lonDeg: Double,
       tzOffset: Int,
       elevationRound: Int = 1,
-      azimuthRound: Int = 2
+      azimuthRound: Int = 2,
+      positionAlgo: String = "ephemeris"
   ): DataFrame = {
     import graft.functions.Solar
     import graft.operators.TimeAxis
     val DegToRad = 0.017453292519943295
     val RadToDeg = 57.29577951308232
-    val sinPhi = math.sin(latDeg * DegToRad)
-    val cosPhi = math.cos(latDeg * DegToRad)
-    val tanPhi = math.tan(latDeg * DegToRad)
-    val doy = dayofyear(to_date(col(tsCol)))
-    val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
-    // local standard time → true solar time: EoT plus the longitude
-    // offset from the zone meridian (15°·tzOffset)
-    val solarH = TimeAxis.hourOfDay(col(tsCol)) +
-      Solar.equationOfTimeMin(doy) / lit(60.0) +
-      lit((lonDeg - 15.0 * tzOffset) / 15.0)
-    val haRad = (lit(15.0) * (solarH - lit(12.0))) * lit(DegToRad)
-    val sinEl = lit(sinPhi) * sin(declRad) + lit(cosPhi) * cos(declRad) * cos(haRad)
-    val elDeg = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(RadToDeg)
-    // azimuth from north, clockwise (the pvlib convention the
-    // reference bins): atan2(sin H, cos H·sinφ − tanδ·cosφ) + 180
-    val azDeg = atan2(sin(haRad), cos(haRad) * lit(sinPhi) - tan(declRad) * lit(cosPhi)) *
-      lit(RadToDeg) + lit(180.0)
+    val base = df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    val (aug, elDeg, azDeg) = positionAlgo match {
+      case "ephemeris" =>
+        // the reference shifts its naive fixed-offset local stamps to
+        // UTC before calling pvlib (`polar_transform.py:69-72`)
+        val utcTs = timestamp_seconds(unix_timestamp(col(tsCol)) - lit(tzOffset * 3600L))
+        val a = Solar.withEphemerisPosition(base, utcTs, latDeg, lonDeg, "__pos_el", "__pos_az")
+        (a, col("__pos_el"), col("__pos_az"))
+      case "cooper" =>
+        val sinPhi = math.sin(latDeg * DegToRad)
+        val cosPhi = math.cos(latDeg * DegToRad)
+        val doy = dayofyear(to_date(col(tsCol)))
+        val declRad = Solar.declinationDeg(doy) * lit(DegToRad)
+        // local standard time → true solar time: EoT plus the longitude
+        // offset from the zone meridian (15°·tzOffset)
+        val solarH = TimeAxis.hourOfDay(col(tsCol)) +
+          Solar.equationOfTimeMin(doy) / lit(60.0) +
+          lit((lonDeg - 15.0 * tzOffset) / 15.0)
+        val haRad = (lit(15.0) * (solarH - lit(12.0))) * lit(DegToRad)
+        val sinEl = lit(sinPhi) * sin(declRad) + lit(cosPhi) * cos(declRad) * cos(haRad)
+        val el = asin(greatest(lit(-1.0), least(lit(1.0), sinEl))) * lit(RadToDeg)
+        // azimuth from north, clockwise (the pvlib convention the
+        // reference bins): atan2(sin H, cos H·sinφ − tanδ·cosφ) + 180
+        val az = atan2(sin(haRad), cos(haRad) * lit(sinPhi) - tan(declRad) * lit(cosPhi)) *
+          lit(RadToDeg) + lit(180.0)
+        (base, el, az)
+      case other =>
+        throw new IllegalArgumentException(
+          s"positionAlgo must be 'ephemeris' or 'cooper', got '$other'")
+    }
     def roundTo(x: org.apache.spark.sql.Column, c: Int) =
       (lit(c.toDouble) * round(x / lit(c.toDouble))).cast("int")
-    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    aug
       .withColumn("__el", Solar.apparentElevationDeg(elDeg))
       .filter(col("__el") >= 0.0)
       .groupBy(

@@ -167,13 +167,24 @@ object Dilation {
           val nBins = bins.last._3 + 1
           val dg = (set - rise) / nBins
           val dh = (set - rise) / outSlots
-          // piecewise-constant density: integral over [a, b)
+          // piecewise-constant density: integral over [a, b). Every
+          // edge is a DIRECT product (rise + i·dg / rise + k·dh, one
+          // float rounding each), never an accumulated a + dh: when
+          // an out-slot boundary and a bin edge coincide in real
+          // arithmetic (any commensurable grid pair), the direct
+          // forms round to the SAME double, so the overlap there is
+          // exactly zero-width and is excluded — the accumulated form
+          // left ~1-ulp slivers that added order-sensitive 1e-16-
+          // relative terms to the sums (q98's cross-engine gate
+          // caught ±1-micro flips from exactly this). Consecutive out
+          // slots also share their boundary double exactly, so the
+          // per-day integral partitions without gap or overlap.
           def integral(a: Double, b: Double): Double = {
             var s = 0.0
             var i = 0
             while (i < bins.length) {
               val g0 = rise + bins(i)._3 * dg
-              val g1 = g0 + dg
+              val g1 = rise + (bins(i)._3 + 1) * dg
               val lo = math.max(a, g0)
               val hi = math.min(b, g1)
               if (hi > lo) s += bins(i)._4 * (hi - lo)
@@ -183,7 +194,7 @@ object Dilation {
           }
           (0 until outSlots).iterator.map { k =>
             val a = rise + k * dh
-            val b = a + dh
+            val b = rise + (k + 1) * dh
             (siteId, day, k, integral(a, b) / dh)
           }
         }

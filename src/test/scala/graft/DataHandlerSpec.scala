@@ -171,4 +171,29 @@ class DataHandlerSpec extends AnyFunSuite {
     }
     assert(inBand > pi.length / 2, s"only $inBand/${pi.length} PI values in (0.2, 2)")
   }
+
+  test("round-13 parity: undilated PI ratio equals the dilated-grain ratio per day") {
+    // undilation is the same energy-preserving piecewise-constant
+    // integral on the measured and clear columns, so the per-day
+    // scale factor cancels: the REPORTED grain changed (reference
+    // parity, data_handler.py:2376-2465), the ratio must not
+    val fit = dh.fitStatisticalClearSky(quantileLevel = 0.9, nBins = 20)
+    val dilated = fit.groupBy(col("site"), col("day"))
+      .agg((sum(col("dil_value")) / sum(col("scsf"))).as("pi_dil"))
+      .collect().map(r => (r.getAs[Long]("site"), r.getAs[String]("day")) ->
+        r.getAs[Double]("pi_dil")).toMap
+    val und = dh.scsfPerformanceIndex(quantileLevel = 0.9, nBins = 20, outSlots = 96)
+      .filter(col("scsf_pi").isNotNull).collect()
+    assert(und.nonEmpty)
+    var compared = 0
+    und.foreach { r =>
+      val k = (r.getAs[Long]("site"), r.getAs[String]("day"))
+      dilated.get(k).filterNot(_.isNaN).foreach { pd =>
+        compared += 1
+        assert(math.abs(r.getAs[Double]("scsf_pi") - pd) < 1e-9,
+          s"undilated PI diverged from the dilated ratio at $k")
+      }
+    }
+    assert(compared > 0, "no comparable (site, day) keys")
+  }
 }

@@ -137,7 +137,7 @@ class DegenerateInputSpec extends AnyFunSuite {
   }
 
   test("per-site analysis handles a one-day site") {
-    val r = Pipeline.analyzeSite(7L, Array((7L, 0.0, 10.0, 0.9, 4.0, 12.0, 288L, 5.0, 1.0)))
+    val r = Pipeline.analyzeSite(7L, Array(graft.analyses.DayRow(7L, 0.0, 10.0, 0.9, 4.0, 12.0, 288L, 5.0, 1.0)))
     assert(r.site == 7L && r.nDays == 1)
   }
 

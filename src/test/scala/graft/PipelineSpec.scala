@@ -87,7 +87,7 @@ class PipelineSpec extends AnyFunSuite {
       val e = 10.0 * seasonal * (if (cloudy) 0.45 else 1.0)
       // cloudy days are rough (high Σ|2nd diff|), clear days smooth —
       // the 3-signal clear rule needs the smoothness channel to agree
-      (0L, d.toDouble, e, if (cloudy) 0.7 else 0.98, e / 10.0, 12.0, 288L, 1.0,
+      graft.analyses.DayRow(0L, d.toDouble, e, if (cloudy) 0.7 else 0.98, e / 10.0, 12.0, 288L, 1.0,
         if (cloudy) 8.0 else 0.5)
     }
     val annual = Pipeline.analyzeSite(0L, days) // span 1095 d → annual default
