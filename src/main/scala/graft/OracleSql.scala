@@ -1183,8 +1183,7 @@ object OracleSql {
       FROM uterms GROUP BY 1, 2, 3)
     SELECT site, day,
       CAST(sum(um) AS BIGINT) AS measured_micro,
-      CAST(count(*) AS BIGINT) AS n_slots,
-      true AS pi_finite
+      CAST(count(*) AS BIGINT) AS n_slots
     FROM und GROUP BY 1, 2
   """
 
@@ -3320,6 +3319,40 @@ object OracleSql {
   private val q62: String = s"""
     WITH $studyDayCte
     ${lonStudyBranches("sw_day", "raw")}
+    """
+
+  // q99: the fleet batch-estimation face (FleetEstimation.longitude —
+  // the reference's scripts glue) replayed end to end: the q62 study
+  // branches + a site-derived metadata dim (gmt offset and real
+  // longitude as deterministic functions of the site id, identical
+  // arithmetic on both engines), the resume anti-join (site % 7 = 3
+  // "already checked"), the ADDITIVE per-site gmt shift (+15·gmt on
+  // the bit-determined branch longitude — exact-integer shift, so the
+  // sum is bit-identical cross-engine), residual = real − estimate
+  // (the reference's sign, longitude_study.py:218), and the per-site
+  // passes window over the left-joined site list (the failsafe
+  // placeholder row for estimate-less sites).
+  private val q99: String = s"""
+    WITH $studyDayCte,
+    lon_est AS (
+      ${lonStudyBranches("sw_day", "raw")}
+    ),
+    fleet_sites AS (
+      SELECT DISTINCT user_id AS site FROM events WHERE user_id % 7 <> 3),
+    fleet_meta AS (
+      SELECT site, CAST(site % 5 - 8 AS DOUBLE) AS gmt_offset,
+        -125.0 + CAST(site % 50 AS DOUBLE) AS real_longitude
+      FROM fleet_sites)
+    SELECT s.site, e.data_matrix, e.solar_noon_method, e.eot_calculation,
+      e.day_selection, e.estimator,
+      e.longitude + 15.0 * m.gmt_offset AS longitude,
+      m.real_longitude - (e.longitude + 15.0 * m.gmt_offset) AS residual,
+      e.n_days,
+      max(CASE WHEN e.longitude IS NOT NULL THEN 1 ELSE 0 END)
+        OVER (PARTITION BY s.site) = 1 AS passes_estimation
+    FROM fleet_sites s
+    LEFT JOIN lon_est e ON s.site = e.site
+    JOIN fleet_meta m ON s.site = m.site
     """
 
   // q65: the longitude study's FILLED-matrix slice — the shared
@@ -5490,6 +5523,7 @@ $branches
     "q96_daily_max_pdf" -> q96,
     "q97_cdf_analysis" -> q97,
     "q98_scsf_undilated" -> q98,
+    "q99_fleet_longitude" -> q99,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

@@ -765,8 +765,9 @@ object SparkEntry {
     * integral runs on exact integers and only scale-0 rounds — which
     * agree on identical doubles — touch the result. The clear-sky
     * side of the REAL [[DataHandler.scsfPerformanceIndex]] surface
-    * rides along as a finiteness/positivity gate (the solver fit
-    * itself is p03-gated).
+    * rides along as a GRAIN gate (see the inline note: fit
+    * finiteness is not construction-true on degenerate days; the
+    * solver fit itself is p03-gated).
     */
   private def q98(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value"))
@@ -797,10 +798,47 @@ object SparkEntry {
       .agg(
         sum(floor(col("value") + lit(0.5)).cast("long")).as("measured_micro"),
         count(lit(1)).as("n_slots"))
+    // The clear-sky side of the REAL scsfPerformanceIndex surface
+    // rides as a GRAIN gate: the inner join forces the whole
+    // SCSF-fit → undilate → PI chain to execute inside the gated
+    // query and pins its (site, day) grain to the measured side's.
+    // It deliberately carries no value column: "fit finite and
+    // positive on every day" is NOT construction-true (at sf0.001
+    // seven degenerate near-empty days legitimately yield
+    // non-positive clear energy from the quantile fit — the
+    // reference's PI is equally undefined there). Value-level fit
+    // checks live in p03 (the quantile kernel) and DataHandlerSpec
+    // (ratio invariance under undilation).
     val pi = dhh.scsfPerformanceIndex(quantileLevel = 0.9, nBins = nBins, outSlots = outSlots)
-      .select(col("site"), col("day").cast("string").as("day"),
-        (finite(col("scsf_pi")).cast("int") === 1 && col("scsf_pi") > 0).as("pi_finite"))
+      .select(col("site"), col("day").cast("string").as("day"))
     meas.join(pi, Seq("site", "day"))
+  }
+
+  /** Fleet batch estimation, longitude mode (the reference's
+    * `pvsystemprofiler/scripts` glue — `parameter_estimation_script
+    * .py` + `script_functions.py:514-539` — as ONE plan,
+    * [[graft.analyses.FleetEstimation.longitude]]) HASH-GATED end to
+    * end: the q62 study branches under a site-derived metadata dim
+    * (gmt offset / real longitude as deterministic site-id
+    * arithmetic), the resume anti-join (site % 7 = 3 pre-checked),
+    * the additive per-site gmt shift (+15·gmt is an exact integer, so
+    * the shifted longitude stays bit-determined), residual =
+    * real − estimate, and the per-site passes window over the
+    * left-joined site list (failsafe placeholder semantics).
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id").as("site"), col("ts"), col("value"))
+    val sites = ev.select(col("site")).distinct()
+    val meta = sites.select(col("site"),
+      (col("site") % 5 - 8).cast("double").as("gmt_offset"),
+      (lit(-125.0) + (col("site") % 50).cast("double")).as("longitude"))
+    val checked = sites.filter(col("site") % 7 === 3)
+    graft.analyses.FleetEstimation.longitude(s, ev, "site", "ts", "value",
+      metadata = Some(meta), resumeFrom = Some(checked),
+      includeFilled = false, estimators = Seq("calculated", "fit_l1", "fit_l2"))
+      .select(col("site"), col("data_matrix"), col("solar_noon_method"),
+        col("eot_calculation"), col("day_selection"), col("estimator"),
+        col("longitude"), col("residual"), col("n_days"), col("passes_estimation"))
   }
 
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
@@ -4047,6 +4085,7 @@ object SparkEntry {
     "q96_daily_max_pdf" -> (q96 _),
     "q97_cdf_analysis" -> (q97 _),
     "q98_scsf_undilated" -> (q98 _),
+    "q99_fleet_longitude" -> (q99 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),
