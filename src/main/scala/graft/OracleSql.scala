@@ -1187,6 +1187,79 @@ object OracleSql {
     FROM und GROUP BY 1, 2
   """
 
+  // q100: the Sandia/pvlib ephemeris chain (Solar.withEphemerisPosition)
+  // replayed term-for-term: staged CTEs mirror the staged Spark
+  // projections (Kepler as 5 chained REPLACEs), pmod as the
+  // double-fmod composition (Java % on doubles IS IEEE fmod, so the
+  // composition is bit-identical cross-engine), second() floored to
+  // mirror Spark's integer truncation on the microsecond stamps.
+  // Outputs at 1e-4-degree integer grain (floor(x·1e4 + 0.5), the
+  // representation-free lift): raw doubles agree to ~1e-11 across
+  // engines (probed), so the tenth-millidegree grain absorbs the
+  // transcendental-libm ulp noise with ~1e-7 flip odds per row.
+  private val q100 = s"""
+    WITH s1 AS (
+      SELECT event_id, 37.5 AS lat, -122.0 AS lon,
+        CAST(year(ts) - 1900 AS DOUBLE) AS yr,
+        hour(ts) + minute(ts)/60.0 + floor(second(ts))/3600.0 AS uh,
+        CAST(dayofyear(ts) AS DOUBLE) AS doy
+      FROM events),
+    s2 AS (SELECT *, 365.0*yr + floor((yr - 1.0)/4.0) - 0.5 + doy AS ez FROM s1),
+    s3 AS (
+      SELECT *,
+        360.0 * ((6.0/24.0 + 38.0/1440.0 + (45.836 + 8640184.542*(ez/36525.0)
+            + 0.0929*(ez/36525.0)*(ez/36525.0))/86400.0)
+          - floor(6.0/24.0 + 38.0/1440.0 + (45.836 + 8640184.542*(ez/36525.0)
+            + 0.0929*(ez/36525.0)*(ez/36525.0))/86400.0)) AS gmst0,
+        ez + uh/24.0 AS epoch
+      FROM s2),
+    s4 AS (
+      SELECT *,
+        fmod(fmod(360.0 + lon + fmod(fmod(gmst0 + 360.0*(1.0027379093*uh/24.0), 360.0)
+          + 360.0, 360.0), 360.0) + 360.0, 360.0) AS locast,
+        epoch/36525.0 AS t1
+      FROM s3),
+    s5 AS (
+      SELECT *,
+        (23.452294 - 0.0130125*t1 - 1.64e-06*t1*t1 + 5.03e-07*t1*t1*t1)
+          * 0.017453292519943295 AS obliq,
+        281.22083 + 4.70684e-05*epoch + 0.000453*t1*t1 + 3e-06*t1*t1*t1 AS mlper,
+        fmod(fmod(358.47583 + 0.985600267*epoch - 0.00015*t1*t1 - 3e-06*t1*t1*t1, 360.0)
+          + 360.0, 360.0) AS manom,
+        0.01675104 - 4.18e-05*t1 - 1.26e-07*t1*t1 AS ecc
+      FROM s4),
+    k1 AS (SELECT *, manom + 57.29577951308232*ecc*sin(manom*0.017453292519943295) AS ea FROM s5),
+    k2 AS (SELECT * REPLACE (manom + 57.29577951308232*ecc*sin(ea*0.017453292519943295) AS ea) FROM k1),
+    k3 AS (SELECT * REPLACE (manom + 57.29577951308232*ecc*sin(ea*0.017453292519943295) AS ea) FROM k2),
+    k4 AS (SELECT * REPLACE (manom + 57.29577951308232*ecc*sin(ea*0.017453292519943295) AS ea) FROM k3),
+    k5 AS (SELECT * REPLACE (manom + 57.29577951308232*ecc*sin(ea*0.017453292519943295) AS ea) FROM k4),
+    s6 AS (
+      SELECT *,
+        (fmod(fmod(mlper + 2.0*57.29577951308232*atan2(
+            sqrt((1.0+ecc)/(1.0-ecc))*tan(ea*0.017453292519943295/2.0), 1.0), 360.0)
+          + 360.0, 360.0) - 20.0/3600.0) * 0.017453292519943295 AS eclon
+      FROM k5),
+    s7 AS (
+      SELECT *, asin(sin(obliq)*sin(eclon)) AS decr,
+        locast - 57.29577951308232*atan2(cos(obliq)*sin(eclon), cos(eclon)) AS ha0
+      FROM s6),
+    s8 AS (
+      SELECT *,
+        (ha0 - CASE WHEN abs(ha0) > 180.0 THEN 360.0*sign(ha0) ELSE 0.0 END)
+          * 0.017453292519943295 AS ha,
+        sin(lat*0.017453292519943295) AS sinlat, cos(lat*0.017453292519943295) AS coslat
+      FROM s7),
+    s9 AS (
+      SELECT *, 57.29577951308232*atan2(-sin(ha), coslat*tan(decr) - sinlat*cos(ha)) AS az0
+      FROM s8)
+    SELECT event_id,
+      CAST(floor(57.29577951308232*asin(coslat*cos(decr)*cos(ha) + sinlat*sin(decr))
+        * 10000.0 + 0.5) AS BIGINT) AS el_tmil,
+      CAST(floor((CASE WHEN az0 < 0 THEN az0 + 360.0 ELSE az0 END) * 10000.0 + 0.5)
+        AS BIGINT) AS az_tmil
+    FROM s9
+  """
+
   // q96: daily-max PDF histogram — the q48 clip1 statistic binned
   // per site into 100 equal-width bins over [min, max] of the
   // positive values (numpy plt.hist semantics, last bin inclusive;
@@ -5524,6 +5597,7 @@ $branches
     "q97_cdf_analysis" -> q97,
     "q98_scsf_undilated" -> q98,
     "q99_fleet_longitude" -> q99,
+    "q100_ephemeris" -> q100,
     "q86_loss_factor" -> q86,
     "q87_pvpro5_replay" -> q87,
     "p01_fleet_pipeline" -> p01,

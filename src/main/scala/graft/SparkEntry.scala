@@ -841,6 +841,31 @@ object SparkEntry {
         col("longitude"), col("residual"), col("n_days"), col("passes_estimation"))
   }
 
+  /** The Sandia/pvlib ephemeris itself ([[graft.functions.Solar
+    * .withEphemerisPosition]] — the SPA-parity solar-position chain
+    * behind the polar tables) HASH-GATED cross-engine: every event
+    * timestamp's (elevation, azimuth) at a fixed site, the full
+    * ~15-level chain (sidereal time, Kepler 5-step unroll, ecliptic
+    * longitude, declination, hour-angle wrap, both azimuth halves)
+    * replayed term-for-term in DuckDB. Outputs lift to 1e-4-degree
+    * integer units via the representation-free floor(x·1e4 + 0.5):
+    * probed cross-engine agreement on the raw doubles is ~1e-11
+    * (libm + op-order ulps through the transcendental chain), so the
+    * 0.1-millidegree grain — still three orders tighter than the
+    * 0.1–0.3° Cooper-vs-SPA residual this path exists to close —
+    * makes a boundary flip ~1e-7-probable per row. A raw-double gate
+    * would be flaky by construction (the checker compares exact
+    * bits); the micro-lift idiom is the q61 contract.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+    graft.functions.Solar
+      .withEphemerisPosition(ev, col("ts"), 37.5, -122.0, "el", "az")
+      .select(col("event_id"),
+        floor(col("el") * lit(1e4) + lit(0.5)).cast("long").as("el_tmil"),
+        floor(col("az") * lit(1e4) + lit(0.5)).cast("long").as("az_tmil"))
+  }
+
   /** The longitude study's FILLED-matrix slice (the data_matrix axis
     * of `Study.longitudeStudy`), hash-gated the same way as q64: the
     * shared filled-grid oracle replay feeds the q62 config branches,
@@ -4086,6 +4111,7 @@ object SparkEntry {
     "q97_cdf_analysis" -> (q97 _),
     "q98_scsf_undilated" -> (q98 _),
     "q99_fleet_longitude" -> (q99 _),
+    "q100_ephemeris" -> (q100 _),
     "q85_sensor_choice" -> (q85 _),
     "q86_loss_factor" -> (q86 _),
     "q87_pvpro5_replay" -> (q87 _),
