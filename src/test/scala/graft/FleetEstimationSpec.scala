@@ -125,4 +125,27 @@ class FleetEstimationSpec extends AnyFunSuite {
           r.getDouble(r.fieldIndex("azimuth_duffie_deg")))) < 1e-12)
     }
   }
+
+  test("longitude mode: sites absent from the metadata dim fall back to gmtOffsetDefault") {
+    import spark.implicits._
+    // only site 0 is in the dim (at -3); site 2 is absent and must
+    // ride gmtOffsetDefault = -7 — i.e. match its own single-site
+    // study run at that offset (the script's single command-line
+    // gmt_offset for systems missing from the summary file)
+    val meta = Seq((0L, -3.0)).toDF("site", "gmt_offset")
+    val got = FleetEstimation.longitude(spark, fleet, "site", "ts", "power",
+      metadata = Some(meta), gmtOffsetDefault = -7.0, includeFilled = false)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("longitude").isNotNull)
+      .select(col("data_matrix"), col("solar_noon_method"), col("eot_calculation"),
+        col("day_selection"), col("estimator"), col("longitude"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)) -> r.getDouble(5)).toMap
+    val single = key(Study.longitudeStudy(spark, fleet.filter(col("site") === 2L),
+      "site", "ts", "power", gmtOffsetHours = -7.0, includeFilled = false))
+    val fleetRows = key(got.filter(col("site") === 2L))
+    assert(single.nonEmpty && fleetRows.keySet == single.keySet)
+    for ((k, a) <- single)
+      assert(math.abs(a - fleetRows(k)) <= 2e-6, s"$k: $a vs ${fleetRows(k)}")
+  }
 }

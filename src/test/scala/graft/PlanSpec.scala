@@ -409,4 +409,29 @@ class PlanSpec extends AnyFunSuite {
       s"smoothness aggregate re-shuffled instead of riding the window partitioning (next node: $below):\n$p")
     assert(!p.contains("SortMergeJoin"), s"day-grain smoothness join is back:\n$p")
   }
+
+  test("fleet batch-estimation joins stay broadcast-shaped: resume anti-join + metadata dim (q99)") {
+    // The scripting-glue contract at 100 TB: the previous-results
+    // anti-join and the ground-truth metadata dim are SITE-GRAIN
+    // side tables -- both must broadcast, never shuffle the event
+    // scan, and the passes window must be the only added exchange
+    // grain. A cartesian/nested-loop anywhere here would scale with
+    // the corpus.
+    val p = planOf("q99_fleet_longitude")
+    assert(p.contains("BroadcastHashJoin"), s"q99 lost its broadcast joins:\n$p")
+    assert(p.contains("LeftAnti"), s"q99 resume anti-join gone:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q99 grew a cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q99 grew a nested-loop join:\n$p")
+  }
+
+  test("ephemeris chain is one projection pipeline over the scan (q100)") {
+    // The staged withColumn form must collapse to scan -> project --
+    // no exchange, no join, and the multiply-referenced intermediates
+    // must stay as separate (non-duplicated) project stages rather
+    // than inlining into one Janino-breaking expression tree.
+    val p = planOf("q100_ephemeris")
+    assert(!p.contains("Exchange"), s"q100 should be shuffle-free:\n$p")
+    assert(!p.contains("Join"), s"q100 should be join-free:\n$p")
+    assert(p.contains("[codegen id :"), s"q100 fell out of codegen:\n$p")
+  }
 }

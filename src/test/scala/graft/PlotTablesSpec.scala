@@ -292,7 +292,7 @@ class PlotTablesSpec extends AnyFunSuite {
     assert(bins == Seq(0, 1), s"apparent-elevation bins expected (0, 1), got $bins")
   }
 
-  test("ephemerisPositionDeg: pinned values from an independent transcription of the published algorithm") {
+  test("withEphemerisPosition: pinned values from an independent transcription of the published algorithm") {
     import graft.functions.Solar
     // expected values computed with a separate straight-Python
     // transcription of the Sandia/pvlib ephemeris (SAND85-0273);
