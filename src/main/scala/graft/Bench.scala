@@ -554,12 +554,30 @@ object Bench {
     * against a generated subtree each pass would re-run the trig,
     * measuring the generator instead of the pipeline.
     */
+  /** Above this row count the pre-generated scale input caches
+    * DISK_ONLY instead of MEMORY_AND_DISK: ~26 B/row cached means
+    * ≳300M rows exceeds the 8 GB JVM's storage pool, and a
+    * memory-resident cache that large starves the unified execution
+    * pool — measured round 13 at 320 sites / 504M rows: every task
+    * of the row-grain window stage died with UNABLE_TO_ACQUIRE_MEMORY
+    * (got 0) while the input cache held the pool. DISK_ONLY is also
+    * the honest 100 TB shape: at scale the input streams from
+    * storage, never from executor memory. Lanes at or below the
+    * envelope (fleet16, the 16/64/160 curve) keep the original
+    * storage level, so their anchors stay comparable.
+    */
+  private[graft] val ScaleCacheMemRowEnvelope = 300000000L
+
   private[graft] def pipelineScaleRun(spark: SparkSession, nSites: Int): (Long, Double) = {
+    val level =
+      if (nSites.toLong * 1095L * 1440L > ScaleCacheMemRowEnvelope)
+        org.apache.spark.storage.StorageLevel.DISK_ONLY
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val df = graft.sources.Synth.pvFleet(spark, nSites, nDays = 1095, slotsPerDay = 1440)
       .select(org.apache.spark.sql.functions.col("site"),
         org.apache.spark.sql.functions.col("ts"),
         org.apache.spark.sql.functions.col("power"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(level)
     val rows = nSites.toLong * 1095L * 1440L
     try {
       df.count()
