@@ -250,4 +250,27 @@ class DegenerateInputSpec extends AnyFunSuite {
       .toDF("site", "lon_est", "lat_est", "tilt_deg", "azimuth_duffie_deg", "n_days", "n_cells")
     assert(graft.analyses.Profiler.compareToTruth(emptyEst, truth, "site").count() == 0)
   }
+
+  test("fleet batch estimation on empty and single-row input never throws") {
+    import graft.analyses.FleetEstimation
+    // empty fleet: every mode returns an empty frame (no sites in
+    // scope -> no rows, including no placeholder rows)
+    assert(FleetEstimation.longitude(spark, emptySeries, "site", "ts", "value",
+      includeFilled = false).count() == 0L)
+    assert(FleetEstimation.latitude(spark, emptySeries, "site", "ts", "value",
+      includeFilled = false).count() == 0L)
+    assert(FleetEstimation.report(spark, emptySeries, "site", "ts", "value").count() == 0L)
+    // one-row fleet: the site is in scope; the study can't form an
+    // estimate from a single sample -> the failsafe placeholder row,
+    // never an exception
+    val one = FleetEstimation.latitude(spark, oneRow, "site", "ts", "value",
+      includeFilled = false).collect()
+    assert(one.map(_.getLong(0)).toSet == Set(1L))
+    assert(one.forall(r => !r.getBoolean(r.fieldIndex("passes_estimation"))
+      || !r.isNullAt(r.fieldIndex("latitude"))))
+    // resume table naming a site absent from the data is a no-op
+    val prev = Seq(Tuple1(99L)).toDF("site")
+    assert(FleetEstimation.report(spark, oneRow, "site", "ts", "value",
+      resumeFrom = Some(prev)).count() == 1L)
+  }
 }
