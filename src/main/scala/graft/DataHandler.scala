@@ -395,10 +395,15 @@ class DataHandler(
     *   undilating for presentation).
     */
   def fitStatisticalClearSky(quantileLevel: Double = 0.9, nBins: Int = 40): DataFrame =
-    graft.analyses.Quantiles.estimateAndDetect(
-      spark, applyTimeDilation(nBins), nBins, tauHi = quantileLevel)
+    // the single-tau solver lane: this surface exposes ONLY the high
+    // quantile, so fitting the other two levels (and running the
+    // clear-sky DP) was discarded work — ~2/3 of the IRLS cost
+    // (optimization round 13). Callers needing all three quantiles or
+    // the clear labels use [[estimateQuantilesAndDetect]].
+    graft.analyses.Quantiles.estimateSingle(
+      spark, applyTimeDilation(nBins), nBins, tau = quantileLevel)
       .select(col("site"), col("day"), col("dil_slot"), col("dil_value"),
-        col("q_hi").as("scsf"))
+        col("q_fit").as("scsf"))
 
   /** `calculate_scsf_performance_index` (`data_handler.py:1010-1018`,
     * displayed undilated via the `data_handler.py:2376-2465` path):
@@ -426,15 +431,23 @@ class DataHandler(
   ): DataFrame = {
     val fit = fitStatisticalClearSky(quantileLevel, nBins)
     val rs = graft.operators.Dilation.riseSetTable(df, site, tsCol, valueCol)
-    def undilated(valueCol: Column, as: String): DataFrame =
-      graft.operators.Dilation.undilate(
+    // BOTH columns undilate in ONE pass (Dilation.undilate2): the
+    // previous two-branch form re-executed the solver-priced fit
+    // subtree per branch (exchange reuse shares the solver lane's
+    // shuffle, not its post-shuffle IRLS stage) and joined two
+    // day-grain aggregates that were never apart — optimization round
+    // 13, same-JVM A/B at the 40-bin/288-slot default: 4.6–4.7 →
+    // 3.7–4.1 s warm (ProbeTau). Per-column undilate arithmetic is
+    // bit-identical to the two-pass form.
+    graft.operators.Dilation.undilate2(
         spark,
-        fit.select(col("site"), col("day"), col("dil_slot"), valueCol.as("dil_value")),
+        fit.select(col("site"), col("day"), col("dil_slot"),
+          col("dil_value"), col("scsf")),
         rs, outSlots)
-        .groupBy(col("site"), col("day"))
-        .agg(sum(col("value")).as(as))
-    undilated(col("dil_value"), "measured_energy")
-      .join(undilated(col("scsf"), "clear_energy"), Seq("site", "day"))
+      .groupBy(col("site"), col("day"))
+      .agg(
+        sum(col("value_1")).as("measured_energy"),
+        sum(col("value_2")).as("clear_energy"))
       .withColumn("scsf_pi",
         try_divide(col("measured_energy"), col("clear_energy")))
   }

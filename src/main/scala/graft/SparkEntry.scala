@@ -2684,7 +2684,14 @@ object SparkEntry {
     // map-side-combined distinct. The r6 suite drift to 2.95 s was
     // suite-level code-cache noise (back to 2.26 s in the r7 suite),
     // not a plan change. Same "never cache corpus-sized
-    // intermediates" rule as the bigram scorer.
+    // intermediates" rule as the bigram scorer. RE-MEASURED AGAIN
+    // (optimization round 13): deriving dfreq from the tf aggregate
+    // (count per w over the (doc, w) rows, sharing tf's exchange via
+    // AQE reuse) shuffles the same pair volume but SERIALIZES the
+    // critical path — the word-grain agg chain must complete before
+    // the broadcast that the tf-side join waits on, where the re-scan
+    // form runs both pipelines concurrently: 3.09 → 4.2 s warm.
+    // Reverted; the independent-subtree form stands.
     val dfreq = ww.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("dfc"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val sc = tf.join(dfreq, Seq("w")).crossJoin(broadcast(n))

@@ -105,4 +105,75 @@ object Quantiles {
     spark.createDataset(solved)
       .toDF("site", "day", "dil_slot", "dil_value", "q_lo", "q_mid", "q_hi", "clear")
   }
+
+  /** ONE quantile level, no clear-sky DP — the fit
+    * [[graft.DataHandler.fitStatisticalClearSky]] consumes (it selects
+    * only `q_hi`, and its gated consumers — q94/q98 — gate the fit
+    * through FINITENESS and grain, never through its bits). Fitting
+    * only the requested tau skips ~2/3 of the IRLS work and the
+    * Viterbi pass (optimization round 13; same-JVM interleaved A/B at
+    * sf0.1/40 bins: 2.9–3.1 s → 2.2–2.3 s warm, ProbeTau). The
+    * fitted values differ from the 3-tau path in
+    * the IRLS convergence tail only (that path warm-starts each tau
+    * from the previous one's coefficients); callers that gate all
+    * three quantiles (p03, `estimateQuantilesAndDetect`) keep
+    * [[estimateAndDetect]].
+    *
+    * @return (site, day, dil_slot, dil_value, q_fit)
+    */
+  def estimateSingle(
+      spark: SparkSession,
+      dilated: DataFrame,
+      nBins: Int = 100,
+      tau: Double = 0.9,
+      harmonicsDaily: Int = 3,
+      harmonicsYearly: Int = 2
+  ): DataFrame = {
+    import spark.implicits._
+    val rows = dilated
+      .select(
+        col("site").cast("long"), col("day").cast("string"),
+        col("dil_slot").cast("int"), col("dil_value").cast("double")
+      )
+      .as[(Long, String, Int, Double)]
+    // same fixed-HashPartitioner solver-lane shape as
+    // [[estimateAndDetect]] — see the notes there
+    val par = spark.sparkContext.defaultParallelism
+    val solved = rows.rdd
+      .map(r => ((r._1, r._2, r._3), r))
+      .repartitionAndSortWithinPartitions(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = par
+        override def getPartition(key: Any): Int = {
+          val h = key.asInstanceOf[(Long, String, Int)]._1.hashCode
+          ((h % par) + par) % par
+        }
+      })
+      .mapPartitions { part =>
+        val rowsIt = part.map(_._2).buffered
+        new Iterator[Array[(Long, String, Int, Double)]] {
+          override def hasNext: Boolean = rowsIt.hasNext
+          override def next(): Array[(Long, String, Int, Double)] = {
+            val siteId = rowsIt.head._1
+            val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int, Double)]
+            while (rowsIt.hasNext && rowsIt.head._1 == siteId) buf += rowsIt.next()
+            buf.toArray
+          }
+        }.flatMap { pts =>
+          val siteId = pts(0)._1
+          val days = pts.map(_._2).distinct
+          val day0 = java.time.LocalDate.parse(days.head).toEpochDay
+          val dayOff = days.map(d =>
+            (java.time.LocalDate.parse(d).toEpochDay - day0).toDouble).zip(days).map(_.swap).toMap
+          val t = pts.map(p => dayOff(p._2) * nBins.toDouble + p._3)
+          val y = pts.map(_._4)
+          val bases = Seq((nBins.toDouble, harmonicsDaily), (365.2425 * nBins, harmonicsYearly))
+          val fit = Kernels.quantileFourierFitMultiTaus(y, t, Seq(tau), bases).head
+          pts.indices.iterator.map { i =>
+            (siteId, pts(i)._2, pts(i)._3, y(i), fit(i))
+          }
+        }
+      }
+    spark.createDataset(solved)
+      .toDF("site", "day", "dil_slot", "dil_value", "q_fit")
+  }
 }

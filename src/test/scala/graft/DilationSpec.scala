@@ -67,4 +67,29 @@ class DilationSpec extends AnyFunSuite {
       .agg(sum(col("value") * (col("set_h") - col("rise_h")) / 96.0)).as[Double].head()
     assert(math.abs(dilE - backE) < 1e-6 * dilE, s"dil $dilE back $backE")
   }
+
+  test("undilate2 is bit-identical per column to two separate undilates") {
+    val fleet = Synth.pvFleet(spark, nSites = 2, nDays = 3, slotsPerDay = 96)
+    val dil = Dilation.dilate(spark, fleet, "site", "ts", "power", nBins = 40, thresholdFrac = 0.01)
+      // second column: a deterministic non-trivial transform of the first
+      .withColumn("v2", col("dil_value") * 0.75 + col("dil_slot") * 0.001)
+    val riseSet = Dilation.riseSetTable(fleet, "site", "ts", "power", 0.01)
+    val fused = Dilation.undilate2(
+      spark, dil.select(col("site"), col("day"), col("dil_slot"), col("dil_value"), col("v2")),
+      riseSet, outSlots = 13) // outSlots not commensurable with nBins: overlap terms exercised
+    val sep1 = Dilation.undilate(
+      spark, dil.select(col("site"), col("day"), col("dil_slot"), col("dil_value")),
+      riseSet, outSlots = 13)
+    val sep2 = Dilation.undilate(
+      spark, dil.select(col("site"), col("day"), col("dil_slot"), col("v2").as("dil_value")),
+      riseSet, outSlots = 13)
+    val j = fused
+      .join(sep1.withColumnRenamed("value", "ref_1"), Seq("site", "day", "out_slot"))
+      .join(sep2.withColumnRenamed("value", "ref_2"), Seq("site", "day", "out_slot"))
+    assert(j.count() == fused.count() && fused.count() == sep1.count())
+    // exact bit equality, not a tolerance: the fused operator promises
+    // the SAME IEEE op sequence per column as the single-column form
+    val diff = j.filter(col("value_1") =!= col("ref_1") || col("value_2") =!= col("ref_2")).count()
+    assert(diff == 0, s"$diff rows differ between fused and separate undilates")
+  }
 }
