@@ -263,31 +263,44 @@ object Profiler {
     val rs = DayStats.riseSetRough(df, site, tsCol, valueCol, 0.01)
       .withColumn("__eot_h",
         Solar.equationOfTimeMin(dayofyear(col("day"))) / lit(60.0))
-    val noon = rs.groupBy(col(site)).agg(
-      percentile((col("sunrise_h") + col("sunset_h")) / 2.0 + col("__eot_h"), lit(0.5))
-        .as("__noon"))
-    val lat = latOverride.getOrElse {
-      val declRad = Solar.declinationDeg(dayofyear(col("day"))) * lit(DegToRad)
-      rs.withColumn("__lat_day",
+    // noon and (default) latitude are BOTH site-grain medians over the
+    // same day-grain rise/set table — one aggregation computes both
+    // columns (optimization round 13; they were two separate aggs whose
+    // shared rs subtree re-ran its post-shuffle stage per consumer),
+    // and since noon is a per-site CONSTANT consumed only as
+    // first(noon) by the cell aggregate, it attaches AFTER the cell
+    // aggregation with the latitude — the row-grain pass then carries
+    // one broadcast join (capacity) instead of two. Values unchanged:
+    // same medians, same cells, noon merely joined one grain later.
+    val declRad = Solar.declinationDeg(dayofyear(col("day"))) * lit(DegToRad)
+    val noonLat0 = rs
+      .withColumn("__lat_day",
         atan(-cos(lit(7.5) * col("daylight_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
-        .groupBy(col(site))
-        .agg(percentile(col("__lat_day"), lit(0.5)).as("lat_est"))
+      .groupBy(col(site))
+      .agg(
+        percentile((col("sunrise_h") + col("sunset_h")) / 2.0 + col("__eot_h"), lit(0.5))
+          .as("__noon"),
+        percentile(col("__lat_day"), lit(0.5)).as("__lat_default"))
+    val noonLat = latOverride match {
+      case None => noonLat0.withColumnRenamed("__lat_default", "lat_est")
+      case Some(l) =>
+        noonLat0.drop("__lat_default")
+          .join(l.select(col(site), col("lat_est")), Seq(site))
     }
     val cap = df.groupBy(col(site))
       .agg(percentile(col(valueCol), lit(0.99)).as("__cap"))
     val h = TimeAxis.hourOfDay(col(tsCol)) + eotH
-    val cells = SideJoin.back(SideJoin.back(df, cap, Seq(site)), noon, Seq(site))
+    val cells = SideJoin.back(df, cap, Seq(site))
       .select(
         col(site).cast("string").as("__site"),
         dayofyear(to_date(col(tsCol))).as("doy"),
         floor(h).cast("int").as("hslot"),
-        (col(valueCol) / col("__cap")).as("np"),
-        col("__noon").as("noon"))
+        (col(valueCol) / col("__cap")).as("np"))
       .groupBy(col("__site"), col("doy"), col("hslot"))
-      .agg(max(col("np")).as("ct"), first(col("noon")).as("noon"))
+      .agg(max(col("np")).as("ct"))
     cells
-      .join(broadcast(lat.select(col(site).cast("string").as("__site"), col("lat_est"))),
-        Seq("__site"))
+      .join(broadcast(noonLat.select(col(site).cast("string").as("__site"),
+        col("__noon").as("noon"), col("lat_est"))), Seq("__site"))
       .select(col("__site"), col("doy"), col("hslot"), col("ct"), col("noon"), col("lat_est"))
   }
 
