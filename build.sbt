@@ -11,6 +11,58 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Test wall-clock (round 14): one forked JVM ran all 64 suites
+// SEQUENTIALLY (~20 min — the driver's test gate timed out on it,
+// VERIFY_r13 tests_ok:false with no failing suite in the tail). Suites
+// are split round-robin (sorted names, so the heavy Golden* block
+// spreads out) into independent forked JVMs run 4 at a time: full
+// isolation (no shared-SparkSession conf cross-talk), ~4x less wall.
+// 4 JVMs x 8g heap fits the 128 GiB sandbox with the bench headroom.
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val jvmOpts = (Test / javaOptions).value.toVector
+  val envs = (Test / envVars).value
+  val cwd = baseDirectory.value
+  val nGroups = 8
+  // measured sequential wall seconds (round-14 full run, 1169 s total);
+  // unlisted suites default small. Greedy longest-first bin-packing so
+  // no group stacks two heavy suites (round-robin put SunriseSunset
+  // and DocStream, #1 and #2, in the same group).
+  val weights = Map(
+    "graft.SunriseSunsetSpec" -> 282, "graft.DocStreamSpec" -> 203,
+    "graft.QueriesSpec" -> 134, "graft.PlotTablesSpec" -> 117,
+    "graft.StudySpec" -> 59, "graft.GroundTruthSpec" -> 53,
+    "graft.StreamingSpec" -> 49, "graft.OperatorSpec" -> 28,
+    "graft.GoldenTimeShiftSpec" -> 25, "graft.RefitSpec" -> 21,
+    "graft.VecStreamSpec" -> 21, "graft.PlanSpec" -> 18,
+    "graft.DegenerateInputSpec" -> 15, "graft.MixingSpec" -> 13,
+    "graft.KmeansSpec" -> 13, "graft.GoldenPipelineSpec" -> 10
+  ).withDefaultValue(8)
+  val bins = Array.fill(nGroups)(0L)
+  val assigned = Array.fill(nGroups)(Vector.empty[TestDefinition])
+  tests.sortBy(t => (-weights(t.name), t.name)).foreach { t =>
+    val g = bins.indices.minBy(bins(_))
+    bins(g) += weights(t.name)
+    assigned(g) = assigned(g) :+ t
+  }
+  assigned.toSeq.zipWithIndex.filter(_._1.nonEmpty).map { case (ts, g) =>
+    Tests.Group(
+      s"group$g",
+      ts,
+      Tests.SubProcess(
+        ForkOptions()
+          .withRunJVMOptions(jvmOpts)
+          .withEnvVars(envs)
+          .withWorkingDirectory(Option(cwd))))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limitAll(16),
+  Tags.limit(Tags.ForkedTestGroup, 4)
+)
+// per-test durations in the report: the next "tests_ok: false with no
+// failing suite" diagnosis should not need timestamp archaeology
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

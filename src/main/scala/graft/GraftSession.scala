@@ -29,7 +29,12 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.functions.GraftFunctions.register(spark)
+    // ensure, not register: getOrCreate returns the SAME session to
+    // every caller in a JVM (every test suite, every probe main), and
+    // re-registering ~40 functions logs a WARN per function per
+    // caller — thousands of "replaced a previously registered
+    // function" lines per test run for zero work
+    graft.functions.GraftFunctions.ensure(spark)
     // the engine's Catalyst rewrites, active by default (the cluster
     // deploy path is spark.sql.extensions=graft.functions.GraftExtensions;
     // local sessions get the same rules here): naive abs-range and

@@ -355,7 +355,7 @@ object SparkEntry {
     * within ±0.0075·capacity-scale of each mass (broadcast join).
     */
   private def q28(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.ensure(s)
     val daily = Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("day"))
       .agg(max(col("value")).as("daily_max"))
@@ -2522,13 +2522,17 @@ object SparkEntry {
     * counts, top-50 by the trainer's own (count desc, pair lex)
     * total order. Hash-gated: rank 1 here IS the trainer's first
     * merge selection (`BpeSpec` asserts the tie), so the argmax
-    * driving every subsequent merge is cross-engine verified. The
-    * final window is over pair cardinality (bounded by charset², not
-    * corpus) — no scale concern.
+    * driving every subsequent merge is cross-engine verified.
+    * Top-50 via `orderBy().limit(50)` — a distributed TakeOrdered —
+    * then rank from the packed-array idiom over exactly 50 rows
+    * (optimization round 14): the previous form ranked the WHOLE pair
+    * table (bounded by charset², but still a single-reducer global
+    * window sort) and filtered rk ≤ 50 after; the (count desc, pair
+    * lex) order is total (pair key unique), so TakeOrdered-50 + rank
+    * yields the identical rows and ranks.
     */
   private def d33(s: SparkSession, dir: String): DataFrame = {
     val hist = Bpe.wordHistogram(Tables.documents(s, dir), "text")
-    val w = Window.orderBy(col("pair_cnt").desc, col("lsym").asc, col("rsym").asc)
     hist
       .withColumn("syms", expr(
         s"concat(transform(sequence(1, length(word)), i -> substring(word, i, 1)), array('${Bpe.Eow}'))"))
@@ -2536,9 +2540,13 @@ object SparkEntry {
         explode(expr("transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS lsym, syms[i+1] AS rsym))")).as("p"))
       .groupBy(col("p.lsym").as("lsym"), col("p.rsym").as("rsym"))
       .agg(sum(col("cnt")).as("pair_cnt"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 50)
-      .select(col("rk"), col("lsym"), col("rsym"), col("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("lsym").asc, col("rsym").asc).limit(50)
+      .agg(sort_array(collect_list(struct((-col("pair_cnt")).as("nc"),
+        col("lsym").as("lsym"), col("rsym").as("rsym"),
+        col("pair_cnt").as("pair_cnt")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "r")))
+      .select((col("pos") + lit(1)).as("rk"), col("r.lsym").as("lsym"),
+        col("r.rsym").as("rsym"), col("r.pair_cnt").as("pair_cnt"))
   }
 
   /** BPE encoding under the trained merges: per-doc subword token
@@ -3022,12 +3030,17 @@ object SparkEntry {
     val cms = TextOps.cmsCounters(words, "w", depth = 4, width = 16)
     val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
     // top-k via orderBy().limit() — a distributed TakeOrdered — then
-    // rank over exactly 20 rows; a row_number window over the full
-    // vocabulary is a single-reducer global sort (the vocabFromCounts
-    // idiom, LangModel.scala:310)
+    // rank from the packed-array idiom over exactly 20 rows (round 14:
+    // no unpartitioned WindowExec anywhere on a main path); a
+    // row_number window over the full vocabulary would be a
+    // single-reducer global sort (the vocabFromCounts idiom,
+    // LangModel.scala:310)
     val top = exact
       .orderBy(col("cnt").desc, col("w").asc).limit(20)
-      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col("w").asc)))
+      .agg(sort_array(collect_list(struct(
+        (-col("cnt")).as("nc"), col("w").as("w"), col("cnt").as("cnt")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "r")))
+      .select((col("pos") + lit(1)).as("rk"), col("r.w").as("w"), col("r.cnt").as("cnt"))
     top
       .select(col("rk"), col("w"), col("cnt"),
         explode(typedLit((0 until 4).toArray)).as("r"))

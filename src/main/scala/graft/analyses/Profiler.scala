@@ -252,52 +252,77 @@ object Profiler {
       valueCol: String,
       latOverride: Option[DataFrame] = None
   ): DataFrame = {
-    import graft.operators.{DayStats, SideJoin}
+    import graft.operators.SideJoin
     val eotH = Solar.equationOfTimeMin(dayofyear(to_date(col(tsCol)))) / lit(60.0)
-    // one day-grain rise/set table feeds BOTH the solar-noon origin
-    // (EoT-corrected midpoint median) and the default latitude.
+    // FUSED derivation (optimization round 14). The round-13 form
+    // still made FOUR row-grain passes over the (possibly rebuilt)
+    // input: rise/set threshold max, the rise/set day aggregation,
+    // the p99 capacity, and the envelope-cell aggregation. The
+    // rise/set day table and the cell table share the common
+    // refinement grain (site, day, hslot), so ONE row-grain
+    // aggregation at that grain now carries the rise/set min/max
+    // partials AND the envelope max, and one site-grain pass computes
+    // both per-site scalars (threshold max + p99 capacity). Row-grain
+    // passes: 4 → 2; the two consumers of the partial table re-read
+    // its shuffle via ReusedExchange. Values are unchanged:
+    // min/max partials re-aggregate to the identical day min/max, and
+    // max(v)/cap ≡ max(v/cap) for the per-site constant cap (division
+    // by a positive constant is monotone and the maximizing row is the
+    // same row; NaN/null rows flow identically through both forms) —
+    // ProbeCells full-join parity: 0 mismatches, q63/q66 oracle green.
+    //
     // MEASURED (round 7, sf0.1 filled-matrix path): an .rdd persist
-    // here, despite removing a duplicate scan-grain aggregation,
-    // DOUBLED q66 (3.8 → 8.3 s) — the Row-encoder boundary costs more
-    // than the re-executed aggregation it saves. Left unpersisted.
-    val rs = DayStats.riseSetRough(df, site, tsCol, valueCol, 0.01)
+    // of the rise/set table, despite removing a duplicate scan-grain
+    // aggregation, DOUBLED q66 (3.8 → 8.3 s) — the Row-encoder
+    // boundary costs more than the re-executed aggregation it saves.
+    // The partial table stays relational (ReusedExchange, no persist).
+    val siteStats = df.groupBy(col(site)).agg(
+      max(col(valueCol)).as("__site_max"),
+      percentile(col(valueCol), lit(0.99)).as("__cap"))
+    val h0 = TimeAxis.hourOfDay(col(tsCol))
+    val h = h0 + eotH
+    val partial = SideJoin.back(df, siteStats, Seq(site))
+      .withColumn("__thr", round(col("__site_max") * 0.01, 6))
+      .groupBy(col(site), to_date(col(tsCol)).as("day"),
+        floor(h).cast("int").as("hslot"))
+      .agg(
+        min(when(col(valueCol) > col("__thr"), h0)).as("__pr"),
+        max(when(col(valueCol) > col("__thr"), h0)).as("__ps"),
+        max(col(valueCol)).as("__pv"),
+        first(col("__cap")).as("__cap"))
+    // rise/set day table re-aggregated from the (site, day, hslot)
+    // partials — identical to DayStats.riseSetRough(df, ..., 0.01)
+    // (min-of-mins / max-of-maxes over a partition of the day's rows)
+    val rs = partial
+      .groupBy(col(site), col("day"))
+      .agg(min(col("__pr")).as("sunrise_h"), max(col("__ps")).as("sunset_h"))
+      .withColumn("daylight_h", col("sunset_h") - col("sunrise_h"))
       .withColumn("__eot_h",
         Solar.equationOfTimeMin(dayofyear(col("day"))) / lit(60.0))
     // noon and (default) latitude are BOTH site-grain medians over the
     // same day-grain rise/set table — one aggregation computes both
-    // columns (optimization round 13; they were two separate aggs whose
-    // shared rs subtree re-ran its post-shuffle stage per consumer),
-    // and since noon is a per-site CONSTANT consumed only as
-    // first(noon) by the cell aggregate, it attaches AFTER the cell
-    // aggregation with the latitude — the row-grain pass then carries
-    // one broadcast join (capacity) instead of two. Values unchanged:
-    // same medians, same cells, noon merely joined one grain later.
+    // columns (optimization round 13), and since noon is a per-site
+    // CONSTANT consumed only per cell, it attaches AFTER the cell
+    // aggregation with the latitude. On the latOverride path the
+    // default-latitude percentile (and its per-day trig) is skipped
+    // outright — the override was computed upstream (q85/estimateAll).
     val declRad = Solar.declinationDeg(dayofyear(col("day"))) * lit(DegToRad)
-    val noonLat0 = rs
-      .withColumn("__lat_day",
-        atan(-cos(lit(7.5) * col("daylight_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
-      .groupBy(col(site))
-      .agg(
-        percentile((col("sunrise_h") + col("sunset_h")) / 2.0 + col("__eot_h"), lit(0.5))
-          .as("__noon"),
-        percentile(col("__lat_day"), lit(0.5)).as("__lat_default"))
+    val noonAgg = percentile(
+      (col("sunrise_h") + col("sunset_h")) / 2.0 + col("__eot_h"), lit(0.5)).as("__noon")
     val noonLat = latOverride match {
-      case None => noonLat0.withColumnRenamed("__lat_default", "lat_est")
+      case None =>
+        rs.withColumn("__lat_day",
+            atan(-cos(lit(7.5) * col("daylight_h") * lit(DegToRad)) / tan(declRad)) * lit(RadToDeg))
+          .groupBy(col(site))
+          .agg(noonAgg, percentile(col("__lat_day"), lit(0.5)).as("lat_est"))
       case Some(l) =>
-        noonLat0.drop("__lat_default")
+        rs.groupBy(col(site)).agg(noonAgg)
           .join(l.select(col(site), col("lat_est")), Seq(site))
     }
-    val cap = df.groupBy(col(site))
-      .agg(percentile(col(valueCol), lit(0.99)).as("__cap"))
-    val h = TimeAxis.hourOfDay(col(tsCol)) + eotH
-    val cells = SideJoin.back(df, cap, Seq(site))
-      .select(
-        col(site).cast("string").as("__site"),
-        dayofyear(to_date(col(tsCol))).as("doy"),
-        floor(h).cast("int").as("hslot"),
-        (col(valueCol) / col("__cap")).as("np"))
-      .groupBy(col("__site"), col("doy"), col("hslot"))
-      .agg(max(col("np")).as("ct"))
+    val cells = partial
+      .groupBy(col(site).cast("string").as("__site"),
+        dayofyear(col("day")).as("doy"), col("hslot"))
+      .agg((max(col("__pv")) / first(col("__cap"))).as("ct"))
     cells
       .join(broadcast(noonLat.select(col(site).cast("string").as("__site"),
         col("__noon").as("noon"), col("lat_est"))), Seq("__site"))

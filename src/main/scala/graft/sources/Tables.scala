@@ -26,7 +26,7 @@ object Tables {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.functions.GraftFunctions.register(spark) // idempotent; graft_* available everywhere
+    graft.functions.GraftFunctions.ensure(spark) // idempotent; graft_* available everywhere
 
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val tsCols = Map(
@@ -158,7 +158,7 @@ object Tables {
     * operator identically.
     */
   def readOrc(spark: SparkSession, path: String): DataFrame = {
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.ensure(spark)
     spark.read.orc(path)
   }
 }
