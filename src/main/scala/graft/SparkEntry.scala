@@ -3694,26 +3694,42 @@ object SparkEntry {
     * trained result itself is not SQL-replayable.
     */
   private def recallGate(exact: DataFrame, approx: DataFrame, k: Int, floorPct: Int): DataFrame = {
-    val hits = exact.select(col("query_id"), col("neighbor_id"))
-      .join(approx.select(col("query_id"), col("neighbor_id")), Seq("query_id", "neighbor_id"))
-      .groupBy(col("query_id")).agg(count(lit(1)).as("__h"))
-    val perQ = approx.groupBy(col("query_id")).agg(
+    // ONE aggregation per side (optimization round 14): the previous
+    // form consumed `approx` twice (hit join + invariants) and `exact`
+    // twice (hit join + top-list agg), and Spark plans no subtree
+    // reuse across consumers — each re-ran the serving subtree
+    // (trained IVF probe / exact cosine top-k) up to its last
+    // exchange. Both sides now reduce to one per-query row each and
+    // join once. Neighbor sets are distinct per query on both sides
+    // (rank rows), so the per-query hit count is
+    // size(array_intersect(exact_set, approx_set)) — the same number
+    // the (query, neighbor) equi-join counted. The fleet verdict is a
+    // constant-key window over the nq joined rows — one pass over the
+    // final tiny table (a crossJoin of a global aggregate was measured
+    // SLOWER here: it re-executes the join subtree for the total; and
+    // the constant partition key keeps WindowExec off the
+    // all-to-one-partition warning path for a table that is one
+    // row per query by construction).
+    val ex = exact.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(col("neighbor_id"))).as("__ex"))
+    val ap = approx.groupBy(col("query_id")).agg(
+      sort_array(collect_list(col("neighbor_id"))).as("__ap"),
       count(lit(1)).as("__n"),
       sum(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L)).as("__self"))
-    val w = Window.partitionBy()
-    exact.groupBy(col("query_id"))
-      .agg(sort_array(collect_list(col("neighbor_id"))).as("__ex"))
-      .join(hits, Seq("query_id"), "left")
-      .join(perQ, Seq("query_id"), "left")
-      .select(
-        col("query_id"),
-        array_join(col("__ex"), ",").as("exact_top3"),
-        (coalesce(col("__n"), lit(0L)) === k).as("k_rows_returned"),
-        (coalesce(col("__self"), lit(0L)) === 0L).as("no_self_match"),
-        // integer predicate: Σ hits × 100 ≥ floorPct × nq × k — exact
-        // arithmetic, no float recall in the gate
-        (sum(coalesce(col("__h"), lit(0L))).over(w) * 100L >=
-          count(lit(1)).over(w) * (floorPct.toLong * k)).as("fleet_recall_ok"))
+    val per = ex.join(ap, Seq("query_id"), "left")
+      .withColumn("__h",
+        when(col("__ap").isNotNull,
+          size(array_intersect(col("__ex"), col("__ap"))).cast("long")).otherwise(lit(0L)))
+    // integer predicate: Σ hits × 100 ≥ floorPct × nq × k — exact
+    // arithmetic, no float recall in the gate
+    val w = Window.partitionBy(lit(0))
+    per.select(
+      col("query_id"),
+      array_join(col("__ex"), ",").as("exact_top3"),
+      (coalesce(col("__n"), lit(0L)) === k).as("k_rows_returned"),
+      (coalesce(col("__self"), lit(0L)) === 0L).as("no_self_match"),
+      (sum(col("__h")).over(w) * 100L >=
+        count(lit(1)).over(w) * (floorPct.toLong * k)).as("fleet_recall_ok"))
   }
 
   /** e09's trained IVF (k-means 3 iters, nprobe 2/8) property-gated:

@@ -245,7 +245,18 @@ object Similarity {
     // smallest IDS would all come from one region of the embedding
     // space; ordering by md5(id) keeps the init deterministic while
     // sampling uniformly across the corpus
-    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    val v0 = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("vv"))
+    // Lloyd's makes (1 + iters) full passes over the projected corpus
+    // (seed TakeOrdered + one assignment pass per iteration), each of
+    // which would otherwise re-scan and re-decode the source — a
+    // within-query iterative intermediate, so persist it across the
+    // passes (the semanticDedup idiom; round 14). iters == 0 trainers
+    // (the exact-gated e15/e16/e22 init-state paths) make one pass and
+    // skip the persist so their plans are unchanged.
+    val vp = if (iters >= 1)
+      v0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else v0
+    val v = vp
     var cents: Array[(Long, Array[Double])] = v
       .orderBy(md5(col(idCol).cast("string")), col(idCol)).limit(k)
       .collect()
@@ -273,6 +284,9 @@ object Similarity {
       cents = cents.map { case (cid, old) => cid -> byId.getOrElse(cid, old) }
       it += 1
     }
+    // training is driver-complete here; the cached projection has no
+    // further consumer (the returned frame is built from `cents`)
+    if (iters >= 1) vp.unpersist(blocking = false)
     val out = cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
     vectors.sparkSession.createDataset(out).toDF("centroid_id", "centroid")
       .select(col("centroid_id"), col("centroid").cast("array<double>"))
