@@ -3027,8 +3027,20 @@ object SparkEntry {
     val words = Tables.documents(s, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
-    val cms = TextOps.cmsCounters(words, "w", depth = 4, width = 16)
     val exact = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // the CMS counters derive from the WORD HISTOGRAM, not a second
+    // corpus explode (optimization round 14): Σ over words of cnt per
+    // (row, bucket) is the same long count(1) per (row, bucket) over
+    // the occurrence stream — bit-identical — and the histogram's
+    // aggregation exchange is shared with the top-20 branch via
+    // ReusedExchange, so the corpus tokenize+explode pass runs once
+    // instead of twice (guide §6 read-once; TextOps.cmsCounters keeps
+    // its occurrence-stream contract for stream-shaped callers)
+    val cms = exact
+      .select(col("w"), col("cnt"), explode(typedLit((0 until 4).toArray)).as("r"))
+      .withColumn("b", TextOps.cmsBucket(col("w"), col("r"), 16))
+      .groupBy(col("r"), col("b"))
+      .agg(sum(col("cnt")).as("c"))
     // top-k via orderBy().limit() — a distributed TakeOrdered — then
     // rank from the packed-array idiom over exactly 20 rows (round 14:
     // no unpartitioned WindowExec anywhere on a main path); a

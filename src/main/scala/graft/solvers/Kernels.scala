@@ -725,6 +725,12 @@ object Kernels {
       x = Linalg.solveBandedSpd(Array(d0, d1, d2), b)
       it += 1
     }
+    // NOTE (round 14): an IRLS convergence early-exit was evaluated
+    // and REJECTED here — a tolerance exit moves convergence-tail
+    // bits that q97's point-mass thresholds and p01's clipped verdict
+    // compare, and a provably-identical BITWISE fixed-point exit was
+    // measured to never fire (15 vs 60 iterations differ in the last
+    // ulp indefinitely).
     x
   }
 
