@@ -24,20 +24,22 @@ Test / testGrouping := {
   val envs = (Test / envVars).value
   val cwd = baseDirectory.value
   val nGroups = 8
-  // measured sequential wall seconds (round-14 full run, 1169 s total);
-  // unlisted suites default small. Greedy longest-first bin-packing so
-  // no group stacks two heavy suites (round-robin put SunriseSunset
-  // and DocStream, #1 and #2, in the same group).
+  // measured under-parallel wall seconds (round-14 -oD durations from
+  // the 4-way grouped run — the regime the packing actually runs in;
+  // the earlier SEQUENTIAL profile mis-weighted SunriseSunsetSpec at
+  // 282 s, which the quantileFourierFit convergence early-exit cut to
+  // ~20 s). Unlisted suites default small. Greedy longest-first
+  // bin-packing so no group stacks two heavy suites.
   val weights = Map(
-    "graft.SunriseSunsetSpec" -> 282, "graft.DocStreamSpec" -> 203,
-    "graft.QueriesSpec" -> 134, "graft.PlotTablesSpec" -> 117,
-    "graft.StudySpec" -> 59, "graft.GroundTruthSpec" -> 53,
-    "graft.StreamingSpec" -> 49, "graft.OperatorSpec" -> 28,
-    "graft.GoldenTimeShiftSpec" -> 25, "graft.RefitSpec" -> 21,
-    "graft.VecStreamSpec" -> 21, "graft.PlanSpec" -> 18,
-    "graft.DegenerateInputSpec" -> 15, "graft.MixingSpec" -> 13,
-    "graft.KmeansSpec" -> 13, "graft.GoldenPipelineSpec" -> 10
-  ).withDefaultValue(8)
+    "graft.DocStreamSpec" -> 190, "graft.StreamingSpec" -> 154,
+    "graft.PlanSpec" -> 101, "graft.WinnowSpec" -> 68,
+    "graft.MixingSpec" -> 60, "graft.PercentilesSpec" -> 50,
+    "graft.GoldenPipelineSpec" -> 33, "graft.PqSpec" -> 29,
+    "graft.GoldenClippingSpec" -> 29, "graft.ShadeSpec" -> 25,
+    "graft.QueriesSpec" -> 25, "graft.PlotTablesSpec" -> 25,
+    "graft.StudySpec" -> 25, "graft.GroundTruthSpec" -> 25,
+    "graft.SunriseSunsetSpec" -> 20, "graft.OperatorSpec" -> 20
+  ).withDefaultValue(10)
   val bins = Array.fill(nGroups)(0L)
   val assigned = Array.fill(nGroups)(Vector.empty[TestDefinition])
   tests.sortBy(t => (-weights(t.name), t.name)).foreach { t =>
